@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.GStream
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Changelog, Joins}
+import graft.sources.Tables
+
+/** The declared query set: one entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
+  * where the semantics are SQL-expressible.
+  *
+  * Oracle-determinism rules used throughout:
+  *  - aggregate doubles with >0 fractional digits go through DECIMAL(18,2)
+  *    (exact, order-independent) and back to double;
+  *  - similarity outputs carry ids/integers only — thresholds are applied as
+  *    `lhs >= t * rhs` with identical operand shapes in both engines;
+  *  - column names and types (LONG for counts/sizes) match the oracle SQL
+  *    exactly, since the driver hashes columns by name.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Latest-surviving-event-per-user snapshot (ktable semantics). */
+  private def latestEvents(s: SparkSession, dir: String): DataFrame =
+    Changelog.latestByKey(t(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
+
+  private val latestEventsSql =
+    """SELECT user_id, event_type AS last_type, value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- core ops
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // filter (processors/filter.h)
+    "q01_filter" -> ((s, dir) =>
+      GStream(t(s, dir, "lineitem")).filter(col("l_quantity") > 45).df),
+
+    // flat_map / explode + count (processors/flat_map.h, examples/example3-count)
+    "q02_flatmap_wordcount" -> ((s, dir) =>
+      GStream(t(s, dir, "documents"))
+        .flatMap(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .countByKey(Seq("word")).df),
+
+    // transform_value (processors/transform.h)
+    "q03_transform_value" -> ((s, dir) =>
+      GStream(t(s, dir, "orders"))
+        .transform(_.select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("adjusted"))).df),
+
+    // merge / union (processors/merge.h)
+    "q04_merge_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      GStream(ev.filter(col("event_type") === "click").select("event_id"))
+        .merge(GStream(ev.filter(col("event_type") === "view").select("event_id"))).df
+    }),
+
+    // count_by_key (processors/count.h)
+    "q05_count_by_key" -> ((s, dir) =>
+      GStream(t(s, dir, "lineitem")).countByKey(Seq("l_returnflag")).df),
+
+    // counter-store sums (state_stores/mem_counter_store.h)
+    "q06_sum_by_key" -> ((s, dir) =>
+      GStream(t(s, dir, "lineitem")).sumByKey(Seq("l_returnflag"),
+        "sum_qty" -> sum(col("l_quantity")),
+        "sum_price" -> sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).df),
+
+    // ktable latest-by-key LWW (processors/ktable.h, mem_store.h)
+    "q07_ktable_latest" -> ((s, dir) =>
+      latestEvents(s, dir).select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))),
+
+    // kstream_inner_join (join.h:120) — stream × broadcast table snapshot
+    "q08_stream_table_inner" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer").filter(col("c_custkey") < 100)
+      Joins.streamTableInner(ev, cust, col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_acctbal")
+    }),
+
+    // kstream_left_join (join.h:28)
+    "q09_stream_table_left" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer").filter(col("c_custkey") < 100)
+      Joins.streamTableLeft(ev, cust, col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_acctbal")
+    }),
+
+    // ktable_left_join (join.h:212) — snapshot × snapshot
+    "q10_table_join_left" -> ((s, dir) =>
+      Joins.tableTableLeft(t(s, dir, "customer"), latestEvents(s, dir)
+          .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value")),
+          col("c_custkey") === col("user_id"))
+        .select("c_custkey", "c_name", "last_type", "last_value")),
+
+    // ktable_inner_join (join.h:314)
+    "q11_table_join_inner" -> ((s, dir) =>
+      Joins.tableTableInner(t(s, dir, "customer"), latestEvents(s, dir)
+          .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value")),
+          col("c_custkey") === col("user_id"))
+        .select("c_custkey", "c_name", "last_type", "last_value")),
+
+    // ktable_outer_join (join.h:408)
+    "q12_table_join_outer" -> ((s, dir) =>
+      Joins.tableTableOuter(t(s, dir, "customer"), latestEvents(s, dir)
+          .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value")),
+          col("c_custkey") === col("user_id"))
+        .select("c_custkey", "user_id", "c_name", "last_type", "last_value")),
+
+    // windowed store: tumbling event-time buckets (mem_windowed_store.h)
+    "q13_windowed_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))),
+
+    // repartition_by_foreign_key (processors/repartition.h): unroutable keys
+    // dropped, stream regrouped by the foreign key
+    "q14_repartition_fk" -> ((s, dir) => {
+      val ev = GStream(t(s, dir, "events"))
+      val routing = new graft.api.GTable(t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select("c_custkey", "c_nationkey"), Seq("c_custkey"))
+      ev.repartitionByForeignKey(routing, col("user_id") === col("c_custkey"), "c_nationkey")
+        .transform(_.groupBy(col("c_nationkey").as("fk")).agg(count(lit(1)).as("cnt"))).df
+    }),
+
+    // rate_limiter (processors/rate_limiter.h): per-key token bucket replay
+    "q15_rate_limiter" -> ((s, dir) =>
+      GStream(t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))))
+        .rateLimit(Seq("user_id"), "ts_ms", Seq("event_id"), capacity = 3, ageTimeMs = 3600 * 1000L)
+        .transform(_.select("event_id", "user_id", "ts_ms", "admitted")).df),
+
+    // delay (processors/delay.h): visibility shift by delay on event time
+    "q16_delay" -> ((s, dir) =>
+      GStream(t(s, dir, "events"))
+        .delay("ts", 3600 * 1000L, "release_ts")
+        .transform(_.select("event_id", "release_ts")).df),
+
+    // ------------------------------------------------- pipeline extensions
+
+    "x01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "x02_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)),
+
+    "x03_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)),
+
+    "x04_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)),
+
+    "x05_ann_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
+
+    "x06_ann_lsh_pairs" -> ((s, dir) =>
+      Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
+
+    "x07_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
+    "x08_text_metrics" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
+          col("n_tokens").cast("long").as("n_tokens"), col("n_bpeish").cast("long").as("n_bpeish"),
+          col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))),
+
+    "x09_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+
+    "x10_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    "x11_mm_image_meta" -> ((s, dir) =>
+      Multimodal.decodeImageMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().select(col("id"), col("n_bytes"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("channels").cast("long").as("channels"),
+          col("format"))),
+
+    "x12_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF())
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_filter" ->
+      "SELECT * FROM lineitem WHERE l_quantity > 45",
+
+    "q02_flatmap_wordcount" ->
+      """SELECT w AS word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+        |      FROM documents) GROUP BY w""".stripMargin,
+
+    "q03_transform_value" ->
+      "SELECT o_orderkey, o_totalprice * 1.1 AS adjusted FROM orders",
+
+    "q04_merge_union" ->
+      """SELECT event_id FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT event_id FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "q05_count_by_key" ->
+      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+
+    "q06_sum_by_key" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q07_ktable_latest" -> latestEventsSql,
+
+    "q08_stream_table_inner" ->
+      """SELECT event_id, user_id, c_name, c_acctbal FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey WHERE c.c_custkey < 100""".stripMargin,
+
+    "q09_stream_table_left" ->
+      """SELECT event_id, user_id, c_name, c_acctbal FROM events e
+        |LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q10_table_join_left" ->
+      s"""SELECT c_custkey, c_name, last_type, last_value FROM customer c
+         |LEFT JOIN ($latestEventsSql) u ON c.c_custkey = u.user_id""".stripMargin,
+
+    "q11_table_join_inner" ->
+      s"""SELECT c_custkey, c_name, last_type, last_value FROM customer c
+         |JOIN ($latestEventsSql) u ON c.c_custkey = u.user_id""".stripMargin,
+
+    "q12_table_join_outer" ->
+      s"""SELECT c_custkey, user_id, c_name, last_type, last_value FROM customer c
+         |FULL OUTER JOIN ($latestEventsSql) u ON c.c_custkey = u.user_id""".stripMargin,
+
+    "q13_windowed_count" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        |COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_repartition_fk" ->
+      """SELECT c_nationkey AS fk, COUNT(*) AS cnt FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey WHERE c.c_custkey < 100 GROUP BY 1""".stripMargin,
+
+    "q16_delay" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS release_ts FROM events",
+
+    "x01_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY 1",
+
+    "x02_dedup_jaccard" -> jaccardOracle,
+
+    // LSH with 64 hashes / bands of 2 has recall ~1 at threshold 0.5 and the
+    // candidates are exactly verified ⇒ same output as the exact operator.
+    "x03_dedup_minhash_lsh" -> jaccardOracle,
+
+    "x05_ann_cosine_pairs" ->
+      """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    "x08_text_metrics" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+        |CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','in','and','or','is','are','on','for','with','as','by','at'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+        |FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
+
+    "x11_mm_image_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
+        |CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS BIGINT) AS height,
+        |CAST(3 AS BIGINT) AS channels,
+        |CASE octet_length(CAST(text AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "x12_mm_frames" ->
+      """SELECT doc_id AS id, i.i AS frame_idx, i.i * 256 AS byte_offset
+        |FROM documents, LATERAL unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 256)) i(i)""".stripMargin
+  )
+
+  private lazy val jaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
+      |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3
+      |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_cnt
+      |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, inter_cnt, x.n + y.n - inter_cnt AS union_cnt,
+      |       CAST(inter_cnt AS DOUBLE) / (x.n + y.n - inter_cnt) AS jaccard
+      |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |WHERE CAST(inter_cnt AS DOUBLE) >= 0.5 * (x.n + y.n - inter_cnt)""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Changelog, Joins, RateLimit}
+
+/** Thin facade giving the reference's operator vocabulary
+  * (reference: the include/kspp/processors headers) over a DataFrame, so a user of the
+  * reference can map their topology 1:1. Every method is a declarative
+  * DataFrame transformation — Catalyst sees through the facade, so predicate
+  * pushdown / column pruning / join planning all still apply.
+  *
+  * Where the reference takes a C++ lambda, we take a `Column` expression
+  * (codegen-friendly); typed lambdas remain available via `.df.as[T]`.
+  */
+final class GStream(val df: DataFrame) {
+
+  /** filter (processors/filter.h:6-79). */
+  def filter(pred: Column): GStream = new GStream(df.filter(pred))
+
+  /** flat_map via generator expression, 1→N (processors/flat_map.h:8-97).
+    * e.g. `flatMap(explode(split(col("text"), "\\s+")).as("word"))`.
+    */
+  def flatMap(generators: Column*): GStream = new GStream(df.select(generators: _*))
+
+  /** transform_value: rewrite/add a value column, key unchanged
+    * (processors/transform.h:11-89).
+    */
+  def transformValue(name: String, value: Column): GStream =
+    new GStream(df.withColumn(name, value))
+
+  /** transform: whole-row rewrite (processors/transform.h:93-168). */
+  def transform(f: DataFrame => DataFrame): GStream = new GStream(f(df))
+
+  /** merge: N-way union of same-typed streams (processors/merge.h:7-183). */
+  def merge(others: GStream*): GStream =
+    new GStream(others.foldLeft(df)((acc, o) => acc.unionByName(o.df)))
+
+  /** visitor: terminal foreach, side effects only (processors/visitor.h:9-71). */
+  def visit(f: Row => Unit): Unit = df.foreach(f)
+
+  /** delay: each record becomes visible `delayMs` after its event time
+    * (processors/delay.h:6-74). In batch the release time is materialized as
+    * a column; the streaming variant holds rows on a state timeout.
+    */
+  def delay(eventTimeCol: String, delayMs: Long, releaseCol: String = "release_time"): GStream =
+    new GStream(df.withColumn(releaseCol,
+      col(eventTimeCol) + expr(s"INTERVAL $delayMs MILLISECONDS")))
+
+  /** count_by_key (processors/count.h:9-123): keyed occurrence count. */
+  def countByKey(keys: Seq[String], countCol: String = "cnt"): GStream =
+    new GStream(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(countCol)))
+
+  /** counter-store additive aggregation (state_stores/mem_counter_store.h:74-81):
+    * keyed sums; Spark's hash aggregate supplies the partial (map-side) merge
+    * the RocksDB merge operator provided in the reference.
+    */
+  def sumByKey(keys: Seq[String], sums: (String, Column)*): GStream =
+    new GStream(df.groupBy(keys.map(col): _*)
+      .agg(sums.head._2.as(sums.head._1), sums.tail.map { case (n, c) => c.as(n) }: _*))
+
+  /** ktable: changelog → latest-surviving-row-per-key snapshot
+    * (processors/ktable.h, mem_store LWW + tombstone rules).
+    */
+  def toTable(keys: Seq[String], eventTimeCol: String, tieBreakCols: Seq[String],
+              tombstoneCol: Option[String] = None): GTable =
+    new GTable(Changelog.latestByKey(df, keys, eventTimeCol, tieBreakCols, tombstoneCol), keys)
+
+  /** kstream_left_join (join.h:28-118). */
+  def leftJoin(table: GTable, on: Column, broadcastTable: Boolean = true): GStream =
+    new GStream(Joins.streamTableLeft(df, table.df, on, broadcastTable))
+
+  /** kstream_inner_join (join.h:120-209). */
+  def innerJoin(table: GTable, on: Column, broadcastTable: Boolean = true): GStream =
+    new GStream(Joins.streamTableInner(df, table.df, on, broadcastTable))
+
+  /** repartition_by_foreign_key (processors/repartition.h:9-101): route each
+    * record by a foreign key resolved from a routing table; records whose key
+    * has no route are dropped (repartition.h:64-73 — an implicit left-semi).
+    * The shuffle on `fkCol` is the Spark analog of writing to the FK-hashed
+    * topic.
+    */
+  def repartitionByForeignKey(routing: GTable, on: Column, fkCol: String,
+                              broadcastRouting: Boolean = true): GStream = {
+    val routed = Joins.streamTableInner(df, routing.df, on, broadcastRouting)
+    new GStream(routed.repartition(col(fkCol)))
+  }
+
+  /** rate_limiter (processors/rate_limiter.h:12-87): per-key token bucket on
+    * event time; emits all rows with an `admitted` flag (the reference drops
+    * rejected rows and counts them — `filter($"admitted")` reproduces that).
+    */
+  def rateLimit(keys: Seq[String], eventTimeMsCol: String, tieBreakCols: Seq[String],
+                capacity: Long, ageTimeMs: Long): GStream =
+    new GStream(RateLimit.replay(df, keys, eventTimeMsCol, tieBreakCols, capacity, ageTimeMs))
+
+  /** thoughput_limiter [sic] (processors/thoughput_limiter.h:12-85): global
+    * processing-time throttle. Meaningless for a finite batch; in streaming
+    * use source admission control (`maxOffsetsPerTrigger`,
+    * `maxFilesPerTrigger`) — see streaming.Throttle.
+    */
+  def throughputLimit(messagesPerSec: Double): GStream = this
+}
+
+/** A materialized table snapshot (the reference's `materialized_source`):
+  * the result of `toTable`, joinable from streams and other tables.
+  */
+final class GTable(val df: DataFrame, val keys: Seq[String]) {
+  def leftJoin(right: GTable, on: Column): GTable =
+    new GTable(Joins.tableTableLeft(df, right.df, on), keys)
+  def innerJoin(right: GTable, on: Column): GTable =
+    new GTable(Joins.tableTableInner(df, right.df, on), keys)
+  def outerJoin(right: GTable, on: Column): GTable =
+    new GTable(Joins.tableTableOuter(df, right.df, on), keys ++ right.keys)
+  def toStream: GStream = new GStream(df)
+}
+
+object GStream {
+  def apply(df: DataFrame): GStream = new GStream(df)
+}

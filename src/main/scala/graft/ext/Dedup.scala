@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Embedding-cosine near-dup lives in
+  * [[Similarity]].
+  *
+  * Scale design: exact dedup is a single hash-aggregate; MinHash/SimHash are
+  * the linear-scale paths (signature = narrow per-doc work, candidate
+  * generation = equi-join on band keys, verification only on candidates).
+  * Exact pairwise Jaccard is kept as the small-data oracle/verifier.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * surviving doc id (smallest) and the duplicate count. One shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). Narrow
+    * per-row generation, then a distinct (one shuffle).
+    */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val grams = transform(
+      sequence(lit(0), size(col("__t")) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*))
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over shingle sets, emitting pairs with
+    * `jaccard >= threshold`. Output: (d1, d2, inter_cnt, union_cnt, jaccard)
+    * with d1 < d2. O(pairs-sharing-a-shingle) — the verifier/oracle path;
+    * use [[minHashLsh]] at scale.
+    */
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = shingles.toDF("d1", "s")
+    val b = shingles.toDF("d2", "s")
+    val inter = a.join(b, Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
+      .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
+        (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+  }
+
+  /** MinHash + banded LSH near-dup detection — the 100 TB path.
+    *
+    * Signatures: `numHashes` independent min-hashes per doc via seeded
+    * xxhash64 (partial-aggregated min, map-side combined). Banding: rows of
+    * `bandSize` hashes, band key = hash of the band's signature slice;
+    * candidate pairs share any band key (equi-join, no O(n²)). Candidates are
+    * then verified with exact Jaccard, so output has no false positives and
+    * matches [[jaccardPairs]] whenever LSH recall is 1.
+    *
+    * P(miss) for a pair at similarity s = (1 - s^bandSize)^numBands;
+    * defaults (64 hashes, bands of 2) give P(miss at 0.5) ≈ 7e-5.
+    */
+  def minHashLsh(shingles: DataFrame, threshold: Double,
+                 numHashes: Int = 64, bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0)
+    val seeds = (0 until numHashes).map(i => lit(i))
+    // (id, seed, minhash): explode seeds once, partial-min aggregate
+    val mh = shingles
+      .select(col("id"), explode(array(seeds: _*)).as("seed"),
+        col("shingle"))
+      .select(col("id"), col("seed"), xxhash64(col("seed"), col("shingle")).as("h"))
+      .groupBy("id", "seed").agg(min("h").as("mh"))
+    val bands = mh
+      .withColumn("band", col("seed") / bandSize cast "int")
+      .groupBy("id", "band")
+      .agg(xxhash64(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh"))).as("band_key"))
+    val cand = bands.toDF("d1", "band", "band_key")
+      .join(bands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // verify candidates with exact Jaccard (no false positives)
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = shingles.toDF("d1", "s")
+    val b = shingles.toDF("d2", "s")
+    cand
+      .join(a, "d1").join(b.withColumnRenamed("s", "s2"), "d2")
+      .filter(col("s") === col("s2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
+      .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
+        (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document over word hashes — narrow per-row work. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simUdf = udf { text: String =>
+      val acc = new Array[Int](64)
+      if (text != null) text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(w, 0).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(w, 1).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+    df.select(col(idCol).as("id"), simUdf(col(textCol)).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance <= maxHamming over SimHash
+    * signatures, found via the pigeonhole band trick: split the 64-bit
+    * signature into `maxHamming + 1` bands — any pair within the distance
+    * must agree exactly on at least one band, so candidates come from an
+    * equi-join on (band_idx, band_value), never a cross join.
+    */
+  def simHashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bands = sim.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          (shiftrightunsigned(col("simhash"), i * width) bitwiseAND lit((1L << width) - 1)).as("bv"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("simhash"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    bands.toDF("d1", "h1", "band", "bv")
+      .join(bands.toDF("d2", "h2", "band", "bv"), Seq("band", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), bit_count(col("h1") bitwiseXOR col("h2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

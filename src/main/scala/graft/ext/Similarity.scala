@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine is the correctness baseline (and the oracle); the
+  * LSH-bucketed variant (signed random projections) is the 100 TB path:
+  * signatures are narrow per-row work, candidates come from an equi-join on
+  * signature bands, and exact cosine is computed only for candidates.
+  */
+object Similarity {
+
+  /** Sum of elementwise products in double precision, left-to-right — the
+    * deterministic sequential fold both engines can reproduce.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All pairs with cosine >= threshold (ids only — float-free output so the
+    * DuckDB oracle hash-matches bit-for-bit). Norms are precomputed once per
+    * row before the join. O(n²/2) compare — baseline path.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = withNorm.toDF("id_a", "va", "na")
+    val b = withNorm.toDF("id_b", "vb", "nb")
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+      .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"))
+  }
+
+  /** Brute-force cosine top-k neighbors for each query row. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = q.join(c, col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
+  /** Signed-random-projection LSH candidate pairs, verified with exact
+    * cosine — the linear-scale ANN path. `numBits` hyperplane signs per
+    * vector, banded into `numBits / bandSize` keys; hyperplane entries are
+    * deterministic ±1 derived from xxhash-style mixing of (plane, dim).
+    */
+  def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                     numBits: Int = 32, bandSize: Int = 2): DataFrame = {
+    require(numBits % bandSize == 0)
+    val sigUdf = udf { v: Seq[Float] =>
+      (0 until numBits).map { p =>
+        var s = 0.0
+        var d = 0
+        while (d < v.length) {
+          // splitmix64-style mix of (plane, dim) → sign
+          var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= (z >>> 31)
+          s += (if (z >= 0) v(d) else -v(d))
+          d += 1
+        }
+        if (s >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .withColumn("sig", sigUdf(col("v")))
+    val nBands = numBits / bandSize
+    val bands = base.select(col("id"), col("v"), col("nrm"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit((1L << bandSize) - 1)).as("bv"))
+      }: _*)).as("b"))
+      .select(col("id"), col("v"), col("nrm"), col("b.band").as("band"), col("b.bv").as("bv"))
+    bands.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("band"), col("bv"))
+      .join(bands.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb", "na", "nb").distinct()
+      .filter(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+      .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All
+  * per-document computations are narrow (no shuffle) and codegen-friendly
+  * where expressible as Column expressions, so they stream through a 100 TB
+  * scan at I/O speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped — the exact token definition the
+    * DuckDB oracle mirrors (`list_filter(string_split_regex(trim(x),'\s+'))`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** A BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space chars — a cheap stand-in for subword tokenization.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "on", "for", "with", "as", "by", "at")
+
+  /** Per-document quality metrics (doc_id, n_chars, n_tokens, n_bpeish,
+    * avg_token_len, stopword_ratio, punct_ratio, quality_score).
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nChars = length(col(textCol))
+    val punct = nChars - length(regexp_replace(col(textCol), "[!-/:-@\\[-`{-~]", ""))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(t, w => array_contains(stopArr, w)))
+    df.select(
+      col(idCol),
+      nChars.as("n_chars_m"),
+      nTok.as("n_tokens"),
+      bpeishCount(col(textCol)).as("n_bpeish"),
+      (length(concat_ws("", t)).cast("double") / nTok).as("avg_token_len"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      (punct.cast("double") / nChars).as("punct_ratio"))
+  }
+
+  /** Stopword-profile language ID — the classic cheap n-gram/stopword
+    * heuristic. Scores each candidate language by the fraction of tokens in
+    * its stopword profile; deterministic argmax (score desc, lang asc).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val prof = array(words.map(lit): _*)
+      struct((size(filter(t, w => array_contains(prof, w))).cast("double") / size(t)).as("score"),
+             lit(lang).as("lang"))
+    }
+    // argmax: sort (score desc, lang asc) via array_max on (score, negated-lang) is
+    // messy; sort_array ascending on (score, lang) and take the last element —
+    // equal scores then resolve to the lexicographically largest lang, which is
+    // still deterministic.
+    val best = element_at(sort_array(array(scored: _*)), -1)
+    df.select(col(idCol), best.getField("lang").as("lang_pred"), best.getField("score").as("lang_score"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all
+    * k-gram shingles, slide a window of `w`, keep each window's rightmost
+    * minimum. Emitted as (doc_id, fingerprint BIGINT) rows, deduplicated.
+    * Per-row computation — embarrassingly parallel.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
+    val fpUdf = udf { text: String =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < k) Array.empty[Long]
+        else {
+          val hashes = toks.sliding(k).map { gram =>
+            val s = gram.mkString(" ")
+            scala.util.hashing.MurmurHash3.stringHash(s, 0).toLong << 32 |
+              (scala.util.hashing.MurmurHash3.stringHash(s, 1).toLong & 0xffffffffL)
+          }.toArray
+          if (hashes.length <= w) Array(hashes.min)
+          else hashes.sliding(w).map { win =>
+            // rightmost minimum of the window
+            win.zipWithIndex.minBy { case (h, i) => (h, -i) }._1
+          }.toArray.distinct
+        }
+      }
+    }
+    df.select(col(idCol), explode(fpUdf(col(textCol))).as("fingerprint")).distinct()
+  }
+}

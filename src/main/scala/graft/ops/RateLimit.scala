@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+/** Per-key token-bucket rate limiting, the batch/replay analog of the
+  * reference's `rate_limiter` over `mem_token_bucket_store`
+  * (reference: processors/rate_limiter.h:12-87,
+  * state_stores/mem_token_bucket_store.h:24-57).
+  *
+  * Bucket math preserved exactly:
+  *  - integer tokens, bucket starts full (`capacity`), timestamp starts 0;
+  *  - aging: `delta = floor((ts - tstamp) * capacity / ageTimeMs)`; only when
+  *    `delta > 0` does the bucket advance its timestamp and refill
+  *    (`tokens = min(capacity, tokens + delta)`) — no aging on zero/negative
+  *    deltas;
+  *  - consume: reject when `tokens == 0`, else decrement and admit.
+  *
+  * Scale shape: one shuffle to co-locate each key's events, then a sorted
+  * single-pass scan per partition — no per-group buffering, no driver state,
+  * so a skewed key degrades to a sequential scan of that key only.
+  */
+object RateLimit {
+
+  /** Returns `df`'s columns plus a boolean `admitted`, replaying each key's
+    * events in `(eventTimeMs, tieBreak)` order through a token bucket.
+    *
+    * @param eventTimeMsCol name of a LONG column of epoch-millis event time
+    * @param tieBreakCols   deterministic intra-timestamp ordering
+    */
+  def replay(
+      df: DataFrame,
+      keyCols: Seq[String],
+      eventTimeMsCol: String,
+      tieBreakCols: Seq[String],
+      capacity: Long,
+      ageTimeMs: Long): DataFrame = {
+    require(capacity > 0 && ageTimeMs > 0)
+    val schema = df.schema
+    val outSchema = StructType(schema.fields :+ StructField("admitted", BooleanType, nullable = false))
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(eventTimeMsCol)
+    val sortCols = (keyCols ++ Seq(eventTimeMsCol) ++ tieBreakCols).map(col)
+
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { iter =>
+        var curKey: Seq[Any] = null
+        var tokens = capacity
+        var tstamp = 0L
+        iter.map { row =>
+          val k = keyIdx.map(row.get)
+          if (k != curKey) { curKey = k; tokens = capacity; tstamp = 0L }
+          val ts = row.getLong(tsIdx)
+          // age (mem_token_bucket_store.h __age)
+          val delta = ((ts - tstamp) * capacity) / ageTimeMs
+          if (delta > 0) {
+            tstamp = ts
+            tokens = math.min(capacity, tokens + delta)
+          }
+          val admitted = tokens > 0
+          if (admitted) tokens -= 1
+          Row.fromSeq(row.toSeq :+ admitted)
+        }
+      }(Encoders.row(outSchema))
+  }
+}
