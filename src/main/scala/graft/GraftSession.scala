@@ -40,6 +40,7 @@ object GraftSession {
     // (see sources.Tables.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

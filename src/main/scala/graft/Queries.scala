@@ -157,8 +157,9 @@ object Queries {
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
-    "x06_ann_lsh_pairs" -> ((s, dir) =>
-      Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
+    "x06_ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+        .select("query_id", "rank", "nbr_id")),
 
     "x07_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -14,15 +14,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sum of elementwise products in double precision, left-to-right — the
-    * deterministic sequential fold both engines can reproduce.
+    * deterministic sequential fold both engines can reproduce. Backed by the
+    * codegen expression [[graft.functions.FloatVectorDot]]; requires
+    * `GraftFunctions.register` (done by Tables.load / GraftSession.tune).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -47,6 +45,75 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
+  /** IVF-flat approximate top-k — the 100 TB ANN path. A small k-means
+    * codebook is trained (deterministic init: the `nClusters` lowest-id
+    * vectors; a fixed number of Lloyd iterations with map-side partial sums),
+    * every vector is assigned to its nearest centroid, and each query probes
+    * only the `nProbe` nearest clusters — candidate count scales with
+    * `nProbe / nClusters`, not with corpus size. Exact cosine re-ranks the
+    * candidates, so precision is 1; recall depends on nProbe.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val vecs = base.as[(Long, Array[Float])]
+
+    var cents: Array[Array[Double]] = vecs.orderBy(col("id")).limit(nClusters)
+      .collect().map(_._2.map(_.toDouble))
+    def nearest(c: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < c.length) {
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val updated = vecs
+        .map { case (_, v) => (nearest(bc.value, v), v) }
+        .groupByKey(_._1)
+        .mapGroups { (cid, it) =>
+          var n = 0L; var sum: Array[Double] = null
+          it.foreach { case (_, v) =>
+            if (sum == null) sum = new Array[Double](v.length)
+            var j = 0; while (j < v.length) { sum(j) += v(j); j += 1 }
+            n += 1
+          }
+          (cid, sum.map(_ / n))
+        }.collect()
+      val next = cents.clone()
+      updated.foreach { case (cid, c) => next(cid) = c }
+      cents = next
+    }
+
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = vecs.map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .toDF("id", "v", "cluster")
+    val probes = vecs.flatMap { case (id, v) =>
+      val c = bc.value
+      val dists = c.indices.map { ci =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
+        (d, ci)
+      }
+      dists.sorted.take(nProbe).map { case (_, ci) => (id, v, ci) }
+    }.toDF("query_id", "qv", "cluster")
+
+    val scored = probes.join(assigned, "cluster")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("nbr_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cos")

@@ -25,6 +25,7 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
       case "events" if df.schema("ts").dataType == LongType =>
