@@ -59,7 +59,7 @@ object Similarity {
     * candidates, so precision is 1; recall depends on nProbe.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+              nClusters: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.KRecord
+
+/** The reference's stateful operators with kspp-exact semantics, built on
+  * Structured Streaming's keyed state (`flatMapGroupsWithState`). These are
+  * the pieces Spark's built-ins genuinely can't express:
+  *
+  *  - event-time LWW upsert with tombstone deletes (mem_store.h:64-83 —
+  *    `dropDuplicates` keeps first-seen, kspp keeps max-event-time);
+  *  - expiry tombstones when windowed state is GC'd
+  *    (mem_windowed_store.h:89-101);
+  *  - per-key token buckets (mem_token_bucket_store.h:24-57);
+  *  - delayed release (delay.h:36-53);
+  *  - punctuate-interval snapshot emission for counters (count.h:92-101).
+  *
+  * State lives in Spark's state store (RocksDB-backed in production via
+  * `spark.sql.streaming.stateStore.providerClass`), partitioned by key —
+  * the direct analog of the reference's per-partition state stores, but
+  * rescalable and checkpointed.
+  *
+  * All of these also run on a *batch* Dataset (Spark executes
+  * flatMapGroupsWithState in batch mode with per-group iterators), which is
+  * how the golden tests drive them deterministically.
+  */
+object StatefulOps {
+
+  /** Stored cell of the LWW table. */
+  final case class Cell[V](value: Option[V], eventTime: Long)
+
+  /** Streaming ktable (processors/ktable.h + mem_store LWW rules): the
+    * changelog of the materialized latest-by-key table. Emits every
+    * *accepted* state change — upserts as records, accepted deletes as
+    * tombstones; stale updates (stored event time strictly newer) are
+    * silently dropped, exactly as `mem_store::_insert` skips them.
+    *
+    * Within a micro-batch, records are applied in event-time order (ties:
+    * arrival order is not defined across partitions, so callers needing
+    * total determinism must disambiguate event times upstream — the
+    * reference has the same constraint via its 1 ms event clock).
+    */
+  def latestByKey[K, V](ds: Dataset[KRecord[K, V]])(
+      implicit ek: Encoder[K], ec: Encoder[Cell[V]], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Cell[V]]) =>
+          var cell = state.getOption
+          val out = Vector.newBuilder[KRecord[K, V]]
+          it.toSeq.sortBy(_.eventTime).foreach { rec =>
+            cell match {
+              case Some(c) if c.eventTime > rec.eventTime => // stale: skip (mem_store.h:75-77)
+              case _ =>
+                if (rec.value.isDefined) {
+                  cell = Some(Cell(rec.value, rec.eventTime))
+                  out += rec
+                } else if (cell.exists(_.value.isDefined)) {
+                  cell = Some(Cell(None, rec.eventTime))
+                  out += rec // accepted delete → forward tombstone
+                }
+              // tombstone for an absent key: no store, no emit (mem_store.h:68-72)
+            }
+          }
+          cell match {
+            case Some(c) => state.update(c)
+            case None    =>
+          }
+          out.result().iterator
+      }
+
+  /** A KRecord plus the TimestampType view of its event time; the `wm`
+    * column must stay in the grouped Dataset's output for Spark's
+    * UnsupportedOperationChecker to accept EventTimeTimeout.
+    */
+  final case class WRec[K, V](key: K, value: Option[V], eventTime: Long, wm: java.sql.Timestamp)
+
+  /** Attach a watermark on the record's event time. `delay` is the
+    * out-of-orderness bound — the analog of the reference topology's
+    * `min_buffering_ms` (src/topology.cpp:236-253).
+    */
+  private def watermarked[K, V](ds: Dataset[KRecord[K, V]], delay: String)(
+      implicit ew: Encoder[WRec[K, V]]): Dataset[WRec[K, V]] = {
+    import org.apache.spark.sql.functions._
+    ds.withColumn("wm", timestamp_millis(col("eventTime")))
+      .withWatermark("wm", delay)
+      .as[WRec[K, V]]
+  }
+
+  /** Windowed table with expiry tombstones (mem_windowed_store.h:89-101 +
+    * ktable windowed variant): keeps each key's latest record while it is
+    * younger than `retentionMs` of event time; when the watermark passes a
+    * key's retention horizon the key is dropped AND a tombstone is emitted
+    * downstream — the reference's tombstone-on-GC contract.
+    */
+  def windowedLatestByKey[K, V](ds: Dataset[KRecord[K, V]], retentionMs: Long,
+                                watermarkDelay: String = "0 seconds")(
+      implicit ek: Encoder[K], ec: Encoder[Cell[V]], ew: Encoder[WRec[K, V]],
+      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+    watermarked(ds, watermarkDelay).groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, it: Iterator[WRec[K, V]], state: GroupState[Cell[V]]) =>
+          if (state.hasTimedOut) {
+            val ts = state.getCurrentWatermarkMs()
+            state.remove()
+            Iterator.single(KRecord[K, V](key, None, ts)) // GC tombstone
+          } else {
+            var cell = state.getOption
+            val out = Vector.newBuilder[KRecord[K, V]]
+            it.toSeq.sortBy(_.eventTime).foreach { rec =>
+              cell match {
+                case Some(c) if c.eventTime > rec.eventTime =>
+                case _ =>
+                  if (rec.value.isDefined) {
+                    cell = Some(Cell(rec.value, rec.eventTime))
+                    out += KRecord(rec.key, rec.value, rec.eventTime)
+                  } else if (cell.exists(_.value.isDefined)) {
+                    cell = Some(Cell(None, rec.eventTime))
+                    out += KRecord[K, V](rec.key, None, rec.eventTime)
+                  }
+              }
+            }
+            cell.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.eventTime + retentionMs)
+            }
+            out.result().iterator
+          }
+      }
+
+  /** Per-key token bucket state. */
+  final case class Bucket(tokens: Long, tstamp: Long)
+
+  /** Streaming rate_limiter (processors/rate_limiter.h:12-87): admits or
+    * drops each record through its key's token bucket, with the exact
+    * integer aging rule of mem_token_bucket_store (see ops.RateLimit for the
+    * math). Rejected records are dropped, as in the reference (which counts
+    * them in a metric; count the difference via `observe` upstream).
+    */
+  def rateLimiter[K, V](ds: Dataset[KRecord[K, V]], capacity: Long, ageTimeMs: Long)(
+      implicit ek: Encoder[K], eb: Encoder[Bucket], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Bucket]) =>
+          var b = state.getOption.getOrElse(Bucket(capacity, 0L))
+          val out = Vector.newBuilder[KRecord[K, V]]
+          it.toSeq.sortBy(_.eventTime).foreach { rec =>
+            val delta = ((rec.eventTime - b.tstamp) * capacity) / ageTimeMs
+            if (delta > 0) b = Bucket(math.min(capacity, b.tokens + delta), rec.eventTime)
+            if (b.tokens > 0) { b = b.copy(tokens = b.tokens - 1); out += rec }
+          }
+          state.update(b)
+          out.result().iterator
+      }
+
+  /** Held row for the delay operator. */
+  final case class Held[K, V](rows: Seq[KRecord[K, V]])
+
+  /** Streaming delay (processors/delay.h:36-53): a record becomes visible
+    * once `eventTime + delayMs <= watermark` — the watermark plays the
+    * reference's event-time tick.
+    */
+  def delay[K, V](ds: Dataset[KRecord[K, V]], delayMs: Long,
+                  watermarkDelay: String = "0 seconds")(
+      implicit ek: Encoder[K], eh: Encoder[Held[K, V]], ew: Encoder[WRec[K, V]],
+      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+    watermarked(ds, watermarkDelay).groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, it: Iterator[WRec[K, V]], state: GroupState[Held[K, V]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val incoming = state.getOption.map(_.rows).getOrElse(Nil) ++
+            it.map(r => KRecord(r.key, r.value, r.eventTime))
+          val (ready, held) = incoming.partition(_.eventTime + delayMs <= wm)
+          if (held.nonEmpty) {
+            state.update(Held(held))
+            state.setTimeoutTimestamp(held.map(_.eventTime).min + delayMs)
+          } else if (state.exists) {
+            state.remove()
+          }
+          ready.sortBy(_.eventTime).iterator
+      }
+
+  /** Counter snapshot cell. */
+  final case class Counter(count: Long, nextPunctuate: Long)
+
+  /** Punctuated count_by_key (processors/count.h:60-101): counts occurrences
+    * per key and, every `punctuateIntervalMs` of *event time*, emits a
+    * (key, count) snapshot stamped with the punctuate boundary. The
+    * reference punctuates all keys on one global event clock; per-key
+    * watermark timeouts reproduce the cadence per key (snapshots of
+    * untouched keys are deferred until their timeout fires).
+    */
+  def punctuatedCount[K](ds: Dataset[KRecord[K, Long]], punctuateIntervalMs: Long,
+                         watermarkDelay: String = "0 seconds")(
+      implicit ek: Encoder[K], ec: Encoder[Counter], ew: Encoder[WRec[K, Long]],
+      er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] =
+    watermarked(ds, watermarkDelay).groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, it: Iterator[WRec[K, Long]], state: GroupState[Counter]) =>
+          if (state.hasTimedOut) {
+            val c = state.get
+            val ts = state.getCurrentWatermarkMs()
+            state.update(Counter(c.count, ts + punctuateIntervalMs))
+            state.setTimeoutTimestamp(ts + punctuateIntervalMs)
+            Iterator.single(KRecord.of(key, c.count, ts))
+          } else {
+            val recs = it.toSeq
+            val c0 = state.getOption.getOrElse(
+              Counter(0L, recs.map(_.eventTime).min + punctuateIntervalMs))
+            val c = Counter(c0.count + recs.size, c0.nextPunctuate)
+            state.update(c)
+            state.setTimeoutTimestamp(c.nextPunctuate)
+            Iterator.empty
+          }
+      }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Extension-operator invariants on the sf0.001 driver tables. */
+class ExtensionsSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf(), "documents")
+  private def emb = Tables.load(spark, sf(), "embeddings")
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at threshold 0.5") {
+    val shingles = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(shingles, 0.5).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(shingles, 0.5).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs: identical docs collide, hamming bounded") {
+    val sim = Dedup.simHash(docs, "doc_id", "text")
+    val pairs = Dedup.simHashPairs(sim, maxHamming = 3).collect()
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
+  test("IVF top-k recall >= 0.6 vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 10)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("cosine pairs are consistent with the codegen dot expression") {
+    import spark.implicits._
+    val n = Similarity.norm(col("embedding"))
+    val norms = emb.select(n.as[Double]).collect()
+    assert(norms.forall(v => v > 0 && !v.isNaN))
+    // self-cosine == 1
+    val self = emb.select((Similarity.dot(col("embedding"), col("embedding"))
+      / (n * n)).as[Double]).collect()
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("language ID is deterministic and in-profile") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
+    assert(out.length == docs.count())
+    val langs = TextAnalysis.langProfiles.keySet
+    assert(out.forall(r => langs.contains(r.getString(1))))
+  }
+
+  test("fingerprints: near-dup docs share fingerprints") {
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+    // the 25 planted near-dup pairs (jaccard >= 0.5) must share >= 1 fingerprint
+    val shingles = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val nearDups = Dedup.jaccardPairs(shingles, 0.5).select("d1", "d2").collect()
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    nearDups.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert((byDoc(a) intersect byDoc(b)).nonEmpty, s"pair ($a,$b) shares no fingerprint")
+    }
+  }
+
+  test("kafka murmur2 matches Apache Kafka reference vectors") {
+    import graft.functions.KafkaMurmur2
+    // vectors from org.apache.kafka.common.utils.UtilsTest#testMurmur2
+    assert(KafkaMurmur2.hash("21".getBytes("UTF-8")) == -973932308)
+    assert(KafkaMurmur2.hash("foobar".getBytes("UTF-8")) == -790332482)
+    assert(KafkaMurmur2.hash("a-little-bit-long-string".getBytes("UTF-8")) == -985981536)
+    assert(KafkaMurmur2.hash("a-little-bit-longer-string".getBytes("UTF-8")) == -1486304829)
+    assert(KafkaMurmur2.hash("lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8".getBytes("UTF-8")) == -58897971)
+    assert(KafkaMurmur2.hash(Array[Byte]('a', 'b', 'c')) == 479470107)
+  }
+
+  test("multimodal stub decode is pure and 1->N frame sampling explodes") {
+    import graft.ext.Multimodal
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val meta = Multimodal.decodeImageMeta(media).collect()
+    assert(meta.forall(m => m.width >= 1 && m.width <= 640 && m.height >= 1 && m.height <= 480))
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.length > meta.length) // at least one frame per doc, many docs > 256 bytes
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.KRecord
+import graft.ops.{Changelog, Joins, RateLimit}
+
+/** Golden semantics ported from the reference's unit tests (cited per test). */
+class OperatorSemanticsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  /** The test8_join.cpp:91-112 fixture: two changelogs, all records key 42,
+    * null value = tombstone.
+    */
+  private def fixture = {
+    import spark.implicits._
+    val left = Seq(
+      (42, null.asInstanceOf[String], 1L), (42, "A", 3L), (42, "B", 5L),
+      (42, null.asInstanceOf[String], 7L), (42, "C", 9L),
+      (42, null.asInstanceOf[String], 12L), (42, "D", 15L)
+    ).toDF("key", "value", "event_time")
+    val right = Seq(
+      (42, null.asInstanceOf[String], 2L), (42, "a", 4L), (42, "b", 6L),
+      (42, null.asInstanceOf[String], 8L), (42, "c", 10L),
+      (42, null.asInstanceOf[String], 11L), (42, null.asInstanceOf[String], 13L), (42, "d", 14L)
+    ).toDF("key", "value", "event_time")
+    (left, right)
+  }
+
+  test("ktable LWW snapshot honors tombstones (mem_store.h:64-83, test2_mem_store)") {
+    import spark.implicits._
+    val (left, _) = fixture
+    val snap = Changelog.latestByKey(left, Seq("key"), "event_time", Nil, tombstoneCol = Some("value"))
+    assert(snap.collect().toSeq == Seq(Row(42, "D", 15L)))
+
+    // delete wins when it is the latest record
+    val deleted = left.filter($"event_time" <= 12)
+    val snap2 = Changelog.latestByKey(deleted, Seq("key"), "event_time", Nil, tombstoneCol = Some("value"))
+    assert(snap2.count() == 0)
+  }
+
+  test("LWW skips stale updates: stored strictly newer wins (mem_store.h:75-77)") {
+    import spark.implicits._
+    // out-of-order arrival: the t=9 "C" must beat the late-arriving t=8 "X"
+    val df = Seq((1, "C", 9L), (1, "X", 8L)).toDF("key", "value", "event_time")
+    val snap = Changelog.latestByKey(df, Seq("key"), "event_time", Nil, Some("value"))
+    assert(snap.collect().toSeq == Seq(Row(1, "C", 9L)))
+  }
+
+  test("table-table join snapshots (join.h:212-508, test8_join.cpp final states)") {
+    import spark.implicits._
+    val (left, right) = fixture
+    val lt = Changelog.latestByKey(left, Seq("key"), "event_time", Nil, Some("value"))
+      .select($"key".as("lk"), $"value".as("lv"))
+    val rt = Changelog.latestByKey(right, Seq("key"), "event_time", Nil, Some("value"))
+      .select($"key".as("rk"), $"value".as("rv"))
+    val inner = Joins.tableTableInner(lt, rt, $"lk" === $"rk").select("lk", "lv", "rv")
+    assert(inner.collect().toSeq == Seq(Row(42, "D", "d")))
+    val outer = Joins.tableTableOuter(lt, rt, $"lk" === $"rk").select("lv", "rv")
+    assert(outer.collect().toSeq == Seq(Row("D", "d")))
+  }
+
+  test("token bucket admit/deny replay (mem_token_bucket_store, test3_mem_token_bucket.cpp)") {
+    import spark.implicits._
+    // bucket(agetime=100ms, capacity=2); key 2 consumed at t0, t0+10, t0+20, t0+101
+    val t0 = 1700000000000L
+    val df = Seq(
+      (0, t0, 1L), (1, t0, 2L),
+      (2, t0, 3L), (2, t0 + 10, 4L), (2, t0 + 20, 5L), (2, t0 + 101, 6L)
+    ).toDF("key", "ts_ms", "id")
+    val out = RateLimit.replay(df, Seq("key"), "ts_ms", Seq("id"), capacity = 2, ageTimeMs = 100)
+      .filter($"key" === 2).orderBy("id").select("admitted").as[Boolean].collect().toSeq
+    assert(out == Seq(true, true, false, true))
+  }
+
+  test("kstream joins drop/keep unmatched stream rows (join.h:28-209)") {
+    import spark.implicits._
+    val stream = Seq((1, "e1"), (2, "e2"), (3, "e3")).toDF("k", "payload")
+    val table = Seq((1, "t1"), (3, "t3")).toDF("tk", "tv")
+    val inner = Joins.streamTableInner(stream, table, $"k" === $"tk")
+    assert(inner.count() == 2)
+    val left = Joins.streamTableLeft(stream, table, $"k" === $"tk")
+      .select("k", "tv").orderBy("k")
+    assert(left.collect().toSeq == Seq(Row(1, "t1"), Row(2, null), Row(3, "t3")))
+  }
+
+  test("repartition_by_foreign_key drops unroutable keys (repartition.h:64-73)") {
+    import spark.implicits._
+    val usernames = (1 to 10).map(i => (i, s"user_$i")).toDF("user_id", "name")
+    val routing = Seq((1, 100), (2, 100), (3, 200)).toDF("user_id", "channel_id")
+    val g = api.GStream(usernames)
+      .repartitionByForeignKey(new api.GTable(routing, Seq("user_id")),
+        usernames("user_id") === routing("user_id"), "channel_id")
+    assert(g.df.count() == 3) // users 4..10 have no route
+  }
+}
