@@ -1,0 +1,87 @@
+package graft.serde
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Confluent wire-format avro serde (reference:
+  * include/kspp/serdes/avro_serdes.h:80-104): payload = magic byte 0x00 +
+  * 4-byte big-endian schema id + avro binary body. The registry is
+  * abstracted so tests run against an in-memory one; a production
+  * implementation would back [[SchemaRegistry]] with the HTTP registry the
+  * reference talks to.
+  */
+object ConfluentAvro {
+
+  val MagicByte: Byte = 0x00
+
+  trait SchemaRegistry extends Serializable {
+    def register(subject: String, schema: Schema): Int
+    def get(id: Int): Schema
+  }
+
+  /** Offline/test registry with stable content-addressed ids. */
+  final class InMemorySchemaRegistry extends SchemaRegistry {
+    private val byId = new TrieMap[Int, String]()
+    private val byFp = new TrieMap[String, Int]()
+    private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
+    def register(subject: String, schema: Schema): Int = {
+      val key = subject + "|" + schema.toString
+      byFp.getOrElseUpdate(key, {
+        val id = nextId.getAndIncrement()
+        byId.put(id, schema.toString)
+        id
+      })
+    }
+    def get(id: Int): Schema =
+      new Schema.Parser().parse(byId.getOrElse(id, sys.error(s"unknown schema id $id")))
+  }
+
+  /** magic + schema id + binary-encoded record. */
+  def encode(record: GenericRecord, schemaId: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(MagicByte.toInt)
+    out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](record.getSchema).write(record, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  final case class Framed(schemaId: Int, body: Array[Byte])
+
+  def deframe(bytes: Array[Byte]): Framed = {
+    require(bytes.length >= 5 && bytes(0) == MagicByte, "not Confluent-framed avro")
+    Framed(ByteBuffer.wrap(bytes, 1, 4).getInt, bytes.drop(5))
+  }
+
+  def decode(bytes: Array[Byte], registry: SchemaRegistry): GenericRecord = {
+    val f = deframe(bytes)
+    val schema = registry.get(f.schemaId)
+    val dec = DecoderFactory.get().binaryDecoder(f.body, null)
+    new GenericDatumReader[GenericRecord](schema).read(null, dec)
+  }
+
+  /** Column-level decoder: framed binary → JSON string, which `from_json`
+    * with the matching StructType turns into typed columns. The JSON hop
+    * keeps the UDF schema-agnostic (the reference's `generic_avro` dynamic
+    * path); pin a StructType downstream for the static path.
+    */
+  def decodeToJsonUdf(registry: SchemaRegistry): Column => Column = {
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else {
+        val rec = decode(bytes, registry)
+        rec.toString // Avro GenericRecord#toString is its JSON encoding
+      }
+    }
+    f.apply
+  }
+}

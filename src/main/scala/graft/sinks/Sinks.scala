@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Sink wrappers mirroring the reference's sink set (reference: sinks/*.h,
+  * kspp-pg / kspp-es tools).
+  */
+object Sinks {
+
+  /** Kafka topic sink with the reference's producer-compatible default
+    * partitioner (sinks/kafka_sink.h:13-280): partition = murmur2(key bytes)
+    * masked positive, mod partition count — so records land on the same
+    * partitions a librdkafka/Java producer would send them to. Retry /
+    * queue-full handling is the connector's job.
+    */
+  def kafka(df: DataFrame, brokers: String, topic: String,
+            keyCol: String, valueCol: String,
+            numPartitions: Option[Int] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    var out = df.select(
+      col(keyCol).cast("binary").as("key"),
+      col(valueCol).cast("binary").as("value"))
+    numPartitions.foreach { n =>
+      out = out.withColumn("partition",
+        pmod(call_function("kafka_murmur2", col("key")).bitwiseAND(lit(0x7fffffff)), lit(n)))
+    }
+    out.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+  }
+
+  /** Event-time-windowed file sink (sinks/avro_file_sink.h:58-96): the
+    * reference rotates one file per event-time window; the Spark analog is a
+    * directory partition per window bucket, giving the same
+    * one-file-set-per-window layout plus partition pruning on read.
+    * Format is parquet/avro-agnostic (`format` param).
+    */
+  def windowedFiles(df: DataFrame, eventTimeCol: String, windowMs: Long,
+                    path: String, format: String = "parquet"): Unit =
+    df.withColumn("window_start",
+        timestamp_millis((unix_millis(col(eventTimeCol)) / windowMs) * windowMs))
+      .write.partitionBy("window_start").format(format).mode("append").save(path)
+
+  /** Streaming variant: append mode with a checkpoint, one partition dir per
+    * window as files arrive.
+    */
+  def windowedFileStream(df: DataFrame, eventTimeCol: String, windowMs: Long,
+                         path: String, checkpoint: String,
+                         format: String = "parquet"): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.withColumn("window_start",
+        timestamp_millis((unix_millis(col(eventTimeCol)) / windowMs) * windowMs))
+      .writeStream.partitionBy("window_start").format(format)
+      .option("path", path).option("checkpointLocation", checkpoint)
+
+  /** Test/debug sinks (null_sink / array_sink / stream_sink → console,
+    * memory, collect are Spark built-ins; nothing to wrap).
+    */
+}

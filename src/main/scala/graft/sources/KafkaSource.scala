@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Kafka source wiring (reference: sources/kafka_source.h:13-381).
+  *
+  * Everything the reference's per-partition consumer thread did by hand —
+  * offset tracking, start-position spool (`OFFSET_BEGINNING` / `OFFSET_END` /
+  * `OFFSET_STORED` / start-from-timestamp, kafka_source.h:106-131),
+  * back-pressure, commit chain — maps onto Structured Streaming's Kafka
+  * source options + checkpointing:
+  *
+  *  - OFFSET_BEGINNING → `startingOffsets=earliest`
+  *  - OFFSET_END       → `startingOffsets=latest`
+  *  - OFFSET_STORED    → checkpointLocation (offsets live in the commit log)
+  *  - timestamp spool  → `startingTimestamp`
+  *  - queue cap 1000   → `maxOffsetsPerTrigger`
+  *
+  * Requires the spark-sql-kafka connector on the classpath at runtime (not
+  * bundled in this container, so this stays a declarative wrapper exercised
+  * at compile level only here).
+  */
+object KafkaSource {
+
+  sealed trait StartPosition { def options: Map[String, String] }
+  case object Beginning extends StartPosition { val options = Map("startingOffsets" -> "earliest") }
+  case object End extends StartPosition { val options = Map("startingOffsets" -> "latest") }
+  case object Stored extends StartPosition { val options = Map.empty[String, String] }
+  final case class AtTimestamp(epochMs: Long) extends StartPosition {
+    def options = Map("startingTimestamp" -> epochMs.toString)
+  }
+
+  def stream(spark: SparkSession, brokers: String, topic: String,
+             start: StartPosition = Stored,
+             maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+    start.options.foreach { case (k, v) => r = r.option(k, v) }
+    maxOffsetsPerTrigger.foreach(n => r = r.option("maxOffsetsPerTrigger", n.toString))
+    r.load() // key: binary, value: binary, topic, partition, offset, timestamp
+  }
+
+  def batch(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+}

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Global processing-time throughput control, the analog of the reference's
+  * `thoughput_limiter` [sic] (reference: processors/thoughput_limiter.h:12-85
+  * — a single token bucket of capacity 1 on wall-clock time).
+  *
+  * In a distributed engine, per-record wall-clock throttling is an
+  * anti-pattern; the Spark-native mechanism is admission control at the
+  * source (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) plus trigger
+  * pacing, which bounds rows/sec per micro-batch without stalling executor
+  * threads. [[paceBatches]] adds a driver-side pacing hook for sinks that
+  * need a hard cap.
+  */
+object Throttle {
+
+  /** Source options capping rows per trigger for a target msgs/sec at a
+    * given trigger interval.
+    */
+  def sourceOptions(messagesPerSec: Long, triggerIntervalMs: Long): Map[String, String] =
+    Map("maxOffsetsPerTrigger" -> ((messagesPerSec * triggerIntervalMs) / 1000).toString)
+
+  /** foreachBatch wrapper: if a micro-batch finished faster than its row
+    * budget allows, sleep the difference on the driver (executors are idle
+    * between batches anyway). Token-bucket with capacity one batch —
+    * thoughput_limiter.h's bucket, at batch granularity.
+    */
+  def paceBatches(writer: DataFrame => Unit, messagesPerSec: Long): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val t0 = System.nanoTime()
+      val n = batch.persist().count()
+      writer(batch)
+      batch.unpersist()
+      val budgetMs = (n * 1000) / math.max(1, messagesPerSec)
+      val spentMs = (System.nanoTime() - t0) / 1000000
+      if (spentMs < budgetMs) Thread.sleep(budgetMs - spentMs)
+  }
+}
