@@ -82,6 +82,6 @@ object ConfluentAvro {
         rec.toString // Avro GenericRecord#toString is its JSON encoding
       }
     }
-    f.apply
+    (c: Column) => f(c)
   }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-/** Sink wrappers mirroring the reference's sink set (reference: sinks/*.h,
-  * kspp-pg / kspp-es tools).
+/** Sink wrappers mirroring the reference's sink set (reference: the sinks
+  * headers, kspp-pg / kspp-es tools).
   */
 object Sinks {
 
