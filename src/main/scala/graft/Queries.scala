@@ -128,10 +128,12 @@ object Queries {
         .transform(_.groupBy(col("c_nationkey").as("fk")).agg(count(lit(1)).as("cnt"))).df
     }),
 
-    // rate_limiter (processors/rate_limiter.h): per-key token bucket replay
+    // rate_limiter (processors/rate_limiter.h): per-key token bucket replay.
+    // capacity 3 / age 1 day rejects ~15% of the test events, so the oracle
+    // exercises both branches of the bucket math.
     "q15_rate_limiter" -> ((s, dir) =>
       GStream(t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))))
-        .rateLimit(Seq("user_id"), "ts_ms", Seq("event_id"), capacity = 3, ageTimeMs = 3600 * 1000L)
+        .rateLimit(Seq("user_id"), "ts_ms", Seq("event_id"), capacity = 3, ageTimeMs = 86400 * 1000L)
         .transform(_.select("event_id", "user_id", "ts_ms", "admitted")).df),
 
     // delay (processors/delay.h): visibility shift by delay on event time
@@ -154,8 +156,13 @@ object Queries {
     "x04_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)),
 
+    // Declared query is the banded-LSH equi-join path (no nested-loop join);
+    // the brute-force O(n²) compare lives only in the DuckDB oracle. 64-bit
+    // signatures / bands of 2 ⇒ P(miss) ≈ 7e-5 per pair at cosine 0.35, and
+    // recall is exactly 1 on the deterministic test data (asserted in
+    // ExtensionsSpec against cosinePairs).
     "x05_ann_cosine_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
+      Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
     "x06_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
@@ -246,6 +253,34 @@ object Queries {
       """SELECT c_nationkey AS fk, COUNT(*) AS cnt FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey WHERE c.c_custkey < 100 GROUP BY 1""".stripMargin,
 
+    "q15_rate_limiter" ->
+      // exact replay of the mem_token_bucket_store integer math via a
+      // recursive CTE: state rows chain along each key's (ts, event_id)
+      // order; `delta > 0` gates both the refill and the tstamp advance
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |replay AS (
+        |  SELECT user_id, event_id, ts_ms, rn,
+        |         (ts_ms * 3) // 86400000 AS delta,
+        |         CASE WHEN delta > 0 THEN ts_ms ELSE 0 END AS tstamp,
+        |         CASE WHEN delta > 0 THEN LEAST(3, 3 + delta) ELSE 3 END AS aged,
+        |         aged > 0 AS admitted,
+        |         aged - CASE WHEN aged > 0 THEN 1 ELSE 0 END AS tokens
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  -- fresh alias names (delta2/aged2/...): a lateral alias that shadows a
+        |  -- column of the recursion table r would silently resolve to r's column
+        |  SELECT e.user_id, e.event_id, e.ts_ms, e.rn,
+        |         ((e.ts_ms - r.tstamp) * 3) // 86400000 AS delta2,
+        |         CASE WHEN delta2 > 0 THEN e.ts_ms ELSE r.tstamp END AS tstamp2,
+        |         CASE WHEN delta2 > 0 THEN LEAST(3, r.tokens + delta2) ELSE r.tokens END AS aged2,
+        |         aged2 > 0 AS admitted2,
+        |         aged2 - CASE WHEN aged2 > 0 THEN 1 ELSE 0 END AS tokens2
+        |  FROM replay r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT event_id, user_id, ts_ms, admitted FROM replay""".stripMargin,
+
     "q16_delay" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS release_ts FROM events",
 
@@ -257,6 +292,21 @@ object Queries {
     // LSH with 64 hashes / bands of 2 has recall ~1 at threshold 0.5 and the
     // candidates are exactly verified ⇒ same output as the exact operator.
     "x03_dedup_minhash_lsh" -> jaccardOracle,
+
+    "x04_dedup_simhash" ->
+      // transcription of Dedup.simHash: per-word hash = 60-bit md5 prefix
+      // (Hashing.md5Hash60), per-bit occurrence majority, then brute-force
+      // Hamming pairs (the Spark side's pigeonhole bands are exact, so the
+      // brute-force compare is the oracle)
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS wd FROM toks),
+        |wh AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(wd), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM words),
+        |bits AS (SELECT doc_id, b.b AS bit, SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh, LATERAL unnest(generate_series(0, 59)) b(b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS simhash FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "x05_ann_cosine_pairs" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -270,6 +320,39 @@ object Queries {
         |CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','in','and','or','is','are','on','for','with','as','by','at'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
         |CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
         |FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
+
+    "x09_lang_id" ->
+      // transcription of TextAnalysis.langId: per-language stopword-profile
+      // score, argmax resolved (score desc, lang desc) like the Spark side's
+      // sort_array(...)[-1]
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t FROM documents),
+        |langs(lang, words) AS (VALUES
+        |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
+        |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
+        |  ('es', ['el','la','de','que','y','en','un','por','con','los']),
+        |  ('fr', ['le','la','et','les','des','un','une','du','est','dans']),
+        |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
+        |scores AS (SELECT doc_id, lang, CAST(len(list_filter(t, x -> list_contains(words, x))) AS DOUBLE) / len(t) AS score FROM toks, langs)
+        |SELECT doc_id, lang AS lang_pred, score AS lang_score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores)
+        |WHERE rn = 1""".stripMargin,
+
+    "x10_fingerprints" ->
+      // transcription of TextAnalysis.fingerprints (winnowing, k=5 w=4):
+      // 5-gram md5-60 hashes in token order, min of each 4-window, distinct
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i.i AS pos,
+        |         list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i.i:i.i+4], ' ')), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) i(i)
+        |  WHERE len(w) >= 5),
+        |hs AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM grams GROUP BY doc_id),
+        |wins AS (
+        |  SELECT doc_id, list_min(hl[j.j:j.j+3]) AS fingerprint
+        |  FROM hs, LATERAL unnest(generate_series(1, len(hl) - 3)) j(j) WHERE len(hl) > 4
+        |  UNION ALL
+        |  SELECT doc_id, list_min(hl) FROM hs WHERE len(hl) <= 4)
+        |SELECT DISTINCT doc_id, fingerprint FROM wins""".stripMargin,
 
     "x11_mm_image_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

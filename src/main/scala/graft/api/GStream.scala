@@ -96,11 +96,17 @@ final class GStream(val df: DataFrame) {
     new GStream(RateLimit.replay(df, keys, eventTimeMsCol, tieBreakCols, capacity, ageTimeMs))
 
   /** thoughput_limiter [sic] (processors/thoughput_limiter.h:12-85): global
-    * processing-time throttle. Meaningless for a finite batch; in streaming
-    * use source admission control (`maxOffsetsPerTrigger`,
-    * `maxFilesPerTrigger`) — see streaming.Throttle.
+    * processing-time throttle. A wall-clock throttle has no meaning for a
+    * finite batch plan, so rather than silently doing nothing this rejects;
+    * the streaming equivalents are [[graft.streaming.Throttle.sourceOptions]]
+    * (admission control via `maxOffsetsPerTrigger`) and
+    * [[graft.streaming.Throttle.paceBatches]] (hard cap in `foreachBatch`).
     */
-  def throughputLimit(messagesPerSec: Double): GStream = this
+  def throughputLimit(messagesPerSec: Double): GStream =
+    throw new UnsupportedOperationException(
+      "throughputLimit is processing-time admission control and only applies to streams: " +
+        "use graft.streaming.Throttle.sourceOptions(...) on the source or " +
+        "Throttle.paceBatches(...) in foreachBatch")
 }
 
 /** A materialized table snapshot (the reference's `materialized_source`):

@@ -118,33 +118,39 @@ object Dedup {
         (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document over word hashes — narrow per-row work. */
+  /** Bit width of the SimHash signature. 60 rather than 64 so the per-word
+    * hash (low 60 bits of md5, [[graft.functions.Hashing.md5Hash60]]) is
+    * recomputable by the DuckDB oracle, and 60 = 4 × 15 still bands evenly
+    * for the pigeonhole search at the default maxHamming = 3.
+    */
+  val SimHashBits = 60
+
+  /** SimHash per document over word occurrence hashes — narrow per-row work. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val simUdf = udf { text: String =>
-      val acc = new Array[Int](64)
+      val acc = new Array[Int](SimHashBits)
       if (text != null) text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(w, 0).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(w, 1).toLong & 0xffffffffL)
+        val h = graft.functions.Hashing.md5Hash60(w)
         var i = 0
-        while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+        while (i < SimHashBits) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
       }
       var sig = 0L
       var i = 0
-      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      while (i < SimHashBits) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
       sig
     }
     df.select(col(idCol).as("id"), simUdf(col(textCol)).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance <= maxHamming over SimHash
-    * signatures, found via the pigeonhole band trick: split the 64-bit
-    * signature into `maxHamming + 1` bands — any pair within the distance
-    * must agree exactly on at least one band, so candidates come from an
-    * equi-join on (band_idx, band_value), never a cross join.
+    * signatures, found via the pigeonhole band trick: split the signature
+    * into `maxHamming + 1` bands — any pair within the distance must agree
+    * exactly on at least one band, so candidates come from an equi-join on
+    * (band_idx, band_value), never a cross join.
     */
   def simHashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
-    val width = 64 / nBands
+    val width = SimHashBits / nBands
     val bands = sim.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),

@@ -63,9 +63,20 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val vecs = base.as[(Long, Array[Float])]
+    // The training loop and the assignment/probe stages each rescan the
+    // vectors; cache once instead of re-reading the source per Lloyd
+    // iteration. At 100 TB, train the codebook on `trainSample` vectors
+    // (deterministic id-hash sample) — centroid quality converges long
+    // before the corpus is exhausted, and the codebook is nClusters×dim.
+    val vecs = base.as[(Long, Array[Float])].persist()
+    val trainSample = 100000L
+    val train = {
+      val n = vecs.count()
+      if (n <= trainSample) vecs
+      else vecs.filter(r => (r._1 * 0x9E3779B97F4A7C15L >>> 40) % math.max(1L, n / trainSample) == 0)
+    }
 
-    var cents: Array[Array[Double]] = vecs.orderBy(col("id")).limit(nClusters)
+    var cents: Array[Array[Double]] = train.orderBy(col("id")).limit(nClusters)
       .collect().map(_._2.map(_.toDouble))
     def nearest(c: Array[Array[Double]], v: Array[Float]): Int = {
       var best = 0; var bestD = Double.MaxValue
@@ -80,7 +91,7 @@ object Similarity {
     }
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val updated = vecs
+      val updated = train
         .map { case (_, v) => (nearest(bc.value, v), v) }
         .groupByKey(_._1)
         .mapGroups { (cid, it) =>
@@ -115,17 +126,32 @@ object Similarity {
       .select(col("query_id"), col("id").as("nbr_id"),
         (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    // vecs stays cached for the returned (lazy) plan, which scans it twice
+    // more (assignment + probes); it is evicted LRU or with the session.
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
   /** Signed-random-projection LSH candidate pairs, verified with exact
-    * cosine — the linear-scale ANN path. `numBits` hyperplane signs per
+    * cosine — the equi-join ANN path. `numBits` hyperplane signs per
     * vector, banded into `numBits / bandSize` keys; hyperplane entries are
-    * deterministic ±1 derived from xxhash-style mixing of (plane, dim).
+    * deterministic ±1 derived from splitmix64 mixing of (plane, dim).
+    *
+    * Candidate generation is a self-equi-join on (band, band-value) — never
+    * a nested-loop compare — and candidates are verified with exact cosine,
+    * so there are no false positives; recall is 1 − (1 − p^bandSize)^nBands
+    * with p the SRP collision probability at the threshold (defaults give
+    * P(miss) ≈ 7e-5 per pair at cosine 0.35). Pruning power comes from the
+    * band buckets: on clustered real-world embeddings candidates are the
+    * near-neighbors only; on adversarially uniform vectors the buckets are
+    * balanced and candidates approach all pairs (LSH's information-theoretic
+    * limit), but the plan stays shuffle+hash-join shaped — no O(n²) operator.
+    * The candidate distinct runs on skinny (id_a, id_b) pairs; vectors are
+    * re-attached afterwards by two more equi-joins, so the wide float arrays
+    * never enter the distinct's shuffle.
     */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                     numBits: Int = 32, bandSize: Int = 2): DataFrame = {
+                     numBits: Int = 64, bandSize: Int = 2): DataFrame = {
     require(numBits % bandSize == 0)
     val sigUdf = udf { v: Seq[Float] =>
       (0 until numBits).map { p =>
@@ -146,17 +172,19 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .withColumn("sig", sigUdf(col("v")))
     val nBands = numBits / bandSize
-    val bands = base.select(col("id"), col("v"), col("nrm"),
+    val bands = base.select(col("id"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
           (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit((1L << bandSize) - 1)).as("bv"))
       }: _*)).as("b"))
-      .select(col("id"), col("v"), col("nrm"), col("b.band").as("band"), col("b.bv").as("bv"))
-    bands.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("band"), col("bv"))
-      .join(bands.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("band"), col("bv")),
-        Seq("band", "bv"))
+      .select(col("id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val cand = bands.toDF("id_a", "band", "bv")
+      .join(bands.toDF("id_b", "band", "bv"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "vb", "na", "nb").distinct()
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .filter(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"))
   }

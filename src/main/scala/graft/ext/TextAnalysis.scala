@@ -73,9 +73,13 @@ object TextAnalysis {
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all
-    * k-gram shingles, slide a window of `w`, keep each window's rightmost
-    * minimum. Emitted as (doc_id, fingerprint BIGINT) rows, deduplicated.
-    * Per-row computation — embarrassingly parallel.
+    * word k-gram shingles ([[graft.functions.Hashing.md5Hash60]] — chosen so
+    * the DuckDB oracle recomputes it exactly), slide a window of `w`, keep
+    * each window's minimum. (Winnowing's rightmost-min tie-break selects a
+    * *position*; since only the hash value is emitted and equal values
+    * dedup, min-of-window is value-identical.) Emitted as
+    * (doc_id, fingerprint BIGINT) rows, deduplicated. Per-row computation —
+    * embarrassingly parallel.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
     val fpUdf = udf { text: String =>
@@ -84,16 +88,10 @@ object TextAnalysis {
         val toks = text.trim.split("\\s+").filter(_.nonEmpty)
         if (toks.length < k) Array.empty[Long]
         else {
-          val hashes = toks.sliding(k).map { gram =>
-            val s = gram.mkString(" ")
-            scala.util.hashing.MurmurHash3.stringHash(s, 0).toLong << 32 |
-              (scala.util.hashing.MurmurHash3.stringHash(s, 1).toLong & 0xffffffffL)
-          }.toArray
+          val hashes = toks.sliding(k)
+            .map(gram => graft.functions.Hashing.md5Hash60(gram.mkString(" "))).toArray
           if (hashes.length <= w) Array(hashes.min)
-          else hashes.sliding(w).map { win =>
-            // rightmost minimum of the window
-            win.zipWithIndex.minBy { case (h, i) => (h, -i) }._1
-          }.toArray.distinct
+          else hashes.sliding(w).map(_.min).toArray.distinct
         }
       }
     }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for the hot paths the built-in function
   * library can't cover efficiently. All participate in whole-stage codegen
@@ -17,6 +18,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   */
 case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // array<double> input would silently misread packed doubles via getFloat;
+  // reject anything but array<float> at analysis time instead.
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<float> inputs, got ${l.sql} and ${r.sql}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -55,6 +64,11 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
   */
 case class KafkaMurmur2(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"kafka_murmur2 requires binary input, got ${t.sql}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     KafkaMurmur2.hash(input.asInstanceOf[Array[Byte]])

@@ -1,0 +1,30 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Cross-engine-reproducible hashing. SimHash and winnowing fingerprints
+  * need a word/shingle hash the DuckDB oracle can recompute exactly; md5 is
+  * the one digest both engines expose over identical UTF-8 bytes, so the
+  * 60-bit value below equals DuckDB's
+  * `list_reduce(hex digits of substr(md5(s),1,15), (a,b) -> a*16+b)`.
+  */
+object Hashing {
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5(s) as a non-negative 60-bit long (= big-endian
+    * value of the first 8 digest bytes, shifted right 4).
+    */
+  def md5Hash60(s: String): Long = {
+    val d = digests.get()
+    d.reset()
+    val h = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}

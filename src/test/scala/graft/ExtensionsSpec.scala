@@ -38,6 +38,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("cosine LSH pairs equal brute-force pairs at threshold 0.35 (x05 recall = 1)") {
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
+  test("md5Hash60 matches the DuckDB transcription (15-hex-digit prefix of md5)") {
+    import graft.functions.Hashing
+    // md5("abc") = 900150983cd24fb0... ⇒ first 15 hex digits
+    assert(Hashing.md5Hash60("abc") == java.lang.Long.parseLong("900150983cd24fb", 16))
+    // md5("") = d41d8cd98f00b204...
+    assert(Hashing.md5Hash60("") == java.lang.Long.parseLong("d41d8cd98f00b20", 16))
+    // multi-byte UTF-8 goes through the same bytes both engines hash
+    assert(Hashing.md5Hash60("héllo 的") >= 0L)
+  }
+
+  test("throughputLimit rejects batch use instead of silently no-oping") {
+    import graft.api.GStream
+    intercept[UnsupportedOperationException] {
+      GStream(docs).throughputLimit(100.0)
+    }
+  }
+
   test("cosine pairs are consistent with the codegen dot expression") {
     import spark.implicits._
     val n = Similarity.norm(col("embedding"))
