@@ -63,6 +63,10 @@ object Queries {
     "q05_count_by_key" -> ((s, dir) =>
       GStream(t(s, dir, "lineitem")).countByKey(Seq("l_returnflag")).df),
 
+    // count_by_value (processors/count_by_value.h): record-equality count
+    "q17_count_by_value" -> ((s, dir) =>
+      GStream(t(s, dir, "events").select("user_id", "event_type")).countByValue().df),
+
     // counter-store sums (state_stores/mem_counter_store.h)
     "q06_sum_by_key" -> ((s, dir) =>
       GStream(t(s, dir, "lineitem")).sumByKey(Seq("l_returnflag"),
@@ -216,6 +220,9 @@ object Queries {
 
     "q05_count_by_key" ->
       "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+
+    "q17_count_by_value" ->
+      "SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2",
 
     "q06_sum_by_key" ->
       """SELECT l_returnflag, SUM(l_quantity) AS sum_qty,

@@ -52,6 +52,13 @@ final class GStream(val df: DataFrame) {
   def countByKey(keys: Seq[String], countCol: String = "cnt"): GStream =
     new GStream(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(countCol)))
 
+  /** count_by_value (processors/count_by_value.h:10-126): occurrence count
+    * keyed by the entire record — every column participates in the group key,
+    * the Spark analog of the reference's record-equality counter store.
+    */
+  def countByValue(countCol: String = "cnt"): GStream =
+    new GStream(df.groupBy(df.columns.map(col).toSeq: _*).agg(count(lit(1)).as(countCol)))
+
   /** counter-store additive aggregation (state_stores/mem_counter_store.h:74-81):
     * keyed sums; Spark's hash aggregate supplies the partial (map-side) merge
     * the RocksDB merge operator provided in the reference.

@@ -1,21 +1,31 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 
 /** Batched JDBC upsert/delete sink, the reference's postgres sink semantics
   * (reference: libraries/kspp-pg/postgres_producer.cpp:205-277):
   *
   *  - live records → `INSERT ... ON CONFLICT (keys) DO UPDATE SET
   *    col = EXCLUDED.col, ...`;
-  *  - tombstones → `DELETE FROM t WHERE (k = v [AND ...]) OR ...`;
-  *  - a batch is split whenever it would touch the same key twice or switch
-  *    between upsert and delete — postgres rejects `ON CONFLICT DO UPDATE`
-  *    affecting one row twice (postgres_producer.cpp:210-232).
+  *  - tombstones → `DELETE FROM t WHERE keys = ...`;
+  *  - per-key ordering of upserts vs deletes is preserved: rows are
+  *    co-located per key and sorted by the changelog ordering columns, and
+  *    execution switches statement kind in row order — the same guarantee
+  *    the reference gets from its single ordered stream.
   *
-  * Use from `foreachBatch`: `df.writeStream.foreachBatch { (batch, _) =>
-  * JdbcUpsert.write(batch, conn, table, keys, tombstoneCol) }` — idempotent
-  * upserts make the at-least-once delivery exactly-once-effective, the same
-  * argument the reference's commit chain relies on.
+  * Execution is per-partition with JDBC `PreparedStatement` batches — one
+  * connection per partition, values bound (never string-spliced), bounded
+  * chunks so nothing buffers a whole partition. The literal-SQL planner
+  * ([[planStatements]]) remains for engines without prepared statements and
+  * mirrors the reference's multi-row VALUES batching, including its
+  * split-when-a-key-repeats rule (postgres rejects `ON CONFLICT DO UPDATE`
+  * affecting one row twice in a single statement,
+  * postgres_producer.cpp:210-232).
+  *
+  * Use from `foreachBatch`: idempotent upserts make at-least-once delivery
+  * exactly-once-effective, the same argument the reference's commit chain
+  * relies on.
   */
 object JdbcUpsert {
 
@@ -44,8 +54,8 @@ object JdbcUpsert {
     s"DELETE FROM $table WHERE ${preds.mkString(" OR ")}"
   }
 
-  /** Order-preserving batch plan: consecutive runs of upserts (split on
-    * repeated keys) and deletes.
+  /** Order-preserving literal-SQL batch plan: consecutive runs of upserts
+    * (split whenever a key repeats within the statement) and deletes.
     */
   def planStatements(table: String, columns: Seq[String], keyColumns: Seq[String],
                      rows: Seq[(Seq[Any], Boolean)], maxBatch: Int = 1000): Seq[String] = {
@@ -79,21 +89,68 @@ object JdbcUpsert {
     out.result()
   }
 
-  /** Execute a micro-batch against a JDBC connection. `tombstoneCol == null`
-    * in a row marks a delete of that row's key.
+  /** Parameterized SQL for the prepared-statement path. */
+  def preparedUpsertSql(table: String, columns: Seq[String], keyColumns: Seq[String]): String = {
+    val updates = columns.filterNot(keyColumns.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val action = if (updates.isEmpty) "DO NOTHING" else s"DO UPDATE SET $updates"
+    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
+      columns.map(_ => "?").mkString("(", ", ", ")") +
+      s" ON CONFLICT (${keyColumns.mkString(", ")}) $action"
+  }
+
+  def preparedDeleteSql(table: String, keyColumns: Seq[String]): String =
+    s"DELETE FROM $table WHERE " + keyColumns.map(c => s"$c = ?").mkString(" AND ")
+
+  /** Execute a micro-batch. `tombstoneCol` null in a row marks a delete of
+    * that row's key. `orderCols` is the changelog ordering (e.g. event time +
+    * tie-break): rows are shuffled so each key lives in one partition and its
+    * rows execute in changelog order — cross-key order is irrelevant, same as
+    * the reference's per-partition producers. Statements are JDBC batches of
+    * at most `maxBatch` bound rows, flushed on every upsert↔delete switch;
+    * the whole partition runs in one transaction (at-least-once + idempotent
+    * upserts ⇒ effectively exactly-once).
     */
   def write(batch: DataFrame, jdbcUrl: String, props: java.util.Properties,
-            table: String, keyColumns: Seq[String], tombstoneCol: Option[String]): Unit = {
+            table: String, keyColumns: Seq[String], tombstoneCol: Option[String],
+            orderCols: Seq[String] = Nil, maxBatch: Int = 1000): Unit = {
     val columns = batch.schema.fieldNames.toSeq
     val tombIdx = tombstoneCol.map(batch.schema.fieldIndex)
-    batch.coalesce(1).foreachPartition { (it: Iterator[Row]) =>
-      val rows = it.map { r =>
-        (r.toSeq, tombIdx.exists(i => r.isNullAt(i)))
-      }.toSeq
-      if (rows.nonEmpty) {
+    val keyIdx = keyColumns.map(batch.schema.fieldIndex)
+    val upsertSql = preparedUpsertSql(table, columns, keyColumns)
+    val deleteSql = preparedDeleteSql(table, keyColumns)
+    val nCols = columns.size
+    val ordered =
+      if (orderCols.isEmpty) batch
+      else batch.repartition(keyColumns.map(col): _*)
+        .sortWithinPartitions((keyColumns ++ orderCols).map(col): _*)
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
         val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
-        try planStatements(table, columns, keyColumns, rows).foreach { sql =>
-          val st = conn.createStatement(); try st.execute(sql) finally st.close()
+        try {
+          conn.setAutoCommit(false)
+          val upsertPs = conn.prepareStatement(upsertSql)
+          val deletePs = conn.prepareStatement(deleteSql)
+          var pending = 0 // rows queued on `current`
+          var current: java.sql.PreparedStatement = null
+          def flush(): Unit = if (pending > 0) { current.executeBatch(); pending = 0 }
+          it.foreach { r =>
+            val isTombstone = tombIdx.exists(i => r.isNullAt(i))
+            val ps = if (isTombstone) deletePs else upsertPs
+            if (current != null && (ps ne current)) flush() // preserve upsert↔delete order
+            current = ps
+            if (isTombstone) {
+              keyIdx.zipWithIndex.foreach { case (ki, i) => ps.setObject(i + 1, r.get(ki)) }
+            } else {
+              var i = 0
+              while (i < nCols) { ps.setObject(i + 1, r.get(i)); i += 1 }
+            }
+            ps.addBatch()
+            pending += 1
+            if (pending >= maxBatch) flush()
+          }
+          flush()
+          conn.commit()
         } finally conn.close()
       }
     }

@@ -34,7 +34,10 @@ object CdcCursor {
       tsColumn: Option[String],
       idColumn: Option[String],
       maxItemsPerFetch: Int = 10000,
-      rescrape: RescrapePolicy = RescrapeOff) {
+      rescrape: RescrapePolicy = RescrapeOff,
+      // dialect hook: postgres/mysql take LIMIT, Derby/SQL Server spell it
+      // FETCH FIRST n ROWS ONLY (the reference's kspp-tds uses TOP)
+      limitClause: Int => String = n => s" LIMIT $n") {
 
     def orderBy: String = (tsColumn, idColumn) match {
       case (Some(ts), Some(id)) => s" ORDER BY $ts ASC, $id ASC"
@@ -60,25 +63,37 @@ object CdcCursor {
     }
 
     def pollSql(s: State): String =
-      s"SELECT * FROM ($query) __graft_src${whereClause(s)} LIMIT $maxItemsPerFetch"
+      s"SELECT * FROM ($query) graft_src${whereClause(s)}${limitClause(maxItemsPerFetch)}"
   }
 
   /** One poll step: fetch the next page through Spark's JDBC source (schema
     * inferred from the result set, the analog of the reference's
     * runtime-avro schema discovery), and advance the cursor from the page's
-    * last row. Drive it from a loop or a foreachBatch trigger; persist
-    * `State` in the checkpoint/offset store for restart
-    * (utils/offset_storage_provider.h semantics → checkpointed here).
+    * last row. The page is read from JDBC exactly once — the returned
+    * DataFrame wraps the already-collected rows (a page is bounded by
+    * `maxItemsPerFetch`), so consuming it cannot re-run the query and see
+    * different rows than the cursor advanced past. Drive it from a loop or a
+    * foreachBatch trigger; persist `State` in the checkpoint/offset store
+    * for restart (utils/offset_storage_provider.h semantics → checkpointed
+    * here).
     */
   def poll(spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
            spec: Spec, state: State): (DataFrame, State) = {
-    val df = spark.read.jdbc(jdbcUrl, s"(${spec.pollSql(state)}) __graft_page", props)
-    val rows = df.collect()
+    val page = spark.read.jdbc(jdbcUrl, s"(${spec.pollSql(state)}) graft_page", props)
+    val rows = page.collect()
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), page.schema)
     if (rows.isEmpty) (df, state.copy(atEof = true))
     else {
       val last = rows.last
-      val newTs = spec.tsColumn.map(c => last.get(last.fieldIndex(c)).toString).orElse(state.lastTs)
-      val newId = spec.idColumn.map(c => last.get(last.fieldIndex(c)).toString).orElse(state.lastId)
+      // case-insensitive: engines fold unquoted identifiers differently
+      // (postgres lowers, Derby/Oracle upper)
+      def idx(c: String): Int = {
+        val i = page.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        require(i >= 0, s"cursor column $c not in result set ${page.schema.fieldNames.mkString(",")}")
+        i
+      }
+      val newTs = spec.tsColumn.map(c => last.get(idx(c)).toString).orElse(state.lastTs)
+      val newId = spec.idColumn.map(c => last.get(idx(c)).toString).orElse(state.lastId)
       (df, State(newTs, newId, atEof = rows.length < spec.maxItemsPerFetch))
     }
   }

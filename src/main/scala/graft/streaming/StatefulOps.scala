@@ -181,15 +181,20 @@ object StatefulOps {
           ready.sortBy(_.eventTime).iterator
       }
 
-  /** Counter snapshot cell. */
-  final case class Counter(count: Long, nextPunctuate: Long)
+  /** Counter snapshot cell. `dirty` = aggregated-but-not-yet-punctuated,
+    * the reference's `dirty_` flag (count.h:67,96-101).
+    */
+  final case class Counter(count: Long, nextPunctuate: Long, dirty: Boolean)
 
-  /** Punctuated count_by_key (processors/count.h:60-101): counts occurrences
-    * per key and, every `punctuateIntervalMs` of *event time*, emits a
-    * (key, count) snapshot stamped with the punctuate boundary. The
-    * reference punctuates all keys on one global event clock; per-key
-    * watermark timeouts reproduce the cadence per key (snapshots of
-    * untouched keys are deferred until their timeout fires).
+  /** Punctuated count_by_key (processors/count.h:51-101): counts occurrences
+    * per key and punctuates on the reference's exact cadence — when an event
+    * arrives past the deadline, the snapshot is emitted *before* the event
+    * is applied, stamped with the old deadline, only if the count changed
+    * since the last punctuate (`dirty_`), and the next deadline becomes
+    * `event_time + interval`. The reference punctuates all keys on one
+    * global event clock; here each key additionally gets a watermark timeout
+    * so keys that stop receiving data still flush their last dirty snapshot
+    * when the global event clock (watermark) passes their deadline.
     */
   def punctuatedCount[K](ds: Dataset[KRecord[K, Long]], punctuateIntervalMs: Long,
                          watermarkDelay: String = "0 seconds")(
@@ -198,20 +203,36 @@ object StatefulOps {
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, Long]], state: GroupState[Counter]) =>
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
             val c = state.get
-            val ts = state.getCurrentWatermarkMs()
-            state.update(Counter(c.count, ts + punctuateIntervalMs))
-            state.setTimeoutTimestamp(ts + punctuateIntervalMs)
-            Iterator.single(KRecord.of(key, c.count, ts))
+            if (c.dirty) {
+              // the event clock passed the deadline with no new data for this
+              // key: flush the snapshot (stamped with the deadline) and re-arm
+              // strictly beyond the watermark — count.h's next = now + interval
+              state.update(Counter(c.count, wm + punctuateIntervalMs, dirty = false))
+              state.setTimeoutTimestamp(wm + punctuateIntervalMs)
+              Iterator.single(KRecord.of(key, c.count, c.nextPunctuate))
+            } else Iterator.empty // nothing changed since last punctuate; quiesce
           } else {
-            val recs = it.toSeq
-            val c0 = state.getOption.getOrElse(
-              Counter(0L, recs.map(_.eventTime).min + punctuateIntervalMs))
-            val c = Counter(c0.count + recs.size, c0.nextPunctuate)
+            // nextPunctuate = MinValue marks "no deadline yet": the first event
+            // trips the boundary check with dirty=false (no emission) and seeds
+            // the deadline, exactly like the reference's zero-initialized
+            // next_punctuate_ on the first event
+            var c = state.getOption.getOrElse(Counter(0L, Long.MinValue, dirty = false))
+            val out = Vector.newBuilder[KRecord[K, Long]]
+            it.toSeq.sortBy(_.eventTime).foreach { rec =>
+              if (c.nextPunctuate < rec.eventTime) {
+                if (c.dirty) out += KRecord.of(key, c.count, c.nextPunctuate)
+                c = Counter(c.count, rec.eventTime + punctuateIntervalMs, dirty = false)
+              }
+              c = Counter(c.count + 1, c.nextPunctuate, dirty = true)
+            }
             state.update(c)
-            state.setTimeoutTimestamp(c.nextPunctuate)
-            Iterator.empty
+            // deadlines normally lead the watermark; clamp defensively — a
+            // timestamp <= watermark is rejected by Spark
+            if (c.dirty) state.setTimeoutTimestamp(math.max(c.nextPunctuate, wm + 1))
+            out.result().iterator
           }
       }
 }

@@ -1,0 +1,177 @@
+package graft
+
+import java.util.Properties
+
+import org.apache.avro.SchemaBuilder
+import org.apache.avro.generic.GenericRecordBuilder
+
+import graft.serde.ConfluentAvro
+import graft.sinks.JdbcUpsert
+import graft.sources.CdcCursor
+
+/** Connector-layer tests: CDC cursor WHERE-clause generation + a real JDBC
+  * pagination round-trip (embedded Derby), the JDBC upsert planner's
+  * reference semantics, and the Confluent avro framing.
+  */
+class ConnectorsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- CDC cursor
+
+  private val spec = CdcCursor.Spec("SELECT * FROM t", Some("ts"), Some("id"))
+
+  test("cursor WHERE clauses match postgres_read_cursor.cpp:77-95") {
+    // fresh start: no predicate, just the total order
+    assert(spec.whereClause(CdcCursor.State(None, None, atEof = false)) ==
+      " ORDER BY ts ASC, id ASC")
+    // both columns: equal-ts tie-break on id, strictly-newer ts
+    assert(spec.whereClause(CdcCursor.State(Some("100"), Some("7"), atEof = false)) ==
+      " WHERE (ts = '100' AND id > '7') OR (ts > '100') ORDER BY ts ASC, id ASC")
+    // ts only: >= (same-ts rows may still be arriving)
+    val tsOnly = spec.copy(idColumn = None)
+    assert(tsOnly.whereClause(CdcCursor.State(Some("100"), None, atEof = false)) ==
+      " WHERE ts >= '100' ORDER BY ts ASC")
+    // id only: strict >
+    val idOnly = spec.copy(tsColumn = None)
+    assert(idOnly.whereClause(CdcCursor.State(None, Some("7"), atEof = false)) ==
+      " WHERE id > '7' ORDER BY id ASC")
+    // rescrape at eof rewinds the ts window (connection_params.h:31-41)
+    val rescrape = spec.copy(rescrape = CdcCursor.RescrapeLastQueryTs(10))
+    assert(rescrape.whereClause(CdcCursor.State(Some("100"), Some("7"), atEof = true)) ==
+      " WHERE ts >= '90' ORDER BY ts ASC, id ASC")
+    // not at eof: rescrape policy dormant, normal cursor predicate
+    assert(rescrape.whereClause(CdcCursor.State(Some("100"), Some("7"), atEof = false)) ==
+      " WHERE (ts = '100' AND id > '7') OR (ts > '100') ORDER BY ts ASC, id ASC")
+  }
+
+  test("pollSql wraps the base query and bounds the page") {
+    val sql = spec.copy(maxItemsPerFetch = 3).pollSql(CdcCursor.State(None, None, atEof = false))
+    assert(sql == "SELECT * FROM (SELECT * FROM t) graft_src ORDER BY ts ASC, id ASC LIMIT 3")
+  }
+
+  test("JDBC pagination sees every row exactly once, including equal-ts runs (Derby)") {
+    val url = "jdbc:derby:memory:cdctest;create=true"
+    val props = new Properties()
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE src (ts VARCHAR(10) NOT NULL, id VARCHAR(10) NOT NULL, payload VARCHAR(20))")
+      // duplicate ts values across page boundaries: the tie-break must carry
+      // the cursor through an equal-ts run without skipping or repeating
+      val rows = Seq(
+        ("100", "1"), ("100", "2"), ("100", "3"), ("100", "4"),
+        ("200", "1"), ("200", "2"), ("300", "1"), ("300", "2"), ("300", "3"), ("400", "1"))
+      rows.foreach { case (ts, id) =>
+        st.execute(s"INSERT INTO src VALUES ('$ts', '$id', 'p-$ts-$id')")
+      }
+      st.close()
+
+      // Derby has no LIMIT; FETCH FIRST is the standard spelling
+      val derbySpec = CdcCursor.Spec("SELECT * FROM src", Some("ts"), Some("id"),
+        maxItemsPerFetch = 3, limitClause = n => s" FETCH FIRST $n ROWS ONLY")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var state = CdcCursor.State(None, None, atEof = false)
+      var pages = 0
+      while (!state.atEof && pages < 20) {
+        val (df, next) = CdcCursor.poll(spark, url, props, derbySpec, state)
+        seen ++= df.collect().map(r => (r.getString(0), r.getString(1)))
+        state = next
+        pages += 1
+      }
+      assert(seen.toList == rows.toList, s"pagination mismatch: $seen")
+      assert(pages >= 4) // 10 rows / 3 per page
+
+      // a row appended after eof is picked up by the next poll
+      val st2 = conn.createStatement()
+      st2.execute("INSERT INTO src VALUES ('400', '2', 'late')")
+      st2.close()
+      val (df2, _) = CdcCursor.poll(spark, url, props, derbySpec, state.copy(atEof = false))
+      assert(df2.collect().map(r => (r.getString(0), r.getString(1))).toList == List(("400", "2")))
+    } finally conn.close()
+  }
+
+  // ----------------------------------------------------------- JDBC upsert
+
+  private val cols = Seq("k", "v")
+
+  test("planStatements splits when a key repeats in one INSERT (postgres_producer.cpp:210-232)") {
+    val rows = Seq(
+      (Seq[Any]("a", 1), false), (Seq[Any]("b", 1), false), (Seq[Any]("a", 2), false))
+    val stmts = JdbcUpsert.planStatements("t", cols, Seq("k"), rows)
+    assert(stmts.size == 2)
+    assert(stmts.head.contains("('a', 1)") && stmts.head.contains("('b', 1)"))
+    assert(stmts(1).contains("('a', 2)"))
+  }
+
+  test("planStatements preserves upsert/delete order per key") {
+    val rows = Seq(
+      (Seq[Any]("a", 1), false), (Seq[Any]("a", null), true), (Seq[Any]("a", 3), false))
+    val stmts = JdbcUpsert.planStatements("t", cols, Seq("k"), rows)
+    assert(stmts.size == 3)
+    assert(stmts(0).startsWith("INSERT") && stmts(1).startsWith("DELETE") && stmts(2).startsWith("INSERT"))
+  }
+
+  test("planStatements batches consecutive deletes together and honors maxBatch") {
+    val deletes = (1 to 5).map(i => (Seq[Any](s"k$i", null), true))
+    val stmts = JdbcUpsert.planStatements("t", cols, Seq("k"), deletes, maxBatch = 2)
+    assert(stmts.size == 3) // 2 + 2 + 1
+    assert(stmts.forall(_.startsWith("DELETE")))
+    val ups = (1 to 5).map(i => (Seq[Any](s"k$i", i), false))
+    val ustmts = JdbcUpsert.planStatements("t", cols, Seq("k"), ups, maxBatch = 2)
+    assert(ustmts.size == 3 && ustmts.forall(_.startsWith("INSERT")))
+  }
+
+  test("prepared statement SQL binds every column and key") {
+    assert(JdbcUpsert.preparedUpsertSql("t", cols, Seq("k")) ==
+      "INSERT INTO t (k, v) VALUES (?, ?) ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
+    assert(JdbcUpsert.preparedDeleteSql("t", Seq("k", "k2")) ==
+      "DELETE FROM t WHERE k = ? AND k2 = ?")
+    // key-only table: nothing to update on conflict
+    assert(JdbcUpsert.preparedUpsertSql("t", Seq("k"), Seq("k")) ==
+      "INSERT INTO t (k) VALUES (?) ON CONFLICT (k) DO NOTHING")
+  }
+
+  // -------------------------------------------------------- Confluent avro
+
+  test("Confluent framing round-trips records incl. nulls (avro_serdes.h:80-104)") {
+    val schema = SchemaBuilder.record("Ev").fields()
+      .requiredLong("id")
+      .optionalString("name")
+      .endRecord()
+    val registry = new ConfluentAvro.InMemorySchemaRegistry
+    val schemaId = registry.register("ev-value", schema)
+
+    val rec = new GenericRecordBuilder(schema).set("id", 42L).set("name", "x").build()
+    val bytes = ConfluentAvro.encode(rec, schemaId)
+    assert(bytes(0) == 0x00.toByte) // magic
+    assert(ConfluentAvro.deframe(bytes).schemaId == schemaId)
+    val back = ConfluentAvro.decode(bytes, registry)
+    assert(back.get("id") == 42L && back.get("name").toString == "x")
+
+    val withNull = new GenericRecordBuilder(schema).set("id", 7L).build()
+    val back2 = ConfluentAvro.decode(ConfluentAvro.encode(withNull, schemaId), registry)
+    assert(back2.get("id") == 7L && back2.get("name") == null)
+
+    // registry ids are content-addressed: same schema+subject → same id
+    assert(registry.register("ev-value", schema) == schemaId)
+    // frames shorter than magic+id are rejected
+    intercept[IllegalArgumentException] { ConfluentAvro.deframe(Array[Byte](0, 1, 2)) }
+    // wrong magic byte is rejected
+    intercept[IllegalArgumentException] { ConfluentAvro.deframe(Array[Byte](1, 0, 0, 0, 1, 9)) }
+  }
+
+  test("decodeToJsonUdf surfaces framed avro as JSON for from_json") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val schema = SchemaBuilder.record("Kv").fields().requiredLong("n").endRecord()
+    val registry = new ConfluentAvro.InMemorySchemaRegistry
+    val id = registry.register("kv", schema)
+    val payloads = (1L to 3L).map { n =>
+      ConfluentAvro.encode(new GenericRecordBuilder(schema).set("n", n).build(), id)
+    }
+    val df = payloads.toDF("raw")
+    val dec = ConfluentAvro.decodeToJsonUdf(registry)
+    val out = df.select(from_json(dec(col("raw")), lit("n LONG")).getField("n").as[Long])
+      .collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+}

@@ -56,6 +56,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("punctuatedCount follows count.h cadence: snapshot at boundary, stamped with deadline, only when dirty") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KRecord[Int, Long]]
+    val q = StatefulOps.punctuatedCount(input.toDS(), punctuateIntervalMs = 1000L)
+      .writeStream.format("memory").queryName("punct_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: key 1 twice; first event seeds deadline 2000, no emission yet
+      input.addData(KRecord.of(1, 0L, 1000L), KRecord.of(1, 0L, 1100L))
+      q.processAllAvailable()
+      assert(spark.table("punct_out").isEmpty)
+      // batch 2: event past the deadline → snapshot of the *pre-event* count,
+      // stamped with the old deadline (count.h:57-60), next = 2500 + 1000
+      input.addData(KRecord.of(1, 0L, 2500L))
+      q.processAllAvailable()
+      // batches 3-5: unrelated keys advance the watermark so idle keys flush
+      // their dirty snapshots via timeout (key 1 at deadline 3500, key 2 at 11000)
+      input.addData(KRecord.of(2, 0L, 10000L))
+      q.processAllAvailable()
+      input.addData(KRecord.of(3, 0L, 20000L))
+      q.processAllAvailable()
+      input.addData(KRecord.of(4, 0L, 30000L))
+      q.processAllAvailable()
+      val snaps = spark.table("punct_out").as[KRecord[Int, Long]].collect()
+        .filter(r => r.key == 1 || r.key == 2)
+        .map(r => (r.key, r.value.get, r.eventTime)).toSet
+      assert(snaps == Set((1, 2L, 2000L), (1, 3L, 3500L), (2, 1L, 11000L)), s"got $snaps")
+    } finally q.stop()
+  }
+
   test("delay holds records until eventTime + delay <= watermark (delay.h:36-53)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
