@@ -39,11 +39,28 @@ object Dedup {
     * `jaccard >= threshold`. Output: (d1, d2, inter_cnt, union_cnt, jaccard)
     * with d1 < d2. O(pairs-sharing-a-shingle) — the verifier/oracle path;
     * use [[minHashLsh]] at scale.
+    *
+    * `maxShingleDf` caps the self-join's skew: a shingle appearing in k docs
+    * contributes k² candidate rows on one join key, so one boilerplate
+    * shingle shared by 1M docs is a 10¹²-row partition. With the cap, every
+    * shingle with document frequency > maxShingleDf is dropped from the
+    * *whole* computation (intersections AND set sizes — the two engines'
+    * results stay comparable because the filtered shingle table is the
+    * input to both). Near-dup pairs lose only their least-discriminating
+    * features; the default (None) keeps exact semantics for the oracle.
     */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = shingles.toDF("d1", "s")
-    val b = shingles.toDF("d2", "s")
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+                   maxShingleDf: Option[Long] = None): DataFrame = {
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        shingles.join(broadcast(hot), Seq("shingle"), "left_anti").select("id", "shingle")
+      case None => shingles
+    }
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = filtered.toDF("d1", "s")
+    val b = filtered.toDF("d2", "s")
     val inter = a.join(b, Seq("s"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))

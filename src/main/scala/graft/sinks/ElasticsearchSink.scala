@@ -1,0 +1,74 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Elasticsearch bulk sink (reference:
+  * libraries/kspp-es/elasticsearch_producer.h:17-120 and the kafka2es tool):
+  * key → `_id`, value → JSON doc, tombstone → bulk `delete` action, batched
+  * NDJSON POSTs to `/_bulk`, with 2xx/4xx/5xx response counters.
+  *
+  * The JSON doc is rendered Spark-side with `to_json` (codegen, no UDF); the
+  * partition loop only concatenates NDJSON and posts. The HTTP transport is
+  * a pluggable `(payload → status)` function so tests (and air-gapped runs)
+  * inject a fake; [[httpTransport]] is the production java.net.http default.
+  * Use from `foreachBatch` for streaming, or directly on a batch DataFrame.
+  */
+object ElasticsearchSink {
+
+  /** One bulk line pair (or single delete line) per input row. */
+  def bulkCommands(batch: DataFrame, index: String, idCol: String,
+                   tombstoneCol: Option[String]): DataFrame = {
+    val docCols = batch.columns.filterNot(c => c == idCol).map(col)
+    val id = col(idCol).cast("string")
+    val action = tombstoneCol match {
+      case Some(tc) => when(col(tc).isNull,
+          concat(lit("{\"delete\":{\"_index\":\"" + index + "\",\"_id\":\""), id, lit("\"}}")))
+        .otherwise(
+          concat(lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""), id, lit("\"}}\n"),
+            to_json(struct(docCols: _*))))
+      case None =>
+        concat(lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""), id, lit("\"}}\n"),
+          to_json(struct(docCols: _*)))
+    }
+    batch.select(action.as("bulk_cmd"))
+  }
+
+  final case class Stats(ok: Long, clientErrors: Long, serverErrors: Long)
+
+  /** Production transport: POST the NDJSON payload to `<baseUrl>/_bulk`. */
+  def httpTransport(baseUrl: String): String => Int = {
+    payload =>
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$baseUrl/_bulk"))
+        .header("Content-Type", "application/x-ndjson")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+        .build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+
+  /** Write a (micro-)batch: per partition, group `maxDocsPerBulk` commands
+    * per POST. Returns 2xx/4xx/5xx counts (the reference's
+    * `success`/`http4xx`/`http5xx` metrics).
+    */
+  def write(batch: DataFrame, index: String, idCol: String, tombstoneCol: Option[String],
+            transport: String => Int, maxDocsPerBulk: Int = 500): Stats = {
+    val sc = batch.sparkSession.sparkContext
+    val ok = sc.longAccumulator("es_2xx")
+    val clientErr = sc.longAccumulator("es_4xx")
+    val serverErr = sc.longAccumulator("es_5xx")
+    def count(status: Int, n: Long): Unit = status match {
+      case s if s >= 200 && s < 300 => ok.add(n)
+      case s if s >= 400 && s < 500 => clientErr.add(n)
+      case _                        => serverErr.add(n)
+    }
+    bulkCommands(batch, index, idCol, tombstoneCol).foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(maxDocsPerBulk).foreach { chunk =>
+        val payload = chunk.map(_.getString(0)).mkString("", "\n", "\n")
+        count(transport(payload), chunk.size.toLong)
+      }
+    }
+    Stats(ok.value, clientErr.value, serverErr.value)
+  }
+}

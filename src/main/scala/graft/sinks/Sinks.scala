@@ -39,7 +39,7 @@ object Sinks {
   def windowedFiles(df: DataFrame, eventTimeCol: String, windowMs: Long,
                     path: String, format: String = "parquet"): Unit =
     df.withColumn("window_start",
-        timestamp_millis((unix_millis(col(eventTimeCol)) / windowMs) * windowMs))
+        timestamp_millis(floor(unix_millis(col(eventTimeCol)) / windowMs).cast("long") * windowMs))
       .write.partitionBy("window_start").format(format).mode("append").save(path)
 
   /** Streaming variant: append mode with a checkpoint, one partition dir per
@@ -49,7 +49,7 @@ object Sinks {
                          path: String, checkpoint: String,
                          format: String = "parquet"): DataStreamWriter[org.apache.spark.sql.Row] =
     df.withColumn("window_start",
-        timestamp_millis((unix_millis(col(eventTimeCol)) / windowMs) * windowMs))
+        timestamp_millis(floor(unix_millis(col(eventTimeCol)) / windowMs).cast("long") * windowMs))
       .writeStream.partitionBy("window_start").format(format)
       .option("path", path).option("checkpointLocation", checkpoint)
 

@@ -21,6 +21,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("jaccard hot-shingle cap: generous cap is exact, tight cap still finds planted dups") {
+    val shingles = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(shingles, 0.5).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val generous = Dedup.jaccardPairs(shingles, 0.5, maxShingleDf = Some(1000000L))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == exact)
+    // near-dup docs share mostly rare shingles, so a tight df cap keeps recall
+    val capped = Dedup.jaccardPairs(shingles, 0.5, maxShingleDf = Some(5L))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect capped).size >= (exact.size * 9) / 10, s"capped lost too much: $capped vs $exact")
+  }
+
   test("simhash pairs: identical docs collide, hamming bounded") {
     val sim = Dedup.simHash(docs, "doc_id", "text")
     val pairs = Dedup.simHashPairs(sim, maxHamming = 3).collect()

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sinks.ElasticsearchSink
+import graft.sources.{AvroFiles, Tables}
+
+/** Avro container-file round-trips (avro_file_source.h / avro_file_sink.h)
+  * and the Elasticsearch bulk sink's payload + metrics semantics.
+  */
+class FileFormatsSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("avro write/read round-trips all generic_avro types incl. nulls and nesting") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("n", IntegerType, nullable = true),
+      StructField("f", FloatType, nullable = false),
+      StructField("d", DoubleType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("raw", BinaryType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = true),
+      StructField("attrs", MapType(StringType, LongType, valueContainsNull = false), nullable = true),
+      StructField("nested", StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", StringType, nullable = true))), nullable = true)))
+    val rows = Seq(
+      Row(1L, true, 42, 1.5f, 2.5, "hi", Array[Byte](1, 2, 3),
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"),
+        Seq("x", "y"), Map("k" -> 9L), Row(7L, "inner")),
+      Row(2L, false, null, -0.5f, 0.0, null, null, null, null, null, null))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), st)
+    val dir = tmpDir("avro_rt") + "/out"
+    AvroFiles.write(df, dir)
+    val back = AvroFiles.read(spark, dir)
+    assert(back.schema == st)
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got.length == 2)
+    assert(got(0).getAs[java.sql.Timestamp]("ts") == rows.head.getAs[java.sql.Timestamp](7))
+    assert(got(0).getAs[Array[Byte]]("raw").toSeq == Seq[Byte](1, 2, 3))
+    assert(got(0).getAs[Row]("nested") == Row(7L, "inner"))
+    assert(got(0).getAs[Map[String, Long]]("attrs") == Map("k" -> 9L))
+    assert(got(1).isNullAt(2) && got(1).isNullAt(5) && got(1).isNullAt(10))
+  }
+
+  test("avro round-trip preserves a real driver table (events)") {
+    val events = Tables.load(spark, sf(), "events")
+    val dir = tmpDir("avro_events") + "/out"
+    AvroFiles.write(events, dir)
+    val back = AvroFiles.read(spark, dir)
+    assert(back.count() == events.count())
+    val a = events.agg(sum(unix_millis(col("ts"))), sum("value")).head()
+    val b = back.agg(sum(unix_millis(col("ts"))), sum("value")).head()
+    assert(a == b)
+  }
+
+  test("windowed avro sink rotates one directory per event-time window (avro_file_sink.h:58-96)") {
+    val events = Tables.load(spark, sf(), "events").limit(200)
+    val root = tmpDir("avro_win") + "/out"
+    val dayMs = 86400000L
+    AvroFiles.writeWindowed(events, "ts", dayMs, root)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("window_start=")))
+    // every row lands in the directory of its own window
+    val total = dirs.map { d =>
+      val w = d.stripPrefix("window_start=").toLong
+      val part = AvroFiles.read(spark, s"$root/$d")
+      val times = part.select(unix_millis(col("ts"))).collect().map(_.getLong(0))
+      assert(times.forall(t => (t / dayMs) * dayMs == w), s"stray event time in $d")
+      times.length
+    }.sum
+    assert(total == 200)
+  }
+
+  test("parquet windowed file sink writes one partition dir per window (Sinks.windowedFiles)") {
+    val events = Tables.load(spark, sf(), "events").limit(100)
+    val root = tmpDir("pq_win") + "/out"
+    graft.sinks.Sinks.windowedFiles(events, "ts", 86400000L, root)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("window_start=")))
+    val back = spark.read.parquet(root)
+    assert(back.count() == 100)
+    // partition pruning works on the window dir: one window reads < everything
+    val one = back.filter(col("window_start") === back.select(min("window_start")).head().get(0))
+    assert(one.count() > 0 && one.count() < 100)
+  }
+
+  test("visitor performs side effects per record (visitor.h:9-71)") {
+    val acc = spark.sparkContext.longAccumulator("visited")
+    graft.api.GStream(Tables.load(spark, sf(), "nation")).visit(_ => acc.add(1))
+    assert(acc.value == 25)
+  }
+
+  test("observe metrics report processed counts (metrics.h:71-147 parity)") {
+    import graft.metrics.Metrics
+    val listener = Metrics.install(spark)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = Metrics.observe(input.toDS().toDF("n"), "stage1")
+        .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+      try {
+        input.addData(1, 2, 3)
+        q.processAllAvailable()
+        input.addData(4, 5)
+        q.processAllAvailable()
+        val progress = q.recentProgress
+        val observed = progress.flatMap(p => Option(p.observedMetrics.get("stage1")))
+          .map(_.getLong(0)).sum
+        assert(observed == 5, s"observed=$observed")
+        assert(listener.stats.containsKey("obs_out"))
+        assert(listener.stats.get("obs_out").rows == 5)
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("ES bulk payload: index + delete actions, id from key, metrics by status class") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, Some("alpha"), 10L),
+      (2L, Some("beta"), 20L),
+      (3L, None, 30L) // tombstone → delete
+    ).toDF("k", "payload", "v")
+
+    val cmds = ElasticsearchSink.bulkCommands(batch, "idx", "k", Some("payload"))
+      .as[String].collect().sorted
+    assert(cmds.exists(c => c.startsWith("{\"index\":{\"_index\":\"idx\",\"_id\":\"1\"}}\n")
+      && c.contains("\"payload\":\"alpha\"") && c.contains("\"v\":10")))
+    assert(cmds.contains("{\"delete\":{\"_index\":\"idx\",\"_id\":\"3\"}}"))
+
+    // fake transports: every chunk succeeds / 4xx / 5xx
+    val s1 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => 200, maxDocsPerBulk = 2)
+    assert(s1 == ElasticsearchSink.Stats(3, 0, 0))
+    val s2 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => 404)
+    assert(s2 == ElasticsearchSink.Stats(0, 3, 0))
+    val s3 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => 503)
+    assert(s3 == ElasticsearchSink.Stats(0, 0, 3))
+
+    // chunking: maxDocsPerBulk=1 → one POST per doc, all still counted
+    val s4 = ElasticsearchSink.write(batch.repartition(1), "idx", "k", Some("payload"),
+      p => { assert(p.endsWith("\n") && !p.dropRight(1).isEmpty); 200 }, maxDocsPerBulk = 1)
+    assert(s4.ok == 3)
+  }
+}
