@@ -181,6 +181,130 @@ object StatefulOps {
           ready.sortBy(_.eventTime).iterator
       }
 
+  // ------------------------------------------------------ changelog joins
+
+  sealed trait JoinType extends Serializable
+  case object LeftJoin extends JoinType
+  case object InnerJoin extends JoinType
+  case object OuterJoin extends JoinType
+
+  /** Both sides' LWW cells for one key. */
+  final case class JoinState[L, R](left: Option[Cell[L]], right: Option[Cell[R]])
+
+  /** Tagged union of the two input changelogs. */
+  final case class SideRec[K, L, R](key: K, leftValue: Option[L], rightValue: Option[R],
+                                    isLeft: Boolean, isTombstone: Boolean, eventTime: Long)
+
+  /** One join emission: `tombstone = true` means the reference emitted a
+    * null-valued record (retraction); otherwise `left`/`right` carry the
+    * joined sides per the join type's contract.
+    */
+  final case class JoinEmit[K, L, R](key: K, left: Option[L], right: Option[R],
+                                     eventTime: Long, tombstone: Boolean)
+
+  /** mem_store::_insert (mem_store.h:64-83): absent+tombstone → stays absent;
+    * stored strictly newer → skip; tombstone → erase; else upsert.
+    */
+  private def insertCell[V](cell: Option[Cell[V]], value: Option[V], ts: Long): Option[Cell[V]] =
+    cell match {
+      case None                       => if (value.isDefined) Some(Cell(value, ts)) else None
+      case Some(c) if c.eventTime > ts => cell
+      case Some(_)                    => if (value.isDefined) Some(Cell(value, ts)) else None
+    }
+
+  /** Streaming ktable×ktable join (join.h:212-508), update-mode changelog:
+    * every event from either side's changelog drives an emission (the
+    * reference's ktable forwards each event downstream unconditionally,
+    * ktable.h:66-72, while its store applies the LWW/tombstone rules) —
+    * probe both stores at current state, then:
+    *
+    *  - [[LeftJoin]]: left present → (left, right?); else tombstone
+    *    (join.h:290-294);
+    *  - [[InnerJoin]]: both present → (left, right); else tombstone
+    *    (join.h:385-389);
+    *  - [[OuterJoin]]: either present → (left?, right?); else tombstone
+    *    (join.h:487-491).
+    *
+    * Golden sequences: tests/test8_join.cpp:193-360. Within a micro-batch
+    * events apply in event-time order across both sides (the reference's
+    * shared event clock); cross-batch order is arrival order, as in Kafka.
+    */
+  def tableTableJoinChangelog[K, L, R](
+      leftLog: Dataset[KRecord[K, L]], rightLog: Dataset[KRecord[K, R]], joinType: JoinType)(
+      implicit ek: Encoder[K], es: Encoder[SideRec[K, L, R]], ej: Encoder[JoinState[L, R]],
+      eo: Encoder[JoinEmit[K, L, R]]): Dataset[JoinEmit[K, L, R]] = {
+    val tagged = leftLog
+      .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.value.isEmpty, r.eventTime))
+      .union(rightLog
+        .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.value.isEmpty, r.eventTime)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[SideRec[K, L, R]], state: GroupState[JoinState[L, R]]) =>
+          var s = state.getOption.getOrElse(JoinState[L, R](None, None))
+          val out = Vector.newBuilder[JoinEmit[K, L, R]]
+          it.toSeq.sortBy(_.eventTime).foreach { ev =>
+            s =
+              if (ev.isLeft) s.copy(left = insertCell(s.left, ev.leftValue, ev.eventTime))
+              else s.copy(right = insertCell(s.right, ev.rightValue, ev.eventTime))
+            val l = s.left.flatMap(_.value)
+            val r = s.right.flatMap(_.value)
+            val emit = joinType match {
+              case LeftJoin =>
+                if (l.isDefined) JoinEmit(key, l, r, ev.eventTime, tombstone = false)
+                else JoinEmit[K, L, R](key, None, None, ev.eventTime, tombstone = true)
+              case InnerJoin =>
+                if (l.isDefined && r.isDefined) JoinEmit(key, l, r, ev.eventTime, tombstone = false)
+                else JoinEmit[K, L, R](key, None, None, ev.eventTime, tombstone = true)
+              case OuterJoin =>
+                if (l.isDefined || r.isDefined) JoinEmit(key, l, r, ev.eventTime, tombstone = false)
+                else JoinEmit[K, L, R](key, None, None, ev.eventTime, tombstone = true)
+            }
+            out += emit
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming kstream×ktable join (join.h:28-209): the right changelog
+    * builds the LWW table; each *left stream* event (null-valued ones
+    * dropped, join.h:89) probes it at current state. [[LeftJoin]] emits
+    * (left, right?) always; [[InnerJoin]] emits only on a non-null probe hit
+    * (misses are dropped silently, join.h:177-186 — no tombstone). Golden:
+    * tests/test8_join.cpp:120-190.
+    */
+  def streamTableJoinChangelog[K, L, R](
+      stream: Dataset[KRecord[K, L]], rightLog: Dataset[KRecord[K, R]], joinType: JoinType)(
+      implicit ek: Encoder[K], es: Encoder[SideRec[K, L, R]], ej: Encoder[JoinState[L, R]],
+      eo: Encoder[JoinEmit[K, L, R]]): Dataset[JoinEmit[K, L, R]] = {
+    require(joinType != OuterJoin, "kstream joins are left or inner (join.h:28-209)")
+    val tagged = stream
+      .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.value.isEmpty, r.eventTime))
+      .union(rightLog
+        .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.value.isEmpty, r.eventTime)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[SideRec[K, L, R]], state: GroupState[JoinState[L, R]]) =>
+          var s = state.getOption.getOrElse(JoinState[L, R](None, None))
+          val out = Vector.newBuilder[JoinEmit[K, L, R]]
+          it.toSeq.sortBy(_.eventTime).foreach { ev =>
+            if (!ev.isLeft) {
+              s = s.copy(right = insertCell(s.right, ev.rightValue, ev.eventTime))
+            } else if (ev.leftValue.isDefined) { // null left events are skipped
+              val r = s.right.flatMap(_.value)
+              joinType match {
+                case InnerJoin =>
+                  if (r.isDefined) out += JoinEmit(key, ev.leftValue, r, ev.eventTime, tombstone = false)
+                case _ =>
+                  out += JoinEmit(key, ev.leftValue, r, ev.eventTime, tombstone = false)
+              }
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Counter snapshot cell. `dirty` = aggregated-but-not-yet-punctuated,
     * the reference's `dirty_` flag (count.h:67,96-101).
     */

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: the properties that make the declared
+  * queries scale — filter/projection pushdown into the parquet scan,
+  * broadcast of dimension tables, and the absence of nested-loop/cartesian
+  * operators on the similarity paths — asserted so a refactor that silently
+  * degrades a plan fails CI, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame = Queries.queries(name)(spark, sf())
+
+  test("q01 filter reaches the parquet scan as a pushed filter") {
+    val p = plan("q01_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("q03 projection prunes the orders scan to two columns") {
+    val p = plan("q03_transform_value")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("stream-table joins broadcast the dimension side (q08/q09)") {
+    assert(plan("q08_stream_table_inner").contains("BroadcastHashJoin"), "q08")
+    assert(plan("q09_stream_table_left").contains("BroadcastHashJoin"), "q09")
+  }
+
+  test("similarity paths have no nested-loop or cartesian operator (x03/x05)") {
+    Seq("x03_dedup_minhash_lsh", "x05_ann_cosine_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has BroadcastNestedLoopJoin")
+      assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
+    }
+  }
+
+  test("aggregations are hash aggregates with map-side partial merge (q05/q06)") {
+    Seq("q05_count_by_key", "q06_sum_by_key").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q not hash agg")
+      // partial_* before the exchange = the reference's RocksDB merge-operator
+      // aggregation pushdown, supplied by Spark's partial aggregation
+      assert(p.contains("partial_count") || p.contains("partial_sum"), s"$q lacks partial agg")
+    }
+  }
+
+  test("rate limiter plan is one shuffle + in-partition sort (no global sort, no collect)") {
+    val p = plan("q15_rate_limiter")
+    assert(p.contains("Exchange hashpartitioning"), p)
+    // sortWithinPartitions: Sort with global=false
+    assert(p.contains("Sort [") && p.contains("false, 0"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort would be a scale bug: " + p)
+  }
+
+  test("codegen dot product appears in the x05 verification filter") {
+    val p = plan("x05_ann_cosine_pairs")
+    assert(p.contains("floatvectordot"), p.take(2000))
+  }
+
+  test("flagship entry plan broadcasts dims and aggregates pre-shuffle (partial agg)") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}

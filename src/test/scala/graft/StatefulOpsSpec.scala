@@ -42,4 +42,112 @@ class StatefulOpsSpec extends SparkSpec {
       .collect().sortBy(_.eventTime).flatMap(_.value).toSeq
     assert(out == Seq("a", "b", "d"))
   }
+
+  // ---- test8_join.cpp golden fixture (FIXTURES.md §1) ----------------------
+  // STREAM_1 (left):  1:null, 3:A, 5:B, 7:null, 9:C, 12:null, 15:D
+  // STREAM_2 (right): 2:null, 4:a, 6:b, 8:null, 10:c, 11:null, 13:null, 14:d
+
+  private def stream1 = Seq[KRecord[Int, String]](
+    KRecord(42, None, 1L), KRecord.of(42, "A", 3L), KRecord.of(42, "B", 5L),
+    KRecord(42, None, 7L), KRecord.of(42, "C", 9L), KRecord(42, None, 12L),
+    KRecord.of(42, "D", 15L))
+
+  private def stream2 = Seq[KRecord[Int, String]](
+    KRecord(42, None, 2L), KRecord.of(42, "a", 4L), KRecord.of(42, "b", 6L),
+    KRecord(42, None, 8L), KRecord.of(42, "c", 10L), KRecord(42, None, 11L),
+    KRecord(42, None, 13L), KRecord.of(42, "d", 14L))
+
+  private def emits(out: Seq[StatefulOps.JoinEmit[Int, String, String]]) =
+    out.sortBy(_.eventTime).map(e =>
+      if (e.tombstone) (e.eventTime, None) else (e.eventTime, Some((e.left, e.right))))
+
+  test("ktable_left_join emits the exact test8_join.cpp sequence (join.h:212-311)") {
+    import spark.implicits._
+    val out = StatefulOps.tableTableJoinChangelog(
+      spark.createDataset(stream1), spark.createDataset(stream2), StatefulOps.LeftJoin)
+      .collect().toSeq
+    assert(emits(out) == Seq(
+      1L -> None, 2L -> None,
+      3L -> Some((Some("A"), None)), 4L -> Some((Some("A"), Some("a"))),
+      5L -> Some((Some("B"), Some("a"))), 6L -> Some((Some("B"), Some("b"))),
+      7L -> None, 8L -> None,
+      9L -> Some((Some("C"), None)), 10L -> Some((Some("C"), Some("c"))),
+      11L -> Some((Some("C"), None)),
+      12L -> None, 13L -> None, 14L -> None,
+      15L -> Some((Some("D"), Some("d")))))
+  }
+
+  test("ktable_inner_join emits the exact test8_join.cpp sequence (join.h:314-406)") {
+    import spark.implicits._
+    val out = StatefulOps.tableTableJoinChangelog(
+      spark.createDataset(stream1), spark.createDataset(stream2), StatefulOps.InnerJoin)
+      .collect().toSeq
+    assert(emits(out) == Seq(
+      1L -> None, 2L -> None, 3L -> None,
+      4L -> Some((Some("A"), Some("a"))),
+      5L -> Some((Some("B"), Some("a"))), 6L -> Some((Some("B"), Some("b"))),
+      7L -> None, 8L -> None, 9L -> None,
+      10L -> Some((Some("C"), Some("c"))),
+      11L -> None, 12L -> None, 13L -> None, 14L -> None,
+      15L -> Some((Some("D"), Some("d")))))
+  }
+
+  test("ktable_outer_join emits the exact test8_join.cpp sequence (join.h:408-508)") {
+    import spark.implicits._
+    val out = StatefulOps.tableTableJoinChangelog(
+      spark.createDataset(stream1), spark.createDataset(stream2), StatefulOps.OuterJoin)
+      .collect().toSeq
+    assert(emits(out) == Seq(
+      1L -> None, 2L -> None,
+      3L -> Some((Some("A"), None)), 4L -> Some((Some("A"), Some("a"))),
+      5L -> Some((Some("B"), Some("a"))), 6L -> Some((Some("B"), Some("b"))),
+      7L -> Some((None, Some("b"))), 8L -> None,
+      9L -> Some((Some("C"), None)), 10L -> Some((Some("C"), Some("c"))),
+      11L -> Some((Some("C"), None)),
+      12L -> None, 13L -> None,
+      14L -> Some((None, Some("d"))), 15L -> Some((Some("D"), Some("d")))))
+  }
+
+  test("kstream_left_join and kstream_inner_join emit the test8 sequences (join.h:28-209)") {
+    import spark.implicits._
+    val left = StatefulOps.streamTableJoinChangelog(
+      spark.createDataset(stream1), spark.createDataset(stream2), StatefulOps.LeftJoin)
+      .collect().toSeq
+    assert(emits(left) == Seq(
+      3L -> Some((Some("A"), None)), 5L -> Some((Some("B"), Some("a"))),
+      9L -> Some((Some("C"), None)), 15L -> Some((Some("D"), Some("d")))))
+    val inner = StatefulOps.streamTableJoinChangelog(
+      spark.createDataset(stream1), spark.createDataset(stream2), StatefulOps.InnerJoin)
+      .collect().toSeq
+    assert(emits(inner) == Seq(
+      5L -> Some((Some("B"), Some("a"))), 15L -> Some((Some("D"), Some("d")))))
+  }
+
+  test("changelog join state persists across micro-batches (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Int, String]]
+    val r = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Int, String]]
+    val q = StatefulOps.tableTableJoinChangelog(l.toDS(), r.toDS(), StatefulOps.LeftJoin)
+      .writeStream.format("memory").queryName("ttj_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      l.addData(stream1.take(3): _*); r.addData(stream2.take(2): _*) // ts 1..5
+      q.processAllAvailable()
+      l.addData(stream1.drop(3): _*); r.addData(stream2.drop(2): _*) // ts 6..15
+      q.processAllAvailable()
+      val out = spark.table("ttj_out").as[StatefulOps.JoinEmit[Int, String, String]].collect().toSeq
+      // same final sequence as the single-batch run for the events that are
+      // unambiguous across the batch split (the split point is between ts5/ts6)
+      assert(emits(out) == Seq(
+        1L -> None, 2L -> None,
+        3L -> Some((Some("A"), None)), 4L -> Some((Some("A"), Some("a"))),
+        5L -> Some((Some("B"), Some("a"))), 6L -> Some((Some("B"), Some("b"))),
+        7L -> None, 8L -> None,
+        9L -> Some((Some("C"), None)), 10L -> Some((Some("C"), Some("c"))),
+        11L -> Some((Some("C"), None)),
+        12L -> None, 13L -> None, 14L -> None,
+        15L -> Some((Some("D"), Some("d")))))
+    } finally q.stop()
+  }
 }
