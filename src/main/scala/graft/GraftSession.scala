@@ -31,6 +31,23 @@ object GraftSession {
     spark
   }
 
+  /** Back streaming keyed state with RocksDB — the Spark analog of the
+    * reference's rocksdb state stores (rocksdb_store.h, rocksdb_counter_store
+    * .h, rocksdb_windowed_store.h): state spills to local disk instead of
+    * living on the JVM heap, which is what makes billions of keys per
+    * executor viable at 100 TB. Changelog checkpointing writes per-batch
+    * deltas rather than full snapshots (the reference's offset-batched
+    * commits, rocksdb_store.h:216-226). Applies to queries started after the
+    * call.
+    */
+  def useRocksDbState(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark
+  }
+
   /** Runtime confs that must hold on any session handed to the engine
     * (including driver-created ones we don't control the builder for).
     */

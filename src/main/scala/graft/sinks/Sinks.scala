@@ -15,6 +15,13 @@ object Sinks {
     * partitions a librdkafka/Java producer would send them to. Retry /
     * queue-full handling is the connector's job.
     */
+  /** The reference's default producer partition for a binary key:
+    * `murmur2(key) & 0x7fffffff % numPartitions` (kspp.h:283-296 /
+    * librdkafka / Java producer). Requires `GraftFunctions.register`.
+    */
+  def kafkaPartition(key: org.apache.spark.sql.Column, numPartitions: Int): org.apache.spark.sql.Column =
+    pmod(call_function("kafka_murmur2", key).bitwiseAND(lit(0x7fffffff)), lit(numPartitions))
+
   def kafka(df: DataFrame, brokers: String, topic: String,
             keyCol: String, valueCol: String,
             numPartitions: Option[Int] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -22,8 +29,7 @@ object Sinks {
       col(keyCol).cast("binary").as("key"),
       col(valueCol).cast("binary").as("value"))
     numPartitions.foreach { n =>
-      out = out.withColumn("partition",
-        pmod(call_function("kafka_murmur2", col("key")).bitwiseAND(lit(0x7fffffff)), lit(n)))
+      out = out.withColumn("partition", kafkaPartition(col("key"), n))
     }
     out.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)

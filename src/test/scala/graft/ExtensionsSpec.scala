@@ -118,6 +118,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(KafkaMurmur2.hash(Array[Byte]('a', 'b', 'c')) == 479470107)
   }
 
+  test("kafka partition column routes keys exactly like the reference producer") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.KafkaMurmur2
+    graft.functions.GraftFunctions.register(spark)
+    val keys = Seq("user-1", "user-2", "", "another-key", "42")
+    val got = keys.toDF("k")
+      .select(col("k"), graft.sinks.Sinks.kafkaPartition(col("k").cast("binary"), 12).as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      val expected = (KafkaMurmur2.hash(k.getBytes("UTF-8")) & 0x7fffffff) % 12
+      assert(got(k) == expected, s"key $k routed to ${got(k)}, producer would use $expected")
+    }
+  }
+
   test("multimodal stub decode is pure and 1->N frame sampling explodes") {
     import graft.ext.Multimodal
     val media = Multimodal.asMedia(docs, "doc_id", "text")

@@ -87,6 +87,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful ops run on the RocksDB state store provider (rocksdb_store parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    GraftSession.useRocksDbState(spark)
+    try {
+      val input = MemoryStream[KRecord[Int, String]]
+      val q = StatefulOps.latestByKey(input.toDS())
+        .writeStream.format("memory").queryName("rocks_out").outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        input.addData(KRecord.of(1, "v1", 100L), KRecord.of(2, "w1", 100L))
+        q.processAllAvailable()
+        input.addData(KRecord.of(1, "v2", 200L), KRecord[Int, String](2, None, 300L))
+        q.processAllAvailable()
+        val rows = spark.table("rocks_out").as[KRecord[Int, String]].collect().toSeq
+        assert(rows.contains(KRecord.of(1, "v2", 200L)))
+        assert(rows.contains(KRecord[Int, String](2, None, 300L)))
+        // the state really lives in RocksDB
+        val progress = q.lastProgress
+        assert(progress.stateOperators.nonEmpty)
+        assert(q.recentProgress.flatMap(_.stateOperators).exists(_.numRowsTotal == 2))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("delay holds records until eventTime + delay <= watermark (delay.h:36-53)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
