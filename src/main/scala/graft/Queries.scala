@@ -320,6 +320,20 @@ object Queries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
 
+    "x07_ann_topk" ->
+      // brute-force top-k is rank-deterministic (cos desc, nbr_id asc) and
+      // the output carries no float columns, so it hash-matches; x06 (IVF)
+      // stays rows-only + recall-tested — its clustering is not SQL
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
     "x08_text_metrics" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
