@@ -165,6 +165,14 @@ object Queries {
     // signatures / bands of 2 ⇒ P(miss) ≈ 7e-5 per pair at cosine 0.35, and
     // recall is exactly 1 on the deterministic test data (asserted in
     // ExtensionsSpec against cosinePairs).
+    // dedup decision: survivors after dropping the larger id of every
+    // near-dup pair found by the LSH path
+    "x13_dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      Dedup.keepList(docs, "doc_id", pairs).select("doc_id")
+    }),
+
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
@@ -299,6 +307,9 @@ object Queries {
     // LSH with 64 hashes / bands of 2 has recall ~1 at threshold 0.5 and the
     // candidates are exactly verified ⇒ same output as the exact operator.
     "x03_dedup_minhash_lsh" -> jaccardOracle,
+
+    "x13_dedup_keep" ->
+      s"""SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d2 FROM ($jaccardOracle))""",
 
     "x04_dedup_simhash" ->
       // transcription of Dedup.simHash: per-word hash = 60-bit md5 prefix

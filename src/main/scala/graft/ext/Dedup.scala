@@ -135,6 +135,18 @@ object Dedup {
         (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
   }
 
+  /** The dedup *decision* on top of any near-dup pair set: keep every doc
+    * that is not the dropped side of a pair. Dropping the larger id of each
+    * pair (the standard survivor rule; reference pipelines keep
+    * first-by-key the same way) removes at least one of every detected
+    * duplicate pair in a single anti-join — no iterative connected
+    * components, so it scales as one broadcast/shuffle join. Chains (a~b,
+    * b~c but a!~c) keep only the smallest id of each chain because every
+    * non-minimal element appears as some pair's d2.
+    */
+  def keepList(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Bit width of the SimHash signature. 60 rather than 64 so the per-word
     * hash (low 60 bits of md5, [[graft.functions.Hashing.md5Hash60]]) is
     * recomputable by the DuckDB oracle, and 60 = 4 × 15 still bands evenly

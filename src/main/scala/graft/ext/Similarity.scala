@@ -141,7 +141,7 @@ object Similarity {
     * a nested-loop compare — and candidates are verified with exact cosine,
     * so there are no false positives; recall is 1 − (1 − p^bandSize)^nBands
     * with p the SRP collision probability at the threshold (defaults give
-    * P(miss) ≈ 7e-5 per pair at cosine 0.35). Pruning power comes from the
+    * P(miss) ≈ 1.2e-5 per pair at cosine 0.35). Pruning power comes from the
     * band buckets: on clustered real-world embeddings candidates are the
     * near-neighbors only; on adversarially uniform vectors the buckets are
     * balanced and candidates approach all pairs (LSH's information-theoretic
@@ -151,7 +151,7 @@ object Similarity {
     * never enter the distinct's shuffle.
     */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                     numBits: Int = 64, bandSize: Int = 2): DataFrame = {
+                     numBits: Int = 48, bandSize: Int = 2): DataFrame = {
     require(numBits % bandSize == 0)
     val sigUdf = udf { v: Seq[Float] =>
       (0 until numBits).map { p =>

@@ -58,7 +58,10 @@ object TextAnalysis {
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
 
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(lower(col(textCol)))
+    // tokenize once into a column; scoring 5 languages over the same array
+    // would otherwise re-run trim/split/filter per language
+    val toked = df.select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+    val t = col("__t")
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val prof = array(words.map(lit): _*)
       struct((size(filter(t, w => array_contains(prof, w))).cast("double") / size(t)).as("score"),
@@ -69,7 +72,7 @@ object TextAnalysis {
     // equal scores then resolve to the lexicographically largest lang, which is
     // still deterministic.
     val best = element_at(sort_array(array(scored: _*)), -1)
-    df.select(col(idCol), best.getField("lang").as("lang_pred"), best.getField("score").as("lang_score"))
+    toked.select(col(idCol), best.getField("lang").as("lang_pred"), best.getField("score").as("lang_score"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all

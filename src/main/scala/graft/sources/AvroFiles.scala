@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Avro container-file source/sink (reference: sources/avro_file_source.h:8-47,
-  * sinks/avro_file_sink.h:11-107). The Spark distribution here carries the
+  * sinks/avro_file_sink.h:11-107). The S3 variant (sinks/avro_s3_sink.h) is
+  * the same writer pointed at an `s3a://` path — Hadoop's S3A committer
+  * replaces the reference's hand-rolled multipart upload; it needs
+  * hadoop-aws + credentials on the runtime classpath (not present in this
+  * container, so exercised with local paths only). The Spark distribution
+  * here carries the
   * core avro + avro-mapred jars but not the spark-avro connector, so this
   * maps GenericRecord ↔ Row directly over the Hadoop input/output formats —
   * a per-partition, shuffle-free scan either way. Supported types: the
