@@ -128,26 +128,35 @@ class StatefulOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val l = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Int, String]]
     val r = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Int, String]]
-    val q = StatefulOps.tableTableJoinChangelog(l.toDS(), r.toDS(), StatefulOps.LeftJoin)
-      .writeStream.format("memory").queryName("ttj_out").outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-    try {
-      l.addData(stream1.take(3): _*); r.addData(stream2.take(2): _*) // ts 1..5
-      q.processAllAvailable()
-      l.addData(stream1.drop(3): _*); r.addData(stream2.drop(2): _*) // ts 6..15
-      q.processAllAvailable()
-      val out = spark.table("ttj_out").as[StatefulOps.JoinEmit[Int, String, String]].collect().toSeq
-      // same final sequence as the single-batch run for the events that are
-      // unambiguous across the batch split (the split point is between ts5/ts6)
-      assert(emits(out) == Seq(
-        1L -> None, 2L -> None,
-        3L -> Some((Some("A"), None)), 4L -> Some((Some("A"), Some("a"))),
-        5L -> Some((Some("B"), Some("a"))), 6L -> Some((Some("B"), Some("b"))),
-        7L -> None, 8L -> None,
-        9L -> Some((Some("C"), None)), 10L -> Some((Some("C"), Some("c"))),
-        11L -> Some((Some("C"), None)),
-        12L -> None, 13L -> None, 14L -> None,
-        15L -> Some((Some("D"), Some("d")))))
-    } finally q.stop()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttj").toFile.getAbsolutePath
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[StatefulOps.JoinEmit[Int, String, String]]()
+    // start the query only after each chunk's data is staged on BOTH sides:
+    // a live ProcessingTime(0) trigger could otherwise consume one side's
+    // addData before the other's lands, changing the interleaving
+    def runChunk(): Unit = {
+      val q = StatefulOps.tableTableJoinChangelog(l.toDS(), r.toDS(), StatefulOps.LeftJoin)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StatefulOps.JoinEmit[Int, String, String]], _: Long) =>
+          b.collect().foreach(emitted.add)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    l.addData(stream1.take(3): _*); r.addData(stream2.take(2): _*) // ts 1..5
+    runChunk()
+    l.addData(stream1.drop(3): _*); r.addData(stream2.drop(2): _*) // ts 6..15
+    runChunk()
+    val out = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted).asScala.toSeq
+    // same final sequence as the single-batch run (split point between ts5/ts6)
+    assert(emits(out) == Seq(
+      1L -> None, 2L -> None,
+      3L -> Some((Some("A"), None)), 4L -> Some((Some("A"), Some("a"))),
+      5L -> Some((Some("B"), Some("a"))), 6L -> Some((Some("B"), Some("b"))),
+      7L -> None, 8L -> None,
+      9L -> Some((Some("C"), None)), 10L -> Some((Some("C"), Some("c"))),
+      11L -> Some((Some("C"), None)),
+      12L -> None, 13L -> None, 14L -> None,
+      15L -> Some((Some("D"), Some("d")))))
   }
 }
