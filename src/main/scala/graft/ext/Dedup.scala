@@ -51,12 +51,16 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
                    maxShingleDf: Option[Long] = None): DataFrame = {
+    // the shingle set feeds the self-join twice plus the size aggregate;
+    // cache it so the upstream explode+distinct shuffle runs once, not 3×
+    // (MEMORY_AND_DISK: at scale the shingle table exceeds executor memory)
+    val cached = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = maxShingleDf match {
       case Some(cap) =>
-        val hot = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val hot = cached.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        shingles.join(broadcast(hot), Seq("shingle"), "left_anti").select("id", "shingle")
-      case None => shingles
+        cached.join(broadcast(hot), Seq("shingle"), "left_anti").select("id", "shingle")
+      case None => cached
     }
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = filtered.toDF("d1", "s")

@@ -169,8 +169,11 @@ object Similarity {
         if (s >= 0) 1L << p else 0L
       }.reduce(_ | _)
     }
+    // base feeds band explosion plus both candidate re-joins: cache so the
+    // scan + signature UDF run once
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .withColumn("sig", sigUdf(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numBits / bandSize
     val bands = base.select(col("id"),
       explode(array((0 until nBands).map { i =>
