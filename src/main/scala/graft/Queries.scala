@@ -205,7 +205,13 @@ object Queries {
           col("format"))),
 
     "x12_mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF())
+      Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF()),
+
+    // resize/re-encode (stub kernel; real 1→1 binary plumbing): verify via
+    // the deterministic output size
+    "x14_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().select(col("id"), length(col("payload")).cast("long").as("n_bytes")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -396,7 +402,11 @@ object Queries {
 
     "x12_mm_frames" ->
       """SELECT doc_id AS id, i.i AS frame_idx, i.i * 256 AS byte_offset
-        |FROM documents, LATERAL unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 256)) i(i)""".stripMargin
+        |FROM documents, LATERAL unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 256)) i(i)""".stripMargin,
+
+    "x14_mm_resize" ->
+      """SELECT doc_id AS id, (octet_length(CAST(text AS BLOB)) + 1) // 2 AS n_bytes
+        |FROM documents""".stripMargin
   )
 
   private lazy val jaccardOracle: String =

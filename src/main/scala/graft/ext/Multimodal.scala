@@ -38,6 +38,39 @@ object Multimodal {
     def frames(id: Long, payload: Array[Byte]): Iterator[Frame] =
       (0L to payload.length / frameStride).iterator
         .map(i => Frame(id, i, i * frameStride))
+
+    /** STUB resize/re-encode: keeps every other byte (a real kernel would
+      * decode, scale to `maxDim`, re-encode — same 1→1 bytes→bytes shape).
+      */
+    def resize(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+      val out = new Array[Byte]((payload.length + 1) / 2)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * 2); i += 1 }
+      out
+    }
+
+    /** STUB visual-embedding extractor: deterministic unit-norm vector from
+      * splitmix64 mixes of (payload bytes, dim index) — stands in for a
+      * vision-encoder forward pass; same bytes → array<float> shape.
+      */
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      var seed = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < payload.length) { seed = (seed ^ payload(i)) * 0xBF58476D1CE4E5B9L; i += 1 }
+      val v = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        var z = seed + (d + 1).toLong * 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        v(d) = ((z ^ (z >>> 31)).toDouble / Long.MaxValue).toFloat
+        d += 1
+      }
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+      var j = 0
+      while (j < dim) { v(j) = v(j) / n; j += 1 }
+      v
+    }
   }
 
   /** Decode image metadata for every row. One decoder per partition; rows
@@ -52,6 +85,21 @@ object Multimodal {
   /** Sample frames from a video payload, 1→N. */
   def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] =
     media.mapPartitions(_.flatMap(r => StubCodecs.frames(r.id, r.payload)))(Encoders.product[Frame])
+
+  /** Resize/re-encode every payload (1→1 binary→binary, narrow). */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int = 224): Dataset[MediaRow] =
+    media.mapPartitions(_.map(r => MediaRow(r.id, StubCodecs.resize(r.payload, maxDim))))(
+      Encoders.product[MediaRow])
+
+  final case class MediaEmbedding(id: Long, embedding: Array[Float])
+
+  /** Visual-embedding extraction: binary payload → `array<float>` column,
+    * ready for [[Similarity]]'s ANN operators — the multimodal→embedding→
+    * near-dup pipeline in one narrow stage.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] =
+    media.mapPartitions(_.map(r => MediaEmbedding(r.id, StubCodecs.features(r.payload, dim))))(
+      Encoders.product[MediaEmbedding])
 
   /** Test harness: lift any (id, string) pair into a binary media column so
     * the plumbing is exercisable on the driver-provided `documents` table.

@@ -141,4 +141,22 @@ class ExtensionsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.length > meta.length) // at least one frame per doc, many docs > 256 bytes
   }
+
+  test("multimodal feature extraction feeds the ANN operators end to end") {
+    import graft.ext.Multimodal
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
+    val emb = Multimodal.extractFeatures(media, dim = 32)
+    val rows = emb.collect()
+    assert(rows.forall(_.embedding.length == 32))
+    // stub encoder emits unit-norm vectors — cosine machinery applies directly
+    assert(rows.forall(r => math.abs(r.embedding.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
+    // determinism: same payload → same vector
+    val again = Multimodal.extractFeatures(media, dim = 32).collect()
+    assert(rows.sortBy(_.id).zip(again.sortBy(_.id)).forall { case (a, b) =>
+      a.embedding.sameElements(b.embedding) })
+    // plumb into brute-force top-k over the extracted embeddings
+    val df = emb.toDF()
+    val topk = Similarity.bruteForceTopK(df, df.filter(col("id") < 5), "id", "embedding", 3)
+    assert(topk.count() == df.filter(col("id") < 5).count() * 3)
+  }
 }
