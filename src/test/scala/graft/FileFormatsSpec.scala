@@ -123,6 +123,24 @@ class FileFormatsSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("influx sink renders line protocol and batches posts (influx_sink.h:10-53)") {
+    import graft.sinks.InfluxSink
+    import spark.implicits._
+    val df = Seq((1L, "eu", 0.5, 1700000000000000000L), (2L, "us", 0.7, 1700000000001000000L))
+      .toDF("id", "region", "load", "ts_ns")
+    val lines = df.select(InfluxSink.lineProtocol("cpu",
+      tags = Seq("region" -> col("region")),
+      fields = Seq("load" -> col("load"), "id" -> col("id")),
+      timeNs = col("ts_ns")).as("line"))
+    val rendered = lines.as[String].collect().sorted
+    assert(rendered.head == "cpu,region=eu load=0.5,id=1 1700000000000000000")
+    assert(rendered(1) == "cpu,region=us load=0.7,id=2 1700000000001000000")
+    val s = InfluxSink.write(lines, _ => 204)
+    assert(s == graft.sinks.ElasticsearchSink.Stats(2, 0, 0))
+    val s2 = InfluxSink.write(lines, _ => 500)
+    assert(s2 == graft.sinks.ElasticsearchSink.Stats(0, 0, 2))
+  }
+
   test("ES bulk payload: index + delete actions, id from key, metrics by status class") {
     import spark.implicits._
     val batch = Seq(
