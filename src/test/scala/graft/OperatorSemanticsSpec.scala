@@ -93,4 +93,35 @@ class OperatorSemanticsSpec extends SparkSpec {
         usernames("user_id") === routing("user_id"), "channel_id")
     assert(g.df.count() == 3) // users 4..10 have no route
   }
+
+  test("salted aggregate equals plain aggregate under a hot key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot key carrying 90% of rows
+    val rows = (1 to 900).map(i => ("hot", i.toLong)) ++ (1 to 100).map(i => (s"k${i % 7}", i.toLong))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = graft.ops.Salt.saltedAggregate(df, Seq("k"), graft.ops.Salt.saltCol(col("v"), 16),
+      "cnt" -> (count(lit(1)), sum(col("cnt"))),
+      "total" -> (sum(col("v")), sum(col("total"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join under a hot probe key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val big = ((1 to 500).map(i => ("hot", i)) ++ (1 to 50).map(i => (s"k$i", i))).toDF("k", "id")
+    val small = (Seq("hot") ++ (1 to 30).map(i => s"k$i")).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val salted = graft.ops.Salt.saltedJoin(big, small, "k", buckets = 8, saltFrom = col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    // left join keeps unmatched big-side rows exactly once
+    val plainLeft = big.join(small, Seq("k"), "left").count()
+    val saltedLeft = graft.ops.Salt.saltedJoin(big, small, "k", 8, col("id"), "left").count()
+    assert(saltedLeft == plainLeft)
+  }
 }
