@@ -16,20 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object ElasticsearchSink {
 
-  /** One bulk line pair (or single delete line) per input row. */
+  /** One bulk line pair (or single delete line) per input row. Action lines
+    * are rendered with `to_json` so ids containing quotes/backslashes stay
+    * valid JSON.
+    */
   def bulkCommands(batch: DataFrame, index: String, idCol: String,
                    tombstoneCol: Option[String]): DataFrame = {
     val docCols = batch.columns.filterNot(c => c == idCol).map(col)
-    val id = col(idCol).cast("string")
+    def actionJson(verb: String) = concat(lit("{\"" + verb + "\":"),
+      to_json(struct(lit(index).as("_index"), col(idCol).cast("string").as("_id"))), lit("}"))
+    val indexAction = concat(actionJson("index"), lit("\n"), to_json(struct(docCols: _*)))
     val action = tombstoneCol match {
-      case Some(tc) => when(col(tc).isNull,
-          concat(lit("{\"delete\":{\"_index\":\"" + index + "\",\"_id\":\""), id, lit("\"}}")))
-        .otherwise(
-          concat(lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""), id, lit("\"}}\n"),
-            to_json(struct(docCols: _*))))
-      case None =>
-        concat(lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""), id, lit("\"}}\n"),
-          to_json(struct(docCols: _*)))
+      case Some(tc) => when(col(tc).isNull, actionJson("delete")).otherwise(indexAction)
+      case None     => indexAction
     }
     batch.select(action.as("bulk_cmd"))
   }

@@ -24,10 +24,13 @@ object InfluxSink {
                    fields: Seq[(String, org.apache.spark.sql.Column)],
                    timeNs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     require(fields.nonEmpty, "influx line protocol requires at least one field")
+    // line protocol requires escaping space/comma/equals in tag values
+    def escTag(v: org.apache.spark.sql.Column) =
+      regexp_replace(v.cast("string"), "([ ,=])", "\\\\$1")
     val tagPart =
       if (tags.isEmpty) lit(measurement)
       else concat(lit(measurement), concat(tags.map { case (k, v) =>
-        concat(lit("," + k + "="), v.cast("string")) }: _*))
+        concat(lit("," + k + "="), escTag(v)) }: _*))
     val fieldPart = concat_ws(",",
       fields.map { case (k, v) => concat(lit(k + "="), v.cast("string")) }: _*)
     concat(tagPart, lit(" "), fieldPart, lit(" "), timeNs.cast("string"))

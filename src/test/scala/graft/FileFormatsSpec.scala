@@ -139,6 +139,12 @@ class FileFormatsSpec extends SparkSpec {
     assert(s == graft.sinks.ElasticsearchSink.Stats(2, 0, 0))
     val s2 = InfluxSink.write(lines, _ => 500)
     assert(s2 == graft.sinks.ElasticsearchSink.Stats(0, 0, 2))
+
+    // tag values with line-protocol metacharacters are escaped
+    val tagged = Seq(("us west,1", 0.5, 1L)).toDF("region", "load", "ts_ns")
+      .select(InfluxSink.lineProtocol("cpu", Seq("region" -> col("region")),
+        Seq("load" -> col("load")), col("ts_ns")).as("line"))
+    assert(tagged.as[String].collect().head == "cpu,region=us\\ west\\,1 load=0.5 1")
   }
 
   test("ES bulk payload: index + delete actions, id from key, metrics by status class") {
@@ -167,5 +173,11 @@ class FileFormatsSpec extends SparkSpec {
     val s4 = ElasticsearchSink.write(batch.repartition(1), "idx", "k", Some("payload"),
       p => { assert(p.endsWith("\n") && !p.dropRight(1).isEmpty); 200 }, maxDocsPerBulk = 1)
     assert(s4.ok == 3)
+
+    // ids with JSON metacharacters stay valid (escaped by to_json)
+    val weird = Seq(("a\"b\\c", Some("x"), 1L)).toDF("k", "payload", "v")
+    val wc = ElasticsearchSink.bulkCommands(weird, "idx", "k", Some("payload"))
+      .as[String].collect().head
+    assert(wc.startsWith("{\"index\":{\"_index\":\"idx\",\"_id\":\"a\\\"b\\\\c\"}}\n"), wc)
   }
 }
