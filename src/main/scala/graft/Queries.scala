@@ -327,7 +327,10 @@ object Queries {
         |wh AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(wd), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM words),
         |bits AS (SELECT doc_id, b.b AS bit, SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
         |         FROM wh, LATERAL unnest(generate_series(0, 59)) b(b) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS simhash FROM bits GROUP BY 1)
+        |sig0 AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS simhash FROM bits GROUP BY 1),
+        |-- token-less docs never reach the words CTE but the Spark side gives
+        |-- them signature 0: carry every document with COALESCE
+        |sig AS (SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,

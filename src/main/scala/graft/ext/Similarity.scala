@@ -29,7 +29,11 @@ object Similarity {
     * row before the join. O(n²/2) compare — baseline path.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // zero-norm vectors have no defined cosine: `dot >= t*na*nb` would pass
+    // them (0 >= 0) while a cosine division yields NaN and excludes them —
+    // drop them so both formulations (and the DuckDB oracle) agree
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
     val a = withNorm.toDF("id_a", "va", "na")
     val b = withNorm.toDF("id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
@@ -170,8 +174,10 @@ object Similarity {
       }.reduce(_ | _)
     }
     // base feeds band explosion plus both candidate re-joins: cache so the
-    // scan + signature UDF run once
+    // scan + signature UDF run once. Zero-norm vectors are dropped for the
+    // same oracle-parity reason as in cosinePairs.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
       .withColumn("sig", sigUdf(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numBits / bandSize

@@ -54,6 +54,11 @@ object Salt {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int,
                  saltFrom: Column, joinType: String = "inner"): DataFrame = {
+    // right/full-outer would emit each unmatched small-side row once per
+    // replicated salt bucket — reject join types the replication breaks
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti").contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/semi/anti joins, not $joinType")
     val saltedBig = big.withColumn("__salt", saltCol(saltFrom, buckets))
     val replSmall = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))

@@ -35,10 +35,12 @@ object ElasticsearchSink {
 
   final case class Stats(ok: Long, clientErrors: Long, serverErrors: Long)
 
-  /** Production transport: POST the NDJSON payload to `<baseUrl>/_bulk`. */
+  /** Production transport: POST the NDJSON payload to `<baseUrl>/_bulk`.
+    * One HTTP client per transport instance (reused across chunks).
+    */
   def httpTransport(baseUrl: String): String => Int = {
+    val client = java.net.http.HttpClient.newHttpClient()
     payload =>
-      val client = java.net.http.HttpClient.newHttpClient()
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$baseUrl/_bulk"))
         .header("Content-Type", "application/x-ndjson")
@@ -47,27 +49,36 @@ object ElasticsearchSink {
       client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
   }
 
+  /** Shared chunked-POST loop for HTTP batch sinks: groups `maxPerPost`
+    * string rows per payload and classifies response statuses into the
+    * reference producer's 2xx/4xx/5xx counters.
+    */
+  private[sinks] def postChunks(lines: DataFrame, transport: String => Int,
+                                maxPerPost: Int, sep: String, suffix: String): Stats = {
+    val sc = lines.sparkSession.sparkContext
+    val ok = sc.longAccumulator("http_2xx")
+    val clientErr = sc.longAccumulator("http_4xx")
+    val serverErr = sc.longAccumulator("http_5xx")
+    lines.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(maxPerPost).foreach { chunk =>
+        val payload = chunk.map(_.getString(0)).mkString("", sep, suffix)
+        val n = chunk.size.toLong
+        transport(payload) match {
+          case s if s >= 200 && s < 300 => ok.add(n)
+          case s if s >= 400 && s < 500 => clientErr.add(n)
+          case _                        => serverErr.add(n)
+        }
+      }
+    }
+    Stats(ok.value, clientErr.value, serverErr.value)
+  }
+
   /** Write a (micro-)batch: per partition, group `maxDocsPerBulk` commands
     * per POST. Returns 2xx/4xx/5xx counts (the reference's
     * `success`/`http4xx`/`http5xx` metrics).
     */
   def write(batch: DataFrame, index: String, idCol: String, tombstoneCol: Option[String],
-            transport: String => Int, maxDocsPerBulk: Int = 500): Stats = {
-    val sc = batch.sparkSession.sparkContext
-    val ok = sc.longAccumulator("es_2xx")
-    val clientErr = sc.longAccumulator("es_4xx")
-    val serverErr = sc.longAccumulator("es_5xx")
-    def count(status: Int, n: Long): Unit = status match {
-      case s if s >= 200 && s < 300 => ok.add(n)
-      case s if s >= 400 && s < 500 => clientErr.add(n)
-      case _                        => serverErr.add(n)
-    }
-    bulkCommands(batch, index, idCol, tombstoneCol).foreachPartition { (it: Iterator[Row]) =>
-      it.grouped(maxDocsPerBulk).foreach { chunk =>
-        val payload = chunk.map(_.getString(0)).mkString("", "\n", "\n")
-        count(transport(payload), chunk.size.toLong)
-      }
-    }
-    Stats(ok.value, clientErr.value, serverErr.value)
-  }
+            transport: String => Int, maxDocsPerBulk: Int = 500): Stats =
+    postChunks(bulkCommands(batch, index, idCol, tombstoneCol), transport, maxDocsPerBulk,
+      sep = "\n", suffix = "\n")
 }

@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** InfluxDB line-protocol sink (reference:
   * libraries/kspp-influx/influx_sink.h:10-53): the reference consumes
@@ -10,36 +11,48 @@ import org.apache.spark.sql.functions._
   * column of line-protocol rows, chunked per partition through a pluggable
   * transport, with 2xx/4xx/5xx counters.
   *
-  * [[lineProtocol]] is a convenience builder for the common case of
-  * (measurement, tags, fields, timestamp) columns — rendered Spark-side with
-  * codegen'd `concat`, no UDF.
+  * [[lineProtocol]] renders (measurement, tags, fields, timestamp) columns
+  * with codegen'd `concat` — string fields quoted and escaped, integer
+  * fields suffixed `i`, null tags/fields omitted, tag values escaped — per
+  * the line-protocol spec. It takes the source DataFrame to resolve field
+  * types at plan time.
   */
 object InfluxSink {
 
-  /** Render `measurement,tag=v,... field=v,... ts` from columns. Tags and
-    * fields are (name → column) pairs; the timestamp column must be epoch
-    * nanos (Influx's default precision).
+  private def escTag(v: Column): Column =
+    regexp_replace(v.cast("string"), "([ ,=])", "\\\\$1")
+
+  private def escFieldString(v: Column): Column =
+    regexp_replace(regexp_replace(v.cast("string"), "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  /** Render `measurement,tag=v,... field=v,... ts`. `timeNs` must be epoch
+    * nanos (Influx's default precision). Null tags and fields are omitted.
     */
-  def lineProtocol(measurement: String, tags: Seq[(String, org.apache.spark.sql.Column)],
-                   fields: Seq[(String, org.apache.spark.sql.Column)],
-                   timeNs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def lineProtocol(df: DataFrame, measurement: String, tags: Seq[(String, Column)],
+                   fields: Seq[(String, Column)], timeNs: Column): Column = {
     require(fields.nonEmpty, "influx line protocol requires at least one field")
-    // line protocol requires escaping space/comma/equals in tag values
-    def escTag(v: org.apache.spark.sql.Column) =
-      regexp_replace(v.cast("string"), "([ ,=])", "\\\\$1")
-    val tagPart =
-      if (tags.isEmpty) lit(measurement)
-      else concat(lit(measurement), concat(tags.map { case (k, v) =>
-        concat(lit("," + k + "="), escTag(v)) }: _*))
-    val fieldPart = concat_ws(",",
-      fields.map { case (k, v) => concat(lit(k + "="), v.cast("string")) }: _*)
-    concat(tagPart, lit(" "), fieldPart, lit(" "), timeNs.cast("string"))
+    val fieldTypes = df.select(fields.map(_._2): _*).schema.fields.map(_.dataType)
+    val fieldParts = fields.zip(fieldTypes).map { case ((k, v), dt) =>
+      val rendered = dt match {
+        case StringType => concat(lit(k + "=\""), escFieldString(v), lit("\""))
+        case ByteType | ShortType | IntegerType | LongType =>
+          concat(lit(k + "="), v.cast("string"), lit("i"))
+        case _ => concat(lit(k + "="), v.cast("string")) // float/double/boolean
+      }
+      when(v.isNotNull, rendered)
+    }
+    val tagPart = concat(lit(measurement) +: tags.map { case (k, v) =>
+      coalesce(when(v.isNotNull, concat(lit("," + k + "="), escTag(v))), lit(""))
+    }: _*)
+    concat(tagPart, lit(" "), concat_ws(",", fieldParts: _*), lit(" "), timeNs.cast("string"))
   }
 
-  /** POST the payload to `<baseUrl>/write?db=<db>`. */
+  /** POST the payload to `<baseUrl>/write?db=<db>`. One HTTP client per
+    * transport instance (reused across chunks).
+    */
   def httpTransport(baseUrl: String, db: String): String => Int = {
+    val client = java.net.http.HttpClient.newHttpClient()
     payload =>
-      val client = java.net.http.HttpClient.newHttpClient()
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$baseUrl/write?db=$db"))
         .header("Content-Type", "text/plain; charset=utf-8")
@@ -50,20 +63,8 @@ object InfluxSink {
 
   /** Write a (micro-)batch of line-protocol strings (first column). */
   def write(lines: DataFrame, transport: String => Int,
-            maxLinesPerPost: Int = 1000): ElasticsearchSink.Stats = {
-    val sc = lines.sparkSession.sparkContext
-    val ok = sc.longAccumulator("influx_2xx")
-    val clientErr = sc.longAccumulator("influx_4xx")
-    val serverErr = sc.longAccumulator("influx_5xx")
-    lines.select(col(lines.columns.head).cast("string")).foreachPartition { (it: Iterator[Row]) =>
-      it.grouped(maxLinesPerPost).foreach { chunk =>
-        val status = transport(chunk.map(_.getString(0)).mkString("\n"))
-        val n = chunk.size.toLong
-        if (status >= 200 && status < 300) ok.add(n)
-        else if (status >= 400 && status < 500) clientErr.add(n)
-        else serverErr.add(n)
-      }
-    }
-    ElasticsearchSink.Stats(ok.value, clientErr.value, serverErr.value)
-  }
+            maxLinesPerPost: Int = 1000): ElasticsearchSink.Stats =
+    ElasticsearchSink.postChunks(
+      lines.select(col(lines.columns.head).cast("string")), transport, maxLinesPerPost,
+      sep = "\n", suffix = "")
 }

@@ -104,7 +104,10 @@ object JdbcUpsert {
 
   /** Execute a micro-batch. `tombstoneCol` null in a row marks a delete of
     * that row's key. `orderCols` is the changelog ordering (e.g. event time +
-    * tie-break): rows are shuffled so each key lives in one partition and its
+    * tie-break) and is REQUIRED to be non-empty: a Spark DataFrame carries no
+    * row order, so without an explicit ordering a same-key upsert-then-delete
+    * pair could land in different partitions' parallel transactions and apply
+    * backwards. Rows are shuffled so each key lives in one partition and its
     * rows execute in changelog order — cross-key order is irrelevant, same as
     * the reference's per-partition producers. Statements are JDBC batches of
     * at most `maxBatch` bound rows, flushed on every upsert↔delete switch;
@@ -113,17 +116,17 @@ object JdbcUpsert {
     */
   def write(batch: DataFrame, jdbcUrl: String, props: java.util.Properties,
             table: String, keyColumns: Seq[String], tombstoneCol: Option[String],
-            orderCols: Seq[String] = Nil, maxBatch: Int = 1000): Unit = {
+            orderCols: Seq[String], maxBatch: Int = 1000): Unit = {
+    require(orderCols.nonEmpty,
+      "orderCols must define the changelog order; a DataFrame has no inherent row order")
     val columns = batch.schema.fieldNames.toSeq
     val tombIdx = tombstoneCol.map(batch.schema.fieldIndex)
     val keyIdx = keyColumns.map(batch.schema.fieldIndex)
     val upsertSql = preparedUpsertSql(table, columns, keyColumns)
     val deleteSql = preparedDeleteSql(table, keyColumns)
     val nCols = columns.size
-    val ordered =
-      if (orderCols.isEmpty) batch
-      else batch.repartition(keyColumns.map(col): _*)
-        .sortWithinPartitions((keyColumns ++ orderCols).map(col): _*)
+    val ordered = batch.repartition(keyColumns.map(col): _*)
+      .sortWithinPartitions((keyColumns ++ orderCols).map(col): _*)
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)

@@ -197,9 +197,14 @@ object AvroFiles {
   def writeWindowed(df: DataFrame, eventTimeCol: String, windowMs: Long, path: String): Unit = {
     val withWin = df.withColumn("__w",
       floor(unix_millis(col(eventTimeCol)) / windowMs).cast("long") * windowMs)
-    val windows = withWin.select("__w").distinct().collect().map(_.getLong(0)).sorted
-    windows.foreach { w =>
-      write(withWin.filter(col("__w") === w).drop("__w"), s"$path/window_start=$w")
-    }
+      // the windows scan + one filtered pass per window would otherwise
+      // re-execute the upstream plan n_windows + 1 times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val windows = withWin.select("__w").distinct().collect().map(_.getLong(0)).sorted
+      windows.foreach { w =>
+        write(withWin.filter(col("__w") === w).drop("__w"), s"$path/window_start=$w")
+      }
+    } finally withWin.unpersist()
   }
 }

@@ -128,23 +128,28 @@ class FileFormatsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "eu", 0.5, 1700000000000000000L), (2L, "us", 0.7, 1700000000001000000L))
       .toDF("id", "region", "load", "ts_ns")
-    val lines = df.select(InfluxSink.lineProtocol("cpu",
+    val lines = df.select(InfluxSink.lineProtocol(df, "cpu",
       tags = Seq("region" -> col("region")),
       fields = Seq("load" -> col("load"), "id" -> col("id")),
       timeNs = col("ts_ns")).as("line"))
     val rendered = lines.as[String].collect().sorted
-    assert(rendered.head == "cpu,region=eu load=0.5,id=1 1700000000000000000")
-    assert(rendered(1) == "cpu,region=us load=0.7,id=2 1700000000001000000")
+    // integer fields carry the line-protocol `i` suffix; doubles are bare
+    assert(rendered.head == "cpu,region=eu load=0.5,id=1i 1700000000000000000")
+    assert(rendered(1) == "cpu,region=us load=0.7,id=2i 1700000000001000000")
     val s = InfluxSink.write(lines, _ => 204)
     assert(s == graft.sinks.ElasticsearchSink.Stats(2, 0, 0))
     val s2 = InfluxSink.write(lines, _ => 500)
     assert(s2 == graft.sinks.ElasticsearchSink.Stats(0, 0, 2))
 
-    // tag values with line-protocol metacharacters are escaped
-    val tagged = Seq(("us west,1", 0.5, 1L)).toDF("region", "load", "ts_ns")
-      .select(InfluxSink.lineProtocol("cpu", Seq("region" -> col("region")),
-        Seq("load" -> col("load")), col("ts_ns")).as("line"))
-    assert(tagged.as[String].collect().head == "cpu,region=us\\ west\\,1 load=0.5 1")
+    // tag escaping, string-field quoting+escaping, and null-field omission
+    val df2 = Seq(("us west,1", Some("o\"k"), 0.5, 1L), ("eu", None, 1.5, 2L))
+      .toDF("region", "status", "load", "ts_ns")
+    val tagged = df2.select(InfluxSink.lineProtocol(df2, "cpu",
+      Seq("region" -> col("region")),
+      Seq("status" -> col("status"), "load" -> col("load")), col("ts_ns")).as("line"))
+    val out = tagged.as[String].collect().sorted
+    assert(out.contains("cpu,region=us\\ west\\,1 status=\"o\\\"k\",load=0.5 1"), out.mkString("|"))
+    assert(out.contains("cpu,region=eu load=1.5 2"), out.mkString("|")) // null field omitted
   }
 
   test("ES bulk payload: index + delete actions, id from key, metrics by status class") {
