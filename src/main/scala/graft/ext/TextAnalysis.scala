@@ -26,8 +26,10 @@ object TextAnalysis {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "on", "for", "with", "as", "by", "at")
 
-  /** Per-document quality metrics (doc_id, n_chars, n_tokens, n_bpeish,
-    * avg_token_len, stopword_ratio, punct_ratio, quality_score).
+  /** Per-document quality metrics (doc_id, n_chars_m, n_tokens, n_bpeish,
+    * avg_token_len, stopword_ratio, punct_ratio) — the standard cheap
+    * quality-filter signals; threshold them downstream (e.g.
+    * `stopword_ratio between 0.1 and 0.6 and punct_ratio < 0.2`).
     */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
