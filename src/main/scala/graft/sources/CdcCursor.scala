@@ -66,6 +66,61 @@ object CdcCursor {
       s"SELECT * FROM ($query) graft_src${whereClause(s)}${limitClause(maxItemsPerFetch)}"
   }
 
+  /** Durable cursor storage, the reference's `offset_storage_provider`
+    * (utils/offset_storage_provider.h:9-71 — file/S3/kafka backends; this is
+    * the file backend, and any Hadoop-visible path — including `s3a://` —
+    * works the same way). Commit is atomic (write temp + rename) so a crash
+    * mid-commit replays the previous page instead of losing the cursor —
+    * the same at-least-once stance as the reference's commit chain.
+    */
+  final class FileOffsetStore(spark: SparkSession, path: String) {
+    private val hPath = new org.apache.hadoop.fs.Path(path)
+    private val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def load(): State =
+      if (!fs.exists(hPath)) State(None, None, atEof = false)
+      else {
+        val in = fs.open(hPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.split("\n", -1).toList match {
+          case ts :: id :: _ =>
+            State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty), atEof = false)
+          case _ => State(None, None, atEof = false)
+        }
+      }
+
+    def commit(s: State): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write((s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("")).getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(hPath, false)
+      if (!fs.rename(tmp, hPath)) sys.error(s"offset commit rename failed: $path")
+    }
+  }
+
+  /** Drain everything currently available: poll until eof, handing each page
+    * to `sink` and committing the cursor after the page's effects are
+    * durable (sink first, then commit — at-least-once, like the reference's
+    * commit chain ordering). Returns the number of rows seen.
+    */
+  def drain(spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
+            spec: Spec, store: FileOffsetStore)(sink: DataFrame => Unit): Long = {
+    var state = store.load()
+    var rows = 0L
+    while (!state.atEof) {
+      val (df, next) = poll(spark, jdbcUrl, props, spec, state)
+      val n = df.count()
+      if (n > 0) {
+        sink(df)
+        store.commit(next)
+      }
+      rows += n
+      state = next
+    }
+    rows
+  }
+
   /** One poll step: fetch the next page through Spark's JDBC source (schema
     * inferred from the result set, the analog of the reference's
     * runtime-avro schema discovery), and advance the cursor from the page's
