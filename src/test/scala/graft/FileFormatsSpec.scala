@@ -152,6 +152,33 @@ class FileFormatsSpec extends SparkSpec {
     assert(out.contains("cpu,region=eu load=1.5 2"), out.mkString("|")) // null field omitted
   }
 
+  test("streaming windowed file sink appends one partition dir per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val root = tmpDir("pq_win_stream")
+    val df = input.toDF().toDF("ms", "payload")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val q = graft.sinks.Sinks.windowedFileStream(df, "ts", 86400000L,
+        s"$root/out", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    input.addData((86400000L * 100 + 5, "a"), (86400000L * 100 + 9, "b"), (86400000L * 101 + 1, "c"))
+    val run = q.start(); run.awaitTermination()
+    val dirs = new java.io.File(s"$root/out").listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("window_start=")).sorted
+    assert(dirs.length == 2, dirs.mkString(","))
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 3)
+  }
+
+  test("kafka source start positions map to the reference's offset modes (kafka_source.h:106-131)") {
+    import graft.sources.KafkaSource
+    assert(KafkaSource.Beginning.options == Map("startingOffsets" -> "earliest"))
+    assert(KafkaSource.End.options == Map("startingOffsets" -> "latest"))
+    assert(KafkaSource.Stored.options.isEmpty) // offsets come from the checkpoint
+    assert(KafkaSource.AtTimestamp(1234L).options == Map("startingTimestamp" -> "1234"))
+  }
+
   test("ES bulk payload: index + delete actions, id from key, metrics by status class") {
     import spark.implicits._
     val batch = Seq(
