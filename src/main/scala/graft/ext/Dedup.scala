@@ -92,33 +92,16 @@ object Dedup {
   def minHashLsh(shingles: DataFrame, threshold: Double,
                  numHashes: Int = 64, bandSize: Int = 2): DataFrame = {
     require(numHashes % bandSize == 0)
-    val nBands = numHashes / bandSize
     // Per-doc signature in one narrow pass: shingle base hashes h1,h2 via
     // murmur3, seed-i hash = h1 + i*h2 (Kirsch–Mitzenmacher double hashing),
-    // banded into nBands keys. No explode/shuffle per (doc, seed).
-    val bandKeysUdf = udf { (sh: Seq[String]) =>
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      sh.foreach { s =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(s, 1).toLong & 0xffffffffL)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 2).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(s, 3).toLong & 0xffffffffL)
-        var i = 0
-        while (i < numHashes) {
-          val h = h1 + i * h2
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      (0 until nBands).map { b =>
-        var key = 1125899906842597L
-        var j = b * bandSize
-        while (j < (b + 1) * bandSize) { key = key * 31 + sig(j); j += 1 }
-        key
-      }
-    }
+    // banded into nBands keys. No explode/shuffle per (doc, seed). The
+    // kernel is a native codegen expression (graft.functions.Lsh) so the
+    // signature pass stays inside whole-stage codegen, no row boxing.
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
+    val bandKeys = call_function("graft_minhash_bands",
+      col("sh"), lit(numHashes), lit(bandSize))
     val bands = shingles.groupBy("id").agg(collect_list(col("shingle")).as("sh"))
-      .select(col("id"), posexplode(bandKeysUdf(col("sh"))).as(Seq("band", "band_key")))
+      .select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
     val cand = bands.toDF("d1", "band", "band_key")
       .join(bands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("d1") < col("d2"))

@@ -157,28 +157,16 @@ object Similarity {
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                      numBits: Int = 48, bandSize: Int = 2): DataFrame = {
     require(numBits % bandSize == 0)
-    val sigUdf = udf { v: Seq[Float] =>
-      (0 until numBits).map { p =>
-        var s = 0.0
-        var d = 0
-        while (d < v.length) {
-          // splitmix64-style mix of (plane, dim) → sign
-          var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^= (z >>> 31)
-          s += (if (z >= 0) v(d) else -v(d))
-          d += 1
-        }
-        if (s >= 0) 1L << p else 0L
-      }.reduce(_ | _)
-    }
+    // Signature = splitmix64-derived ±1 hyperplane signs, computed by a
+    // native codegen expression (graft.functions.Lsh.srpSign) — bit-identical
+    // to the previous UDF, minus the ArrayData→Seq conversion per row.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // base feeds band explosion plus both candidate re-joins: cache so the
-    // scan + signature UDF run once. Zero-norm vectors are dropped for the
+    // scan + signature kernel run once. Zero-norm vectors are dropped for the
     // same oracle-parity reason as in cosinePairs.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .filter(col("nrm") > 0)
-      .withColumn("sig", sigUdf(col("v")))
+      .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numBits / bandSize
     val bands = base.select(col("id"),

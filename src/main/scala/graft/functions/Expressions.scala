@@ -132,5 +132,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", es => FloatVectorDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("kafka_murmur2", es => KafkaMurmur2(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_srp_sig", es => SrpSignature(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      es => MinHashBands(es(0), es(1), es(2)), "built-in")
   }
 }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
+
+/** Native kernels + Catalyst expressions for the LSH hot paths. The
+  * signature computations are per-row tight loops over array columns; as
+  * expressions they run on Catalyst's unsafe arrays inside whole-stage
+  * codegen, skipping the UDF path's ArrayData→Seq conversion and boxing.
+  * The math is bit-identical to the previous Scala UDFs (the x03/x05
+  * equality tests against exact Jaccard / brute-force cosine pin this).
+  */
+object Lsh {
+
+  /** Signed-random-projection signature: bit p = sign of Σ_d ±v(d), the ±1
+    * pattern drawn from splitmix64 mixes of (plane, dim).
+    */
+  def srpSign(v: ArrayData, numBits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numBits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        s += (if (z >= 0) v.getFloat(d) else -v.getFloat(d))
+        d += 1
+      }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Per-doc MinHash band keys (Kirsch–Mitzenmacher double hashing over
+    * murmur3 string hashes, banded) — one pass over the shingle array.
+    */
+  def minHashBands(sh: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i).toString
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 1).toLong & 0xffffffffL)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 2).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 3).toLong & 0xffffffffL)
+      var j = 0
+      while (j < numHashes) {
+        val h = h1 + j * h2
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numHashes / bandSize
+    val keys = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 1125899906842597L
+      var j = b * bandSize
+      while (j < (b + 1) * bandSize) { key = key * 31 + sig(j); j += 1 }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  private[functions] def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+}
+
+/** `graft_srp_sig(vec array<float>, numBits int-literal) → long`. */
+case class SrpSignature(left: Expression, right: Expression) extends BinaryExpression {
+  private lazy val numBits: Int = Lsh.literalInt(right, "numBits")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_srp_sig requires (array<float>, literal int)")
+  }
+
+  override protected def nullSafeEval(v: Any, _n: Any): Any =
+    Lsh.srpSign(v.asInstanceOf[ArrayData], numBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = graft.functions.Lsh.srpSign($v, $numBits);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_minhash_bands(shingles array<string>, numHashes, bandSize) → array<long>`. */
+case class MinHashBands(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  private lazy val numHashes: Int = Lsh.literalInt(second, "numHashes")
+  private lazy val bandSize: Int = Lsh.literalInt(third, "bandSize")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable && {
+            val nh = Lsh.literalInt(second, "numHashes")
+            val bs = Lsh.literalInt(third, "bandSize")
+            nh > 0 && bs > 0 && nh % bs == 0
+          } => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_minhash_bands requires (array<string>, literal numHashes, literal bandSize dividing it)")
+    }
+
+  override protected def nullSafeEval(sh: Any, _n: Any, _b: Any): Any =
+    Lsh.minHashBands(sh.asInstanceOf[ArrayData], numHashes, bandSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, _, _) =>
+      s"${ev.value} = graft.functions.Lsh.minHashBands($sh, $numHashes, $bandSize);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
