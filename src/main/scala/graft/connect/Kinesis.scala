@@ -76,7 +76,8 @@ object KinesisClient {
   private val mapper = new ObjectMapper()
 
   final case class KRecord(key: String, value: Array[Byte], eventTimeMs: Long)
-  final case class RecordsPage(records: Seq[KRecord], nextIterator: Option[String])
+  final case class RecordsPage(records: Seq[KRecord], nextIterator: Option[String],
+                               millisBehindLatest: Option[Long])
 
   /** Production transport: SigV4-signed POST to the regional endpoint.
     * Credentials resolve from the same env vars the reference reads
@@ -90,9 +91,14 @@ object KinesisClient {
                     secretKey: String = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", ""),
                     sessionToken: Option[String] = sys.env.get("AWS_SESSION_TOKEN"))
   : (String, String) => String = {
-    val host = endpointOverride.map(_.stripPrefix("https://").stripPrefix("http://"))
+    // Sign exactly the authority the HTTP client will put in the Host
+    // header — a trailing slash or path in AWS_CUSTOM_ENDPOINT must not
+    // leak into the canonical headers.
+    val host = endpointOverride.map(e => java.net.URI.create(e).getAuthority)
       .getOrElse(s"kinesis.$region.amazonaws.com")
-    val base = endpointOverride.getOrElse(s"https://$host")
+    val base = endpointOverride.map { e =>
+      val u = java.net.URI.create(e); s"${u.getScheme}://${u.getAuthority}"
+    }.getOrElse(s"https://$host")
     val client = java.net.http.HttpClient.newHttpClient()
     (target, body) => {
       val amzDate = SigV4.amzDateNow()
@@ -158,7 +164,8 @@ object KinesisClient {
         Base64.getDecoder.decode(r.get("Data").asText()), ts)
     }
     val next = Option(resp.get("NextShardIterator")).filterNot(_.isNull).map(_.asText())
-    RecordsPage(recs.toSeq, next)
+    val behind = Option(resp.get("MillisBehindLatest")).filterNot(_.isNull).map(_.asLong())
+    RecordsPage(recs.toSeq, next, behind)
   }
 }
 
@@ -179,10 +186,14 @@ object KinesisSource {
     var it: Option[String] = Some(shardIterator(transport, stream, shards(partition), iteratorType))
     val buf = collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var batches = 0
-    var sawEmpty = false
-    while (it.isDefined && batches < maxBatches && !sawEmpty) {
+    var caughtUp = false
+    while (it.isDefined && batches < maxBatches && !caughtUp) {
       val page = getRecords(transport, it.get)
-      sawEmpty = page.records.isEmpty // reference eof_: empty page = caught up
+      // Kinesis legitimately returns empty pages mid-shard while the
+      // iterator traverses idle segments; "caught up" (the reference's
+      // eof_) is an empty page WITH MillisBehindLatest == 0. Absent the
+      // field, fall back to treating the empty page as caught up.
+      caughtUp = page.records.isEmpty && page.millisBehindLatest.forall(_ == 0L)
       page.records.foreach(r => buf += ((r.key, new String(r.value, UTF_8), r.eventTimeMs)))
       it = page.nextIterator
       batches += 1

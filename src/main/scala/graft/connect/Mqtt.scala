@@ -129,9 +129,13 @@ object MqttCodec {
   * (mqtt_producer.cpp:4) and sufficient for per-partition batch writes.
   */
 final class MqttClient(host: String, port: Int, clientId: String,
-                       connectTimeoutMs: Int = 5000) extends AutoCloseable {
+                       connectTimeoutMs: Int = 5000,
+                       readTimeoutMs: Int = 30000) extends AutoCloseable {
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  // acks must arrive within readTimeoutMs — a stalled broker fails the
+  // task instead of wedging it on an infinite blocking read
+  socket.setSoTimeout(readTimeoutMs)
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
   private var nextPacketId = 1
@@ -156,6 +160,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
     val pid = if (qos > 0) freshId() else 0
     out.write(MqttCodec.publish(topic, payload, qos, pid)); out.flush()
     if (qos > 0) {
+      socket.setSoTimeout(readTimeoutMs) // receive() may have lowered it
       var acked = false
       while (!acked) {
         val p = MqttCodec.readPacket(in)
@@ -210,23 +215,28 @@ final class MqttClient(host: String, port: Int, clientId: String,
 object MqttSink {
   final case class Stats(inserted: Long, bytesSent: Long, skippedDeletes: Long)
 
-  /** Publish `(key, value)` rows: key = topic, value = payload; null value
-    * = tombstone, skipped (mqtt_producer.cpp:110-114). One connection per
-    * partition; counters mirror the reference's `inserted` / `bytes_sent`
-    * metrics (mqtt_producer.h via register_metrics).
+  /** Publish `key`/`value` columns (selected by name): key = topic, value
+    * = payload; null value = tombstone, skipped (mqtt_producer.cpp:110-114).
+    * One connection per partition; counters mirror the reference's
+    * `inserted` / `bytes_sent` metrics (mqtt_producer.h via
+    * register_metrics). Client ids carry the task attempt id so task
+    * retries / speculative copies never collide (MQTT 3.1.1 §3.1.4 makes
+    * the broker disconnect an existing session on a duplicate ClientId).
     */
   def write(batch: DataFrame, host: String, port: Int, qos: Int = 1,
-            clientIdPrefix: String = "graft"): Stats = {
+            clientIdPrefix: String = "graft",
+            keyCol: String = "key", valueCol: String = "value"): Stats = {
     val sc = batch.sparkSession.sparkContext
     val inserted = sc.longAccumulator("mqtt_inserted")
     val bytes = sc.longAccumulator("mqtt_bytes_sent")
     val skipped = sc.longAccumulator("mqtt_skipped_deletes")
-    val cols = batch.columns
-    require(cols.length >= 2, "MqttSink.write expects (key, value) columns")
-    batch.foreachPartition { (it: Iterator[Row]) =>
+    val kv = batch.select(org.apache.spark.sql.functions.col(keyCol),
+      org.apache.spark.sql.functions.col(valueCol))
+    kv.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
+        val tc = org.apache.spark.TaskContext.get()
         val client = new MqttClient(host, port,
-          s"$clientIdPrefix-${org.apache.spark.TaskContext.getPartitionId()}")
+          s"$clientIdPrefix-${tc.partitionId()}-${tc.taskAttemptId()}")
         try {
           it.foreach { r =>
             if (r.isNullAt(1)) skipped.add(1)

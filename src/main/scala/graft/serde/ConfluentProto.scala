@@ -43,6 +43,8 @@ object ConfluentProto {
 
   final case class ProtoSchema(fields: Seq[Field]) extends Serializable {
     require(fields.map(_.number).distinct.size == fields.size, "duplicate field numbers")
+    @transient private[serde] lazy val byNumber: Map[Int, Field] =
+      fields.map(f => f.number -> f).toMap
     /** Spark schema with columns in descriptor order; scalars nullable
       * (proto3 absent = default, surfaced as null), repeated = ArrayType.
       */
@@ -90,10 +92,12 @@ object ConfluentProto {
       res
     }
     def fixed32(): Int = {
+      require(pos + 4 <= end, "truncated fixed32")
       val v = ByteBuffer.wrap(bytes, pos, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
       pos += 4; v
     }
     def fixed64(): Long = {
+      require(pos + 8 <= end, "truncated fixed64")
       val v = ByteBuffer.wrap(bytes, pos, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
       pos += 8; v
     }
@@ -104,9 +108,9 @@ object ConfluentProto {
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => require(pos + 8 <= end, "truncated fixed64"); pos += 8
       case 2 => lengthDelimited()
-      case 5 => pos += 4
+      case 5 => require(pos + 4 <= end, "truncated fixed32"); pos += 4
       case t => sys.error(s"unsupported wire type $t")
     }
   }
@@ -168,7 +172,7 @@ object ConfluentProto {
 
   private def decodeRange(bytes: Array[Byte], from: Int, until: Int,
                           schema: ProtoSchema): Seq[Any] = {
-    val byNumber = schema.fields.map(f => f.number -> f).toMap
+    val byNumber = schema.byNumber
     val slots = collection.mutable.Map.empty[Int, Any]
     val repeats = collection.mutable.Map.empty[Int, collection.mutable.ArrayBuffer[Any]]
     val r = new Reader(bytes, from, until)
@@ -269,18 +273,20 @@ object ConfluentProto {
     */
   def decodeToJsonUdf(schema: ProtoSchema): Column => Column = {
     val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) null else toJson(decode(bytes, schema), schema)
+      if (bytes == null) null else toNode(decode(bytes, schema), schema).toString
     }
     (c: Column) => f(c)
   }
 
-  private def toJson(values: Seq[Any], schema: ProtoSchema): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
+  // ObjectMapper is thread-safe and heavy; share one per JVM
+  @transient private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def toNode(values: Seq[Any], schema: ProtoSchema)
+  : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = jsonMapper.createObjectNode()
     def render(v: Any, t: PType): com.fasterxml.jackson.databind.JsonNode = (v, t) match {
       case (null, _) => com.fasterxml.jackson.databind.node.NullNode.getInstance()
-      case (row: org.apache.spark.sql.Row, PMessage(nested)) =>
-        mapper.readTree(toJson(row.toSeq, nested))
+      case (row: org.apache.spark.sql.Row, PMessage(nested)) => toNode(row.toSeq, nested)
       case (b: Array[Byte], PBytes) =>
         new com.fasterxml.jackson.databind.node.TextNode(
           java.util.Base64.getEncoder.encodeToString(b))
@@ -298,6 +304,6 @@ object ConfluentProto {
         v.asInstanceOf[Seq[Any]].foreach(item => arr.add(render(item, f.ptype)))
       } else node.set[com.fasterxml.jackson.databind.JsonNode](f.name, render(v, f.ptype))
     }
-    node.toString
+    node
   }
 }

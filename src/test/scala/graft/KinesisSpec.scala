@@ -32,7 +32,7 @@ class KinesisSpec extends SparkSpec {
     * first page, like kinesis_consumer.cpp:124-144 expects), iterator per
     * shard, then per-iterator GetRecords chains ending in an empty page.
     */
-  private def fakeTransport(pages: Map[String, (Seq[(String, String, Double)], Option[String])])
+  private def fakeTransport(pages: Map[String, (Seq[(String, String, Double)], Option[String], Long)])
   : (String, String) => String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     (target, body) => {
@@ -50,13 +50,13 @@ class KinesisSpec extends SparkSpec {
           s"""{"ShardIterator":"it-${req.get("ShardId").asText()}-0"}"""
         case "Kinesis_20131202.GetRecords" =>
           val it = req.get("ShardIterator").asText()
-          val (recs, next) = pages(it)
+          val (recs, next, behind) = pages(it)
           val recsJson = recs.map { case (k, v, ts) =>
             val b64 = Base64.getEncoder.encodeToString(v.getBytes(UTF_8))
             s"""{"PartitionKey":"$k","Data":"$b64","ApproximateArrivalTimestamp":$ts}"""
           }.mkString(",")
           val nextJson = next.map(n => s""","NextShardIterator":"$n"""").getOrElse("")
-          s"""{"Records":[$recsJson],"MillisBehindLatest":0$nextJson}"""
+          s"""{"Records":[$recsJson],"MillisBehindLatest":$behind$nextJson}"""
         case other => fail(s"unexpected target $other")
       }
     }
@@ -65,9 +65,12 @@ class KinesisSpec extends SparkSpec {
   test("listShards follows HasMoreShards paging; drain decodes base64 + arrival ts") {
     val transport = fakeTransport(Map(
       "it-shardId-000-0" -> (Seq(("u1", "hello", 1700000000.5), ("u2", "world", 1700000001.0)),
-        Some("it-shardId-000-1")),
-      "it-shardId-000-1" -> (Seq(("u3", "!", 1700000002.25)), Some("it-shardId-000-2")),
-      "it-shardId-000-2" -> (Nil, Some("it-shardId-000-3"))))
+        Some("it-shardId-000-1"), 5000L),
+      // mid-shard empty page (idle segment): MillisBehindLatest > 0, so the
+      // drain must keep following the iterator rather than stop early
+      "it-shardId-000-1" -> (Nil, Some("it-shardId-000-2"), 3000L),
+      "it-shardId-000-2" -> (Seq(("u3", "!", 1700000002.25)), Some("it-shardId-000-3"), 0L),
+      "it-shardId-000-3" -> (Nil, Some("it-shardId-000-4"), 0L)))
     assert(KinesisClient.listShards(transport, "events") == Seq("shardId-000", "shardId-001"))
     val df = KinesisSource.drain(spark, transport, "events", partition = 0)
     val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq

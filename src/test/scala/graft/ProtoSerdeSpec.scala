@@ -72,6 +72,11 @@ class ProtoSerdeSpec extends SparkSpec {
 
     // absent scalars decode to null (proto3 default rule)
     assert(decodeMessage(Array.empty[Byte], narrow) == Seq(null))
+
+    // a fixed64 truncated mid-value must error, not read past the bound
+    val dSchema = ProtoSchema(Seq(Field(6, "d", PDouble)))
+    val truncated = Array(0x31, 0x00, 0x00, 0x00, 0x00).map(_.toByte) // tag + 4 of 8 bytes
+    intercept[IllegalArgumentException](decodeMessage(truncated, dSchema))
   }
 
   test("Confluent framing: magic + schema id + message-index array") {
