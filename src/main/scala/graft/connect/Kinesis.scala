@@ -75,7 +75,8 @@ object SigV4 {
 object KinesisClient {
   private val mapper = new ObjectMapper()
 
-  final case class KRecord(key: String, value: Array[Byte], eventTimeMs: Long)
+  final case class KRecord(key: String, value: Array[Byte], eventTimeMs: Long,
+                           sequenceNumber: String)
   final case class RecordsPage(records: Seq[KRecord], nextIterator: Option[String],
                                millisBehindLatest: Option[Long])
 
@@ -142,9 +143,11 @@ object KinesisClient {
     * earliest option) — both are supported here.
     */
   def shardIterator(transport: (String, String) => String, stream: String,
-                    shardId: String, iteratorType: String = "LATEST"): String = {
+                    shardId: String, iteratorType: String = "LATEST",
+                    startingSequenceNumber: Option[String] = None): String = {
     val req = mapper.createObjectNode().put("StreamName", stream)
       .put("ShardId", shardId).put("ShardIteratorType", iteratorType)
+    startingSequenceNumber.foreach(req.put("StartingSequenceNumber", _))
     mapper.readTree(transport("Kinesis_20131202.GetShardIterator", req.toString))
       .get("ShardIterator").asText()
   }
@@ -160,8 +163,9 @@ object KinesisClient {
     resp.get("Records").forEach { (r: JsonNode) =>
       // ApproximateArrivalTimestamp is epoch seconds (possibly fractional)
       val ts = (r.get("ApproximateArrivalTimestamp").asDouble() * 1000).toLong
+      val seq = Option(r.get("SequenceNumber")).map(_.asText()).getOrElse("")
       recs += KRecord(r.get("PartitionKey").asText(),
-        Base64.getDecoder.decode(r.get("Data").asText()), ts)
+        Base64.getDecoder.decode(r.get("Data").asText()), ts, seq)
     }
     val next = Option(resp.get("NextShardIterator")).filterNot(_.isNull).map(_.asText())
     val behind = Option(resp.get("MillisBehindLatest")).filterNot(_.isNull).map(_.asLong())

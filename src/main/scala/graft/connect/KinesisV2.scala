@@ -1,0 +1,212 @@
+package graft.connect
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kinesis as a DataSource V2 micro-batch stream — the Spark-native shape
+  * of the reference's per-shard consumer (libraries/kspp-kinesis/
+  * kinesis_source.h:14-87): offsets are per-shard sequence numbers in the
+  * checkpointed offset log, and each micro-batch reads ALL shards in
+  * parallel, one input partition per shard (the reference binds one
+  * consumer per partition index; here every executor takes a shard).
+  *
+  * {{{
+  * spark.readStream.format("graft.connect.KinesisV2Provider")
+  *   .option("stream", "events").option("startingPosition", "TRIM_HORIZON")
+  *   .load()  // → (key, value, event_time_ms, shard, sequence_number)
+  * }}}
+  *
+  * Kinesis exposes no cheap per-shard tip, so `latestOffset` probes one
+  * bounded GetRecords page per shard from the driver to pick the batch end
+  * (the reference's single consumer thread reads every record once on one
+  * thread anyway — the probe is the price of fanning the real read out to
+  * executors). The transport is the same pluggable `(target, body) → json`
+  * as [[KinesisClient]], selected by factory class name so tests inject a
+  * scripted ledger.
+  */
+trait KinesisTransportFactory extends Serializable {
+  def create(options: Map[String, String]): (String, String) => String
+}
+
+/** Production factory: SigV4-signed HTTP with env credentials. */
+final class HttpKinesisTransportFactory extends KinesisTransportFactory {
+  override def create(options: Map[String, String]): (String, String) => String =
+    KinesisClient.httpTransport(
+      region = options.getOrElse("region", sys.env.getOrElse("AWS_REGION", "us-east-1")),
+      endpointOverride = options.get("endpoint").orElse(sys.env.get("AWS_CUSTOM_ENDPOINT")))
+}
+
+final class KinesisV2Provider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KinesisV2.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new KinesisV2.KinesisTable(KinesisV2.Conf(properties.asScala.toMap))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object KinesisV2 {
+
+  /** Record columns, matching the reference mapping
+    * (kinesis_consumer.cpp:188-196) plus shard/sequence lineage.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType),
+    StructField("event_time_ms", LongType), StructField("shard", StringType),
+    StructField("sequence_number", StringType)))
+
+  final case class Conf(options: Map[String, String]) {
+    private def opt(name: String): Option[String] =
+      options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val stream: String = opt("stream").getOrElse(sys.error("graft-kinesis: missing option stream"))
+    val startingPosition: String = opt("startingPosition").getOrElse("TRIM_HORIZON")
+    val maxRecordsPerShardBatch: Int = opt("maxRecordsPerShardBatch").map(_.toInt).getOrElse(10000)
+    val factoryClass: String =
+      opt("transportFactory").getOrElse(classOf[HttpKinesisTransportFactory].getName)
+    def transport(): (String, String) => String =
+      Class.forName(factoryClass).getDeclaredConstructor().newInstance()
+        .asInstanceOf[KinesisTransportFactory].create(options)
+  }
+
+  /** shardId → last consumed sequence number (absent = not started). */
+  final case class KinesisOffset(shards: Map[String, String]) extends Offset {
+    override def json(): String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      shards.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+      node.toString
+    }
+  }
+
+  object KinesisOffset {
+    def fromJson(json: String): KinesisOffset = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val b = Map.newBuilder[String, String]
+      n.properties().asScala.foreach(e => b += e.getKey -> e.getValue.asText())
+      KinesisOffset(b.result())
+    }
+  }
+
+  final class KinesisTable(conf: Conf) extends Table with SupportsRead {
+    override def name(): String = s"graft-kinesis(${conf.stream})"
+    override def schema(): StructType = KinesisV2.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder with Scan {
+        override def build(): Scan = this
+        override def readSchema(): StructType = KinesisV2.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KinesisMicroBatchStream(conf)
+      }
+  }
+
+  final class KinesisMicroBatchStream(conf: Conf)
+      extends MicroBatchStream with SupportsAdmissionControl {
+    @transient private lazy val transport = conf.transport()
+
+    override def initialOffset(): Offset = KinesisOffset(Map.empty)
+    override def deserializeOffset(json: String): Offset = KinesisOffset.fromJson(json)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException("paced via SupportsAdmissionControl")
+    override def getDefaultReadLimit: ReadLimit =
+      ReadLimit.maxRows(conf.maxRecordsPerShardBatch.toLong)
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[KinesisOffset]
+      def rowCap(l: ReadLimit): Int = l match {
+        case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          r.maxRows().min(Int.MaxValue.toLong).toInt
+        case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+          c.getReadLimits.map(rowCap(_)).min
+        case _ => conf.maxRecordsPerShardBatch
+      }
+      val cap = rowCap(limit)
+      val shards = KinesisClient.listShards(transport, conf.stream)
+      val ends = shards.map { shard =>
+        val it = KinesisClient.shardIterator(transport, conf.stream, shard,
+          iteratorType = s.shards.get(shard).map(_ => "AFTER_SEQUENCE_NUMBER")
+            .getOrElse(conf.startingPosition),
+          startingSequenceNumber = s.shards.get(shard))
+        val page = KinesisClient.getRecords(transport, it, limit = cap)
+        val endSeq = page.records.lastOption.map(_.sequenceNumber).orElse(s.shards.get(shard))
+        shard -> endSeq
+      }
+      KinesisOffset(ends.collect { case (sh, Some(seq)) => sh -> seq }.toMap)
+    }
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val (s, e) = (start.asInstanceOf[KinesisOffset], end.asInstanceOf[KinesisOffset])
+      e.shards.toSeq.sortBy(_._1).flatMap { case (shard, toSeq) =>
+        val fromSeq = s.shards.get(shard)
+        if (fromSeq.contains(toSeq)) None // no progress on this shard
+        else Some(KinesisInputPartition(shard, fromSeq, toSeq))
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KinesisReaderFactory(conf)
+  }
+
+  final case class KinesisInputPartition(shard: String, fromSeq: Option[String],
+                                         toSeq: String) extends InputPartition
+
+  final class KinesisReaderFactory(conf: Conf) extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[KinesisInputPartition]
+      new KinesisPartitionReader(conf, p)
+    }
+  }
+
+  /** Executor-side shard range read: (fromSeq, toSeq] via AFTER_SEQUENCE
+    * iterators. Sequence numbers within one shard are increasing decimal
+    * strings, compared numerically.
+    */
+  final class KinesisPartitionReader(conf: Conf, p: KinesisInputPartition)
+      extends PartitionReader[InternalRow] {
+    private val transport = conf.transport()
+    private val target = BigInt(p.toSeq)
+    private var iterator: Option[String] = Some(
+      KinesisClient.shardIterator(transport, conf.stream, p.shard,
+        iteratorType = p.fromSeq.map(_ => "AFTER_SEQUENCE_NUMBER")
+          .getOrElse(conf.startingPosition),
+        startingSequenceNumber = p.fromSeq))
+    private var buffer: Iterator[KinesisClient.KRecord] = Iterator.empty
+    private var reachedEnd = false
+    private var current: KinesisClient.KRecord = _
+
+    override def next(): Boolean = {
+      while (!buffer.hasNext && !reachedEnd && iterator.isDefined) {
+        val page = KinesisClient.getRecords(transport, iterator.get)
+        val inRange = page.records.takeWhile(r => BigInt(r.sequenceNumber) <= target)
+        reachedEnd = inRange.size < page.records.size ||
+          inRange.lastOption.exists(r => BigInt(r.sequenceNumber) == target) ||
+          (page.records.isEmpty && page.millisBehindLatest.forall(_ == 0L))
+        buffer = inRange.iterator
+        iterator = page.nextIterator
+      }
+      if (buffer.hasNext) { current = buffer.next(); true } else false
+    }
+
+    override def get(): InternalRow = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(current.key),
+      UTF8String.fromString(new String(current.value, UTF_8)),
+      current.eventTimeMs,
+      UTF8String.fromString(p.shard),
+      UTF8String.fromString(current.sequenceNumber)))
+
+    override def close(): Unit = ()
+  }
+}

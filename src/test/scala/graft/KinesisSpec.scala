@@ -115,3 +115,87 @@ class KinesisSpec extends SparkSpec {
     } finally server.stop(0)
   }
 }
+
+/** In-JVM Kinesis ledger behind the V2 stream tests: shard → ordered
+  * (seq, key, value, tsSec) records, with real iterator-token semantics
+  * (TRIM_HORIZON, AFTER_SEQUENCE_NUMBER, Limit paging, MillisBehindLatest).
+  */
+object KinesisLedger {
+  val shards = new scala.collection.concurrent.TrieMap[String, Vector[(Long, String, String, Double)]]()
+  def clear(): Unit = shards.clear()
+  def append(shard: String, seq: Long, key: String, value: String, tsSec: Double): Unit =
+    shards.put(shard, shards.getOrElse(shard, Vector.empty) :+ ((seq, key, value, tsSec)))
+}
+
+final class LedgerTransportFactory extends graft.connect.KinesisTransportFactory {
+  override def create(options: Map[String, String]): (String, String) => String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (target, body) => {
+      val req = mapper.readTree(body)
+      target match {
+        case "Kinesis_20131202.DescribeStream" =>
+          val shardsJson = KinesisLedger.shards.keys.toSeq.sorted
+            .map(s => s"""{"ShardId":"$s"}""").mkString(",")
+          s"""{"StreamDescription":{"Shards":[$shardsJson],"HasMoreShards":false}}"""
+        case "Kinesis_20131202.GetShardIterator" =>
+          val shard = req.get("ShardId").asText()
+          val recs = KinesisLedger.shards.getOrElse(shard, Vector.empty)
+          val idx = req.get("ShardIteratorType").asText() match {
+            case "TRIM_HORIZON" => 0
+            case "LATEST" => recs.size
+            case "AFTER_SEQUENCE_NUMBER" =>
+              val after = req.get("StartingSequenceNumber").asText().toLong
+              recs.indexWhere(_._1 > after) match { case -1 => recs.size; case i => i }
+            case other => fail(s"unexpected iterator type $other")
+          }
+          s"""{"ShardIterator":"it|$shard|$idx"}"""
+        case "Kinesis_20131202.GetRecords" =>
+          val Array(_, shard, idxStr) = req.get("ShardIterator").asText().split('|')
+          val idx = idxStr.toInt
+          val limit = if (req.has("Limit")) req.get("Limit").asInt() else 10000
+          val recs = KinesisLedger.shards.getOrElse(shard, Vector.empty)
+          val page = recs.slice(idx, idx + limit)
+          val recsJson = page.map { case (seq, k, v, ts) =>
+            val b64 = java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
+            s"""{"PartitionKey":"$k","Data":"$b64","ApproximateArrivalTimestamp":$ts,"SequenceNumber":"$seq"}"""
+          }.mkString(",")
+          val behind = recs.size - (idx + page.size)
+          s"""{"Records":[$recsJson],"MillisBehindLatest":$behind,"NextShardIterator":"it|$shard|${idx + page.size}"}"""
+        case other => fail(s"unexpected target $other")
+      }
+    }
+  }
+  private def fail(msg: String): Nothing = throw new IllegalStateException(msg)
+}
+
+/** The V2 stream: per-shard partitions, sequence-number offsets, pacing. */
+class KinesisStreamSpec extends SparkSpec {
+  test("readStream consumes all shards in paced batches and picks up appended records") {
+    KinesisLedger.clear()
+    (1L to 5L).foreach(i => KinesisLedger.append("shard-0", i, s"k$i", s"v$i", 1700000000.0 + i))
+    (1L to 3L).foreach(i => KinesisLedger.append("shard-1", 100 + i, s"j$i", s"w$i", 1700000100.0 + i))
+
+    val stream = spark.readStream.format(classOf[graft.connect.KinesisV2Provider].getName)
+      .option("stream", "events")
+      .option("transportFactory", classOf[LedgerTransportFactory].getName)
+      .option("maxRecordsPerShardBatch", "2")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("kin_v2").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT shard, sequence_number, key, value, event_time_ms FROM kin_v2")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(got.length == 8) // every record exactly once across both shards
+      assert(got.count(_._1 == "shard-0") == 5 && got.count(_._1 == "shard-1") == 3)
+      assert(got.filter(_._1 == "shard-0").map(_._2.toLong).sorted.toSeq == (1L to 5L))
+      assert(got.find(_._2 == "101").exists(r => r._3 == "j1" && r._4 == "w1" && r._5 == 1700000101000L))
+      // pacing: 2 records per shard per batch → shard-0's 5 records need ≥3 batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+
+      KinesisLedger.append("shard-0", 6, "k6", "v6", 1700000006.5)
+      q.processAllAvailable()
+      val after = spark.sql("SELECT sequence_number FROM kin_v2").collect().map(_.getString(0))
+      assert(after.length == 9 && after.count(_ == "6") == 1)
+    } finally q.stop()
+  }
+}
