@@ -115,6 +115,14 @@ object KinesisV2 {
       extends MicroBatchStream with SupportsAdmissionControl {
     @transient private lazy val transport = conf.transport()
 
+    // First sequence the probe saw for a shard not yet in the offset map —
+    // the partition reader must start AT this sequence, not re-resolve
+    // LATEST (a later LATEST iterator would skip the probed records).
+    // Driver-local hint: on the rare recovery path where a batch replans
+    // without a prior probe, the reader falls back to TRIM_HORIZON plus the
+    // sequence-range filter (at-least-once from an earlier position).
+    @volatile private var firstSeqHints: Map[String, String] = Map.empty
+
     override def initialOffset(): Offset = KinesisOffset(Map.empty)
     override def deserializeOffset(json: String): Offset = KinesisOffset.fromJson(json)
     override def commit(end: Offset): Unit = ()
@@ -135,15 +143,39 @@ object KinesisV2 {
       }
       val cap = rowCap(limit)
       val shards = KinesisClient.listShards(transport, conf.stream)
+      val hints = collection.mutable.Map.empty[String, String]
       val ends = shards.map { shard =>
-        val it = KinesisClient.shardIterator(transport, conf.stream, shard,
+        var it: Option[String] = Some(KinesisClient.shardIterator(transport, conf.stream, shard,
           iteratorType = s.shards.get(shard).map(_ => "AFTER_SEQUENCE_NUMBER")
             .getOrElse(conf.startingPosition),
-          startingSequenceNumber = s.shards.get(shard))
-        val page = KinesisClient.getRecords(transport, it, limit = cap)
-        val endSeq = page.records.lastOption.map(_.sequenceNumber).orElse(s.shards.get(shard))
+          startingSequenceNumber = s.shards.get(shard)))
+        // follow the iterator through empty mid-shard pages (idle/aged
+        // segments legitimately return zero records with a next iterator)
+        // until records arrive, the shard reports caught-up, or a bounded
+        // number of hops — a single-page probe would stall such a shard
+        // forever at the same offset
+        var endSeq = s.shards.get(shard)
+        var firstSeq: Option[String] = None
+        var remaining = cap
+        var hops = 0
+        var caughtUp = false
+        while (it.isDefined && !caughtUp && remaining > 0 && hops < 100) {
+          val page = KinesisClient.getRecords(transport, it.get, limit = remaining)
+          page.records.foreach { r =>
+            require(r.sequenceNumber.nonEmpty,
+              s"GetRecords response missing SequenceNumber (shard $shard)")
+          }
+          if (firstSeq.isEmpty) firstSeq = page.records.headOption.map(_.sequenceNumber)
+          endSeq = page.records.lastOption.map(_.sequenceNumber).orElse(endSeq)
+          remaining -= page.records.size
+          caughtUp = page.records.isEmpty && page.millisBehindLatest.forall(_ == 0L)
+          it = page.nextIterator
+          hops += 1
+        }
+        if (s.shards.get(shard).isEmpty) firstSeq.foreach(hints(shard) = _)
         shard -> endSeq
       }
+      firstSeqHints = firstSeqHints ++ hints
       KinesisOffset(ends.collect { case (sh, Some(seq)) => sh -> seq }.toMap)
     }
 
@@ -152,7 +184,7 @@ object KinesisV2 {
       e.shards.toSeq.sortBy(_._1).flatMap { case (shard, toSeq) =>
         val fromSeq = s.shards.get(shard)
         if (fromSeq.contains(toSeq)) None // no progress on this shard
-        else Some(KinesisInputPartition(shard, fromSeq, toSeq))
+        else Some(KinesisInputPartition(shard, fromSeq, firstSeqHints.get(shard), toSeq))
       }.toArray
     }
 
@@ -161,6 +193,7 @@ object KinesisV2 {
   }
 
   final case class KinesisInputPartition(shard: String, fromSeq: Option[String],
+                                         firstSeq: Option[String],
                                          toSeq: String) extends InputPartition
 
   final class KinesisReaderFactory(conf: Conf) extends PartitionReaderFactory {
@@ -178,11 +211,19 @@ object KinesisV2 {
       extends PartitionReader[InternalRow] {
     private val transport = conf.transport()
     private val target = BigInt(p.toSeq)
+    // never re-resolve LATEST here: the batch end was fixed by the driver
+    // probe, and a fresh LATEST iterator would start after those records.
+    // Start AFTER fromSeq, or AT the probe's first-seen sequence; with
+    // neither (recovery replan), replay from TRIM_HORIZON — the range
+    // filter below still upper-bounds at the committed batch end.
+    private val (itType, itSeq) = (p.fromSeq, p.firstSeq) match {
+      case (Some(from), _) => ("AFTER_SEQUENCE_NUMBER", Some(from))
+      case (None, Some(first)) => ("AT_SEQUENCE_NUMBER", Some(first))
+      case (None, None) => ("TRIM_HORIZON", None)
+    }
     private var iterator: Option[String] = Some(
       KinesisClient.shardIterator(transport, conf.stream, p.shard,
-        iteratorType = p.fromSeq.map(_ => "AFTER_SEQUENCE_NUMBER")
-          .getOrElse(conf.startingPosition),
-        startingSequenceNumber = p.fromSeq))
+        iteratorType = itType, startingSequenceNumber = itSeq))
     private var buffer: Iterator[KinesisClient.KRecord] = Iterator.empty
     private var reachedEnd = false
     private var current: KinesisClient.KRecord = _
@@ -190,6 +231,10 @@ object KinesisV2 {
     override def next(): Boolean = {
       while (!buffer.hasNext && !reachedEnd && iterator.isDefined) {
         val page = KinesisClient.getRecords(transport, iterator.get)
+        page.records.foreach { r =>
+          require(r.sequenceNumber.nonEmpty,
+            s"GetRecords response missing SequenceNumber (shard ${p.shard})")
+        }
         val inRange = page.records.takeWhile(r => BigInt(r.sequenceNumber) <= target)
         reachedEnd = inRange.size < page.records.size ||
           inRange.lastOption.exists(r => BigInt(r.sequenceNumber) == target) ||

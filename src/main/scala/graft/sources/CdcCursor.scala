@@ -20,6 +20,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CdcCursor {
 
+  /** SQL string-literal escaping for cursor values — a quote in a ts/id
+    * value must not break (or inject into) the generated WHERE clause.
+    */
+  def lit(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** Start-exclusive cursor bound: postgres_read_cursor's equal-ts
+    * tie-break (verbatim text, no outer parens), shared by the batch Spec
+    * and the V2 streaming source.
+    */
+  def afterClause(tsCol: String, idCol: String, ts: String, id: String): String =
+    s"($tsCol = ${lit(ts)} AND $idCol > ${lit(id)}) OR ($tsCol > ${lit(ts)})"
+
+  /** End-inclusive mirror bound, so (start, end] ranges are total. */
+  def upToClause(tsCol: String, idCol: String, ts: String, id: String): String =
+    s"($tsCol = ${lit(ts)} AND $idCol <= ${lit(id)}) OR ($tsCol < ${lit(ts)})"
+
   sealed trait RescrapePolicy
   case object RescrapeOff extends RescrapePolicy
   /** Re-read everything within `rescrapeTicks` of the last timestamp when a
@@ -55,9 +71,9 @@ object CdcCursor {
       }
       (s.lastTs.filter(_.nonEmpty), s.lastId.filter(_.nonEmpty)) match {
         case (Some(ts), Some(id)) =>
-          s" WHERE (${tsColumn.get} = '$ts' AND ${idColumn.get} > '$id') OR (${tsColumn.get} > '$ts')$orderBy"
-        case (Some(ts), None) => s" WHERE ${tsColumn.get} >= '$ts'$orderBy"
-        case (None, Some(id)) => s" WHERE ${idColumn.get} > '$id'$orderBy"
+          s" WHERE ${afterClause(tsColumn.get, idColumn.get, ts, id)}$orderBy"
+        case (Some(ts), None) => s" WHERE ${tsColumn.get} >= ${lit(ts)}$orderBy"
+        case (None, Some(id)) => s" WHERE ${idColumn.get} > ${lit(id)}$orderBy"
         case _                => orderBy
       }
     }

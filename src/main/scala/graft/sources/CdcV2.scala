@@ -83,16 +83,12 @@ object CdcV2 {
     def limit(n: Int): String =
       if (limitDialect == "limit") s" LIMIT $n" else s" FETCH FIRST $n ROWS ONLY"
 
-    /** Start-exclusive bound — postgres_read_cursor::get_where_clause's
-      * equal-ts tie-break, verbatim semantics.
-      */
+    // clause family shared with the batch cursor (single-sourced so
+    // escaping and tie-break semantics can't drift)
     def afterClause(o: CdcOffset): Option[String] =
-      if (o.isStart) None
-      else Some(s"(($tsCol = '${o.ts}' AND $idCol > '${o.id}') OR ($tsCol > '${o.ts}'))")
+      if (o.isStart) None else Some(s"(${CdcCursor.afterClause(tsCol, idCol, o.ts, o.id)})")
 
-    /** End-inclusive bound: the mirror clause, so (start, end] is total. */
-    def upToClause(o: CdcOffset): String =
-      s"(($tsCol = '${o.ts}' AND $idCol <= '${o.id}') OR ($tsCol < '${o.ts}'))"
+    def upToClause(o: CdcOffset): String = s"(${CdcCursor.upToClause(tsCol, idCol, o.ts, o.id)})"
 
     def rangeSql(start: CdcOffset, end: CdcOffset): String = {
       val conds = afterClause(start).toSeq :+ upToClause(end)
@@ -143,8 +139,7 @@ object CdcV2 {
     // Trigger.AvailableNow: snapshot the backlog end once, then let the
     // paced latestOffset walk up to it in maxItemsPerFetch batches instead
     // of one giant scan (without this Spark falls back to a single
-    // all-available batch). (ts, id) ordering here is the same
-    // string-literal comparison the WHERE clauses use.
+    // all-available batch).
     @volatile private var availableNowTarget: Option[CdcOffset] = None
 
     override def prepareForTriggerAvailableNow(): Unit = {
@@ -159,8 +154,20 @@ object CdcV2 {
       } finally conn.close()
     }
 
-    private def notPast(o: CdcOffset, bound: CdcOffset): Boolean =
-      (o.ts < bound.ts) || (o.ts == bound.ts && o.id <= bound.id)
+    // The DB compares cursor literals with the column's type (a numeric
+    // column casts '999' < '1000' numerically); mirror that here — compare
+    // numerically when both values parse as numbers, else as strings.
+    private def cmpVal(a: String, b: String): Int = {
+      val numeric = try Some(BigDecimal(a).compare(BigDecimal(b))) catch {
+        case _: NumberFormatException => None
+      }
+      numeric.getOrElse(a.compareTo(b))
+    }
+
+    private def notPast(o: CdcOffset, bound: CdcOffset): Boolean = {
+      val c = cmpVal(o.ts, bound.ts)
+      c < 0 || (c == 0 && cmpVal(o.id, bound.id) <= 0)
+    }
 
     override def initialOffset(): Offset = CdcOffset("", "")
     override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
@@ -261,8 +268,12 @@ object CdcV2 {
           case FloatType => rs.getFloat(i + 1)
           case DoubleType => rs.getDouble(i + 1)
           case StringType => UTF8String.fromString(rs.getString(i + 1))
-          case _: TimestampType => DateTimeUtils.fromJavaTimestamp(rs.getTimestamp(i + 1))
-          case DateType => DateTimeUtils.fromJavaDate(rs.getDate(i + 1))
+          case _: TimestampType =>
+            val t = rs.getTimestamp(i + 1)
+            if (t == null) null else DateTimeUtils.fromJavaTimestamp(t)
+          case DateType =>
+            val d = rs.getDate(i + 1)
+            if (d == null) null else DateTimeUtils.fromJavaDate(d)
           case d: DecimalType =>
             val bd = rs.getBigDecimal(i + 1)
             if (bd == null) null else Decimal(bd, d.precision, d.scale)

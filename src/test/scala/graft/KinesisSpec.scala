@@ -146,6 +146,9 @@ final class LedgerTransportFactory extends graft.connect.KinesisTransportFactory
             case "AFTER_SEQUENCE_NUMBER" =>
               val after = req.get("StartingSequenceNumber").asText().toLong
               recs.indexWhere(_._1 > after) match { case -1 => recs.size; case i => i }
+            case "AT_SEQUENCE_NUMBER" =>
+              val at = req.get("StartingSequenceNumber").asText().toLong
+              recs.indexWhere(_._1 >= at) match { case -1 => recs.size; case i => i }
             case other => fail(s"unexpected iterator type $other")
           }
           s"""{"ShardIterator":"it|$shard|$idx"}"""
