@@ -103,6 +103,21 @@ object CdcV2 {
     }
   }
 
+  // The DB compares cursor literals with the column's type (a numeric
+  // column casts '999' < '1000' numerically); mirror that here — compare
+  // numerically when both values parse as numbers, else as strings.
+  private[graft] def cmpVal(a: String, b: String): Int = {
+    val numeric = try Some(BigDecimal(a).compare(BigDecimal(b))) catch {
+      case _: NumberFormatException => None
+    }
+    numeric.getOrElse(a.compareTo(b))
+  }
+
+  private[graft] def notPast(o: CdcOffset, bound: CdcOffset): Boolean = {
+    val c = cmpVal(o.ts, bound.ts)
+    c < 0 || (c == 0 && cmpVal(o.id, bound.id) <= 0)
+  }
+
   /** The cursor pair; the all-empty pair is "before everything". */
   final case class CdcOffset(ts: String, id: String) extends Offset {
     def isStart: Boolean = ts.isEmpty && id.isEmpty
@@ -152,21 +167,6 @@ object CdcV2 {
         availableNowTarget = Some(
           if (rs.next()) CdcOffset(rs.getString(1), rs.getString(2)) else CdcOffset("", ""))
       } finally conn.close()
-    }
-
-    // The DB compares cursor literals with the column's type (a numeric
-    // column casts '999' < '1000' numerically); mirror that here — compare
-    // numerically when both values parse as numbers, else as strings.
-    private def cmpVal(a: String, b: String): Int = {
-      val numeric = try Some(BigDecimal(a).compare(BigDecimal(b))) catch {
-        case _: NumberFormatException => None
-      }
-      numeric.getOrElse(a.compareTo(b))
-    }
-
-    private def notPast(o: CdcOffset, bound: CdcOffset): Boolean = {
-      val c = cmpVal(o.ts, bound.ts)
-      c < 0 || (c == 0 && cmpVal(o.id, bound.id) <= 0)
     }
 
     override def initialOffset(): Offset = CdcOffset("", "")

@@ -57,3 +57,30 @@ class CdcStreamSpec extends SparkSpec {
     conn.close()
   }
 }
+
+/** Offset-comparison semantics used by AvailableNow clamping: numeric when
+  * both values parse (matching how the DB compares literals against
+  * numeric cursor columns), lexicographic otherwise.
+  */
+class CdcOffsetOrderSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.sources.CdcV2.{cmpVal, notPast, CdcOffset}
+
+  test("numeric values compare numerically across digit-count boundaries") {
+    assert(cmpVal("999", "1000") < 0) // lexicographically "999" > "1000"
+    assert(cmpVal("3", "10") < 0)
+    assert(cmpVal("1000000000", "999999999") > 0)
+    assert(cmpVal("42", "42") == 0)
+  }
+
+  test("non-numeric values fall back to string order") {
+    assert(cmpVal("a", "b") < 0)
+    assert(cmpVal("2026-01-02 10:00:00", "2026-01-02 09:59:59") > 0)
+  }
+
+  test("notPast is the end-inclusive range check on (ts, id)") {
+    assert(notPast(CdcOffset("300", "3"), CdcOffset("300", "10"))) // numeric id tie-break
+    assert(!notPast(CdcOffset("300", "11"), CdcOffset("300", "10")))
+    assert(notPast(CdcOffset("999", "1"), CdcOffset("1000", "0")))
+    assert(!notPast(CdcOffset("1000", "0"), CdcOffset("999", "1")))
+  }
+}

@@ -113,3 +113,51 @@ class ProtoSerdeSpec extends SparkSpec {
     assert(rows(1).getString(0) == "bob" && rows(1).isNullAt(1) && rows(1).isNullAt(3))
   }
 }
+
+/** Seeded randomized round-trips over a nested/repeated schema — the
+  * property-style companion to the fixed spec vectors.
+  */
+class ProtoSerdePropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import scala.util.Random
+  import graft.serde.ConfluentProto
+  import graft.serde.ConfluentProto._
+
+  private val inner = ProtoSchema(Seq(
+    Field(1, "n", PSInt64), Field(2, "tag", PString)))
+  private val schema = ProtoSchema(Seq(
+    Field(1, "i32", PInt32), Field(2, "i64", PInt64), Field(3, "s32", PSInt32),
+    Field(4, "flag", PBool), Field(5, "d", PDouble), Field(6, "f", PFloat),
+    Field(7, "s", PString), Field(9, "reps", PInt64, repeated = true),
+    Field(10, "msg", PMessage(inner))))
+
+  private def randomValues(rnd: Random): Seq[Any] = Seq(
+    if (rnd.nextBoolean()) rnd.nextInt() else null,
+    rnd.nextLong(),
+    rnd.nextInt(),
+    rnd.nextBoolean(),
+    rnd.nextDouble() * math.pow(10, rnd.nextInt(18) - 9),
+    rnd.nextFloat(),
+    if (rnd.nextBoolean()) rnd.alphanumeric.take(rnd.nextInt(50)).mkString + "é'\"\\" else null,
+    if (rnd.nextBoolean()) Seq.fill(rnd.nextInt(6))(rnd.nextLong()) else null,
+    if (rnd.nextBoolean()) Seq[Any](rnd.nextLong(), rnd.alphanumeric.take(5).mkString) else null)
+
+  test("encode/decode round-trips randomized messages (50 seeds)") {
+    (1 to 50).foreach { seed =>
+      val rnd = new Random(seed)
+      val values = randomValues(rnd)
+      val decoded = decodeMessage(encodeMessage(values, schema), schema)
+      // proto3 wire rules: an empty repeated field writes no bytes, so it
+      // decodes as absent (null); nested messages come back as Rows
+      val expected = values
+        .updated(7, values(7) match { case s: Seq[_] if s.isEmpty => null; case v => v })
+        .updated(8, Option(values(8))
+          .map(v => org.apache.spark.sql.Row.fromSeq(v.asInstanceOf[Seq[Any]])).orNull)
+      assert(decoded == expected, s"seed $seed")
+      // framed variant round-trips too, with a multi-index path
+      val framed = ConfluentProto.encode(values, schema, schemaId = seed, indexes = Seq(0, seed % 3))
+      val f = deframe(framed)
+      assert(f.schemaId == seed && f.indexes == Seq(0, seed % 3))
+      assert(decodeMessage(f.body, schema) == expected, s"framed seed $seed")
+    }
+  }
+}
