@@ -47,7 +47,9 @@ final class HttpKinesisTransportFactory extends KinesisTransportFactory {
       endpointOverride = options.get("endpoint").orElse(sys.env.get("AWS_CUSTOM_ENDPOINT")))
 }
 
-final class KinesisV2Provider extends TableProvider {
+final class KinesisV2Provider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-kinesis"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = KinesisV2.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =

@@ -44,7 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * batch [[CdcCursor]]); extra JDBC connection properties pass through as
   * `jdbc.`-prefixed options.
   */
-final class CdcV2Provider extends TableProvider {
+final class CdcV2Provider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = CdcV2.Conf(options.asCaseSensitiveMap().asScala.toMap)
     // empty-result probe through Spark's JDBC reader so the schema mapping

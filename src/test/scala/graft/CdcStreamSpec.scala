@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.CdcV2Provider
 import org.apache.spark.sql.streaming.Trigger
 
 /** The DataSource V2 CDC stream against embedded Derby: cursor offsets in
@@ -26,7 +25,7 @@ class CdcStreamSpec extends SparkSpec {
     val checkpoint = Files.createTempDirectory("cdcv2-ckpt").toString
     val outDir = Files.createTempDirectory("cdcv2-out").toString
     def runOnce(): Unit = {
-      val stream = spark.readStream.format(classOf[CdcV2Provider].getName)
+      val stream = spark.readStream.format("graft-cdc") // short name via DataSourceRegister
         .option("url", url)
         .option("query", "SELECT * FROM src")
         .option("tsColumn", "ts").option("idColumn", "id")

@@ -178,7 +178,7 @@ class KinesisStreamSpec extends SparkSpec {
     (1L to 5L).foreach(i => KinesisLedger.append("shard-0", i, s"k$i", s"v$i", 1700000000.0 + i))
     (1L to 3L).foreach(i => KinesisLedger.append("shard-1", 100 + i, s"j$i", s"w$i", 1700000100.0 + i))
 
-    val stream = spark.readStream.format(classOf[graft.connect.KinesisV2Provider].getName)
+    val stream = spark.readStream.format("graft-kinesis")
       .option("stream", "events")
       .option("transportFactory", classOf[LedgerTransportFactory].getName)
       .option("maxRecordsPerShardBatch", "2")
