@@ -44,6 +44,56 @@ object ConfluentAvro {
       new Schema.Parser().parse(byId.getOrElse(id, sys.error(s"unknown schema id $id")))
   }
 
+  /** HTTP-backed registry speaking the Confluent subjects API the reference
+    * uses (src/schema_registry/confluent_http_proxy.cpp:140-176 register,
+    * :260-290 fetch): POST `/subjects/<subject>/versions` with a
+    * `{"schema": "..."}` body → `{"id": N}`, GET `/schemas/ids/<id>` →
+    * `{"schema": "..."}`. Multiple base URLs are tried in order,
+    * first-success (the reference's SEQUENTIAL/FIRST_SUCCESS work policy);
+    * both directions cache, so decode hot paths never re-fetch.
+    */
+  final class HttpSchemaRegistry(baseUrls: Seq[String]) extends SchemaRegistry {
+    require(baseUrls.nonEmpty, "at least one registry url")
+    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+    @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    @transient private lazy val idCache = new TrieMap[Int, String]()
+    @transient private lazy val regCache = new TrieMap[String, Int]()
+
+    private def firstSuccess[T](f: String => T): T = {
+      var lastErr: Throwable = null
+      baseUrls.foreach { base =>
+        try return f(base.stripSuffix("/"))
+        catch { case e: Exception => lastErr = e }
+      }
+      throw new IllegalStateException(s"all registry urls failed", lastErr)
+    }
+
+    override def register(subject: String, schema: Schema): Int = {
+      val key = subject + "|" + schema.toString
+      regCache.getOrElseUpdate(key, firstSuccess { base =>
+        val body = mapper.createObjectNode().put("schema", schema.toString).toString
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"$base/subjects/$subject/versions"))
+          .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() / 100 == 2, s"register failed: ${resp.statusCode()} ${resp.body()}")
+        mapper.readTree(resp.body()).get("id").asInt()
+      })
+    }
+
+    override def get(id: Int): Schema = new Schema.Parser().parse(
+      idCache.getOrElseUpdate(id, firstSuccess { base =>
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"$base/schemas/ids/$id"))
+          .header("Accept", "application/vnd.schemaregistry.v1+json")
+          .GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() / 100 == 2, s"schema $id fetch failed: ${resp.statusCode()}")
+        mapper.readTree(resp.body()).get("schema").asText()
+      }))
+  }
+
   /** magic + schema id + binary-encoded record. */
   def encode(record: GenericRecord, schemaId: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -208,3 +208,54 @@ class ConnectorsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 }
+
+/** The HTTP schema registry client against a loopback server speaking the
+  * Confluent subjects API, including multi-URL first-success failover.
+  */
+class HttpRegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.serde.ConfluentAvro
+
+  test("register/get round-trip with failover past a dead base url") {
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}""")
+    val stored = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val nextId = new java.util.concurrent.atomic.AtomicInteger(41)
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      val path = ex.getRequestURI.getPath
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val resp: String =
+        if (path.startsWith("/subjects/") && path.endsWith("/versions")) {
+          assert(ex.getRequestHeaders.getFirst("Content-Type")
+            == "application/vnd.schemaregistry.v1+json")
+          val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes, "UTF-8"))
+          val id = nextId.incrementAndGet()
+          stored.put(id, body.get("schema").asText())
+          s"""{"id":$id}"""
+        } else if (path.startsWith("/schemas/ids/")) {
+          val id = path.substring("/schemas/ids/".length).toInt
+          mapper.createObjectNode().put("schema", stored.get(id)).toString
+        } else sys.error(s"unexpected path $path")
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      // first base url refuses connections → the client must fail over
+      val registry = new ConfluentAvro.HttpSchemaRegistry(Seq(
+        "http://127.0.0.1:1/", s"http://127.0.0.1:${server.getAddress.getPort}"))
+      val id = registry.register("events-value", schema)
+      assert(id == 42)
+      assert(registry.register("events-value", schema) == 42) // cached, no re-POST
+      assert(registry.get(id).getField("x").schema().getType
+        == org.apache.avro.Schema.Type.LONG)
+      // full wire round-trip through the fetched schema
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("x", 7L)
+      val decoded = ConfluentAvro.decode(ConfluentAvro.encode(rec, id), registry)
+      assert(decoded.get("x") == 7L)
+    } finally server.stop(0)
+  }
+}
