@@ -83,3 +83,44 @@ class CdcOffsetOrderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!notPast(CdcOffset("1000", "0"), CdcOffset("999", "1")))
   }
 }
+
+/** End-to-end composition: the graft-cdc V2 source feeding the kspp LWW
+  * table operator — CDC rows become a keyed changelog whose streaming
+  * state resolves each key to its newest version, across paced batches.
+  */
+class CdcToTableSpec extends SparkSpec {
+  test("CDC stream drives a streaming LWW table across micro-batches") {
+    val url = "jdbc:derby:memory:cdclww;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE src (ts VARCHAR(10) NOT NULL, id VARCHAR(10) NOT NULL, k VARCHAR(10), v VARCHAR(10))")
+    // key k1 updated three times (last at ts 500), k2 once
+    Seq(("100", "1", "k1", "a"), ("200", "2", "k2", "x"), ("300", "3", "k1", "b"),
+      ("500", "4", "k1", "c")).foreach { case (ts, id, k, v) =>
+      st.execute(s"INSERT INTO src VALUES ('$ts', '$id', '$k', '$v')")
+    }
+
+    import spark.implicits._
+    val checkpoint = java.nio.file.Files.createTempDirectory("cdclww-ckpt").toString
+    val stream = spark.readStream.format("graft-cdc")
+      .option("url", url).option("query", "SELECT * FROM src")
+      .option("tsColumn", "ts").option("idColumn", "id")
+      .option("maxItemsPerFetch", "2") // forces the changelog across ≥2 batches
+      .load()
+      .select($"K".as[String], $"V".as[String], $"TS".cast("long").as[Long])
+      .map { case (k, v, ts) => graft.model.KRecord[String, String](k, Some(v), ts) }
+    val table = graft.streaming.StatefulOps.latestByKey(stream)
+    val q = table.toDF().writeStream.format("memory").queryName("cdc_lww")
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // the final update per key is the LWW winner
+    val last = spark.sql(
+      "SELECT key, value FROM cdc_lww WHERE eventTime = (SELECT max(eventTime) FROM cdc_lww c2 WHERE c2.key = cdc_lww.key)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(last == Map("k1" -> "c", "k2" -> "x"))
+    conn.close()
+  }
+}
