@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.sources.{AvroFiles, KafkaSource}
+
+/** The reference's `tools/` CLI pipelines, re-expressed as one-call
+  * compositions of the library's sources/sinks (reference: tools/csv2avro,
+  * tools/kafka2avro, tools/kafka2rocksdb, tools/mqtt2kafka). Each tool in
+  * the reference is a main() wiring two connectors together; here each is
+  * a function so it composes with everything else.
+  */
+object Pipelines {
+
+  /** Column-name normalization from tools/csv2avro/csv2avro.cpp: lowercase,
+    * spaces to underscores, strip anything not [a-zA-Z0-9_] — CSV headers
+    * become legal avro field names.
+    */
+  def normalizeName(s: String): String =
+    s.toLowerCase.replace(' ', '_').filter(c => c.isLetterOrDigit || c == '_')
+
+  /** tools/csv2avro: header CSV in, avro container files out, with
+    * normalized field names. Schema is inferred by the CSV reader (the
+    * reference infers string columns; pass `inferSchema=false` for exact
+    * parity).
+    */
+  def csv2avro(spark: SparkSession, csvPath: String, avroPath: String,
+               inferSchema: Boolean = true): Unit = {
+    val raw = spark.read.option("header", "true")
+      .option("inferSchema", inferSchema.toString).csv(csvPath)
+    val renamed = raw.columns.foldLeft(raw)((df, c) => df.withColumnRenamed(c, normalizeName(c)))
+    AvroFiles.write(renamed, avroPath)
+  }
+
+  /** tools/kafka2avro: a Kafka topic streamed into time-windowed avro file
+    * directories (the reference rotates files on event-time windows).
+    * Returns the writer so the caller picks trigger/checkpoint; requires
+    * the Kafka connector jar at runtime.
+    */
+  def kafka2avro(spark: SparkSession, brokers: String, topic: String,
+                 path: String, windowMs: Long): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val in = KafkaSource.stream(spark, brokers, topic)
+    in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      AvroFiles.writeWindowed(batch.withColumn("event_time", batch("timestamp")),
+        "event_time", windowMs, path)
+    }
+  }
+
+  /** tools/kafka2rocksdb: a Kafka changelog materialized into a queryable
+    * last-writer-wins table with RocksDB-backed state — the Spark analog is
+    * the streaming LWW operator on the RocksDB state-store provider
+    * (GraftSession.local(..., rocksdb = true)).
+    */
+  def kafka2table(spark: SparkSession, brokers: String, topic: String)
+  : org.apache.spark.sql.Dataset[graft.model.KRecord[String, String]] = {
+    import spark.implicits._
+    val in = KafkaSource.stream(spark, brokers, topic)
+      .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)",
+        "CAST(timestamp AS LONG) * 1000 AS ts")
+      .as[(String, String, Long)]
+      .map { case (k, v, ts) => graft.model.KRecord[String, String](k, Option(v), ts) }
+    graft.streaming.StatefulOps.latestByKey(in)
+  }
+
+  /** tools/mqtt2kafka: drain the MQTT feed and forward to a Kafka topic
+    * under the original (topic-as-key, payload) contract; requires the
+    * Kafka connector jar at runtime.
+    */
+  def mqtt2kafka(spark: SparkSession, mqttHost: String, mqttPort: Int, topicFilter: String,
+                 brokers: String, kafkaTopic: String, maxMessages: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val batch = graft.connect.MqttSource.drain(spark, mqttHost, mqttPort, topicFilter, maxMessages)
+    batch.select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", kafkaTopic)
+      .save()
+  }
+}

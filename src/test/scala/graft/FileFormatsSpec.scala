@@ -213,3 +213,29 @@ class FileFormatsSpec extends SparkSpec {
     assert(wc.startsWith("{\"index\":{\"_index\":\"idx\",\"_id\":\"a\\\"b\\\\c\"}}\n"), wc)
   }
 }
+
+/** tools/csv2avro parity: header CSV → avro container files with the
+  * reference's column-name normalization.
+  */
+class PipelinesSpec extends SparkSpec {
+  test("csv2avro normalizes headers and round-trips values") {
+    assert(graft.tools.Pipelines.normalizeName("First Name") == "first_name")
+    assert(graft.tools.Pipelines.normalizeName("Price ($)") == "price_")
+    assert(graft.tools.Pipelines.normalizeName("OK_col9") == "ok_col9")
+
+    val dir = java.nio.file.Files.createTempDirectory("csv2avro").toString
+    val csv = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("First Name,Age,City Code")
+    w.println("ada,36,LDN")
+    w.println("grace,45,NYC")
+    w.close()
+
+    graft.tools.Pipelines.csv2avro(spark, csv.getAbsolutePath, s"$dir/out")
+    val back = graft.sources.AvroFiles.read(spark, s"$dir/out")
+    assert(back.columns.toSeq == Seq("first_name", "age", "city_code"))
+    val rows = back.orderBy("first_name").collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getString(2))).toSeq
+    assert(rows == Seq(("ada", "36", "LDN"), ("grace", "45", "NYC")))
+  }
+}
