@@ -261,25 +261,46 @@ object MqttSink {
 object MqttSource {
   /** Drain up to `maxMessages` (or until `idleTimeoutMs` with nothing new).
     * Event time = driver receive time, matching the reference's
-    * arrival-stamped records.
+    * arrival-stamped records. Values decode as UTF-8 text (the reference's
+    * `<string, string>` record type); use [[drainBytes]] when payloads are
+    * binary.
     */
   def drain(spark: SparkSession, host: String, port: Int, topicFilter: String,
             maxMessages: Int, idleTimeoutMs: Int = 1000,
             clientId: String = "graft-source"): DataFrame = {
+    import spark.implicits._
+    drainRaw(host, port, topicFilter, maxMessages, idleTimeoutMs, clientId)
+      .map { case (t, p, ts) => (t, new String(p, UTF_8), ts) }
+      .toDF("key", "value", "event_time_ms")
+  }
+
+  /** [[drain]] with the payload kept as raw bytes — lossless for binary
+    * payloads (a UTF-8 string hop would substitute U+FFFD for invalid
+    * sequences).
+    */
+  def drainBytes(spark: SparkSession, host: String, port: Int, topicFilter: String,
+                 maxMessages: Int, idleTimeoutMs: Int = 1000,
+                 clientId: String = "graft-source"): DataFrame = {
+    import spark.implicits._
+    drainRaw(host, port, topicFilter, maxMessages, idleTimeoutMs, clientId)
+      .toDF("key", "value", "event_time_ms")
+  }
+
+  private def drainRaw(host: String, port: Int, topicFilter: String, maxMessages: Int,
+                       idleTimeoutMs: Int, clientId: String): Seq[(String, Array[Byte], Long)] = {
     val client = new MqttClient(host, port, clientId)
-    val buf = collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val buf = collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long)]
     try {
       client.subscribe(topicFilter)
       var idle = false
       while (!idle && buf.size < maxMessages) {
         client.receive(idleTimeoutMs) match {
           case Some((topic, payload)) =>
-            buf += ((topic, new String(payload, UTF_8), System.currentTimeMillis()))
+            buf += ((topic, payload, System.currentTimeMillis()))
           case None => idle = true
         }
       }
     } finally client.close()
-    import spark.implicits._
-    buf.toSeq.toDF("key", "value", "event_time_ms")
+    buf.toSeq
   }
 }

@@ -52,11 +52,17 @@ object ConfluentAvro {
     * first-success (the reference's SEQUENTIAL/FIRST_SUCCESS work policy);
     * both directions cache, so decode hot paths never re-fetch.
     */
-  final class HttpSchemaRegistry(baseUrls: Seq[String]) extends SchemaRegistry {
+  final class HttpSchemaRegistry(baseUrls: Seq[String],
+                                 timeoutMs: Int = 10000) extends SchemaRegistry {
     require(baseUrls.nonEmpty, "at least one registry url")
-    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+    // explicit connect/request timeouts: a black-holed url must fail over
+    // to the next base url, not hang the decode path forever
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong)).build()
+    private def withTimeout(b: java.net.http.HttpRequest.Builder) =
+      b.timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
     @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    @transient private lazy val idCache = new TrieMap[Int, String]()
+    @transient private lazy val idCache = new TrieMap[Int, Schema]()
     @transient private lazy val regCache = new TrieMap[String, Int]()
 
     private def firstSuccess[T](f: String => T): T = {
@@ -72,26 +78,28 @@ object ConfluentAvro {
       val key = subject + "|" + schema.toString
       regCache.getOrElseUpdate(key, firstSuccess { base =>
         val body = mapper.createObjectNode().put("schema", schema.toString).toString
-        val req = java.net.http.HttpRequest.newBuilder()
+        val req = withTimeout(java.net.http.HttpRequest.newBuilder()
           .uri(java.net.URI.create(s"$base/subjects/$subject/versions"))
           .header("Content-Type", "application/vnd.schemaregistry.v1+json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         require(resp.statusCode() / 100 == 2, s"register failed: ${resp.statusCode()} ${resp.body()}")
         mapper.readTree(resp.body()).get("id").asInt()
       })
     }
 
-    override def get(id: Int): Schema = new Schema.Parser().parse(
+    // the PARSED schema is cached (Schema is immutable): the per-record
+    // decode path must not re-run the avro schema parser each call
+    override def get(id: Int): Schema =
       idCache.getOrElseUpdate(id, firstSuccess { base =>
-        val req = java.net.http.HttpRequest.newBuilder()
+        val req = withTimeout(java.net.http.HttpRequest.newBuilder()
           .uri(java.net.URI.create(s"$base/schemas/ids/$id"))
           .header("Accept", "application/vnd.schemaregistry.v1+json")
-          .GET().build()
+          .GET()).build()
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         require(resp.statusCode() / 100 == 2, s"schema $id fetch failed: ${resp.statusCode()}")
-        mapper.readTree(resp.body()).get("schema").asText()
-      }))
+        new Schema.Parser().parse(mapper.readTree(resp.body()).get("schema").asText())
+      })
   }
 
   /** magic + schema id + binary-encoded record. */

@@ -14,11 +14,16 @@ import graft.sources.{AvroFiles, KafkaSource}
 object Pipelines {
 
   /** Column-name normalization from tools/csv2avro/csv2avro.cpp: lowercase,
-    * spaces to underscores, strip anything not [a-zA-Z0-9_] — CSV headers
-    * become legal avro field names.
+    * spaces to underscores, strip anything not [a-z0-9_] (ASCII only — an
+    * accented letter is not a legal avro name character), and prefix a
+    * leading digit with an underscore so the result is a legal avro field
+    * name.
     */
-  def normalizeName(s: String): String =
-    s.toLowerCase.replace(' ', '_').filter(c => c.isLetterOrDigit || c == '_')
+  def normalizeName(s: String): String = {
+    val base = s.toLowerCase.replace(' ', '_')
+      .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
+    if (base.isEmpty) "_" else if (base.head.isDigit) "_" + base else base
+  }
 
   /** tools/csv2avro: header CSV in, avro container files out, with
     * normalized field names. Schema is inferred by the CSV reader (the
@@ -29,8 +34,15 @@ object Pipelines {
                inferSchema: Boolean = true): Unit = {
     val raw = spark.read.option("header", "true")
       .option("inferSchema", inferSchema.toString).csv(csvPath)
-    val renamed = raw.columns.foldLeft(raw)((df, c) => df.withColumnRenamed(c, normalizeName(c)))
-    AvroFiles.write(renamed, avroPath)
+    // normalized headers can collide ("A B" and "a_b"): suffix _2, _3, …
+    val seen = collection.mutable.Map.empty[String, Int]
+    val names = raw.columns.map { c =>
+      val n = normalizeName(c)
+      val count = seen.getOrElse(n, 0) + 1
+      seen(n) = count
+      if (count == 1) n else s"${n}_$count"
+    }
+    AvroFiles.write(raw.toDF(names: _*), avroPath)
   }
 
   /** tools/kafka2avro: a Kafka topic streamed into time-windowed avro file
@@ -41,9 +53,11 @@ object Pipelines {
   def kafka2avro(spark: SparkSession, brokers: String, topic: String,
                  path: String, windowMs: Long): DataStreamWriter[org.apache.spark.sql.Row] = {
     val in = KafkaSource.stream(spark, brokers, topic)
-    in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      AvroFiles.writeWindowed(batch.withColumn("event_time", batch("timestamp")),
-        "event_time", windowMs, path)
+    in.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // one subdirectory per micro-batch: the avro writer refuses an
+      // existing directory, and a window routinely spans several batches —
+      // readers glob path/batch=*/window_start=*
+      AvroFiles.writeWindowed(batch, "timestamp", windowMs, s"$path/batch=$batchId")
     }
   }
 
@@ -57,21 +71,23 @@ object Pipelines {
     import spark.implicits._
     val in = KafkaSource.stream(spark, brokers, topic)
       .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)",
-        "CAST(timestamp AS LONG) * 1000 AS ts")
+        "unix_millis(timestamp) AS ts") // keep ms precision for LWW ordering
       .as[(String, String, Long)]
       .map { case (k, v, ts) => graft.model.KRecord[String, String](k, Option(v), ts) }
     graft.streaming.StatefulOps.latestByKey(in)
   }
 
   /** tools/mqtt2kafka: drain the MQTT feed and forward to a Kafka topic
-    * under the original (topic-as-key, payload) contract; requires the
-    * Kafka connector jar at runtime.
+    * under the original (topic-as-key, payload) contract. Payloads travel
+    * as raw bytes end-to-end — a UTF-8 string hop would corrupt binary
+    * payloads. Requires the Kafka connector jar at runtime.
     */
   def mqtt2kafka(spark: SparkSession, mqttHost: String, mqttPort: Int, topicFilter: String,
                  brokers: String, kafkaTopic: String, maxMessages: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    val batch = graft.connect.MqttSource.drain(spark, mqttHost, mqttPort, topicFilter, maxMessages)
-    batch.select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+    val batch = graft.connect.MqttSource.drainBytes(
+      spark, mqttHost, mqttPort, topicFilter, maxMessages)
+    batch.select(col("key").cast("binary").as("key"), col("value").as("value"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", kafkaTopic)

@@ -222,6 +222,10 @@ class PipelinesSpec extends SparkSpec {
     assert(graft.tools.Pipelines.normalizeName("First Name") == "first_name")
     assert(graft.tools.Pipelines.normalizeName("Price ($)") == "price_")
     assert(graft.tools.Pipelines.normalizeName("OK_col9") == "ok_col9")
+    // avro name legality: ASCII only, no leading digit, never empty
+    assert(graft.tools.Pipelines.normalizeName("Café") == "caf")
+    assert(graft.tools.Pipelines.normalizeName("9code") == "_9code")
+    assert(graft.tools.Pipelines.normalizeName("€€") == "_")
 
     val dir = java.nio.file.Files.createTempDirectory("csv2avro").toString
     val csv = new java.io.File(dir, "in.csv")
