@@ -49,9 +49,7 @@ final class KStream[K, V](val ds: Dataset[KRecord[K, V]]) {
     * tombstone semantics; the result is joinable and forwards accepted
     * changes downstream via [[KTable.changelog]].
     */
-  def toTable(implicit ek: Encoder[K], ec: Encoder[StatefulOps.Cell[V]],
-              er: Encoder[KRecord[K, V]]): KTable[K, V] =
-    new KTable(ds)
+  def toTable: KTable[K, V] = new KTable(ds)
 
   /** delay (processors/delay.h): records surface once the watermark passes
     * eventTime + delayMs.

@@ -35,19 +35,29 @@ object ElasticsearchSink {
 
   final case class Stats(ok: Long, clientErrors: Long, serverErrors: Long)
 
-  /** Production transport: POST the NDJSON payload to `<baseUrl>/_bulk`.
-    * One HTTP client per transport instance (reused across chunks).
+  /** Serializable POST transport shared by the HTTP sinks: the function
+    * ships into `foreachPartition`, so the (non-serializable) HttpClient
+    * must be constructed lazily on the executor, not captured from the
+    * driver.
     */
-  def httpTransport(baseUrl: String): String => Int = {
-    val client = java.net.http.HttpClient.newHttpClient()
-    payload =>
+  private[sinks] final class SerializableHttpPost(uri: String, contentType: String)
+      extends (String => Int) with Serializable {
+    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+    override def apply(payload: String): Int = {
       val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"$baseUrl/_bulk"))
-        .header("Content-Type", "application/x-ndjson")
+        .uri(java.net.URI.create(uri))
+        .header("Content-Type", contentType)
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
         .build()
       client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+    }
   }
+
+  /** Production transport: POST the NDJSON payload to `<baseUrl>/_bulk`.
+    * One HTTP client per executor (reused across chunks).
+    */
+  def httpTransport(baseUrl: String): String => Int =
+    new SerializableHttpPost(s"$baseUrl/_bulk", "application/x-ndjson")
 
   /** Shared chunked-POST loop for HTTP batch sinks: groups `maxPerPost`
     * string rows per payload and classifies response statuses into the

@@ -44,27 +44,29 @@ object InfluxSink {
     val tagPart = concat(lit(measurement) +: tags.map { case (k, v) =>
       coalesce(when(v.isNotNull, concat(lit("," + k + "="), escTag(v))), lit(""))
     }: _*)
-    concat(tagPart, lit(" "), concat_ws(",", fieldParts: _*), lit(" "), timeNs.cast("string"))
+    val line = concat(tagPart, lit(" "), concat_ws(",", fieldParts: _*), lit(" "),
+      timeNs.cast("string"))
+    // a row with every field null would render a field-less line, which the
+    // server rejects (failing the whole chunk) — emit null instead; write()
+    // drops null lines
+    when(coalesce(fieldParts: _*).isNotNull, line)
   }
 
-  /** POST the payload to `<baseUrl>/write?db=<db>`. One HTTP client per
-    * transport instance (reused across chunks).
+  /** POST the payload to `<baseUrl>/write?db=<db>`. Serializable; one HTTP
+    * client per executor (reused across chunks).
     */
-  def httpTransport(baseUrl: String, db: String): String => Int = {
-    val client = java.net.http.HttpClient.newHttpClient()
-    payload =>
-      val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"$baseUrl/write?db=$db"))
-        .header("Content-Type", "text/plain; charset=utf-8")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
-        .build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
-  }
+  def httpTransport(baseUrl: String, db: String): String => Int =
+    new ElasticsearchSink.SerializableHttpPost(
+      s"$baseUrl/write?db=$db", "text/plain; charset=utf-8")
 
-  /** Write a (micro-)batch of line-protocol strings (first column). */
+  /** Write a (micro-)batch of line-protocol strings (first column); null
+    * lines (all-null-fields rows) are dropped.
+    */
   def write(lines: DataFrame, transport: String => Int,
-            maxLinesPerPost: Int = 1000): ElasticsearchSink.Stats =
+            maxLinesPerPost: Int = 1000): ElasticsearchSink.Stats = {
+    val c = col(lines.columns.head).cast("string")
     ElasticsearchSink.postChunks(
-      lines.select(col(lines.columns.head).cast("string")), transport, maxLinesPerPost,
+      lines.select(c).filter(c.isNotNull), transport, maxLinesPerPost,
       sep = "\n", suffix = "")
+  }
 }

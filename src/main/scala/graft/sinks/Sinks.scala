@@ -42,10 +42,16 @@ object Sinks {
     * one-file-set-per-window layout plus partition pruning on read.
     * Format is parquet/avro-agnostic (`format` param).
     */
+  /** Tumbling-window bucket start in epoch millis — the single definition
+    * of the rotation rule shared by the parquet and avro windowed sinks
+    * (sinks/avro_file_sink.h:58-96 rotation).
+    */
+  def windowStartMs(eventTime: org.apache.spark.sql.Column, windowMs: Long): org.apache.spark.sql.Column =
+    floor(unix_millis(eventTime) / windowMs).cast("long") * windowMs
+
   def windowedFiles(df: DataFrame, eventTimeCol: String, windowMs: Long,
                     path: String, format: String = "parquet"): Unit =
-    df.withColumn("window_start",
-        timestamp_millis(floor(unix_millis(col(eventTimeCol)) / windowMs).cast("long") * windowMs))
+    df.withColumn("window_start", timestamp_millis(windowStartMs(col(eventTimeCol), windowMs)))
       .write.partitionBy("window_start").format(format).mode("append").save(path)
 
   /** Streaming variant: append mode with a checkpoint, one partition dir per
@@ -54,8 +60,7 @@ object Sinks {
   def windowedFileStream(df: DataFrame, eventTimeCol: String, windowMs: Long,
                          path: String, checkpoint: String,
                          format: String = "parquet"): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.withColumn("window_start",
-        timestamp_millis(floor(unix_millis(col(eventTimeCol)) / windowMs).cast("long") * windowMs))
+    df.withColumn("window_start", timestamp_millis(windowStartMs(col(eventTimeCol), windowMs)))
       .writeStream.partitionBy("window_start").format(format)
       .option("path", path).option("checkpointLocation", checkpoint)
 

@@ -196,7 +196,7 @@ object AvroFiles {
     */
   def writeWindowed(df: DataFrame, eventTimeCol: String, windowMs: Long, path: String): Unit = {
     val withWin = df.withColumn("__w",
-      floor(unix_millis(col(eventTimeCol)) / windowMs).cast("long") * windowMs)
+      graft.sinks.Sinks.windowStartMs(col(eventTimeCol), windowMs))
       // the windows scan + one filtered pass per window would otherwise
       // re-execute the upstream plan n_windows + 1 times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -91,27 +91,41 @@ object CdcCursor {
     */
   final class FileOffsetStore(spark: SparkSession, path: String) {
     private val hPath = new org.apache.hadoop.fs.Path(path)
+    private val tmpPath = new org.apache.hadoop.fs.Path(path + ".tmp")
     private val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def load(): State =
-      if (!fs.exists(hPath)) State(None, None, atEof = false)
+    private def readIfExists(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(hPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        txt.split("\n", -1).toList match {
-          case ts :: id :: _ =>
-            State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty), atEof = false)
+        val in = fs.open(p)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+      }
+
+    /** Reads the committed cursor. If the main file is missing but the temp
+      * file exists, the process died between delete and rename — the temp
+      * file holds the complete newer state (it is fully written and closed
+      * before the delete), so recovery uses it rather than restarting from
+      * scratch. The third line persists the eof flag so a configured
+      * rescrape window applies across restarts.
+      */
+    def load(): State =
+      readIfExists(hPath).orElse(readIfExists(tmpPath)) match {
+        case Some(txt) => txt.split("\n", -1).toList match {
+          case ts :: id :: rest =>
+            State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty),
+              atEof = rest.headOption.contains("1"))
           case _ => State(None, None, atEof = false)
         }
+        case None => State(None, None, atEof = false)
       }
 
     def commit(s: State): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write((s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("")).getBytes("UTF-8"))
+      val out = fs.create(tmpPath, true)
+      try out.write((s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("") +
+        "\n" + (if (s.atEof) "1" else "0")).getBytes("UTF-8"))
       finally out.close()
       fs.delete(hPath, false)
-      if (!fs.rename(tmp, hPath)) sys.error(s"offset commit rename failed: $path")
+      if (!fs.rename(tmpPath, hPath)) sys.error(s"offset commit rename failed: $path")
     }
   }
 
@@ -124,7 +138,11 @@ object CdcCursor {
             spec: Spec, store: FileOffsetStore)(sink: DataFrame => Unit): Long = {
     var state = store.load()
     var rows = 0L
-    while (!state.atEof) {
+    var continue = true
+    // always poll at least once: a stored atEof=true state must still run
+    // one poll so a configured rescrape window (which only applies at eof,
+    // postgres_read_cursor semantics) actually re-reads late arrivals
+    while (continue) {
       val (df, next) = poll(spark, jdbcUrl, props, spec, state)
       val n = df.count()
       if (n > 0) {
@@ -132,8 +150,17 @@ object CdcCursor {
         store.commit(next)
       }
       rows += n
+      // a ts-only cursor cannot advance past an equal-ts run of a full
+      // page (`ts >= last` re-reads it verbatim) — fail loudly instead of
+      // re-delivering the same page forever
+      if (n == spec.maxItemsPerFetch && next.lastTs == state.lastTs && next.lastId == state.lastId)
+        throw new IllegalStateException(
+          s"CDC cursor stuck: a full page of ${spec.maxItemsPerFetch} rows shares one cursor " +
+            "position; configure idColumn (equal-ts tie-break) or raise maxItemsPerFetch")
+      continue = !next.atEof
       state = next
     }
+    store.commit(state) // persist the eof flag for the next drain's rescrape
     rows
   }
 

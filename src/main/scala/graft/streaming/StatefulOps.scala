@@ -56,16 +56,20 @@ object StatefulOps {
                 if (rec.value.isDefined) {
                   cell = Some(Cell(rec.value, rec.eventTime))
                   out += rec
-                } else if (cell.exists(_.value.isDefined)) {
-                  cell = Some(Cell(None, rec.eventTime))
-                  out += rec // accepted delete → forward tombstone
+                } else if (cell.isDefined) {
+                  // accepted delete ERASES the entry — the reference keeps
+                  // no tombstone (mem_store.h:79-81 store_.erase), so a
+                  // later out-of-order upsert is accepted again
+                  cell = None
+                  out += rec // forward the tombstone downstream
                 }
               // tombstone for an absent key: no store, no emit (mem_store.h:68-72)
             }
           }
           cell match {
-            case Some(c) => state.update(c)
-            case None    =>
+            case Some(c)                => state.update(c)
+            case None if state.exists   => state.remove()
+            case None                   =>
           }
           out.result().iterator
       }

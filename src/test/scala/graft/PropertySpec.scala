@@ -19,7 +19,8 @@ class PropertySpec extends SparkSpec {
       if (rnd.nextBoolean()) Some(Seq("a", "b", "c")(rnd.nextInt(3))) else None,
       1L + rnd.nextInt(20)))
 
-  // mem_store.h:64-83 applied sequentially in event-time order
+  // mem_store.h:64-83 applied sequentially in event-time order; an
+  // accepted delete erases the entry (store_.erase, no tombstone kept)
   private def naiveLww(recs: Seq[KRecord[Int, String]]): Map[Int, (Option[String], Long)] = {
     var store = Map.empty[Int, (Option[String], Long)]
     recs.sortBy(_.eventTime).foreach { r =>
@@ -27,7 +28,7 @@ class PropertySpec extends SparkSpec {
         case Some((_, t)) if t > r.eventTime => // stale
         case cur =>
           if (r.value.isDefined) store += r.key -> (r.value, r.eventTime)
-          else if (cur.exists(_._1.isDefined)) store += r.key -> (None, r.eventTime)
+          else if (cur.isDefined) store -= r.key
       }
     }
     store

@@ -32,6 +32,13 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(KRecord.of(1, "v1", 100L)))
       assert(rows.contains(KRecord[Int, String](2, None, 200L)))
       assert(!rows.exists(_.value.contains("stale")))
+      // batch 3: after an accepted delete the entry is ERASED (mem_store.h
+      // keeps no tombstone), so an out-of-order upsert OLDER than the
+      // delete is accepted again — reference-exact resurrection semantics
+      input.addData(KRecord.of(2, "late", 150L))
+      q.processAllAvailable()
+      val rows2 = spark.table("lww_out").as[KRecord[Int, String]].collect().toSeq
+      assert(rows2.contains(KRecord.of(2, "late", 150L)))
     } finally q.stop()
   }
 
