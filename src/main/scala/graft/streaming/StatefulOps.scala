@@ -119,18 +119,67 @@ object StatefulOps {
                   if (rec.value.isDefined) {
                     cell = Some(Cell(rec.value, rec.eventTime))
                     out += KRecord(rec.key, rec.value, rec.eventTime)
-                  } else if (cell.exists(_.value.isDefined)) {
-                    cell = Some(Cell(None, rec.eventTime))
+                  } else if (cell.isDefined) {
+                    // accepted delete erases the slot entry — no tombstone
+                    // kept (mem_windowed_store.h:159-164 bucket erase)
+                    cell = None
                     out += KRecord[K, V](rec.key, None, rec.eventTime)
                   }
               }
             }
-            cell.foreach { c =>
-              state.update(c)
-              state.setTimeoutTimestamp(c.eventTime + retentionMs)
+            cell match {
+              case Some(c) =>
+                state.update(c)
+                state.setTimeoutTimestamp(c.eventTime + retentionMs)
+              case None if state.exists => state.remove()
+              case None =>
             }
             out.result().iterator
           }
+      }
+
+  /** Per-key additive counter state. */
+  final case class CounterCell(sum: Long, ts: Long)
+
+  /** Streaming counter store (state_stores/mem_counter_store.h:63-88,
+    * pinned by tests/test2_mem_counter_store.cpp): additive merge that
+    * accepts out-of-order values (negative values subtract), result
+    * timestamp = max of the contributing timestamps; a tombstone is
+    * ignored when the stored timestamp is strictly newer, otherwise it
+    * erases the counter. Emits the updated (key, sum) record per accepted
+    * change, update-mode style.
+    */
+  def counterByKey[K](ds: Dataset[KRecord[K, Long]])(
+      implicit ek: Encoder[K], ec: Encoder[CounterCell],
+      er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[KRecord[K, Long]], state: GroupState[CounterCell]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[KRecord[K, Long]]
+          it.toSeq.sortBy(_.eventTime).foreach { rec =>
+            (cur, rec.value) match {
+              case (None, Some(v)) =>
+                cur = Some(CounterCell(v, rec.eventTime))
+                out += KRecord(key, Some(v), rec.eventTime)
+              case (None, None) => // delete of absent key: ignored
+              case (Some(c), Some(v)) => // aggregation accepts old timestamps
+                cur = Some(CounterCell(c.sum + v, math.max(c.ts, rec.eventTime)))
+                out += KRecord(key, Some(c.sum + v), math.max(c.ts, rec.eventTime))
+              case (Some(c), None) =>
+                if (c.ts > rec.eventTime) () // newer value wins: delete forbidden
+                else {
+                  cur = None
+                  out += KRecord[K, Long](key, None, rec.eventTime)
+                }
+            }
+          }
+          cur match {
+            case Some(c)              => state.update(c)
+            case None if state.exists => state.remove()
+            case None                 =>
+          }
+          out.result().iterator
       }
 
   /** Per-key token bucket state. */

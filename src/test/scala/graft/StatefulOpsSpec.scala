@@ -160,3 +160,98 @@ class StatefulOpsSpec extends SparkSpec {
       15L -> Some((Some("D"), Some("d")))))
   }
 }
+
+/** The reference's store unit tests transcribed against the streaming
+  * operators: tests/test2_mem_counter_store.cpp and
+  * tests/test2_mem_windowed_store.cpp assertion sequences.
+  */
+class StoreSemanticsSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.model.KRecord
+  import graft.streaming.StatefulOps
+
+  test("counter store: test2_mem_counter_store.cpp sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1000L
+    val input = MemoryStream[KRecord[Int, Long]]
+    val q = StatefulOps.counterByKey(input.toDS())
+      .writeStream.format("memory").queryName("ctr_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def state(): Map[Int, (Option[Long], Long)] = {
+        // last emission per key (memory sink preserves arrival order) =
+        // current store content
+        val rows = spark.table("ctr_out").as[KRecord[Int, Long]].collect()
+        rows.zipWithIndex.groupBy(_._1.key).map { case (k, rs) =>
+          val last = rs.maxBy(_._2)._1
+          k -> (last.value, last.eventTime)
+        }
+      }
+      // insert 3
+      input.addData(KRecord.of(0, 1L, t0), KRecord.of(1, 1L, t0), KRecord.of(2, 1L, t0))
+      q.processAllAvailable()
+      // update existing key with new value → sum 2, ts t0+10
+      input.addData(KRecord.of(2, 1L, t0 + 10))
+      q.processAllAvailable()
+      assert(state()(2) == (Some(2L), t0 + 10))
+      // old-timestamp add accepted (aggregation), keeps biggest timestamp
+      input.addData(KRecord.of(2, 2L, t0))
+      q.processAllAvailable()
+      assert(state()(2) == (Some(4L), t0 + 10))
+      // negative add
+      input.addData(KRecord.of(0, -2L, t0))
+      q.processAllAvailable()
+      assert(state()(0) == (Some(-1L), t0))
+      // delete with too-old timestamp: forbidden (no emission, sum stays)
+      input.addData(KRecord[Int, Long](2, None, t0))
+      q.processAllAvailable()
+      assert(state()(2) == (Some(4L), t0 + 10))
+      // delete with new timestamp: erases (tombstone emitted)
+      input.addData(KRecord[Int, Long](2, None, t0 + 30))
+      q.processAllAvailable()
+      assert(state()(2) == (None, t0 + 30))
+    } finally q.stop()
+  }
+
+  test("windowed store: test2_mem_windowed_store.cpp update/delete sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 10000L
+    val input = MemoryStream[KRecord[Int, String]]
+    // 100ms slots × 10 slots = 1000ms retention (the reference's config);
+    // a generous watermark delay keeps the sequence's out-of-order rows
+    // from being dropped as late (the reference store test has no
+    // watermark — GC-on-watermark is pinned by the expiry golden instead)
+    val q = StatefulOps.windowedLatestByKey(input.toDS(), retentionMs = 1000L,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(KRecord.of(0, "value0", t0), KRecord.of(1, "value1", t0 + 200),
+        KRecord.of(2, "value2", t0 + 400))
+      q.processAllAvailable()
+      // same-timestamp update accepted (>= rule)
+      input.addData(KRecord.of(2, "value2updated", t0 + 400))
+      q.processAllAvailable()
+      // older update skipped; older delete skipped
+      input.addData(KRecord.of(2, "to_old", t0 + 200), KRecord[Int, String](2, None, t0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").as[KRecord[Int, String]].collect().toSeq
+      assert(rows.contains(KRecord.of(2, "value2updated", t0 + 400)))
+      assert(!rows.exists(_.value.contains("to_old")))
+      assert(!rows.exists(r => r.key == 2 && r.value.isEmpty)) // old delete not emitted
+      // newer delete erases and emits the tombstone
+      input.addData(KRecord[Int, String](2, None, t0 + 700))
+      q.processAllAvailable()
+      val rows2 = spark.table("win_out").as[KRecord[Int, String]].collect().toSeq
+      assert(rows2.contains(KRecord[Int, String](2, None, t0 + 700)))
+      // erased entry: a later out-of-order upsert is accepted again
+      input.addData(KRecord.of(2, "resurrected", t0 + 500))
+      q.processAllAvailable()
+      val rows3 = spark.table("win_out").as[KRecord[Int, String]].collect().toSeq
+      assert(rows3.contains(KRecord.of(2, "resurrected", t0 + 500)))
+    } finally q.stop()
+  }
+}
