@@ -67,6 +67,14 @@ final class KStream[K, V](val ds: Dataset[KRecord[K, V]]) {
       er: Encoder[KRecord[K, V]]): KStream[K, V] =
     new KStream(StatefulOps.rateLimiter(ds, capacity, ageTimeMs))
 
+  /** counter store aggregation (state_stores/mem_counter_store.h): values
+    * add (out-of-order accepted, negatives subtract), tombstones delete
+    * under the LWW timestamp rule.
+    */
+  def counter(implicit ek: Encoder[K], ec: Encoder[StatefulOps.CounterCell],
+              er: Encoder[KRecord[K, Long]], ev: V =:= Long): KStream[K, Long] =
+    new KStream(StatefulOps.counterByKey(ds.asInstanceOf[Dataset[KRecord[K, Long]]]))
+
   /** count_by_key with punctuate-interval snapshots (processors/count.h).
     * Input records count 1 each (the reference's `krecord<K, void>`).
     */
