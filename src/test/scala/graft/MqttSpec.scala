@@ -32,7 +32,7 @@ class MqttSpec extends SparkSpec {
     * QoS 1), answers SUBSCRIBE with SUBACK followed by a scripted message
     * list. One thread per connection, so concurrent sink partitions work.
     */
-  private final class FakeBroker(scripted: Seq[(String, String)] = Nil) extends AutoCloseable {
+  private final class FakeBroker(scripted: Seq[(String, Array[Byte])] = Nil) extends AutoCloseable {
     val server = new ServerSocket(0)
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Int)]()
     @volatile private var running = true
@@ -64,7 +64,7 @@ class MqttSpec extends SparkSpec {
             case MqttCodec.SUBSCRIBE =>
               out.write(MqttCodec.suback(MqttCodec.decodePacketId(p), 0)); out.flush()
               scripted.foreach { case (t, v) =>
-                out.write(MqttCodec.publish(t, v.getBytes(UTF_8), qos = 0)); out.flush()
+                out.write(MqttCodec.publish(t, v, qos = 0)); out.flush()
               }
             case MqttCodec.PINGREQ => out.write(MqttCodec.pingresp); out.flush()
             case MqttCodec.DISCONNECT => s.close(); return
@@ -106,8 +106,22 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("drainBytes preserves non-UTF-8 binary payloads losslessly") {
+    // 0x80 0x81 is invalid UTF-8; a string hop would turn it into U+FFFD
+    val payload = Array[Byte](0x80.toByte, 0x81.toByte, 0x00, 0x7f)
+    val broker = new FakeBroker(scripted = Seq(("bin/1", payload)))
+    try {
+      val df = MqttSource.drainBytes(spark, "127.0.0.1", broker.port, "bin/#",
+        maxMessages = 1, idleTimeoutMs = 2000)
+      val row = df.collect().head
+      assert(row.getString(0) == "bin/1")
+      assert(row.getAs[Array[Byte]](1).toSeq == payload.toSeq)
+    } finally broker.close()
+  }
+
   test("source subscribes and drains scripted messages into (key,value,ts) rows") {
-    val broker = new FakeBroker(scripted = Seq(("t/1", "hello"), ("t/2", "world")))
+    val broker = new FakeBroker(scripted = Seq(
+      ("t/1", "hello".getBytes(UTF_8)), ("t/2", "world".getBytes(UTF_8))))
     try {
       val df = MqttSource.drain(spark, "127.0.0.1", broker.port, "t/#",
         maxMessages = 2, idleTimeoutMs = 2000)
