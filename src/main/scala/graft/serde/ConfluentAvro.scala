@@ -44,6 +44,15 @@ object ConfluentAvro {
       new Schema.Parser().parse(byId.getOrElse(id, sys.error(s"unknown schema id $id")))
   }
 
+  /** Registry from the reference's comma-separated url-list config string
+    * (split_url_list with the default http scheme, as
+    * schema_registry_client parses its `urls` setting).
+    */
+  def httpRegistry(urlList: String, timeoutMs: Int = 10000): HttpSchemaRegistry =
+    new HttpSchemaRegistry(
+      graft.connect.ClusterUri.splitUrlList(urlList, defaultScheme = "http").map(_.str),
+      timeoutMs)
+
   /** HTTP-backed registry speaking the Confluent subjects API the reference
     * uses (src/schema_registry/confluent_http_proxy.cpp:140-176 register,
     * :260-290 fetch): POST `/subjects/<subject>/versions` with a

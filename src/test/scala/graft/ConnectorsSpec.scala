@@ -259,3 +259,48 @@ class HttpRegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally server.stop(0)
   }
 }
+
+/** Reference URI utilities transcribed: tests/test7_cluster_uri.cpp and
+  * tests/test7_url_vector.cpp assertion sequences.
+  */
+class ClusterUriSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.connect.ClusterUri
+
+  test("cluster uri: scheme lowered, multi-host authority, path") {
+    val u = ClusterUri.parse("Zk://127.0.0.1:2181,192.168.100.44:2181/nisseGul")
+    assert(u.good && u.scheme == "zk")
+    assert(u.authority == "127.0.0.1:2181,192.168.100.44:2181")
+    assert(u.path == "/nisseGul")
+    assert(u.str == "zk://127.0.0.1:2181,192.168.100.44:2181/nisseGul")
+
+    val noPath = ClusterUri.parse("Zk://127.0.0.1:2181,192.168.100.44:2181")
+    assert(noPath.good && noPath.path == "" &&
+      noPath.str == "zk://127.0.0.1:2181,192.168.100.44:2181")
+  }
+
+  test("cluster uri: ipv6 authorities, whitespace stripped") {
+    val u = ClusterUri.parse(
+      "https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321, [::1]:5555 ,[0:0:0:0:0:0:0:1]:1432")
+    assert(u.good && u.scheme == "https" && u.path == "")
+    assert(u.authority == "[2001:db8:85a3:0:0:8a2e:370:7334]:4321,[::1]:5555,[0:0:0:0:0:0:0:1]:1432")
+    assert(u.str == "https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321,[::1]:5555,[0:0:0:0:0:0:0:1]:1432")
+  }
+
+  test("url list: full urls split on commas, default scheme applied") {
+    val v = ClusterUri.splitUrlList(
+      "Https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321/hfadsjkh, https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321/hfadsjkh")
+    assert(v.size == 2)
+    v.foreach { url =>
+      assert(url.good && url.scheme == "https")
+      assert(url.authority == "[2001:db8:85a3:0:0:8a2e:370:7334]:4321")
+      assert(url.path == "/hfadsjkh")
+      assert(url.str == "https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321/hfadsjkh")
+    }
+    val withDefault = ClusterUri.splitUrlList(
+      "Https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321/hfadsjkh, [2001:db8:85a3:0:0:8a2e:370:7334]:4321/hfadsjkh",
+      defaultScheme = "https")
+    assert(withDefault.size == 2)
+    withDefault.foreach(url => assert(url.good && url.scheme == "https" &&
+      url.str == "https://[2001:db8:85a3:0:0:8a2e:370:7334]:4321/hfadsjkh"))
+  }
+}
