@@ -21,7 +21,7 @@ object ClusterUri {
   def parse(s: String, defaultScheme: String = ""): ClusterUri = {
     val trimmed = s.trim
     val (scheme, rest) = trimmed.indexOf("://") match {
-      case -1 if defaultScheme.nonEmpty => (defaultScheme, trimmed)
+      case -1 if defaultScheme.nonEmpty => (defaultScheme.toLowerCase, trimmed)
       case -1 => return ClusterUri("", "", "")
       case i => (trimmed.substring(0, i).toLowerCase, trimmed.substring(i + 3))
     }

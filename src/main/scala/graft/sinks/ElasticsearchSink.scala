@@ -40,16 +40,20 @@ object ElasticsearchSink {
     * must be constructed lazily on the executor, not captured from the
     * driver.
     */
+  // one HttpClient per JVM (thread-safe), shared by every task's transport
+  // copy — per-task construction would churn a thread+connection pool per
+  // partition per trigger
+  @transient private lazy val sharedHttpClient = java.net.http.HttpClient.newHttpClient()
+
   private[sinks] final class SerializableHttpPost(uri: String, contentType: String)
       extends (String => Int) with Serializable {
-    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
     override def apply(payload: String): Int = {
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(uri))
         .header("Content-Type", contentType)
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
         .build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      sharedHttpClient.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
     }
   }
 

@@ -59,14 +59,19 @@ object InfluxSink {
     new ElasticsearchSink.SerializableHttpPost(
       s"$baseUrl/write?db=$db", "text/plain; charset=utf-8")
 
-  /** Write a (micro-)batch of line-protocol strings (first column); null
-    * lines (all-null-fields rows) are dropped.
+  /** Write a (micro-)batch of line-protocol strings (first column). Null
+    * lines — all-null-fields rows, or a null timestamp — cannot be sent
+    * (the server would reject the whole chunk) and are counted as client
+    * errors rather than silently vanishing.
     */
   def write(lines: DataFrame, transport: String => Int,
             maxLinesPerPost: Int = 1000): ElasticsearchSink.Stats = {
     val c = col(lines.columns.head).cast("string")
-    ElasticsearchSink.postChunks(
-      lines.select(c).filter(c.isNotNull), transport, maxLinesPerPost,
+    val all = lines.select(c.as("line"))
+    val stats = ElasticsearchSink.postChunks(
+      all.filter(col("line").isNotNull), transport, maxLinesPerPost,
       sep = "\n", suffix = "")
+    val invalid = all.filter(col("line").isNull).count()
+    stats.copy(clientErrors = stats.clientErrors + invalid)
   }
 }

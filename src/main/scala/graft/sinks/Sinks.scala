@@ -36,12 +36,6 @@ object Sinks {
       .option("topic", topic)
   }
 
-  /** Event-time-windowed file sink (sinks/avro_file_sink.h:58-96): the
-    * reference rotates one file per event-time window; the Spark analog is a
-    * directory partition per window bucket, giving the same
-    * one-file-set-per-window layout plus partition pruning on read.
-    * Format is parquet/avro-agnostic (`format` param).
-    */
   /** Tumbling-window bucket start in epoch millis — the single definition
     * of the rotation rule shared by the parquet and avro windowed sinks
     * (sinks/avro_file_sink.h:58-96 rotation).
@@ -49,6 +43,12 @@ object Sinks {
   def windowStartMs(eventTime: org.apache.spark.sql.Column, windowMs: Long): org.apache.spark.sql.Column =
     floor(unix_millis(eventTime) / windowMs).cast("long") * windowMs
 
+  /** Event-time-windowed file sink (sinks/avro_file_sink.h:58-96): the
+    * reference rotates one file per event-time window; the Spark analog is a
+    * directory partition per window bucket, giving the same
+    * one-file-set-per-window layout plus partition pruning on read.
+    * Format is parquet/avro-agnostic (`format` param).
+    */
   def windowedFiles(df: DataFrame, eventTimeCol: String, windowMs: Long,
                     path: String, format: String = "parquet"): Unit =
     df.withColumn("window_start", timestamp_millis(windowStartMs(col(eventTimeCol), windowMs)))

@@ -104,12 +104,16 @@ object CdcCursor {
     /** Reads the committed cursor. If the main file is missing but the temp
       * file exists, the process died between delete and rename — the temp
       * file holds the complete newer state (it is fully written and closed
-      * before the delete), so recovery uses it rather than restarting from
-      * scratch. The third line persists the eof flag so a configured
+      * before the delete), so recovery promotes it to the main path and
+      * reads that. The third line persists the eof flag so a configured
       * rescrape window applies across restarts.
       */
-    def load(): State =
-      readIfExists(hPath).orElse(readIfExists(tmpPath)) match {
+    def load(): State = {
+      // crash between delete and rename: promote the complete temp file to
+      // the main path first, so the recovered cursor is durable before the
+      // next commit truncates the temp file again
+      if (!fs.exists(hPath) && fs.exists(tmpPath)) fs.rename(tmpPath, hPath)
+      readIfExists(hPath) match {
         case Some(txt) => txt.split("\n", -1).toList match {
           case ts :: id :: rest =>
             State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty),
@@ -118,6 +122,7 @@ object CdcCursor {
         }
         case None => State(None, None, atEof = false)
       }
+    }
 
     def commit(s: State): Unit = {
       val out = fs.create(tmpPath, true)
@@ -152,15 +157,20 @@ object CdcCursor {
       rows += n
       // a ts-only cursor cannot advance past an equal-ts run of a full
       // page (`ts >= last` re-reads it verbatim) — fail loudly instead of
-      // re-delivering the same page forever
-      if (n == spec.maxItemsPerFetch && next.lastTs == state.lastTs && next.lastId == state.lastId)
+      // re-delivering the same page forever. A rescrape-at-eof poll
+      // (state.atEof) legitimately re-reads a window ending at the stored
+      // cursor, so the guard only applies to normal forward polls.
+      if (!state.atEof && n == spec.maxItemsPerFetch &&
+          next.lastTs == state.lastTs && next.lastId == state.lastId)
         throw new IllegalStateException(
           s"CDC cursor stuck: a full page of ${spec.maxItemsPerFetch} rows shares one cursor " +
             "position; configure idColumn (equal-ts tie-break) or raise maxItemsPerFetch")
       continue = !next.atEof
       state = next
+      // persist the final eof flag (for the next drain's rescrape) only if
+      // the last poll didn't already commit it with its page
+      if (!continue && n == 0) store.commit(state)
     }
-    store.commit(state) // persist the eof flag for the next drain's rescrape
     rows
   }
 
