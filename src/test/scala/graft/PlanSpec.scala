@@ -38,6 +38,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH signature stages run as native expressions, not Scala UDFs (x03/x05)") {
+    // the MinHash band keys and SRP signatures moved from UDFs into
+    // codegen Catalyst expressions; a regression back to ScalaUDF would
+    // silently reintroduce per-row boxing on the dedup/similarity scans
+    assert(!plan("x03_dedup_minhash_lsh").contains("ScalaUDF"), "x03")
+    assert(!plan("x05_ann_cosine_pairs").contains("ScalaUDF"), "x05")
+  }
+
   test("aggregations are hash aggregates with map-side partial merge (q05/q06)") {
     Seq("q05_count_by_key", "q06_sum_by_key").foreach { q =>
       val p = plan(q)
