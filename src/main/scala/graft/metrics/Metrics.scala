@@ -49,4 +49,55 @@ object Metrics {
     spark.streams.addListener(l)
     l
   }
+
+  /** Prometheus pushgateway reporter (reference:
+    * metrics/prometheus_pushgateway_reporter.h:11-30 + metrics.h:20-52
+    * naming): metrics render in the text exposition format as
+    * `kspp_<what>{mtype=...,unit=...,<tags>} value` and POST to
+    * `<gateway>/metrics/job/<job>`. Transport is the pluggable
+    * `(payload → status)` the other HTTP emitters use, so air-gapped tests
+    * inject a fake.
+    */
+  object Pushgateway {
+    final case class Metric(what: String, mtype: String, unit: String,
+                            labels: Map[String, String], value: Double)
+
+    private def escLabel(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+    /** One exposition line per metric, reference naming: `kspp_` prefix,
+      * mtype/unit as labels ahead of the processor tags.
+      */
+    def render(metrics: Seq[Metric]): String =
+      metrics.map { m =>
+        val labels = (Seq("mtype" -> m.mtype, "unit" -> m.unit) ++ m.labels.toSeq.sortBy(_._1))
+          .map { case (k, v) => s"""$k="${escLabel(v)}"""" }.mkString(",")
+        val v = if (m.value == m.value.toLong.toDouble) m.value.toLong.toString else m.value.toString
+        s"kspp_${m.what}{$labels} $v"
+      }.mkString("", "\n", "\n")
+
+    def httpTransport(gatewayBaseUrl: String, job: String): String => Int = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      payload => {
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"${gatewayBaseUrl.stripSuffix("/")}/metrics/job/$job"))
+          .header("Content-Type", "text/plain; version=0.0.4")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+          .build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      }
+    }
+
+    /** Push a listener's per-query totals as the reference's `processed`
+      * counters (kspp.h:32-38) tagged by query name.
+      */
+    def push(listener: GraftQueryListener, transport: String => Int): Int = {
+      import scala.jdk.CollectionConverters._
+      val metrics = listener.stats.asScala.toSeq.sortBy(_._1).flatMap { case (q, s) =>
+        Seq(Metric("processed", "counter", "msg", Map("query" -> q), s.rows.toDouble),
+          Metric("batches", "counter", "msg", Map("query" -> q), s.batches.toDouble))
+      }
+      transport(render(metrics))
+    }
+  }
 }

@@ -243,3 +243,40 @@ class PipelinesSpec extends SparkSpec {
     assert(rows == Seq(("ada", "36", "LDN"), ("grace", "45", "NYC")))
   }
 }
+
+/** Pushgateway reporter: reference metric naming in the text exposition
+  * format, POSTed to the job path — checked against a loopback gateway.
+  */
+class PushgatewaySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.metrics.Metrics.Pushgateway
+
+  test("render uses the reference naming: kspp_ prefix, mtype/unit labels") {
+    val text = Pushgateway.render(Seq(
+      Pushgateway.Metric("processed", "counter", "msg", Map("topic" -> "events"), 42.0),
+      Pushgateway.Metric("lag", "gauge", "ms", Map("partition" -> "0"), 12.5)))
+    assert(text ==
+      "kspp_processed{mtype=\"counter\",unit=\"msg\",topic=\"events\"} 42\n" +
+      "kspp_lag{mtype=\"gauge\",unit=\"ms\",partition=\"0\"} 12.5\n")
+  }
+
+  test("httpTransport posts to /metrics/job/<job> with the exposition payload") {
+    val received = new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      received.set((ex.getRequestURI.getPath,
+        new String(ex.getRequestBody.readAllBytes(), "UTF-8")))
+      ex.sendResponseHeaders(200, 0); ex.close()
+    })
+    server.start()
+    try {
+      val transport = Pushgateway.httpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}", job = "graft_test")
+      val status = transport(Pushgateway.render(Seq(
+        Pushgateway.Metric("processed", "counter", "msg", Map.empty, 7.0))))
+      assert(status == 200)
+      val (path, body) = received.get()
+      assert(path == "/metrics/job/graft_test")
+      assert(body == "kspp_processed{mtype=\"counter\",unit=\"msg\"} 7\n")
+    } finally server.stop(0)
+  }
+}
