@@ -25,6 +25,13 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Document-frequency cap for the declared x02 query — mirrored verbatim
+    * into the DuckDB oracle so Spark and DuckDB filter the same shingles.
+    * (Declared before `queries`/`oracleSql`: those vals interpolate it at
+    * object-init time, and a later declaration would still read as 0.)
+    */
+  val JaccardDfCap = 20L
+
   /** Latest-surviving-event-per-user snapshot (ktable semantics). */
   private def latestEvents(s: SparkSession, dir: String): DataFrame =
     Changelog.latestByKey(t(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
@@ -151,8 +158,15 @@ object Queries {
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Declared with the document-frequency cap: a shingle shared by k docs
+    // contributes k² join rows on one key, so the uncapped self-join is the
+    // one plan that dies at 100 TB (one boilerplate shingle in 1M docs = a
+    // 10¹²-row partition). Shingles with df > JaccardDfCap are dropped from
+    // the whole computation (broadcast anti-join); the oracle applies the
+    // identical filter, so results stay hash-matched at every SF.
     "x02_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)),
+      Dedup.jaccardPairs(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5,
+        maxShingleDf = Some(JaccardDfCap))),
 
     "x03_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)),
@@ -176,8 +190,16 @@ object Queries {
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
+    // Declared in the full-probe configuration (nProbe = nClusters): probing
+    // every cluster makes IVF mathematically identical to brute force, so the
+    // whole pipeline — codebook training, assignment, probe join, exact
+    // re-rank — is verified by a brute-force DuckDB oracle. The approximate
+    // production setting (nProbe << nClusters, where candidates scale with
+    // nProbe/nClusters instead of corpus size) is covered by the
+    // ExtensionsSpec recall test.
     "x06_ann_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10,
+        nClusters = 16, nProbe = 16)
         .select("query_id", "rank", "nbr_id")),
 
     "x07_ann_topk" -> ((s, dir) => {
@@ -308,7 +330,7 @@ object Queries {
     "x01_dedup_exact" ->
       "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY 1",
 
-    "x02_dedup_jaccard" -> jaccardOracle,
+    "x02_dedup_jaccard" -> cappedJaccardOracle,
 
     // LSH with 64 hashes / bands of 2 has recall ~1 at threshold 0.5 and the
     // candidates are exactly verified ⇒ same output as the exact operator.
@@ -340,10 +362,25 @@ object Queries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
 
+    // brute-force top-k over every vector as a query: in the declared
+    // full-probe configuration IVF's candidate set per query is the entire
+    // corpus (minus self), so the exact re-rank's output is identical to
+    // brute force — the clustering stages cancel out mathematically but the
+    // oracle still executes them end-to-end on the Spark side
+    "x06_ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
     "x07_ann_topk" ->
       // brute-force top-k is rank-deterministic (cos desc, nbr_id asc) and
-      // the output carries no float columns, so it hash-matches; x06 (IVF)
-      // stays rows-only + recall-tested — its clustering is not SQL
+      // the output carries no float columns, so it hash-matches
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
         |scored AS (
@@ -412,12 +449,22 @@ object Queries {
         |FROM documents""".stripMargin
   )
 
-  private lazy val jaccardOracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents
-      |), sh AS (
+  /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with
+    * document frequency above [[JaccardDfCap]] from the whole computation —
+    * the transcription of `Dedup.jaccardPairs`'s `maxShingleDf` anti-join.
+    */
+  private def jaccardOracleSql(capped: Boolean): String = {
+    val capCte =
+      if (capped)
+        s"""), hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $JaccardDfCap
+           |), sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)""".stripMargin
+      else "), sh AS (SELECT doc_id, s FROM sh0"
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents
+      |), sh0 AS (
       |  SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
       |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3
+      |$capCte
       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_cnt
@@ -426,4 +473,8 @@ object Queries {
       |       CAST(inter_cnt AS DOUBLE) / (x.n + y.n - inter_cnt) AS jaccard
       |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
       |WHERE CAST(inter_cnt AS DOUBLE) >= 0.5 * (x.n + y.n - inter_cnt)""".stripMargin
+  }
+
+  private lazy val jaccardOracle: String = jaccardOracleSql(capped = false)
+  private lazy val cappedJaccardOracle: String = jaccardOracleSql(capped = true)
 }

@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), "global sort would be a scale bug: " + p)
   }
 
+  test("x02's declared plan carries the shingle-df cap as a broadcast anti-join") {
+    // the skew guard: without it one hot shingle shared by k docs creates k²
+    // join rows on a single key; the declared query must never lose the cap
+    val p = plan("x02_dedup_jaccard")
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("codegen dot product appears in the x05 verification filter") {
     val p = plan("x05_ann_cosine_pairs")
     assert(p.contains("floatvectordot"), p.take(2000))
