@@ -141,21 +141,15 @@ object Dedup {
     */
   val SimHashBits = 60
 
-  /** SimHash per document over word occurrence hashes — narrow per-row work. */
+  /** SimHash per document over word occurrence hashes — narrow per-row work.
+    * The signature kernel is a native codegen expression
+    * ([[graft.functions.SimHash60]]), so the scan stays inside whole-stage
+    * codegen; null text coalesces to "" (signature 0, like token-less docs).
+    */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val simUdf = udf { text: String =>
-      val acc = new Array[Int](SimHashBits)
-      if (text != null) text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
-        val h = graft.functions.Hashing.md5Hash60(w)
-        var i = 0
-        while (i < SimHashBits) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
-      }
-      var sig = 0L
-      var i = 0
-      while (i < SimHashBits) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
-      sig
-    }
-    df.select(col(idCol).as("id"), simUdf(col(textCol)).as("simhash"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      call_function("graft_simhash", coalesce(col(textCol), lit("")), lit(SimHashBits)).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance <= maxHamming over SimHash

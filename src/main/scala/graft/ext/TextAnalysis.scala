@@ -87,19 +87,13 @@ object TextAnalysis {
     * embarrassingly parallel.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
-    val fpUdf = udf { text: String =>
-      if (text == null) Array.empty[Long]
-      else {
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < k) Array.empty[Long]
-        else {
-          val hashes = toks.sliding(k)
-            .map(gram => graft.functions.Hashing.md5Hash60(gram.mkString(" "))).toArray
-          if (hashes.length <= w) Array(hashes.min)
-          else hashes.sliding(w).map(_.min).toArray.distinct
-        }
-      }
-    }
-    df.select(col(idCol), explode(fpUdf(col(textCol))).as("fingerprint")).distinct()
+    // the kernel is a native codegen expression (graft.functions
+    // .WinnowFingerprints) — no ScalaUDF boxing on the document scan; null
+    // text coalesces to "" (no tokens → no fingerprints, like the old UDF)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      explode(call_function("graft_fingerprints",
+        coalesce(col(textCol), lit("")), lit(k), lit(w))).as("fingerprint"))
+      .distinct()
   }
 }

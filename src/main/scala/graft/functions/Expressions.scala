@@ -135,5 +135,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_srp_sig", es => SrpSignature(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       es => MinHashBands(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", es => SimHash60(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprints",
+      es => WinnowFingerprints(es(0), es(1), es(2)), "built-in")
   }
 }

@@ -38,12 +38,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("LSH signature stages run as native expressions, not Scala UDFs (x03/x05)") {
-    // the MinHash band keys and SRP signatures moved from UDFs into
-    // codegen Catalyst expressions; a regression back to ScalaUDF would
-    // silently reintroduce per-row boxing on the dedup/similarity scans
-    assert(!plan("x03_dedup_minhash_lsh").contains("ScalaUDF"), "x03")
-    assert(!plan("x05_ann_cosine_pairs").contains("ScalaUDF"), "x05")
+  test("signature stages run as native expressions, not Scala UDFs (x03/x04/x05/x10)") {
+    // the MinHash band keys, SRP signatures, SimHash and winnowing
+    // fingerprints all moved from UDFs into codegen Catalyst expressions; a
+    // regression back to ScalaUDF would silently reintroduce per-row boxing
+    // on the dedup/similarity/fingerprint scans
+    Seq("x03_dedup_minhash_lsh", "x04_dedup_simhash", "x05_ann_cosine_pairs",
+      "x10_fingerprints").foreach { q =>
+      assert(!plan(q).contains("ScalaUDF"), q)
+    }
   }
 
   test("aggregations are hash aggregates with map-side partial merge (q05/q06)") {
