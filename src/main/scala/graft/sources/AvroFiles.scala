@@ -189,22 +189,79 @@ object AvroFiles {
 
   /** Event-time-windowed avro sink (sinks/avro_file_sink.h:58-96): one
     * directory of container files per event-time window, the same
-    * one-file-set-per-window layout the reference's rotation produces. The
-    * window list is bounded (time span / windowMs), so the per-window driver
-    * loop is not a scale concern; rows are partition-pruned per window by
-    * the filter, not collected.
+    * one-file-set-per-window layout the reference's rotation produces.
+    *
+    * Executes as ONE Spark job regardless of the window count: rows are
+    * repartitioned by window (plus a deterministic hash salt when
+    * `filesPerWindow` > 1, so a hot window spreads over several tasks) and
+    * [[WindowedAvroKeyOutputFormat]] routes each record into its window's
+    * `window_start=<ms>/` subdirectory under the task attempt path — the
+    * standard FileOutputCommitter then promotes the subdirectories
+    * atomically, so task retries and speculation stay safe. The previous
+    * shape (one filtered write job per collected window) serialized ~9k jobs
+    * for a year of hour windows; this is a single shuffle + write pass.
     */
-  def writeWindowed(df: DataFrame, eventTimeCol: String, windowMs: Long, path: String): Unit = {
+  def writeWindowed(df: DataFrame, eventTimeCol: String, windowMs: Long, path: String,
+                    filesPerWindow: Int = 1): Unit = {
+    val st = df.schema
+    val schema = toAvroRecord(st, "row")
+    val schemaJson = schema.toString
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, schema)
     val withWin = df.withColumn("__w",
       graft.sinks.Sinks.windowStartMs(col(eventTimeCol), windowMs))
-      // the windows scan + one filtered pass per window would otherwise
-      // re-execute the upstream plan n_windows + 1 times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val windows = withWin.select("__w").distinct().collect().map(_.getLong(0)).sorted
-      windows.foreach { w =>
-        write(withWin.filter(col("__w") === w).drop("__w"), s"$path/window_start=$w")
+    // salt must be deterministic in the row (not partition-id/random): a
+    // shuffle-fetch retry recomputes the map side, and nondeterministic
+    // routing would duplicate or drop rows
+    val parts =
+      if (filesPerWindow <= 1) withWin.repartition(col("__w"))
+      else withWin.repartition(col("__w"),
+        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerWindow)))
+    val nFields = st.fields.length
+    parts.rdd.mapPartitions { it =>
+      val s = new Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        (new org.apache.hadoop.io.LongWritable(row.getLong(nFields)),
+          new AvroKey[GenericRecord](rowToRecord(Row.fromSeq(row.toSeq.take(nFields)), st, s)))
       }
-    } finally withWin.unpersist()
+    }.saveAsNewAPIHadoopFile(path, classOf[org.apache.hadoop.io.LongWritable],
+      classOf[AvroKey[GenericRecord]], classOf[WindowedAvroKeyOutputFormat], job.getConfiguration)
+  }
+}
+
+/** Routes `(windowStartMs, record)` pairs into one avro container file set
+  * per `window_start=<ms>/` subdirectory of the task's committer work path.
+  * Instantiated reflectively by the Hadoop write path, so it must stay a
+  * top-level class with a no-arg constructor.
+  */
+class WindowedAvroKeyOutputFormat
+    extends org.apache.hadoop.mapreduce.lib.output.FileOutputFormat[
+      org.apache.hadoop.io.LongWritable, AvroKey[GenericRecord]] {
+  import org.apache.hadoop.io.LongWritable
+  import org.apache.hadoop.mapreduce.{RecordWriter, TaskAttemptContext}
+  import org.apache.hadoop.mapreduce.lib.output.{FileOutputCommitter, FileOutputFormat}
+
+  override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[LongWritable, AvroKey[GenericRecord]] = {
+    val conf = ctx.getConfiguration
+    val schema = AvroJob.getOutputKeySchema(conf)
+    val workPath = getOutputCommitter(ctx).asInstanceOf[FileOutputCommitter].getWorkPath
+    val fileName = FileOutputFormat.getUniqueFile(ctx, "part", ".avro")
+    new RecordWriter[LongWritable, AvroKey[GenericRecord]] {
+      private val writers =
+        scala.collection.mutable.Map.empty[Long, org.apache.avro.file.DataFileWriter[GenericRecord]]
+
+      private def writerFor(w: Long) = writers.getOrElseUpdate(w, {
+        val file = new org.apache.hadoop.fs.Path(workPath, s"window_start=$w/$fileName")
+        val out = file.getFileSystem(conf).create(file, false)
+        new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+          .create(schema, out)
+      })
+
+      override def write(key: LongWritable, value: AvroKey[GenericRecord]): Unit =
+        writerFor(key.get).append(value.datum())
+
+      override def close(ctx: TaskAttemptContext): Unit = writers.values.foreach(_.close())
+    }
   }
 }

@@ -80,6 +80,45 @@ class FileFormatsSpec extends SparkSpec {
     assert(total == 200)
   }
 
+  test("windowed avro sink's job count is O(1) in the window count (salted hot windows)") {
+    // the per-window job loop it replaced serialized n_windows + 1 jobs — a
+    // ~9k sequential-job driver loop for a year of hour windows at 100 TB.
+    // AQE runs the repartition shuffle and the write as separate jobs, so
+    // the constant is ~3; the assertion is that it stays far below the
+    // window count, i.e. does not scale with it.
+    val hourMs = 3600000L
+    val events = Tables.load(spark, sf(), "events").limit(2000)
+    val expected = events.count()
+    val root = tmpDir("avro_win_1job") + "/out"
+    val sc = spark.sparkContext
+    sc.setJobGroup("avro_win_1job", "windowed write job count")
+    try AvroFiles.writeWindowed(events, "ts", hourMs, root, filesPerWindow = 2)
+    finally sc.clearJobGroup()
+    // the status store is fed by an async listener: poll until it has seen
+    // at least one job of the group and the count stays stable
+    var jobs = Array.empty[Int]
+    val deadline = System.nanoTime() + 5000000000L
+    while ((jobs.isEmpty || jobs.length !=
+        sc.statusTracker.getJobIdsForGroup("avro_win_1job").length) &&
+        System.nanoTime() < deadline) {
+      jobs = sc.statusTracker.getJobIdsForGroup("avro_win_1job")
+      Thread.sleep(100)
+    }
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length > 10, s"expected many hour windows, saw ${dirs.length}")
+    assert(jobs.length <= 4,
+      s"write ran ${jobs.length} jobs for ${dirs.length} windows — job count must not scale with windows")
+    assert(dirs.forall(_.startsWith("window_start=")))
+    val total = dirs.map { d =>
+      val w = d.stripPrefix("window_start=").toLong
+      val part = AvroFiles.read(spark, s"$root/$d")
+      val times = part.select(unix_millis(col("ts"))).collect().map(_.getLong(0))
+      assert(times.forall(t => (t / hourMs) * hourMs == w), s"stray event time in $d")
+      times.length
+    }.sum
+    assert(total == expected)
+  }
+
   test("parquet windowed file sink writes one partition dir per window (Sinks.windowedFiles)") {
     val events = Tables.load(spark, sf(), "events").limit(100)
     val root = tmpDir("pq_win") + "/out"
