@@ -131,11 +131,23 @@ object KinesisV2 {
     override def stop(): Unit = ()
     override def latestOffset(): Offset =
       throw new UnsupportedOperationException("paced via SupportsAdmissionControl")
+    // NOTE: the maxRows limit this source emits (and therefore receives
+    // back in latestOffset) is interpreted PER SHARD, matching the option
+    // name `maxRecordsPerShardBatch` — shards are Kinesis's unit of
+    // ordered, rate-limited consumption (GetRecords caps are per shard), so
+    // per-shard pacing is the semantics a Kinesis user configures. Spark's
+    // ReadLimit plumbing conventionally bounds the whole batch, but the
+    // only producer of a maxRows limit here is this very source's
+    // getDefaultReadLimit (admission control echoes it back, possibly
+    // wrapped in a composite by Trigger.AvailableNow), so no whole-batch
+    // contract is violated; a batch admits at most
+    // numShards × maxRecordsPerShardBatch rows.
     override def getDefaultReadLimit: ReadLimit =
       ReadLimit.maxRows(conf.maxRecordsPerShardBatch.toLong)
 
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val s = start.asInstanceOf[KinesisOffset]
+      // per-shard cap — see the getDefaultReadLimit note
       def rowCap(l: ReadLimit): Int = l match {
         case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
           r.maxRows().min(Int.MaxValue.toLong).toInt

@@ -240,6 +240,12 @@ object MqttSink {
         try {
           it.foreach { r =>
             if (r.isNullAt(1)) skipped.add(1)
+            else if (r.isNullAt(0))
+              // the key IS the topic: silently skipping would lose data, and
+              // publishing to "null" would misroute it
+              throw new IllegalArgumentException(
+                s"MqttSink: null key in column '$keyCol' — the key is the MQTT topic " +
+                  "and cannot be null; filter or default keys upstream")
             else {
               val n = client.publish(r.get(0).toString, r.get(1).toString.getBytes(UTF_8), qos)
               inserted.add(1); bytes.add(n)

@@ -127,9 +127,12 @@ object Dedup {
     * pair (the standard survivor rule; reference pipelines keep
     * first-by-key the same way) removes at least one of every detected
     * duplicate pair in a single anti-join — no iterative connected
-    * components, so it scales as one broadcast/shuffle join. Chains (a~b,
-    * b~c but a!~c) keep only the smallest id of each chain because every
-    * non-minimal element appears as some pair's d2.
+    * components, so it scales as one broadcast/shuffle join. The guarantee
+    * is per-pair only: of every detected pair, the d2 side is dropped. A
+    * chain's minimum always survives, but other members can too — for
+    * pairs (1,3),(2,3), both 1 and 2 survive since 2 never appears as a
+    * d2. Collapsing whole chains to one survivor needs connected
+    * components, which this deliberately avoids.
     */
   def keepList(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")

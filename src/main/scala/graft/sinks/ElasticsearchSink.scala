@@ -33,7 +33,7 @@ object ElasticsearchSink {
     batch.select(action.as("bulk_cmd"))
   }
 
-  final case class Stats(ok: Long, clientErrors: Long, serverErrors: Long)
+  final case class Stats(ok: Long, clientErrors: Long, serverErrors: Long, retries: Long = 0)
 
   /** Serializable POST transport shared by the HTTP sinks: the function
     * ships into `foreachPartition`, so the (non-serializable) HttpClient
@@ -65,34 +65,67 @@ object ElasticsearchSink {
 
   /** Shared chunked-POST loop for HTTP batch sinks: groups `maxPerPost`
     * string rows per payload and classifies response statuses into the
-    * reference producer's 2xx/4xx/5xx counters.
+    * reference producer's 2xx/4xx/5xx counters, all in one pass over the
+    * input (null rows are counted — not posted — in the same pass, so the
+    * invalid count cannot disagree with the posted set under a
+    * non-deterministic upstream).
+    *
+    * A 5xx answer retries the same payload up to `maxRetries` times with
+    * exponential backoff (`backoffMs`, doubled per attempt) before counting
+    * the chunk as a server error — the reference producer's bounded
+    * retry-on-HTTP_SERVER_ERROR loop (elasticsearch_producer.h:17-120,
+    * elasticsearch_producer.cpp retry path). 4xx is never retried: the
+    * payload will not get better.
     */
   private[sinks] def postChunks(lines: DataFrame, transport: String => Int,
-                                maxPerPost: Int, sep: String, suffix: String): Stats = {
+                                maxPerPost: Int, sep: String, suffix: String,
+                                countNullAsClientError: Boolean = false,
+                                maxRetries: Int = 0, backoffMs: Long = 100): Stats = {
     val sc = lines.sparkSession.sparkContext
     val ok = sc.longAccumulator("http_2xx")
     val clientErr = sc.longAccumulator("http_4xx")
     val serverErr = sc.longAccumulator("http_5xx")
+    val retried = sc.longAccumulator("http_retries")
     lines.foreachPartition { (it: Iterator[Row]) =>
-      it.grouped(maxPerPost).foreach { chunk =>
-        val payload = chunk.map(_.getString(0)).mkString("", sep, suffix)
-        val n = chunk.size.toLong
-        transport(payload) match {
+      val buf = new scala.collection.mutable.ArrayBuffer[String](maxPerPost)
+      def flush(): Unit = if (buf.nonEmpty) {
+        val payload = buf.mkString("", sep, suffix)
+        val n = buf.size.toLong
+        var status = transport(payload)
+        var attempt = 0
+        while (status >= 500 && attempt < maxRetries) {
+          if (backoffMs > 0) Thread.sleep(backoffMs << attempt)
+          attempt += 1
+          retried.add(1)
+          status = transport(payload)
+        }
+        status match {
           case s if s >= 200 && s < 300 => ok.add(n)
           case s if s >= 400 && s < 500 => clientErr.add(n)
           case _                        => serverErr.add(n)
         }
+        buf.clear()
       }
+      it.foreach { r =>
+        if (r.isNullAt(0)) { if (countNullAsClientError) clientErr.add(1) }
+        else {
+          buf += r.getString(0)
+          if (buf.size >= maxPerPost) flush()
+        }
+      }
+      flush()
     }
-    Stats(ok.value, clientErr.value, serverErr.value)
+    Stats(ok.value, clientErr.value, serverErr.value, retried.value)
   }
 
   /** Write a (micro-)batch: per partition, group `maxDocsPerBulk` commands
     * per POST. Returns 2xx/4xx/5xx counts (the reference's
-    * `success`/`http4xx`/`http5xx` metrics).
+    * `success`/`http4xx`/`http5xx` metrics); `maxRetries`/`backoffMs`
+    * bound the per-chunk 5xx retry loop.
     */
   def write(batch: DataFrame, index: String, idCol: String, tombstoneCol: Option[String],
-            transport: String => Int, maxDocsPerBulk: Int = 500): Stats =
+            transport: String => Int, maxDocsPerBulk: Int = 500,
+            maxRetries: Int = 0, backoffMs: Long = 100): Stats =
     postChunks(bulkCommands(batch, index, idCol, tombstoneCol), transport, maxDocsPerBulk,
-      sep = "\n", suffix = "\n")
+      sep = "\n", suffix = "\n", countNullAsClientError = false, maxRetries, backoffMs)
 }

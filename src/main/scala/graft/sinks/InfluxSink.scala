@@ -65,13 +65,14 @@ object InfluxSink {
     * errors rather than silently vanishing.
     */
   def write(lines: DataFrame, transport: String => Int,
-            maxLinesPerPost: Int = 1000): ElasticsearchSink.Stats = {
+            maxLinesPerPost: Int = 1000,
+            maxRetries: Int = 0, backoffMs: Long = 100): ElasticsearchSink.Stats = {
     val c = col(lines.columns.head).cast("string")
     val all = lines.select(c.as("line"))
-    val stats = ElasticsearchSink.postChunks(
-      all.filter(col("line").isNotNull), transport, maxLinesPerPost,
-      sep = "\n", suffix = "")
-    val invalid = all.filter(col("line").isNull).count()
-    stats.copy(clientErrors = stats.clientErrors + invalid)
+    // nulls are counted inside the same single pass that posts the valid
+    // lines — a second action over a non-deterministic upstream could
+    // disagree with the posted set
+    ElasticsearchSink.postChunks(all, transport, maxLinesPerPost,
+      sep = "\n", suffix = "", countNullAsClientError = true, maxRetries, backoffMs)
   }
 }

@@ -189,6 +189,14 @@ class FileFormatsSpec extends SparkSpec {
     val out = tagged.as[String].collect().sorted
     assert(out.contains("cpu,region=us\\ west\\,1 status=\"o\\\"k\",load=0.5 1"), out.mkString("|"))
     assert(out.contains("cpu,region=eu load=1.5 2"), out.mkString("|")) // null field omitted
+
+    // an all-null-fields row renders a null line: counted as a client error
+    // in the SAME pass that posts the valid lines (no second action)
+    val df3 = Seq((Option(0.5), 1L), (Option.empty[Double], 2L)).toDF("load", "ts_ns")
+    val lines3 = df3.select(InfluxSink.lineProtocol(df3, "m", Seq.empty,
+      Seq("load" -> col("load")), col("ts_ns")).as("line"))
+    val s3 = InfluxSink.write(lines3, _ => 204)
+    assert(s3 == graft.sinks.ElasticsearchSink.Stats(1, 1, 0))
   }
 
   test("streaming windowed file sink appends one partition dir per window") {
@@ -250,6 +258,48 @@ class FileFormatsSpec extends SparkSpec {
     val wc = ElasticsearchSink.bulkCommands(weird, "idx", "k", Some("payload"))
       .as[String].collect().head
     assert(wc.startsWith("{\"index\":{\"_index\":\"idx\",\"_id\":\"a\\\"b\\\\c\"}}\n"), wc)
+  }
+
+  test("ES sink bounded 5xx retry with backoff against a loopback server (elasticsearch_producer.h:17-120)") {
+    import spark.implicits._
+    // 0 = fail twice then succeed; any other value = always answer that status
+    val forced = new java.util.concurrent.atomic.AtomicInteger(0)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      val n = attempts.incrementAndGet()
+      ex.getRequestBody.readAllBytes()
+      val status = if (forced.get() != 0) forced.get() else if (n <= 2) 503 else 200
+      ex.sendResponseHeaders(status, -1); ex.close()
+    })
+    server.start()
+    try {
+      val batch = Seq((1L, Some("a"), 1L), (2L, Some("b"), 2L)).toDF("k", "payload", "v")
+        .repartition(1) // one chunk → deterministic retry sequence
+      val transport = ElasticsearchSink.httpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+
+      // transient 5xx: two retries, then the chunk lands as a success
+      val s = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), transport,
+        maxDocsPerBulk = 10, maxRetries = 3, backoffMs = 1)
+      assert(s == ElasticsearchSink.Stats(2, 0, 0, retries = 2))
+      assert(attempts.get() == 3)
+
+      // permanent 5xx: the retry loop is BOUNDED — maxRetries attempts, then
+      // the chunk counts as server errors
+      forced.set(503); attempts.set(0)
+      val s2 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), transport,
+        maxDocsPerBulk = 10, maxRetries = 2, backoffMs = 1)
+      assert(s2 == ElasticsearchSink.Stats(0, 0, 2, retries = 2))
+      assert(attempts.get() == 3) // 1 initial + 2 retries
+
+      // 4xx is never retried — the payload will not get better
+      forced.set(404); attempts.set(0)
+      val s3 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), transport,
+        maxDocsPerBulk = 10, maxRetries = 3, backoffMs = 1)
+      assert(s3 == ElasticsearchSink.Stats(0, 2, 0, retries = 0))
+      assert(attempts.get() == 1)
+    } finally server.stop(0)
   }
 }
 
