@@ -57,6 +57,32 @@ object SigV4 {
   }
 
   def amzDateNow(): String = mapperDate.format(Instant.now())
+
+  private[connect] def sha256HexBytes(b: Array[Byte]): String = sha256Hex(b)
+
+  /** Generic SigV4 Authorization header over an arbitrary header set (the
+    * Kinesis POST above is the fixed-header special case; the S3 offset
+    * store signs GET/PUT object requests with this). `headers` must be
+    * exactly the headers the request will send — lowercase names, no
+    * duplicates — and the request must carry no query string.
+    */
+  def authorizationFor(method: String, path: String, headers: Seq[(String, String)],
+                       payloadHash: String, amzDate: String, region: String, service: String,
+                       accessKey: String, secretKey: String): String = {
+    val dateStamp = amzDate.take(8)
+    val sorted = headers.map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = sorted.map(_._1).mkString(";")
+    val canonicalRequest = s"$method\n$path\n\n$canonicalHeaders\n$signedHeaders\n$payloadHash"
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val stringToSign =
+      s"AWS4-HMAC-SHA256\n$amzDate\n$scope\n${sha256Hex(canonicalRequest.getBytes(UTF_8))}"
+    val signingKey = hmac(hmac(hmac(hmac(
+      ("AWS4" + secretKey).getBytes(UTF_8), dateStamp), region), service), "aws4_request")
+    val signature = hmac(signingKey, stringToSign).map("%02x".format(_)).mkString
+    s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+  }
 }
 
 /** Kinesis string source (reference:

@@ -83,13 +83,24 @@ object CdcCursor {
   }
 
   /** Durable cursor storage, the reference's `offset_storage_provider`
-    * (utils/offset_storage_provider.h:9-71 — file/S3/kafka backends; this is
-    * the file backend, and any Hadoop-visible path — including `s3a://` —
-    * works the same way). Commit is atomic (write temp + rename) so a crash
-    * mid-commit replays the previous page instead of losing the cursor —
-    * the same at-least-once stance as the reference's commit chain.
+    * (utils/offset_storage_provider.h:9-71) applied to the CDC cursor:
+    * pluggable backends behind one load/commit contract. The reference's
+    * pure-int64 provider surface (file/S3/null + URI factory, buffered
+    * commits) lives in [[graft.connect.OffsetStorage]]; these stores keep
+    * the richer (ts, id, eof) cursor the (ts,id)-keyed rescrape needs.
     */
-  final class FileOffsetStore(spark: SparkSession, path: String) {
+  trait CursorStore {
+    def load(): State
+    def commit(s: State): Unit
+  }
+
+  /** File backend ([[CursorStore]] over any Hadoop filesystem — an
+    * `s3a://` path works the same way). Commit is atomic (write temp +
+    * rename) so a crash mid-commit replays the previous page instead of
+    * losing the cursor — the same at-least-once stance as the reference's
+    * commit chain.
+    */
+  final class FileOffsetStore(spark: SparkSession, path: String) extends CursorStore {
     private val hPath = new org.apache.hadoop.fs.Path(path)
     private val tmpPath = new org.apache.hadoop.fs.Path(path + ".tmp")
     private val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,13 +145,42 @@ object CdcCursor {
     }
   }
 
+  /** S3 backend: the same 3-line text cursor as [[FileOffsetStore]], one
+    * object via the SigV4-signed
+    * [[graft.connect.OffsetStorage.S3ObjectClient]] — the reference's
+    * s3_offset_storage pattern (features/aws/s3_offset_storage_provider.h)
+    * applied to the CDC cursor. An S3 PUT replaces the whole object
+    * atomically, so no temp/rename dance is needed; a failed commit throws,
+    * and the retained previous cursor replays the page (at-least-once).
+    */
+  final class S3CursorStore(client: graft.connect.OffsetStorage.S3ObjectClient)
+      extends CursorStore {
+    def load(): State =
+      client.get(None) match {
+        case Some(bytes) =>
+          new String(bytes, "UTF-8").split("\n", -1).toList match {
+            case ts :: id :: rest =>
+              State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty),
+                atEof = rest.headOption.contains("1"))
+            case _ => State(None, None, atEof = false)
+          }
+        case None => State(None, None, atEof = false)
+      }
+
+    def commit(s: State): Unit = {
+      val payload = (s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("") +
+        "\n" + (if (s.atEof) "1" else "0")).getBytes("UTF-8")
+      if (!client.put(payload)) sys.error("cursor commit PUT to s3 failed")
+    }
+  }
+
   /** Drain everything currently available: poll until eof, handing each page
     * to `sink` and committing the cursor after the page's effects are
     * durable (sink first, then commit — at-least-once, like the reference's
     * commit chain ordering). Returns the number of rows seen.
     */
   def drain(spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
-            spec: Spec, store: FileOffsetStore)(sink: DataFrame => Unit): Long = {
+            spec: Spec, store: CursorStore)(sink: DataFrame => Unit): Long = {
     var state = store.load()
     var rows = 0L
     var continue = true

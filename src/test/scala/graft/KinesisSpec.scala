@@ -28,6 +28,22 @@ class KinesisSpec extends SparkSpec {
       "Signature=42794ce55de6bbc838eac2d8a4efb114053ae0f2cf4103c78e369bd33798fda7")
   }
 
+  test("generic SigV4 (S3 GET with range) matches an independently computed vector") {
+    // Same Python hashlib/hmac cross-implementation as above, over the S3
+    // offset store's ranged GET header set.
+    val emptyHash = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    val auth = SigV4.authorizationFor(
+      method = "GET", path = "/bucket/cursor",
+      headers = Seq("host" -> "127.0.0.1:9000", "range" -> "bytes=0-7",
+        "x-amz-content-sha256" -> emptyHash, "x-amz-date" -> "20260812T120000Z"),
+      payloadHash = emptyHash, amzDate = "20260812T120000Z",
+      region = "us-east-1", service = "s3",
+      accessKey = "AKIDEXAMPLE", secretKey = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    assert(auth == "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20260812/us-east-1/s3/aws4_request, " +
+      "SignedHeaders=host;range;x-amz-content-sha256;x-amz-date, " +
+      "Signature=2ea1695bc17f941ce267930a7aabc81857a561c0539c8c7c1611d0cf18d01c77")
+  }
+
   /** Scripted two-shard stream: DescribeStream pages (HasMoreShards on the
     * first page, like kinesis_consumer.cpp:124-144 expects), iterator per
     * shard, then per-iterator GetRecords chains ending in an empty page.
