@@ -83,9 +83,11 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => errors += name; None }
+        } catch { case _: Throwable => None }
       }
-      // -1 = failed every run (never report a crash as a fast success)
+      // -1 + errors entry = failed EVERY run (never report a crash as a
+      // fast success); a single-run hiccup with a surviving run is noise
+      if (times.isEmpty) errors += name
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val streaming =

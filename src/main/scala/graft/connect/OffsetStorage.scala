@@ -101,10 +101,11 @@ object OffsetStorage {
         if (b.length < 8) OffsetBeginning else fromBytes(b)
       }
 
-    override protected def persistOffset(offset: Long): Boolean = {
-      Files.write(path, toBytes(offset))
-      true
-    }
+    override protected def persistOffset(offset: Long): Boolean =
+      // contract: false on failure (watermark stays behind, next commit
+      // retries) — a full disk must not crash commit()/close()
+      try { Files.write(path, toBytes(offset)); true }
+      catch { case _: java.io.IOException => false }
   }
 
   /** null_offset_storage (offset_storage_provider.h:62-71): start(STORED)
@@ -150,17 +151,32 @@ object OffsetStorage {
         java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     }
 
-    /** GET (optionally ranged); None on any non-2xx or transport failure. */
-    def get(range: Option[String]): Option[Array[Byte]] =
-      try {
-        val resp = send("GET", Array.emptyByteArray, range)
-        if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
-      } catch { case _: java.io.IOException | _: InterruptedException => None }
+    /** GET (optionally ranged): Some on 2xx, None ONLY on 404 ("no offset
+      * stored yet"). A transport failure or any other status THROWS — a
+      * transient network blip must not masquerade as a missing object, or
+      * a restarting job would silently rewind to the beginning of the
+      * stream and mass-reprocess.
+      */
+    def get(range: Option[String]): Option[Array[Byte]] = {
+      val resp =
+        try send("GET", Array.emptyByteArray, range)
+        catch { case e: InterruptedException => Thread.currentThread().interrupt(); throw e }
+      resp.statusCode() match {
+        case s if s / 100 == 2 => Some(resp.body())
+        case 404               => None
+        case s                 => sys.error(s"s3 GET $objectPath failed with status $s")
+      }
+    }
 
-    /** PUT; false on any non-2xx or transport failure. */
+    /** PUT; false on any non-2xx or IO failure (the store's commit
+      * watermark then stays behind and the next commit retries).
+      */
     def put(body: Array[Byte]): Boolean =
       try send("PUT", body, None).statusCode() / 100 == 2
-      catch { case _: java.io.IOException | _: InterruptedException => false }
+      catch {
+        case _: java.io.IOException => false
+        case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+      }
   }
 
   private object S3ObjectClient {
@@ -169,8 +185,12 @@ object OffsetStorage {
 
   /** s3_offset_storage (s3_offset_storage_provider.cpp:87-137): the offset
     * is an 8-byte object at `bucket/key`; load GETs `Range: bytes=0-7`, a
-    * missing object starts from the beginning, persist PUTs and leaves the
-    * flushed watermark behind on failure (retried by the next commit).
+    * missing (404) object starts from the beginning, persist PUTs and
+    * leaves the flushed watermark behind on failure (retried by the next
+    * commit). Deliberate divergence: the reference also maps transport
+    * errors to OFFSET_BEGINNING (cpp:93-107); here they fail the load
+    * instead, because silently rewinding a 100 TB pipeline to the start on
+    * a network blip is worse than failing fast.
     */
   final class S3Store(client: S3ObjectClient) extends Store {
     override protected def loadOffset(): Long =

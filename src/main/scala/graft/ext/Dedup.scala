@@ -59,7 +59,11 @@ object Dedup {
       case Some(cap) =>
         val hot = cached.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        cached.join(broadcast(hot), Seq("shingle"), "left_anti").select("id", "shingle")
+        // no broadcast hint: with a low cap over web-scale text the hot set
+        // is itself large (every boilerplate shingle in the corpus), and a
+        // forced broadcast would collect it to the driver; AQE broadcasts
+        // it anyway whenever it is actually small
+        cached.join(hot, Seq("shingle"), "left_anti").select("id", "shingle")
       case None => cached
     }
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))

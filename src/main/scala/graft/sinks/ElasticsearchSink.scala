@@ -88,16 +88,21 @@ object ElasticsearchSink {
     val retried = sc.longAccumulator("http_retries")
     lines.foreachPartition { (it: Iterator[Row]) =>
       val buf = new scala.collection.mutable.ArrayBuffer[String](maxPerPost)
+      // a transport-level failure (connection refused, timeout) is the same
+      // transient outage as a 5xx answer — map it to a synthetic 599 so one
+      // loop retries both instead of an IOException failing the whole task
+      def attemptPost(payload: String): Int =
+        try transport(payload) catch { case _: java.io.IOException => 599 }
       def flush(): Unit = if (buf.nonEmpty) {
         val payload = buf.mkString("", sep, suffix)
         val n = buf.size.toLong
-        var status = transport(payload)
+        var status = attemptPost(payload)
         var attempt = 0
         while (status >= 500 && attempt < maxRetries) {
           if (backoffMs > 0) Thread.sleep(backoffMs << attempt)
           attempt += 1
           retried.add(1)
-          status = transport(payload)
+          status = attemptPost(payload)
         }
         status match {
           case s if s >= 200 && s < 300 => ok.add(n)

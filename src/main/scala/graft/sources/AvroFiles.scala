@@ -193,13 +193,22 @@ object AvroFiles {
     *
     * Executes as ONE Spark job regardless of the window count: rows are
     * repartitioned by window (plus a deterministic hash salt when
-    * `filesPerWindow` > 1, so a hot window spreads over several tasks) and
+    * `filesPerWindow` > 1, so a hot window spreads over several tasks),
+    * sorted by window within each partition, and
     * [[WindowedAvroKeyOutputFormat]] routes each record into its window's
     * `window_start=<ms>/` subdirectory under the task attempt path — the
     * standard FileOutputCommitter then promotes the subdirectories
     * atomically, so task retries and speculation stay safe. The previous
     * shape (one filtered write job per collected window) serialized ~9k jobs
     * for a year of hour windows; this is a single shuffle + write pass.
+    *
+    * The in-partition sort exists so the writer holds ONE open file at a
+    * time (Spark's own dynamic-partition insert sorts for the same reason):
+    * a task whose partition spans thousands of sparse windows would
+    * otherwise hold thousands of open streams and exhaust file handles.
+    * Repeated runs against the same root appends new windows (and new
+    * job-unique files into existing windows), matching the old
+    * per-window-directory append behavior.
     */
   def writeWindowed(df: DataFrame, eventTimeCol: String, windowMs: Long, path: String,
                     filesPerWindow: Int = 1): Unit = {
@@ -214,9 +223,10 @@ object AvroFiles {
     // shuffle-fetch retry recomputes the map side, and nondeterministic
     // routing would duplicate or drop rows
     val parts =
-      if (filesPerWindow <= 1) withWin.repartition(col("__w"))
-      else withWin.repartition(col("__w"),
-        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerWindow)))
+      (if (filesPerWindow <= 1) withWin.repartition(col("__w"))
+       else withWin.repartition(col("__w"),
+         pmod(xxhash64(df.columns.map(col): _*), lit(filesPerWindow))))
+        .sortWithinPartitions(col("__w"))
     val nFields = st.fields.length
     parts.rdd.mapPartitions { it =>
       val s = new Schema.Parser().parse(schemaJson)
@@ -233,35 +243,63 @@ object AvroFiles {
   * per `window_start=<ms>/` subdirectory of the task's committer work path.
   * Instantiated reflectively by the Hadoop write path, so it must stay a
   * top-level class with a no-arg constructor.
+  *
+  * Input arrives sorted by window (writeWindowed sorts within partitions),
+  * so only ONE file is open at a time — a window change closes the current
+  * writer and opens the next. An out-of-order regression (unsorted caller)
+  * still writes correctly: the reopened window gets a `-r<n>` sequence
+  * suffix rather than an unbounded writer cache or a create-conflict.
   */
 class WindowedAvroKeyOutputFormat
     extends org.apache.hadoop.mapreduce.lib.output.FileOutputFormat[
       org.apache.hadoop.io.LongWritable, AvroKey[GenericRecord]] {
   import org.apache.hadoop.io.LongWritable
-  import org.apache.hadoop.mapreduce.{RecordWriter, TaskAttemptContext}
+  import org.apache.hadoop.mapreduce.{JobContext, RecordWriter, TaskAttemptContext}
   import org.apache.hadoop.mapreduce.lib.output.{FileOutputCommitter, FileOutputFormat}
+
+  /** The default check rejects an existing output root, which would forbid
+    * appending a new day's windows to an existing dataset — the per-window
+    * append the old per-window writer supported. Files can't collide:
+    * names carry the job id (unique per Spark job) and the task id.
+    */
+  override def checkOutputSpecs(ctx: JobContext): Unit =
+    require(FileOutputFormat.getOutputPath(ctx) != null, "output path not set")
 
   override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[LongWritable, AvroKey[GenericRecord]] = {
     val conf = ctx.getConfiguration
     val schema = AvroJob.getOutputKeySchema(conf)
     val workPath = getOutputCommitter(ctx).asInstanceOf[FileOutputCommitter].getWorkPath
-    val fileName = FileOutputFormat.getUniqueFile(ctx, "part", ".avro")
+    // job-unique + task-unique: repeated writeWindowed runs against the same
+    // root merge into existing window dirs without name conflicts
+    val taskId = ctx.getTaskAttemptID.getTaskID
+    val fileName = s"part-${taskId.getJobID.getJtIdentifier}-${"%05d".format(taskId.getId)}"
     new RecordWriter[LongWritable, AvroKey[GenericRecord]] {
-      private val writers =
-        scala.collection.mutable.Map.empty[Long, org.apache.avro.file.DataFileWriter[GenericRecord]]
+      private var current: Long = Long.MinValue
+      private var writer: org.apache.avro.file.DataFileWriter[GenericRecord] = null
+      private val opened = scala.collection.mutable.Map.empty[Long, Int]
 
-      private def writerFor(w: Long) = writers.getOrElseUpdate(w, {
-        val file = new org.apache.hadoop.fs.Path(workPath, s"window_start=$w/$fileName")
+      private def open(w: Long): Unit = {
+        val seq = opened.getOrElse(w, 0)
+        opened(w) = seq + 1
+        val suffix = if (seq == 0) ".avro" else s"-r$seq.avro"
+        val file = new org.apache.hadoop.fs.Path(workPath, s"window_start=$w/$fileName$suffix")
         val out = file.getFileSystem(conf).create(file, false)
-        new org.apache.avro.file.DataFileWriter[GenericRecord](
+        writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
           new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
           .create(schema, out)
-      })
+        current = w
+      }
 
-      override def write(key: LongWritable, value: AvroKey[GenericRecord]): Unit =
-        writerFor(key.get).append(value.datum())
+      override def write(key: LongWritable, value: AvroKey[GenericRecord]): Unit = {
+        if (writer == null || key.get != current) {
+          if (writer != null) writer.close()
+          open(key.get)
+        }
+        writer.append(value.datum())
+      }
 
-      override def close(ctx: TaskAttemptContext): Unit = writers.values.foreach(_.close())
+      override def close(ctx: TaskAttemptContext): Unit =
+        if (writer != null) writer.close()
     }
   }
 }

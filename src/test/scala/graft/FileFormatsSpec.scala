@@ -119,6 +119,22 @@ class FileFormatsSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("windowed avro sink appends later runs into an existing root (periodic batch job)") {
+    import spark.implicits._
+    val dayMs = 86400000L
+    val root = tmpDir("avro_win_append") + "/out"
+    def mk(rows: (Long, String)*) = rows.toSeq.toDF("ms", "payload")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    AvroFiles.writeWindowed(mk((dayMs * 10 + 1, "a")), "ts", dayMs, root)
+    // second run: same window gets more rows (job-unique file names), and a
+    // new window appears — must not FileAlreadyExistsException on the root
+    AvroFiles.writeWindowed(mk((dayMs * 10 + 2, "b"), (dayMs * 11 + 1, "c")), "ts", dayMs, root)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq(s"window_start=${dayMs * 10}", s"window_start=${dayMs * 11}"))
+    assert(AvroFiles.read(spark, s"$root/window_start=${dayMs * 10}").count() == 2)
+    assert(AvroFiles.read(spark, s"$root/window_start=${dayMs * 11}").count() == 1)
+  }
+
   test("parquet windowed file sink writes one partition dir per window (Sinks.windowedFiles)") {
     val events = Tables.load(spark, sf(), "events").limit(100)
     val root = tmpDir("pq_win") + "/out"
@@ -299,6 +315,13 @@ class FileFormatsSpec extends SparkSpec {
         maxDocsPerBulk = 10, maxRetries = 3, backoffMs = 1)
       assert(s3 == ElasticsearchSink.Stats(0, 2, 0, retries = 0))
       assert(attempts.get() == 1)
+
+      // transport-level failure (connection refused) rides the same bounded
+      // retry loop as a 5xx instead of failing the Spark task
+      val dead = ElasticsearchSink.httpTransport("http://127.0.0.1:1")
+      val s4 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), dead,
+        maxDocsPerBulk = 10, maxRetries = 1, backoffMs = 1)
+      assert(s4 == ElasticsearchSink.Stats(0, 0, 2, retries = 1))
     } finally server.stop(0)
   }
 }
