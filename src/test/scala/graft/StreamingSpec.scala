@@ -169,6 +169,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("counter store on RocksDB provider merges additively across checkpoint restart (test2_rocksdb_counter_store parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    GraftSession.useRocksDbState(spark)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toFile.getAbsolutePath
+      val input = MemoryStream[KRecord[Int, Long]]
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KRecord[Int, Long]]()
+      def start() = StatefulOps.counterByKey(input.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[KRecord[Int, Long]], _: Long) =>
+          b.collect().foreach(emitted.add)
+        }
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // the reference sequence: insert 1s for keys 0/1/2, merge +1 on 2,
+      // then reopen the store from disk and keep counting
+      val q1 = start()
+      try {
+        input.addData(KRecord.of(0, 1L, 100L), KRecord.of(1, 1L, 100L), KRecord.of(2, 1L, 100L))
+        q1.processAllAvailable()
+        input.addData(KRecord.of(2, 1L, 110L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the checkpoint: RocksDB state recovers, so key 2's
+      // next merge starts from 2, and a negative merge aggregates (the
+      // reference accepts old-timestamp updates on counters — aggregation,
+      // not LWW)
+      val q2 = start()
+      try {
+        input.addData(KRecord.of(2, 2L, 90L), KRecord.of(0, -2L, 120L))
+        q2.processAllAvailable()
+        val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted).asScala.toSeq
+        // the merge keeps the biggest timestamp (test2_rocksdb_counter_store
+        // "keep biggest timestamp - not latest"), so ts stays 110
+        assert(rows.contains(KRecord.of(2, 4L, 110L)), s"rocksdb count after restart: $rows")
+        assert(rows.contains(KRecord.of(0, -1L, 120L)), s"negative merge: $rows")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("delay holds records until eventTime + delay <= watermark (delay.h:36-53)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
