@@ -28,7 +28,7 @@ object Bench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    def run(n: Int, keys: Int): (Double, Double) = {
+    def run(n: Int, keys: Int): (Double, Double, Double) = {
       // latestByKey: n upserts over `keys` distinct keys
       val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, String]]
       in1.addData((0 until n).map(i => KRecord.of((i % keys).toLong, "v" + i, i.toLong)))
@@ -51,15 +51,28 @@ object Bench {
         .trigger(Trigger.AvailableNow()).start()
       q2.awaitTermination()
       val join = n / ((System.nanoTime() - t1) / 1e9)
-      (lww, join)
+
+      // table×table changelog join: updates on both sides of each key
+      val in4 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, String]]
+      val in5 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, Long]]
+      in4.addData((0 until n / 2).map(i => KRecord.of((i % keys).toLong, "l" + i, i.toLong)))
+      in5.addData((0 until n / 2).map(i => KRecord.of((i % keys).toLong, i.toLong, i.toLong)))
+      val t2 = System.nanoTime()
+      val q3 = StatefulOps.tableTableJoinChangelog(in4.toDS(), in5.toDS(), StatefulOps.OuterJoin)
+        .writeStream.format("noop").outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+      val ttJoin = n / ((System.nanoTime() - t2) / 1e9)
+      (lww, join, ttJoin)
     }
 
     run(10000, 1000) // warmup: JIT + state-store init land here
     // same noise stance as the batch queries: two measured runs, best wins
-    val (lww1, join1) = run(400000, 10000)
-    val (lww2, join2) = run(400000, 10000)
+    val (lww1, join1, tt1) = run(400000, 10000)
+    val (lww2, join2, tt2) = run(400000, 10000)
     Map("latestByKey_rows_per_sec" -> math.max(lww1, lww2),
-      "streamTableJoin_rows_per_sec" -> math.max(join1, join2))
+      "streamTableJoin_rows_per_sec" -> math.max(join1, join2),
+      "tableTableJoin_rows_per_sec" -> math.max(tt1, tt2))
   }
 
   def main(args: Array[String]): Unit = {

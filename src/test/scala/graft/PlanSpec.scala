@@ -67,7 +67,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), "global sort would be a scale bug: " + p)
   }
 
-  test("x02's declared plan carries the shingle-df cap as a broadcast anti-join") {
+  test("x02's declared plan carries the shingle-df cap as an anti-join") {
     // the skew guard: without it one hot shingle shared by k docs creates k²
     // join rows on a single key; the declared query must never lose the cap
     val p = plan("x02_dedup_jaccard")
