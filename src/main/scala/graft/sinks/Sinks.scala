@@ -67,4 +67,18 @@ object Sinks {
   /** Test/debug sinks (null_sink / array_sink / stream_sink → console,
     * memory, collect are Spark built-ins; nothing to wrap).
     */
+
+  /** Bucketed, sorted table write — the 100 TB co-located join path
+    * (SURVEY §9): both sides of a recurring equi-join written with the same
+    * `numBuckets`/`keys` are read pre-partitioned, so the join (and
+    * aggregations on the keys) runs with NO exchange at all. This is the
+    * Spark-native analog of the reference's stable Kafka partitioning-by-key
+    * contract (repartition.h routes records so downstream joins are
+    * co-partitioned); PlanSpec pins the exchange-free plan.
+    */
+  def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 }

@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+import graft.sinks.Sinks
 
 /** Physical-plan regression tests: the properties that make the declared
   * queries scale — filter/projection pushdown into the parquet scan,
@@ -77,6 +80,33 @@ class PlanSpec extends SparkSpec {
   test("codegen dot product appears in the x05 verification filter") {
     val p = plan("x05_ann_cosine_pairs")
     assert(p.contains("floatvectordot"), p.take(2000))
+  }
+
+  test("bucketed tables join and aggregate with NO exchange (co-located join path)") {
+    import graft.sources.Tables
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the test exercises the big-big join shape the
+    // bucketing exists for (at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sinks.bucketedTable(Tables.load(spark, sf(), "customer"),
+        "bkt_customer", 4, Seq("c_custkey"))
+      Sinks.bucketedTable(Tables.load(spark, sf(), "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bkt_orders", 4, Seq("o_custkey"))
+      val joined = spark.table("bkt_orders").join(spark.table("bkt_customer"),
+        col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("tp"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange"),
+        "bucketed join must be exchange-free: " + p.take(1500))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
   }
 
   test("flagship entry plan broadcasts dims and aggregates pre-shuffle (partial agg)") {
