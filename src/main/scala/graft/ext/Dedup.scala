@@ -21,6 +21,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Streaming exact dedup for continuous ingest: emits the FIRST arrival
+    * of each content hash, drops re-arrivals within the watermark horizon.
+    * Built on `dropDuplicatesWithinWatermark`, the scale path for unbounded
+    * streams — per-key state is bounded by the horizon instead of growing
+    * with all history (an unbounded `dropDuplicates` would eventually hold
+    * every hash ever seen). `eventTimeCol` must be a timestamp column;
+    * duplicates arriving later than `horizon` re-emit (the standard
+    * watermark-dedup contract — size state for the duplication window the
+    * pipeline actually has).
+    */
+  def exactStream(df: DataFrame, idCol: String, textCol: String,
+                  eventTimeCol: String, horizon: String): DataFrame =
+    df.select(col(idCol), col(eventTimeCol), md5(col(textCol)).as("text_hash"))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Distinct word n-gram shingles per document: (id, shingle). Narrow
     * per-row generation, then a distinct (one shuffle).
     */

@@ -21,6 +21,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("streaming exact dedup keeps first arrival per content hash across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val ded = graft.ext.Dedup.exactStream(
+      input.toDF().toDF("doc_id", "ms", "text")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"ms")).drop("ms"),
+      "doc_id", "text", "ts", "10 seconds")
+    val q = ded.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, 100000L, "aaa"), (2L, 101000L, "bbb"))
+      q.processAllAvailable()
+      // cross-batch duplicate within the horizon is dropped; new text passes
+      input.addData((3L, 102000L, "aaa"), (4L, 103000L, "ccc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 4L), s"survivors: $ids")
+    } finally q.stop()
+  }
+
   test("jaccard hot-shingle cap: generous cap is exact, tight cap still finds planted dups") {
     val shingles = Dedup.wordShingles(docs, "doc_id", "text", 3)
     val exact = Dedup.jaccardPairs(shingles, 0.5).select("d1", "d2")
