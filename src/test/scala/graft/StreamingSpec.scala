@@ -63,6 +63,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed store expiry tombstones also fire on the RocksDB provider (test2_rocksdb_windowed_store parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    GraftSession.useRocksDbState(spark)
+    try {
+      val input = MemoryStream[KRecord[Int, String]]
+      val q = StatefulOps.windowedLatestByKey(input.toDS(), retentionMs = 1000L)
+        .writeStream.format("memory").queryName("win_rocks_out").outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        input.addData(KRecord.of(1, "v1", 1000L))
+        q.processAllAvailable()
+        input.addData(KRecord.of(9, "later", 10000L))
+        q.processAllAvailable()
+        input.addData(KRecord.of(9, "later2", 20000L))
+        q.processAllAvailable()
+        val rows = spark.table("win_rocks_out").as[KRecord[Int, String]].collect().toSeq
+        assert(rows.contains(KRecord.of(1, "v1", 1000L)))
+        assert(rows.exists(r => r.key == 1 && r.isTombstone), s"no GC tombstone in $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("punctuatedCount follows count.h cadence: snapshot at boundary, stamped with deadline, only when dirty") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
