@@ -29,11 +29,14 @@ object Dedup {
     * every hash ever seen). `eventTimeCol` must be a timestamp column;
     * duplicates arriving later than `horizon` re-emit (the standard
     * watermark-dedup contract — size state for the duplication window the
-    * pipeline actually has).
+    * pipeline actually has). The surviving row passes through WHOLE (all
+    * payload columns plus `text_hash`): dedup state stores only the key +
+    * timestamp regardless of row width, so keeping the document costs
+    * nothing and saves the caller a stream-stream join back to the source.
     */
   def exactStream(df: DataFrame, idCol: String, textCol: String,
                   eventTimeCol: String, horizon: String): DataFrame =
-    df.select(col(idCol), col(eventTimeCol), md5(col(textCol)).as("text_hash"))
+    df.withColumn("text_hash", md5(col(textCol)))
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 

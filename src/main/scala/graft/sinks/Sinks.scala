@@ -76,9 +76,12 @@ object Sinks {
     * contract (repartition.h routes records so downstream joins are
     * co-partitioned); PlanSpec pins the exchange-free plan.
     */
-  def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit =
+  def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketedTable needs at least one bucket/sort key")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     df.write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 }

@@ -38,8 +38,13 @@ class ExtensionsSpec extends SparkSpec {
       // cross-batch duplicate within the horizon is dropped; new text passes
       input.addData((3L, 102000L, "aaa"), (4L, 103000L, "ccc"))
       q.processAllAvailable()
-      val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      val out = spark.table("dedup_stream")
+      // the surviving row passes through whole: payload columns intact
+      assert(out.columns.toSet == Set("doc_id", "text", "ts", "text_hash"), s"cols: ${out.columns.mkString(",")}")
+      val ids = out.select("doc_id").as[Long].collect().toSet
       assert(ids == Set(1L, 2L, 4L), s"survivors: $ids")
+      val texts = out.select("text").as[String].collect().toSet
+      assert(texts == Set("aaa", "bbb", "ccc"), s"payloads: $texts")
     } finally q.stop()
   }
 

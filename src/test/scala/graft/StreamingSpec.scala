@@ -15,6 +15,31 @@ import graft.streaming.StatefulOps
   */
 class StreamingSpec extends SparkSpec {
 
+  /** Runs `body` with the RocksDB state-store provider enabled, restoring
+    * BOTH confs [[GraftSession.useRocksDbState]] sets (the session is shared
+    * across suites, so leaking changelogCheckpointing would make later tests
+    * order-dependent).
+    */
+  private def withRocksDbState(body: => Unit): Unit = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    GraftSession.useRocksDbState(spark)
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Creates a temp checkpoint dir for `body` and deletes it afterwards. */
+  private def withTempCheckpoint(prefix: String)(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toFile.getAbsolutePath)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming ktable: LWW across micro-batches, update mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -42,12 +67,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("windowed table emits expiry tombstones when the watermark passes retention") {
+  /** Golden expiry-tombstone sequence, shared across state-store providers
+    * (test2_mem_windowed_store / test2_rocksdb_windowed_store parity).
+    */
+  private def windowedExpiryGolden(queryName: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KRecord[Int, String]]
     val q = StatefulOps.windowedLatestByKey(input.toDS(), retentionMs = 1000L)
-      .writeStream.format("memory").queryName("win_out").outputMode("update")
+      .writeStream.format("memory").queryName(queryName).outputMode("update")
       .trigger(Trigger.ProcessingTime(0)).start()
     try {
       input.addData(KRecord.of(1, "v1", 1000L))
@@ -57,37 +85,18 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(KRecord.of(9, "later2", 20000L))
       q.processAllAvailable()
-      val rows = spark.table("win_out").as[KRecord[Int, String]].collect().toSeq
+      val rows = spark.table(queryName).as[KRecord[Int, String]].collect().toSeq
       assert(rows.contains(KRecord.of(1, "v1", 1000L)))
       assert(rows.exists(r => r.key == 1 && r.isTombstone), s"no GC tombstone in $rows")
     } finally q.stop()
   }
 
+  test("windowed table emits expiry tombstones when the watermark passes retention") {
+    windowedExpiryGolden("win_out")
+  }
+
   test("windowed store expiry tombstones also fire on the RocksDB provider (test2_rocksdb_windowed_store parity)") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    GraftSession.useRocksDbState(spark)
-    try {
-      val input = MemoryStream[KRecord[Int, String]]
-      val q = StatefulOps.windowedLatestByKey(input.toDS(), retentionMs = 1000L)
-        .writeStream.format("memory").queryName("win_rocks_out").outputMode("update")
-        .trigger(Trigger.ProcessingTime(0)).start()
-      try {
-        input.addData(KRecord.of(1, "v1", 1000L))
-        q.processAllAvailable()
-        input.addData(KRecord.of(9, "later", 10000L))
-        q.processAllAvailable()
-        input.addData(KRecord.of(9, "later2", 20000L))
-        q.processAllAvailable()
-        val rows = spark.table("win_rocks_out").as[KRecord[Int, String]].collect().toSeq
-        assert(rows.contains(KRecord.of(1, "v1", 1000L)))
-        assert(rows.exists(r => r.key == 1 && r.isTombstone), s"no GC tombstone in $rows")
-      } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    withRocksDbState { windowedExpiryGolden("win_rocks_out") }
   }
 
   test("punctuatedCount follows count.h cadence: snapshot at boundary, stamped with deadline, only when dirty") {
@@ -124,32 +133,33 @@ class StreamingSpec extends SparkSpec {
   test("keyed state survives a query restart from checkpoint (commit_chain/offset_storage parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
-    val input = MemoryStream[KRecord[Int, String]]
-    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KRecord[Int, String]]()
-    def start() = StatefulOps.latestByKey(input.toDS())
-      .writeStream.outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[KRecord[Int, String]], _: Long) =>
-        b.collect().foreach(emitted.add)
-      }
-      .trigger(Trigger.ProcessingTime(0)).start()
-    val q1 = start()
-    try {
-      input.addData(KRecord.of(1, "v1", 100L))
-      q1.processAllAvailable()
-    } finally q1.stop()
-    // restart from the same checkpoint: the LWW cell for key 1 must be
-    // recovered, so a stale update is still rejected
-    val q2 = start()
-    try {
-      input.addData(KRecord.of(1, "stale", 50L), KRecord.of(1, "v2", 200L))
-      q2.processAllAvailable()
-      val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted).asScala.toSeq
-      assert(rows.contains(KRecord.of(1, "v1", 100L)))
-      assert(rows.contains(KRecord.of(1, "v2", 200L)))
-      assert(!rows.exists(_.value.contains("stale")), s"stale accepted after restart: $rows")
-    } finally q2.stop()
+    withTempCheckpoint("graft_ckpt") { ckpt =>
+      val input = MemoryStream[KRecord[Int, String]]
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KRecord[Int, String]]()
+      def start() = StatefulOps.latestByKey(input.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[KRecord[Int, String]], _: Long) =>
+          b.collect().foreach(emitted.add)
+        }
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val q1 = start()
+      try {
+        input.addData(KRecord.of(1, "v1", 100L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the same checkpoint: the LWW cell for key 1 must be
+      // recovered, so a stale update is still rejected
+      val q2 = start()
+      try {
+        input.addData(KRecord.of(1, "stale", 50L), KRecord.of(1, "v2", 200L))
+        q2.processAllAvailable()
+        val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted).asScala.toSeq
+        assert(rows.contains(KRecord.of(1, "v1", 100L)))
+        assert(rows.contains(KRecord.of(1, "v2", 200L)))
+        assert(!rows.exists(_.value.contains("stale")), s"stale accepted after restart: $rows")
+      } finally q2.stop()
+    }
   }
 
   test("throttle: source admission options and batch pacing (thoughput_limiter.h parity)") {
@@ -170,9 +180,7 @@ class StreamingSpec extends SparkSpec {
   test("stateful ops run on the RocksDB state store provider (rocksdb_store parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    GraftSession.useRocksDbState(spark)
-    try {
+    withRocksDbState {
       val input = MemoryStream[KRecord[Int, String]]
       val q = StatefulOps.latestByKey(input.toDS())
         .writeStream.format("memory").queryName("rocks_out").outputMode("update")
@@ -190,54 +198,47 @@ class StreamingSpec extends SparkSpec {
         assert(progress.stateOperators.nonEmpty)
         assert(q.recentProgress.flatMap(_.stateOperators).exists(_.numRowsTotal == 2))
       } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
   test("counter store on RocksDB provider merges additively across checkpoint restart (test2_rocksdb_counter_store parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    GraftSession.useRocksDbState(spark)
-    try {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toFile.getAbsolutePath
-      val input = MemoryStream[KRecord[Int, Long]]
-      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KRecord[Int, Long]]()
-      def start() = StatefulOps.counterByKey(input.toDS())
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[KRecord[Int, Long]], _: Long) =>
-          b.collect().foreach(emitted.add)
-        }
-        .trigger(Trigger.ProcessingTime(0)).start()
-      // the reference sequence: insert 1s for keys 0/1/2, merge +1 on 2,
-      // then reopen the store from disk and keep counting
-      val q1 = start()
-      try {
-        input.addData(KRecord.of(0, 1L, 100L), KRecord.of(1, 1L, 100L), KRecord.of(2, 1L, 100L))
-        q1.processAllAvailable()
-        input.addData(KRecord.of(2, 1L, 110L))
-        q1.processAllAvailable()
-      } finally q1.stop()
-      // restart from the checkpoint: RocksDB state recovers, so key 2's
-      // next merge starts from 2, and a negative merge aggregates (the
-      // reference accepts old-timestamp updates on counters — aggregation,
-      // not LWW)
-      val q2 = start()
-      try {
-        input.addData(KRecord.of(2, 2L, 90L), KRecord.of(0, -2L, 120L))
-        q2.processAllAvailable()
-        val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted).asScala.toSeq
-        // the merge keeps the biggest timestamp (test2_rocksdb_counter_store
-        // "keep biggest timestamp - not latest"), so ts stays 110
-        assert(rows.contains(KRecord.of(2, 4L, 110L)), s"rocksdb count after restart: $rows")
-        assert(rows.contains(KRecord.of(0, -1L, 120L)), s"negative merge: $rows")
-      } finally q2.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withRocksDbState {
+      withTempCheckpoint("graft_rocks_ckpt") { ckpt =>
+        val input = MemoryStream[KRecord[Int, Long]]
+        val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KRecord[Int, Long]]()
+        def start() = StatefulOps.counterByKey(input.toDS())
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[KRecord[Int, Long]], _: Long) =>
+            b.collect().foreach(emitted.add)
+          }
+          .trigger(Trigger.ProcessingTime(0)).start()
+        // the reference sequence: insert 1s for keys 0/1/2, merge +1 on 2,
+        // then reopen the store from disk and keep counting
+        val q1 = start()
+        try {
+          input.addData(KRecord.of(0, 1L, 100L), KRecord.of(1, 1L, 100L), KRecord.of(2, 1L, 100L))
+          q1.processAllAvailable()
+          input.addData(KRecord.of(2, 1L, 110L))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        // restart from the checkpoint: RocksDB state recovers, so key 2's
+        // next merge starts from 2, and a negative merge aggregates (the
+        // reference accepts old-timestamp updates on counters — aggregation,
+        // not LWW)
+        val q2 = start()
+        try {
+          input.addData(KRecord.of(2, 2L, 90L), KRecord.of(0, -2L, 120L))
+          q2.processAllAvailable()
+          val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted).asScala.toSeq
+          // the merge keeps the biggest timestamp (test2_rocksdb_counter_store
+          // "keep biggest timestamp - not latest"), so ts stays 110
+          assert(rows.contains(KRecord.of(2, 4L, 110L)), s"rocksdb count after restart: $rows")
+          assert(rows.contains(KRecord.of(0, -1L, 120L)), s"negative merge: $rows")
+        } finally q2.stop()
+      }
     }
   }
 
