@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GStream
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ops.{Changelog, Joins}
 import graft.sources.Tables
 
@@ -31,6 +31,18 @@ object Queries {
     * object-init time, and a later declaration would still read as 0.)
     */
   val JaccardDfCap = 20L
+
+  /** x15 decontamination parameters, mirrored into the DuckDB oracle: the
+    * published 13-gram recipe, holdout = doc_id % 10 == 7, boilerplate
+    * grams (df > cap across both corpora) dropped before the join.
+    */
+  val DecontamN = 13
+  val DecontamGramDfCap = 20L
+
+  /** x16 split parameters: seed and cumulative bucket bounds (0.8/0.1/0.1
+    * of [[graft.ext.Sampling.Buckets]]), mirrored into the oracle.
+    */
+  val SplitSeed = "graft"
 
   /** Latest-surviving-event-per-user snapshot (ktable semantics). */
   private def latestEvents(s: SparkSession, dir: String): DataFrame =
@@ -233,7 +245,25 @@ object Queries {
     // the deterministic output size
     "x14_mm_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF().select(col("id"), length(col("payload")).cast("long").as("n_bytes")))
+        .toDF().select(col("id"), length(col("payload")).cast("long").as("n_bytes"))),
+
+    // train/eval decontamination: 13-gram overlap between the train docs
+    // and a holdout slice, boilerplate-capped — the pre-training leakage
+    // sweep. Declared capped for the same skew-safety reason as x02.
+    "x15_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = DecontamN, maxGramDf = Some(DecontamGramDfCap))
+    }),
+
+    // deterministic hash split: reproducible train/val/test assignment as a
+    // pure function of (seed, id) — no rand(), no partitioning dependence
+    "x16_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id", SplitSeed,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "bucket", "split"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -446,7 +476,35 @@ object Queries {
 
     "x14_mm_resize" ->
       """SELECT doc_id AS id, (octet_length(CAST(text AS BLOB)) + 1) // 2 AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "x15_decontaminate" ->
+      // transcription of Decontaminate.ngramOverlap: distinct 13-grams per
+      // doc, symmetric df cap across both corpora, equi-join + pair count.
+      // (Spark joins on 60-bit md5 gram hashes; the oracle joins on the gram
+      // strings — identical counts absent a 2⁻⁶⁰ collision.)
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > $DecontamGramDfCap),
+        |ok AS (SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot))
+        |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM (SELECT * FROM ok WHERE doc_id % 10 <> 7) tr
+        |JOIN (SELECT * FROM ok WHERE doc_id % 10 = 7) ev USING (g)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x16_hash_split" ->
+      // transcription of Sampling.bucketOf: md5Hash60("graft:" || id) mod
+      // 10000, split by the cumulative 0.8/0.1/0.1 bucket bounds
+      s"""WITH b AS (SELECT doc_id,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: flag training documents that share word
+  * n-grams with a holdout (benchmark/eval) corpus — the standard
+  * test-set-leakage sweep run over web-scale training data before a model
+  * sees it (13-gram overlap in the published GPT-3 appendix-C recipe;
+  * PaLM and Llama report the same shape with n ∈ [8, 13]).
+  *
+  * Scale shape: each side reduces to distinct (doc, gram-hash) rows —
+  * narrow per-row explode, one distinct — and contamination is a hash
+  * equi-join on the gram hash, never an all-pairs document compare. Join
+  * keys are 60-bit md5 hashes (8-byte shuffle keys instead of ~100-byte
+  * gram strings), so the shuffle volume is bounded by gram COUNT, not gram
+  * text. The holdout side (benchmark suites) is orders of magnitude
+  * smaller than the train side, so AQE broadcasts it and the train grams
+  * never shuffle at all; with both sides large the join degrades to a
+  * plain shuffled hash join — still linear in gram count.
+  */
+object Decontaminate {
+
+  /** 60-bit md5 hash of a string column — [[graft.functions.Hashing.md5Hash60]]
+    * expressed in built-in functions (base-16 `conv` of the first 15 hex
+    * chars), so it stays inside whole-stage codegen AND the DuckDB oracle
+    * can recompute it exactly.
+    */
+  def gramHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word-n-gram hashes per document: (id, gram_h). Documents
+    * shorter than `n` tokens contribute no grams (nothing to leak). Two
+    * distinct grams of one doc colliding at 60 bits would merge
+    * (probability ~n_grams²/2⁶¹ — negligible against corpus noise).
+    */
+  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val grams = transform(
+      sequence(lit(0), size(col("__t")) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*))
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"), explode(grams).as("gram"))
+      .select(col("id"), gramHash(col("gram")).as("gram_h"))
+      .distinct()
+  }
+
+  /** Contaminated (train, eval) document pairs with the number of shared
+    * n-grams: (train_id, eval_id, n_shared), n_shared >= 1.
+    *
+    * `maxGramDf` drops grams whose document frequency across BOTH corpora
+    * exceeds the cap before the join — the skew guard for boilerplate
+    * (license headers, navigation chrome): a gram present in a train docs
+    * and b eval docs contributes a×b join rows on one key, so one
+    * ubiquitous gram is a quadratic hot partition. Ubiquitous grams are
+    * also the least indicative of leakage, which is why published
+    * decontamination recipes drop them outright rather than weighting.
+    */
+  def ngramOverlap(train: DataFrame, holdout: DataFrame, idCol: String, textCol: String,
+                   n: Int = 13, maxGramDf: Option[Long] = None): DataFrame = {
+    val tg = docGrams(train, idCol, textCol, n)
+    val eg = docGrams(holdout, idCol, textCol, n)
+    val (tf, ef) = maxGramDf match {
+      case Some(cap) =>
+        // df over the union: the cap decision must be symmetric, or a gram
+        // could survive on one side only and the join would see a phantom
+        val hot = tg.select("gram_h").union(eg.select("gram_h"))
+          .groupBy("gram_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("gram_h")
+        // re-select: the using-column join moves gram_h to the front, and
+        // the positional toDF renames below need (id, gram_h) order
+        (tg.join(hot, Seq("gram_h"), "left_anti").select("id", "gram_h"),
+          eg.join(hot, Seq("gram_h"), "left_anti").select("id", "gram_h"))
+      case None => (tg, eg)
+    }
+    tf.toDF("train_id", "gram_h")
+      .join(ef.toDF("eval_id", "gram_h"), Seq("gram_h"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The decontamination *decision*: the training set minus every document
+    * that shares at least one n-gram with the holdout — one distinct on the
+    * small pair set plus one anti-join.
+    */
+  def cleanTrainSet(train: DataFrame, idCol: String, overlap: DataFrame): DataFrame =
+    train.join(overlap.select(col("train_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, seed-stable sampling and splitting for training-data
+  * pipelines. A training corpus needs its train/val/test assignment to be a
+  * pure function of (seed, document id) — reproducible across reruns,
+  * stable under repartitioning, and consistent when the corpus grows (a doc
+  * keeps its split forever) — which rules out `DataFrame.sample`/`rand()`
+  * (plan- and partitioning-dependent). The idiom here is the standard
+  * hash-bucket split: bucket = h(seed, id) mod 10000, split by cumulative
+  * bucket ranges.
+  *
+  * Scale shape: pure per-row Column expressions inside whole-stage codegen —
+  * no shuffle, no state, no driver participation; filters on the bucket
+  * column combine with predicate pushdown when the bucket is materialized.
+  */
+object Sampling {
+
+  /** Bucket granularity: fractions resolve to 1/10000ths. */
+  val Buckets = 10000
+
+  /** Deterministic bucket in [0, Buckets) from (seed, id):
+    * [[graft.functions.Hashing.md5Hash60]] of "seed:id" (built-in-function
+    * form, codegen'd and DuckDB-reproducible) mod Buckets.
+    */
+  def bucketOf(id: Column, seed: String): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % Buckets
+
+  /** Adds (bucket, split) columns assigning each row to a named split by
+    * cumulative bucket ranges — e.g. `Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1)` maps buckets [0,8000) / [8000,9000) / [9000,10000).
+    * Fractions must sum to 1 (to within one bucket).
+    */
+  def hashSplit(df: DataFrame, idCol: String, seed: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) * Buckets < 1.0,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    val b = col("bucket")
+    // last split takes the remainder of rounding, so every bucket is assigned
+    val assign = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), rest) => when(b < bound, name).otherwise(rest)
+    }
+    df.withColumn("bucket", bucketOf(col(idCol), seed))
+      .withColumn("split", assign)
+  }
+
+  /** Keeps a deterministic `frac` of rows: the [0, frac·Buckets) bucket
+    * range. Same-seed calls with larger `frac` return supersets (nested
+    * samples — grow a subsample without resampling what you already
+    * processed).
+    */
+  def sampleByHash(df: DataFrame, idCol: String, frac: Double, seed: String): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    df.filter(bucketOf(col(idCol), seed) < math.round(frac * Buckets))
+  }
+
+  /** Per-stratum deterministic sampling: keep `frac(stratum)` of each
+    * stratum's rows (unlisted strata drop to 0) — the rebalancing primitive
+    * for domain/language mixes. Still a pure per-row expression: the
+    * per-stratum thresholds compile into the plan, no shuffle or join.
+    */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
+                             fracs: Map[String, Double], seed: String): DataFrame = {
+    require(fracs.values.forall(f => f >= 0 && f <= 1), s"fracs must be in [0,1]: $fracs")
+    val threshold = fracs.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((stratum, f), rest) =>
+        when(col(stratumCol) === stratum, math.round(f * Buckets)).otherwise(rest)
+    }
+    df.filter(bucketOf(col(idCol), seed) < threshold)
+  }
+}

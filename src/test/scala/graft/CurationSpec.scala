@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Decontaminate, Sampling}
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Corpus-curation operators: decontamination and deterministic sampling. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf(), "documents")
+
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+
+  test("gramHash column equals Hashing.md5Hash60 on real text") {
+    val rows = docs.limit(50)
+      .select(col("text"), Decontaminate.gramHash(col("text")).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == Hashing.md5Hash60(r.getString(0)), r.getString(0)))
+  }
+
+  test("ngramOverlap flags exactly the planted 13-gram leaks with the shared count") {
+    val leak = (1 to 13).map(i => s"w$i").mkString(" ") // one 13-gram
+    val train = df(
+      1L -> s"$leak tail tokens here", // shares grams with eval doc 10
+      2L -> (1 to 20).map(i => s"clean$i").mkString(" "), // disjoint
+      3L -> "short doc") // < 13 tokens: no grams
+    val eval_ = df(10L -> s"prefix $leak")
+    val out = Decontaminate.ngramOverlap(train, eval_, "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 and doc 10 share exactly the one leaked 13-gram
+    assert(out == Set((1L, 10L, 1L)), s"got $out")
+
+    val clean = Decontaminate.cleanTrainSet(train, "doc_id",
+        Decontaminate.ngramOverlap(train, eval_, "doc_id", "text", n = 13))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("ngramOverlap df cap drops boilerplate grams symmetrically") {
+    val boiler = (1 to 13).map(i => s"b$i").mkString(" ")
+    // boilerplate gram in every doc on both sides; one real leak besides
+    val real = (1 to 13).map(i => s"r$i").mkString(" ")
+    // pad between boiler and real on the eval side so the grams spanning
+    // the boundary differ between docs 3 and 11 — only the boilerplate
+    // gram and the real-leak gram are shared
+    val train = df(1L -> s"$boiler", 2L -> s"$boiler", 3L -> s"$boiler $real")
+    val eval_ = df(10L -> s"$boiler", 11L -> s"$boiler pad $real")
+    val uncapped = Decontaminate.ngramOverlap(train, eval_, "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6, s"3 train x 2 eval via boilerplate: $uncapped")
+    val capped = Decontaminate.ngramOverlap(train, eval_, "doc_id", "text", n = 13,
+        maxGramDf = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the df-5 boilerplate gram is dropped everywhere; the boundary-spanning
+    // grams differ between docs 3 and 11, so exactly the real-leak gram
+    // remains shared
+    assert(capped == Set((3L, 11L, 1L)), s"got $capped")
+  }
+
+  test("hashSplit is a deterministic total assignment consistent with bucket bounds") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.hashSplit(docs, "doc_id", "graft", splits)
+      .select("doc_id", "bucket", "split").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (b, s) = (r.getLong(1), r.getString(2))
+      assert(b >= 0 && b < Sampling.Buckets)
+      val expected = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+      assert(s == expected, s"bucket $b -> $s")
+    }
+    // rerun is bit-identical (pure function of seed+id)
+    val again = Sampling.hashSplit(docs, "doc_id", "graft", splits)
+      .select("doc_id", "bucket", "split").collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // a different seed reassigns (at least one of 500 docs moves)
+    val reseeded = Sampling.hashSplit(docs, "doc_id", "other", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(first != reseeded)
+  }
+
+  test("sampleByHash is nested: smaller fractions are subsets of larger ones") {
+    val s30 = Sampling.sampleByHash(docs, "doc_id", 0.3, "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s60 = Sampling.sampleByHash(docs, "doc_id", 0.6, "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s30.nonEmpty && s30.size < s60.size)
+    assert(s30.subsetOf(s60))
+    // deterministic fraction lands near the target (binomial, 500 docs)
+    val n = docs.count().toDouble
+    assert(math.abs(s60.size / n - 0.6) < 0.15, s"${s60.size} of $n")
+  }
+
+  test("stratifiedSampleByHash keeps per-stratum fractions and drops unlisted strata") {
+    val strat = docs.withColumn("stratum",
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+    val out = Sampling.stratifiedSampleByHash(strat, "doc_id", "stratum",
+        Map("even" -> 1.0), "s")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.nonEmpty)
+    assert(out.forall(_ % 2 == 0), "odd stratum must be dropped (frac 0)")
+    assert(out.length == strat.filter(col("stratum") === "even").count())
+  }
+
+  test("decontamination join plan is an equi-join, no cartesian/NLJ") {
+    val d = docs
+    val plan = Decontaminate.ngramOverlap(
+      d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", n = Queries.DecontamN,
+      maxGramDf = Some(Queries.DecontamGramDfCap))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
