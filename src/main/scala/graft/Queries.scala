@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GStream
-import graft.ext.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Sampling, Sharding, Similarity, TextAnalysis}
 import graft.ops.{Changelog, Joins}
 import graft.sources.Tables
 
@@ -263,7 +263,13 @@ object Queries {
     "x16_hash_split" -> ((s, dir) =>
       Sampling.hashSplit(t(s, dir, "documents"), "doc_id", SplitSeed,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "bucket", "split"))
+        .select("doc_id", "bucket", "split")),
+
+    // token-budget sharding: two-level (bucket ‖ within-bucket window)
+    // packing — parallel by construction, no global sort/window
+    "x17_token_shards" -> ((s, dir) =>
+      Sharding.packByTokens(t(s, dir, "documents"), "doc_id", "text",
+        tokensPerShard = 2000L, nBuckets = 8))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -504,7 +510,25 @@ object Queries {
         |  FROM documents)
         |SELECT doc_id, bucket,
         |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    "x17_token_shards" ->
+      // transcription of Sharding.packByTokens: md5Hash60("shard:" || id)
+      // mod 8 buckets, exclusive running token sum per bucket in doc_id
+      // order, shard = bucket * 2^32 + offset div 2000
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 8 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, bucket,
+        |  -- DuckDB SUM(BIGINT) is HUGEINT (pandas float); force BIGINT
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
+        |FROM c""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -33,6 +33,10 @@ object Decontaminate {
     * shorter than `n` tokens contribute no grams (nothing to leak). Two
     * distinct grams of one doc colliding at 60 bits would merge
     * (probability ~n_grams²/2⁶¹ — negligible against corpus noise).
+    *
+    * Fully NARROW: one document's grams live in one row, so per-doc
+    * dedup is `array_distinct` before the explode — no shuffle in batch,
+    * and no state when `df` is a stream.
     */
   def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
@@ -41,9 +45,8 @@ object Decontaminate {
       i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*))
     df.select(col(idCol).as("id"), toks.as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), explode(grams).as("gram"))
-      .select(col("id"), gramHash(col("gram")).as("gram_h"))
-      .distinct()
+      .select(col("id"),
+        explode(array_distinct(transform(grams, g => gramHash(g)))).as("gram_h"))
   }
 
   /** Contaminated (train, eval) document pairs with the number of shared
@@ -85,4 +88,22 @@ object Decontaminate {
     */
   def cleanTrainSet(train: DataFrame, idCol: String, overlap: DataFrame): DataFrame =
     train.join(overlap.select(col("train_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Streaming decontamination for continuous ingest: matches each arriving
+    * document's n-grams against a STATIC holdout gram set (benchmarks change
+    * rarely; re-deploy to pick up a new holdout). Emits one append-mode row
+    * per (train_id, eval_id, gram_h) leak as it arrives — a stream-static
+    * inner join, which Structured Streaming executes STATELESSLY (the
+    * static side is just a lookup table, re-broadcast per micro-batch when
+    * small), so there is no state store to size and no watermark needed.
+    * Aggregate downstream if pair counts are wanted; the raw leak events
+    * are the useful alerting granularity.
+    */
+  def ngramOverlapStream(trainStream: DataFrame, holdout: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val eg = docGrams(holdout, idCol, textCol, n).toDF("eval_id", "gram_h")
+    docGrams(trainStream, idCol, textCol, n).toDF("train_id", "gram_h")
+      .join(eg, Seq("gram_h"))
+      .select("train_id", "eval_id", "gram_h")
+  }
 }

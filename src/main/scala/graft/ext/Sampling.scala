@@ -21,13 +21,15 @@ object Sampling {
   /** Bucket granularity: fractions resolve to 1/10000ths. */
   val Buckets = 10000
 
-  /** Deterministic bucket in [0, Buckets) from (seed, id):
-    * [[graft.functions.Hashing.md5Hash60]] of "seed:id" (built-in-function
-    * form, codegen'd and DuckDB-reproducible) mod Buckets.
+  /** [[graft.functions.Hashing.md5Hash60]] of "seed:id" in built-in-function
+    * form — codegen'd and DuckDB-reproducible.
     */
-  def bucketOf(id: Column, seed: String): Column =
+  def hash60(id: Column, seed: String): Column =
     conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % Buckets
+      .cast("long")
+
+  /** Deterministic bucket in [0, Buckets) from (seed, id). */
+  def bucketOf(id: Column, seed: String): Column = hash60(id, seed) % Buckets
 
   /** Adds (bucket, split) columns assigning each row to a named split by
     * cumulative bucket ranges — e.g. `Seq("train" -> 0.8, "val" -> 0.1,

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, expressions}
+import org.apache.spark.sql.functions._
+
+/** Token-budget sharding: pack documents into shards of ≈`tokensPerShard`
+  * tokens — the layout step before writing training shards (sequence
+  * packing happens per shard downstream; this op decides which docs land
+  * together and is the unit a 1000-executor writer parallelizes over).
+  *
+  * Scale shape: a single global running-sum window would serialize the
+  * corpus through ONE partition (no partitionBy ⇒ one window partition),
+  * so packing is two-level instead: documents hash into `nBuckets`
+  * independent buckets (deterministic md5 of (seed, id) — also shuffles
+  * related docs apart, the usual pre-training mix), and each bucket packs
+  * greedily by running token sum over its own doc_id order. Every bucket
+  * is an independent window partition, so the job parallelizes to
+  * min(nBuckets, executors) with no global sort and no driver
+  * participation; the cost is at most one under-filled shard per bucket.
+  * Size `nBuckets` ≈ cluster cores (it bounds BOTH parallelism and the
+  * under-fill waste).
+  */
+object Sharding {
+
+  /** Shard ids are `bucket * 2³² + shard-within-bucket`, so ids are stable
+    * under corpus growth within a bucket's packed prefix.
+    */
+  val ShardsPerBucket: Long = 1L << 32
+
+  /** Assigns (n_tokens, bucket, shard) to every document. Deterministic:
+    * a pure function of (seed, ids, texts) — reruns and repartitioning
+    * cannot move a doc. Packing is by start offset: a doc belongs to the
+    * shard its within-bucket cumulative token offset falls in, so every
+    * shard spans exactly `tokensPerShard` offset units and can overflow by
+    * at most the tail of one straddling document (documents are never
+    * split).
+    */
+  def packByTokens(df: DataFrame, idCol: String, textCol: String,
+                   tokensPerShard: Long, nBuckets: Int = 256,
+                   seed: String = "shard"): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val nTokens = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val bucket = Sampling.hash60(col(idCol), seed) % nBuckets
+    val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), nTokens.as("n_tokens"), bucket.as("bucket"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard",
+        col("bucket") * ShardsPerBucket + expr(s"cum_before div $tokensPerShard"))
+      .drop("cum_before")
+  }
+}

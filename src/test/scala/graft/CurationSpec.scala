@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Decontaminate, Sampling}
+import graft.ext.{Decontaminate, Sampling, Sharding}
 import graft.functions.Hashing
 import graft.sources.Tables
 
@@ -109,6 +109,51 @@ class CurationSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_ % 2 == 0), "odd stratum must be dropped (frac 0)")
     assert(out.length == strat.filter(col("stratum") === "even").count())
+  }
+
+  test("packByTokens implements two-level offset packing exactly") {
+    val out = Sharding.packByTokens(docs, "doc_id", "text",
+        tokensPerShard = 500L, nBuckets = 4, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    // recompute the packing sequentially per bucket and compare shard ids
+    out.groupBy(_._3).foreach { case (bucket, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, n, _, shard) =>
+        val expected = bucket * Sharding.ShardsPerBucket + cum / 500L
+        assert(shard == expected, s"doc $id in bucket $bucket: $shard != $expected")
+        cum += n
+      }
+    }
+    // every shard's doc start-offsets stay inside one 500-token span: total
+    // tokens minus the straddling tail never exceeds the budget
+    out.groupBy(_._4).foreach { case (shard, ds) =>
+      val tokens = ds.map(_._2).sum
+      val maxDoc = ds.map(_._2).max
+      assert(tokens - maxDoc < 500L, s"shard $shard packed $tokens tokens")
+    }
+  }
+
+  test("streaming decontamination: stream-static gram join is stateless and append-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leak = (1 to 13).map(i => s"w$i").mkString(" ")
+    val holdout = df(10L -> s"prefix $leak")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Decontaminate.ngramOverlapStream(
+        input.toDF().toDF("doc_id", "text"), holdout, "doc_id", "text")
+      .writeStream.format("memory").queryName("leaks").outputMode("append").start()
+    try {
+      input.addData(1L -> s"$leak and tail", 2L -> "totally clean document text here")
+      q.processAllAvailable()
+      input.addData(3L -> s"also has $leak inside") // second batch, no state carried
+      q.processAllAvailable()
+      val rows = spark.table("leaks").select("train_id", "eval_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L), (3L, 10L)), s"got $rows")
+      // stateless: the stream-static join reports no state operator rows
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
   }
 
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
