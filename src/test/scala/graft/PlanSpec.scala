@@ -77,6 +77,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("x15 decontamination carries its df cap as an anti-join, no cartesian") {
+    val p = plan("x15_decontaminate")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("x16 hash split is pure projection: zero exchanges, zero UDFs") {
+    val p = plan("x16_hash_split")
+    assert(!p.contains("Exchange"), "split must not shuffle: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("x17 sharding windows per bucket: hash exchange only, no global range sort") {
+    val p = plan("x17_token_shards")
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a global-sort window would serialize the corpus through one partition: " + p.take(2000))
+    // the window sort is within partitions (global=false)
+    assert(p.contains("Sort [") && p.contains("false, 0"), p.take(2000))
+  }
+
   test("codegen dot product appears in the x05 verification filter") {
     val p = plan("x05_ann_cosine_pairs")
     assert(p.contains("floatvectordot"), p.take(2000))
