@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GStream
-import graft.ext.{Decontaminate, Dedup, Multimodal, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ext.{CurationPipeline, Decontaminate, Dedup, Multimodal, Sampling, Sharding, Similarity, TextAnalysis}
 import graft.ops.{Changelog, Joins}
 import graft.sources.Tables
 
@@ -269,7 +269,26 @@ object Queries {
     // packing — parallel by construction, no global sort/window
     "x17_token_shards" -> ((s, dir) =>
       Sharding.packByTokens(t(s, dir, "documents"), "doc_id", "text",
-        tokensPerShard = 2000L, nBuckets = 8))
+          tokensPerShard = 2000L, nBuckets = 8)
+        .select("doc_id", "n_tokens", "bucket", "shard")),
+
+    // the full curation pipeline end-to-end: quality → language → exact
+    // dedup → MinHash near-dup → decontamination → split → shards, every
+    // stage oracle-mirrored — the flagship composition
+    "x18_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CurationPipeline.run(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
+        holdout = Some(docs.filter(col("doc_id") % 10 === 7)),
+        CurationPipeline.Config(
+          minTokens = 20L, maxTokens = 100000L, maxPunctRatio = 0.3,
+          langs = Set("en"), nearDupThreshold = 0.5, shingleN = 3,
+          decontamN = DecontamN, maxGramDf = Some(DecontamGramDfCap),
+          splitSeed = SplitSeed,
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          tokensPerShard = 2000L, shardBuckets = 8))
+        .select("doc_id", "n_tokens", "bucket", "shard", "split")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -528,7 +547,74 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "x18_curation_pipeline" ->
+      // stage-by-stage transcription of CurationPipeline.run with the
+      // declared config; each CTE reuses the transcription already proven
+      // by x08/x09 (filters), x01 (exact), x03 (near-dup via exact
+      // jaccard), x15 (decontamination), x16 (split), x17 (shards)
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+        |q AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_toks,
+        |      CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+        |    FROM train)
+        |  WHERE n_toks BETWEEN 20 AND 100000 AND punct_ratio <= 0.3),
+        |ltoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM q),
+        |langs(lang, words) AS (VALUES
+        |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
+        |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
+        |  ('es', ['el','la','de','que','y','en','un','por','con','los']),
+        |  ('fr', ['le','la','et','les','des','un','une','du','est','dans']),
+        |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
+        |scores AS (SELECT doc_id, lang, CAST(len(list_filter(t, x -> list_contains(words, x))) AS DOUBLE) / len(t) AS score FROM ltoks, langs),
+        |best AS (SELECT doc_id, lang FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) WHERE rn = 1),
+        |f AS (SELECT q.doc_id, q.text FROM q JOIN best USING (doc_id) WHERE best.lang = 'en'),
+        |e AS (SELECT f.doc_id, f.text FROM f
+        |      JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)) k USING (doc_id)),
+        |etoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM e),
+        |sh AS (SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
+        |       FROM etoks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |dup2 AS (SELECT DISTINCT d2 FROM (
+        |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
+        |    FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
+        |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |  WHERE CAST(ic AS DOUBLE) >= 0.5 * (x.n + y.n - ic)),
+        |nd AS (SELECT doc_id, text FROM e WHERE doc_id NOT IN (SELECT d2 FROM dup2)),
+        |ndtoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM nd),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
+        |       FROM ndtoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
+        |htoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents WHERE doc_id % 10 = 7),
+        |hg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
+        |       FROM htoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
+        |hot AS (SELECT g FROM (SELECT g FROM tg UNION ALL SELECT g FROM hg) u GROUP BY g HAVING COUNT(*) > $DecontamGramDfCap),
+        |leaked AS (SELECT DISTINCT t.doc_id
+        |  FROM (SELECT * FROM tg WHERE g NOT IN (SELECT g FROM hot)) t
+        |  JOIN (SELECT * FROM hg WHERE g NOT IN (SELECT g FROM hot)) h USING (g)),
+        |clean AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
+        |sp AS (SELECT doc_id, text,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 10000 AS sbucket
+        |  FROM clean),
+        |spl AS (SELECT doc_id, text,
+        |  CASE WHEN sbucket < 8000 THEN 'train' WHEN sbucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |  FROM sp),
+        |pk AS (SELECT doc_id, split,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 8 AS bucket
+        |  FROM spl),
+        |pc AS (SELECT doc_id, split, n_tokens, bucket,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM pk)
+        |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard, split
+        |FROM pc""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

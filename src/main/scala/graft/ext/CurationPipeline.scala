@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline — the composition every
+  * large-scale pre-training run executes, each stage one of this package's
+  * operators, in the canonical order (cheap narrow filters first, joins
+  * last, so the expensive stages see the smallest corpus):
+  *
+  *  1. quality filter     — narrow Column thresholds ([[TextAnalysis]])
+  *  2. language filter    — narrow stopword-profile ID ([[TextAnalysis]])
+  *  3. exact dedup        — one hash aggregate + semi join ([[Dedup.exact]])
+  *  4. near-dup dedup     — MinHash LSH pairs + keep-list ([[Dedup]])
+  *  5. decontamination    — n-gram overlap vs holdout ([[Decontaminate]])
+  *  6. split assignment   — deterministic hash split ([[Sampling]])
+  *  7. shard packing      — token-budget shards ([[Sharding]])
+  *
+  * Output: the surviving documents, annotated with (n_tokens, bucket,
+  * shard, split) — ready for `write.partitionBy("split")` into training
+  * shards. Every stage is deterministic, so the whole pipeline is
+  * reproducible from (corpus, holdout, config).
+  */
+object CurationPipeline {
+
+  /** Tunables with the values a first curation pass typically starts from.
+    * `maxGramDf` is the decontamination skew guard — keep it set at scale
+    * (see [[Decontaminate.ngramOverlap]]; the near-dup stage needs no cap
+    * because LSH candidates join on band keys, not raw shingles).
+    */
+  final case class Config(
+      minTokens: Long = 10L,
+      maxTokens: Long = 100000L,
+      maxPunctRatio: Double = 0.3,
+      langs: Set[String] = Set("en"),
+      nearDupThreshold: Double = 0.5,
+      shingleN: Int = 3,
+      decontamN: Int = 13,
+      maxGramDf: Option[Long] = Some(10000L),
+      splitSeed: String = "graft",
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      tokensPerShard: Long = 100000L,
+      shardBuckets: Int = 256)
+
+  /** Runs the full pipeline over `docs`; `holdout` is the eval corpus to
+    * decontaminate against (None skips stage 5).
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          holdout: Option[DataFrame], cfg: Config = Config()): DataFrame = {
+    // 1+2: narrow filters, evaluated in one pass over the scan
+    val scored = TextAnalysis.withLangId(
+      TextAnalysis.withQualityMetrics(docs, textCol), textCol)
+    val filtered = scored
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("punct_ratio") <= cfg.maxPunctRatio &&
+        col("lang_pred").isInCollection(cfg.langs))
+      .select(docs.columns.map(col): _*)
+
+    // 3: exact dedup — keep the smallest id of each identical text
+    val exactKept = filtered.join(
+      Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+    // 4: near-dup dedup — LSH pairs, drop the larger id of each pair
+    val pairs = Dedup.minHashLsh(
+      Dedup.wordShingles(exactKept, idCol, textCol, cfg.shingleN),
+      cfg.nearDupThreshold)
+    val nearKept = Dedup.keepList(exactKept, idCol, pairs)
+
+    // 5: decontamination against the holdout
+    val clean = holdout match {
+      case Some(h) =>
+        Decontaminate.cleanTrainSet(nearKept, idCol,
+          Decontaminate.ngramOverlap(nearKept, h, idCol, textCol,
+            cfg.decontamN, cfg.maxGramDf))
+      case None => nearKept
+    }
+
+    // 6+7: split assignment, then shard packing (narrow + one window).
+    // hashSplit's diagnostic bucket column is dropped: packByTokens appends
+    // its own (differently-seeded) bucket and must not silently shadow it.
+    Sharding.packByTokens(
+      Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket"),
+      idCol, textCol, cfg.tokensPerShard, cfg.shardBuckets)
+  }
+}

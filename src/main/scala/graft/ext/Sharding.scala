@@ -27,24 +27,23 @@ object Sharding {
     */
   val ShardsPerBucket: Long = 1L << 32
 
-  /** Assigns (n_tokens, bucket, shard) to every document. Deterministic:
-    * a pure function of (seed, ids, texts) — reruns and repartitioning
-    * cannot move a doc. Packing is by start offset: a doc belongs to the
-    * shard its within-bucket cumulative token offset falls in, so every
-    * shard spans exactly `tokensPerShard` offset units and can overflow by
-    * at most the tail of one straddling document (documents are never
-    * split).
+  /** Appends (n_tokens, bucket, shard) to every document's row — payload
+    * columns pass through for pipeline use. Deterministic: a pure function
+    * of (seed, ids, texts) — reruns and repartitioning cannot move a doc.
+    * Packing is by start offset: a doc belongs to the shard its
+    * within-bucket cumulative token offset falls in, so every shard spans
+    * exactly `tokensPerShard` offset units and can overflow by at most the
+    * tail of one straddling document (documents are never split).
     */
   def packByTokens(df: DataFrame, idCol: String, textCol: String,
                    tokensPerShard: Long, nBuckets: Int = 256,
                    seed: String = "shard"): DataFrame = {
     require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val nTokens = size(TextAnalysis.tokens(col(textCol))).cast("long")
-    val bucket = Sampling.hash60(col(idCol), seed) % nBuckets
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
-    df.select(col(idCol), nTokens.as("n_tokens"), bucket.as("bucket"))
+    df.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("bucket", Sampling.hash60(col(idCol), seed) % nBuckets)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("shard",
         col("bucket") * ShardsPerBucket + expr(s"cum_before div $tokensPerShard"))

@@ -26,27 +26,34 @@ object TextAnalysis {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "on", "for", "with", "as", "by", "at")
 
-  /** Per-document quality metrics (doc_id, n_chars_m, n_tokens, n_bpeish,
-    * avg_token_len, stopword_ratio, punct_ratio) — the standard cheap
-    * quality-filter signals; threshold them downstream (e.g.
-    * `stopword_ratio between 0.1 and 0.6 and punct_ratio < 0.2`).
+  /** Appends the quality-metric columns (n_chars_m, n_tokens, n_bpeish,
+    * avg_token_len, stopword_ratio, punct_ratio) to `df`'s rows — still
+    * narrow per-row work; payload columns pass through for pipeline use.
     */
-  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val nTok = size(t)
     val nChars = length(col(textCol))
     val punct = nChars - length(regexp_replace(col(textCol), "[!-/:-@\\[-`{-~]", ""))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(t, w => array_contains(stopArr, w)))
-    df.select(
-      col(idCol),
-      nChars.as("n_chars_m"),
-      nTok.as("n_tokens"),
-      bpeishCount(col(textCol)).as("n_bpeish"),
-      (length(concat_ws("", t)).cast("double") / nTok).as("avg_token_len"),
-      (nStop.cast("double") / nTok).as("stopword_ratio"),
-      (punct.cast("double") / nChars).as("punct_ratio"))
+    df.withColumns(Map(
+      "n_chars_m" -> nChars,
+      "n_tokens" -> nTok,
+      "n_bpeish" -> bpeishCount(col(textCol)),
+      "avg_token_len" -> (length(concat_ws("", t)).cast("double") / nTok),
+      "stopword_ratio" -> (nStop.cast("double") / nTok),
+      "punct_ratio" -> (punct.cast("double") / nChars)))
   }
+
+  /** Per-document quality metrics (doc_id, n_chars_m, n_tokens, n_bpeish,
+    * avg_token_len, stopword_ratio, punct_ratio) — the standard cheap
+    * quality-filter signals; threshold them downstream (e.g.
+    * `stopword_ratio between 0.1 and 0.6 and punct_ratio < 0.2`).
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withQualityMetrics(df, textCol).select(col(idCol), col("n_chars_m"), col("n_tokens"),
+      col("n_bpeish"), col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))
 
   /** Stopword-profile language ID — the classic cheap n-gram/stopword
     * heuristic. Scores each candidate language by the fraction of tokens in
@@ -59,10 +66,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
 
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Appends (lang_pred, lang_score) to `df`'s rows; payload columns pass
+    * through for pipeline use.
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
     // tokenize once into a column; scoring 5 languages over the same array
     // would otherwise re-run trim/split/filter per language
-    val toked = df.select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+    val toked = df.withColumn("__t", tokens(lower(col(textCol))))
     val t = col("__t")
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val prof = array(words.map(lit): _*)
@@ -74,8 +84,13 @@ object TextAnalysis {
     // equal scores then resolve to the lexicographically largest lang, which is
     // still deterministic.
     val best = element_at(sort_array(array(scored: _*)), -1)
-    toked.select(col(idCol), best.getField("lang").as("lang_pred"), best.getField("score").as("lang_score"))
+    toked.withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
+      .drop("__t")
   }
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withLangId(df, textCol).select(col(idCol), col("lang_pred"), col("lang_score"))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all
     * word k-gram shingles ([[graft.functions.Hashing.md5Hash60]] — chosen so

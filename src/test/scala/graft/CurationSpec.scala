@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Decontaminate, Sampling, Sharding}
+import graft.ext.{CurationPipeline, Decontaminate, Sampling, Sharding}
 import graft.functions.Hashing
 import graft.sources.Tables
 
@@ -114,6 +114,7 @@ class CurationSpec extends SparkSpec {
   test("packByTokens implements two-level offset packing exactly") {
     val out = Sharding.packByTokens(docs, "doc_id", "text",
         tokensPerShard = 500L, nBuckets = 4, seed = "s")
+      .select("doc_id", "n_tokens", "bucket", "shard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.length == docs.count())
     // recompute the packing sequentially per bucket and compare shard ids
@@ -154,6 +155,29 @@ class CurationSpec extends SparkSpec {
       // stateless: the stream-static join reports no state operator rows
       assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
+  }
+
+  test("curation pipeline end-to-end: survivors unique, leak-free, fully annotated") {
+    val holdout = docs.filter(col("doc_id") % 10 === 7)
+    val out = CurationPipeline.run(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", Some(holdout),
+        CurationPipeline.Config(minTokens = 20L, langs = Set("en", "zh"),
+          tokensPerShard = 2000L, shardBuckets = 8))
+      .cache()
+    assert(out.count() > 0)
+    // stage 3: no two survivors share a text
+    val texts = out.select("text").collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length, "exact dups survived")
+    // stage 5: no survivor shares a 13-gram with the holdout
+    assert(Decontaminate.ngramOverlap(out, holdout, "doc_id", "text").count() == 0,
+      "contaminated docs survived")
+    // stages 6+7: every survivor is annotated and consistently bucketed
+    out.select("split", "shard", "bucket", "n_tokens").collect().foreach { r =>
+      assert(Set("train", "val", "test")(r.getString(0)))
+      assert(r.getLong(1) / Sharding.ShardsPerBucket == r.getLong(2), r.toString)
+      assert(r.getLong(3) >= 20L, "quality filter lower bound violated")
+    }
+    out.unpersist()
   }
 
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
