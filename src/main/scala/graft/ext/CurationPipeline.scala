@@ -56,10 +56,14 @@ object CurationPipeline {
         col("lang_pred").isInCollection(cfg.langs))
       .select(docs.columns.map(col): _*)
 
-    // 3: exact dedup — keep the smallest id of each identical text
+    // 3: exact dedup — keep the smallest id of each identical text.
+    // exactKept feeds the shingle extraction AND the keep-list anti-join;
+    // persist so the narrow filters + dedup join run once (evicted LRU or
+    // with the session, the jaccardPairs stance).
     val exactKept = filtered.join(
       Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near-dup dedup — LSH pairs, drop the larger id of each pair
     val pairs = Dedup.minHashLsh(
@@ -67,11 +71,14 @@ object CurationPipeline {
       cfg.nearDupThreshold)
     val nearKept = Dedup.keepList(exactKept, idCol, pairs)
 
-    // 5: decontamination against the holdout
+    // 5: decontamination against the holdout. nearKept is referenced up to
+    // three times (gram df union, anti-join probe, clean train side) — the
+    // persist stops the LSH verification joins from re-executing per use.
     val clean = holdout match {
       case Some(h) =>
-        Decontaminate.cleanTrainSet(nearKept, idCol,
-          Decontaminate.ngramOverlap(nearKept, h, idCol, textCol,
+        val nk = nearKept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Decontaminate.cleanTrainSet(nk, idCol,
+          Decontaminate.ngramOverlap(nk, h, idCol, textCol,
             cfg.decontamN, cfg.maxGramDf))
       case None => nearKept
     }

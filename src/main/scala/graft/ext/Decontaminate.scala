@@ -21,13 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** 60-bit md5 hash of a string column — [[graft.functions.Hashing.md5Hash60]]
-    * expressed in built-in functions (base-16 `conv` of the first 15 hex
-    * chars), so it stays inside whole-stage codegen AND the DuckDB oracle
-    * can recompute it exactly.
+  /** 60-bit md5 hash of a string column — [[graft.functions.Hashing.md5Hash60]],
+    * codegen'd and DuckDB-reproducible.
     */
-  def gramHash(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def gramHash(s: Column): Column = graft.functions.Hashing.md5Hash60Col(s)
 
   /** Distinct word-n-gram hashes per document: (id, gram_h). Documents
     * shorter than `n` tokens contribute no grams (nothing to leak). Two
@@ -38,16 +35,12 @@ object Decontaminate {
     * dedup is `array_distinct` before the explode — no shuffle in batch,
     * and no state when `df` is a stream.
     */
-  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
-    val grams = transform(
-      sequence(lit(0), size(col("__t")) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*))
-    df.select(col(idCol).as("id"), toks.as("__t"))
+  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("id"),
-        explode(array_distinct(transform(grams, g => gramHash(g)))).as("gram_h"))
-  }
+        explode(array_distinct(transform(TextAnalysis.wordNGrams(col("__t"), n),
+          g => gramHash(g)))).as("gram_h"))
 
   /** Contaminated (train, eval) document pairs with the number of shared
     * n-grams: (train_id, eval_id, n_shared), n_shared >= 1.
@@ -62,19 +55,23 @@ object Decontaminate {
     */
   def ngramOverlap(train: DataFrame, holdout: DataFrame, idCol: String, textCol: String,
                    n: Int = 13, maxGramDf: Option[Long] = None): DataFrame = {
-    val tg = docGrams(train, idCol, textCol, n)
-    val eg = docGrams(holdout, idCol, textCol, n)
+    val (tg, eg) = (docGrams(train, idCol, textCol, n), docGrams(holdout, idCol, textCol, n))
     val (tf, ef) = maxGramDf match {
       case Some(cap) =>
+        // each side feeds the df aggregate AND the anti-join probe: persist
+        // so the gram extraction (and the corpus scan under it) runs once
+        // per side, not twice (the jaccardPairs precedent)
+        val tc = tg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ec = eg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // df over the union: the cap decision must be symmetric, or a gram
         // could survive on one side only and the join would see a phantom
-        val hot = tg.select("gram_h").union(eg.select("gram_h"))
+        val hot = tc.select("gram_h").union(ec.select("gram_h"))
           .groupBy("gram_h").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("gram_h")
         // re-select: the using-column join moves gram_h to the front, and
         // the positional toDF renames below need (id, gram_h) order
-        (tg.join(hot, Seq("gram_h"), "left_anti").select("id", "gram_h"),
-          eg.join(hot, Seq("gram_h"), "left_anti").select("id", "gram_h"))
+        (tc.join(hot, Seq("gram_h"), "left_anti").select("id", "gram_h"),
+          ec.join(hot, Seq("gram_h"), "left_anti").select("id", "gram_h"))
       case None => (tg, eg)
     }
     tf.toDF("train_id", "gram_h")
@@ -101,7 +98,10 @@ object Decontaminate {
     */
   def ngramOverlapStream(trainStream: DataFrame, holdout: DataFrame,
                          idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    // persist: the static side is re-joined every micro-batch — without
+    // this, each trigger re-scans and re-explodes the whole holdout corpus
     val eg = docGrams(holdout, idCol, textCol, n).toDF("eval_id", "gram_h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docGrams(trainStream, idCol, textCol, n).toDF("train_id", "gram_h")
       .join(eg, Seq("gram_h"))
       .select("train_id", "eval_id", "gram_h")

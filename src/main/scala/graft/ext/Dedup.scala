@@ -34,7 +34,7 @@ object Dedup {
     * timestamp regardless of row width, so keeping the document costs
     * nothing and saves the caller a stream-stream join back to the source.
     */
-  def exactStream(df: DataFrame, idCol: String, textCol: String,
+  def exactStream(df: DataFrame, textCol: String,
                   eventTimeCol: String, horizon: String): DataFrame =
     df.withColumn("text_hash", md5(col(textCol)))
       .withWatermark(eventTimeCol, horizon)
@@ -43,16 +43,11 @@ object Dedup {
   /** Distinct word n-gram shingles per document: (id, shingle). Narrow
     * per-row generation, then a distinct (one shuffle).
     */
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
-    val grams = transform(
-      sequence(lit(0), size(col("__t")) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*))
-    df.select(col(idCol).as("id"), toks.as("__t"))
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), explode(grams).as("shingle"))
+      .select(col("id"), explode(TextAnalysis.wordNGrams(col("__t"), n)).as("shingle"))
       .distinct()
-  }
 
   /** Exact pairwise Jaccard over shingle sets, emitting pairs with
     * `jaccard >= threshold`. Output: (d1, d2, inter_cnt, union_cnt, jaccard)

@@ -21,12 +21,11 @@ object Sampling {
   /** Bucket granularity: fractions resolve to 1/10000ths. */
   val Buckets = 10000
 
-  /** [[graft.functions.Hashing.md5Hash60]] of "seed:id" in built-in-function
-    * form — codegen'd and DuckDB-reproducible.
+  /** [[graft.functions.Hashing.md5Hash60]] of "seed:id" — codegen'd and
+    * DuckDB-reproducible.
     */
   def hash60(id: Column, seed: String): Column =
-    conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.Hashing.md5Hash60Col(concat_ws(":", lit(seed), id.cast("string")))
 
   /** Deterministic bucket in [0, Buckets) from (seed, id). */
   def bucketOf(id: Column, seed: String): Column = hash60(id, seed) % Buckets
@@ -39,6 +38,8 @@ object Sampling {
   def hashSplit(df: DataFrame, idCol: String, seed: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "hashSplit needs at least one split")
+    Seq("bucket", "split").foreach(c => require(!df.columns.contains(c),
+      s"hashSplit writes column '$c' — input already has one; rename or drop it first"))
     require(math.abs(splits.map(_._2).sum - 1.0) * Buckets < 1.0,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>

@@ -17,6 +17,17 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
+  /** Word n-grams over a token-array column, space-joined — THE single gram
+    * construction every shingle/gram operator (and its DuckDB oracle
+    * transcription) derives from. Yields an empty array when the doc has
+    * fewer than `n` tokens... provided the caller filters `size >= n` first
+    * (`sequence` with a negative span would otherwise count down).
+    */
+  def wordNGrams(tokens: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))
+
   /** A BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space chars — a cheap stand-in for subword tokenization.
     */

@@ -15,6 +15,17 @@ object Hashing {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** [[md5Hash60]] as a Column expression — built-in functions only
+    * (md5/substring/base-16 conv), so it stays inside whole-stage codegen
+    * and the DuckDB oracles can recompute it exactly. THE single source of
+    * the cross-engine 60-bit hash contract: every operator-side use
+    * (gram hashing, split buckets, shard buckets) must route through here.
+    */
+  def md5Hash60Col(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  }
+
   /** First 15 hex chars of md5(s) as a non-negative 60-bit long (= big-endian
     * value of the first 8 digest bytes, shifted right 4).
     */

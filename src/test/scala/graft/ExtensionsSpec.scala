@@ -28,7 +28,7 @@ class ExtensionsSpec extends SparkSpec {
     val ded = graft.ext.Dedup.exactStream(
       input.toDF().toDF("doc_id", "ms", "text")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"ms")).drop("ms"),
-      "doc_id", "text", "ts", "10 seconds")
+      "text", "ts", "10 seconds")
     val q = ded.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
