@@ -98,6 +98,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Sort [") && p.contains("false, 0"), p.take(2000))
   }
 
+  test("x18 pipeline plan: no cartesian/NLJ anywhere, no rangepartitioning, UDF-free") {
+    val p = plan("x18_curation_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("codegen dot product appears in the x05 verification filter") {
     val p = plan("x05_ann_cosine_pairs")
     assert(p.contains("floatvectordot"), p.take(2000))
