@@ -76,6 +76,25 @@ object Sinks {
     * contract (repartition.h routes records so downstream joins are
     * co-partitioned); PlanSpec pins the exchange-free plan.
     */
+  /** Writes a curated corpus (the output of
+    * [[graft.ext.CurationPipeline.run]] or [[graft.ext.Sharding.packByTokens]])
+    * into training-shard layout: `path/split=<s>/shard=<n>/` directories, one
+    * data file per shard. The repartition on (split, shard) routes each
+    * shard's rows to ONE task — without it, every write task holds files for
+    * every shard it happens to see (a small-files explosion at 100 TB: tasks
+    * × shards part-files instead of one per shard); with it, a shard is one
+    * sequential write and downstream training readers stream one file per
+    * shard. One shuffle, one job, any shard count.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    Seq("split", "shard").foreach(c => require(df.columns.contains(c),
+      s"writeTrainingShards needs a '$c' column (run packByTokens/hashSplit first)"))
+    df.repartition(col("split"), col("shard"))
+      .write.format(format).mode("overwrite")
+      .partitionBy("split", "shard")
+      .save(path)
+  }
+
   def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "bucketedTable needs at least one bucket/sort key")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")

@@ -180,6 +180,66 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("writeTrainingShards lays out split=/shard= dirs with one file per shard") {
+    val out = CurationPipeline.run(
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", None,
+      CurationPipeline.Config(minTokens = 20L, langs = Set("en", "zh"),
+        tokensPerShard = 500L, shardBuckets = 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+    try {
+      graft.sinks.Sinks.writeTrainingShards(out, dir.toString)
+      val shardDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("shard=")).toSeq
+      assert(shardDirs.nonEmpty)
+      // exactly one data file per shard directory (no small-files explosion)
+      shardDirs.foreach { sd =>
+        val files = java.nio.file.Files.list(sd).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        assert(files.size == 1, s"$sd has ${files.size} part files")
+        assert(sd.getParent.getFileName.toString.startsWith("split="), sd.toString)
+      }
+      // round-trip: the partition columns reconstruct and rows survive
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() == out.count())
+      assert(back.select("doc_id", "shard", "split").except(
+        out.select("doc_id", "shard", "split")).count() == 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("narrow curation stages run unchanged on a stream with zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // quality metrics + langId + split are pure Column expressions, so the
+    // same code path drives continuous ingest with no stateful operator
+    val annotated = Sampling.hashSplit(
+      graft.ext.TextAnalysis.withLangId(
+        graft.ext.TextAnalysis.withQualityMetrics(
+          input.toDF().toDF("doc_id", "text"), "text"), "text"),
+      "doc_id", "graft", Seq("train" -> 0.9, "val" -> 0.1))
+    val q = annotated.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "el perro grande de la casa es un buen perro")
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream")
+        .select("doc_id", "lang_pred", "n_tokens", "split").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => Set("train", "val")(r.getString(3))))
+      assert(q.lastProgress.stateOperators.isEmpty, "narrow stages must add no state")
+      // same inputs through the batch path give identical annotations
+      val batch = Sampling.hashSplit(
+        graft.ext.TextAnalysis.withLangId(
+          graft.ext.TextAnalysis.withQualityMetrics(
+            df(1L -> "the quick brown fox jumps over the lazy dog",
+               2L -> "el perro grande de la casa es un buen perro"), "text"), "text"),
+        "doc_id", "graft", Seq("train" -> 0.9, "val" -> 0.1))
+        .select("doc_id", "lang_pred", "n_tokens", "split").collect()
+      assert(rows.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+    } finally q.stop()
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
