@@ -288,7 +288,15 @@ object Queries {
           splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           tokensPerShard = 2000L, shardBuckets = 8))
         .select("doc_id", "n_tokens", "bucket", "shard", "split")
-    })
+    }),
+
+    // per-group cap: at most 40 docs per pseudo-domain (doc_id % 13),
+    // hash-rank-selected — the over-represented-source guard
+    "x19_cap_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(
+          t(s, dir, "documents").withColumn("domain", col("doc_id") % 13),
+          "doc_id", "domain", k = 40, seed = SplitSeed)
+        .select("doc_id", "domain"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -614,7 +622,19 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM pk)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard, split
-        |FROM pc""".stripMargin
+        |FROM pc""".stripMargin,
+
+    "x19_cap_per_group" ->
+      // transcription of Sampling.capPerGroup: rank by (md5Hash60, id)
+      // within each pseudo-domain, keep rank <= 40
+      s"""WITH h AS (SELECT doc_id, doc_id % 13 AS domain,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM documents)
+        |SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY hv ASC, doc_id ASC) AS rn
+        |  FROM h) WHERE rn <= 40""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

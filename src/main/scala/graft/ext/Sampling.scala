@@ -64,6 +64,24 @@ object Sampling {
     df.filter(bucketOf(col(idCol), seed) < math.round(frac * Buckets))
   }
 
+  /** Keeps at most `k` rows per group, chosen deterministically by hash
+    * rank (h(seed, id) asc, id asc tiebreak) — the over-represented-source
+    * guard (cap docs per domain/site) that doesn't bias toward any
+    * particular ordering of the input. One shuffle on the group key plus a
+    * per-group sort; a pathologically hot group ranks inside one task (the
+    * inherent cost of an exact per-group cap — pre-thin enormous groups
+    * with [[sampleByHash]] first if a group can exceed a task's memory).
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                  seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(hash60(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Per-stratum deterministic sampling: keep `frac(stratum)` of each
     * stratum's rows (unlisted strata drop to 0) — the rebalancing primitive
     * for domain/language mixes. Still a pure per-row expression: the

@@ -100,6 +100,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(s60.size / n - 0.6) < 0.15, s"${s60.size} of $n")
   }
 
+  test("capPerGroup keeps at most k per group, deterministically, nested in k") {
+    val grouped = docs.withColumn("domain", col("doc_id") % 5)
+    val c10 = Sampling.capPerGroup(grouped, "doc_id", "domain", 10, "s")
+      .select("doc_id", "domain").collect().map(r => (r.getLong(0), r.getLong(1)))
+    c10.groupBy(_._2).foreach { case (d, rows) => assert(rows.length <= 10, s"domain $d") }
+    // groups smaller than k keep everything
+    val sizes = grouped.groupBy("domain").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    c10.groupBy(_._2).foreach { case (d, rows) =>
+      assert(rows.length == math.min(10L, sizes(d)), s"domain $d")
+    }
+    // deterministic and nested: the k=5 selection is a subset of k=10's
+    val c5 = Sampling.capPerGroup(grouped, "doc_id", "domain", 5, "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c5.subsetOf(c10.map(_._1).toSet))
+  }
+
   test("stratifiedSampleByHash keeps per-stratum fractions and drops unlisted strata") {
     val strat = docs.withColumn("stratum",
       when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
