@@ -35,7 +35,7 @@ object Bench {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-    def run(n: Int, keys: Int): (Double, Double, Double) = {
+    def run(n: Int, keys: Int): (Double, Double, Double, Double) = {
       // latestByKey: n upserts over `keys` distinct keys
       val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, String]]
       in1.addData((0 until n).map(i => KRecord.of((i % keys).toLong, "v" + i, i.toLong)))
@@ -70,17 +70,32 @@ object Bench {
         .trigger(Trigger.AvailableNow()).start()
       q3.awaitTermination()
       val ttJoin = n / ((System.nanoTime() - t2) / 1e9)
-      (lww, join, ttJoin)
+
+      // continuous-ingest exact dedup: 50% duplicate texts within the horizon
+      val in6 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      in6.addData((0 until n).map(i => (i.toLong, i.toLong, "text" + (i % (n / 2)))))
+      val t3 = System.nanoTime()
+      val q4 = graft.ext.Dedup.exactStream(
+          in6.toDF().toDF("doc_id", "ms", "text")
+            .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+              org.apache.spark.sql.functions.col("ms"))).drop("ms"),
+          "text", "ts", "1 hour")
+        .writeStream.format("noop").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q4.awaitTermination()
+      val dedup = n / ((System.nanoTime() - t3) / 1e9)
+      (lww, join, ttJoin, dedup)
     }
 
     try {
       run(10000, 1000) // warmup: JIT + state-store init land here
       // same noise stance as the batch queries: two measured runs, best wins
-      val (lww1, join1, tt1) = run(400000, 10000)
-      val (lww2, join2, tt2) = run(400000, 10000)
+      val (lww1, join1, tt1, dd1) = run(400000, 10000)
+      val (lww2, join2, tt2, dd2) = run(400000, 10000)
       Map("latestByKey_rows_per_sec" -> math.max(lww1, lww2),
         "streamTableJoin_rows_per_sec" -> math.max(join1, join2),
-        "tableTableJoin_rows_per_sec" -> math.max(tt1, tt2))
+        "tableTableJoin_rows_per_sec" -> math.max(tt1, tt2),
+        "streamDedup_rows_per_sec" -> math.max(dd1, dd2))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
