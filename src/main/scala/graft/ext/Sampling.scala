@@ -75,6 +75,8 @@ object Sampling {
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
                   seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("__rank"),
+      "capPerGroup writes a temporary '__rank' column — input already has one; rename it first")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(hash60(col(idCol), seed).asc, col(idCol).asc)
     df.withColumn("__rank", row_number().over(w))

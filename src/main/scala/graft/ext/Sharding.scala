@@ -40,7 +40,7 @@ object Sharding {
                    seed: String = "shard"): DataFrame = {
     require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    Seq("n_tokens", "bucket", "shard").foreach(c => require(!df.columns.contains(c),
+    Seq("n_tokens", "bucket", "shard", "cum_before").foreach(c => require(!df.columns.contains(c),
       s"packByTokens writes column '$c' — input already has one; rename or drop it first"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)

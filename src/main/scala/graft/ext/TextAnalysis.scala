@@ -19,14 +19,18 @@ object TextAnalysis {
 
   /** Word n-grams over a token-array column, space-joined — THE single gram
     * construction every shingle/gram operator (and its DuckDB oracle
-    * transcription) derives from. Yields an empty array when the doc has
-    * fewer than `n` tokens... provided the caller filters `size >= n` first
-    * (`sequence` with a negative span would otherwise count down).
+    * transcription) derives from. Total: yields an empty array for docs
+    * with fewer than `n` tokens (the when-guard matters — `sequence` with
+    * a negative span counts DOWN and element_at would then index out of
+    * range), so callers may still pre-filter `size >= n` for row-count
+    * economy but no longer must for correctness.
     */
   def wordNGrams(tokens: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(tokens) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** A BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space chars — a cheap stand-in for subword tokenization.

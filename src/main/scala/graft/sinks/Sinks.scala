@@ -76,6 +76,15 @@ object Sinks {
     * contract (repartition.h routes records so downstream joins are
     * co-partitioned); PlanSpec pins the exchange-free plan.
     */
+  def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketedTable needs at least one bucket/sort key")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Writes a curated corpus (the output of
     * [[graft.ext.CurationPipeline.run]] or [[graft.ext.Sharding.packByTokens]])
     * into training-shard layout: `path/split=<s>/shard=<n>/` directories, one
@@ -85,6 +94,11 @@ object Sinks {
     * × shards part-files instead of one per shard); with it, a shard is one
     * sequential write and downstream training readers stream one file per
     * shard. One shuffle, one job, any shard count.
+    *
+    * REPLACES `path` (`mode("overwrite")`): a curation rerun supersedes the
+    * previous corpus wholesale — deterministic splits/shards mean partial
+    * appends could only duplicate rows. Point it at a run-scoped path, not
+    * a shared root.
     */
   def writeTrainingShards(df: DataFrame, path: String, format: String = "parquet"): Unit = {
     Seq("split", "shard").foreach(c => require(df.columns.contains(c),
@@ -93,14 +107,5 @@ object Sinks {
       .write.format(format).mode("overwrite")
       .partitionBy("split", "shard")
       .save(path)
-  }
-
-  def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
-    require(keys.nonEmpty, "bucketedTable needs at least one bucket/sort key")
-    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    df.write.format("parquet").mode("overwrite")
-      .bucketBy(numBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
   }
 }
