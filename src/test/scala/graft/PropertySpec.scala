@@ -1,109 +1,113 @@
 package graft
 
-import scala.util.Random
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
-import graft.model.KRecord
-import graft.streaming.StatefulOps
+import graft.ext.Sampling
+import graft.functions.Hashing
+import graft.ops.{Changelog, RateLimit}
 
-/** Property-style tests: the stateful operators against naive sequential
-  * reference models over randomized changelogs (SURVEY §5's property-test
-  * commitment). Seeded generation keeps every run deterministic; small
-  * key/time domains make collisions (same key, same timestamp,
-  * tombstone-vs-upsert races) common.
+/** Model-based randomized tests: each distributed operator is replayed
+  * against a straight-line sequential Scala model of the reference
+  * semantics on ScalaCheck-generated workloads (fixed seeds — failures
+  * reproduce). Complements the transcribed reference-sequence goldens:
+  * goldens pin the exact documented cases, these sweep the space around
+  * them (out-of-order timestamps, ties, duplicate keys, empty groups).
   */
 class PropertySpec extends SparkSpec {
 
-  private def randomRecs(rnd: Random, n: Int): Seq[KRecord[Int, String]] =
-    Seq.fill(n)(KRecord(
-      rnd.nextInt(5),
-      if (rnd.nextBoolean()) Some(Seq("a", "b", "c")(rnd.nextInt(3))) else None,
-      1L + rnd.nextInt(20)))
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
 
-  // mem_store.h:64-83 applied sequentially in event-time order; an
-  // accepted delete erases the entry (store_.erase, no tombstone kept)
-  private def naiveLww(recs: Seq[KRecord[Int, String]]): Map[Int, (Option[String], Long)] = {
-    var store = Map.empty[Int, (Option[String], Long)]
-    recs.sortBy(_.eventTime).foreach { r =>
-      store.get(r.key) match {
-        case Some((_, t)) if t > r.eventTime => // stale
-        case cur =>
-          if (r.value.isDefined) store += r.key -> (r.value, r.eventTime)
-          else if (cur.isDefined) store -= r.key
-      }
-    }
-    store
-  }
+  private val events: Gen[List[(Long, Long, Long)]] = // (key, ts_ms, event_id)
+    Gen.listOfN(300, for {
+      k <- Gen.choose(0L, 6L)
+      ts <- Gen.choose(0L, 3L * 86400000L)
+    } yield (k, ts)).map(_.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) })
 
-  test("latestByKey property: emissions replay to the sequential mem_store state (20 seeds)") {
+  test("rate limiter replay matches the sequential token-bucket model on random workloads") {
     import spark.implicits._
-    (1 to 20).foreach { seed =>
-      val recs = randomRecs(new Random(seed), 30)
-      val out = StatefulOps.latestByKey(spark.createDataset(recs)).collect().toSeq
-      // every emission is an accepted change: replaying emissions through the
-      // same rules lands on the same final state as replaying the input
-      assert(naiveLww(out) == naiveLww(recs), s"seed=$seed in=$recs out=$out")
-      // and per key the accepted event times are non-decreasing (no stale
-      // update ever gets emitted after a newer one)
-      out.groupBy(_.key).values.foreach { es =>
-        val ts = es.map(_.eventTime)
-        assert(ts.sorted == ts.sortBy(identity), s"seed=$seed")
+    val (capacity, ageMs) = (3L, 86400000L)
+    for (seed <- 1L to 4L) {
+      val evs = sample(events, seed)
+      val df = evs.toDF("user_id", "ts_ms", "event_id")
+      val got = RateLimit.replay(df, Seq("user_id"), "ts_ms", Seq("event_id"), capacity, ageMs)
+        .select("event_id", "admitted").as[(Long, Boolean)].collect().toMap
+      // model: per key in (ts, event_id) order, the reference bucket math
+      val want = evs.groupBy(_._1).flatMap { case (_, ks) =>
+        var tokens = capacity
+        var tstamp = 0L
+        ks.sortBy(e => (e._2, e._3)).map { case (_, ts, id) =>
+          val delta = ((ts - tstamp) * capacity) / ageMs
+          if (delta > 0) { tstamp = ts; tokens = math.min(capacity, tokens + delta) }
+          val admitted = tokens > 0
+          if (admitted) tokens -= 1
+          id -> admitted
+        }
       }
+      assert(got == want, s"seed $seed: ${got.count(_._2)} admitted vs model ${want.count(_._2)}")
     }
   }
 
-  test("rateLimiter property: admitted set matches the sequential token bucket (10 seeds)") {
+  test("latestByKey snapshot matches the sequential LWW model on random workloads") {
     import spark.implicits._
-    val capacity = 2L
-    val age = 100L
-    (1 to 10).foreach { seed =>
-      val rnd = new Random(seed * 31)
-      // distinct (key, ts) so intra-timestamp admit order cannot be ambiguous
-      val uniq = Seq.fill(40)((rnd.nextInt(3), rnd.nextInt(500).toLong)).distinct
-        .zipWithIndex.map { case ((k, t), i) => KRecord.of(k, i.toString, t) }
-      val out = StatefulOps.rateLimiter(spark.createDataset(uniq), capacity, age)
-        .collect().map(r => (r.key, r.eventTime)).toSet
-      var buckets = Map.empty[Int, (Long, Long)] // key -> (tokens, tstamp)
-      val expected = scala.collection.mutable.Set.empty[(Int, Long)]
-      uniq.sortBy(r => (r.key, r.eventTime)).foreach { r =>
-        var (tokens, tstamp) = buckets.getOrElse(r.key, (capacity, 0L))
-        val delta = ((r.eventTime - tstamp) * capacity) / age
-        if (delta > 0) { tstamp = r.eventTime; tokens = math.min(capacity, tokens + delta) }
-        if (tokens > 0) { tokens -= 1; expected += ((r.key, r.eventTime)) }
-        buckets += r.key -> (tokens, tstamp)
-      }
-      assert(out == expected.toSet, s"seed=$seed in=$uniq")
+    for (seed <- 10L to 13L) {
+      val evs = sample(events, seed)
+      val df = evs.toDF("user_id", "ts", "event_id").withColumn("payload", col("event_id") * 7)
+      val got = Changelog.latestByKey(df, Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+      val want = evs.groupBy(_._1).map { case (k, ks) => k -> ks.maxBy(e => (e._2, e._3))._3 }
+      assert(got == want, s"seed $seed")
     }
   }
 
-  test("changelog outer join property: emission count equals input count; final probe state matches LWW (10 seeds)") {
+  test("wordNGrams matches tokens.sliding(n) on random token lists, including short docs") {
     import spark.implicits._
-    (1 to 10).foreach { seed =>
-      val rnd = new Random(seed * 97)
-      // distinct event times across both sides: the operator orders by event
-      // time within the batch, so ties between sides would be arbitrary
-      val times = rnd.shuffle((1L to 60L).toList).take(40)
-      val (lt, rt) = times.splitAt(20)
-      val left = lt.map(t => KRecord(rnd.nextInt(3),
-        if (rnd.nextBoolean()) Some("L" + rnd.nextInt(3)) else None, t))
-      val right = rt.map(t => KRecord(rnd.nextInt(3),
-        if (rnd.nextBoolean()) Some("R" + rnd.nextInt(3)) else None, t))
-      val out = StatefulOps.tableTableJoinChangelog(
-        spark.createDataset(left), spark.createDataset(right), StatefulOps.OuterJoin)
-        .collect().toSeq
-      // ktable forwards every event (ktable.h:66-72) → one emission per input
-      assert(out.size == left.size + right.size, s"seed=$seed")
-      // the last emission per key reflects the LWW state of both sides
-      val lastPerKey = out.groupBy(_.key).view.mapValues(_.maxBy(_.eventTime)).toMap
-      val lSt = naiveLww(left.map(r => KRecord(r.key, r.value, r.eventTime)))
-      val rSt = naiveLww(right.map(r => KRecord(r.key, r.value, r.eventTime)))
-      lastPerKey.foreach { case (k, e) =>
-        val lv = lSt.get(k).flatMap(_._1)
-        val rv = rSt.get(k).flatMap(_._1)
-        if (lv.isDefined || rv.isDefined) {
-          assert(!e.tombstone && e.left == lv && e.right == rv,
-            s"seed=$seed key=$k got=$e want=($lv,$rv)")
-        } else assert(e.tombstone, s"seed=$seed key=$k")
+    val docs: Gen[List[String]] = Gen.listOfN(60,
+      Gen.choose(0, 20).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "cd", "efg"))
+        .map(_.mkString(" "))))
+    for (seed <- 20L to 22L; n <- Seq(2, 5)) {
+      val texts = sample(docs, seed + n)
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), graft.ext.TextAnalysis.wordNGrams(
+          graft.ext.TextAnalysis.tokens(col("text")), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val want = if (toks.size < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got(i.toLong) == want, s"seed $seed n=$n doc '$t'")
       }
+    }
+  }
+
+  test("hashSplit buckets equal the md5Hash60 model and assignment is total") {
+    import spark.implicits._
+    for (seed <- 30L to 31L) {
+      val ids = sample(Gen.listOfN(200, Gen.choose(0L, 1000000L)), seed).distinct
+      val got = Sampling.hashSplit(ids.toDF("id"), "id", s"seed$seed",
+          Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+        .select("id", "bucket", "split").as[(Long, Long, String)].collect()
+      assert(got.length == ids.length)
+      got.foreach { case (id, bucket, split) =>
+        assert(bucket == Hashing.md5Hash60(s"seed$seed:$id") % Sampling.Buckets)
+        val want = if (bucket < 5000) "a" else if (bucket < 8000) "b" else "c"
+        assert(split == want, s"id $id bucket $bucket")
+      }
+    }
+  }
+
+  test("capPerGroup equals the sequential hash-rank model on random groups") {
+    import spark.implicits._
+    for (seed <- 40L to 41L) {
+      val rows = sample(Gen.listOfN(250, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 100000L))), seed)
+        .map(_.swap).distinctBy(_._1) // unique ids, random groups
+      val df = rows.toDF("id", "grp")
+      val got = Sampling.capPerGroup(df, "id", "grp", 7, "s")
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).values.flatMap(g =>
+        g.sortBy { case (id, _) => (Hashing.md5Hash60(s"s:$id"), id) }.take(7).map(_._1)).toSet
+      assert(got == want, s"seed $seed")
     }
   }
 }
