@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -41,6 +40,22 @@ object Similarity {
       .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"))
   }
 
+  /** Ranks each query's scored candidates down to k via the bounded
+    * [[graft.functions.TopKByScore]] aggregate — partial k-element buffers
+    * combine map-side, the shuffle carries queries × k rows, and the full
+    * candidate set is NEVER sorted (the window/row_number formulation this
+    * replaces sorts every candidate per query). Output order and tie-break
+    * are bit-identical to `row_number() OVER (cos DESC, nbr_id ASC)`.
+    */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    scored.groupBy("query_id")
+      .agg(call_function("graft_topk", col("cos"), col("nbr_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.nbr_id").as("nbr_id"), col("s.cos").as("cos"))
+  }
+
   /** Brute-force cosine top-k neighbors for each query row. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
@@ -49,9 +64,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cos")
+    topKRank(scored, k)
   }
 
   /** IVF-flat approximate top-k — the 100 TB ANN path. A small k-means
@@ -129,11 +142,9 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("nbr_id"),
         (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
     // vecs stays cached for the returned (lazy) plan, which scans it twice
     // more (assignment + probes); it is evicted LRU or with the session.
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cos")
+    topKRank(scored, k)
   }
 
   /** Signed-random-projection LSH candidate pairs, verified with exact

@@ -138,5 +138,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHash60(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprints",
       es => WinnowFingerprints(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      es => TopKByScore(es(0), es(1), es(2)), "built-in")
   }
 }

@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k accumulator: keeps the `k` best (score desc, id asc)
+  * pairs seen so far. Append-and-compact (sort + truncate once the buffer
+  * doubles) amortizes to O(log k) per row without a hand-rolled heap.
+  */
+final class TopKBuffer(val k: Int) {
+  private[functions] val items = new ArrayBuffer[(Double, Long)]()
+
+  /** best-first: score desc, id asc — row_number's (cos desc, nbr_id asc). */
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+
+  def add(score: Double, id: Long): Unit = {
+    items += ((score, id))
+    if (items.length >= 2 * k + 16) compact()
+  }
+
+  def merge(other: TopKBuffer): Unit = {
+    items ++= other.items
+    if (items.length >= 2 * k + 16) compact()
+  }
+
+  private def compact(): Unit = {
+    val best = items.sorted(ord).take(k)
+    items.clear()
+    items ++= best
+  }
+
+  /** The final top-k, best first. */
+  def result(): Seq[(Double, Long)] = { compact(); items.toSeq }
+}
+
+/** `graft_topk(score, id, k)` — per-group top-k as a bounded aggregate,
+  * the scale-correct reduction for ANN re-ranking: each partition keeps a
+  * k-element partial buffer (ObjectHashAggregate, map-side combined), so
+  * the shuffle moves groups × k rows instead of every scored candidate,
+  * and nothing ever sorts the full candidate set — the window/row_number
+  * formulation it replaces sorts ALL candidates per group. Returns
+  * `array<struct<nbr_id, cos>>` best-first; tie-break and order are
+  * bit-identical to `row_number() OVER (ORDER BY score DESC, id ASC)`.
+  * Scores must be NaN-free (guaranteed by the zero-norm filters upstream).
+  */
+case class TopKByScore(
+    scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  private lazy val k: Int = {
+    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    require(v > 0, s"graft_topk: k must be positive, got $v")
+    v
+  }
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("nbr_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      buffer.add(s.asInstanceOf[Double], id.asInstanceOf[Number].longValue())
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any =
+    new GenericArrayData(buffer.result().map { case (s, id) =>
+      new GenericInternalRow(Array[Any](id, s))
+    }.toArray[Any])
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    val items = buffer.result() // compacted: at most k pairs cross the wire
+    d.writeInt(items.length)
+    items.foreach { case (s, id) => d.writeDouble(s); d.writeLong(id) }
+    d.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new TopKBuffer(k)
+    val n = d.readInt()
+    var i = 0
+    while (i < n) { b.add(d.readDouble(), d.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
+}

@@ -105,6 +105,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("top-k paths reduce via bounded partial aggregation, never a full per-group sort (x06/x07)") {
+    for (q <- Seq("x06_ann_ivf_topk", "x07_ann_topk")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkbyscore"),
+        s"$q lacks the map-side partial top-k: " + p.take(2000))
+      assert(!p.contains("Window"), s"$q still window-sorts every candidate: " + p.take(2000))
+    }
+  }
+
   test("codegen dot product appears in the x05 verification filter") {
     val p = plan("x05_ann_cosine_pairs")
     assert(p.contains("floatvectordot"), p.take(2000))

@@ -97,6 +97,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_topk equals the row_number window formulation on random score tables") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val scoresGen: Gen[List[(Long, Long, Double)]] = Gen.listOfN(400, for {
+      q <- Gen.choose(0L, 9L)
+      n <- Gen.choose(0L, 60L)
+      s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.5, -0.25, 1.0)) // force ties too
+    } yield (q, n, s))
+    for (seed <- 50L to 52L; k <- Seq(1, 7)) {
+      val rows = sample(scoresGen, seed + k).distinctBy(r => (r._1, r._2))
+      val df = rows.toDF("query_id", "nbr_id", "cos")
+      val agg = df.groupBy("query_id")
+        .agg(call_function("graft_topk", col("cos"), col("nbr_id"), lit(k)).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"), col("s.nbr_id"), col("s.cos"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("nbr_id").asc)
+      val win = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(agg == win, s"seed $seed k=$k")
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
