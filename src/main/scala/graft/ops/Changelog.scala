@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Changelog → table semantics: the batch analog of the reference's `ktable`
@@ -14,9 +13,13 @@ import org.apache.spark.sql.functions._
   *  - a null value is a tombstone: the key is absent from the snapshot when
   *    the winning record is a tombstone.
   *
-  * Implementation is a single window rank — one shuffle on the key, no
-  * driver-side state, scales to arbitrarily many keys. Ties beyond event
-  * time are broken by caller-supplied columns so results stay deterministic
+  * Implementation is a `max_by` hash aggregation on (event time, tie-break)
+  * — one shuffle on the key WITH map-side partial combine, so the shuffle
+  * carries at most one row per (key, input partition) instead of the whole
+  * changelog (the window/row_number formulation it replaced shuffled and
+  * per-key sorted every event). No driver-side state; scales to arbitrarily
+  * many keys. Ties beyond event time are broken by caller-supplied columns
+  * and must totally order each key's rows for a deterministic snapshot
   * (Spark gives no intra-key order guarantee; the reference relies on queue
   * arrival order, which has no distributed analog).
   */
@@ -31,16 +34,15 @@ object Changelog {
       eventTimeCol: String,
       tieBreakCols: Seq[String],
       tombstoneCol: Option[String] = None): DataFrame = {
-    val ordering: Seq[Column] =
-      col(eventTimeCol).desc +: tieBreakCols.map(col(_).desc)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
-    val ranked = df
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val ordering = struct((eventTimeCol +: tieBreakCols).map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    val latest = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ordering).as("__row"))
+      .select(col("__row.*"))
     tombstoneCol match {
-      case Some(c) => ranked.filter(col(c).isNotNull)
-      case None    => ranked
+      case Some(c) => latest.filter(col(c).isNotNull)
+      case None    => latest
     }
   }
 }

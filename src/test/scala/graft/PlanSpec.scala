@@ -105,6 +105,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("ktable snapshot aggregates with map-side partial max_by, no window sort (q07)") {
+    val p = plan("q07_ktable_latest")
+    assert(p.contains("partial_max_by"), p.take(2000))
+    assert(!p.contains("Window"), "LWW must not window-sort the changelog: " + p.take(2000))
+  }
+
   test("top-k paths reduce via bounded partial aggregation, never a full per-group sort (x06/x07)") {
     for (q <- Seq("x06_ann_ivf_topk", "x07_ann_topk")) {
       val p = plan(q)
