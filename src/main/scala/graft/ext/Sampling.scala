@@ -67,21 +67,29 @@ object Sampling {
   /** Keeps at most `k` rows per group, chosen deterministically by hash
     * rank (h(seed, id) asc, id asc tiebreak) — the over-represented-source
     * guard (cap docs per domain/site) that doesn't bias toward any
-    * particular ordering of the input. One shuffle on the group key plus a
-    * per-group sort; a pathologically hot group ranks inside one task (the
-    * inherent cost of an exact per-group cap — pre-thin enormous groups
-    * with [[sampleByHash]] first if a group can exceed a task's memory).
+    * particular ordering of the input. `idCol` must be unique (it is the
+    * survivor identity).
+    *
+    * Scale shape: selection runs as the bounded
+    * [[graft.functions.BottomKIdsByLong]] aggregate over a skinny
+    * (group, hash, id) projection — per-partition k-element partial
+    * buffers combine map-side, so even a pathologically hot group never
+    * sorts inside one task (the window/row_number formulation this
+    * replaced did) — followed by one semi join to recover the surviving
+    * rows. Long hash scores compare exactly, keeping the selection
+    * bit-identical to integer-arithmetic oracles.
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
                   seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(!df.columns.contains("__rank"),
-      "capPerGroup writes a temporary '__rank' column — input already has one; rename it first")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-      .orderBy(hash60(col(idCol), seed).asc, col(idCol).asc)
-    df.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val keep = df
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"))
+      .withColumn("__h", hash60(col("__id"), seed))
+      .groupBy(col("__g"))
+      .agg(call_function("graft_bottomk_long", col("__h"), col("__id"), lit(k)).as("__ks"))
+      .select(explode(col("__ks")).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Per-stratum deterministic sampling: keep `frac(stratum)` of each

@@ -140,5 +140,7 @@ object GraftFunctions {
       es => WinnowFingerprints(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       es => TopKByScore(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bottomk_long",
+      es => BottomKIdsByLong(es(0), es(1), es(2)), "built-in")
   }
 }

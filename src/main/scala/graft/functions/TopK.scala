@@ -114,3 +114,96 @@ case class TopKByScore(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
 }
+
+/** Bounded bottom-k accumulator over exact long scores: keeps the `k`
+  * smallest (score asc, id asc) ids. Long scores compare exactly — no
+  * double-rounding ties — which is what keeps hash-rank selections
+  * bit-identical to their integer-arithmetic oracles.
+  */
+final class BottomKLongBuffer(val k: Int) {
+  private[functions] val items = new ArrayBuffer[(Long, Long)]()
+
+  def add(score: Long, id: Long): Unit = {
+    items += ((score, id))
+    if (items.length >= 2 * k + 16) compact()
+  }
+
+  def merge(other: BottomKLongBuffer): Unit = {
+    items ++= other.items
+    if (items.length >= 2 * k + 16) compact()
+  }
+
+  private def compact(): Unit = {
+    val best = items.sorted.take(k) // tuple ordering = (score asc, id asc)
+    items.clear()
+    items ++= best
+  }
+
+  def result(): Seq[(Long, Long)] = { compact(); items.toSeq }
+}
+
+/** `graft_bottomk_long(score, id, k)` — per-group ids of the `k` smallest
+  * (score asc, id asc) pairs as `array<bigint>`, smallest first. Same
+  * partial-buffer scale shape as [[TopKByScore]]: a hot group reduces to
+  * k-element buffers per input partition instead of sorting inside one
+  * task.
+  */
+case class BottomKIdsByLong(
+    scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKLongBuffer] {
+
+  private lazy val k: Int = {
+    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    require(v > 0, s"graft_bottomk_long: k must be positive, got $v")
+    v
+  }
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): BottomKLongBuffer = new BottomKLongBuffer(k)
+
+  override def update(buffer: BottomKLongBuffer, input: InternalRow): BottomKLongBuffer = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      buffer.add(s.asInstanceOf[Number].longValue(), id.asInstanceOf[Number].longValue())
+    buffer
+  }
+
+  override def merge(buffer: BottomKLongBuffer, other: BottomKLongBuffer): BottomKLongBuffer = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: BottomKLongBuffer): Any =
+    new GenericArrayData(buffer.result().map(_._2).toArray[Any])
+
+  override def serialize(buffer: BottomKLongBuffer): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    val items = buffer.result()
+    d.writeInt(items.length)
+    items.foreach { case (s, id) => d.writeLong(s); d.writeLong(id) }
+    d.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKLongBuffer = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new BottomKLongBuffer(k)
+    val n = d.readInt()
+    var i = 0
+    while (i < n) { b.add(d.readLong(), d.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKIdsByLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKIdsByLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BottomKIdsByLong =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
+}

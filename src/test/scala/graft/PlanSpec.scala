@@ -111,6 +111,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "LWW must not window-sort the changelog: " + p.take(2000))
   }
 
+  test("x19 per-group cap selects via bounded partial aggregation + semi join, no window") {
+    val p = plan("x19_cap_per_group")
+    assert(p.contains("partial_bottomkidsbylong"), p.take(2000))
+    assert(!p.contains("Window"), "a hot group must not sort inside one task: " + p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
   test("top-k paths reduce via bounded partial aggregation, never a full per-group sort (x06/x07)") {
     for (q <- Seq("x06_ann_ivf_topk", "x07_ann_topk")) {
       val p = plan(q)
