@@ -110,16 +110,18 @@ object Dedup {
   def minHashLsh(shingles: DataFrame, threshold: Double,
                  numHashes: Int = 64, bandSize: Int = 2): DataFrame = {
     require(numHashes % bandSize == 0)
-    // Per-doc signature in one narrow pass: shingle base hashes h1,h2 via
-    // murmur3, seed-i hash = h1 + i*h2 (Kirsch–Mitzenmacher double hashing),
-    // banded into nBands keys. No explode/shuffle per (doc, seed). The
-    // kernel is a native codegen expression (graft.functions.Lsh) so the
-    // signature pass stays inside whole-stage codegen, no row boxing.
+    // Per-doc signature as an INCREMENTAL aggregate (graft.functions
+    // .MinHashBandsAgg): shingle base hashes h1,h2 via murmur3, seed-i
+    // hash = h1 + i*h2 (Kirsch–Mitzenmacher double hashing), banded into
+    // nBands keys. The aggregation buffer is the fixed-width signature
+    // (elementwise-min, map-side combined) — no per-(doc,seed) explode AND
+    // no collect_list of the document's shingles, so a million-shingle
+    // document costs the same numHashes×8-byte buffer as a tweet.
     graft.functions.GraftFunctions.register(shingles.sparkSession)
-    val bandKeys = call_function("graft_minhash_bands",
-      col("sh"), lit(numHashes), lit(bandSize))
-    val bands = shingles.groupBy("id").agg(collect_list(col("shingle")).as("sh"))
-      .select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val bands = shingles.groupBy("id")
+      .agg(call_function("graft_minhash_bands_agg",
+        col("shingle"), lit(numHashes), lit(bandSize)).as("bk"))
+      .select(col("id"), posexplode(col("bk")).as(Seq("band", "band_key")))
     val cand = bands.toDF("d1", "band", "band_key")
       .join(bands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("d1") < col("d2"))

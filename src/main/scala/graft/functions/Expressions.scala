@@ -142,5 +142,7 @@ object GraftFunctions {
       es => TopKByScore(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_bottomk_long",
       es => BottomKIdsByLong(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands_agg",
+      es => MinHashBandsAgg(es(0), es(1), es(2)), "built-in")
   }
 }

@@ -39,28 +39,28 @@ object Lsh {
     sig
   }
 
-  /** Per-doc MinHash band keys (Kirsch–Mitzenmacher double hashing over
-    * murmur3 string hashes, banded) — one pass over the shingle array.
+  /** Folds one shingle into a MinHash signature in place (Kirsch–
+    * Mitzenmacher double hashing over murmur3 string hashes) — THE single
+    * per-shingle kernel, shared by the scalar expression and the
+    * incremental aggregate so their signatures are bit-identical by
+    * construction.
     */
-  def minHashBands(sh: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val n = sh.numElements()
-    var i = 0
-    while (i < n) {
-      val s = sh.getUTF8String(i).toString
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(s, 1).toLong & 0xffffffffL)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 2).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(s, 3).toLong & 0xffffffffL)
-      var j = 0
-      while (j < numHashes) {
-        val h = h1 + j * h2
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
-      i += 1
+  def updateSig(sig: Array[Long], s: String): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0).toLong << 32 |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 1).toLong & 0xffffffffL)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 2).toLong << 32 |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 3).toLong & 0xffffffffL)
+    var j = 0
+    while (j < sig.length) {
+      val h = h1 + j * h2
+      if (h < sig(j)) sig(j) = h
+      j += 1
     }
-    val nBands = numHashes / bandSize
+  }
+
+  /** Band keys from a finished signature: rolling 31-hash per band slice. */
+  def bandKeys(sig: Array[Long], bandSize: Int): Array[Any] = {
+    val nBands = sig.length / bandSize
     val keys = new Array[Any](nBands)
     var b = 0
     while (b < nBands) {
@@ -70,7 +70,19 @@ object Lsh {
       keys(b) = key
       b += 1
     }
-    new GenericArrayData(keys)
+    keys
+  }
+
+  /** Per-doc MinHash band keys — one pass over the shingle array. */
+  def minHashBands(sh: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      updateSig(sig, sh.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(bandKeys(sig, bandSize))
   }
 
   private[functions] def literalInt(e: Expression, what: String): Int = {

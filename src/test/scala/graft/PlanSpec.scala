@@ -50,6 +50,11 @@ class PlanSpec extends SparkSpec {
       "x10_fingerprints").foreach { q =>
       assert(!plan(q).contains("ScalaUDF"), q)
     }
+    // the MinHash signature is an incremental aggregate with map-side
+    // partials — no collect_list of a document's whole shingle set
+    val p = plan("x03_dedup_minhash_lsh")
+    assert(p.contains("partial_minhashbandsagg"), p.take(2000))
+    assert(!p.contains("collect_list"), "shingle lists must never materialize: " + p.take(2000))
   }
 
   test("aggregations are hash aggregates with map-side partial merge (q05/q06)") {
