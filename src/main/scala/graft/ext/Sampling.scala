@@ -67,8 +67,10 @@ object Sampling {
   /** Keeps at most `k` rows per group, chosen deterministically by hash
     * rank (h(seed, id) asc, id asc tiebreak) — the over-represented-source
     * guard (cap docs per domain/site) that doesn't bias toward any
-    * particular ordering of the input. `idCol` must be unique (it is the
-    * survivor identity).
+    * particular ordering of the input. `idCol` must be a unique, non-null
+    * INTEGRAL column (it is the survivor identity and the aggregate's
+    * ranking id; null-id rows are dropped, non-integral ids fail at
+    * analysis time).
     *
     * Scale shape: selection runs as the bounded
     * [[graft.functions.BottomKIdsByLong]] aggregate over a skinny

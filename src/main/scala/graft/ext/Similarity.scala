@@ -56,11 +56,17 @@ object Similarity {
         col("s.nbr_id").as("nbr_id"), col("s.cos").as("cos"))
   }
 
-  /** Brute-force cosine top-k neighbors for each query row. */
+  /** Brute-force cosine top-k neighbors for each query row. Zero-norm (and
+    * null) vectors are excluded on both sides — their cosine is undefined
+    * (0/0), the same stance [[cosinePairs]] documents — so no NaN/null
+    * score ever reaches the top-k aggregate.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .filter(norm(col("cv")) > 0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(norm(col("qv")) > 0)
     val scored = q.join(c, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
@@ -79,7 +85,11 @@ object Similarity {
               nClusters: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // zero-norm/null vectors out up front (undefined cosine — the
+    // bruteForceTopK/cosinePairs stance), so the exact re-rank's top-k
+    // aggregate never sees a NaN or null score
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
     // The training loop and the assignment/probe stages each rescan the
     // vectors; cache once instead of re-reading the source per Lloyd
     // iteration. At 100 TB, train the codebook on `trainSample` vectors

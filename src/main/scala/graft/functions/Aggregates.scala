@@ -5,28 +5,26 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded top-k accumulator: keeps the `k` best (score desc, id asc)
-  * pairs seen so far. Append-and-compact (sort + truncate once the buffer
-  * doubles) amortizes to O(log k) per row without a hand-rolled heap.
+/** Bounded best-k accumulator: keeps the `k` best items under `ord`.
+  * Append-and-compact (sort + truncate once the buffer doubles) amortizes
+  * to O(log k) per row without a hand-rolled heap. One implementation for
+  * every bounded-rank aggregate so the compaction logic cannot drift.
   */
-final class TopKBuffer(val k: Int) {
-  private[functions] val items = new ArrayBuffer[(Double, Long)]()
+final class BoundedKBuffer[T](val k: Int, ord: Ordering[T]) {
+  private[functions] val items = new ArrayBuffer[T]()
 
-  /** best-first: score desc, id asc — row_number's (cos desc, nbr_id asc). */
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
-
-  def add(score: Double, id: Long): Unit = {
-    items += ((score, id))
+  def add(item: T): Unit = {
+    items += item
     if (items.length >= 2 * k + 16) compact()
   }
 
-  def merge(other: TopKBuffer): Unit = {
+  def merge(other: BoundedKBuffer[T]): Unit = {
     items ++= other.items
     if (items.length >= 2 * k + 16) compact()
   }
@@ -37,8 +35,33 @@ final class TopKBuffer(val k: Int) {
     items ++= best
   }
 
-  /** The final top-k, best first. */
-  def result(): Seq[(Double, Long)] = { compact(); items.toSeq }
+  /** The final k best, best first. */
+  def result(): Seq[T] = { compact(); items.toSeq }
+}
+
+object BoundedKBuffer {
+
+  /** Spark's double sort order (nanSafeCompareDoubles): -0.0 == 0.0 and
+    * NaN greater than everything — NOT java.lang.Double.compare, which
+    * distinguishes ±0.0. Matching it exactly is what keeps the aggregates
+    * bit-identical to the window formulations they replace (DuckDB orders
+    * doubles the same way).
+    */
+  def sparkCompareDouble(a: Double, b: Double): Int =
+    if (a < b) -1
+    else if (a > b) 1
+    else {
+      val an = a.isNaN; val bn = b.isNaN
+      if (an && bn) 0 else if (an) 1 else if (bn) -1 else 0
+    }
+
+  /** best-first for top-k: score desc (Spark order), id asc. */
+  val scoreDescIdAsc: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val s = sparkCompareDouble(y._1, x._1)
+      if (s != 0) s else java.lang.Long.compare(x._2, y._2)
+    }
+  }
 }
 
 /** `graft_topk(score, id, k)` — per-group top-k as a bounded aggregate,
@@ -48,17 +71,21 @@ final class TopKBuffer(val k: Int) {
   * and nothing ever sorts the full candidate set — the window/row_number
   * formulation it replaces sorts ALL candidates per group. Returns
   * `array<struct<nbr_id, cos>>` best-first; tie-break and order are
-  * bit-identical to `row_number() OVER (ORDER BY score DESC, id ASC)`.
-  * Scores must be NaN-free (guaranteed by the zero-norm filters upstream).
+  * bit-identical to `row_number() OVER (ORDER BY score DESC, id ASC)`
+  * including NaN-greatest and -0.0 == 0.0 (Spark's double sort order).
+  * Rows with a null score or id are EXCLUDED (a window with NULLS LAST
+  * would rank them after all candidates instead) — the similarity call
+  * sites filter zero-norm/null vectors upstream, so no null cosine ever
+  * reaches the aggregate there.
   */
 case class TopKByScore(
     scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[BoundedKBuffer[(Double, Long)]] {
 
   private lazy val k: Int = {
-    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    val v = Lsh.literalInt(kExpr, "k")
     require(v > 0, s"graft_topk: k must be positive, got $v")
     v
   }
@@ -69,26 +96,35 @@ case class TopKByScore(
     StructField("nbr_id", LongType, nullable = false),
     StructField("cos", DoubleType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scoreExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType | IntegerType) if kExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_topk requires (double score, integral id, literal int k)")
+    }
 
-  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+  override def createAggregationBuffer(): BoundedKBuffer[(Double, Long)] =
+    new BoundedKBuffer(k, BoundedKBuffer.scoreDescIdAsc)
+
+  override def update(buffer: BoundedKBuffer[(Double, Long)], input: InternalRow): BoundedKBuffer[(Double, Long)] = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
     if (s != null && id != null)
-      buffer.add(s.asInstanceOf[Double], id.asInstanceOf[Number].longValue())
+      buffer.add((s.asInstanceOf[Double], id.asInstanceOf[Number].longValue()))
     buffer
   }
 
-  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+  override def merge(buffer: BoundedKBuffer[(Double, Long)], other: BoundedKBuffer[(Double, Long)]): BoundedKBuffer[(Double, Long)] = {
     buffer.merge(other); buffer
   }
 
-  override def eval(buffer: TopKBuffer): Any =
+  override def eval(buffer: BoundedKBuffer[(Double, Long)]): Any =
     new GenericArrayData(buffer.result().map { case (s, id) =>
       new GenericInternalRow(Array[Any](id, s))
     }.toArray[Any])
 
-  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+  override def serialize(buffer: BoundedKBuffer[(Double, Long)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
     val items = buffer.result() // compacted: at most k pairs cross the wire
@@ -98,12 +134,12 @@ case class TopKByScore(
     out.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+  override def deserialize(bytes: Array[Byte]): BoundedKBuffer[(Double, Long)] = {
     val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val b = new TopKBuffer(k)
+    val b = createAggregationBuffer()
     val n = d.readInt()
     var i = 0
-    while (i < n) { b.add(d.readDouble(), d.readLong()); i += 1 }
+    while (i < n) { b.add((d.readDouble(), d.readLong())); i += 1 }
     b
   }
 
@@ -115,47 +151,23 @@ case class TopKByScore(
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
 }
 
-/** Bounded bottom-k accumulator over exact long scores: keeps the `k`
-  * smallest (score asc, id asc) ids. Long scores compare exactly — no
-  * double-rounding ties — which is what keeps hash-rank selections
-  * bit-identical to their integer-arithmetic oracles.
-  */
-final class BottomKLongBuffer(val k: Int) {
-  private[functions] val items = new ArrayBuffer[(Long, Long)]()
-
-  def add(score: Long, id: Long): Unit = {
-    items += ((score, id))
-    if (items.length >= 2 * k + 16) compact()
-  }
-
-  def merge(other: BottomKLongBuffer): Unit = {
-    items ++= other.items
-    if (items.length >= 2 * k + 16) compact()
-  }
-
-  private def compact(): Unit = {
-    val best = items.sorted.take(k) // tuple ordering = (score asc, id asc)
-    items.clear()
-    items ++= best
-  }
-
-  def result(): Seq[(Long, Long)] = { compact(); items.toSeq }
-}
-
 /** `graft_bottomk_long(score, id, k)` — per-group ids of the `k` smallest
-  * (score asc, id asc) pairs as `array<bigint>`, smallest first. Same
-  * partial-buffer scale shape as [[TopKByScore]]: a hot group reduces to
-  * k-element buffers per input partition instead of sorting inside one
-  * task.
+  * (score asc, id asc) pairs as `array<bigint>`, smallest first. Long
+  * scores compare exactly (no double-rounding ties), which keeps
+  * hash-rank selections bit-identical to their integer-arithmetic
+  * oracles. Same partial-buffer scale shape as [[TopKByScore]]: a hot
+  * group reduces to k-element buffers per input partition instead of
+  * sorting inside one task. Rows with a null score or id are excluded —
+  * score and id must be integral (enforced at analysis time).
   */
 case class BottomKIdsByLong(
     scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BottomKLongBuffer] {
+  extends TypedImperativeAggregate[BoundedKBuffer[(Long, Long)]] {
 
   private lazy val k: Int = {
-    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    val v = Lsh.literalInt(kExpr, "k")
     require(v > 0, s"graft_bottomk_long: k must be positive, got $v")
     v
   }
@@ -164,24 +176,33 @@ case class BottomKIdsByLong(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def createAggregationBuffer(): BottomKLongBuffer = new BottomKLongBuffer(k)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scoreExpr.dataType, idExpr.dataType) match {
+      case (LongType | IntegerType, LongType | IntegerType) if kExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_bottomk_long requires (integral score, integral id, literal int k)")
+    }
 
-  override def update(buffer: BottomKLongBuffer, input: InternalRow): BottomKLongBuffer = {
+  override def createAggregationBuffer(): BoundedKBuffer[(Long, Long)] =
+    new BoundedKBuffer(k, Ordering.Tuple2(Ordering.Long, Ordering.Long))
+
+  override def update(buffer: BoundedKBuffer[(Long, Long)], input: InternalRow): BoundedKBuffer[(Long, Long)] = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
     if (s != null && id != null)
-      buffer.add(s.asInstanceOf[Number].longValue(), id.asInstanceOf[Number].longValue())
+      buffer.add((s.asInstanceOf[Number].longValue(), id.asInstanceOf[Number].longValue()))
     buffer
   }
 
-  override def merge(buffer: BottomKLongBuffer, other: BottomKLongBuffer): BottomKLongBuffer = {
+  override def merge(buffer: BoundedKBuffer[(Long, Long)], other: BoundedKBuffer[(Long, Long)]): BoundedKBuffer[(Long, Long)] = {
     buffer.merge(other); buffer
   }
 
-  override def eval(buffer: BottomKLongBuffer): Any =
+  override def eval(buffer: BoundedKBuffer[(Long, Long)]): Any =
     new GenericArrayData(buffer.result().map(_._2).toArray[Any])
 
-  override def serialize(buffer: BottomKLongBuffer): Array[Byte] = {
+  override def serialize(buffer: BoundedKBuffer[(Long, Long)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
     val items = buffer.result()
@@ -191,12 +212,12 @@ case class BottomKIdsByLong(
     out.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): BottomKLongBuffer = {
+  override def deserialize(bytes: Array[Byte]): BoundedKBuffer[(Long, Long)] = {
     val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val b = new BottomKLongBuffer(k)
+    val b = createAggregationBuffer()
     val n = d.readInt()
     var i = 0
-    while (i < n) { b.add(d.readLong(), d.readLong()); i += 1 }
+    while (i < n) { b.add((d.readLong(), d.readLong())); i += 1 }
     b
   }
 

@@ -100,24 +100,33 @@ class PropertySpec extends SparkSpec {
   test("graft_topk equals the row_number window formulation on random score tables") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    // force ties, signed zeros, and NaN — the inputs where a naive
+    // comparator diverges from Spark's sort order (NaN greatest,
+    // -0.0 == 0.0); nulls are deliberately absent (the aggregate excludes
+    // them by contract, a NULLS LAST window would not)
     val scoresGen: Gen[List[(Long, Long, Double)]] = Gen.listOfN(400, for {
       q <- Gen.choose(0L, 9L)
       n <- Gen.choose(0L, 60L)
-      s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.5, -0.25, 1.0)) // force ties too
+      s <- Gen.oneOf(Gen.choose(-1.0, 1.0),
+        Gen.oneOf(0.5, -0.25, 1.0, 0.0, -0.0, Double.NaN))
     } yield (q, n, s))
     for (seed <- 50L to 52L; k <- Seq(1, 7)) {
       val rows = sample(scoresGen, seed + k).distinctBy(r => (r._1, r._2))
       val df = rows.toDF("query_id", "nbr_id", "cos")
-      val agg = df.groupBy("query_id")
+      // stringify the score: Scala numeric-box equality says NaN != NaN,
+      // so a raw tuple Set comparison would fail on identical results
+      def canon(rows: Array[(Long, Int, Long, Double)]) =
+        rows.map { case (q, r, n, s) => (q, r, n, s.toString) }.toSet
+      val agg = canon(df.groupBy("query_id")
         .agg(call_function("graft_topk", col("cos"), col("nbr_id"), lit(k)).as("tk"))
         .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
         .select(col("query_id"), (col("pos") + 1).as("rank"), col("s.nbr_id"), col("s.cos"))
-        .as[(Long, Int, Long, Double)].collect().toSet
+        .as[(Long, Int, Long, Double)].collect())
       val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("nbr_id").asc)
-      val win = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      val win = canon(df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cos")
-        .as[(Long, Int, Long, Double)].collect().toSet
+        .as[(Long, Int, Long, Double)].collect())
       assert(agg == win, s"seed $seed k=$k")
     }
   }
