@@ -296,7 +296,12 @@ object Queries {
       Sampling.capPerGroup(
           t(s, dir, "documents").withColumn("domain", col("doc_id") % 13),
           "doc_id", "domain", k = 40, seed = SplitSeed)
-        .select("doc_id", "domain"))
+        .select("doc_id", "domain")),
+
+    // Gopher-style repetition filters: duplicate-token and top-bigram
+    // fractions, pure per-row array expressions
+    "x20_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -634,7 +639,23 @@ object Queries {
         |  FROM documents)
         |SELECT doc_id, domain FROM (
         |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY hv ASC, doc_id ASC) AS rn
-        |  FROM h) WHERE rn <= 40""".stripMargin
+        |  FROM h) WHERE rn <= 40""".stripMargin,
+
+    "x20_repetition" ->
+      // transcription of TextAnalysis.repetitionMetrics: both ratios are
+      // exact-integer divisions, so the doubles hash-match bit-for-bit
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 2
+        |       THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        |       ELSE [] END AS g2
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN len(g2) > 0
+        |       THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2)
+        |       ELSE 0.0 END AS top_bigram_frac
+        |FROM g""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -70,6 +70,28 @@ object TextAnalysis {
     withQualityMetrics(df, textCol).select(col(idCol), col("n_chars_m"), col("n_tokens"),
       col("n_bpeish"), col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))
 
+  /** Repetition metrics, the published Gopher/MassiveText repetition
+    * filters: `dup_token_frac` = 1 − distinct/total tokens (≈1 for
+    * keyword-stuffed spam), `top_bigram_frac` = share of word bigrams
+    * taken by the single most frequent bigram (≈1 for looping boilerplate).
+    * Degenerate docs (no tokens / no bigrams) score 0. Entirely
+    * higher-order array expressions over each row — no shuffle, no UDF;
+    * the per-row cost is O(distinct-bigrams × bigrams), bounded by
+    * document length, not corpus size.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val dupFrac = when(size(w) > 0,
+      lit(1.0) - size(array_distinct(w)).cast("double") / size(w)).otherwise(0.0)
+    val g2 = wordNGrams(w, 2)
+    val topFrac = when(size(g2) > 0,
+      array_max(transform(array_distinct(g2),
+        g => size(filter(g2, x => x === g)))).cast("double") / size(g2)).otherwise(0.0)
+    df.select(col(idCol),
+      dupFrac.as("dup_token_frac"),
+      topFrac.as("top_bigram_frac"))
+  }
+
   /** Stopword-profile language ID — the classic cheap n-gram/stopword
     * heuristic. Scores each candidate language by the fraction of tokens in
     * its stopword profile; deterministic argmax (score desc, lang asc).

@@ -257,6 +257,21 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repetition metrics score planted spam high and clean text low") {
+    val rows = df(
+      1L -> "spam spam spam spam spam spam",                 // one token repeated
+      2L -> "buy now buy now buy now buy now",               // looping bigram
+      3L -> "each word here appears exactly once today",     // clean
+      4L -> "",                                              // degenerate
+      5L -> "solo")                                          // no bigrams
+    val out = graft.ext.TextAnalysis.repetitionMetrics(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 > 0.8 && out(1L)._2 == 1.0, out(1L).toString) // 5/6 dup, all bigrams equal
+    assert(out(2L)._2 > 0.5, out(2L).toString)  // "now buy"/"buy now" dominate
+    assert(out(3L)._1 == 0.0 && out(3L)._2 < 0.2, out(3L).toString)
+    assert(out(4L) == (0.0, 0.0) && out(5L) == (0.0, 0.0))
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
