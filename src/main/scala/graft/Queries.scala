@@ -282,6 +282,7 @@ object Queries {
         holdout = Some(docs.filter(col("doc_id") % 10 === 7)),
         CurationPipeline.Config(
           minTokens = 20L, maxTokens = 100000L, maxPunctRatio = 0.3,
+          maxDupTokenFrac = 0.7, maxTopBigramFrac = 0.2,
           langs = Set("en"), nearDupThreshold = 0.5, shingleN = 3,
           decontamN = DecontamN, maxGramDf = Some(DecontamGramDfCap),
           splitSeed = SplitSeed,
@@ -571,10 +572,15 @@ object Queries {
         |q AS (
         |  SELECT doc_id, text FROM (
         |    SELECT doc_id, text,
-        |      len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_toks,
-        |      CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
-        |    FROM train)
-        |  WHERE n_toks BETWEEN 20 AND 100000 AND punct_ratio <= 0.3),
+        |      len(w) AS n_toks,
+        |      CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |      CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END AS dup_frac,
+        |      CASE WHEN len(g2) > 0 THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) ELSE 0.0 END AS topb_frac
+        |    FROM (SELECT doc_id, text, w,
+        |            CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2
+        |          FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM train)))
+        |  WHERE n_toks BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
+        |    AND dup_frac <= 0.7 AND topb_frac <= 0.2),
         |ltoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM q),
         |langs(lang, words) AS (VALUES
         |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),

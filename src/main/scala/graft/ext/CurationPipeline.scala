@@ -32,6 +32,8 @@ object CurationPipeline {
       minTokens: Long = 10L,
       maxTokens: Long = 100000L,
       maxPunctRatio: Double = 0.3,
+      maxDupTokenFrac: Double = 1.0, // 1.0 = repetition filters off
+      maxTopBigramFrac: Double = 1.0,
       langs: Set[String] = Set("en"),
       nearDupThreshold: Double = 0.5,
       shingleN: Int = 3,
@@ -47,12 +49,16 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           holdout: Option[DataFrame], cfg: Config = Config()): DataFrame = {
-    // 1+2: narrow filters, evaluated in one pass over the scan
-    val scored = TextAnalysis.withLangId(
-      TextAnalysis.withQualityMetrics(docs, textCol), textCol)
+    // 1+2: narrow filters (incl. the Gopher repetition rules), evaluated in
+    // one pass over the scan
+    val scored = TextAnalysis.withRepetitionMetrics(
+      TextAnalysis.withLangId(
+        TextAnalysis.withQualityMetrics(docs, textCol), textCol), textCol)
     val filtered = scored
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
         col("punct_ratio") <= cfg.maxPunctRatio &&
+        col("dup_token_frac") <= cfg.maxDupTokenFrac &&
+        col("top_bigram_frac") <= cfg.maxTopBigramFrac &&
         col("lang_pred").isInCollection(cfg.langs))
       .select(docs.columns.map(col): _*)
 

@@ -79,7 +79,7 @@ object TextAnalysis {
     * the per-row cost is O(distinct-bigrams × bigrams), bounded by
     * document length, not corpus size.
     */
-  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withRepetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
     val w = tokens(col(textCol))
     val dupFrac = when(size(w) > 0,
       lit(1.0) - size(array_distinct(w)).cast("double") / size(w)).otherwise(0.0)
@@ -87,10 +87,13 @@ object TextAnalysis {
     val topFrac = when(size(g2) > 0,
       array_max(transform(array_distinct(g2),
         g => size(filter(g2, x => x === g)))).cast("double") / size(g2)).otherwise(0.0)
-    df.select(col(idCol),
-      dupFrac.as("dup_token_frac"),
-      topFrac.as("top_bigram_frac"))
+    df.withColumn("dup_token_frac", dupFrac)
+      .withColumn("top_bigram_frac", topFrac)
   }
+
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withRepetitionMetrics(df, textCol)
+      .select(col(idCol), col("dup_token_frac"), col("top_bigram_frac"))
 
   /** Stopword-profile language ID — the classic cheap n-gram/stopword
     * heuristic. Scores each candidate language by the fraction of tokens in
