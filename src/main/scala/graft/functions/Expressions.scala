@@ -144,5 +144,7 @@ object GraftFunctions {
       es => BottomKIdsByLong(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands_agg",
       es => MinHashBandsAgg(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition",
+      es => RepetitionStats(es.head), "built-in")
   }
 }
