@@ -110,6 +110,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x20 repetition metrics run as one codegen kernel, no interpreted lambdas") {
+    val p = plan("x20_repetition")
+    assert(p.contains("repetitionstats") || p.contains("graft_repetition"), p.take(2000))
+    assert(!p.contains("lambdafunction"),
+      "interpreted higher-order lambdas regressed the kernel 1000x once: " + p.take(2000))
+  }
+
   test("ktable snapshot aggregates with map-side partial max_by, no window sort (q07)") {
     val p = plan("q07_ktable_latest")
     assert(p.contains("partial_max_by"), p.take(2000))
