@@ -648,8 +648,10 @@ object Queries {
         |  FROM h) WHERE rn <= 40""".stripMargin,
 
     "x20_repetition" ->
-      // transcription of TextAnalysis.repetitionMetrics: both ratios are
-      // exact-integer divisions, so the doubles hash-match bit-for-bit
+      // transcription of TextAnalysis.repetitionMetrics. The ratio doubles
+      // hash-match only because both engines run the IDENTICAL operations
+      // in the IDENTICAL order (1.0 - d/n, max/nb) — an algebraically
+      // equal reordering like (n-d)/n would diverge in the last bit
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, w,
         |  CASE WHEN len(w) >= 2

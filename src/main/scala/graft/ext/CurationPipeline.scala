@@ -50,15 +50,23 @@ object CurationPipeline {
   def run(docs: DataFrame, idCol: String, textCol: String,
           holdout: Option[DataFrame], cfg: Config = Config()): DataFrame = {
     // 1+2: narrow filters (incl. the Gopher repetition rules), evaluated in
-    // one pass over the scan
-    val scored = TextAnalysis.withRepetitionMetrics(
-      TextAnalysis.withLangId(
-        TextAnalysis.withQualityMetrics(docs, textCol), textCol), textCol)
+    // one pass over the scan. The repetition kernel only runs when a
+    // threshold is actually set — at the 1.0 'off' defaults the pass (and
+    // its two always-true predicates) would be pure waste.
+    val repetitionOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
+    val base = TextAnalysis.withLangId(
+      TextAnalysis.withQualityMetrics(docs, textCol), textCol)
+    val scored =
+      if (repetitionOn) TextAnalysis.withRepetitionMetrics(base, textCol) else base
+    val repetitionOk =
+      if (repetitionOn)
+        col("dup_token_frac") <= cfg.maxDupTokenFrac &&
+          col("top_bigram_frac") <= cfg.maxTopBigramFrac
+      else lit(true)
     val filtered = scored
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
         col("punct_ratio") <= cfg.maxPunctRatio &&
-        col("dup_token_frac") <= cfg.maxDupTokenFrac &&
-        col("top_bigram_frac") <= cfg.maxTopBigramFrac &&
+        repetitionOk &&
         col("lang_pred").isInCollection(cfg.langs))
       .select(docs.columns.map(col): _*)
 

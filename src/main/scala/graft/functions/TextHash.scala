@@ -39,9 +39,11 @@ object TextHash {
     * [dup_token_frac, top_bigram_frac] (the Gopher/MassiveText repetition
     * filters). A higher-order-function formulation of the same math runs
     * interpreted per lambda element and re-evaluates the gram array per
-    * probe — measured 100× slower than this kernel on the bench corpus.
-    * Division order matches the DuckDB transcription exactly
-    * (1.0 - d/n, max/nb) so the doubles hash-match.
+    * probe — measured ~1400× slower than this kernel on the bench corpus
+    * (380 s vs 0.27 s at sf0.1). The divisions are inexact IEEE ops; the
+    * doubles hash-match the oracle because BOTH engines execute the
+    * identical operations in the identical order (1.0 - d/n, max/nb) —
+    * keep that order when touching either side.
     */
   def repetition(text: UTF8String): ArrayData = {
     val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
