@@ -131,6 +131,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetition kernel matches the sequential model on random token soups") {
+    import spark.implicits._
+    val docs: Gen[List[String]] = Gen.listOfN(80,
+      Gen.choose(0, 30).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c", "dd"))
+        .map(_.mkString(" "))))
+    for (seed <- 60L to 62L) {
+      val texts = sample(docs, seed)
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .transform(graft.ext.TextAnalysis.repetitionMetrics(_, "id", "text"))
+        .as[(Long, Double, Double)].collect().map { case (k, d, t) => k -> (d, t) }.toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val dup = if (toks.nonEmpty) 1.0 - toks.distinct.length.toDouble / toks.length else 0.0
+        val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        val topb = if (bigrams.nonEmpty)
+          bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size else 0.0
+        assert(got(i.toLong) == (dup, topb), s"seed $seed doc '$t': ${got(i.toLong)} vs ($dup, $topb)")
+      }
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
