@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GStream
-import graft.ext.{CurationPipeline, Decontaminate, Dedup, Multimodal, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ext.{CurationPipeline, Decontaminate, Dedup, Multimodal, Sampling, Sessionize, Sharding, Similarity, Sketches, TextAnalysis}
 import graft.ops.{Changelog, Joins}
 import graft.sources.Tables
 
@@ -302,7 +302,48 @@ object Queries {
     // Gopher-style repetition filters: duplicate-token and top-bigram
     // fractions, pure per-row array expressions
     "x20_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
+
+    // as-of join: each click looks up the user's latest prior (<=) purchase.
+    // The right side is pre-aggregated to one row per (user_id, ts) so tie
+    // resolution is deterministic in both engines; the operator itself is
+    // the union + single-shuffle + carry-forward plan (no range join).
+    "x21_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+        .withColumnRenamed("ts", "p_ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.asOf(clicks, purch, Seq("user_id"), "ts", "p_ts",
+        Seq("p_event_id", "p_ts"))
+    }),
+
+    // sessionization: 30-minute-gap sessions per user, 1-based index —
+    // gaps-and-islands via lag + running sum, one shuffle
+    "x22_sessionize" -> ((s, dir) =>
+      Sessionize.assign(t(s, dir, "events"), Seq("user_id"), "ts",
+          gapMs = 1800 * 1000L, tieBreakCols = Seq("event_id"))
+        .select("event_id", "user_id", "session_idx")),
+
+    // KMV distinct-count sketch: distinct users per event type, k=64 —
+    // deterministic (md5-60) so the estimate itself is oracle-checkable
+    "x23_kmv_distinct" -> ((s, dir) =>
+      Sketches.distinctSketch(t(s, dir, "events"), Seq("event_type"),
+        "user_id", k = 64)),
+
+    // PII redaction: emails/phones/IPv4 masked before corpus entry. The
+    // test documents carry no natural PII, so deterministic PII is
+    // synthesized from doc_id identically in both engines — the regex
+    // chain is what's under test.
+    "x24_pii_redact" -> ((s, dir) => {
+      val pii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@mail.example.com call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 192.0.2."), (col("doc_id") % 256).cast("string")).as("text_pii"))
+      TextAnalysis.redactPii(pii, "text_pii").select("doc_id", "redacted")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -663,7 +704,57 @@ object Queries {
         |  CASE WHEN len(g2) > 0
         |       THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2)
         |       ELSE 0.0 END AS top_bigram_frac
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "x21_asof_join" ->
+      // DuckDB's native ASOF JOIN is the oracle for the union+carry-forward
+      // plan: greatest p_ts <= ts per user, nulls when no prior purchase
+      """WITH purch AS (
+        |  SELECT user_id, ts AS p_ts, MAX(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts, r.p_event_id, r.p_ts
+        |FROM clicks l ASOF LEFT JOIN purch r
+        |  ON l.user_id = r.user_id AND l.ts >= r.p_ts""".stripMargin,
+
+    "x22_sessionize" ->
+      // identical gaps-and-islands window arithmetic (ms gap > 1800000)
+      """WITH o AS (SELECT event_id, user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |m AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS is_new FROM o)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |FROM m""".stripMargin,
+
+    "x23_kmv_distinct" ->
+      // transcription of Sketches.distinctSketch: md5-60 of 'kmv:' || value,
+      // k smallest distinct per group, estimate (k-1)*2^60/kth in the same
+      // operand order (63.0 * 2^60 is exact in a double)
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM events),
+        |k AS (SELECT event_type, list_sort(list(hv))[1:64] AS ks FROM h GROUP BY 1)
+        |SELECT event_type, CAST(len(ks) AS BIGINT) AS n_kept,
+        |  ks[len(ks)] AS kth_hash,
+        |  CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE) END AS est_distinct
+        |FROM k""".stripMargin,
+
+    "x24_pii_redact" ->
+      // same synthesized PII, same RE2-safe patterns in the same order
+      """WITH pii AS (SELECT doc_id,
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call +1-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 192.0.2.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM pii""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization — the gaps-and-islands assignment every behavioral
+  * training corpus (clickstreams, agent trajectories, dialogue turns) needs
+  * before per-session packing. The reference's only time grouping is the
+  * fixed tumbling slot of mem_windowed_store.h:260-262; variable-gap
+  * sessions are an extension, expressed Spark-first.
+  *
+  * Scale shape: one hash-partition shuffle on the key and an in-partition
+  * sort — `lag` marks session starts, a running sum numbers them. No
+  * self-join, no per-key collect, no state beyond the window frame; skewed
+  * keys cost one task their sort, never a cross product. The streaming
+  * analog is Structured Streaming's built-in `session_window` aggregation
+  * (watermark-evicted state), covered by the spec.
+  */
+object Sessionize {
+
+  /** Adds `session_idx` (1-based per key, in time order): a new session
+    * starts when the gap since the key's previous event exceeds `gapMs`.
+    * `tieBreakCols` orders equal-ts events deterministically.
+    */
+  def assign(df: DataFrame, keyCols: Seq[String], tsCol: String,
+             gapMs: Long, tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val order = col(tsCol).asc +: tieBreakCols.map(col(_).asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_millis(col(tsCol)) - unix_millis(prev) > gapMs, 1).otherwise(0)
+    df.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: event count and start/end timestamps. Builds on
+    * [[assign]]; the rollup reuses the same key partitioning, so at scale
+    * the aggregation is map-side-combined within already-shuffled data.
+    */
+  def sessions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               gapMs: Long, tieBreakCols: Seq[String] = Nil): DataFrame =
+    assign(df, keyCols, tsCol, gapMs, tieBreakCols)
+      .groupBy((keyCols :+ "session_idx").map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+}

@@ -150,4 +150,26 @@ object TextAnalysis {
         coalesce(col(textCol), lit("")), lit(k), lit(w))).as("fingerprint"))
       .distinct()
   }
+
+  /** PII patterns redacted by [[redactPii]], applied in this order (emails
+    * first: an address would otherwise be chewed up piecemeal by the
+    * looser phone/IP digit patterns). RE2-compatible — no backreferences or
+    * lookaround — so external engines (the DuckDB oracle, a Go/Rust
+    * re-implementation) replace identically.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Masks emails, international-format phone numbers, and IPv4 addresses —
+    * the standard scrub before text enters a training corpus. Pure per-row
+    * `regexp_replace` chain: codegen'd, no shuffle, embarrassingly parallel;
+    * at 100 TB this is scan-bound, exactly as it should be.
+    */
+  def redactPii(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame =
+    df.withColumn(outCol,
+      PiiPatterns.foldLeft(col(textCol)) { case (c, (re, tag)) =>
+        regexp_replace(c, re, tag)
+      })
 }

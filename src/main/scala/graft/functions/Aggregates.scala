@@ -296,3 +296,95 @@ case class MinHashBandsAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinHashBandsAgg =
     copy(shingleExpr = newChildren(0), numHashesExpr = newChildren(1), bandSizeExpr = newChildren(2))
 }
+
+/** `graft_kmv(hash, k)` — the K-Minimum-Values distinct-count sketch
+  * (Bar-Yossef et al. 2002): per group, the `k` smallest DISTINCT hash
+  * values as a sorted `array<bigint>`. With a uniform hash over [0, 2⁶⁰)
+  * the kth-smallest value R estimates the distinct count as
+  * (k−1)·2⁶⁰ / R; fewer than k values means the group was seen exactly.
+  *
+  * Scale shape: the buffer is a bounded k-entry sorted set, merged
+  * associatively — partial aggregation runs map-side, so a 100 TB scan
+  * ships only k longs per (partition, group) regardless of group size,
+  * where exact COUNT(DISTINCT) shuffles every distinct value. Unlike HLL
+  * the sketch is exactly reproducible from the hash function — the DuckDB
+  * oracle recomputes it bit-for-bit from the same md5-60 hashes.
+  */
+case class KMinValues(
+    hashExpr: Expression, kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  private lazy val k: Int = {
+    val v = Lsh.literalInt(kExpr, "k")
+    require(v > 0, s"graft_kmv: k must be positive, got $v")
+    v
+  }
+
+  override def children: Seq[Expression] = Seq(hashExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = hashExpr.dataType match {
+    case LongType | IntegerType if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_kmv requires (integral hash, literal int k)")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long]()
+
+  private def bound(buf: java.util.TreeSet[Long], v: Long): Unit = {
+    // keep only the k smallest distinct values; reject above the current
+    // kth early so hot groups never churn the set
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) buf.pollLast(); () }
+  }
+
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+    val h = hashExpr.eval(input)
+    if (h != null) bound(buf, h.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[Long], other: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    val it = other.iterator()
+    while (it.hasNext) bound(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) d.writeLong(it.next())
+    d.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = createAggregationBuffer()
+    val n = d.readInt()
+    var i = 0
+    while (i < n) { b.add(d.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KMinValues =
+    copy(hashExpr = newChildren(0), kExpr = newChildren(1))
+}

@@ -146,5 +146,7 @@ object GraftFunctions {
       es => MinHashBandsAgg(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition",
       es => RepetitionStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv",
+      es => KMinValues(es(0), es(1)), "built-in")
   }
 }

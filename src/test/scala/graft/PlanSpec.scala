@@ -176,4 +176,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("x21 as-of join is union+window — no join operator, no range/NLJ fallback") {
+    val p = plan("x21_asof_join")
+    // the as-of itself must not plan as a join: an inequality join would
+    // fall back to BroadcastNestedLoopJoin and die at scale (the only join
+    // allowed here is none — the right side arrives via the union)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Window") && p.contains("Union"), p.take(2000))
+  }
+
+  test("x22 sessionize is one hash exchange + in-partition sort, no global sort") {
+    val p = plan("x22_sessionize")
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("x23 kmv sketch aggregates with map-side partials (bounded k-set per partition)") {
+    val p = plan("x23_kmv_distinct")
+    assert(p.contains("partial_kminvalues"), p.take(2000))
+    assert(!p.contains("Expand"), "must not expand like count-distinct: " + p.take(2000))
+  }
+
+  test("x24 pii redaction is pure codegen projection: no shuffle, no UDFs") {
+    val p = plan("x24_pii_redact")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Sessionize, Sketches, TextAnalysis}
+import graft.ops.AsOfJoin
+
+/** Semantics of the temporal/sketch extension operators: as-of join,
+  * sessionization, the KMV distinct sketch, and PII redaction.
+  */
+class TemporalOpsSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  // ---------------------------------------------------------------- as-of
+
+  private def asOfFixture = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", ts(1000)), // before any right row
+      (2L, "u", ts(2000)), // exactly at a right row (inclusive match)
+      (3L, "u", ts(3500)), // between right rows
+      (4L, "u", ts(9000)), // after the last right row
+      (5L, "v", ts(5000))  // key with no right rows at all
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("u", ts(2000), 20L),
+      ("u", ts(4000), 40L)
+    ).toDF("key", "rt", "rv")
+    (left, right)
+  }
+
+  test("asOf matches each left row to the latest right row with rt <= lt") {
+    val (left, right) = asOfFixture
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"))
+      .select("event_id", "rv").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(1L -> None, 2L -> Some(20L), 3L -> Some(20L),
+      4L -> Some(40L), 5L -> None))
+  }
+
+  test("asOf strict excludes the equal-timestamp right row") {
+    val (left, right) = asOfFixture
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"),
+        strict = true)
+      .select("event_id", "rv").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(2L) === None) // rt == lt no longer visible
+    assert(out(3L) === Some(20L) && out(4L) === Some(40L))
+  }
+
+  test("asOf resolves right-side timestamp ties by the tie-break column") {
+    import spark.implicits._
+    val left = Seq((1L, "u", ts(5000))).toDF("event_id", "key", "t")
+    val right = Seq(("u", ts(2000), 1L, "lo"), ("u", ts(2000), 9L, "hi"))
+      .toDF("key", "rt", "seq", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"),
+      rightTieBreak = Seq("seq"))
+    assert(out.select("rv").as[String].collect().toSeq === Seq("hi"))
+  }
+
+  test("asOf rejects colliding right value column names") {
+    val (left, right) = asOfFixture
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumnRenamed("rv", "event_id"),
+        Seq("key"), "t", "rt", Seq("event_id"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("asOf plans as union + window — one shuffle, no join operator") {
+    val (left, right) = asOfFixture
+    val p = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange: the hash partitioning by key that feeds the
+    // window — a range-join rewrite would add more (or a nested loop)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  // --------------------------------------------------------------- sessions
+
+  private def sessionFixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "u", ts(0L)),
+      (2L, "u", ts(60000L)),    // 1 min gap — same session
+      (3L, "u", ts(2000000L)),  // 32+ min gap — new session
+      (4L, "u", ts(2060000L)),
+      (5L, "w", ts(500L))       // other key: own numbering
+    ).toDF("event_id", "key", "t")
+  }
+
+  test("sessionize assigns 1-based per-key session indices on gap > gapMs") {
+    val out = Sessionize.assign(sessionFixture, Seq("key"), "t",
+        gapMs = 30 * 60 * 1000L, tieBreakCols = Seq("event_id"))
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessions rollup aggregates count and bounds per session") {
+    val out = Sessionize.sessions(sessionFixture, Seq("key"), "t",
+        gapMs = 30 * 60 * 1000L, tieBreakCols = Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toMap
+    assert(out(("u", 1L)) === ((2L, ts(0L), ts(60000L))))
+    assert(out(("u", 2L)) === ((2L, ts(2000000L), ts(2060000L))))
+    assert(out(("w", 1L)) === ((1L, ts(500L), ts(500L))))
+  }
+
+  test("batch sessions agree with Structured Streaming session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 40).map { i =>
+      // three bursts per user separated by > gap
+      val burst = i % 3
+      val user = "u" + (i % 2)
+      (user, ts(burst * 10000000L + (i / 3) * 1000L))
+    }
+    val gap = 60 * 60 * 1000L // 1h
+
+    val batch = Sessionize.sessions(rows.toDF("key", "t"), Seq("key"), "t", gap)
+      .select("key", "session_start", "session_end")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    in.addData(rows)
+    val q = in.toDS().toDF("key", "t")
+      .withWatermark("t", "0 seconds")
+      .groupBy(session_window(col("t"), s"$gap milliseconds"), col("key"))
+      .agg(min("t").as("session_start"), max("t").as("session_end"))
+      .select("key", "session_start", "session_end")
+      .writeStream.format("memory").queryName("sess_sw").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streaming = spark.table("sess_sw")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(streaming === batch)
+  }
+
+  // -------------------------------------------------------------------- kmv
+
+  test("kmv sketch is exact below k and estimates above k") {
+    import spark.implicits._
+    // 10 distinct values, k=64 ⇒ exact
+    val small = (0 until 100).map(i => ("g", i % 10)).toDF("g", "v")
+    val exact = Sketches.distinctSketch(small, Seq("g"), "v", k = 64)
+      .select("n_kept", "est_distinct").head()
+    assert(exact.getLong(0) === 10L && exact.getDouble(1) === 10.0)
+
+    // 5000 distinct values, k=64 ⇒ estimate within 25%
+    val big = (0 until 5000).map(i => ("g", i)).toDF("g", "v")
+    val est = Sketches.distinctSketch(big, Seq("g"), "v", k = 64)
+      .select("est_distinct").head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est")
+  }
+
+  test("kmv sketch is invariant to partitioning (partial merge is sound)") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i => ("g" + (i % 3), i % 997)).toDF("g", "v")
+    def run(parts: Int) =
+      Sketches.distinctSketch(df.repartition(parts), Seq("g"), "v", k = 32)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(run(1) === run(13))
+  }
+
+  test("kmv sketch ignores nulls and guards the all-null group") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1)), ("g", None), ("h", None))
+      .toDF("g", "v")
+    val out = Sketches.distinctSketch(df, Seq("g"), "v", k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.isNullAt(2), r.getDouble(3))).toMap
+    assert(out("g") === ((1L, false, 1.0)))
+    assert(out("h") === ((0L, true, 0.0)))
+  }
+
+  // -------------------------------------------------------------------- pii
+
+  test("redactPii masks emails, phones, and IPv4s; leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@sub.example.org now",
+      "call +1 (415) 555-0100 today",
+      "host 10.0.255.7 down",
+      "all clean here",
+      "multi bob@x.io and +44-20-7946-0958 at 192.168.0.1"
+    ).toDF("text")
+    val out = TextAnalysis.redactPii(df, "text").select("redacted")
+      .as[String].collect().toSeq
+    assert(out === Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> today",
+      "host <IP> down",
+      "all clean here",
+      "multi <EMAIL> and <PHONE> at <IP>"))
+  }
+
+  test("redactPii propagates null text") {
+    import spark.implicits._
+    val df = Seq(Some("ok"), None).toDF("text")
+    val out = TextAnalysis.redactPii(df, "text").select("redacted")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(out.toSet === Set(Some("ok"), None))
+  }
+}
