@@ -1,6 +1,9 @@
 package graft
 
+import java.nio.file.{Files, Path}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.KRecord
@@ -11,22 +14,59 @@ import graft.streaming.StatefulOps
   * self-measured msg/sec, e.g. example2-join.cpp:62-93). Emits ONE JSON
   * line.
   *
-  * Bench noise on a shared box is documented at ±50% for single runs, so
-  * each query runs `RunsPerQuery` times and the reported number is the
-  * fastest (steady-state) run; the JIT/IO warmup cost lands on the earlier
-  * runs. A query that fails every run reports -1 and is named in "errors" —
-  * a crash must not masquerade as a fast success.
+  * Protocol (round 5): each query runs `RunsPerQuery` times and reports the
+  * MEDIAN; before every run the operator-persist registry is released and
+  * the SQL cache cleared, so every run recomputes from parquet and no query
+  * inherits (or suffers) another query's cached state. The round-4 bench
+  * regression (x18 8.9 s → 56.6 s on unchanged code) was cross-query
+  * storage-pool pollution: operators persisted intermediates with no
+  * release path, 41 queries shared one ~4.6 GiB storage pool, and LRU
+  * eviction mid-query forced recomputation of the expensive LSH verify
+  * joins — fastest-of-2 could not defend against it because both runs
+  * inherited the polluted pool. Fixed by [[Caching]] (scoped persists,
+  * released per query here and in Verify) plus the per-run isolation below;
+  * `storage_peak_bytes` in the output is the high-water mark of persisted
+  * storage observed after any single run, so a future regression of this
+  * shape is attributable at a glance.
+  *
+  * A query that fails every run reports -1 and is named in "errors" — a
+  * crash must not masquerade as a fast success.
   */
 object Bench {
 
-  private val RunsPerQuery = 2
+  private val RunsPerQuery = 3
 
-  /** rows/sec through the stateful streaming ops, MemoryStream → noop sink,
-    * data staged before start so only execution is timed.
+  /** Storage currently pinned by persisted RDDs (memory + disk), bytes. */
+  private def storageBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+
+  /** Median of the surviving run times (odd count ⇒ true median; even ⇒
+    * lower-middle, the conservative pick).
+    */
+  private def median(times: Seq[Double]): Double = {
+    val s = times.sorted
+    s((s.length - 1) / 2)
+  }
+
+  /** Stage a generated input as parquet and re-read it as a file STREAM.
+    * MemoryStream captures the staged rows inside the serialized plan — at
+    * 400k rows that shipped ~25 MiB task binaries per micro-batch task
+    * (BENCH_r03/r04 tails). A parquet-backed stream ships only file splits;
+    * the staging write happens before the timer starts.
+    */
+  private def stageStream(spark: SparkSession, dir: Path, name: String,
+                          df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = dir.resolve(name).toString
+    df.write.mode("overwrite").parquet(path)
+    spark.readStream.schema(df.schema).parquet(path)
+  }
+
+  /** rows/sec through the stateful streaming ops, staged parquet → noop
+    * sink, only execution timed.
     */
   private def streamingBench(spark: SparkSession): Map[String, Double] = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     // stateful ops fix their state partition count from this conf at first
     // start; 32 partitions of per-batch state-store overhead dominate a
     // 400k-row micro-batch on one box (measured ~104k → ~170k rows/sec at
@@ -34,52 +74,60 @@ object Bench {
     // fresh temp checkpoint so the override applies cleanly, then restores.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stageRoot = Files.createTempDirectory("graft-bench-stream")
 
     def run(n: Int, keys: Int): (Double, Double, Double, Double) = {
       // latestByKey: n upserts over `keys` distinct keys
-      val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, String]]
-      in1.addData((0 until n).map(i => KRecord.of((i % keys).toLong, "v" + i, i.toLong)))
+      val in1 = stageStream(spark, stageRoot, "lww",
+        spark.range(0, n).select((col("id") % keys).as("key"),
+          concat(lit("v"), col("id")).as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, String]]
       val t0 = System.nanoTime()
-      val q1 = StatefulOps.latestByKey(in1.toDS())
+      val q1 = StatefulOps.latestByKey(in1)
         .writeStream.format("noop").outputMode("update")
         .trigger(Trigger.AvailableNow()).start()
       q1.awaitTermination()
       val lww = n / ((System.nanoTime() - t0) / 1e9)
 
       // stream×table left join: 1/4 right changelog entries, 3/4 left probes
-      val right = (0 until n / 4).map(i => KRecord.of((i % keys).toLong, i.toLong, i.toLong))
-      val left = (0 until n * 3 / 4).map(i => KRecord.of((i % keys).toLong, "e" + i, (n + i).toLong))
-      val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, String]]
-      val in3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, Long]]
-      in2.addData(left); in3.addData(right)
+      val left = stageStream(spark, stageRoot, "join_left",
+        spark.range(0, n * 3L / 4).select((col("id") % keys).as("key"),
+          concat(lit("e"), col("id")).as("value"), (col("id") + n).as("eventTime")))
+        .as[KRecord[Long, String]]
+      val right = stageStream(spark, stageRoot, "join_right",
+        spark.range(0, n / 4).select((col("id") % keys).as("key"),
+          col("id").as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, Long]]
       val t1 = System.nanoTime()
-      val q2 = StatefulOps.streamTableJoinChangelog(in2.toDS(), in3.toDS(), StatefulOps.LeftJoin)
+      val q2 = StatefulOps.streamTableJoinChangelog(left, right, StatefulOps.LeftJoin)
         .writeStream.format("noop").outputMode("update")
         .trigger(Trigger.AvailableNow()).start()
       q2.awaitTermination()
       val join = n / ((System.nanoTime() - t1) / 1e9)
 
       // table×table changelog join: updates on both sides of each key
-      val in4 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, String]]
-      val in5 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Long, Long]]
-      in4.addData((0 until n / 2).map(i => KRecord.of((i % keys).toLong, "l" + i, i.toLong)))
-      in5.addData((0 until n / 2).map(i => KRecord.of((i % keys).toLong, i.toLong, i.toLong)))
+      val l4 = stageStream(spark, stageRoot, "tt_left",
+        spark.range(0, n / 2).select((col("id") % keys).as("key"),
+          concat(lit("l"), col("id")).as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, String]]
+      val r5 = stageStream(spark, stageRoot, "tt_right",
+        spark.range(0, n / 2).select((col("id") % keys).as("key"),
+          col("id").as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, Long]]
       val t2 = System.nanoTime()
-      val q3 = StatefulOps.tableTableJoinChangelog(in4.toDS(), in5.toDS(), StatefulOps.OuterJoin)
+      val q3 = StatefulOps.tableTableJoinChangelog(l4, r5, StatefulOps.OuterJoin)
         .writeStream.format("noop").outputMode("update")
         .trigger(Trigger.AvailableNow()).start()
       q3.awaitTermination()
       val ttJoin = n / ((System.nanoTime() - t2) / 1e9)
 
       // continuous-ingest exact dedup: 50% duplicate texts within the horizon
-      val in6 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
-      in6.addData((0 until n).map(i => (i.toLong, i.toLong, "text" + (i % (n / 2)))))
+      val in6 = stageStream(spark, stageRoot, "dedup",
+        spark.range(0, n).select(col("id").as("doc_id"),
+          timestamp_millis(col("id")).as("ts"),
+          concat(lit("text"), col("id") % (n / 2)).as("text")))
       val t3 = System.nanoTime()
-      val q4 = graft.ext.Dedup.exactStream(
-          in6.toDF().toDF("doc_id", "ms", "text")
-            .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
-              org.apache.spark.sql.functions.col("ms"))).drop("ms"),
-          "text", "ts", "1 hour")
+      val q4 = graft.ext.Dedup.exactStream(in6, "text", "ts", "1 hour")
         .writeStream.format("noop").outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q4.awaitTermination()
@@ -89,14 +137,21 @@ object Bench {
 
     try {
       run(10000, 1000) // warmup: JIT + state-store init land here
-      // same noise stance as the batch queries: two measured runs, best wins
-      val (lww1, join1, tt1, dd1) = run(400000, 10000)
-      val (lww2, join2, tt2, dd2) = run(400000, 10000)
-      Map("latestByKey_rows_per_sec" -> math.max(lww1, lww2),
-        "streamTableJoin_rows_per_sec" -> math.max(join1, join2),
-        "tableTableJoin_rows_per_sec" -> math.max(tt1, tt2),
-        "streamDedup_rows_per_sec" -> math.max(dd1, dd2))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // median-of-3, the batch queries' noise stance
+      val rs = (1 to RunsPerQuery).map(_ => run(400000, 10000))
+      Map("latestByKey_rows_per_sec" -> median(rs.map(_._1)),
+        "streamTableJoin_rows_per_sec" -> median(rs.map(_._2)),
+        "tableTableJoin_rows_per_sec" -> median(rs.map(_._3)),
+        "streamDedup_rows_per_sec" -> median(rs.map(_._4)))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // best-effort temp cleanup
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stageRoot).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,21 +170,30 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    var storagePeak = 0L
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
+        // per-run isolation: no run inherits cached state from any prior
+        // run or query (see the protocol note in the scaladoc)
+        Caching.release(spark)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop sink materializes every column of every row (count() would let
         // Catalyst prune the projections and flatter the numbers)
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          storagePeak = math.max(storagePeak, storageBytes(spark))
+          Some(dt)
         } catch { case _: Throwable => None }
       }
       // -1 + errors entry = failed EVERY run (never report a crash as a
-      // fast success); a single-run hiccup with a surviving run is noise
+      // fast success); a single-run hiccup with surviving runs is noise
       if (times.isEmpty) errors += name
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
+    Caching.release(spark)
+    spark.catalog.clearCache()
     val streaming =
       try streamingBench(spark)
       catch { case _: Throwable => errors += "streaming_bench"; Map.empty[String, Double] }
@@ -140,7 +204,8 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs_per_query":$RunsPerQuery,"errors":$errJson,"streaming":$st,"sf":"$sfDir"}""")
+      s""""runs_per_query":$RunsPerQuery,"stat":"median","isolation":"cache-cleared-per-run",""" +
+      s""""storage_peak_bytes":$storagePeak,"errors":$errJson,"streaming":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

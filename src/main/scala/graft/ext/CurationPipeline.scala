@@ -72,12 +72,13 @@ object CurationPipeline {
 
     // 3: exact dedup — keep the smallest id of each identical text.
     // exactKept feeds the shingle extraction AND the keep-list anti-join;
-    // persist so the narrow filters + dedup join run once (evicted LRU or
-    // with the session, the jaccardPairs stance).
-    val exactKept = filtered.join(
+    // persist so the narrow filters + dedup join run once. Registered with
+    // graft.Caching — callers release with Caching.release(spark) after
+    // materializing the result (leaked persists across many queries turn
+    // the shared storage pool into LRU-eviction roulette).
+    val exactKept = graft.Caching.scoped(filtered.join(
       Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol)),
-      Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(idCol), "left_semi"))
 
     // 4: near-dup dedup — LSH pairs, drop the larger id of each pair
     val pairs = Dedup.minHashLsh(
@@ -90,7 +91,7 @@ object CurationPipeline {
     // persist stops the LSH verification joins from re-executing per use.
     val clean = holdout match {
       case Some(h) =>
-        val nk = nearKept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nk = graft.Caching.scoped(nearKept)
         Decontaminate.cleanTrainSet(nk, idCol,
           Decontaminate.ngramOverlap(nk, h, idCol, textCol,
             cfg.decontamN, cfg.maxGramDf))

@@ -60,9 +60,10 @@ object Decontaminate {
       case Some(cap) =>
         // each side feeds the df aggregate AND the anti-join probe: persist
         // so the gram extraction (and the corpus scan under it) runs once
-        // per side, not twice (the jaccardPairs precedent)
-        val tc = tg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ec = eg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // per side, not twice (the jaccardPairs precedent). Scoped: callers
+        // release via graft.Caching.release after materializing.
+        val tc = graft.Caching.scoped(tg)
+        val ec = graft.Caching.scoped(eg)
         // df over the union: the cap decision must be symmetric, or a gram
         // could survive on one side only and the join would see a phantom
         val hot = tc.select("gram_h").union(ec.select("gram_h"))
@@ -99,9 +100,11 @@ object Decontaminate {
   def ngramOverlapStream(trainStream: DataFrame, holdout: DataFrame,
                          idCol: String, textCol: String, n: Int = 13): DataFrame = {
     // persist: the static side is re-joined every micro-batch — without
-    // this, each trigger re-scans and re-explodes the whole holdout corpus
-    val eg = docGrams(holdout, idCol, textCol, n).toDF("eval_id", "gram_h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // this, each trigger re-scans and re-explodes the whole holdout corpus.
+    // Scoped: release via graft.Caching.release AFTER the stream stops (a
+    // release mid-stream is correct but re-derives the grams per batch).
+    val eg = graft.Caching.scoped(
+      docGrams(holdout, idCol, textCol, n).toDF("eval_id", "gram_h"))
     docGrams(trainStream, idCol, textCol, n).toDF("train_id", "gram_h")
       .join(eg, Seq("gram_h"))
       .select("train_id", "eval_id", "gram_h")

@@ -67,8 +67,9 @@ object Dedup {
                    maxShingleDf: Option[Long] = None): DataFrame = {
     // the shingle set feeds the self-join twice plus the size aggregate;
     // cache it so the upstream explode+distinct shuffle runs once, not 3×
-    // (MEMORY_AND_DISK: at scale the shingle table exceeds executor memory)
-    val cached = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (MEMORY_AND_DISK: at scale the shingle table exceeds executor memory).
+    // Scoped: callers release via graft.Caching.release after materializing.
+    val cached = graft.Caching.scoped(shingles)
     val filtered = maxShingleDf match {
       case Some(cap) =>
         val hot = cached.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

@@ -95,7 +95,8 @@ object Similarity {
     // iteration. At 100 TB, train the codebook on `trainSample` vectors
     // (deterministic id-hash sample) — centroid quality converges long
     // before the corpus is exhausted, and the codebook is nClusters×dim.
-    val vecs = base.as[(Long, Array[Float])].persist()
+    // Scoped: callers release via graft.Caching.release after materializing.
+    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
     val trainSample = 100000L
     val train = {
       val n = vecs.count()
@@ -153,7 +154,8 @@ object Similarity {
       .select(col("query_id"), col("id").as("nbr_id"),
         (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
     // vecs stays cached for the returned (lazy) plan, which scans it twice
-    // more (assignment + probes); it is evicted LRU or with the session.
+    // more (assignment + probes); release via graft.Caching.release once the
+    // caller has materialized the result.
     topKRank(scored, k)
   }
 
@@ -184,11 +186,12 @@ object Similarity {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // base feeds band explosion plus both candidate re-joins: cache so the
     // scan + signature kernel run once. Zero-norm vectors are dropped for the
-    // same oracle-parity reason as in cosinePairs.
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .filter(col("nrm") > 0)
-      .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same oracle-parity reason as in cosinePairs. Scoped: callers release
+    // via graft.Caching.release after materializing.
+    val base = graft.Caching.scoped(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        .filter(col("nrm") > 0)
+        .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits))))
     val nBands = numBits / bandSize
     val bands = base.select(col("id"),
       explode(array((0 until nBands).map { i =>

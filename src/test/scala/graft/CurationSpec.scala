@@ -272,6 +272,30 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == (0.0, 0.0) && out(5L) == (0.0, 0.0))
   }
 
+  test("operator persists are scoped: Caching.release leaves no cached RDDs behind") {
+    // other suites share the session, so assert relative to a baseline
+    Caching.release(spark)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val out = CurationPipeline.run(
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
+      Some(docs.filter(col("doc_id") % 10 === 7)),
+      CurationPipeline.Config(minTokens = 20L, langs = Set("en", "zh"),
+        tokensPerShard = 2000L, shardBuckets = 8))
+    assert(out.count() > 0)
+    // the pipeline registered its internal persists...
+    assert(Caching.registered(spark) > 0, "pipeline should persist via Caching.scoped")
+    assert(spark.sparkContext.getPersistentRDDs.size > baseline,
+      "materializing the pipeline should have cached intermediates")
+    // ...and release drops every one of them (no session-lifetime leak)
+    val released = Caching.release(spark)
+    assert(released > 0)
+    assert(Caching.registered(spark) == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      s"leaked persists: ${spark.sparkContext.getPersistentRDDs.size} > $baseline")
+    // releasing is idempotent and safe on a clean registry
+    assert(Caching.release(spark) == 0)
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
