@@ -735,7 +735,9 @@ object Queries {
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
-        |  FROM events),
+        |  -- graft_kmv skips null hashes; mirror it (list() would retain a
+        |  -- NULL hv row and list_sort would put it first)
+        |  FROM events WHERE user_id IS NOT NULL),
         |k AS (SELECT event_type, list_sort(list(hv))[1:64] AS ks FROM h GROUP BY 1)
         |SELECT event_type, CAST(len(ks) AS BIGINT) AS n_kept,
         |  ks[len(ks)] AS kth_hash,
@@ -745,6 +747,8 @@ object Queries {
 
     "x24_pii_redact" ->
       // same synthesized PII, same RE2-safe patterns in the same order
+      // (email, then IP, then phone — IPs first so the greedy phone match
+      // cannot swallow an adjacent IP, mirroring TextAnalysis.PiiPatterns)
       """WITH pii AS (SELECT doc_id,
         |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call +1-555-'
         |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 192.0.2.' || CAST(doc_id % 256 AS VARCHAR) AS t
@@ -752,8 +756,8 @@ object Queries {
         |SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g'),
-        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM pii""".stripMargin
   )
 

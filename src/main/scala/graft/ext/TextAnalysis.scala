@@ -151,16 +151,20 @@ object TextAnalysis {
       .distinct()
   }
 
-  /** PII patterns redacted by [[redactPii]], applied in this order (emails
-    * first: an address would otherwise be chewed up piecemeal by the
-    * looser phone/IP digit patterns). RE2-compatible — no backreferences or
+  /** PII patterns redacted by [[redactPii]], applied in this order. Emails
+    * first: an address would otherwise be chewed up piecemeal by the looser
+    * phone/IP digit patterns. IPs BEFORE phones: the greedy phone pattern
+    * accepts digits/spaces/dots, so "+1-555-0100 192.0.2.7" would otherwise
+    * collapse into one <PHONE> tag that swallows the IP (still redacted,
+    * but the class information is lost); masking IPs first ends the phone
+    * match at its last plain digit. RE2-compatible — no backreferences or
     * lookaround — so external engines (the DuckDB oracle, a Go/Rust
     * re-implementation) replace identically.
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("\\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"),
-    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("\\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"))
 
   /** Masks emails, international-format phone numbers, and IPv4 addresses —
     * the standard scrub before text enters a training corpus. Pure per-row

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * Determinism: among right rows with equal (key, ts) the one greatest by
   * `rightTieBreak` wins; pass a unique column (or pre-aggregate the right
   * side) to make results reproducible across retries and engines.
+  *
+  * NULL timestamps follow standard as-of (and DuckDB ASOF) semantics, where
+  * a NULL never satisfies the inequality: right rows with a null `rightTs`
+  * are dropped before the union (they can match nothing), and left rows
+  * with a null `leftTs` are emitted unmatched (ascending NULLS FIRST sorts
+  * them before every right row, so no payload has been carried forward yet).
   */
 object AsOfJoin {
 
@@ -42,6 +48,12 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(rightValueCols.forall(c => !leftCols.contains(c)),
       s"asOf: right value columns ${rightValueCols.filter(leftCols.contains)} collide with left")
+    // __-prefixed names are this operator's internal working columns
+    // (__ts/__side/__r/__m/__tb_*); a user column with that prefix would
+    // collide ambiguously or be silently misread
+    val reserved = (leftCols ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asOf: column names starting with '__' are reserved: ${reserved.mkString(", ")}")
     require(left.schema(leftTsCol).dataType == right.schema(rightTsCol).dataType,
       s"asOf: ts type mismatch ${left.schema(leftTsCol).dataType} vs ${right.schema(rightTsCol).dataType}")
 
@@ -61,7 +73,9 @@ object AsOfJoin {
       Seq(col(leftTsCol).as("__ts"), lit(leftSide).as("__side"),
         lit(null).cast(payloadType).as("__r")) ++
         tieNull ++ leftCols.map(col): _*)
-    val r = right.select(
+    // null rightTs can never satisfy `rightTs <= leftTs`: drop before the
+    // union so NULLS-FIRST ordering cannot carry its payload to every row
+    val r = right.filter(col(rightTsCol).isNotNull).select(
       Seq(col(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
         payload.as("__r")) ++
         tieVals ++

@@ -70,6 +70,33 @@ class TemporalOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asOf never matches null timestamps: null rt rows drop, null lt rows stay unmatched") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", Some(ts(5000))),
+      (2L, "u", None) // null left ts: kept, but matches nothing
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("u", Some(ts(2000)), 20L),
+      ("u", Option.empty[Timestamp], 99L) // null right ts: can match nothing
+    ).toDF("key", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"))
+      .select("event_id", "rv").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // without the null-rt filter, rv=99 would sort NULLS FIRST and be
+    // carried forward onto BOTH left rows
+    assert(out === Map(1L -> Some(20L), 2L -> None))
+  }
+
+  test("asOf rejects reserved __-prefixed input columns") {
+    val (left, right) = asOfFixture
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumn("__ts", col("t")), right,
+        Seq("key"), "t", "rt", Seq("rv"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("asOf plans as union + window — one shuffle, no join operator") {
     val (left, right) = asOfFixture
     val p = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"))
@@ -199,6 +226,15 @@ class TemporalOpsSpec extends SparkSpec {
       "host <IP> down",
       "all clean here",
       "multi <EMAIL> and <PHONE> at <IP>"))
+  }
+
+  test("redactPii keeps an IP adjacent to a phone as its own class (IPs mask first)") {
+    import spark.implicits._
+    // with phone-before-IP ordering the greedy phone pattern swallowed the
+    // digits/dots run: "+1-555-0100 192.0.2.7" became one <PHONE> tag
+    val out = TextAnalysis.redactPii(Seq("+1-555-0100 192.0.2.7").toDF("text"), "text")
+      .select("redacted").as[String].head()
+    assert(out === "<PHONE> <IP>")
   }
 
   test("redactPii propagates null text") {
