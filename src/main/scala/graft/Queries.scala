@@ -199,6 +199,16 @@ object Queries {
       Dedup.keepList(docs, "doc_id", pairs).select("doc_id")
     }),
 
+    // cluster collapse: connected components over the LSH near-dup pair
+    // graph (alternating large/small-star — log-round equi-joins, no
+    // cartesian), each doc mapped to its component's min id. The oracle
+    // recomputes the transitive closure with a recursive CTE.
+    "x25_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.connectedComponents(
+        Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5))
+    }),
+
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
@@ -448,6 +458,19 @@ object Queries {
 
     "x13_dedup_keep" ->
       s"""SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d2 FROM ($jaccardOracle))""",
+
+    // transitive closure of the near-dup pair graph (recursive CTE over the
+    // symmetrized edges; UNION dedups so the walk terminates), then each
+    // node's component min — the declared query's large/small-star fixpoint
+    "x25_dedup_components" ->
+      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($jaccardOracle)),
+        |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM walk GROUP BY a""".stripMargin,
 
     "x04_dedup_simhash" ->
       // transcription of Dedup.simHash: per-word hash = 60-bit md5 prefix

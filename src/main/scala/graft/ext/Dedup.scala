@@ -153,10 +153,99 @@ object Dedup {
     * chain's minimum always survives, but other members can too — for
     * pairs (1,3),(2,3), both 1 and 2 survive since 2 never appears as a
     * d2. Collapsing whole chains to one survivor needs connected
-    * components, which this deliberately avoids.
+    * components — [[keepListCollapsed]].
     */
   def keepList(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair set — the cluster-collapse
+    * step [[keepList]] deliberately skips: every document connected through
+    * any chain of pairs maps to the same `cluster_id` (the component's
+    * minimum doc id). Output: `(doc_id, cluster_id)`, one row per document
+    * that appears in at least one pair; unpaired documents are their own
+    * trivial clusters and are omitted.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two equi-join + hash-aggregate passes over the edge set, and the
+    * edge set contracts toward stars in O(log²) rounds, NOT graph-diameter
+    * rounds (plain min-label propagation needs one round per hop, so a
+    * 1M-long chain would need 1M shuffles). Every iteration materializes
+    * its edge set (persist + count) so lineage stays one-round deep; the
+    * previous iteration is unpersisted eagerly, and the final edge set is
+    * registered with [[graft.Caching]] for caller release. Deterministic:
+    * the fixpoint (component minima) is unique regardless of execution
+    * order or partitioning.
+    *
+    * `maxIters` bounds the rounds (log²(n) ⇒ 20 covers any realistic
+    * corpus); hitting the bound raises rather than returning a
+    * partially-collapsed mapping.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+
+    // large-star: every node u connects its LARGER neighbors to the minimum
+    // of its neighborhood (including u itself)
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+
+    // small-star: every node u connects its smaller neighbors (and itself)
+    // to its minimum smaller neighbor
+    def smallStar(edges: DataFrame): DataFrame = {
+      val dir = edges.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = dir.groupBy("a").agg(min("b").as("m"))
+      dir.join(mins, "a")
+        .select(col("b").as("v"), col("m"))
+        .union(mins.select(col("a").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+    }
+
+    var edges = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = next.count()
+      converged = n == prevCount && next.except(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+      prevCount = n
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    // the fixpoint is a forest of stars; read each node's component min off
+    // the symmetrized star edges. The final edge set stays persisted for
+    // the returned (lazy) plan — released via graft.Caching.release.
+    graft.Caching.scoped(edges)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy("a").agg(min("b").as("mn"))
+      .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id"))
+  }
+
+  /** [[keepList]]'s cluster-collapsing variant: exactly ONE survivor (the
+    * minimum doc id) per connected component of the pair graph — for pairs
+    * (1,3),(2,3) only doc 1 survives, where [[keepList]] keeps 1 AND 2.
+    * Costs the [[connectedComponents]] rounds instead of a single
+    * anti-join; unpaired documents always survive.
+    */
+  def keepListCollapsed(df: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIters: Int = 20): DataFrame = {
+    val drop = connectedComponents(pairs, maxIters)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 
   /** Bit width of the SimHash signature. 60 rather than 64 so the per-word
     * hash (low 60 bits of md5, [[graft.functions.Hashing.md5Hash60]]) is

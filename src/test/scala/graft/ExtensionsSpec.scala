@@ -21,6 +21,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("connectedComponents collapses chains to min-id clusters; keepListCollapsed keeps one per chain") {
+    import spark.implicits._
+    // two components: the chain 1-2-3-4 (transitive only — (1,4) is not a
+    // pair) and the island 10-11; doc 20 is unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    graft.Caching.release(spark)
+
+    val all = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val collapsed = Dedup.keepListCollapsed(all, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(collapsed === Set(1L, 10L, 20L), "one survivor per component + unpaired")
+    // contrast with the per-pair rule: 3 appears as a d2, but 1,2 both survive
+    val perPair = Dedup.keepList(all, "doc_id", Seq((1L, 3L), (2L, 3L)).toDF("d1", "d2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(perPair === Set(1L, 2L, 4L, 10L, 11L, 20L))
+    graft.Caching.release(spark)
+  }
+
+  test("connectedComponents handles empty pair sets and self-pairs") {
+    import spark.implicits._
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() === 0L)
+    val selfy = Dedup.connectedComponents(Seq((5L, 5L), (5L, 6L)).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfy === Map(5L -> 5L, 6L -> 5L))
+    graft.Caching.release(spark)
+  }
+
+  test("connectedComponents on the real LSH pairs refines keepList consistently") {
+    val pairs = Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawPairs = pairs.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.nonEmpty)
+    // every paired doc is mapped, pair endpoints share a cluster, and the
+    // cluster id is a member of the component (its min)
+    rawPairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across clusters")
+      assert(comp(a) <= math.min(a, b))
+    }
+    assert(comp.values.toSet.subsetOf(comp.keySet), "cluster ids must be member docs")
+    assert(comp.values.forall(c => comp(c) == c), "cluster min maps to itself")
+    graft.Caching.release(spark)
+  }
+
   test("streaming exact dedup keeps first arrival per content hash across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

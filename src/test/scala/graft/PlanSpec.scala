@@ -199,6 +199,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "must not expand like count-distinct: " + p.take(2000))
   }
 
+  test("x25 connected components: iterative equi-joins only, no cartesian/NLJ/UDF") {
+    val p = plan("x25_dedup_components")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    // the iteration materialized its fixpoint: the final plan reads the
+    // cached edge set instead of replaying every round's lineage
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    Caching.release(spark)
+  }
+
   test("x24 pii redaction is pure codegen projection: no shuffle, no UDFs") {
     val p = plan("x24_pii_redact")
     assert(!p.contains("Exchange"), p.take(2000))
