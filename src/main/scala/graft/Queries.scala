@@ -342,6 +342,13 @@ object Queries {
       Sketches.distinctSketch(t(s, dir, "events"), Seq("event_type"),
         "user_id", k = 64)),
 
+    // deterministic quantile sketch: per-event-type value quantiles off a
+    // bounded hash-min row sample (k=128, seeded by event_id) — mergeable,
+    // partition-invariant, and bit-reproducible by the oracle
+    "x26_quantile_sketch" -> ((s, dir) =>
+      Sketches.quantileSketch(t(s, dir, "events"), Seq("event_type"),
+        "value", "event_id", k = 128)),
+
     // PII redaction: emails/phones/IPv4 masked before corpus entry. The
     // test documents carry no natural PII, so deterministic PII is
     // synthesized from doc_id identically in both engines — the regex
@@ -767,6 +774,25 @@ object Queries {
         |  CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE) END AS est_distinct
         |FROM k""".stripMargin,
+
+    "x26_quantile_sketch" ->
+      // transcription of Sketches.quantileSketch: sample = values of the
+      // 128 rows with the smallest md5-60 of 'qs:' || event_id (ties break
+      // by value), sorted ascending; quantile q = element at rank
+      // floor(q * (n-1)) + 1 with the identical operand order. `+ 0.0`
+      // folds -0.0 into +0.0 exactly like the aggregate does.
+      """WITH h AS (SELECT event_type, value + 0.0 AS v,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('qs:' || CAST(event_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT event_type, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM h GROUP BY 1)
+        |SELECT event_type, CAST(len(qs) AS BIGINT) AS n_sample,
+        |  qs[CAST(floor(0.25 * (len(qs) - 1)) AS INTEGER) + 1] AS p25,
+        |  qs[CAST(floor(0.5 * (len(qs) - 1)) AS INTEGER) + 1] AS p50,
+        |  qs[CAST(floor(0.75 * (len(qs) - 1)) AS INTEGER) + 1] AS p75,
+        |  qs[CAST(floor(0.9 * (len(qs) - 1)) AS INTEGER) + 1] AS p90
+        |FROM s""".stripMargin,
 
     "x24_pii_redact" ->
       // same synthesized PII, same RE2-safe patterns in the same order

@@ -45,4 +45,48 @@ object Sketches {
             element_at(col("ks"), k).cast("double"))
           .as("est_distinct")): _*)
   }
+
+  /** Per-group quantile estimates of `valueCol` — "what do the length /
+    * score / token-count distributions look like per slice" over 100 TB,
+    * where exact percentiles sort every row and `approx_percentile`
+    * (t-digest/KLL) is neither mergeable-deterministically nor reproducible
+    * across engines. The sample is the `k` rows with the smallest md5-60
+    * hash of `(seed, idCol)` ([[graft.functions.SampleByMinHash]]: bounded
+    * buffer, map-side partials), so the whole sketch is a pure function of
+    * the data: Spark, the DuckDB oracle, and any re-run select the same
+    * rows and report bit-identical quantiles. `idCol` must uniquely
+    * identify a row (it seeds the sample).
+    *
+    * Output: groupCols, `n_sample` (≤ k), and one `p<q*100>` column per
+    * requested quantile — the sample value at rank
+    * `floor(q * (n_sample - 1)) + 1` (lower-rank, no interpolation: the
+    * emitted double is an exact input value, which is what keeps it
+    * hash-checkable). Estimates carry the usual O(1/√k) sample-quantile
+    * rank error; groups with every value null report n_sample = 0 and null
+    * quantiles.
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     idCol: String, k: Int = 128,
+                     quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                     seed: String = "qs"): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1]: $quantiles")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val h = Hashing.md5Hash60Col(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    def pName(q: Double): String = {
+      val pct = q * 100
+      if (pct == math.rint(pct)) f"p${pct.toInt}%d" else s"p$pct".replace('.', '_')
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_qsample",
+        h, col(valueCol).cast("double"), lit(k)).as("qs"))
+      .select(groupCols.map(col) ++
+        Seq(size(col("qs")).cast("long").as("n_sample")) ++
+        quantiles.map { q =>
+          val rank = (floor(lit(q) * (size(col("qs")) - 1).cast("double")) + 1).cast("int")
+          when(size(col("qs")) > 0, element_at(col("qs"), rank))
+            .otherwise(lit(null).cast("double")).as(pName(q))
+        }: _*)
+  }
 }

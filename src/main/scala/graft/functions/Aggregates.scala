@@ -297,6 +297,109 @@ case class MinHashBandsAgg(
     copy(shingleExpr = newChildren(0), numHashesExpr = newChildren(1), bandSizeExpr = newChildren(2))
 }
 
+/** `graft_qsample(hash, value, k)` — a deterministic bounded uniform row
+  * sample for quantile estimation: per group, the values of the `k` rows
+  * with the smallest `hash` (a uniform 60-bit hash of a UNIQUE row id),
+  * returned as `array<double>` sorted ascending. Hash-ordered selection
+  * makes the sample a pure function of the data — rerun, repartition, or
+  * re-engine (the DuckDB oracle recomputes it bit-for-bit) and the same
+  * rows are chosen, where `TABLESAMPLE`/`rand()` samples are neither
+  * reproducible nor mergeable. Quantiles read off the sorted sample at
+  * deterministic ranks (see [[graft.ext.Sketches.quantileSketch]]); with k
+  * samples the q-quantile estimate's error is O(1/√k) in rank.
+  *
+  * Scale shape: the buffer is a bounded k-pair set merged associatively —
+  * map-side partials ship k (hash, value) pairs per (partition, group)
+  * where exact quantiles (percentile / sort) ship or sort every row.
+  * Ties on hash (two distinct rows colliding in 60 bits, ~2⁻⁶⁰) break by
+  * value — Spark's double order, matching DuckDB `ORDER BY hv, value` —
+  * so even collisions cannot make the result partitioning-dependent. Rows
+  * with a null hash or value are excluded.
+  */
+case class SampleByMinHash(
+    hashExpr: Expression, valueExpr: Expression, kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedKBuffer[(Long, Double)]] {
+
+  private lazy val k: Int = {
+    val v = Lsh.literalInt(kExpr, "k")
+    require(v > 0, s"graft_qsample: k must be positive, got $v")
+    v
+  }
+
+  /** (hash asc, value by Spark double order) — smallest-hash rows first. */
+  private val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+    override def compare(x: (Long, Double), y: (Long, Double)): Int = {
+      val h = java.lang.Long.compare(x._1, y._1)
+      if (h != 0) h else BoundedKBuffer.sparkCompareDouble(x._2, y._2)
+    }
+  }
+
+  override def children: Seq[Expression] = Seq(hashExpr, valueExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashExpr.dataType, valueExpr.dataType) match {
+      case (LongType | IntegerType, DoubleType) if kExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_qsample requires (integral hash, double value, literal int k)")
+    }
+
+  override def createAggregationBuffer(): BoundedKBuffer[(Long, Double)] =
+    new BoundedKBuffer(k, ord)
+
+  override def update(buf: BoundedKBuffer[(Long, Double)], input: InternalRow): BoundedKBuffer[(Long, Double)] = {
+    val h = hashExpr.eval(input)
+    val v = valueExpr.eval(input)
+    if (h != null && v != null)
+      // + 0.0 folds -0.0 into +0.0 (IEEE) so a zero emerging at a quantile
+      // rank has ONE bit pattern in every engine; identity for all other
+      // values. The oracle applies the same normalization.
+      buf.add((h.asInstanceOf[Number].longValue(), v.asInstanceOf[Double] + 0.0))
+    buf
+  }
+
+  override def merge(buf: BoundedKBuffer[(Long, Double)], other: BoundedKBuffer[(Long, Double)]): BoundedKBuffer[(Long, Double)] = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: BoundedKBuffer[(Long, Double)]): Any = {
+    // sample selected by hash order; quantiles want the VALUES sorted
+    val values = buf.result().map(_._2).toArray
+    java.util.Arrays.sort(values) // no NaN/-0.0 subtleties survive: see ord
+    new GenericArrayData(values.map(v => v: Any))
+  }
+
+  override def serialize(buf: BoundedKBuffer[(Long, Double)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    val items = buf.result()
+    d.writeInt(items.length)
+    items.foreach { case (h, v) => d.writeLong(h); d.writeDouble(v) }
+    d.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedKBuffer[(Long, Double)] = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = createAggregationBuffer()
+    val n = d.readInt()
+    var i = 0
+    while (i < n) { b.add((d.readLong(), d.readDouble())); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SampleByMinHash =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SampleByMinHash =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SampleByMinHash =
+    copy(hashExpr = newChildren(0), valueExpr = newChildren(1), kExpr = newChildren(2))
+}
+
 /** `graft_kmv(hash, k)` — the K-Minimum-Values distinct-count sketch
   * (Bar-Yossef et al. 2002): per group, the `k` smallest DISTINCT hash
   * values as a sorted `array<bigint>`. With a uniform hash over [0, 2⁶⁰)

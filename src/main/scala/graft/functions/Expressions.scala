@@ -148,5 +148,7 @@ object GraftFunctions {
       es => RepetitionStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv",
       es => KMinValues(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_qsample",
+      es => SampleByMinHash(es(0), es(1), es(2)), "built-in")
   }
 }

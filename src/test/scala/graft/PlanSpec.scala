@@ -209,6 +209,13 @@ class PlanSpec extends SparkSpec {
     Caching.release(spark)
   }
 
+  test("x26 quantile sketch aggregates with map-side partials, never a global sort") {
+    val p = plan("x26_quantile_sketch")
+    assert(p.contains("partial_samplebyminhash"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
+      "quantiles must come from the bounded sample, not a sort: " + p.take(2000))
+  }
+
   test("x24 pii redaction is pure codegen projection: no shuffle, no UDFs") {
     val p = plan("x24_pii_redact")
     assert(!p.contains("Exchange"), p.take(2000))

@@ -207,6 +207,47 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out("h") === ((0L, true, 0.0)))
   }
 
+  test("quantile sketch is exact below k and rank-approximate above k") {
+    import spark.implicits._
+    // 9 values, k=128 ⇒ the sample IS the data; quantiles are exact ranks
+    val small = (1 to 9).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val exact = Sketches.quantileSketch(small, Seq("g"), "v", "id", k = 128)
+      .select("n_sample", "p25", "p50", "p75", "p90").head()
+    // n=9: rank(q) = floor(q*8)+1 ⇒ p25→3rd=3.0, p50→5th=5.0, p75→7th=7.0, p90→8th=8.0
+    assert(exact.getLong(0) === 9L)
+    assert((exact.getDouble(1), exact.getDouble(2), exact.getDouble(3), exact.getDouble(4))
+      === ((3.0, 5.0, 7.0, 8.0)))
+
+    // 10k uniform values, k=128 ⇒ estimates within ~3/sqrt(128) rank error
+    val big = (0 until 10000).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val est = Sketches.quantileSketch(big, Seq("g"), "v", "id", k = 128)
+      .select("p50").head().getDouble(0)
+    assert(math.abs(est / 10000.0 - 0.5) < 0.27, s"p50 estimate $est")
+  }
+
+  test("quantile sketch is invariant to partitioning (partial merge is sound)") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i => ("g" + (i % 3), i.toLong, (i % 997).toDouble))
+      .toDF("g", "id", "v")
+    def run(parts: Int) =
+      Sketches.quantileSketch(df.repartition(parts), Seq("g"), "v", "id", k = 32)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(run(1) === run(13))
+  }
+
+  test("quantile sketch skips null values and guards the all-null group") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, Some(5.0)), ("g", 2L, None), ("h", 3L, None))
+      .toDF("g", "id", "v")
+    val out = Sketches.quantileSketch(df, Seq("g"), "v", "id", k = 8,
+        quantiles = Seq(0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("g") === ((1L, Some(5.0))))
+    assert(out("h") === ((0L, None)))
+  }
+
   // -------------------------------------------------------------------- pii
 
   test("redactPii masks emails, phones, and IPv4s; leaves clean text alone") {
