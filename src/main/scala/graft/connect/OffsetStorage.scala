@@ -233,6 +233,10 @@ object OffsetStorage {
         new S3Store(new S3ObjectClient(s"$scheme://${u.getHost}$port",
           parts(0), parts(1), accessKey, secretKey))
       case "file" | null => new FsStore(Paths.get(Option(u.getPath).getOrElse(uri)))
+      case "kafka" => sys.error(
+        "kafka: offset storage is deliberately not implemented (no Kafka " +
+          "client available in this environment); a topic-backed Store can " +
+          "implement the same trait — use file:, s3:, or null: meanwhile")
       case other => sys.error(s"unknown offset storage scheme: $other in uri: $uri")
     }
   }

@@ -34,17 +34,31 @@ object Sharding {
     * within-bucket cumulative token offset falls in, so every shard spans
     * exactly `tokensPerShard` offset units and can overflow by at most the
     * tail of one straddling document (documents are never split).
+    *
+    * `tokenCountCol` plugs in a precomputed token count (e.g. real BPE
+    * counts from the training tokenizer, typically materialized by a
+    * tokenize pass upstream) — shard budgets then measure model tokens
+    * instead of the whitespace default. The default stays whitespace so
+    * the packing is a pure function of the text (and oracle-checkable
+    * without a tokenizer in the loop).
     */
   def packByTokens(df: DataFrame, idCol: String, textCol: String,
                    tokensPerShard: Long, nBuckets: Int = 256,
-                   seed: String = "shard"): DataFrame = {
+                   seed: String = "shard",
+                   tokenCountCol: Option[String] = None): DataFrame = {
     require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    Seq("n_tokens", "bucket", "shard", "cum_before").foreach(c => require(!df.columns.contains(c),
+    tokenCountCol.foreach(c => require(df.columns.contains(c),
+      s"packByTokens: token count column '$c' not in input (${df.columns.mkString(", ")})"))
+    Seq("n_tokens", "bucket", "shard", "cum_before").foreach(c => require(
+      !df.columns.contains(c) || tokenCountCol.contains(c),
       s"packByTokens writes column '$c' — input already has one; rename or drop it first"))
+    val nTokens = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    df.withColumn("n_tokens", nTokens)
       .withColumn("bucket", Sampling.hash60(col(idCol), seed) % nBuckets)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("shard",

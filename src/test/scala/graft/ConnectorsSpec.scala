@@ -423,7 +423,11 @@ class OffsetStorageSpec extends SparkSpec {
     assert(OffsetStorage.provider("null:").isInstanceOf[OffsetStorage.NullStore])
     val dir = java.nio.file.Files.createTempDirectory("graft_osp")
     assert(OffsetStorage.provider(s"file://$dir/x.offset").isInstanceOf[OffsetStorage.FsStore])
-    intercept[RuntimeException](OffsetStorage.provider("kafka://broker/topic"))
+    // kafka: is a documented exclusion — the error must say so, not read as
+    // an unrecognized-scheme bug
+    val kafkaErr = intercept[RuntimeException](OffsetStorage.provider("kafka://broker/topic"))
+    assert(kafkaErr.getMessage.contains("deliberately"), kafkaErr.getMessage)
+    assert(kafkaErr.getMessage.contains("file:"), kafkaErr.getMessage)
     intercept[RuntimeException](
       OffsetStorage.provider("s3://127.0.0.1/bkt/key", env = _ => None)) // creds required
     // IPv4 host → TLS off (s3_offset_storage_provider.cpp:56-64): proven by

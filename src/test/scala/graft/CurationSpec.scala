@@ -152,6 +152,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packByTokens accepts a precomputed token-count column (BPE budgets)") {
+    // pretend a tokenizer pass materialized real model-token counts: 3x the
+    // whitespace count — shard budgets must follow the provided column
+    val withBpe = docs.withColumn("bpe_tokens",
+      size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long") * 3)
+    val out = Sharding.packByTokens(withBpe, "doc_id", "text",
+        tokensPerShard = 1500L, nBuckets = 4, seed = "s",
+        tokenCountCol = Some("bpe_tokens"))
+      .select("doc_id", "n_tokens", "bucket", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bpe = withBpe.select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, n, _, _) => assert(n == bpe(id), s"doc $id") }
+    // identical packing law as the default path, over the plugged counts
+    out.groupBy(_._3).foreach { case (bucket, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, n, _, shard) =>
+        assert(shard == bucket * Sharding.ShardsPerBucket + cum / 1500L, s"doc $id")
+        cum += n
+      }
+    }
+    // a missing column is rejected up front
+    val e = intercept[IllegalArgumentException] {
+      Sharding.packByTokens(docs, "doc_id", "text", 1500L, 4, "s", Some("nope"))
+    }
+    assert(e.getMessage.contains("token count column"))
+  }
+
   test("streaming decontamination: stream-static gram join is stateless and append-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
