@@ -37,6 +37,12 @@ object CurationPipeline {
       langs: Set[String] = Set("en"),
       nearDupThreshold: Double = 0.5,
       shingleN: Int = 3,
+      // true ⇒ collapse whole near-dup CHAINS to one survivor per connected
+      // component ([[Dedup.keepListCollapsed]] — costs the log-round
+      // component iteration); false ⇒ the single-anti-join per-pair rule
+      // ([[Dedup.keepList]] — a chain's min survives but other members may
+      // too)
+      collapseClusters: Boolean = false,
       decontamN: Int = 13,
       maxGramDf: Option[Long] = Some(10000L),
       splitSeed: String = "graft",
@@ -80,11 +86,14 @@ object CurationPipeline {
       Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi"))
 
-    // 4: near-dup dedup — LSH pairs, drop the larger id of each pair
+    // 4: near-dup dedup — LSH pairs, then either the per-pair drop or the
+    // full cluster collapse (one survivor per connected component)
     val pairs = Dedup.minHashLsh(
       Dedup.wordShingles(exactKept, idCol, textCol, cfg.shingleN),
       cfg.nearDupThreshold)
-    val nearKept = Dedup.keepList(exactKept, idCol, pairs)
+    val nearKept =
+      if (cfg.collapseClusters) Dedup.keepListCollapsed(exactKept, idCol, pairs)
+      else Dedup.keepList(exactKept, idCol, pairs)
 
     // 5: decontamination against the holdout. nearKept is referenced up to
     // three times (gram df union, anti-join probe, clean train side) — the

@@ -225,6 +225,30 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curation pipeline collapseClusters keeps a subset: one survivor per near-dup component") {
+    val cfgBase = CurationPipeline.Config(minTokens = 20L, langs = Set("en", "zh"),
+      tokensPerShard = 2000L, shardBuckets = 8)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val perPair = CurationPipeline.run(train, "doc_id", "text", None, cfgBase)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val collapsed = CurationPipeline.run(train, "doc_id", "text", None,
+        cfgBase.copy(collapseClusters = true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(collapsed.nonEmpty && collapsed.subsetOf(perPair),
+      s"collapse must only remove survivors: ${collapsed -- perPair}")
+    // the collapsed set carries no near-dup pair at all
+    val survivors = train.join(
+      spark.createDataFrame(collapsed.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))),
+      Seq("doc_id"), "left_semi")
+    val residual = graft.ext.Dedup.minHashLsh(
+      graft.ext.Dedup.wordShingles(survivors, "doc_id", "text", 3), 0.5).count()
+    graft.Caching.release(spark)
+    assert(residual == 0L, s"$residual near-dup pairs survived the collapse")
+  }
+
   test("writeTrainingShards lays out split=/shard= dirs with one file per shard") {
     val out = CurationPipeline.run(
       docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", None,
