@@ -152,6 +152,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantileSketch equals the sequential hash-min-sample model on random groups") {
+    import spark.implicits._
+    val rowsGen: Gen[List[(Long, Long, Double)]] = Gen.listOfN(300, for {
+      g <- Gen.choose(0L, 4L)
+      v <- Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.oneOf(0.0, -0.0, 7.5))
+    } yield (g, v)).map(_.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) })
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    for (seed <- 70L to 72L; k <- Seq(4, 64)) {
+      val rows = sample(rowsGen, seed + k)
+      // random partitioning: the sample must be partition-invariant
+      val df = rows.toDF("grp", "id", "v").repartition(7)
+      val got = graft.ext.Sketches.quantileSketch(df, Seq("grp"), "v", "id", k = k, quantiles = qs)
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, members) =>
+        // model: k smallest by (md5-60 of 'qs:'||id, value), values sorted,
+        // quantile = sorted(floor(q*(n-1))) with the same -0.0 folding
+        val sampleVals = members
+          .map { case (_, id, v) => (Hashing.md5Hash60(s"qs:$id"), v + 0.0) }
+          .sortBy(identity).take(k).map(_._2).sorted
+        val n = sampleVals.length
+        def quant(q: Double) = sampleVals(math.floor(q * (n - 1)).toInt)
+        val (gotG, gotN, p25, p50, p75, p90) = got(g)
+        assert(gotG == g && gotN == n.toLong, s"seed $seed k=$k grp $g n")
+        assert((p25, p50, p75, p90) == ((quant(0.25), quant(0.5), quant(0.75), quant(0.9))),
+          s"seed $seed k=$k grp $g")
+      }
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
