@@ -13,26 +13,38 @@ import org.apache.spark.sql.types._
 
 /** Bounded best-k accumulator: keeps the `k` best items under `ord`.
   * Append-and-compact (sort + truncate once the buffer doubles) amortizes
-  * to O(log k) per row without a hand-rolled heap. One implementation for
-  * every bounded-rank aggregate so the compaction logic cannot drift.
+  * to O(log k) per row without a hand-rolled heap, and once the buffer has
+  * saturated (≥ k items survived a compaction) items strictly worse than
+  * the current kth-best are rejected WITHOUT buffering — on a hot group
+  * (the 100 TB scan case) almost every row is worse than the running kth,
+  * so the steady-state cost per row is one comparison, not an append +
+  * amortized sort. Rejecting only STRICTLY worse items keeps the result
+  * multiset bit-identical to sort-everything-take-k: a saturated buffer
+  * already holds k items better-or-equal, so the rejected item could never
+  * be selected. One implementation for every bounded-rank aggregate so the
+  * compaction logic cannot drift.
   */
 final class BoundedKBuffer[T](val k: Int, ord: Ordering[T]) {
   private[functions] val items = new ArrayBuffer[T]()
+  private var saturated = false
+  private var bound: T = _
 
   def add(item: T): Unit = {
+    if (saturated && ord.compare(item, bound) > 0) return
     items += item
     if (items.length >= 2 * k + 16) compact()
   }
 
   def merge(other: BoundedKBuffer[T]): Unit = {
-    items ++= other.items
-    if (items.length >= 2 * k + 16) compact()
+    // per-item so the other side's elements respect this buffer's bound
+    other.items.foreach(add)
   }
 
   private def compact(): Unit = {
     val best = items.sorted(ord).take(k)
     items.clear()
     items ++= best
+    if (items.length >= k) { saturated = true; bound = items(k - 1) }
   }
 
   /** The final k best, best first. */
