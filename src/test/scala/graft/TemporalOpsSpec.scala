@@ -248,6 +248,33 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out("h") === ((0L, None)))
   }
 
+  test("kmv and quantile sketches run on streams: complete-mode result equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the sketches are plain Catalyst aggregates, so continuous corpus
+    // profiling is the SAME operator inside a streaming groupBy — no
+    // separate code path to trust
+    val rows = (0 until 500).map(i => ("g" + (i % 2), i.toLong, (i % 97).toDouble))
+    val batchKmv = Sketches.distinctSketch(rows.toDF("g", "id", "v"), Seq("g"), "v", k = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val batchQ = Sketches.quantileSketch(rows.toDF("g", "id", "v"), Seq("g"), "v", "id", k = 16)
+      .collect().map(_.toString).sorted.toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    in.addData(rows.take(200))
+    val q1 = Sketches.distinctSketch(in.toDF().toDF("g", "id", "v"), Seq("g"), "v", k = 16)
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("complete").start()
+    val q2 = Sketches.quantileSketch(in.toDF().toDF("g", "id", "v"), Seq("g"), "v", "id", k = 16)
+      .writeStream.format("memory").queryName("q_stream").outputMode("complete").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      in.addData(rows.drop(200)) // second micro-batch merges into sketch state
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("kmv_stream").collect().map(_.toString).sorted.toSeq === batchKmv)
+      assert(spark.table("q_stream").collect().map(_.toString).sorted.toSeq === batchQ)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   // -------------------------------------------------------------------- pii
 
   test("redactPii masks emails, phones, and IPv4s; leaves clean text alone") {
