@@ -212,6 +212,18 @@ object Queries {
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
+    // embedding near-dup dedup DECISION: the keep-list anti-join applied to
+    // the cosine-LSH pair set — the embedding-space analog of x13 (drop the
+    // larger id of every pair; zero-norm vectors have no defined cosine,
+    // never pair, and therefore always survive)
+    "x27_embed_dedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.keepList(emb, "vec_id",
+          Similarity.cosineLshPairs(emb, "vec_id", "embedding", 0.35)
+            .select(col("vec_id_a").as("d1"), col("vec_id_b").as("d2")))
+        .select("vec_id")
+    }),
+
     // Declared in the full-probe configuration (nProbe = nClusters): probing
     // every cluster makes IVF mathematically identical to brute force, so the
     // whole pipeline — codebook training, assignment, probe join, exact
@@ -501,6 +513,15 @@ object Queries {
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    "x27_embed_dedup_keep" ->
+      // the x05 pair oracle's d2 side, anti-joined away (NaN cosine from a
+      // zero-norm vector fails the >= in both engines, so such vectors
+      // never pair and always survive — matching the Spark-side filter)
+      """SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+        |  SELECT b.vec_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35)""".stripMargin,
 
     // brute-force top-k over every vector as a query: in the declared
     // full-probe configuration IVF's candidate set per query is the entire

@@ -42,6 +42,21 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("connectedComponents collapses a 200-link chain within the log-round budget") {
+    import spark.implicits._
+    // a path graph is the adversarial diameter case: plain min-label
+    // propagation needs one round per hop (200 here); alternating
+    // large/small-star must finish inside the default maxIters = 20 —
+    // the require() inside the operator enforces it, so mere completion
+    // proves the O(log²) round bound holds where naive propagation dies
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 201)
+    assert(comp.values.forall(_ == 0L), "whole chain is one component rooted at 0")
+    graft.Caching.release(spark)
+  }
+
   test("connectedComponents handles empty pair sets and self-pairs") {
     import spark.implicits._
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() === 0L)
