@@ -348,6 +348,14 @@ object Queries {
           gapMs = 1800 * 1000L, tieBreakCols = Seq("event_id"))
         .select("event_id", "user_id", "session_idx")),
 
+    // per-session rollup on top of the x22 assignment: count + time bounds
+    // per (user, session) — the aggregation rides the window's existing
+    // hash partitioning, no second shuffle of the events
+    "x28_session_rollup" -> ((s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), Seq("user_id"), "ts",
+          gapMs = 1800 * 1000L, tieBreakCols = Seq("event_id"))
+        .select("user_id", "session_idx", "n_events", "session_start", "session_end")),
+
     // KMV distinct-count sketch: distinct users per event type, k=64 —
     // deterministic (md5-60) so the estimate itself is oracle-checkable
     "x23_kmv_distinct" -> ((s, dir) =>
@@ -777,6 +785,19 @@ object Queries {
         |SELECT event_id, user_id,
         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |FROM m""".stripMargin,
+
+    "x28_session_rollup" ->
+      // x22's gaps-and-islands assignment, rolled up per session
+      """WITH o AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |m AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS is_new FROM o),
+        |a AS (SELECT event_id, user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |FROM m)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "x23_kmv_distinct" ->
       // transcription of Sketches.distinctSketch: md5-60 of 'kmv:' || value,
