@@ -193,6 +193,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("x28 session rollup reuses the window's hash partitioning: exactly one exchange") {
+    // hashpartitioning(user_id) already clusters (user_id, session_idx), so
+    // the rollup aggregate must not add a second shuffle on top of the
+    // sessionization window
+    val p = plan("x28_session_rollup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
   test("x23 kmv sketch aggregates with map-side partials (bounded k-set per partition)") {
     val p = plan("x23_kmv_distinct")
     assert(p.contains("partial_kminvalues"), p.take(2000))
