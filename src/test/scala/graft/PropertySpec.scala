@@ -182,6 +182,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals a union-find model on random graphs") {
+    import spark.implicits._
+    // dense node range forces cycles, duplicate edges (both directions),
+    // self-loops, and several components per draw
+    val edgesGen: Gen[List[(Long, Long)]] = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (seed <- 80L to 83L) {
+      val edges = sample(edgesGen, seed)
+      val got = graft.ext.Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // model: path-compressing union-find, then min id per root
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val nodes = scala.collection.mutable.Set.empty[Long]
+      edges.foreach { case (a, b) =>
+        if (a != b) { nodes += a; nodes += b; parent(find(a)) = find(b) }
+      }
+      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} mapped nodes")
+      Caching.release(spark)
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
