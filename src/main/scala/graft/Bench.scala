@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -41,11 +41,19 @@ object Bench {
     spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
 
-  /** Median of the surviving run times (odd count ⇒ true median; even ⇒
-    * lower-middle, the conservative pick).
+  /** Median of surviving run TIMES (odd count ⇒ true median; even count ⇒
+    * upper-middle: for latencies the conservative pick is the SLOWER run —
+    * the even case only happens when a run crashed, exactly when optimism
+    * is least warranted).
     */
   private def median(times: Seq[Double]): Double = {
     val s = times.sorted
+    s(s.length / 2)
+  }
+
+  /** Median of RATES (rows/sec): conservative = the lower-middle. */
+  private def medianRate(rates: Seq[Double]): Double = {
+    val s = rates.sorted
     s((s.length - 1) / 2)
   }
 
@@ -76,12 +84,47 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val stageRoot = Files.createTempDirectory("graft-bench-stream")
 
-    def run(n: Int, keys: Int): (Double, Double, Double, Double) = {
-      // latestByKey: n upserts over `keys` distinct keys
-      val in1 = stageStream(spark, stageRoot, "lww",
+    // Stage all four inputs for one (n, keys) configuration ONCE — the
+    // staged content is a pure function of (n, keys), so re-writing it per
+    // measured run would only add untimed-but-real wall-clock. The returned
+    // streaming DataFrames are re-startable: each run starts fresh queries
+    // (fresh temp checkpoints) over the same staged files.
+    def stage(n: Int, keys: Int) = {
+      val tag = s"${n}_$keys"
+      val lww = stageStream(spark, stageRoot, s"lww_$tag",
         spark.range(0, n).select((col("id") % keys).as("key"),
           concat(lit("v"), col("id")).as("value"), col("id").as("eventTime")))
         .as[KRecord[Long, String]]
+      // stream×table left join: 1/4 right changelog entries, 3/4 left probes
+      val left = stageStream(spark, stageRoot, s"join_left_$tag",
+        spark.range(0, n * 3L / 4).select((col("id") % keys).as("key"),
+          concat(lit("e"), col("id")).as("value"), (col("id") + n).as("eventTime")))
+        .as[KRecord[Long, String]]
+      val right = stageStream(spark, stageRoot, s"join_right_$tag",
+        spark.range(0, n / 4).select((col("id") % keys).as("key"),
+          col("id").as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, Long]]
+      // table×table changelog join: updates on both sides of each key
+      val ttLeft = stageStream(spark, stageRoot, s"tt_left_$tag",
+        spark.range(0, n / 2).select((col("id") % keys).as("key"),
+          concat(lit("l"), col("id")).as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, String]]
+      val ttRight = stageStream(spark, stageRoot, s"tt_right_$tag",
+        spark.range(0, n / 2).select((col("id") % keys).as("key"),
+          col("id").as("value"), col("id").as("eventTime")))
+        .as[KRecord[Long, Long]]
+      // continuous-ingest exact dedup: 50% duplicate texts within the horizon
+      val dedup = stageStream(spark, stageRoot, s"dedup_$tag",
+        spark.range(0, n).select(col("id").as("doc_id"),
+          timestamp_millis(col("id")).as("ts"),
+          concat(lit("text"), col("id") % (n / 2)).as("text")))
+      (lww, left, right, ttLeft, ttRight, dedup)
+    }
+
+    def run(n: Int, staged: (Dataset[KRecord[Long, String]], Dataset[KRecord[Long, String]],
+            Dataset[KRecord[Long, Long]], Dataset[KRecord[Long, String]],
+            Dataset[KRecord[Long, Long]], org.apache.spark.sql.DataFrame)): (Double, Double, Double, Double) = {
+      val (in1, left, right, l4, r5, in6) = staged
       val t0 = System.nanoTime()
       val q1 = StatefulOps.latestByKey(in1)
         .writeStream.format("noop").outputMode("update")
@@ -89,15 +132,6 @@ object Bench {
       q1.awaitTermination()
       val lww = n / ((System.nanoTime() - t0) / 1e9)
 
-      // stream×table left join: 1/4 right changelog entries, 3/4 left probes
-      val left = stageStream(spark, stageRoot, "join_left",
-        spark.range(0, n * 3L / 4).select((col("id") % keys).as("key"),
-          concat(lit("e"), col("id")).as("value"), (col("id") + n).as("eventTime")))
-        .as[KRecord[Long, String]]
-      val right = stageStream(spark, stageRoot, "join_right",
-        spark.range(0, n / 4).select((col("id") % keys).as("key"),
-          col("id").as("value"), col("id").as("eventTime")))
-        .as[KRecord[Long, Long]]
       val t1 = System.nanoTime()
       val q2 = StatefulOps.streamTableJoinChangelog(left, right, StatefulOps.LeftJoin)
         .writeStream.format("noop").outputMode("update")
@@ -105,15 +139,6 @@ object Bench {
       q2.awaitTermination()
       val join = n / ((System.nanoTime() - t1) / 1e9)
 
-      // table×table changelog join: updates on both sides of each key
-      val l4 = stageStream(spark, stageRoot, "tt_left",
-        spark.range(0, n / 2).select((col("id") % keys).as("key"),
-          concat(lit("l"), col("id")).as("value"), col("id").as("eventTime")))
-        .as[KRecord[Long, String]]
-      val r5 = stageStream(spark, stageRoot, "tt_right",
-        spark.range(0, n / 2).select((col("id") % keys).as("key"),
-          col("id").as("value"), col("id").as("eventTime")))
-        .as[KRecord[Long, Long]]
       val t2 = System.nanoTime()
       val q3 = StatefulOps.tableTableJoinChangelog(l4, r5, StatefulOps.OuterJoin)
         .writeStream.format("noop").outputMode("update")
@@ -121,11 +146,6 @@ object Bench {
       q3.awaitTermination()
       val ttJoin = n / ((System.nanoTime() - t2) / 1e9)
 
-      // continuous-ingest exact dedup: 50% duplicate texts within the horizon
-      val in6 = stageStream(spark, stageRoot, "dedup",
-        spark.range(0, n).select(col("id").as("doc_id"),
-          timestamp_millis(col("id")).as("ts"),
-          concat(lit("text"), col("id") % (n / 2)).as("text")))
       val t3 = System.nanoTime()
       val q4 = graft.ext.Dedup.exactStream(in6, "text", "ts", "1 hour")
         .writeStream.format("noop").outputMode("append")
@@ -136,13 +156,14 @@ object Bench {
     }
 
     try {
-      run(10000, 1000) // warmup: JIT + state-store init land here
+      run(10000, stage(10000, 1000)) // warmup: JIT + state-store init land here
       // median-of-3, the batch queries' noise stance
-      val rs = (1 to RunsPerQuery).map(_ => run(400000, 10000))
-      Map("latestByKey_rows_per_sec" -> median(rs.map(_._1)),
-        "streamTableJoin_rows_per_sec" -> median(rs.map(_._2)),
-        "tableTableJoin_rows_per_sec" -> median(rs.map(_._3)),
-        "streamDedup_rows_per_sec" -> median(rs.map(_._4)))
+      val staged = stage(400000, 10000)
+      val rs = (1 to RunsPerQuery).map(_ => run(400000, staged))
+      Map("latestByKey_rows_per_sec" -> medianRate(rs.map(_._1)),
+        "streamTableJoin_rows_per_sec" -> medianRate(rs.map(_._2)),
+        "tableTableJoin_rows_per_sec" -> medianRate(rs.map(_._3)),
+        "streamDedup_rows_per_sec" -> medianRate(rs.map(_._4)))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // best-effort temp cleanup

@@ -26,33 +26,49 @@ import org.apache.spark.storage.StorageLevel
 object Caching {
 
   private val registry =
-    new ConcurrentHashMap[SparkSession, java.util.Set[Dataset[_]]]()
+    new ConcurrentHashMap[SparkSession, java.util.Set[() => Unit]]()
+
+  /** Registers an arbitrary cleanup to run at the next [[release]] — for
+    * resources a Dataset.unpersist cannot reach (checkpointed round RDDs,
+    * reliable-checkpoint files). Idempotent cleanups only: a concurrent
+    * release can, in a benign race, run a cleanup twice.
+    */
+  def onRelease(spark: SparkSession)(cleanup: () => Unit): Unit = {
+    // re-check after adding: if a concurrent release() detached the set
+    // between computeIfAbsent and add, the cleanup would be orphaned in the
+    // dead set (registered forever, never run) — retry into the live one
+    var done = false
+    while (!done) {
+      val set = registry.computeIfAbsent(spark, _ => ConcurrentHashMap.newKeySet[() => Unit]())
+      set.add(cleanup)
+      done = registry.get(spark) eq set
+    }
+  }
 
   /** Persists `ds` at `level` and registers it for [[release]]. */
   def scoped[T](ds: Dataset[T],
                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     val persisted = ds.persist(level)
-    registry
-      .computeIfAbsent(ds.sparkSession, _ => ConcurrentHashMap.newKeySet[Dataset[_]]())
-      .add(persisted)
+    onRelease(ds.sparkSession)(() => persisted.unpersist(blocking = false))
     persisted
   }
 
-  /** Unpersists every dataset [[scoped]] on `spark` since the last release;
-    * returns how many were released. Non-blocking: block deletion proceeds
-    * asynchronously, but the storage is immediately reusable.
+  /** Runs every cleanup registered on `spark` since the last release
+    * (unpersists for [[scoped]] datasets); returns how many ran.
+    * Non-blocking: block deletion proceeds asynchronously, but the storage
+    * is immediately reusable.
     */
   def release(spark: SparkSession): Int = {
     val set = registry.remove(spark)
     if (set == null) 0
     else {
       var n = 0
-      set.forEach { ds => ds.unpersist(blocking = false); n += 1 }
+      set.forEach { f => f(); n += 1 }
       n
     }
   }
 
-  /** Number of currently registered (unreleased) datasets on `spark`. */
+  /** Number of currently registered (unreleased) cleanups on `spark`. */
   def registered(spark: SparkSession): Int = {
     val set = registry.get(spark)
     if (set == null) 0 else set.size()

@@ -803,7 +803,8 @@ object Queries {
       // transcription of Sketches.distinctSketch: md5-60 of 'kmv:' || value,
       // k smallest distinct per group, estimate (k-1)*2^60/kth in the same
       // operand order (63.0 * 2^60 is exact in a double)
-      """WITH h AS (SELECT DISTINCT event_type,
+      """WITH g AS (SELECT DISTINCT event_type FROM events),
+        |h AS (SELECT DISTINCT event_type,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
@@ -811,11 +812,13 @@ object Queries {
         |  -- NULL hv row and list_sort would put it first)
         |  FROM events WHERE user_id IS NOT NULL),
         |k AS (SELECT event_type, list_sort(list(hv))[1:64] AS ks FROM h GROUP BY 1)
-        |SELECT event_type, CAST(len(ks) AS BIGINT) AS n_kept,
+        |-- g LEFT JOIN: a group whose every user_id is null has no h rows
+        |-- but still aggregates (empty sketch) on the Spark side
+        |SELECT g.event_type, COALESCE(CAST(len(ks) AS BIGINT), 0) AS n_kept,
         |  ks[len(ks)] AS kth_hash,
-        |  CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+        |  CASE WHEN COALESCE(len(ks), 0) < 64 THEN CAST(COALESCE(len(ks), 0) AS DOUBLE)
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE) END AS est_distinct
-        |FROM k""".stripMargin,
+        |FROM g LEFT JOIN k ON g.event_type IS NOT DISTINCT FROM k.event_type""".stripMargin,
 
     "x26_quantile_sketch" ->
       // transcription of Sketches.quantileSketch: sample = values of the
@@ -823,18 +826,21 @@ object Queries {
       // by value), sorted ascending; quantile q = element at rank
       // floor(q * (n-1)) + 1 with the identical operand order. `+ 0.0`
       // folds -0.0 into +0.0 exactly like the aggregate does.
-      """WITH h AS (SELECT event_type, value + 0.0 AS v,
+      """WITH g AS (SELECT DISTINCT event_type FROM events),
+        |h AS (SELECT event_type, value + 0.0 AS v,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('qs:' || CAST(event_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
         |s AS (SELECT event_type, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM h GROUP BY 1)
-        |SELECT event_type, CAST(len(qs) AS BIGINT) AS n_sample,
+        |-- g LEFT JOIN: an all-null-value group has no h rows but still
+        |-- aggregates (empty sample, null quantiles) on the Spark side
+        |SELECT g.event_type, COALESCE(CAST(len(qs) AS BIGINT), 0) AS n_sample,
         |  qs[CAST(floor(0.25 * (len(qs) - 1)) AS INTEGER) + 1] AS p25,
         |  qs[CAST(floor(0.5 * (len(qs) - 1)) AS INTEGER) + 1] AS p50,
         |  qs[CAST(floor(0.75 * (len(qs) - 1)) AS INTEGER) + 1] AS p75,
         |  qs[CAST(floor(0.9 * (len(qs) - 1)) AS INTEGER) + 1] AS p90
-        |FROM s""".stripMargin,
+        |FROM g LEFT JOIN s ON g.event_type IS NOT DISTINCT FROM s.event_type""".stripMargin,
 
     "x24_pii_redact" ->
       // same synthesized PII, same RE2-safe patterns in the same order
@@ -847,7 +853,7 @@ object Queries {
         |SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM pii""".stripMargin
   )

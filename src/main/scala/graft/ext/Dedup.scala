@@ -180,21 +180,47 @@ object Dedup {
     * default — data-loss-on-executor-failure just restarts the bounded
     * iteration; set `SparkContext.setCheckpointDir` and the rounds use
     * reliable `checkpoint` instead (the 1000-executor stance, where losing
-    * an executor mid-iteration is routine). Checkpointed round RDDs are
-    * reclaimed by the ContextCleaner as rounds retire. Deterministic: the
-    * fixpoint (component minima) is unique regardless of execution order
-    * or partitioning.
+    * an executor mid-iteration is routine). Retired rounds are freed
+    * eagerly — blocks unpersisted, reliable-checkpoint files deleted; the
+    * final round backs the returned plan and is reclaimed when the result
+    * is unreferenced. Deterministic: the fixpoint (component minima) is
+    * unique regardless of execution order or partitioning.
     *
     * `maxIters` bounds the rounds (log²(n) ⇒ 20 covers any realistic
     * corpus); hitting the bound raises rather than returning a
     * partially-collapsed mapping.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     // materialize AND truncate lineage (see scaladoc — without this the
     // round-k plan embeds ~5^k copies of the upstream subtree)
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+
+    // Eagerly free a RETIRED round (nothing reads it again once the next
+    // round is checkpoint-materialized): drop its blocks and, on the
+    // reliable path, its checkpoint files — the ContextCleaner only deletes
+    // checkpoint FILES when cleanCheckpoints is enabled (default off), so
+    // without this every invocation would accrete per-round files for the
+    // session's lifetime. The FINAL round is deliberately NOT freed this
+    // way: its data backs the returned plan and truncation removed the
+    // lineage to recompute it, so it lives until the result is
+    // unreferenced (blocks reclaimed by the ContextCleaner on GC; enable
+    // spark.cleaner.referenceTracking.cleanCheckpoints for the files).
+    def freeRetired(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = lr.rdd
+        val checkpointFile = rdd.getCheckpointFile
+        rdd.unpersist(blocking = false)
+        checkpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          } catch { case _: java.io.IOException => () }
+        }
+      case _ => ()
+    }
 
     // large-star: every node u connects its LARGER neighbors to the minimum
     // of its neighborhood (including u itself)
@@ -229,6 +255,7 @@ object Dedup {
       val next = truncate(smallStar(largeStar(edges)))
       val n = next.count()
       converged = n == prevCount && next.except(edges).isEmpty
+      freeRetired(edges)
       edges = next
       prevCount = n
       it += 1

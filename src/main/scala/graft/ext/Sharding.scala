@@ -53,8 +53,14 @@ object Sharding {
     Seq("n_tokens", "bucket", "shard", "cum_before").foreach(c => require(
       !df.columns.contains(c) || tokenCountCol.contains(c),
       s"packByTokens writes column '$c' — input already has one; rename or drop it first"))
+    // a null count would silently pack as 0 and a negative one would shrink
+    // every later doc's running offset in the bucket — fail loudly instead
+    // (the whitespace default can produce neither)
     val nTokens = tokenCountCol
-      .map(c => col(c).cast("long"))
+      .map(c => when(col(c).isNull || col(c) < 0,
+          raise_error(concat(lit(s"packByTokens: null/negative token count in '$c' at $idCol="),
+            col(idCol).cast("string"))).cast("long"))
+        .otherwise(col(c).cast("long")))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)

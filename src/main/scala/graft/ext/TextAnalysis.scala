@@ -157,13 +157,18 @@ object TextAnalysis {
     * accepts digits/spaces/dots, so "+1-555-0100 192.0.2.7" would otherwise
     * collapse into one <PHONE> tag that swallows the IP (still redacted,
     * but the class information is lost); masking IPs first ends the phone
-    * match at its last plain digit. RE2-compatible — no backreferences or
-    * lookaround — so external engines (the DuckDB oracle, a Go/Rust
-    * re-implementation) replace identically.
+    * match at its last plain digit. The IP pattern is word-bounded on both
+    * sides so it cannot fire INSIDE a longer digit run — without the `\b`s
+    * a dotted phone "+1.555.123.4567" would be mangled into "+<IP>7"
+    * (partial digits leaked, wrong class); bounded, no IP match starts
+    * there and the phone pattern masks it whole. RE2-compatible — `\b` is
+    * the ASCII word boundary, no backreferences or lookaround — so
+    * external engines (the DuckDB oracle, a Go/Rust re-implementation)
+    * replace identically.
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     ("\\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"))
 
   /** Masks emails, international-format phone numbers, and IPv4 addresses —

@@ -178,6 +178,15 @@ class CurationSpec extends SparkSpec {
       Sharding.packByTokens(docs, "doc_id", "text", 1500L, 4, "s", Some("nope"))
     }
     assert(e.getMessage.contains("token count column"))
+    // null or negative counts fail loudly instead of silently corrupting
+    // every later doc's running offset in the bucket
+    val bad = docs.withColumn("bpe_tokens",
+      when(col("doc_id") === 7, lit(null).cast("long")).otherwise(lit(5L)))
+    val err = intercept[Exception] {
+      Sharding.packByTokens(bad, "doc_id", "text", 1500L, 4, "s", Some("bpe_tokens"))
+        .collect()
+    }
+    assert(err.getMessage.contains("packByTokens"), err.getMessage)
   }
 
   test("streaming decontamination: stream-static gram join is stateless and append-safe") {

@@ -84,6 +84,24 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("connectedComponents frees retired rounds: at most one reliable-checkpoint dir survives") {
+    import spark.implicits._
+    // NOTE: setCheckpointDir is session-wide and cannot be unset; later CC
+    // tests then take the reliable path, which is semantically identical
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.forall(_ == 0L))
+    // every retired round's rdd-* dir was deleted; only the final round's
+    // checkpoint (which backs the returned plan) remains
+    val rddDirs = java.nio.file.Files.walk(ckpt).iterator()
+    val survivors = scala.jdk.CollectionConverters.IteratorHasAsScala(rddDirs).asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+    assert(survivors.size <= 1, s"leaked checkpoint dirs: $survivors")
+  }
+
   test("streaming exact dedup keeps first arrival per content hash across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

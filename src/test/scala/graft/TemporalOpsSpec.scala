@@ -305,6 +305,15 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out === "<PHONE> <IP>")
   }
 
+  test("redactPii masks a dotted phone whole: the word-bounded IP pattern cannot fire inside it") {
+    import spark.implicits._
+    // without the \b bounds the IP pattern matched "1.555.123.456" inside
+    // the number, leaking "+<IP>7" — partial digits under the wrong class
+    val out = TextAnalysis.redactPii(Seq("call +1.555.123.4567 now").toDF("text"), "text")
+      .select("redacted").as[String].head()
+    assert(out === "call <PHONE> now")
+  }
+
   test("redactPii propagates null text") {
     import spark.implicits._
     val df = Seq(Some("ok"), None).toDF("text")
