@@ -32,6 +32,12 @@ object Queries {
     */
   val JaccardDfCap = 20L
 
+  /** x29 fingerprint-pair skew cap, mirrored into the oracle (the x02
+    * stance: boilerplate fingerprints are the hottest join keys and the
+    * least indicative of copying).
+    */
+  val FingerprintDfCap = 20L
+
   /** x15 decontamination parameters, mirrored into the DuckDB oracle: the
     * published 13-gram recipe, holdout = doc_id % 10 == 7, boilerplate
     * grams (df > cap across both corpora) dropped before the join.
@@ -253,6 +259,13 @@ object Queries {
 
     "x10_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // MOSS-style copied-passage candidates: pairs sharing >= 2 winnowing
+    // fingerprints, declared with the fingerprint-df skew cap (one
+    // boilerplate fingerprint in n docs is an n² join hotspot)
+    "x29_fingerprint_pairs" -> ((s, dir) =>
+      Dedup.fingerprintPairs(t(s, dir, "documents"), "doc_id", "text",
+        minShared = 2L, maxFingerprintDf = Some(FingerprintDfCap))),
 
     "x11_mm_image_meta" -> ((s, dir) =>
       Multimodal.decodeImageMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -584,22 +597,17 @@ object Queries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores)
         |WHERE rn = 1""".stripMargin,
 
-    "x10_fingerprints" ->
-      // transcription of TextAnalysis.fingerprints (winnowing, k=5 w=4):
-      // 5-gram md5-60 hashes in token order, min of each 4-window, distinct
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i.i AS pos,
-        |         list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i.i:i.i+4], ' ')), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
-        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) i(i)
-        |  WHERE len(w) >= 5),
-        |hs AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM grams GROUP BY doc_id),
-        |wins AS (
-        |  SELECT doc_id, list_min(hl[j.j:j.j+3]) AS fingerprint
-        |  FROM hs, LATERAL unnest(generate_series(1, len(hl) - 3)) j(j) WHERE len(hl) > 4
-        |  UNION ALL
-        |  SELECT doc_id, list_min(hl) FROM hs WHERE len(hl) <= 4)
-        |SELECT DISTINCT doc_id, fingerprint FROM wins""".stripMargin,
+    "x10_fingerprints" -> fingerprintsOracle,
+
+    "x29_fingerprint_pairs" ->
+      // the x10 fingerprint table self-joined on the fingerprint hash with
+      // the same symmetric df cap and min-shared floor as the declared query
+      s"""WITH fp AS ($fingerprintsOracle),
+        |hot AS (SELECT fingerprint FROM fp GROUP BY fingerprint HAVING COUNT(*) > $FingerprintDfCap),
+        |ok AS (SELECT doc_id, fingerprint FROM fp WHERE fingerprint NOT IN (SELECT fingerprint FROM hot))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM ok a JOIN ok b USING (fingerprint) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     "x11_mm_image_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -886,4 +894,23 @@ object Queries {
 
   private lazy val jaccardOracle: String = jaccardOracleSql(capped = false)
   private lazy val cappedJaccardOracle: String = jaccardOracleSql(capped = true)
+
+  /** Transcription of TextAnalysis.fingerprints (winnowing, k=5 w=4):
+    * 5-gram md5-60 hashes in token order, min of each 4-window, distinct.
+    * Shared by x10 (the fingerprint table itself) and x29 (its self-join).
+    */
+  private lazy val fingerprintsOracle: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i.i AS pos,
+      |         list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i.i:i.i+4], ' ')), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+      |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) i(i)
+      |  WHERE len(w) >= 5),
+      |hs AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM grams GROUP BY doc_id),
+      |wins AS (
+      |  SELECT doc_id, list_min(hl[j.j:j.j+3]) AS fingerprint
+      |  FROM hs, LATERAL unnest(generate_series(1, len(hl) - 3)) j(j) WHERE len(hl) > 4
+      |  UNION ALL
+      |  SELECT doc_id, list_min(hl) FROM hs WHERE len(hl) <= 4)
+      |SELECT DISTINCT doc_id, fingerprint FROM wins""".stripMargin
 }

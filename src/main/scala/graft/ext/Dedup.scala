@@ -283,6 +283,41 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup candidate pairs via shared winnowing fingerprints — the MOSS
+    * shape (Schleimer et al., SIGMOD'03): documents sharing at least
+    * `minShared` fingerprints ([[TextAnalysis.fingerprints]]: k-gram md5-60
+    * hashes, each w-window's minimum). Complements MinHash: winnowing
+    * selects POSITIONAL features, so it localizes copied passages (partial
+    * overlap) where MinHash estimates whole-document set similarity.
+    *
+    * Scale shape: fingerprint extraction is narrow per-row work; candidates
+    * come from a self-equi-join on the 8-byte fingerprint — never a
+    * document cross-join. `maxFingerprintDf` is the same skew guard as
+    * [[jaccardPairs]]' shingle cap: a fingerprint in n docs contributes n²
+    * join rows on one key, and boilerplate fingerprints (license headers)
+    * are both the hottest and the least indicative, so they are dropped
+    * from the whole computation symmetrically.
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                       maxFingerprintDf: Option[Long] = None): DataFrame = {
+    // the fingerprint table feeds the df aggregate and both join sides
+    val fp = graft.Caching.scoped(
+      TextAnalysis.fingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).as("id"), col("fingerprint")))
+    val filtered = maxFingerprintDf match {
+      case Some(cap) =>
+        val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fingerprint")
+        fp.join(hot, Seq("fingerprint"), "left_anti").select("id", "fingerprint")
+      case None => fp
+    }
+    filtered.toDF("d1", "f").join(filtered.toDF("d2", "f"), Seq("f"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Bit width of the SimHash signature. 60 rather than 64 so the per-word
     * hash (low 60 bits of md5, [[graft.functions.Hashing.md5Hash60]]) is
     * recomputable by the DuckDB oracle, and 60 = 4 × 15 still bands evenly

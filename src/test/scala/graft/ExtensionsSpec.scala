@@ -42,6 +42,33 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("fingerprintPairs finds copied passages and respects minShared/df cap") {
+    import spark.implicits._
+    val passage = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // identical but non-periodic: a periodic text collapses to ONE distinct
+    // fingerprint under winnowing and could never reach minShared = 2
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      1L -> s"$passage unique tail one two three four five",
+      2L -> s"prefix words go here $passage",              // shares the passage with 1
+      3L -> (1 to 40).map(i => s"other$i").mkString(" "),  // disjoint
+      4L -> boiler, 5L -> boiler, 6L -> boiler             // identical boilerplate
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.fingerprintPairs(rows, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    assert(got.contains((1L, 2L)), s"copied passage must pair: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), s"disjoint doc paired: $got")
+    assert(got.contains((4L, 5L)) && got.contains((5L, 6L)), got.toString)
+    // a df cap of 2 drops every fingerprint shared by the 3 boilerplate
+    // docs, removing those pairs while the 2-doc passage pair survives
+    val capped = graft.ext.Dedup.fingerprintPairs(rows, "doc_id", "text",
+        maxFingerprintDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    assert(capped.contains((1L, 2L)) && !capped.exists(p => p._1 >= 4L), capped.toString)
+  }
+
   test("connectedComponents collapses a 200-link chain within the log-round budget") {
     import spark.implicits._
     // a path graph is the adversarial diameter case: plain min-label

@@ -208,6 +208,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "must not expand like count-distinct: " + p.take(2000))
   }
 
+  test("x29 fingerprint pairs carry the df cap as an anti-join, no cartesian/NLJ") {
+    val p = plan("x29_fingerprint_pairs")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    Caching.release(spark)
+  }
+
   test("x25 connected components: iterative equi-joins only, no cartesian/NLJ/UDF") {
     val p = plan("x25_dedup_components")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
