@@ -50,6 +50,19 @@ object Queries {
     */
   val SplitSeed = "graft"
 
+  /** The declared x18 pipeline configuration — one definition shared by the
+    * query, its oracle parameters, and Bench's per-stage attribution (which
+    * must time exactly the declared pipeline).
+    */
+  val X18Config: graft.ext.CurationPipeline.Config = graft.ext.CurationPipeline.Config(
+    minTokens = 20L, maxTokens = 100000L, maxPunctRatio = 0.3,
+    maxDupTokenFrac = 0.7, maxTopBigramFrac = 0.2,
+    langs = Set("en"), nearDupThreshold = 0.5, shingleN = 3,
+    decontamN = DecontamN, maxGramDf = Some(DecontamGramDfCap),
+    splitSeed = SplitSeed,
+    splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+    tokensPerShard = 2000L, shardBuckets = 8)
+
   /** Latest-surviving-event-per-user snapshot (ktable semantics). */
   private def latestEvents(s: SparkSession, dir: String): DataFrame =
     Changelog.latestByKey(t(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
@@ -314,15 +327,7 @@ object Queries {
       val docs = t(s, dir, "documents")
       CurationPipeline.run(
         docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
-        holdout = Some(docs.filter(col("doc_id") % 10 === 7)),
-        CurationPipeline.Config(
-          minTokens = 20L, maxTokens = 100000L, maxPunctRatio = 0.3,
-          maxDupTokenFrac = 0.7, maxTopBigramFrac = 0.2,
-          langs = Set("en"), nearDupThreshold = 0.5, shingleN = 3,
-          decontamN = DecontamN, maxGramDf = Some(DecontamGramDfCap),
-          splitSeed = SplitSeed,
-          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          tokensPerShard = 2000L, shardBuckets = 8))
+        holdout = Some(docs.filter(col("doc_id") % 10 === 7)), X18Config)
         .select("doc_id", "n_tokens", "bucket", "shard", "split")
     }),
 

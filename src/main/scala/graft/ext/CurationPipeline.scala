@@ -48,18 +48,38 @@ object CurationPipeline {
       splitSeed: String = "graft",
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       tokensPerShard: Long = 100000L,
-      shardBuckets: Int = 256)
+      shardBuckets: Int = 256,
+      // name of a precomputed token-count column on the input (e.g. real
+      // BPE counts materialized by a tokenizer pass upstream): when set,
+      // BOTH the quality filter's min/max-token thresholds (stage 1) and
+      // the shard token budgets (stage 7) measure model tokens instead of
+      // the whitespace default — the two places a whitespace count biases
+      // a real training-data run
+      tokenCountCol: Option[String] = None)
 
   /** Runs the full pipeline over `docs`; `holdout` is the eval corpus to
     * decontaminate against (None skips stage 5).
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
-          holdout: Option[DataFrame], cfg: Config = Config()): DataFrame = {
+          holdout: Option[DataFrame], cfg: Config = Config()): DataFrame =
+    stageOutputs(docs, idCol, textCol, holdout, cfg).last._2
+
+  /** The pipeline's cumulative stage outputs, in order — each entry is the
+    * corpus as of that stage, the last being [[run]]'s result. Exists for
+    * attribution: the bench (and any operator of a 100 TB run) times each
+    * stage's materialization so a regression names a stage, not "the
+    * pipeline". Building the Seq registers the same scoped persists as
+    * [[run]]; callers release via [[graft.Caching.release]].
+    */
+  def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
+                   holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
     // 1+2: narrow filters (incl. the Gopher repetition rules), evaluated in
     // one pass over the scan. The repetition kernel only runs when a
     // threshold is actually set — at the 1.0 'off' defaults the pass (and
     // its two always-true predicates) would be pure waste.
     val repetitionOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
+    cfg.tokenCountCol.foreach(c => require(docs.columns.contains(c),
+      s"CurationPipeline: tokenCountCol '$c' not in input (${docs.columns.mkString(", ")})"))
     val base = TextAnalysis.withLangId(
       TextAnalysis.withQualityMetrics(docs, textCol), textCol)
     val scored =
@@ -69,8 +89,11 @@ object CurationPipeline {
         col("dup_token_frac") <= cfg.maxDupTokenFrac &&
           col("top_bigram_frac") <= cfg.maxTopBigramFrac
       else lit(true)
+    // the min/max-token gate measures the configured token count (BPE when
+    // provided); the other quality ratios stay whitespace-token-derived
+    val gateTokens = cfg.tokenCountCol.map(col).getOrElse(col("n_tokens"))
     val filtered = scored
-      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+      .filter(gateTokens.between(cfg.minTokens, cfg.maxTokens) &&
         col("punct_ratio") <= cfg.maxPunctRatio &&
         repetitionOk &&
         col("lang_pred").isInCollection(cfg.langs))
@@ -110,8 +133,11 @@ object CurationPipeline {
     // 6+7: split assignment, then shard packing (narrow + one window).
     // hashSplit's diagnostic bucket column is dropped: packByTokens appends
     // its own (differently-seeded) bucket and must not silently shadow it.
-    Sharding.packByTokens(
-      Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket"),
-      idCol, textCol, cfg.tokensPerShard, cfg.shardBuckets)
+    val split = Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket")
+    val packed = Sharding.packByTokens(split, idCol, textCol,
+      cfg.tokensPerShard, cfg.shardBuckets, tokenCountCol = cfg.tokenCountCol)
+    Seq("filter" -> filtered, "exact_dedup" -> exactKept,
+      "near_dedup" -> nearKept, "decontaminate" -> clean,
+      "split" -> split, "shards" -> packed)
   }
 }

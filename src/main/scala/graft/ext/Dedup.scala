@@ -119,7 +119,14 @@ object Dedup {
     // no collect_list of the document's shingles, so a million-shingle
     // document costs the same numHashes×8-byte buffer as a tweet.
     graft.functions.GraftFunctions.register(shingles.sparkSession)
-    val bands = shingles.groupBy("id")
+    // the shingle set feeds the signature aggregate, the size aggregate and
+    // BOTH sides of the verification join (4 references): persist so the
+    // upstream tokenize+explode+distinct runs once. ReusedExchange sometimes
+    // dedups the shared shuffle, but that is plan luck, not contract — at
+    // 100 TB a missed reuse rescans the whole corpus up to 4×. Scoped:
+    // callers release via graft.Caching.release after materializing.
+    val cached = graft.Caching.scoped(shingles)
+    val bands = cached.groupBy("id")
       .agg(call_function("graft_minhash_bands_agg",
         col("shingle"), lit(numHashes), lit(bandSize)).as("bk"))
       .select(col("id"), posexplode(col("bk")).as(Seq("band", "band_key")))
@@ -128,9 +135,9 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
     // verify candidates with exact Jaccard (no false positives)
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = shingles.toDF("d1", "s")
-    val b = shingles.toDF("d2", "s")
+    val sizes = cached.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = cached.toDF("d1", "s")
+    val b = cached.toDF("d2", "s")
     cand
       .join(a, "d1").join(b.withColumnRenamed("s", "s2"), "d2")
       .filter(col("s") === col("s2"))
@@ -191,6 +198,19 @@ object Dedup {
     * partially-collapsed mapping.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // The iteration labels nodes with long ids. A silent cast would turn
+    // string/UUID ids into nulls (every edge then dropped ⇒ an EMPTY mapping
+    // that makes keepListCollapsed keep all near-dups) and would truncate
+    // fractional ids (spuriously merging distinct docs) — so require an
+    // integral id type up front; map arbitrary ids to longs (dictionary
+    // join / dense rank) before collapsing.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    Seq("d1", "d2").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral doc ids; pair column '$c' is " +
+          s"$dt — map ids to longs (dictionary join / dense rank) first")
+    }
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     // materialize AND truncate lineage (see scaladoc — without this the

@@ -29,6 +29,12 @@ object Sketches {
     */
   def distinctSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      k: Int = 64, seed: String = "kmv"): DataFrame = {
+    // a group column named like a written (or intermediate) column would
+    // yield ambiguous/duplicate output columns — fail loudly (the
+    // packByTokens reserved-column stance)
+    Seq("ks", "n_kept", "kth_hash", "est_distinct").foreach(c =>
+      require(!groupCols.contains(c),
+        s"distinctSketch writes column '$c' — rename the group column first"))
     graft.functions.GraftFunctions.register(df.sparkSession)
     val h = Hashing.md5Hash60Col(
       concat(lit(seed), lit(":"), col(valueCol).cast("string")))
@@ -71,13 +77,22 @@ object Sketches {
                      seed: String = "qs"): DataFrame = {
     require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0, 1]: $quantiles")
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val h = Hashing.md5Hash60Col(
-      concat(lit(seed), lit(":"), col(idCol).cast("string")))
     def pName(q: Double): String = {
       val pct = q * 100
       if (pct == math.rint(pct)) f"p${pct.toInt}%d" else s"p$pct".replace('.', '_')
     }
+    // duplicate quantiles (or distinct quantiles whose mangled names
+    // collide) and group columns named like a written/intermediate column
+    // would yield ambiguous or duplicate output columns — fail loudly
+    val pNames = quantiles.map(pName)
+    require(pNames.distinct.size == pNames.size,
+      s"quantiles must be distinct after name mangling: $quantiles -> $pNames")
+    (Seq("qs", "n_sample") ++ pNames).foreach(c =>
+      require(!groupCols.contains(c),
+        s"quantileSketch writes column '$c' — rename the group column first"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val h = Hashing.md5Hash60Col(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
     df.groupBy(groupCols.map(col): _*)
       .agg(call_function("graft_qsample",
         h, col(valueCol).cast("double"), lit(k)).as("qs"))

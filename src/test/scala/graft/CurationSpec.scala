@@ -357,6 +357,61 @@ class CurationSpec extends SparkSpec {
     assert(Caching.release(spark) == 0)
   }
 
+  test("pipeline tokenCountCol drives the token gate and the shard budgets") {
+    import scala.jdk.CollectionConverters._
+    // synthetic BPE-ish counts: doc_id 1 has few whitespace tokens but a
+    // large configured count; doc 2 the reverse — the gate must follow the
+    // configured column, and shard offsets must accumulate it
+    val text40 = (1 to 40).map(i => s"the of and to in is it that for with w$i").take(40)
+      .mkString(" ") // plenty of en stopwords, 40+ whitespace tokens
+    val rows = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "the of and to in is short", 5000L), // 7 ws tokens, big BPE
+      org.apache.spark.sql.Row(2L, text40, 3L),                         // many ws tokens, tiny BPE
+      org.apache.spark.sql.Row(3L, text40, 900L)
+    ).asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bpe_tokens", org.apache.spark.sql.types.LongType))))
+    val cfg = CurationPipeline.Config(minTokens = 100L, maxTokens = 100000L,
+      langs = Set("en"), tokensPerShard = 1000L, shardBuckets = 1,
+      tokenCountCol = Some("bpe_tokens"))
+    val out = CurationPipeline.run(rows, "doc_id", "text", None, cfg)
+      .select("doc_id", "n_tokens", "shard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.Caching.release(spark)
+    // doc 2 (3 BPE tokens) fails the >=100 gate despite 40+ whitespace
+    // tokens; docs 1 and 3 pass on their BPE counts
+    assert(out.keySet === Set(1L, 3L), s"gate must use bpe_tokens: $out")
+    // n_tokens output carries the configured counts, and the bucket's
+    // running 5000-token offset pushes doc 3 into shard offset 5
+    assert(out(1L)._1 === 5000L && out(3L)._1 === 900L)
+    assert(out(3L)._2 - out(1L)._2 === 5L, s"shard offset must accumulate BPE counts: $out")
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(rows, "doc_id", "text", None,
+        cfg.copy(tokenCountCol = Some("nope")))
+    }
+  }
+
+  test("Caching.scope releases its own registrations without touching the global set") {
+    Caching.release(spark)
+    val globalDs = Caching.scoped(docs.limit(10)) // session-global registration
+    assert(Caching.registered(spark) == 1)
+    var scopedRan = 0
+    Caching.scope {
+      Caching.onRelease(spark)(() => scopedRan += 1)
+      val ds = Caching.scoped(docs.limit(5))
+      assert(ds.count() == 5)
+      // scope registrations never land in the session-global set
+      assert(Caching.registered(spark) == 1)
+    }
+    assert(scopedRan == 1, "scope exit must run its registrations")
+    // the scoped dataset was unpersisted at scope exit; the global one survives
+    assert(Caching.registered(spark) == 1)
+    assert(globalDs.storageLevel.useMemory || globalDs.storageLevel.useDisk)
+    assert(Caching.release(spark) == 1)
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(

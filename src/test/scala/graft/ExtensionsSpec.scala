@@ -93,6 +93,29 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("connectedComponents rejects non-integral doc ids instead of silently dropping them") {
+    import spark.implicits._
+    // a silent cast turns string ids into nulls (every edge dropped ⇒ empty
+    // mapping ⇒ keepListCollapsed keeps ALL near-dups) and truncates
+    // fractional ids (spuriously merging docs) — both must fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq(("a", "b")).toDF("d1", "d2"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq((1.5, 2.5)).toDF("d1", "d2"))
+    }
+    // and keepListCollapsed propagates the same guard for string-id corpora
+    intercept[IllegalArgumentException] {
+      Dedup.keepListCollapsed(Seq("a", "b").toDF("doc_id"), "doc_id",
+        Seq(("a", "b")).toDF("d1", "d2"))
+    }
+    // int ids remain accepted (lossless widening)
+    val ok = Dedup.connectedComponents(Seq((1, 2), (2, 3)).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    graft.Caching.release(spark)
+  }
+
   test("connectedComponents on the real LSH pairs refines keepList consistently") {
     val pairs = Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
     val comp = Dedup.connectedComponents(pairs).collect()

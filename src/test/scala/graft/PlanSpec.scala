@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"), "shingle lists must never materialize: " + p.take(2000))
   }
 
+  test("x03 reads its shingle set from cache: every reference scans the persist, not parquet") {
+    // minHashLsh references the shingle table 4 times (signature agg, size
+    // agg, both verify-join sides); the scoped persist makes the upstream
+    // tokenize+explode+distinct run once — relying on ReusedExchange instead
+    // is plan luck, and a missed reuse rescans the whole corpus up to 4×
+    val p = plan("x03_dedup_minhash_lsh")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "shingle references must hit the scoped cache: " + p.take(2000))
+    Caching.release(spark)
+  }
+
   test("aggregations are hash aggregates with map-side partial merge (q05/q06)") {
     Seq("q05_count_by_key", "q06_sum_by_key").foreach { q =>
       val p = plan(q)

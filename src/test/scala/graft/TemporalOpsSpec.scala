@@ -321,4 +321,26 @@ class TemporalOpsSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
     assert(out.toSet === Set(Some("ok"), None))
   }
+
+  test("sketches reject group columns colliding with written columns and dup quantiles") {
+    import spark.implicits._
+    // a group column named like an output (or the internal list) column
+    // would yield ambiguous/duplicate output columns — fail loudly instead
+    val qdf = Seq(("g", 1L, 1.0)).toDF("qs", "id", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(qdf, Seq("qs"), "v", "id")
+    }
+    val pdf = Seq(("g", 1L, 1.0)).toDF("p50", "id", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(pdf, Seq("p50"), "v", "id")
+    }
+    intercept[IllegalArgumentException] { // duplicate quantile ⇒ duplicate p25
+      Sketches.quantileSketch(Seq(("g", 1L, 1.0)).toDF("g", "id", "v"),
+        Seq("g"), "v", "id", quantiles = Seq(0.25, 0.25))
+    }
+    val kdf = Seq(("g", 1)).toDF("n_kept", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.distinctSketch(kdf, Seq("n_kept"), "v")
+    }
+  }
 }
