@@ -202,6 +202,45 @@ object Queries {
     "x03_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)),
 
+    // STREAMING near-dup dedup: the same corpus ingested as a multi-batch
+    // file stream, each micro-batch band-joined against the bucketed corpus
+    // index built from the batches before it, verified pairs emitted per
+    // batch ([[Dedup.minHashLshStream]]). The streamed union over all
+    // batches must hash-match the batch x03 replay — same oracle.
+    "x30_dedup_minhash_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x30")
+      val staged = tmp.resolve("docs").toString
+      // 3 parquet files + maxFilesPerTrigger=1 => a genuine multi-batch
+      // ingest (cross-batch pairs must come from the index, not the batch).
+      // The query's cost is ~all fixed per-micro-batch overhead (index
+      // appends, pairs commit, ~6 actions/batch) — real at any SF, and
+      // unrelated to corpus size until batches carry millions of docs.
+      docs.repartition(3).write.mode("overwrite").parquet(staged)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val idx = Dedup.LshIndex(s"x30_bands_$suffix", s"x30_shingles_$suffix", numBuckets = 8)
+      val pairsDir = tmp.resolve("pairs").toString
+      // size the micro-batch shuffles like the streaming bench does: 32
+      // partitions of tiny-task overhead dominate toy micro-batches
+      // (production sizes this to the cluster); restored before returning
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = Dedup.minHashLshStream(stream, "doc_id", "text", 0.5, pairsDir, idx)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // the emitted pairs are the result; the index tables are the run's
+      // state and are dropped with it
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+      s.read.parquet(pairsDir)
+        .select("d1", "d2", "inter_cnt", "union_cnt", "jaccard")
+    }),
+
     "x04_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)),
 
@@ -500,6 +539,10 @@ object Queries {
     // LSH with 64 hashes / bands of 2 has recall ~1 at threshold 0.5 and the
     // candidates are exactly verified ⇒ same output as the exact operator.
     "x03_dedup_minhash_lsh" -> jaccardOracle,
+
+    // the streamed pair set over the whole ingest equals the batch replay
+    // on the same corpus — the exact-Jaccard oracle again
+    "x30_dedup_minhash_stream" -> jaccardOracle,
 
     "x13_dedup_keep" ->
       s"""SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d2 FROM ($jaccardOracle))""",

@@ -108,17 +108,29 @@ object Dedup {
     * P(miss) for a pair at similarity s = (1 - s^bandSize)^numBands;
     * defaults (64 hashes, bands of 2) give P(miss at 0.5) ≈ 7e-5.
     */
+  /** Per-doc banded MinHash signature keys: (id, band, band_key). The
+    * signature is an INCREMENTAL aggregate (graft.functions
+    * .MinHashBandsAgg): shingle base hashes h1,h2 via murmur3, seed-i
+    * hash = h1 + i*h2 (Kirsch–Mitzenmacher double hashing), banded into
+    * numHashes/bandSize keys. The aggregation buffer is the fixed-width
+    * signature (elementwise-min, map-side combined) — no per-(doc,seed)
+    * explode AND no collect_list of the document's shingles, so a
+    * million-shingle document costs the same numHashes×8-byte buffer as a
+    * tweet. Shared by the batch [[minHashLsh]] and the streaming
+    * [[minHashLshIncrement]] so both paths band identically.
+    */
+  def signatureBands(shingles: DataFrame, numHashes: Int = 64, bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0)
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
+    shingles.groupBy("id")
+      .agg(call_function("graft_minhash_bands_agg",
+        col("shingle"), lit(numHashes), lit(bandSize)).as("bk"))
+      .select(col("id"), posexplode(col("bk")).as(Seq("band", "band_key")))
+  }
+
   def minHashLsh(shingles: DataFrame, threshold: Double,
                  numHashes: Int = 64, bandSize: Int = 2): DataFrame = {
     require(numHashes % bandSize == 0)
-    // Per-doc signature as an INCREMENTAL aggregate (graft.functions
-    // .MinHashBandsAgg): shingle base hashes h1,h2 via murmur3, seed-i
-    // hash = h1 + i*h2 (Kirsch–Mitzenmacher double hashing), banded into
-    // nBands keys. The aggregation buffer is the fixed-width signature
-    // (elementwise-min, map-side combined) — no per-(doc,seed) explode AND
-    // no collect_list of the document's shingles, so a million-shingle
-    // document costs the same numHashes×8-byte buffer as a tweet.
-    graft.functions.GraftFunctions.register(shingles.sparkSession)
     // the shingle set feeds the signature aggregate, the size aggregate and
     // BOTH sides of the verification join (4 references): persist so the
     // upstream tokenize+explode+distinct runs once. ReusedExchange sometimes
@@ -126,10 +138,7 @@ object Dedup {
     // 100 TB a missed reuse rescans the whole corpus up to 4×. Scoped:
     // callers release via graft.Caching.release after materializing.
     val cached = graft.Caching.scoped(shingles)
-    val bands = cached.groupBy("id")
-      .agg(call_function("graft_minhash_bands_agg",
-        col("shingle"), lit(numHashes), lit(bandSize)).as("bk"))
-      .select(col("id"), posexplode(col("bk")).as(Seq("band", "band_key")))
+    val bands = signatureBands(cached, numHashes, bandSize)
     val cand = bands.toDF("d1", "band", "band_key")
       .join(bands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("d1") < col("d2"))
@@ -149,6 +158,148 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
         (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
   }
+
+  /** The persisted corpus index behind [[minHashLshStream]]: two bucketed
+    * catalog tables.
+    *
+    *  - `bandsTable` (id, band, band_key), bucketed by (band, band_key):
+    *    each micro-batch's signature bands probe it with a bucketed join —
+    *    the stored corpus side is read pre-partitioned, NO exchange, so
+    *    probe cost scales with the BATCH, not the corpus.
+    *  - `shinglesTable` (id, shingle), bucketed by id: serves the exact-
+    *    Jaccard verification of candidate pairs (only candidate ids are
+    *    semi-joined out of it).
+    *
+    * Both tables grow by one append per micro-batch (numBuckets files
+    * each); periodic compaction (rewrite with the same bucket spec) is
+    * routine table maintenance at high batch counts.
+    */
+  final case class LshIndex(bandsTable: String, shinglesTable: String,
+                            numBuckets: Int = 32)
+
+  /** The micro-batch probe join of [[minHashLshIncrement]]: this batch's
+    * signature bands against the stored corpus index — candidates are ids
+    * sharing any (band, band_key), exactly [[minHashLsh]]'s criterion, but
+    * only the batch side shuffles (the index side is bucketed on the join
+    * keys; PlanSpec pins the exchange-free scan). Emitted as (d1 < d2).
+    */
+  private[graft] def crossCandidates(batchBands: DataFrame, index: LshIndex): DataFrame =
+    batchBands.sparkSession.table(index.bandsTable)
+      .toDF("stored_id", "band", "band_key")
+      .join(batchBands.toDF("new_id", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col("stored_id") =!= col("new_id"))
+      .select(least(col("stored_id"), col("new_id")).as("d1"),
+        greatest(col("stored_id"), col("new_id")).as("d2"))
+
+  /** Exact-Jaccard verification for streaming candidates. Counts are
+    * DISTINCT-counted so an at-least-once replay that duplicated index rows
+    * (a retried micro-batch re-appending its shingles) cannot inflate
+    * intersections or set sizes — on clean input distinct-count ≡ count,
+    * so the result still matches [[minHashLsh]] bit-for-bit.
+    */
+  private def verifyStreamCandidates(cand: DataFrame, shingles: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val candIds = cand.select(col("d1").as("id"))
+      .union(cand.select(col("d2").as("id"))).distinct()
+    val sh = shingles.join(candIds, Seq("id"), "left_semi")
+    val sizes = sh.groupBy("id").agg(countDistinct(col("shingle")).as("n"))
+    cand
+      .join(sh.toDF("d1", "s"), "d1")
+      .join(sh.toDF("d2", "s2"), "d2")
+      .filter(col("s") === col("s2"))
+      .groupBy("d1", "d2").agg(countDistinct(col("s")).as("inter_cnt"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
+      .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
+        (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+  }
+
+  /** One micro-batch of incremental near-dup detection against the corpus
+    * index — the continuous-ingest answer to "is this new document a
+    * near-dup of anything already ingested?" without a batch re-run.
+    *
+    * Steps, in an order that keeps the emission exactly-once per pair:
+    *
+    *  1. shingle + band the batch ([[wordShingles]]/[[signatureBands]] —
+    *     identical kernels to the batch path);
+    *  2. candidates = batch×index bucketed band join ([[crossCandidates]])
+    *     ∪ batch-internal band self-join (pairs arriving together);
+    *  3. exact-Jaccard verify (no false positives — same contract as
+    *     [[minHashLsh]]), emit verified pairs into `pairsDir` under a
+    *     `batch_id=<id>` partition with DYNAMIC partition overwrite: a
+    *     replayed micro-batch rewrites its own partition instead of
+    *     appending duplicates;
+    *  4. only then append the batch's bands and shingles to the index —
+    *     a pair is found exactly once, when its LATER document arrives
+    *     (or in-batch when both arrive together).
+    *
+    * Replay safety: pairs are idempotent via the partition overwrite; a
+    * replayed index append can duplicate index rows, which candidates
+    * absorb via distinct and verification via distinct-counts (and a
+    * compaction rewrite removes). Doc ids must be unique across the
+    * stream (the usual changelog contract). The streamed pair set over
+    * any prefix of the stream equals [[minHashLsh]] on the union of those
+    * documents — golden-tested, and declared as x30 against the batch
+    * oracle.
+    */
+  def minHashLshIncrement(batch: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, index: LshIndex, pairsDir: String,
+                          batchId: Long, shingleN: Int = 3,
+                          numHashes: Int = 64, bandSize: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    // local persists (batch-lifetime, released in finally — not Caching
+    // .scoped: the scope here is this increment, not the caller's query)
+    val batchShingles = wordShingles(batch, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = signatureBands(batchShingles, numHashes, bandSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exists = spark.catalog.tableExists(index.bandsTable)
+      val inBatch = batchBands.toDF("d1", "band", "band_key")
+        .join(batchBands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2")
+      val cand = (if (exists) inBatch.union(crossCandidates(batchBands, index))
+                  else inBatch).distinct()
+      val allShingles =
+        if (exists) spark.table(index.shinglesTable).select("id", "shingle").union(batchShingles)
+        else batchShingles
+      // the pairs write MATERIALIZES the candidates/verification plan while
+      // the index still holds only PRIOR batches — appending first would
+      // double-count in-batch pairs through the cross join
+      verifyStreamCandidates(cand, allShingles, threshold)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(pairsDir)
+      val mode = if (exists) "append" else "overwrite"
+      batchBands.write.mode(mode).format("parquet")
+        .bucketBy(index.numBuckets, "band", "band_key").saveAsTable(index.bandsTable)
+      batchShingles.write.mode(mode).format("parquet")
+        .bucketBy(index.numBuckets, "id").saveAsTable(index.shinglesTable)
+    } finally {
+      batchBands.unpersist(blocking = false)
+      batchShingles.unpersist(blocking = false)
+    }
+  }
+
+  /** Streaming near-dup dedup: [[minHashLshIncrement]] wired into
+    * `foreachBatch`. Caller sets trigger/checkpoint and starts; verified
+    * pairs accumulate under `pairsDir` (read with
+    * `spark.read.parquet(pairsDir)`; `batch_id` is bookkeeping). The
+    * reference is a continuous-processing engine first (processors/
+    * filter.h:39-57) — this closes the one curation stage (near-dup) that
+    * previously required a batch re-run on ingest.
+    */
+  def minHashLshStream(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, pairsDir: String, index: LshIndex,
+                       shingleN: Int = 3, numHashes: Int = 64,
+                       bandSize: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      minHashLshIncrement(batch.toDF(), idCol, textCol, threshold, index,
+        pairsDir, batchId, shingleN, numHashes, bandSize)
+    }
 
   /** The dedup *decision* on top of any near-dup pair set: keep every doc
     * that is not the dropped side of a pair. Dropping the larger id of each

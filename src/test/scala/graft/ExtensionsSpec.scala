@@ -93,6 +93,73 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("streaming minHash LSH finds cross-batch pairs and equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p30 = (1 to 30).map(i => s"p$i").mkString(" ")
+    val all = Seq(
+      1L -> s"$p30 one",                             // batch 1
+      2L -> (1 to 20).map(i => s"u$i").mkString(" "), // batch 1, no dup
+      3L -> s"$p30 two",                             // batch 2: near-dup of 1 ACROSS batches
+      4L -> s"$p30 two three")                       // batch 2: near-dup of 3 IN batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
+    val idx = Dedup.LshIndex("t30_bands", "t30_shingles", numBuckets = 4)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    val pairsDir = tmp.resolve("pairs").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.minHashLshStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, pairsDir, idx)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+    try {
+      input.addData(all.take(2): _*); q.processAllAvailable()
+      input.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(pairsDir)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Dedup.minHashLsh(
+        Dedup.wordShingles(all.toDF("doc_id", "text"), "doc_id", "text", 3), 0.5)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Caching.release(spark)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 3L),
+      s"cross-batch pair (1,3) must come from the index probe: $streamed")
+    assert(streamed.exists(p => p._1 == 3L && p._2 == 4L),
+      s"in-batch pair (3,4) must come from the batch self-join: $streamed")
+    assert(streamed === batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("minHashLshIncrement replay is idempotent: pairs rewrite their batch partition") {
+    import spark.implicits._
+    val p30 = (1 to 30).map(i => s"q$i").mkString(" ")
+    val b1 = Seq(11L -> s"$p30 one").toDF("doc_id", "text")
+    val b2 = Seq(12L -> s"$p30 two").toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_replay")
+    val idx = Dedup.LshIndex("t31_bands", "t31_shingles", numBuckets = 4)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    val pairsDir = tmp.resolve("pairs").toString
+    Dedup.minHashLshIncrement(b1, "doc_id", "text", 0.5, idx, pairsDir, 0L)
+    Dedup.minHashLshIncrement(b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+    // an at-least-once replay of batch 1: its pairs partition is REWRITTEN
+    // (not appended) and the duplicated index rows cannot inflate the
+    // distinct-counted verification
+    Dedup.minHashLshIncrement(b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+    val got = spark.read.parquet(pairsDir)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    assert(got.length === 1, s"replay must not duplicate the pair: ${got.toSeq}")
+    // 31 tokens each => 29 shingles, 28 shared (the two (p29,p30,*) tails
+    // differ): inter 28, union 30 — and the replayed index rows must not
+    // inflate either count
+    assert(got.head === ((11L, 12L, 28L, 30L)), got.head.toString)
+  }
+
   test("connectedComponents rejects non-integral doc ids instead of silently dropping them") {
     import spark.implicits._
     // a silent cast turns string ids into nulls (every edge dropped ⇒ empty

@@ -227,6 +227,41 @@ class PlanSpec extends SparkSpec {
     Caching.release(spark)
   }
 
+  test("x30 probe join reads the band index bucketed: only the batch side shuffles") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val idx = Dedup.LshIndex("pin_bands", "pin_shingles", numBuckets = 4)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at 100 TB the corpus index broadcasts nowhere: pin the big-big shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p30 = (1 to 30).map(i => s"w$i").mkString(" ")
+      Dedup.minHashLshIncrement(Seq(1L -> s"$p30 a").toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, idx, java.nio.file.Files
+          .createTempDirectory("graft_pin").resolve("pairs").toString, 0L)
+      val batchBands = Dedup.signatureBands(
+        Dedup.wordShingles(Seq(2L -> s"$p30 b").toDF("doc_id", "text"), "doc_id", "text", 3))
+      val p = Dedup.crossCandidates(batchBands, idx)
+        .queryExecution.executedPlan.toString
+      // the stored corpus side is bucketed on the join keys and must be
+      // read pre-partitioned — the probe join adds exactly ONE exchange
+      // (the micro-batch side) on top of the batch pipeline's own shuffles,
+      // so probe cost scales with the batch, never the corpus
+      val batchOwn = "Exchange hashpartitioning".r
+        .findAllIn(batchBands.queryExecution.executedPlan.toString).size
+      assert(p.contains("Bucketed: true"), "index scan must be bucketed: " + p.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === batchOwn + 1,
+        "only the batch side may shuffle: " + p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    }
+  }
+
   test("x25 connected components: iterative equi-joins only, no cartesian/NLJ/UDF") {
     val p = plan("x25_dedup_components")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
