@@ -300,6 +300,28 @@ object Queries {
         .select("query_id", "rank", "nbr_id")
     }),
 
+    // PERSISTED IVF index: codebook trained + corpus assigned ONCE into a
+    // cluster-bucketed table ([[Similarity.ivfBuild]]), then served by a
+    // probe join with no exchange on the corpus side
+    // ([[Similarity.ivfQuery]]) — the build-once/query-many ANN shape a
+    // 100 TB corpus requires (x06 retrains per call). Declared full-probe
+    // (nProbe = nClusters ⇒ ≡ brute force) for the same oracle trick as
+    // x06; partial-probe recall is spec-covered.
+    "x31_ann_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val idx = Similarity.IvfIndex(s"x31_assign_$suffix", s"x31_codebook_$suffix", numBuckets = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x31")
+      Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+      // materialize the query result, then drop the run's index tables
+      Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
+        .select("query_id", "rank", "nbr_id")
+        .write.parquet(tmp.resolve("out").toString)
+      s.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+      s.read.parquet(tmp.resolve("out").toString)
+    }),
+
     "x08_text_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
@@ -598,6 +620,19 @@ object Queries {
     // brute force — the clustering stages cancel out mathematically but the
     // oracle still executes them end-to-end on the Spark side
     "x06_ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // the persisted-index full-probe query is mathematically brute force,
+    // like x06 — but exercises the build→probe-join→re-rank path end-to-end
+    "x31_ann_ivf_index" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
         |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
         |scored AS (

@@ -81,42 +81,40 @@ object Similarity {
     * `nProbe / nClusters`, not with corpus size. Exact cosine re-ranks the
     * candidates, so precision is 1; recall depends on nProbe.
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              nClusters: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
-    val spark = df.sparkSession
+  /** Squared-distance argmin over the (broadcast) codebook — the one
+    * kernel every IVF stage shares.
+    */
+  private[graft] def nearest(c: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < c.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means codebook (init: the `nClusters` lowest-id
+    * vectors; fixed Lloyd iterations with map-side partial sums). At
+    * 100 TB, training reads a bounded `trainSample`-vector id-hash sample —
+    * centroid quality converges long before the corpus is exhausted, and
+    * the codebook is nClusters×dim. Shared by the one-shot [[ivfTopK]] and
+    * the persisted [[ivfBuild]], so both train bit-identical codebooks.
+    */
+  private def trainCodebook(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                            nClusters: Int, iters: Int,
+                            trainSample: Long = 100000L): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    // zero-norm/null vectors out up front (undefined cosine — the
-    // bruteForceTopK/cosinePairs stance), so the exact re-rank's top-k
-    // aggregate never sees a NaN or null score
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
-    // The training loop and the assignment/probe stages each rescan the
-    // vectors; cache once instead of re-reading the source per Lloyd
-    // iteration. At 100 TB, train the codebook on `trainSample` vectors
-    // (deterministic id-hash sample) — centroid quality converges long
-    // before the corpus is exhausted, and the codebook is nClusters×dim.
-    // Scoped: callers release via graft.Caching.release after materializing.
-    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
-    val trainSample = 100000L
     val train = {
       val n = vecs.count()
       if (n <= trainSample) vecs
       else vecs.filter(r => (r._1 * 0x9E3779B97F4A7C15L >>> 40) % math.max(1L, n / trainSample) == 0)
     }
-
     var cents: Array[Array[Double]] = train.orderBy(col("id")).limit(nClusters)
       .collect().map(_._2.map(_.toDouble))
-    def nearest(c: Array[Array[Double]], v: Array[Float]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var ci = 0
-      while (ci < c.length) {
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      best
-    }
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val updated = train
@@ -135,6 +133,24 @@ object Similarity {
       updated.foreach { case (cid, c) => next(cid) = c }
       cents = next
     }
+    cents
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nClusters: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // zero-norm/null vectors out up front (undefined cosine — the
+    // bruteForceTopK/cosinePairs stance), so the exact re-rank's top-k
+    // aggregate never sees a NaN or null score
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+    // The training loop and the assignment/probe stages each rescan the
+    // vectors; cache once instead of re-reading the source per Lloyd
+    // iteration.
+    // Scoped: callers release via graft.Caching.release after materializing.
+    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
+    val cents = trainCodebook(vecs, nClusters, iters)
 
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = vecs.map { case (id, v) => (id, v, nearest(bc.value, v)) }
@@ -158,6 +174,87 @@ object Similarity {
     // caller has materialized the result.
     topKRank(scored, k)
   }
+
+  /** The persisted IVF index: a 100 TB corpus trains its codebook ONCE and
+    * serves many query batches, where [[ivfTopK]] retrains and re-assigns
+    * per call.
+    *
+    *  - `codebookTable` (cluster, centroid): nClusters rows — broadcast to
+    *    probes at query time.
+    *  - `assignmentsTable` (id, v, cluster), BUCKETED by cluster: the probe
+    *    join reads it pre-partitioned — no exchange on the corpus side, so
+    *    query cost scales with the query batch × probed fraction, never
+    *    with corpus size (PlanSpec pins the plan).
+    */
+  final case class IvfIndex(assignmentsTable: String, codebookTable: String,
+                            numBuckets: Int = 16)
+
+  /** Trains the codebook and writes the index tables (one pass over the
+    * corpus after training). Rebuild cadence is an ops decision — the usual
+    * IVF contract: appends degrade recall slowly as the vector distribution
+    * drifts from the codebook, never correctness of the re-rank.
+    */
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
+               nClusters: Int = 16, iters: Int = 5): Unit = graft.Caching.scope {
+    // Caching.scope, not session-global release: the build materializes
+    // everything it persists before returning, and a global release here
+    // would unpersist caches the CALLER still has in flight
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
+    val cents = trainCodebook(vecs, nClusters, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable)
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .toDF("id", "v", "cluster")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(index.numBuckets, "cluster")
+      .saveAsTable(index.assignmentsTable)
+  }
+
+  /** The probe join against the persisted index: each query fans out to its
+    * `nProbe` nearest clusters (codebook = a bounded nClusters-row collect,
+    * broadcast), joins the cluster-bucketed assignments (no exchange on the
+    * corpus side), and scores candidates with exact cosine.
+    */
+  private[graft] def ivfProbeScores(queries: DataFrame, idCol: String, vecCol: String,
+                                    index: IvfIndex, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.table(index.codebookTable)
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("qv"))
+      .filter(norm(col("qv")) > 0)
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val c = bc.value
+        val dists = c.indices.map { ci =>
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
+          (d, ci)
+        }
+        dists.sorted.take(nProbe).map { case (_, ci) => (id, v, ci) }
+      }.toDF("query_id", "qv", "cluster")
+    probes.join(spark.table(index.assignmentsTable), "cluster")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("nbr_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
+  }
+
+  /** Approximate top-k against a built [[IvfIndex]] — precision 1 (exact
+    * cosine re-rank via the bounded top-k aggregate), recall set by
+    * `nProbe`; `nProbe = nClusters` probes everything and equals brute
+    * force (the declared x31 oracle trick).
+    */
+  def ivfQuery(queries: DataFrame, idCol: String, vecCol: String,
+               index: IvfIndex, k: Int, nProbe: Int = 6): DataFrame =
+    topKRank(ivfProbeScores(queries, idCol, vecCol, index, nProbe), k)
 
   /** Signed-random-projection LSH candidate pairs, verified with exact
     * cosine — the equi-join ANN path. `numBits` hyperplane signs per

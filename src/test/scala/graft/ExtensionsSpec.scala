@@ -276,6 +276,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("persisted IVF index: build once, full probe equals brute force, partial probe recalls") {
+    val idx = Similarity.IvfIndex("tivf_assign", "tivf_codebook", numBuckets = 4)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+    try {
+      Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+      // one build serves many query batches: full corpus AND a subset
+      val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val full = Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(full === brute, "nProbe = nClusters must equal brute force, ranks included")
+      val partial = Similarity.ivfQuery(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          idx, k = 10, nProbe = 6)
+        .select("query_id", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteSub = brute.filter(_._1 < 20).map(t => (t._1, t._3))
+      val recall = (bruteSub intersect partial).size.toDouble / bruteSub.size
+      assert(recall >= 0.6, s"partial-probe recall $recall")
+      graft.Caching.release(spark)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+    }
+  }
+
   test("cosine LSH pairs equal brute-force pairs at threshold 0.35 (x05 recall = 1)") {
     val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

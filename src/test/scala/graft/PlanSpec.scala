@@ -262,6 +262,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x31 ivf probe join reads the assignments bucketed: only the query side shuffles") {
+    import graft.ext.Similarity
+    import graft.sources.Tables
+    val idx = Similarity.IvfIndex("pin_ivf_assign", "pin_ivf_codebook", numBuckets = 4)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.load(spark, sf(), "embeddings")
+      Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 8, iters = 2)
+      val scored = Similarity.ivfProbeScores(emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", idx, nProbe = 2)
+      val p = scored.queryExecution.executedPlan.toString
+      // the corpus assignments are bucketed on the join key: the probe join
+      // adds exactly one exchange (the query fan-out side), so query cost
+      // scales with the query batch, never the corpus
+      assert(p.contains("Bucketed: true"), "assignments scan must be bucketed: " + p.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+        "only the query side may shuffle: " + p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+    }
+  }
+
   test("x25 connected components: iterative equi-joins only, no cartesian/NLJ/UDF") {
     val p = plan("x25_dedup_components")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
