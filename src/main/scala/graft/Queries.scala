@@ -356,6 +356,21 @@ object Queries {
       Multimodal.resizeImages(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().select(col("id"), length(col("payload")).cast("long").as("n_bytes"))),
 
+    // perceptual-hash image dedup (codec-free dHash): like x24, the test
+    // corpus carries no natural image dups, so deterministic media are
+    // synthesized from doc_id identically in both engines — per group of 5
+    // docs, one base "image", one near-dup of it (a byte appended: only the
+    // final sample windows move, Hamming <= 2), three unrelated real texts.
+    // The kernel + pigeonhole band search are what's under test.
+    "x32_mm_phash_pairs" -> ((s, dir) => {
+      val base = repeat(concat(lit("w"), expr("doc_id div 5").cast("string"), lit(" ")), 66)
+      val media = t(s, dir, "documents").select(col("doc_id").as("id"),
+        when(col("doc_id") % 5 === 0, base)
+          .when(col("doc_id") % 5 === 1, concat(base, lit("x")))
+          .otherwise(col("text")).cast("binary").as("payload"))
+      Multimodal.pHashPairs(media, maxHamming = 3)
+    }),
+
     // train/eval decontamination: 13-gram overlap between the train docs
     // and a holdout slice, boilerplate-capped — the pre-training leakage
     // sweep. Declared capped for the same skew-safety reason as x02.
@@ -707,6 +722,29 @@ object Queries {
     "x14_mm_resize" ->
       """SELECT doc_id AS id, (octet_length(CAST(text AS BLOB)) + 1) // 2 AS n_bytes
         |FROM documents""".stripMargin,
+
+    "x32_mm_phash_pairs" ->
+      // transcription of Multimodal.pHash: the same synthesized media, 66
+      // fixed-stride 8-char windows, pixel = first md5 byte of each window,
+      // dHash bit (r*10+c) set when pixel r*11+c < its right neighbor, then
+      // brute-force Hamming pairs (the Spark side's pigeonhole bands are
+      // exact, so the brute-force compare is the oracle — the x04 stance)
+      """WITH img AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN repeat('w' || CAST(doc_id // 5 AS VARCHAR) || ' ', 66)
+        |       WHEN doc_id % 5 = 1 THEN repeat('w' || CAST(doc_id // 5 AS VARCHAR) || ' ', 66) || 'x'
+        |       ELSE text END AS t
+        |  FROM documents),
+        |px AS (SELECT doc_id, i.i AS i,
+        |  (strpos('0123456789abcdef', substr(md5(substr(t, 1 + i.i * 7, 8)), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(substr(t, 1 + i.i * 7, 8)), 2, 1)) - 1) AS p
+        |  FROM img, LATERAL unnest(generate_series(0, 65)) i(i)),
+        |sig AS (SELECT a.doc_id,
+        |  CAST(SUM(CASE WHEN a.p < b.p THEN (CAST(1 AS BIGINT) << ((a.i // 11) * 10 + (a.i % 11))) ELSE 0 END) AS BIGINT) AS h
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.i % 11 < 10
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
 
     "x15_decontaminate" ->
       // transcription of Decontaminate.ngramOverlap: distinct 13-grams per

@@ -108,4 +108,54 @@ object Multimodal {
     val enc = Encoders.product[MediaRow]
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).cast("binary").as("payload")).as(enc)
   }
+
+  /** 60-bit perceptual difference-hash (dHash) over a codec-free STUB
+    * decode — the image-dedup path the container's missing codec libraries
+    * allow. Real dHash: resize to a (rows+1)-wide grayscale grid, set one
+    * bit per adjacent-pixel comparison; near-identical images then differ
+    * in few bits, found via [[graft.ext.Dedup.simHashPairs]]' pigeonhole
+    * bands — NEVER an all-pairs compare. The stub decode stands in for
+    * resize+grayscale with a deterministic locality-preserving sample:
+    * pixel (r,c) = first md5 byte of the fixed-stride payload window at
+    * index r*11+c (matching windows ⇒ matching pixels, so payloads sharing
+    * most content share most bits; windows past the payload end hash ""
+    * and contribute constant pixels). Swapping in a real decoder changes
+    * ONLY the pixel function — grid, banding and pair search stay.
+    *
+    * Entirely codegen built-ins (md5/substring/conv), reproducible by the
+    * DuckDB oracle (x32). The payload is interpreted as UTF-8 text and
+    * windowed by CHARACTERS — part of the stub contract (a byte windowing
+    * would be unreproducible in portable SQL for multi-byte text).
+    *
+    * Known hazard (shared with real dHash): LOW-TEXTURE payloads — here,
+    * ones shorter than the ~460-unit sampled range; in production, flat or
+    * near-empty images — collapse toward few distinct hashes and pair
+    * densely, making their bands hot join keys. Filter degenerate payloads
+    * upstream (length/quality gates) before pairing a 100 TB corpus, the
+    * same stance as [[graft.ext.Dedup.jaccardPairs]]' df cap.
+    *
+    * Output (id, simhash) feeds [[graft.ext.Dedup.simHashPairs]] directly.
+    */
+  def pHash(media: DataFrame, idCol: String = "id",
+            payloadCol: String = "payload"): DataFrame = {
+    val window = 8
+    val stride = 7
+    val text = col(payloadCol).cast("string")
+    def pixel(idx: Int) =
+      conv(substring(md5(substring(text, 1 + idx * stride, window)), 1, 2), 16, 10)
+        .cast("long")
+    val bits =
+      for (r <- 0 until 6; c <- 0 until 10)
+        yield when(pixel(r * 11 + c) < pixel(r * 11 + c + 1),
+          lit(1L << (r * 10 + c))).otherwise(lit(0L))
+    media.select(col(idCol).as("id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-duplicate image pairs: Hamming distance <= maxHamming over
+    * [[pHash]] signatures via the SimHash pigeonhole band join (equi-join
+    * on signature bands — candidates scale with collisions, not pairs).
+    */
+  def pHashPairs(media: DataFrame, idCol: String = "id",
+                 payloadCol: String = "payload", maxHamming: Int = 3): DataFrame =
+    Dedup.simHashPairs(pHash(media, idCol, payloadCol), maxHamming)
 }

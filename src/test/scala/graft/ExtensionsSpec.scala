@@ -304,6 +304,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("pHash image dedup: identical media collide, in-range edits stay local, bands are exact") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val base = "w " * 250 // 500 chars — past the 66-window sample range (463)
+    val rows = Seq(
+      1L -> base,
+      2L -> base,                                     // identical media
+      3L -> (base + "x"),                             // tail append BEYOND the sample range
+      4L -> (base.substring(0, 457) + "Q" + base.substring(458)), // 1-char edit IN range
+      5L -> (1 to 80).map(i => s"z$i").mkString(" ")) // unrelated
+      .toDF("doc_id", "text")
+    val media = rows.select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+    val pairs = Multimodal.pHashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0, "identical payloads must hash identically")
+    assert(pairs((1L, 3L)) === 0,
+      "a change beyond the sampled resolution is invisible — the resize contract")
+    assert(pairs.get((1L, 4L)).exists(h => h >= 1 && h <= 3),
+      s"an in-range edit moves only its windows' bits: ${pairs.get((1L, 4L))}")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      s"unrelated media must not pair: $pairs")
+    // the pigeonhole band search is exact: equals brute-force Hamming
+    val hashes = Multimodal.pHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(pairs === brute)
+  }
+
   test("cosine LSH pairs equal brute-force pairs at threshold 0.35 (x05 recall = 1)") {
     val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -41,6 +41,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x32 phash pairs: codegen kernel, band equi-join, no cartesian/NLJ/UDF") {
+    val p = plan("x32_mm_phash_pairs")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must come from the pigeonhole band equi-join: " + p.take(2000))
+  }
+
   test("signature stages run as native expressions, not Scala UDFs (x03/x04/x05/x10)") {
     // the MinHash band keys, SRP signatures, SimHash and winnowing
     // fingerprints all moved from UDFs into codegen Catalyst expressions; a
