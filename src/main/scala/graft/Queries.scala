@@ -407,6 +407,41 @@ object Queries {
         .select("doc_id", "n_tokens", "bucket", "shard", "split")
     }),
 
+    // CONTINUOUS curation: the same train/holdout split ingested as three
+    // id-ordered micro-batches through [[CurationPipeline.streamIncrement]]
+    // — every stage incremental against persistent state (hash index, LSH
+    // signature index, per-bucket shard-offset ledger). With id-ordered
+    // arrival the streamed union hash-matches the batch pipeline; the
+    // declared config is x18's minus the gram-df cap (a whole-corpus df
+    // statistic a stream cannot know prospectively).
+    "x33_curation_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 7)
+      val cfg = X18Config.copy(maxGramDf = None)
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val state = CurationPipeline.StreamState(s"x33_$suffix",
+        java.nio.file.Files.createTempDirectory("graft_x33").toString, numBuckets = 8)
+      val hg = CurationPipeline.holdoutGramSet(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", cfg)
+      val mx = train.agg(max("doc_id")).head().getLong(0)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // three id-RANGE chunks in order = ordered continuous ingest (the
+        // foreachBatch wiring itself is golden-tested in CurationSpec)
+        Seq(0L, 1L, 2L).foreach { i =>
+          val lo = mx * i / 3
+          val hi = if (i == 2) mx + 1 else mx * (i + 1) / 3
+          CurationPipeline.streamIncrement(
+            train.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "doc_id", "text", Some(hg), cfg, state, batchId = i)
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      state.dropTables(s)
+      s.read.parquet(state.outDir)
+        .select("doc_id", "n_tokens", "bucket", "shard", "split")
+    }),
+
     // per-group cap: at most 40 docs per pseudo-domain (doc_id % 13),
     // hash-rank-selected — the over-represented-source guard
     "x19_cap_per_group" -> ((s, dir) =>
@@ -792,77 +827,12 @@ object Queries {
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
         |FROM c""".stripMargin,
 
-    "x18_curation_pipeline" ->
-      // stage-by-stage transcription of CurationPipeline.run with the
-      // declared config; each CTE reuses the transcription already proven
-      // by x08/x09 (filters), x01 (exact), x03 (near-dup via exact
-      // jaccard), x15 (decontamination), x16 (split), x17 (shards)
-      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
-        |q AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      len(w) AS n_toks,
-        |      CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-        |      CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END AS dup_frac,
-        |      CASE WHEN len(g2) > 0 THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) ELSE 0.0 END AS topb_frac
-        |    FROM (SELECT doc_id, text, w,
-        |            CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2
-        |          FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM train)))
-        |  WHERE n_toks BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
-        |    AND dup_frac <= 0.7 AND topb_frac <= 0.2),
-        |ltoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM q),
-        |langs(lang, words) AS (VALUES
-        |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
-        |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
-        |  ('es', ['el','la','de','que','y','en','un','por','con','los']),
-        |  ('fr', ['le','la','et','les','des','un','une','du','est','dans']),
-        |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
-        |scores AS (SELECT doc_id, lang, CAST(len(list_filter(t, x -> list_contains(words, x))) AS DOUBLE) / len(t) AS score FROM ltoks, langs),
-        |best AS (SELECT doc_id, lang FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) WHERE rn = 1),
-        |f AS (SELECT q.doc_id, q.text FROM q JOIN best USING (doc_id) WHERE best.lang = 'en'),
-        |e AS (SELECT f.doc_id, f.text FROM f
-        |      JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)) k USING (doc_id)),
-        |etoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM e),
-        |sh AS (SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
-        |       FROM etoks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |dup2 AS (SELECT DISTINCT d2 FROM (
-        |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
-        |    FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
-        |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-        |  WHERE CAST(ic AS DOUBLE) >= 0.5 * (x.n + y.n - ic)),
-        |nd AS (SELECT doc_id, text FROM e WHERE doc_id NOT IN (SELECT d2 FROM dup2)),
-        |ndtoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM nd),
-        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
-        |       FROM ndtoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
-        |htoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents WHERE doc_id % 10 = 7),
-        |hg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
-        |       FROM htoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
-        |hot AS (SELECT g FROM (SELECT g FROM tg UNION ALL SELECT g FROM hg) u GROUP BY g HAVING COUNT(*) > $DecontamGramDfCap),
-        |leaked AS (SELECT DISTINCT t.doc_id
-        |  FROM (SELECT * FROM tg WHERE g NOT IN (SELECT g FROM hot)) t
-        |  JOIN (SELECT * FROM hg WHERE g NOT IN (SELECT g FROM hot)) h USING (g)),
-        |clean AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
-        |sp AS (SELECT doc_id, text,
-        |  list_reduce(list_transform(generate_series(1, 15),
-        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
-        |    (a, b) -> a * 16 + b) % 10000 AS sbucket
-        |  FROM clean),
-        |spl AS (SELECT doc_id, text,
-        |  CASE WHEN sbucket < 8000 THEN 'train' WHEN sbucket < 9000 THEN 'val' ELSE 'test' END AS split
-        |  FROM sp),
-        |pk AS (SELECT doc_id, split,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  list_reduce(list_transform(generate_series(1, 15),
-        |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
-        |    (a, b) -> a * 16 + b) % 8 AS bucket
-        |  FROM spl),
-        |pc AS (SELECT doc_id, split, n_tokens, bucket,
-        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        |  FROM pk)
-        |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard, split
-        |FROM pc""".stripMargin,
+    "x18_curation_pipeline" -> curationOracle(capped = true),
+
+    // the streamed pipeline with id-ordered arrival ≡ the batch pipeline
+    // without the gram-df cap — identical transcription minus the hot CTE
+    "x33_curation_stream" -> curationOracle(capped = false),
+
 
     "x19_cap_per_group" ->
       // transcription of Sampling.capPerGroup: rank by (md5Hash60, id)
@@ -1015,6 +985,88 @@ object Queries {
 
   private lazy val jaccardOracle: String = jaccardOracleSql(capped = false)
   private lazy val cappedJaccardOracle: String = jaccardOracleSql(capped = true)
+
+  /** Stage-by-stage transcription of the curation pipeline with the
+    * declared x18 config; each CTE reuses the transcription already proven
+    * by x08/x09 (filters), x01 (exact), x03 (near-dup via exact jaccard),
+    * x15 (decontamination), x16 (split), x17 (shards). `capped = true` is
+    * the batch x18 (gram-df cap over both corpora); `capped = false` is the
+    * streamed x33 (a stream cannot know the whole-corpus gram df, so its
+    * decontamination is uncapped) — the ONLY difference is the hot CTE.
+    */
+  private def curationOracle(capped: Boolean): String = {
+    val leakSection =
+      if (capped)
+        s"""hot AS (SELECT g FROM (SELECT g FROM tg UNION ALL SELECT g FROM hg) u GROUP BY g HAVING COUNT(*) > $DecontamGramDfCap),
+           |leaked AS (SELECT DISTINCT t.doc_id
+           |  FROM (SELECT * FROM tg WHERE g NOT IN (SELECT g FROM hot)) t
+           |  JOIN (SELECT * FROM hg WHERE g NOT IN (SELECT g FROM hot)) h USING (g)),""".stripMargin
+      else
+        "leaked AS (SELECT DISTINCT t.doc_id FROM tg t JOIN hg h USING (g)),"
+    s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      |q AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      len(w) AS n_toks,
+      |      CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      |      CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END AS dup_frac,
+      |      CASE WHEN len(g2) > 0 THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) ELSE 0.0 END AS topb_frac
+      |    FROM (SELECT doc_id, text, w,
+      |            CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2
+      |          FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM train)))
+      |  WHERE n_toks BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
+      |    AND dup_frac <= 0.7 AND topb_frac <= 0.2),
+      |ltoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM q),
+      |langs(lang, words) AS (VALUES
+      |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
+      |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
+      |  ('es', ['el','la','de','que','y','en','un','por','con','los']),
+      |  ('fr', ['le','la','et','les','des','un','une','du','est','dans']),
+      |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
+      |scores AS (SELECT doc_id, lang, CAST(len(list_filter(t, x -> list_contains(words, x))) AS DOUBLE) / len(t) AS score FROM ltoks, langs),
+      |best AS (SELECT doc_id, lang FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) WHERE rn = 1),
+      |f AS (SELECT q.doc_id, q.text FROM q JOIN best USING (doc_id) WHERE best.lang = 'en'),
+      |e AS (SELECT f.doc_id, f.text FROM f
+      |      JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)) k USING (doc_id)),
+      |etoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM e),
+      |sh AS (SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
+      |       FROM etoks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |dup2 AS (SELECT DISTINCT d2 FROM (
+      |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
+      |    FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
+      |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |  WHERE CAST(ic AS DOUBLE) >= 0.5 * (x.n + y.n - ic)),
+      |nd AS (SELECT doc_id, text FROM e WHERE doc_id NOT IN (SELECT d2 FROM dup2)),
+      |ndtoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM nd),
+      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
+      |       FROM ndtoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
+      |htoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents WHERE doc_id % 10 = 7),
+      |hg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
+      |       FROM htoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
+      |$leakSection
+      |clean AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
+      |sp AS (SELECT doc_id, text,
+      |  list_reduce(list_transform(generate_series(1, 15),
+      |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) % 10000 AS sbucket
+      |  FROM clean),
+      |spl AS (SELECT doc_id, text,
+      |  CASE WHEN sbucket < 8000 THEN 'train' WHEN sbucket < 9000 THEN 'val' ELSE 'test' END AS split
+      |  FROM sp),
+      |pk AS (SELECT doc_id, split,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  list_reduce(list_transform(generate_series(1, 15),
+      |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) % 8 AS bucket
+      |  FROM spl),
+      |pc AS (SELECT doc_id, split, n_tokens, bucket,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM pk)
+      |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard, split
+      |FROM pc""".stripMargin
+  }
 
   /** Transcription of TextAnalysis.fingerprints (winnowing, k=5 w=4):
     * 5-gram md5-60 hashes in token order, min of each 4-window, distinct.

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{expressions, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-curation pipeline — the composition every
@@ -71,12 +71,13 @@ object CurationPipeline {
     * pipeline". Building the Seq registers the same scoped persists as
     * [[run]]; callers release via [[graft.Caching.release]].
     */
-  def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
-                   holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
-    // 1+2: narrow filters (incl. the Gopher repetition rules), evaluated in
-    // one pass over the scan. The repetition kernel only runs when a
-    // threshold is actually set — at the 1.0 'off' defaults the pass (and
-    // its two always-true predicates) would be pure waste.
+  /** Stages 1+2 — the narrow quality + language filter, shared verbatim by
+    * the batch pipeline and [[streamIncrement]] (pure Column expressions:
+    * zero state on a stream). The repetition kernel only runs when a
+    * threshold is actually set — at the 1.0 'off' defaults the pass (and
+    * its two always-true predicates) would be pure waste.
+    */
+  private def qualityLanguageFilter(docs: DataFrame, textCol: String, cfg: Config): DataFrame = {
     val repetitionOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
     cfg.tokenCountCol.foreach(c => require(docs.columns.contains(c),
       s"CurationPipeline: tokenCountCol '$c' not in input (${docs.columns.mkString(", ")})"))
@@ -92,12 +93,17 @@ object CurationPipeline {
     // the min/max-token gate measures the configured token count (BPE when
     // provided); the other quality ratios stay whitespace-token-derived
     val gateTokens = cfg.tokenCountCol.map(col).getOrElse(col("n_tokens"))
-    val filtered = scored
+    scored
       .filter(gateTokens.between(cfg.minTokens, cfg.maxTokens) &&
         col("punct_ratio") <= cfg.maxPunctRatio &&
         repetitionOk &&
         col("lang_pred").isInCollection(cfg.langs))
       .select(docs.columns.map(col): _*)
+  }
+
+  def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
+                   holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
+    val filtered = qualityLanguageFilter(docs, textCol, cfg)
 
     // 3: exact dedup — keep the smallest id of each identical text.
     // exactKept feeds the shingle extraction AND the keep-list anti-join;
@@ -139,5 +145,211 @@ object CurationPipeline {
     Seq("filter" -> filtered, "exact_dedup" -> exactKept,
       "near_dedup" -> nearKept, "decontaminate" -> clean,
       "split" -> split, "shards" -> packed)
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  /** The persistent state behind [[streamIncrement]] — what continuous
+    * curation must remember about everything already ingested:
+    *
+    *  - `hashTable` (text_hash, batch_id), bucketed by hash: exact-dedup
+    *    membership — an arriving doc whose hash is already present is a
+    *    re-arrival and is dropped (one anti-join, batch side only shuffles);
+    *  - the [[Dedup.LshIndex]] pair of tables: near-dup signatures;
+    *  - `offsetsDir`: per-bucket cumulative token offsets, one row set per
+    *    batch — shard packing continues where the previous batch stopped;
+    *  - `pairsDir` / `outDir`: the emitted near-dup pairs and the curated
+    *    documents, one `batch_id=` partition per micro-batch.
+    */
+  final case class StreamState(tablePrefix: String, stateDir: String,
+                               numBuckets: Int = 32) {
+    def hashTable: String = s"${tablePrefix}_hashes"
+    def lshIndex: Dedup.LshIndex =
+      Dedup.LshIndex(s"${tablePrefix}_bands", s"${tablePrefix}_shingles", numBuckets)
+    def pairsDir: String = s"$stateDir/pairs"
+    def offsetsDir: String = s"$stateDir/offsets"
+    def outDir: String = s"$stateDir/curated"
+    /** Drops the catalog tables AND their warehouse locations — a crashed
+      * run can leave a location dir with no catalog entry, which would
+      * block the next run's CREATE with LOCATION_ALREADY_EXISTS.
+      */
+    def dropTables(spark: org.apache.spark.sql.SparkSession): Unit =
+      Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        try {
+          val loc = new org.apache.hadoop.fs.Path(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+        } catch { case _: Exception => () }
+      }
+  }
+
+  /** The static holdout gram set [[streamIncrement]] decontaminates
+    * against, derived once and scoped-persisted (it is re-joined every
+    * micro-batch; release via [[graft.Caching.release]] after the stream
+    * stops).
+    */
+  def holdoutGramSet(holdout: DataFrame, idCol: String, textCol: String,
+                     cfg: Config): DataFrame =
+    graft.Caching.scoped(
+      Decontaminate.docGrams(holdout, idCol, textCol, cfg.decontamN)
+        .select(col("gram_h")))
+
+  private def dirExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One micro-batch of CONTINUOUS curation — every batch stage run
+    * incrementally against [[StreamState]]:
+    *
+    *  1. quality + language filter (the shared narrow stage — zero state);
+    *  2. exact dedup: keep the min-id copy of each in-batch hash, drop
+    *     hashes already in `hashTable` (first arrival survives; with
+    *     id-ordered arrival this IS the batch pipeline's min-id rule);
+    *  3. near-dup dedup: [[Dedup.minHashLshIncrement]] against the LSH
+    *     index, then drop this batch's docs appearing as the d2 (larger)
+    *     side of any emitted pair — [[Dedup.keepList]]'s rule, and dropped
+    *     docs still enter the index as detectors, exactly like the batch
+    *     path where pairs are found among ALL exact-dedup survivors;
+    *  4. decontamination: stateless anti-join against the static holdout
+    *     gram set (UNCAPPED — the batch cap is a df statistic over the
+    *     whole train corpus, which a stream cannot know prospectively;
+    *     configure the batch run with `maxGramDf = None` when comparing);
+    *  5. split assignment (narrow);
+    *  6. shard packing: the per-bucket in-batch running sum continues from
+    *     the previous batch's offsets ledger ([[Sharding.packByTokens]]'s
+    *     math with a carried base), and the updated offsets are written
+    *     for the next batch.
+    *
+    * Replay safety (at-least-once `foreachBatch`): every read of mutable
+    * state filters to `batch_id <` this batch (a replay sees exactly the
+    * state the first attempt saw) and every write either dynamic-overwrites
+    * its own `batch_id=` partition (pairs, curated output, offsets) or is
+    * duplicate-tolerant (hash/signature index appends — membership
+    * anti-joins and distinct-counted verification absorb duplicates).
+    *
+    * Given arrival ordered by doc id, the union of curated partitions over
+    * any prefix of the stream hash-matches [[run]] on the same documents
+    * with `maxGramDf = None` — the x33 oracle and the CurationSpec golden.
+    */
+  def streamIncrement(batch: DataFrame, idCol: String, textCol: String,
+                      holdoutGrams: Option[DataFrame], cfg: Config,
+                      state: StreamState, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val filtered = qualityLanguageFilter(batch, textCol, cfg)
+
+    // 2: exact dedup. The hash-index append happens LAST in this increment
+    // (see the tail): every materialization below re-reads the table and
+    // must see only prior batches, eviction or not.
+    val hashed = filtered.withColumn("__h", md5(col(textCol)))
+    val winners = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    val inBatch = hashed.join(winners, Seq("__h", idCol), "left_semi")
+    // batch-lifetime persist (unpersisted in the finally below, NOT
+    // Caching.scoped — a long-running stream would otherwise accumulate one
+    // registration per micro-batch until the caller's next release);
+    // eviction costs a recompute only: the hash table is appended last, so
+    // a recompute still sees the pre-append snapshot
+    val exactKept = (
+      if (spark.catalog.tableExists(state.hashTable))
+        inBatch.join(
+          spark.table(state.hashTable).filter(col("batch_id") < batchId)
+            .select("text_hash"),
+          col("__h") === col("text_hash"), "left_anti")
+      else inBatch
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+
+    // 3: near-dup — the increment writes this batch's verified pairs and
+    // appends the batch's signatures (survivors AND dropped docs: both
+    // remain detectors for future arrivals, as in the batch path)
+    Dedup.minHashLshIncrement(exactKept.drop("__h"), idCol, textCol,
+      cfg.nearDupThreshold, state.lshIndex, state.pairsDir, batchId,
+      cfg.shingleN)
+    // a batch with zero verified pairs writes no partition — the dir can be
+    // missing OR exist with no data files (an empty dynamic-overwrite still
+    // creates the base dir), so the read declares its schema instead of
+    // inferring from footers that may not exist
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idType = batch.schema(idCol).dataType
+    val batchDrops =
+      if (dirExists(spark, state.pairsDir))
+        spark.read.schema(StructType(Seq(
+            StructField("d2", idType), StructField("batch_id", LongType))))
+          .parquet(state.pairsDir)
+          .filter(col("batch_id") === batchId)
+          .select(col("d2").as(idCol)).distinct()
+      else spark.range(0).select(col("id").cast(idType).as(idCol))
+    val nearKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
+
+    // 4: decontamination (stateless stream-static)
+    val clean = holdoutGrams match {
+      case Some(hg) =>
+        val leaked = Decontaminate.docGrams(nearKept, idCol, textCol, cfg.decontamN)
+          .join(hg.select("gram_h"), Seq("gram_h"), "left_semi")
+          .select(col("id").as(idCol)).distinct()
+        nearKept.join(leaked, Seq(idCol), "left_anti")
+      case None => nearKept
+    }
+
+    // 5: split; 6: shard packing continued from the offsets ledger
+    val split = Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket")
+    val nTokens = cfg.tokenCountCol.map(c => col(c).cast("long"))
+      .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(expressions.Window.unboundedPreceding, -1)
+    val withBucket = split
+      .withColumn("n_tokens", nTokens)
+      .withColumn("bucket", Sampling.hash60(col(idCol), "shard") % cfg.shardBuckets)
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val baseOffsets =
+      if (dirExists(spark, state.offsetsDir))
+        spark.read.schema(StructType(Seq(
+            StructField("bucket", LongType), StructField("cum", LongType),
+            StructField("batch_id", LongType))))
+          .parquet(state.offsetsDir)
+          .filter(col("batch_id") < batchId)
+          .groupBy("bucket").agg(expr("max_by(cum, batch_id)").as("__base"))
+      else spark.range(0).select(col("id").cast("long").as("bucket"),
+        col("id").as("__base"))
+    val packed = withBucket
+      .join(baseOffsets, Seq("bucket"), "left")
+      .withColumn("cum_before", col("__local") + coalesce(col("__base"), lit(0L)))
+      .withColumn("shard",
+        col("bucket") * Sharding.ShardsPerBucket + expr(s"cum_before div ${cfg.tokensPerShard}"))
+      .drop("__local", "__base", "cum_before")
+
+    // curated output, then the updated ledger, then (last) the hash index
+    packed.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(state.outDir)
+    withBucket.groupBy("bucket").agg(sum(col("n_tokens")).as("__batch_tokens"))
+      .join(baseOffsets, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("__base"), lit(0L)) + col("__batch_tokens")).as("cum"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(state.offsetsDir)
+    val mode = if (spark.catalog.tableExists(state.hashTable)) "append" else "overwrite"
+    exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
+      .write.mode(mode).format("parquet")
+      .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
+    } finally exactKept.unpersist(blocking = false)
+  }
+
+  /** Continuous curation: [[streamIncrement]] wired into `foreachBatch`.
+    * Caller sets trigger/checkpoint and starts; curated documents
+    * accumulate under `state.outDir` (`batch_id` is bookkeeping). Release
+    * [[graft.Caching]] after the stream stops (the holdout gram set stays
+    * persisted across batches).
+    */
+  def runStream(docs: DataFrame, idCol: String, textCol: String,
+                holdout: Option[DataFrame], cfg: Config, state: StreamState)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hg = holdout.map(h => holdoutGramSet(h, idCol, textCol, cfg))
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id)
+    }
   }
 }

@@ -412,6 +412,68 @@ class CurationSpec extends SparkSpec {
     assert(Caching.release(spark) == 1)
   }
 
+  test("streaming curation equals the batch pipeline across ordered micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val en20 = "the of and to in is it that for with the of and to in is it that for with"
+    // distinct 15-word tails keep unrelated docs below the 0.5 jaccard
+    // threshold (shared en20 shingles: 18 of ~48 union)
+    def tail(p: String) = (1 to 15).map(i => s"$p$i").mkString(" ")
+    val body1 = en20 + " " + tail("alpha")
+    val body4 = en20 + " " + tail("delta")
+    val leak13 = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val batch1 = Seq(
+      1L -> body1,                         // survives
+      2L -> body1,                         // exact dup IN batch -> min id 1 kept
+      3L -> "too short",                   // quality fail
+      4L -> body4)                         // survives
+    val batch2 = Seq(
+      11L -> body1,                        // exact dup ACROSS batches -> dropped
+      12L -> (body4 + " changed"),         // near-dup of 4 across batches -> dropped
+      13L -> (en20 + " " + leak13 + " xx yy"), // leaks a 13-gram into the holdout -> dropped
+      14L -> (en20 + " " + tail("omega"))) // survives
+    val holdout = Seq(100L -> ("prefix words " + leak13)).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en"),
+      nearDupThreshold = 0.5, maxGramDf = None,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      tokensPerShard = 25L, shardBuckets = 2)
+    val state = CurationPipeline.StreamState("tstream",
+      java.nio.file.Files.createTempDirectory("graft_cur_stream").toString, numBuckets = 4)
+    state.dropTables(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cur_ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.runStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", Some(holdout), cfg, state)
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def outSet() = spark.read.parquet(state.outDir)
+      .select("doc_id", "n_tokens", "bucket", "shard", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val streamed = outSet()
+    val batchRun = CurationPipeline.run((batch1 ++ batch2).toDF("doc_id", "text"),
+        "doc_id", "text", Some(holdout), cfg)
+      .select("doc_id", "n_tokens", "bucket", "shard", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    graft.Caching.release(spark)
+    assert(streamed.map(_._1) === Set(1L, 4L, 14L),
+      s"exact/near/leak dups and quality fails must drop: $streamed")
+    assert(streamed === batchRun,
+      s"streamed $streamed != batch $batchRun — shard offsets must carry across batches")
+    // at-least-once replay of the last micro-batch: all state reads see
+    // batch_id < 1, all writes rewrite their own partitions — no change
+    val hg = CurationPipeline.holdoutGramSet(holdout, "doc_id", "text", cfg)
+    CurationPipeline.streamIncrement(batch2.toDF("doc_id", "text"),
+      "doc_id", "text", Some(hg), cfg, state, batchId = 1L)
+    graft.Caching.release(spark)
+    assert(outSet() === streamed, "replay must be idempotent")
+    state.dropTables(spark)
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
