@@ -267,6 +267,20 @@ object Queries {
         Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5))
     }),
 
+    // corpus-wide LINE dedup (C4/RefinedWeb boilerplate removal): the test
+    // corpus is single-line, so multi-line docs are synthesized from doc_id
+    // identically in both engines (the x24/x32 stance) — a header line
+    // shared by ALL docs, the doc's own content line, and a footer shared
+    // by each doc_id%7 group; dedup keeps each boilerplate line only in
+    // its first (min id) document and reassembles the rest
+    "x34_line_dedup" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("all docs share this boilerplate header line"), lit("\n"),
+          col("text"), lit("\n"),
+          lit("group footer "), (col("doc_id") % 7).cast("string")).as("text"))
+      Dedup.dedupLines(synth, "doc_id", "text")
+    }),
+
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
@@ -427,11 +441,13 @@ object Queries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        // three id-RANGE chunks in order = ordered continuous ingest (the
-        // foreachBatch wiring itself is golden-tested in CurationSpec)
-        Seq(0L, 1L, 2L).foreach { i =>
-          val lo = mx * i / 3
-          val hi = if (i == 2) mx + 1 else mx * (i + 1) / 3
+        // two id-RANGE chunks in order = ordered continuous ingest — one
+        // cold batch plus one batch exercising every cross-batch state path
+        // (hash index, LSH probe, offsets ledger); the foreachBatch wiring
+        // and >2-batch behavior are golden-tested in CurationSpec
+        Seq(0L, 1L).foreach { i =>
+          val lo = mx * i / 2
+          val hi = if (i == 1) mx + 1 else mx / 2
           CurationPipeline.streamIncrement(
             train.filter(col("doc_id") >= lo && col("doc_id") < hi),
             "doc_id", "text", Some(hg), cfg, state, batchId = i)
@@ -649,6 +665,27 @@ object Queries {
         |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "x34_line_dedup" ->
+      // transcription of Dedup.dedupLines over the same synthesized
+      // multi-line docs: first (doc_id, pos) occurrence of each line
+      // survives (Spark decides on md5-60 line hashes, the oracle on the
+      // line strings — identical absent a 2^-60 collision), short/empty
+      // lines bypass, documents reassemble in position order
+      """WITH synth AS (SELECT doc_id,
+        |  'all docs share this boilerplate header line' || chr(10) || text || chr(10) || 'group footer ' || CAST(doc_id % 7 AS VARCHAR) AS t
+        |  FROM documents),
+        |lines AS (SELECT doc_id, i.i - 1 AS pos, ln[i.i] AS line
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM synth),
+        |  LATERAL unnest(generate_series(1, len(ln))) i(i)),
+        |elig AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines WHERE length(line) >= 1),
+        |keep AS (SELECT doc_id, pos, line FROM elig WHERE rn = 1
+        |  UNION ALL SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |  COUNT(*) AS n_lines_kept
+        |FROM keep GROUP BY doc_id""".stripMargin,
 
     "x05_ann_cosine_pairs" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b

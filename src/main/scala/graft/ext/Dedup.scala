@@ -454,6 +454,51 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-wide exact LINE dedup — the C4/RefinedWeb boilerplate-removal
+    * step: of every line occurring anywhere in the corpus, only the FIRST
+    * occurrence (min (doc id, position)) survives; documents are
+    * reassembled from their surviving lines in original order. Removes
+    * navigation chrome, license headers, repeated footers — the bulk of
+    * web-scrape noise that document-level dedup cannot touch.
+    *
+    * Lines shorter than `minLineLen` bypass dedup entirely (kept in place
+    * everywhere): with the default 1 that exempts empty lines, so
+    * paragraph structure survives; raise it to exempt short common lines
+    * ("Home", "1", ...) whose corpus-wide collapse would be noise removal
+    * at the wrong granularity.
+    *
+    * Scale shape: posexplode is narrow; the survivor decision is a
+    * partial-aggregated min over 8-byte line hashes (a boilerplate line in
+    * a billion docs combines map-side — never a per-line window sort, which
+    * would funnel every occurrence of a hot line through one task), the
+    * occurrence check is an equi-join on the hash (k×1 per hot key —
+    * linear), and reassembly is a per-doc collect bounded by the original
+    * document size. Like [[graft.ext.Decontaminate]], the join key is the
+    * md5-60 of the line: two DISTINCT lines colliding at 60 bits would
+    * merge (one spuriously dropped) with probability ~lines²/2⁶¹.
+    *
+    * Output: (idCol, text_dedup, n_lines_kept); a document whose every
+    * line was deduplicated away (no short lines either) is dropped.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minLineLen: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    val eligible = lines.filter(length(col("line")) >= minLineLen)
+      .withColumn("__lh", graft.functions.Hashing.md5Hash60Col(col("line")))
+    val winners = eligible.groupBy("__lh")
+      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+    val kept = eligible.join(winners, "__lh")
+      .filter(col("id") === col("__w.id") && col("pos") === col("__w.pos"))
+      .select("id", "pos", "line")
+      .union(lines.filter(length(col("line")) < minLineLen).select("id", "pos", "line"))
+    kept.groupBy("id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_dedup"),
+        count(lit(1)).as("n_lines_kept"))
+      .select(col("id").as(idCol), col("text_dedup"), col("n_lines_kept"))
+  }
+
   /** Near-dup candidate pairs via shared winnowing fingerprints — the MOSS
     * shape (Schleimer et al., SIGMOD'03): documents sharing at least
     * `minShared` fingerprints ([[TextAnalysis.fingerprints]]: k-gram md5-60

@@ -304,6 +304,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("line dedup keeps first occurrences, preserves empty lines and document order") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "alpha line\n\ncommon boilerplate\nunique to one",
+      2L -> "common boilerplate\nbeta line\n\nbeta tail",
+      3L -> "common boilerplate",        // whole doc deduped away -> dropped
+      4L -> "gamma\ngamma\ngamma line")  // in-doc repeat: first pos survives
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 arrives first: keeps everything including the boilerplate
+    assert(out(1L) === (("alpha line\n\ncommon boilerplate\nunique to one", 4L)))
+    // doc 2 loses the boilerplate but keeps its empty line and order
+    assert(out(2L) === (("beta line\n\nbeta tail", 3L)))
+    // doc 3 was only boilerplate -> fully removed
+    assert(!out.contains(3L))
+    // in-doc duplicate: position 0 survives, position 1 goes
+    assert(out(4L) === (("gamma\ngamma line", 2L)))
+    // minLineLen exempts short lines from dedup (kept everywhere)
+    val short = Dedup.dedupLines(Seq(1L -> "ok\nzz", 2L -> "ok\nzz").toDF("doc_id", "text"),
+        "doc_id", "text", minLineLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(short === Map(1L -> "ok\nzz", 2L -> "ok\nzz"))
+  }
+
   test("pHash image dedup: identical media collide, in-range edits stay local, bands are exact") {
     import spark.implicits._
     import graft.ext.Multimodal

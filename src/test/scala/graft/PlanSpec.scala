@@ -41,6 +41,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x34 line dedup: partial-aggregated survivor min, never a per-line window sort") {
+    val p = plan("x34_line_dedup")
+    // the survivor decision must combine map-side: a boilerplate line in a
+    // billion docs is one hot key, and a window formulation would sort all
+    // its occurrences inside one task
+    assert(p.contains("partial_min"), p.take(2000))
+    assert(!p.contains("Window"), "hot lines must not window-sort: " + p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("x32 phash pairs: codegen kernel, band equi-join, no cartesian/NLJ/UDF") {
     val p = plan("x32_mm_phash_pairs")
     assert(!p.contains("ScalaUDF"), p.take(2000))
