@@ -410,6 +410,15 @@ object Queries {
           tokensPerShard = 2000L, nBuckets = 8)
         .select("doc_id", "n_tokens", "bucket", "shard")),
 
+    // sequence-packing layout: docs concatenated back-to-back per bucket
+    // and split at fixed 512-token sequence boundaries (the causal-LM
+    // training layout) — one row per (doc, sequence) overlap with the
+    // covered token span
+    "x35_sequence_pack" -> ((s, dir) =>
+      Sharding.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          seqLen = 512L, nBuckets = 8)
+        .select("doc_id", "n_tokens", "bucket", "seq", "tok_start", "tok_end")),
+
     // the full curation pipeline end-to-end: quality → language → exact
     // dedup → MinHash near-dup → decontamination → split → shards, every
     // stage oracle-mirrored — the flagship composition
@@ -863,6 +872,26 @@ object Queries {
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
         |FROM c""".stripMargin,
+
+    "x35_sequence_pack" ->
+      // x17's bucket/offset transcription plus the per-sequence explode:
+      // doc spans sequences cum//512 .. (cum+n-1)//512, span bounds by the
+      // same greatest/least arithmetic as the operator
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 8 AS bucket
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens, bucket,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, bucket,
+        |  bucket * 4294967296 + s.s AS seq,
+        |  CAST(GREATEST(s.s * 512 - cum_before, 0) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(n_tokens, (s.s + 1) * 512 - cum_before) AS BIGINT) AS tok_end
+        |FROM p, LATERAL unnest(generate_series(cum_before // 512, (cum_before + n_tokens - 1) // 512)) s(s)""".stripMargin,
 
     "x18_curation_pipeline" -> curationOracle(capped = true),
 

@@ -71,4 +71,59 @@ object Sharding {
         col("bucket") * ShardsPerBucket + expr(s"cum_before div $tokensPerShard"))
       .drop("cum_before")
   }
+
+  /** Sequence-packing layout — the step AFTER sharding that decides how
+    * documents concatenate into fixed-length training sequences (the
+    * standard causal-LM data layout: docs packed back-to-back, split at
+    * sequence boundaries, no padding between them). Within each bucket,
+    * documents concatenate in doc-id order and sequence `s` covers token
+    * offsets `[s*seqLen, (s+1)*seqLen)`; a document overlapping several
+    * sequences emits one row per overlap with the covered token span.
+    *
+    * Output per (document, sequence) overlap:
+    *  - `n_tokens`, `bucket` — as in [[packByTokens]] (same seed/hash, so
+    *    sequence and shard layouts agree on placement);
+    *  - `seq` = `bucket * 2³² + seq-within-bucket` — globally unique,
+    *    stable under corpus growth within a bucket's packed prefix;
+    *  - `tok_start` (inclusive) / `tok_end` (exclusive) — the span of THIS
+    *    document's tokens that lands in that sequence; a downstream writer
+    *    materializes sequence `s` by concatenating its rows' spans in
+    *    doc-id order.
+    *
+    * Zero-token documents occupy no sequence space and emit no row. Scale
+    * shape: the same two-level no-global-sort window as [[packByTokens]]
+    * plus a narrow per-row explode of at most `n_tokens/seqLen + 1`
+    * sequence rows — no extra shuffle.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long, nBuckets: Int = 256,
+                    seed: String = "shard",
+                    tokenCountCol: Option[String] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    tokenCountCol.foreach(c => require(df.columns.contains(c),
+      s"packSequences: token count column '$c' not in input (${df.columns.mkString(", ")})"))
+    Seq("n_tokens", "bucket", "seq", "tok_start", "tok_end", "cum_before").foreach(c =>
+      require(!df.columns.contains(c) || tokenCountCol.contains(c),
+        s"packSequences writes column '$c' — input already has one; rename or drop it first"))
+    val nTokens = tokenCountCol
+      .map(c => when(col(c).isNull || col(c) < 0,
+          raise_error(concat(lit(s"packSequences: null/negative token count in '$c' at $idCol="),
+            col(idCol).cast("string"))).cast("long"))
+        .otherwise(col(c).cast("long")))
+      .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", nTokens)
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", Sampling.hash60(col(idCol), seed) % nBuckets)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("__s", explode(sequence(
+        expr(s"cum_before div $seqLen"),
+        expr(s"(cum_before + n_tokens - 1) div $seqLen"))))
+      .withColumn("seq", col("bucket") * ShardsPerBucket + col("__s"))
+      .withColumn("tok_start", greatest(col("__s") * seqLen - col("cum_before"), lit(0L)))
+      .withColumn("tok_end", least(col("n_tokens"), (col("__s") + 1) * seqLen - col("cum_before")))
+      .drop("cum_before", "__s")
+  }
 }

@@ -412,6 +412,42 @@ class CurationSpec extends SparkSpec {
     assert(Caching.release(spark) == 1)
   }
 
+  test("packSequences lays docs back-to-back and splits exactly at sequence boundaries") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    // 3 docs with known counts in ONE bucket, seqLen 10:
+    //   A(7) -> seq0[0,7); B(6) -> seq0[0,3) + seq1[3,6); C(10) -> seq1[0,7) + seq2[7,10)
+    val rows = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "t", 7L),
+      org.apache.spark.sql.Row(2L, "t", 6L),
+      org.apache.spark.sql.Row(3L, "t", 10L),
+      org.apache.spark.sql.Row(4L, "t", 0L) // zero tokens: no sequence row, no offset shift
+    ).asJava, StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("cnt", LongType))))
+    val out = Sharding.packSequences(rows, "doc_id", "text", seqLen = 10L,
+        nBuckets = 1, tokenCountCol = Some("cnt"))
+      .select("doc_id", "seq", "tok_start", "tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, 0L, 0L, 7L),
+      (2L, 0L, 0L, 3L), (2L, 1L, 3L, 6L),
+      (3L, 1L, 0L, 7L), (3L, 2L, 7L, 10L)))
+    // invariants on real text: per-doc spans sum to n_tokens; every
+    // sequence except each bucket's last is filled to exactly seqLen
+    val real = Sharding.packSequences(docs, "doc_id", "text", seqLen = 512L, nBuckets = 4)
+      .select("doc_id", "n_tokens", "bucket", "seq", "tok_start", "tok_end")
+    val perDoc = real.groupBy("doc_id").agg(
+        sum(col("tok_end") - col("tok_start")).as("covered"), max("n_tokens").as("n"))
+      .filter(col("covered") =!= col("n")).count()
+    assert(perDoc === 0L, "every token of every doc lands in exactly one sequence")
+    val lastSeqs = real.groupBy("bucket").agg(max("seq").as("seq"))
+    val unfilled = real.groupBy("bucket", "seq")
+      .agg(sum(col("tok_end") - col("tok_start")).as("filled"))
+      .join(lastSeqs, Seq("bucket", "seq"), "left_anti")
+      .filter(col("filled") =!= 512L).count()
+    assert(unfilled === 0L, "non-tail sequences must be packed to exactly seqLen")
+  }
+
   test("streaming curation equals the batch pipeline across ordered micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
