@@ -410,6 +410,12 @@ object Queries {
           tokensPerShard = 2000L, nBuckets = 8)
         .select("doc_id", "n_tokens", "bucket", "shard")),
 
+    // per-language corpus profile: doc counts + deterministic token-count
+    // quantiles + KMV distinct-text estimates, every number bit-identical
+    // across engines — the before/after report of a curation run
+    "x36_corpus_profile" -> ((s, dir) =>
+      graft.ext.Profile.byLanguage(t(s, dir, "documents"), "doc_id", "text")),
+
     // sequence-packing layout: docs concatenated back-to-back per bucket
     // and split at fixed 512-token sequence boundaries (the causal-LM
     // training layout) — one row per (doc, sequence) overlap with the
@@ -872,6 +878,45 @@ object Queries {
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
         |FROM c""".stripMargin,
+
+    "x36_corpus_profile" ->
+      // composition of the proven x09 (langId), x26-shape (hash-min
+      // quantile sample of n_tokens seeded 'qs:'||doc_id) and x23-shape
+      // (KMV over 'kmv:'||text) transcriptions, joined per language
+      """WITH toks AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS lt,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |langs(lang, words) AS (VALUES
+        |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
+        |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
+        |  ('es', ['el','la','de','que','y','en','un','por','con','los']),
+        |  ('fr', ['le','la','et','les','des','un','une','du','est','dans']),
+        |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
+        |scores AS (SELECT doc_id, lang, CAST(len(list_filter(lt, x -> list_contains(words, x))) AS DOUBLE) / len(lt) AS score FROM toks, langs),
+        |best AS (SELECT doc_id, lang AS lang_pred FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) WHERE rn = 1),
+        |d AS (SELECT t.doc_id, t.text, t.n_tokens, b.lang_pred FROM toks t JOIN best b USING (doc_id)),
+        |counts AS (SELECT lang_pred, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        |qh AS (SELECT lang_pred, CAST(n_tokens AS DOUBLE) AS v,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM d WHERE doc_id IS NOT NULL AND n_tokens IS NOT NULL),
+        |q AS (SELECT lang_pred, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM qh GROUP BY 1),
+        |kh AS (SELECT DISTINCT lang_pred,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || text), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM d WHERE text IS NOT NULL),
+        |ks AS (SELECT lang_pred, list_sort(list(hv))[1:64] AS ks FROM kh GROUP BY 1)
+        |SELECT c.lang_pred, c.n_docs, COALESCE(CAST(len(qs) AS BIGINT), 0) AS n_sample,
+        |  qs[CAST(floor(0.25 * (len(qs) - 1)) AS INTEGER) + 1] AS p25,
+        |  qs[CAST(floor(0.5 * (len(qs) - 1)) AS INTEGER) + 1] AS p50,
+        |  qs[CAST(floor(0.75 * (len(qs) - 1)) AS INTEGER) + 1] AS p75,
+        |  qs[CAST(floor(0.9 * (len(qs) - 1)) AS INTEGER) + 1] AS p90,
+        |  CASE WHEN COALESCE(len(ks), 0) < 64 THEN CAST(COALESCE(len(ks), 0) AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE) END AS est_distinct_texts
+        |FROM counts c JOIN q USING (lang_pred) JOIN ks USING (lang_pred)""".stripMargin,
 
     "x35_sequence_pack" ->
       // x17's bucket/offset transcription plus the per-sequence explode:

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: the "what is in this corpus" report a curation run
+  * produces before and after each stage — per-slice document counts, token
+  * length distribution, and duplication level — over 100 TB without a
+  * single global sort or exact COUNT(DISTINCT).
+  *
+  * Every statistic is deterministic (md5-60-seeded bounded sketches from
+  * [[Sketches]]), so two engines — or the same pipeline re-run — report
+  * bit-identical profiles, and a profile diff is a real change, never
+  * sketch noise.
+  */
+object Profile {
+
+  /** Per-language profile of a document corpus:
+    *
+    *  - `lang_pred`, `n_docs` — slice and size;
+    *  - `n_sample`, `p25/p50/p75/p90` — whitespace-token-count quantiles
+    *    off the deterministic k-row hash-min sample
+    *    ([[Sketches.quantileSketch]]);
+    *  - `est_distinct_texts` — KMV estimate of distinct document texts
+    *    ([[Sketches.distinctSketch]]): `n_docs - est_distinct_texts` is the
+    *    slice's exact-duplicate mass.
+    *
+    * One narrow scoring pass feeds three partial-aggregated reductions,
+    * joined on the (few-valued, broadcastable) language key.
+    */
+  def byLanguage(docs: DataFrame, idCol: String, textCol: String,
+                 quantileK: Int = 128, distinctK: Int = 64): DataFrame = {
+    // the scored base feeds all three aggregates: persist so the langId +
+    // quality kernels run once. Scoped: callers release via
+    // graft.Caching.release after materializing.
+    val base = graft.Caching.scoped(
+      TextAnalysis.withLangId(TextAnalysis.withQualityMetrics(docs, textCol), textCol)
+        .select(col(idCol).as("id"), col(textCol).as("text"),
+          col("lang_pred"), col("n_tokens")))
+    val counts = base.groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+    val quant = Sketches.quantileSketch(base, Seq("lang_pred"), "n_tokens", "id",
+      k = quantileK)
+    val dist = Sketches.distinctSketch(base, Seq("lang_pred"), "text", k = distinctK)
+      .select(col("lang_pred"), col("est_distinct").as("est_distinct_texts"))
+    counts.join(quant, Seq("lang_pred")).join(dist, Seq("lang_pred"))
+  }
+}

@@ -412,6 +412,33 @@ class CurationSpec extends SparkSpec {
     assert(Caching.release(spark) == 1)
   }
 
+  test("corpus profile slices by language: counts reconcile, quantiles ordered, small-slice dup estimate exact") {
+    val prof = graft.ext.Profile.byLanguage(docs, "doc_id", "text").collect()
+    graft.Caching.release(spark)
+    assert(prof.nonEmpty)
+    assert(prof.map(_.getLong(1)).sum === docs.count(), "slice doc counts must reconcile")
+    prof.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5)
+        && r.getDouble(5) <= r.getDouble(6), s"quantiles out of order: $r")
+    }
+    // below the sketch bound the KMV estimate IS the exact distinct count
+    val exact = graft.ext.TextAnalysis.langId(docs, "doc_id", "text")
+      .join(docs, "doc_id").groupBy("lang_pred")
+      .agg(countDistinct("text").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wide = graft.ext.Profile.byLanguage(docs, "doc_id", "text", distinctK = 1024)
+      .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    graft.Caching.release(spark)
+    exact.foreach { case (l, nd) =>
+      assert(wide(l) === nd.toDouble, s"slice $l: est ${wide(l)} != exact $nd")
+    }
+    // and at the default k the estimate stays within KMV error bounds
+    val est = prof.map(r => r.getString(0) -> r.getDouble(7)).toMap
+    exact.foreach { case (l, nd) =>
+      assert(math.abs(est(l) - nd) / nd < 0.35, s"slice $l: est ${est(l)} vs exact $nd")
+    }
+  }
+
   test("packSequences lays docs back-to-back and splits exactly at sequence boundaries") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
