@@ -55,7 +55,15 @@ object CurationPipeline {
       // the shard token budgets (stage 7) measure model tokens instead of
       // the whitespace default — the two places a whitespace count biases
       // a real training-data run
-      tokenCountCol: Option[String] = None)
+      tokenCountCol: Option[String] = None,
+      // name of an array<float> embedding column on the input: when set, a
+      // SEMANTIC near-dup stage runs after the lexical one — cosine-LSH
+      // pairs at `embedCosineThreshold` ([[Similarity.cosineLshPairs]]:
+      // banded equi-join + exact verify, never all-pairs), dropped by the
+      // same per-pair/collapse rule as stage 4. Catches paraphrases and
+      // translations that share no shingles; costs one more banded join.
+      embeddingCol: Option[String] = None,
+      embedCosineThreshold: Double = 0.9)
 
   /** Runs the full pipeline over `docs`; `holdout` is the eval corpus to
     * decontaminate against (None skips stage 5).
@@ -120,9 +128,23 @@ object CurationPipeline {
     val pairs = Dedup.minHashLsh(
       Dedup.wordShingles(exactKept, idCol, textCol, cfg.shingleN),
       cfg.nearDupThreshold)
-    val nearKept =
+    val lexKept =
       if (cfg.collapseClusters) Dedup.keepListCollapsed(exactKept, idCol, pairs)
       else Dedup.keepList(exactKept, idCol, pairs)
+
+    // 4b (optional): SEMANTIC near-dup dedup over a precomputed embedding
+    // column — cosine-LSH pairs, dropped by the same per-pair/collapse
+    // rule; catches paraphrases the shingle stage cannot
+    val nearKept = cfg.embeddingCol match {
+      case Some(ec) =>
+        require(docs.columns.contains(ec),
+          s"CurationPipeline: embeddingCol '$ec' not in input (${docs.columns.mkString(", ")})")
+        val ePairs = Similarity.cosineLshPairs(lexKept, idCol, ec, cfg.embedCosineThreshold)
+          .select(col("vec_id_a").as("d1"), col("vec_id_b").as("d2"))
+        if (cfg.collapseClusters) Dedup.keepListCollapsed(lexKept, idCol, ePairs)
+        else Dedup.keepList(lexKept, idCol, ePairs)
+      case None => lexKept
+    }
 
     // 5: decontamination against the holdout. nearKept is referenced up to
     // three times (gram df union, anti-join probe, clean train side) — the
@@ -143,8 +165,9 @@ object CurationPipeline {
     val packed = Sharding.packByTokens(split, idCol, textCol,
       cfg.tokensPerShard, cfg.shardBuckets, tokenCountCol = cfg.tokenCountCol)
     Seq("filter" -> filtered, "exact_dedup" -> exactKept,
-      "near_dedup" -> nearKept, "decontaminate" -> clean,
-      "split" -> split, "shards" -> packed)
+        "near_dedup" -> lexKept) ++
+      cfg.embeddingCol.map(_ => "embed_dedup" -> nearKept).toSeq ++
+      Seq("decontaminate" -> clean, "split" -> split, "shards" -> packed)
   }
 
   // ------------------------------------------------------------- streaming
@@ -298,10 +321,14 @@ object CurationPipeline {
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
+    // batch-lifetime persist: the curated-output write AND the offsets
+    // write both consume this subtree — without it the decontamination
+    // anti-join and the packing window execute twice per micro-batch
     val withBucket = split
       .withColumn("n_tokens", nTokens)
       .withColumn("bucket", Sampling.hash60(col(idCol), "shard") % cfg.shardBuckets)
       .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseOffsets =
       if (dirExists(spark, state.offsetsDir))
         spark.read.schema(StructType(Seq(
@@ -334,6 +361,7 @@ object CurationPipeline {
     exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
       .write.mode(mode).format("parquet")
       .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
+    withBucket.unpersist(blocking = false)
     } finally exactKept.unpersist(blocking = false)
   }
 

@@ -412,6 +412,41 @@ class CurationSpec extends SparkSpec {
     assert(Caching.release(spark) == 1)
   }
 
+  test("pipeline embedding stage drops semantic near-dups the shingle stage cannot see") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val en = "the of and to in is it that for with"
+    // docs 1 and 2: lexically DISJOINT tails (no shared shingles beyond the
+    // below-threshold prefix) but identical embeddings = paraphrases; doc 3
+    // orthogonal embedding
+    def txt(p: String) = en + " " + (1 to 15).map(i => s"$p$i").mkString(" ")
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e3 = Array(0f, 1f, 0f, 0f)
+    val rows = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, txt("alpha"), e1),
+      org.apache.spark.sql.Row(2L, txt("beta"), e1),
+      org.apache.spark.sql.Row(3L, txt("gamma"), e3)
+    ).asJava, StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en"),
+      embeddingCol = Some("embedding"), embedCosineThreshold = 0.9,
+      tokensPerShard = 2000L, shardBuckets = 2)
+    val kept = CurationPipeline.run(rows, "doc_id", "text", None, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(kept === Set(1L, 3L), s"doc 2 is a semantic dup of 1: $kept")
+    // stage listing carries the extra stage only when the column is set
+    val stages = CurationPipeline.stageOutputs(rows, "doc_id", "text", None, cfg).map(_._1)
+    assert(stages === Seq("filter", "exact_dedup", "near_dedup", "embed_dedup",
+      "decontaminate", "split", "shards"))
+    graft.Caching.release(spark)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(rows, "doc_id", "text", None,
+        cfg.copy(embeddingCol = Some("nope")))
+    }
+  }
+
   test("corpus profile slices by language: counts reconcile, quantiles ordered, small-slice dup estimate exact") {
     val prof = graft.ext.Profile.byLanguage(docs, "doc_id", "text").collect()
     graft.Caching.release(spark)
