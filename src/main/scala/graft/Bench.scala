@@ -250,16 +250,19 @@ object Bench {
         val stages = graft.ext.CurationPipeline.stageOutputs(
           docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
           Some(docs.filter(col("doc_id") % 10 === 7)), Queries.X18Config)
-        val timed = stages.map { case (stage, df) =>
+        stages.map { case (stage, df) =>
           val cached = Caching.scoped(df)
           val t0 = System.nanoTime()
           cached.write.format("noop").mode("overwrite").save()
           stage -> (System.nanoTime() - t0) / 1e9
         }
+      } catch { case _: Throwable => errors += "x18_stages"; Seq.empty }
+      finally {
+        // unconditionally: a failed stage must not leave its persisted
+        // outputs polluting the streaming section's storage pool
         Caching.release(spark)
         spark.catalog.clearCache()
-        timed
-      } catch { case _: Throwable => errors += "x18_stages"; Seq.empty }
+      }
     val streaming =
       try streamingBench(spark)
       catch { case _: Throwable => errors += "streaming_bench"; Map.empty[String, Double] }

@@ -234,10 +234,17 @@ object Queries {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // the emitted pairs are the result; the index tables are the run's
-      // state and are dropped with it
+      // state and are dropped with it. Schema declared, not inferred: a
+      // corpus with zero near-dup pairs leaves pairsDir without data files
+      // and inference would throw where the batch x03 returns empty
       s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
       s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
-      s.read.parquet(pairsDir)
+      import org.apache.spark.sql.types._
+      s.read.schema(StructType(Seq(
+          StructField("d1", LongType), StructField("d2", LongType),
+          StructField("inter_cnt", LongType), StructField("union_cnt", LongType),
+          StructField("jaccard", DoubleType), StructField("batch_id", LongType))))
+        .parquet(pairsDir)
         .select("d1", "d2", "inter_cnt", "union_cnt", "jaccard")
     }),
 
@@ -436,7 +443,7 @@ object Queries {
         .select("doc_id", "n_tokens", "bucket", "shard", "split")
     }),
 
-    // CONTINUOUS curation: the same train/holdout split ingested as three
+    // CONTINUOUS curation: the same train/holdout split ingested as two
     // id-ordered micro-batches through [[CurationPipeline.streamIncrement]]
     // — every stage incremental against persistent state (hash index, LSH
     // signature index, per-bucket shard-offset ledger). With id-ordered

@@ -72,13 +72,6 @@ object CurationPipeline {
           holdout: Option[DataFrame], cfg: Config = Config()): DataFrame =
     stageOutputs(docs, idCol, textCol, holdout, cfg).last._2
 
-  /** The pipeline's cumulative stage outputs, in order — each entry is the
-    * corpus as of that stage, the last being [[run]]'s result. Exists for
-    * attribution: the bench (and any operator of a 100 TB run) times each
-    * stage's materialization so a regression names a stage, not "the
-    * pipeline". Building the Seq registers the same scoped persists as
-    * [[run]]; callers release via [[graft.Caching.release]].
-    */
   /** Stages 1+2 — the narrow quality + language filter, shared verbatim by
     * the batch pipeline and [[streamIncrement]] (pure Column expressions:
     * zero state on a stream). The repetition kernel only runs when a
@@ -99,8 +92,16 @@ object CurationPipeline {
           col("top_bigram_frac") <= cfg.maxTopBigramFrac
       else lit(true)
     // the min/max-token gate measures the configured token count (BPE when
-    // provided); the other quality ratios stay whitespace-token-derived
-    val gateTokens = cfg.tokenCountCol.map(col).getOrElse(col("n_tokens"))
+    // provided); the other quality ratios stay whitespace-token-derived.
+    // A null/negative configured count is an upstream tokenizer BUG, not a
+    // quality failure — raise (packByTokens' stance) instead of letting the
+    // null gate silently delete the document
+    val gateTokens = cfg.tokenCountCol
+      .map(c => when(col(c).isNull || col(c) < 0,
+          raise_error(concat(lit(s"CurationPipeline: null/negative token count in '$c'")))
+            .cast("long"))
+        .otherwise(col(c).cast("long")))
+      .getOrElse(col("n_tokens"))
     scored
       .filter(gateTokens.between(cfg.minTokens, cfg.maxTokens) &&
         col("punct_ratio") <= cfg.maxPunctRatio &&
@@ -109,6 +110,13 @@ object CurationPipeline {
       .select(docs.columns.map(col): _*)
   }
 
+  /** The pipeline's cumulative stage outputs, in order — each entry is the
+    * corpus as of that stage, the last being [[run]]'s result. Exists for
+    * attribution: the bench (and any operator of a 100 TB run) times each
+    * stage's materialization so a regression names a stage, not "the
+    * pipeline". Building the Seq registers the same scoped persists as
+    * [[run]]; callers release via [[graft.Caching.release]].
+    */
   def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
                    holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
     val filtered = qualityLanguageFilter(docs, textCol, cfg)
@@ -260,6 +268,13 @@ object CurationPipeline {
                       holdoutGrams: Option[DataFrame], cfg: Config,
                       state: StreamState, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // the batch cap is a df statistic over the WHOLE train corpus, which a
+    // stream cannot know prospectively — a silently ignored cap would
+    // over-delete vs the equivalently-configured batch run (one hot
+    // boilerplate gram leaks everything containing it), so fail loudly
+    require(cfg.maxGramDf.isEmpty,
+      "streamIncrement: maxGramDf is a whole-corpus statistic unavailable to " +
+        "a stream - set Config(maxGramDf = None) for streaming curation")
     val filtered = qualityLanguageFilter(batch, textCol, cfg)
 
     // 2: exact dedup. The hash-index append happens LAST in this increment
@@ -281,6 +296,9 @@ object CurationPipeline {
           col("__h") === col("text_hash"), "left_anti")
       else inBatch
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every batch-lifetime persist lands here and unpersists in the finally
+    // (a failed ledger/index write must not leak a cached subtree per retry)
+    var caches: List[DataFrame] = List(exactKept)
     try {
 
     // 3: near-dup — the increment writes this batch's verified pairs and
@@ -317,7 +335,12 @@ object CurationPipeline {
 
     // 5: split; 6: shard packing continued from the offsets ledger
     val split = Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket")
-    val nTokens = cfg.tokenCountCol.map(c => col(c).cast("long"))
+    // null/negative configured counts raise (the packByTokens/gate stance)
+    val nTokens = cfg.tokenCountCol
+      .map(c => when(col(c).isNull || col(c) < 0,
+          raise_error(concat(lit(s"streamIncrement: null/negative token count in '$c' at $idCol="),
+            col(idCol).cast("string"))).cast("long"))
+        .otherwise(col(c).cast("long")))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
@@ -329,6 +352,7 @@ object CurationPipeline {
       .withColumn("bucket", Sampling.hash60(col(idCol), "shard") % cfg.shardBuckets)
       .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches ::= withBucket
     val baseOffsets =
       if (dirExists(spark, state.offsetsDir))
         spark.read.schema(StructType(Seq(
@@ -361,8 +385,7 @@ object CurationPipeline {
     exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
       .write.mode(mode).format("parquet")
       .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
-    withBucket.unpersist(blocking = false)
-    } finally exactKept.unpersist(blocking = false)
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 
   /** Continuous curation: [[streamIncrement]] wired into `foreachBatch`.

@@ -482,8 +482,12 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  minLineLen: Int = 1): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    // the exploded line set feeds the winners aggregate, the occurrence
+    // join probe, and the short-line bypass union — persist so the corpus
+    // scan + split run once (the minHashLsh stance: exchange reuse is plan
+    // luck, not contract). Scoped: callers release via Caching.release.
+    val lines = graft.Caching.scoped(df.select(col(idCol).as("id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line"))))
     val eligible = lines.filter(length(col("line")) >= minLineLen)
       .withColumn("__lh", graft.functions.Hashing.md5Hash60Col(col("line")))
     val winners = eligible.groupBy("__lh")
