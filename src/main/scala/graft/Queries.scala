@@ -417,6 +417,13 @@ object Queries {
           tokensPerShard = 2000L, nBuckets = 8)
         .select("doc_id", "n_tokens", "bucket", "shard")),
 
+    // deterministic corpus shuffle: rank by (hash bucket, md5-60, id) — a
+    // reproducible training interleave with no global sort (two-level
+    // window) and no rand()
+    "x37_shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id", SplitSeed, nBuckets = 8)
+        .select("doc_id", "shuffle_bucket", "shuffle_pos")),
+
     // per-language corpus profile: doc counts + deterministic token-count
     // quantiles + KMV distinct-text estimates, every number bit-identical
     // across engines — the before/after report of a curation run
@@ -885,6 +892,22 @@ object Queries {
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
         |FROM c""".stripMargin,
+
+    "x37_shuffle_order" ->
+      // transcription of Sampling.shuffleOrder: bucket = md5Hash60('graft:'
+      // || id) % 8, rank within bucket by (md5Hash60('graft:r:' || id), id)
+      s"""WITH h AS (SELECT doc_id,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 8 AS shuffle_bucket,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:r:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hr
+        |  FROM documents)
+        |SELECT doc_id, shuffle_bucket,
+        |  shuffle_bucket * 4294967296 +
+        |    (row_number() OVER (PARTITION BY shuffle_bucket ORDER BY hr, doc_id) - 1) AS shuffle_pos
+        |FROM h""".stripMargin,
 
     "x36_corpus_profile" ->
       // composition of the proven x09 (langId), x26-shape (hash-min

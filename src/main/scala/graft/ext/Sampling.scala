@@ -94,6 +94,33 @@ object Sampling {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Deterministic corpus-wide shuffle order — the interleave step before
+    * training reads: documents are ranked by (shuffle bucket, md5-60 hash,
+    * id), so related/consecutive source documents scatter apart and every
+    * re-run (or engine) produces the IDENTICAL order, unlike
+    * `orderBy(rand())`. Output adds `shuffle_pos` = `bucket * 2³² +
+    * rank-within-bucket` (0-based): reading buckets in id order and each
+    * bucket in rank order IS the shuffled corpus, and a training loader
+    * shards by bucket with no global coordination.
+    *
+    * Scale shape: two-level like [[graft.ext.Sharding.packByTokens]] — a
+    * hash bucket assignment (narrow) then a per-bucket rank window, so
+    * there is no single global sort; parallelism = `nBuckets`.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String,
+                   nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    Seq("shuffle_bucket", "shuffle_pos").foreach(c => require(!df.columns.contains(c),
+      s"shuffleOrder writes column '$c' — input already has one; rename or drop it first"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shuffle_bucket")
+      .orderBy(hash60(col(idCol), seed + ":r"), col(idCol))
+    df.withColumn("shuffle_bucket", hash60(col(idCol), seed) % nBuckets)
+      .withColumn("shuffle_pos",
+        col("shuffle_bucket") * graft.ext.Sharding.ShardsPerBucket +
+          (org.apache.spark.sql.functions.row_number().over(w).cast("long") - 1L))
+  }
+
   /** Per-stratum deterministic sampling: keep `frac(stratum)` of each
     * stratum's rows (unlisted strata drop to 0) — the rebalancing primitive
     * for domain/language mixes. Still a pure per-row expression: the

@@ -412,6 +412,28 @@ class CurationSpec extends SparkSpec {
     assert(Caching.release(spark) == 1)
   }
 
+  test("shuffleOrder is a deterministic permutation, dense per bucket, partition-invariant") {
+    val out = Sampling.shuffleOrder(docs, "doc_id", "graft", nBuckets = 4)
+      .select("doc_id", "shuffle_bucket", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === docs.count())
+    assert(out.map(_._3).distinct.length === out.length, "positions must be unique")
+    // within each bucket, positions are dense 0..n-1 on top of the bucket base
+    out.groupBy(_._2).foreach { case (b, rows) =>
+      val offs = rows.map(_._3 - b * Sharding.ShardsPerBucket).sorted
+      assert(offs.toSeq === (0L until rows.length).toSeq, s"bucket $b not dense: $offs")
+    }
+    // pure function of (seed, id): identical under a different partitioning
+    val repart = Sampling.shuffleOrder(docs.repartition(13), "doc_id", "graft", nBuckets = 4)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, _, pos) => repart(id) == pos })
+    // and it actually shuffles: within-bucket rank order is not id order
+    val anyBucket = out.groupBy(_._2).values.maxBy(_.length)
+    val byPos = anyBucket.sortBy(_._3).map(_._1).toSeq
+    assert(byPos !== byPos.sorted, "shuffle must not preserve id order")
+  }
+
   test("pipeline embedding stage drops semantic near-dups the shingle stage cannot see") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._

@@ -131,6 +131,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Sort [") && p.contains("false, 0"), p.take(2000))
   }
 
+  test("x37 shuffle order windows per bucket: hash exchange only, no global range sort") {
+    val p = plan("x37_shuffle_order")
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a global rank would serialize the corpus through one partition: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("x35 sequence packing windows per bucket: hash exchange only, no global range sort") {
     val p = plan("x35_sequence_pack")
     assert(p.contains("Exchange hashpartitioning"), p.take(2000))
