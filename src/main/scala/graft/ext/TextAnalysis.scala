@@ -52,13 +52,20 @@ object TextAnalysis {
     val punct = nChars - length(regexp_replace(col(textCol), "[!-/:-@\\[-`{-~]", ""))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(t, w => array_contains(stopArr, w)))
+    // token-less / empty docs have undefined ratios: NULL, matching what
+    // the SQL transcriptions' x/0 yields in DuckDB — and never a
+    // DIVIDE_BY_ZERO under ANSI mode (quality gates then filter the doc,
+    // since NULL fails every threshold)
     df.withColumns(Map(
       "n_chars_m" -> nChars,
       "n_tokens" -> nTok,
       "n_bpeish" -> bpeishCount(col(textCol)),
-      "avg_token_len" -> (length(concat_ws("", t)).cast("double") / nTok),
-      "stopword_ratio" -> (nStop.cast("double") / nTok),
-      "punct_ratio" -> (punct.cast("double") / nChars)))
+      "avg_token_len" -> when(nTok === 0, lit(null).cast("double"))
+        .otherwise(length(concat_ws("", t)).cast("double") / nTok),
+      "stopword_ratio" -> when(nTok === 0, lit(null).cast("double"))
+        .otherwise(nStop.cast("double") / nTok),
+      "punct_ratio" -> when(nChars === 0, lit(null).cast("double"))
+        .otherwise(punct.cast("double") / nChars)))
   }
 
   /** Per-document quality metrics (doc_id, n_chars_m, n_tokens, n_bpeish,
@@ -115,8 +122,14 @@ object TextAnalysis {
     val t = col("__t")
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val prof = array(words.map(lit): _*)
-      struct((size(filter(t, w => array_contains(prof, w))).cast("double") / size(t)).as("score"),
-             lit(lang).as("lang"))
+      // token-less docs score 0.0 for every language (never a
+      // DIVIDE_BY_ZERO under ANSI): the argmax then resolves
+      // deterministically and the language gate treats them like any
+      // other no-evidence doc
+      struct(when(size(t) === 0, lit(0.0))
+          .otherwise(size(filter(t, w => array_contains(prof, w))).cast("double") / size(t))
+          .as("score"),
+        lit(lang).as("lang"))
     }
     // argmax: sort (score desc, lang asc) via array_max on (score, negated-lang) is
     // messy; sort_array ascending on (score, lang) and take the last element —

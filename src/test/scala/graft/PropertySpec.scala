@@ -209,6 +209,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("streamed curation equals the batch pipeline on random corpora and batch splits") {
+    import spark.implicits._
+    import graft.ext.CurationPipeline
+    // small vocab forces exact and near duplicates; stopword-heavy so the
+    // language gate keeps docs; random ordered split points exercise
+    // cross-batch hash-index, LSH-probe and offsets-ledger paths
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(len, Gen.oneOf("the", "of", "and", "to", "in",
+        "w1", "w2", "w3", "w4", "w5", "w6", "w7"))
+    } yield ws.mkString(" ")
+    val cfg = CurationPipeline.Config(minTokens = 5L, langs = Set("en"),
+      maxGramDf = None, decontamN = 8, tokensPerShard = 40L, shardBuckets = 2)
+    for (seed <- 50L to 51L) {
+      val rows = sample(Gen.listOfN(80, docGen), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val holdout = rows.filter(_._1 % 7 == 6).toDF("doc_id", "text")
+      val train = rows.filter(_._1 % 7 != 6)
+      val want = CurationPipeline.run(train.toDF("doc_id", "text"), "doc_id", "text",
+          Some(holdout), cfg)
+        .select("doc_id", "n_tokens", "bucket", "shard", "split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      Caching.release(spark)
+      val cuts = sample(Gen.listOfN(2, Gen.choose(1, 79)), seed * 7 + 1).distinct.sorted
+      val chunkBounds = (0 +: cuts :+ 80).distinct.sliding(2).toList
+      val state = CurationPipeline.StreamState(s"pstream_$seed",
+        java.nio.file.Files.createTempDirectory(s"graft_pstream_$seed").toString,
+        numBuckets = 4)
+      state.dropTables(spark)
+      val hg = CurationPipeline.holdoutGramSet(holdout, "doc_id", "text", cfg)
+      chunkBounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        CurationPipeline.streamIncrement(
+          train.filter(r => r._1 >= lo && r._1 < hi).toDF("doc_id", "text"),
+          "doc_id", "text", Some(hg), cfg, state, batchId = i.toLong)
+      }
+      val got = spark.read.parquet(state.outDir)
+        .select("doc_id", "n_tokens", "bucket", "shard", "split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      Caching.release(spark)
+      state.dropTables(spark)
+      assert(got == want, s"seed $seed (cuts $cuts): ${got.size} streamed vs ${want.size} batch")
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
