@@ -205,7 +205,8 @@ object CurationPipeline {
       * block the next run's CREATE with LOCATION_ALREADY_EXISTS.
       */
     def dropTables(spark: org.apache.spark.sql.SparkSession): Unit =
-      Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable).foreach { t =>
+      Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable)
+        .flatMap(t => Seq(t, t + "__compact")).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         try {
           val loc = new org.apache.hadoop.fs.Path(
@@ -213,6 +214,25 @@ object CurationPipeline {
           loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
         } catch { case _: Exception => () }
       }
+  }
+
+  /** Routine maintenance for a long-running [[StreamState]]: compacts the
+    * three index tables (exact-dedup hashes + the LSH band/shingle pair)
+    * back to `numBuckets` files each via [[Dedup.compactBucketedTable]] —
+    * the append-per-micro-batch pattern otherwise accumulates
+    * batches × numBuckets files per table, and at production batch counts
+    * every membership anti-join / probe join pays that file-listing and
+    * open cost. Row-level semantics are unchanged (duplicate rows from
+    * at-least-once replays are shed; membership joins never counted them).
+    * Call between micro-batches — e.g. every N batches inside
+    * `foreachBatch`, after [[streamIncrement]] returns — or on a stopped
+    * stream. The `batch_id=`-partitioned dirs (pairs/curated/offsets) are
+    * deliberately NOT rewritten: their partition layout is the replay
+    * contract.
+    */
+  def compactState(spark: org.apache.spark.sql.SparkSession, state: StreamState): Unit = {
+    Dedup.compactBucketedTable(spark, state.hashTable, state.numBuckets, Seq("text_hash"))
+    Dedup.compactIndex(spark, state.lshIndex)
   }
 
   /** The static holdout gram set [[streamIncrement]] decontaminates

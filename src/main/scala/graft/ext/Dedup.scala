@@ -301,6 +301,59 @@ object Dedup {
         pairsDir, batchId, shingleN, numHashes, bandSize)
     }
 
+  /** Compacts one bucketed index table back to `numBuckets` files: the
+    * append-per-micro-batch growth pattern ([[minHashLshIncrement]] adds
+    * `numBuckets` files per batch) is rewritten as ONE file per bucket,
+    * dropping the duplicate rows an at-least-once replay may have appended.
+    * The rewrite goes to a sibling `<table>__compact` with the SAME bucket
+    * spec, then swaps names — so the no-exchange probe-join contract
+    * (PlanSpec's `Bucketed: true` pin) holds before, during, and after.
+    *
+    * The `repartition(numBuckets, bucketCols)` aligns write tasks with
+    * bucket ids (both sides hash with murmur3 pmod numBuckets), so each
+    * task holds exactly one bucket and writes at most one file (empty
+    * buckets write none); the
+    * duplicate-drop then runs partition-local (hash-partitioning on a
+    * subset of the distinct columns satisfies its clustering — no second
+    * exchange).
+    *
+    * Crash safety: a crash after the DROP but before the RENAME leaves the
+    * data in `<table>__compact` only; the next call (or [[compactIndex]])
+    * finishes the swap before doing anything else. Run compaction while no
+    * increment is writing (the usual table-maintenance window — between
+    * micro-batches or on a paused stream).
+    */
+  private[graft] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                                          table: String, numBuckets: Int,
+                                          bucketCols: Seq[String]): Unit = {
+    val tmp = table + "__compact"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table") // finish a crashed swap
+    require(spark.catalog.tableExists(table), s"compact: no such table $table")
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table)
+      .repartition(numBuckets, bucketCols.map(col): _*)
+      .dropDuplicates()
+      .write.format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Routine maintenance for a [[LshIndex]]: compact both tables back to
+    * `numBuckets` files each (from batches-so-far × numBuckets) and shed
+    * replay-duplicated rows. Results are unchanged by contract — duplicates
+    * were already absorbed by candidate `distinct` and distinct-counted
+    * verification — but every probe join now opens a bounded file set.
+    * Call between micro-batches (e.g. from `foreachBatch` every N batches)
+    * or on a stopped stream.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, index: LshIndex): Unit = {
+    compactBucketedTable(spark, index.bandsTable, index.numBuckets, Seq("band", "band_key"))
+    compactBucketedTable(spark, index.shinglesTable, index.numBuckets, Seq("id"))
+  }
+
   /** The dedup *decision* on top of any near-dup pair set: keep every doc
     * that is not the dropped side of a pair. Dropping the larger id of each
     * pair (the standard survivor rule; reference pipelines keep

@@ -591,6 +591,32 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text", Some(hg), cfg, state, batchId = 1L)
     graft.Caching.release(spark)
     assert(outSet() === streamed, "replay must be idempotent")
+    // routine maintenance between micro-batches: compact the three index
+    // tables (2 batches + 1 replay appended 3×4 files each) back to
+    // numBuckets files, then a third batch must still see every hash and
+    // signature — its exact/near dups hinge entirely on the compacted state
+    CurationPipeline.compactState(spark, state)
+    Seq(state.hashTable, state.lshIndex.bandsTable, state.lshIndex.shinglesTable)
+      .foreach { t =>
+        // one file per POPULATED bucket — <= numBuckets
+        assert(spark.table(t).inputFiles.length <= 4,
+          s"$t must compact to <= numBuckets files, got ${spark.table(t).inputFiles.length}")
+      }
+    val batch3 = Seq(
+      21L -> body1,                          // exact dup of compacted hash -> dropped
+      22L -> (en20 + " " + tail("omega") + " changed"), // near-dup of 14 via compacted index -> dropped
+      23L -> (en20 + " " + tail("zeta")))    // survives
+    CurationPipeline.streamIncrement(batch3.toDF("doc_id", "text"),
+      "doc_id", "text", Some(hg), cfg, state, batchId = 2L)
+    val batchRun3 = CurationPipeline.run(
+        (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"),
+        "doc_id", "text", Some(holdout), cfg)
+      .select("doc_id", "n_tokens", "bucket", "shard", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    graft.Caching.release(spark)
+    assert(outSet() === batchRun3,
+      "post-compaction batches must still equal the batch pipeline")
     state.dropTables(spark)
   }
 

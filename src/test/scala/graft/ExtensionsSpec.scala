@@ -104,8 +104,8 @@ class ExtensionsSpec extends SparkSpec {
       4L -> s"$p30 two three")                       // batch 2: near-dup of 3 IN batch
     val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
     val idx = Dedup.LshIndex("t30_bands", "t30_shingles", numBuckets = 4)
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    dropTableHard(idx.bandsTable)
+    dropTableHard(idx.shinglesTable)
     val pairsDir = tmp.resolve("pairs").toString
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = Dedup.minHashLshStream(input.toDF().toDF("doc_id", "text"),
@@ -123,8 +123,8 @@ class ExtensionsSpec extends SparkSpec {
       .select("d1", "d2", "inter_cnt", "union_cnt")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     graft.Caching.release(spark)
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    dropTableHard(idx.bandsTable)
+    dropTableHard(idx.shinglesTable)
     assert(streamed.exists(p => p._1 == 1L && p._2 == 3L),
       s"cross-batch pair (1,3) must come from the index probe: $streamed")
     assert(streamed.exists(p => p._1 == 3L && p._2 == 4L),
@@ -139,8 +139,8 @@ class ExtensionsSpec extends SparkSpec {
     val b2 = Seq(12L -> s"$p30 two").toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_replay")
     val idx = Dedup.LshIndex("t31_bands", "t31_shingles", numBuckets = 4)
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    dropTableHard(idx.bandsTable)
+    dropTableHard(idx.shinglesTable)
     val pairsDir = tmp.resolve("pairs").toString
     Dedup.minHashLshIncrement(b1, "doc_id", "text", 0.5, idx, pairsDir, 0L)
     Dedup.minHashLshIncrement(b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
@@ -151,13 +151,46 @@ class ExtensionsSpec extends SparkSpec {
     val got = spark.read.parquet(pairsDir)
       .select("d1", "d2", "inter_cnt", "union_cnt")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
     assert(got.length === 1, s"replay must not duplicate the pair: ${got.toSeq}")
     // 31 tokens each => 29 shingles, 28 shared (the two (p29,p30,*) tails
     // differ): inter 28, union 30 — and the replayed index rows must not
     // inflate either count
     assert(got.head === ((11L, 12L, 28L, 30L)), got.head.toString)
+    // compaction: 3 appends (2 batches + 1 replay) × 4 buckets collapse to
+    // exactly numBuckets files per table, the replay's duplicated rows are
+    // shed, and the index still detects future near-dups identically
+    val tables = Seq(idx.bandsTable, idx.shinglesTable)
+    val before = tables.map(t =>
+      (spark.table(t).collect().map(_.toSeq).toSet, spark.table(t).inputFiles.length))
+    assert(spark.table(idx.shinglesTable).count() >
+      spark.table(idx.shinglesTable).distinct().count(),
+      "precondition: the replay must have appended duplicate index rows")
+    Dedup.compactIndex(spark, idx)
+    tables.zip(before).foreach { case (t, (want, files)) =>
+      // one file per POPULATED bucket (empty buckets write nothing), so
+      // <= numBuckets — and strictly fewer than the 3-append accumulation
+      val compacted = spark.table(t).inputFiles.length
+      assert(compacted <= 4 && compacted < files,
+        s"$t must compact to <= numBuckets files, got $compacted (was $files)")
+      assert(spark.table(t).collect().map(_.toSeq).toSet === want,
+        s"$t distinct row set must survive compaction")
+      assert(spark.table(t).count() === want.size.toLong,
+        s"$t must hold no duplicate rows after compaction")
+    }
+    val b3 = Seq(13L -> s"$p30 three").toDF("doc_id", "text")
+    Dedup.minHashLshIncrement(b3, "doc_id", "text", 0.5, idx, pairsDir, 2L)
+    val streamed = spark.read.parquet(pairsDir)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Dedup.minHashLsh(
+        Dedup.wordShingles(Seq(11L -> s"$p30 one", 12L -> s"$p30 two",
+          13L -> s"$p30 three").toDF("doc_id", "text"), "doc_id", "text", 3), 0.5)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    dropTableHard(idx.bandsTable)
+    dropTableHard(idx.shinglesTable)
+    assert(streamed === batch,
+      s"post-compaction increment must equal the batch operator: $streamed != $batch")
   }
 
   test("connectedComponents rejects non-integral doc ids instead of silently dropping them") {
@@ -278,8 +311,8 @@ class ExtensionsSpec extends SparkSpec {
 
   test("persisted IVF index: build once, full probe equals brute force, partial probe recalls") {
     val idx = Similarity.IvfIndex("tivf_assign", "tivf_codebook", numBuckets = 4)
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+    dropTableHard(idx.assignmentsTable)
+    dropTableHard(idx.codebookTable)
     try {
       Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 16, iters = 5)
       // one build serves many query batches: full corpus AND a subset
@@ -299,8 +332,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(recall >= 0.6, s"partial-probe recall $recall")
       graft.Caching.release(spark)
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
-      spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+      dropTableHard(idx.assignmentsTable)
+      dropTableHard(idx.codebookTable)
     }
   }
 

@@ -210,8 +210,8 @@ class PlanSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS bkt_customer")
-      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      dropTableHard("bkt_customer")
+      dropTableHard("bkt_orders")
     }
   }
 
@@ -264,8 +264,8 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     import graft.ext.Dedup
     val idx = Dedup.LshIndex("pin_bands", "pin_shingles", numBuckets = 4)
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    dropTableHard(idx.bandsTable)
+    dropTableHard(idx.shinglesTable)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // at 100 TB the corpus index broadcasts nowhere: pin the big-big shape
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -288,10 +288,19 @@ class PlanSpec extends SparkSpec {
       assert("Exchange hashpartitioning".r.findAllIn(p).size === batchOwn + 1,
         "only the batch side may shuffle: " + p.take(2000))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      // compaction rewrites with the same bucket spec — the exchange-free
+      // contract must hold on the compacted table too
+      Dedup.compactIndex(spark, idx)
+      val pc = Dedup.crossCandidates(batchBands, idx)
+        .queryExecution.executedPlan.toString
+      assert(pc.contains("Bucketed: true"),
+        "compacted index scan must stay bucketed: " + pc.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(pc).size === batchOwn + 1,
+        "compaction must not reintroduce an index-side shuffle: " + pc.take(2000))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-      spark.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+      dropTableHard(idx.bandsTable)
+      dropTableHard(idx.shinglesTable)
     }
   }
 
@@ -299,8 +308,8 @@ class PlanSpec extends SparkSpec {
     import graft.ext.Similarity
     import graft.sources.Tables
     val idx = Similarity.IvfIndex("pin_ivf_assign", "pin_ivf_codebook", numBuckets = 4)
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+    dropTableHard(idx.assignmentsTable)
+    dropTableHard(idx.codebookTable)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -318,8 +327,8 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
-      spark.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+      dropTableHard(idx.assignmentsTable)
+      dropTableHard(idx.codebookTable)
     }
   }
 

@@ -244,6 +244,9 @@ class PropertySpec extends SparkSpec {
         CurationPipeline.streamIncrement(
           train.filter(r => r._1 >= lo && r._1 < hi).toDF("doc_id", "text"),
           "doc_id", "text", Some(hg), cfg, state, batchId = i.toLong)
+        // routine maintenance after the first batch: later batches run
+        // against the compacted index — results must not move
+        if (i == 0) CurationPipeline.compactState(spark, state)
       }
       val got = spark.read.parquet(state.outDir)
         .select("doc_id", "n_tokens", "bucket", "shard", "split").collect()
