@@ -413,14 +413,22 @@ object CurationPipeline {
     * accumulate under `state.outDir` (`batch_id` is bookkeeping). Release
     * [[graft.Caching]] after the stream stops (the holdout gram set stays
     * persisted across batches).
+    *
+    * `compactEvery = N` runs [[compactState]] after every Nth batch (the
+    * between-batches maintenance window), keeping the three index tables
+    * at ≤ numBuckets files each on an unattended stream (0 = caller
+    * manages compaction).
     */
   def runStream(docs: DataFrame, idCol: String, textCol: String,
-                holdout: Option[DataFrame], cfg: Config, state: StreamState)
+                holdout: Option[DataFrame], cfg: Config, state: StreamState,
+                compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hg = holdout.map(h => holdoutGramSet(h, idCol, textCol, cfg))
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactState(batch.sparkSession, state)
     }
   }
 }

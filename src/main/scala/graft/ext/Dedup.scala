@@ -171,8 +171,9 @@ object Dedup {
     *    semi-joined out of it).
     *
     * Both tables grow by one append per micro-batch (numBuckets files
-    * each); periodic compaction (rewrite with the same bucket spec) is
-    * routine table maintenance at high batch counts.
+    * each); [[compactIndex]] is the routine table maintenance that folds
+    * them back to one file per bucket at high batch counts (wire it in
+    * with `minHashLshStream(..., compactEvery = N)`).
     */
   final case class LshIndex(bandsTable: String, shinglesTable: String,
                             numBuckets: Int = 32)
@@ -291,14 +292,21 @@ object Dedup {
     * reference is a continuous-processing engine first (processors/
     * filter.h:39-57) — this closes the one curation stage (near-dup) that
     * previously required a batch re-run on ingest.
+    *
+    * `compactEvery = N` runs [[compactIndex]] after every Nth batch — the
+    * between-batches maintenance window, so an unattended stream keeps its
+    * index at ≤ numBuckets files per table instead of batches × numBuckets
+    * (0 = caller manages compaction).
     */
   def minHashLshStream(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, pairsDir: String, index: LshIndex,
                        shingleN: Int = 3, numHashes: Int = 64,
-                       bandSize: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                       bandSize: Int = 2, compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       minHashLshIncrement(batch.toDF(), idCol, textCol, threshold, index,
         pairsDir, batchId, shingleN, numHashes, bandSize)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactIndex(batch.sparkSession, index)
     }
 
   /** Compacts one bucketed index table back to `numBuckets` files: the

@@ -562,8 +562,10 @@ class CurationSpec extends SparkSpec {
     state.dropTables(spark)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cur_ckpt")
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // compactEvery = 1: batch 1 compacts after its increment — the
+    // streamed ≡ batch equality then also covers the self-maintenance path
     val q = CurationPipeline.runStream(input.toDF().toDF("doc_id", "text"),
-        "doc_id", "text", Some(holdout), cfg, state)
+        "doc_id", "text", Some(holdout), cfg, state, compactEvery = 1)
       .option("checkpointLocation", ckpt.toString).start()
     try {
       input.addData(batch1: _*); q.processAllAvailable()

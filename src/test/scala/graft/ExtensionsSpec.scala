@@ -108,8 +108,10 @@ class ExtensionsSpec extends SparkSpec {
     dropTableHard(idx.shinglesTable)
     val pairsDir = tmp.resolve("pairs").toString
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // compactEvery = 1: batch 1 compacts after its increment — the final
+    // streamed ≡ batch equality then also covers the self-maintenance path
     val q = Dedup.minHashLshStream(input.toDF().toDF("doc_id", "text"),
-        "doc_id", "text", 0.5, pairsDir, idx)
+        "doc_id", "text", 0.5, pairsDir, idx, compactEvery = 1)
       .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {
       input.addData(all.take(2): _*); q.processAllAvailable()
