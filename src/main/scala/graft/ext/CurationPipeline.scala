@@ -200,20 +200,14 @@ object CurationPipeline {
     def pairsDir: String = s"$stateDir/pairs"
     def offsetsDir: String = s"$stateDir/offsets"
     def outDir: String = s"$stateDir/curated"
-    /** Drops the catalog tables AND their warehouse locations — a crashed
-      * run can leave a location dir with no catalog entry, which would
-      * block the next run's CREATE with LOCATION_ALREADY_EXISTS.
+    /** Drops the catalog tables AND their warehouse locations (including
+      * `__compact` siblings a crashed compaction may have left) via
+      * [[graft.sinks.Sinks.dropTableAndLocation]].
       */
     def dropTables(spark: org.apache.spark.sql.SparkSession): Unit =
       Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable)
-        .flatMap(t => Seq(t, t + "__compact")).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        try {
-          val loc = new org.apache.hadoop.fs.Path(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-          loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-        } catch { case _: Exception => () }
-      }
+        .flatMap(t => Seq(t, t + "__compact"))
+        .foreach(graft.sinks.Sinks.dropTableAndLocation(spark, _))
   }
 
   /** Routine maintenance for a long-running [[StreamState]]: compacts the
@@ -295,6 +289,10 @@ object CurationPipeline {
     require(cfg.maxGramDf.isEmpty,
       "streamIncrement: maxGramDf is a whole-corpus statistic unavailable to " +
         "a stream - set Config(maxGramDf = None) for streaming curation")
+    // a compactState swap that crashed between DROP and RENAME must be
+    // finished BEFORE the tableExists checks below (the LSH tables get the
+    // same treatment inside minHashLshIncrement)
+    Dedup.finishCrashedSwap(spark, state.hashTable)
     val filtered = qualityLanguageFilter(batch, textCol, cfg)
 
     // 2: exact dedup. The hash-index append happens LAST in this increment

@@ -250,6 +250,11 @@ object Dedup {
                           batchId: Long, shingleN: Int = 3,
                           numHashes: Int = 64, bandSize: Int = 2): Unit = {
     val spark = batch.sparkSession
+    // a compaction swap that crashed between DROP and RENAME must be
+    // finished BEFORE the tableExists checks below — a missing table with
+    // a __compact sibling is the accumulated corpus, not a fresh stream
+    finishCrashedSwap(spark, index.bandsTable)
+    finishCrashedSwap(spark, index.shinglesTable)
     // local persists (batch-lifetime, released in finally — not Caching
     // .scoped: the scope here is this increment, not the caller's query)
     val batchShingles = wordShingles(batch, idCol, textCol, shingleN)
@@ -331,14 +336,31 @@ object Dedup {
     * increment is writing (the usual table-maintenance window — between
     * micro-batches or on a paused stream).
     */
+  /** Finishes a [[compactBucketedTable]] swap that crashed between its
+    * DROP and RENAME — the data then lives only in `<table>__compact`.
+    * EVERY state-reading path (the increments as well as compaction
+    * itself) must call this before its `tableExists` check: a missing
+    * table with a live `__compact` sibling is a half-finished swap, NOT
+    * an empty corpus. An increment that misread it as empty would skip
+    * the prior-corpus probe (dups sail through undetected), re-create
+    * the table in overwrite mode, and the next compaction's tmp cleanup
+    * would then delete the only copy of the accumulated index.
+    */
+  private[graft] def finishCrashedSwap(spark: org.apache.spark.sql.SparkSession,
+                                       table: String): Unit =
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(table + "__compact"))
+      spark.sql(s"ALTER TABLE ${table}__compact RENAME TO $table")
+
   private[graft] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                                           table: String, numBuckets: Int,
                                           bucketCols: Seq[String]): Unit = {
     val tmp = table + "__compact"
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table") // finish a crashed swap
+    finishCrashedSwap(spark, table)
     require(spark.catalog.tableExists(table), s"compact: no such table $table")
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // a crash mid-write can leave tmp's DATA DIR with no catalog entry
+    // (the CTAS commits the catalog entry last) — drop location too, or
+    // every future compaction wedges on LOCATION_ALREADY_EXISTS
+    graft.sinks.Sinks.dropTableAndLocation(spark, tmp)
     spark.table(table)
       .repartition(numBuckets, bucketCols.map(col): _*)
       .dropDuplicates()

@@ -122,11 +122,12 @@ object TextAnalysis {
     val t = col("__t")
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val prof = array(words.map(lit): _*)
-      // token-less docs score 0.0 for every language (never a
-      // DIVIDE_BY_ZERO under ANSI): the argmax then resolves
-      // deterministically and the language gate treats them like any
-      // other no-evidence doc
-      struct(when(size(t) === 0, lit(0.0))
+      // token-less docs score NULL for every language — what the SQL
+      // transcription's x/len(t) yields in DuckDB at len(t)=0 (and never a
+      // DIVIDE_BY_ZERO under ANSI). The argmax still resolves
+      // deterministically: all five scores are NULL together, so the
+      // struct sort falls through to the lang field in both engines
+      struct(when(size(t) === 0, lit(null).cast("double"))
           .otherwise(size(filter(t, w => array_contains(prof, w))).cast("double") / size(t))
           .as("score"),
         lit(lang).as("lang"))

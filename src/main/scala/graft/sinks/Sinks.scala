@@ -76,6 +76,23 @@ object Sinks {
     * contract (repartition.h routes records so downstream joins are
     * co-partitioned); PlanSpec pins the exchange-free plan.
     */
+  /** DROP TABLE plus its warehouse location. A crashed run can leave the
+    * location directory with no catalog entry (a metastore-less session's
+    * catalog dies with the JVM; the warehouse directory survives), and the
+    * orphan then blocks the next CREATE with LOCATION_ALREADY_EXISTS —
+    * so the drop always removes both. The location delete swallows
+    * filesystem errors: the catalog drop is the semantic operation, the
+    * file cleanup is best-effort hygiene.
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val loc = new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    } catch { case _: Exception => () }
+  }
+
   def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "bucketedTable needs at least one bucket/sort key")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")

@@ -619,6 +619,23 @@ class CurationSpec extends SparkSpec {
     graft.Caching.release(spark)
     assert(outSet() === batchRun3,
       "post-compaction batches must still equal the batch pipeline")
+    // simulate a compactState crash window (tables dropped, __compact
+    // siblings live): the next increment must finish the swaps — treating
+    // the state as a fresh stream would let 31's exact dup of body1 through
+    Seq(state.hashTable, state.lshIndex.bandsTable, state.lshIndex.shinglesTable)
+      .foreach(t => spark.sql(s"ALTER TABLE $t RENAME TO ${t}__compact"))
+    val batch4 = Seq(31L -> body1, 32L -> (en20 + " " + tail("eta")))
+    CurationPipeline.streamIncrement(batch4.toDF("doc_id", "text"),
+      "doc_id", "text", Some(hg), cfg, state, batchId = 3L)
+    val batchRun4 = CurationPipeline.run(
+        (batch1 ++ batch2 ++ batch3 ++ batch4).toDF("doc_id", "text"),
+        "doc_id", "text", Some(holdout), cfg)
+      .select("doc_id", "n_tokens", "bucket", "shard", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    graft.Caching.release(spark)
+    assert(outSet() === batchRun4,
+      "a crashed compaction swap must be recovered, not misread as an empty corpus")
     state.dropTables(spark)
   }
 

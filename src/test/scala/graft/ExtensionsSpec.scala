@@ -195,6 +195,34 @@ class ExtensionsSpec extends SparkSpec {
       s"post-compaction increment must equal the batch operator: $streamed != $batch")
   }
 
+  test("a compaction swap crash (table dropped, __compact live) is recovered by the next increment") {
+    import spark.implicits._
+    val p30 = (1 to 30).map(i => s"r$i").mkString(" ")
+    val idx = Dedup.LshIndex("t32_bands", "t32_shingles", numBuckets = 4)
+    Seq(idx.bandsTable, idx.shinglesTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_crash")
+    val pairsDir = tmp.resolve("pairs").toString
+    Dedup.minHashLshIncrement(Seq(21L -> s"$p30 one").toDF("doc_id", "text"),
+      "doc_id", "text", 0.5, idx, pairsDir, 0L)
+    // simulate the crash window inside compactBucketedTable: the swap
+    // dropped the live table but died before renaming the sibling — the
+    // accumulated corpus now lives ONLY under <table>__compact
+    Seq(idx.bandsTable, idx.shinglesTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}__compact")
+    }
+    // the next increment must finish the swap first; misreading the state
+    // as a fresh stream would miss this cross-batch pair forever
+    Dedup.minHashLshIncrement(Seq(22L -> s"$p30 two").toDF("doc_id", "text"),
+      "doc_id", "text", 0.5, idx, pairsDir, 1L)
+    val got = spark.read.parquet(pairsDir).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(idx.bandsTable, idx.shinglesTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    assert(got === Set((21L, 22L)),
+      s"cross-batch pair must survive a crashed compaction swap: $got")
+  }
+
   test("connectedComponents rejects non-integral doc ids instead of silently dropping them") {
     import spark.implicits._
     // a silent cast turns string ids into nulls (every edge dropped ⇒ empty
