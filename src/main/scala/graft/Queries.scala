@@ -343,6 +343,38 @@ object Queries {
       s.read.parquet(tmp.resolve("out").toString)
     }),
 
+    // STREAMING IVF ingest: the index is built on a 60% prefix of the
+    // corpus, the rest arrives as two appends ([[Similarity.ivfAppend]] —
+    // assign via the broadcast codebook, append to the cluster-bucketed
+    // table). The index is compacted between the appends
+    // ([[Similarity.ivfCompact]] — the rewrite must keep serving), and the
+    // SECOND append is replayed with its duplicates left in place at query
+    // time, so the at-least-once rows graft_topk's equal-pair collapse
+    // must absorb are live in the probe join. Declared full-probe, so the
+    // result must equal brute force over the WHOLE corpus — one oracle
+    // proves append routing, the compaction rewrite, and replay absorption
+    "x38_ann_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val idx = Similarity.IvfIndex(s"x38_assign_$suffix", s"x38_codebook_$suffix", numBuckets = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x38")
+      val mx = emb.agg(max("vec_id")).head().getLong(0)
+      Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+        "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+      val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
+      val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
+      Similarity.ivfAppend(b1, "vec_id", "embedding", idx)
+      Similarity.ivfCompact(s, idx)
+      Similarity.ivfAppend(b2, "vec_id", "embedding", idx)
+      Similarity.ivfAppend(b2, "vec_id", "embedding", idx) // at-least-once replay
+      Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
+        .select("query_id", "rank", "nbr_id")
+        .write.parquet(tmp.resolve("out").toString)
+      s.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+      s.read.parquet(tmp.resolve("out").toString)
+    }),
+
     "x08_text_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
@@ -749,6 +781,20 @@ object Queries {
     // the persisted-index full-probe query is mathematically brute force,
     // like x06 — but exercises the build→probe-join→re-rank path end-to-end
     "x31_ann_ivf_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "x38_ann_ivf_append" ->
+      // full-probe over build + appends ≡ brute force over the whole
+      // corpus — identical transcription to x31 (the appends and the
+      // replay must be invisible to the result)
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
         |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
         |scored AS (

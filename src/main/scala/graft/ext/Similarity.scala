@@ -225,6 +225,9 @@ object Similarity {
                                     index: IvfIndex, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // an ivfCompact swap that crashed between DROP and RENAME leaves the
+    // corpus only under __compact — finish it rather than failing the read
+    Dedup.finishCrashedSwap(spark, index.assignmentsTable)
     val cents: Array[Array[Double]] = spark.table(index.codebookTable)
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(cents)
@@ -255,6 +258,64 @@ object Similarity {
   def ivfQuery(queries: DataFrame, idCol: String, vecCol: String,
                index: IvfIndex, k: Int, nProbe: Int = 6): DataFrame =
     topKRank(ivfProbeScores(queries, idCol, vecCol, index, nProbe), k)
+
+  /** Appends a batch of new vectors to a built [[IvfIndex]] — continuous
+    * embedding ingest without retraining: each vector is assigned to its
+    * nearest centroid via the broadcast codebook and appended to the
+    * cluster-bucketed assignments table (the standard IVF append contract:
+    * recall degrades slowly as the vector distribution drifts from the
+    * codebook — rebuild cadence is an ops decision — while re-rank
+    * precision never does). Zero-norm/null vectors drop (the ivfBuild
+    * stance); appended ids must be new (the usual changelog contract).
+    *
+    * Replay safety: an at-least-once replay re-appends its assignment
+    * rows; the probe join then scores the same (query, neighbor) twice
+    * with the same cosine and `graft_topk` collapses exactly-equal
+    * (score, id) duplicates, so query results are unaffected until
+    * [[ivfCompact]] sheds the duplicated rows durably.
+    */
+  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String, index: IvfIndex): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Dedup.finishCrashedSwap(spark, index.assignmentsTable)
+    require(spark.catalog.tableExists(index.codebookTable) &&
+      spark.catalog.tableExists(index.assignmentsTable),
+      s"ivfAppend: build the index first (ivfBuild) - missing " +
+        s"${index.codebookTable} and/or ${index.assignmentsTable}")
+    val cents: Array[Array[Double]] = spark.table(index.codebookTable)
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(cents)
+    batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .toDF("id", "v", "cluster")
+      .write.mode("append").format("parquet")
+      .bucketBy(index.numBuckets, "cluster")
+      .saveAsTable(index.assignmentsTable)
+  }
+
+  /** Routine maintenance for an appended-to [[IvfIndex]]: folds the
+    * assignments table (one append = numBuckets files) back to one file
+    * per bucket with the same bucket spec and sheds replay-duplicated
+    * rows. Run between micro-batches or on a stopped stream.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, index: IvfIndex): Unit =
+    Dedup.compactBucketedTable(spark, index.assignmentsTable, index.numBuckets,
+      Seq("cluster"))
+
+  /** Streaming embedding ingest into a built index: [[ivfAppend]] wired
+    * into `foreachBatch`; `compactEvery = N` runs [[ivfCompact]] after
+    * every Nth batch (0 = caller manages compaction). Caller sets
+    * trigger/checkpoint and starts.
+    */
+  def ivfStream(vecs: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
+                compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      ivfAppend(batch.toDF(), idCol, vecCol, index)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        ivfCompact(batch.sparkSession, index)
+    }
 
   /** Signed-random-projection LSH candidate pairs, verified with exact
     * cosine — the equi-join ANN path. `numBits` hyperplane signs per

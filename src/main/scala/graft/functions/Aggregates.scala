@@ -23,8 +23,19 @@ import org.apache.spark.sql.types._
   * already holds k items better-or-equal, so the rejected item could never
   * be selected. One implementation for every bounded-rank aggregate so the
   * compaction logic cannot drift.
+  *
+  * `dedup = true` collapses ord-EQUAL items (compare == 0) to one before
+  * truncation — for aggregates whose items are identity-carrying pairs
+  * (top-k's (score, id)), equal means the same logical item seen twice,
+  * which only happens when upstream state was duplicated by an
+  * at-least-once replay; collapsing it keeps ranks correct without an
+  * exchange-adding distinct on the scored candidates. Duplicates collapse
+  * BEFORE the take(k), so a duplicate never displaces a distinct item.
+  * Aggregates whose items legitimately repeat (the quantile row sample)
+  * keep the default false.
   */
-final class BoundedKBuffer[T](val k: Int, ord: Ordering[T]) {
+final class BoundedKBuffer[T](val k: Int, ord: Ordering[T],
+                              dedup: Boolean = false) {
   private[functions] val items = new ArrayBuffer[T]()
   private var saturated = false
   private var bound: T = _
@@ -41,7 +52,16 @@ final class BoundedKBuffer[T](val k: Int, ord: Ordering[T]) {
   }
 
   private def compact(): Unit = {
-    val best = items.sorted(ord).take(k)
+    val sorted = items.sorted(ord)
+    val kept =
+      if (dedup && sorted.length > 1) {
+        val out = new ArrayBuffer[T](math.min(sorted.length, k))
+        sorted.foreach { it =>
+          if (out.isEmpty || ord.compare(out.last, it) != 0) out += it
+        }
+        out
+      } else sorted
+    val best = kept.take(k)
     items.clear()
     items ++= best
     if (items.length >= k) { saturated = true; bound = items(k - 1) }
@@ -116,8 +136,13 @@ case class TopKByScore(
         "graft_topk requires (double score, integral id, literal int k)")
     }
 
+  // dedup: an exactly-equal (score, id) pair is the same neighbor scored
+  // twice — impossible on clean candidates (a corpus vector sits in exactly
+  // one IVF cluster / LSH candidates are distinct'd), so collapsing it is
+  // bit-identical there and absorbs assignment rows duplicated by an
+  // at-least-once streaming-append replay (see Similarity.ivfAppend)
   override def createAggregationBuffer(): BoundedKBuffer[(Double, Long)] =
-    new BoundedKBuffer(k, BoundedKBuffer.scoreDescIdAsc)
+    new BoundedKBuffer(k, BoundedKBuffer.scoreDescIdAsc, dedup = true)
 
   override def update(buffer: BoundedKBuffer[(Double, Long)], input: InternalRow): BoundedKBuffer[(Double, Long)] = {
     val s = scoreExpr.eval(input)

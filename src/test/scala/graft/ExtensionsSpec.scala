@@ -367,6 +367,51 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF ingest: appends route via the codebook, replays collapse, compaction serves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Similarity.IvfIndex("tivfs_assign", "tivfs_codebook", numBuckets = 4)
+    Seq(idx.assignmentsTable, idx.codebookTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    try {
+      val mx = emb.agg(max("vec_id")).head().getLong(0)
+      // train on the 60% prefix; the rest arrives as a 2-batch stream with
+      // per-batch compaction, then batch 2 is REPLAYED (at-least-once) and
+      // its duplicate assignment rows left live for the query
+      Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+        "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+      val rest = emb.filter(col("vec_id") > mx * 3 / 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cut = mx * 4 / 5
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfs")
+      val q = Similarity.ivfStream(input.toDF().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", idx, compactEvery = 1)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        input.addData(rest.filter(_._1 <= cut).toSeq: _*); q.processAllAvailable()
+        input.addData(rest.filter(_._1 > cut).toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Similarity.ivfAppend(rest.filter(_._1 > cut).toSeq.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx) // the replay
+      assert(spark.table(idx.assignmentsTable).count() >
+        spark.table(idx.assignmentsTable).distinct().count(),
+        "precondition: the replay must have appended duplicate rows")
+      val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val got = Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      graft.Caching.release(spark)
+      assert(got === brute,
+        "full probe over build+stream+replay must equal brute force, ranks included")
+    } finally {
+      Seq(idx.assignmentsTable, idx.codebookTable)
+        .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    }
+  }
+
   test("line dedup keeps first occurrences, preserves empty lines and document order") {
     import spark.implicits._
     val rows = Seq(
