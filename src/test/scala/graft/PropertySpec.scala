@@ -117,17 +117,25 @@ class PropertySpec extends SparkSpec {
       // so a raw tuple Set comparison would fail on identical results
       def canon(rows: Array[(Long, Int, Long, Double)]) =
         rows.map { case (q, r, n, s) => (q, r, n, s.toString) }.toSet
-      val agg = canon(df.groupBy("query_id")
+      def aggOf(in: org.apache.spark.sql.DataFrame) = canon(in.groupBy("query_id")
         .agg(call_function("graft_topk", col("cos"), col("nbr_id"), lit(k)).as("tk"))
         .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
         .select(col("query_id"), (col("pos") + 1).as("rank"), col("s.nbr_id"), col("s.cos"))
         .as[(Long, Int, Long, Double)].collect())
+      val agg = aggOf(df)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("nbr_id").asc)
       val win = canon(df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cos")
         .as[(Long, Int, Long, Double)].collect())
       assert(agg == win, s"seed $seed k=$k")
+      // replay-duplicated candidates (exact row copies, the at-least-once
+      // streaming-append artifact) must be invisible: the aggregate
+      // collapses equal (score, id) pairs before truncation, so a
+      // duplicate never displaces a distinct item from the top k
+      val extra = sample(Gen.someOf(rows), seed * 3 + k).toList
+      val aggDup = aggOf((rows ++ extra).toDF("query_id", "nbr_id", "cos"))
+      assert(aggDup == win, s"duplicated rows must not change ranks: seed $seed k=$k")
     }
   }
 
