@@ -274,6 +274,35 @@ object Queries {
         Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5))
     }),
 
+    // INCREMENTAL connected components: the same near-dup pair graph
+    // ingested as two micro-batches against the persisted cluster registry
+    // ([[Dedup.clusterIncrement]] — each increment probes the pair
+    // endpoints' current clusters, expands only the AFFECTED components'
+    // member edges, and re-roots that bounded subgraph ∪ the new pairs).
+    // The final mapping must equal the batch x25 run over all pairs at
+    // once — same recursive-CTE oracle. The split key (d1+d2 parity)
+    // interleaves the batches so cross-batch merges actually occur.
+    "x39_cluster_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val state = Dedup.ClusterState(s"x39_$suffix", numBuckets = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x39")
+      val pairs = graft.Caching.scoped(
+        Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+          .select("d1", "d2"))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Seq(0L, 1L).foreach { i =>
+          Dedup.clusterIncrement(
+            pairs.filter(pmod(col("d1") + col("d2"), lit(2)) === i), state, batchId = i)
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      Dedup.clusterMapping(s, state).write.parquet(tmp.resolve("out").toString)
+      state.dropTables(s)
+      s.read.parquet(tmp.resolve("out").toString)
+    }),
+
     // corpus-wide LINE dedup (C4/RefinedWeb boilerplate removal): the test
     // corpus is single-line, so multi-line docs are synthesized from doc_id
     // identically in both engines (the x24/x32 stance) — a header line
@@ -700,6 +729,18 @@ object Queries {
     // symmetrized edges; UNION dedups so the walk terminates), then each
     // node's component min — the declared query's large/small-star fixpoint
     "x25_dedup_components" ->
+      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($jaccardOracle)),
+        |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM walk GROUP BY a""".stripMargin,
+
+    // the incremental registry over any batch split must equal the batch
+    // closure — the x25 transcription verbatim
+    "x39_cluster_stream" ->
       s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($jaccardOracle)),
         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
         |walk(a, b) AS (

@@ -353,7 +353,8 @@ object Dedup {
 
   private[graft] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                                           table: String, numBuckets: Int,
-                                          bucketCols: Seq[String]): Unit = {
+                                          bucketCols: Seq[String],
+                                          canonicalize: Option[DataFrame => DataFrame] = None): Unit = {
     val tmp = table + "__compact"
     finishCrashedSwap(spark, table)
     require(spark.catalog.tableExists(table), s"compact: no such table $table")
@@ -361,10 +362,17 @@ object Dedup {
     // (the CTAS commits the catalog entry last) — drop location too, or
     // every future compaction wedges on LOCATION_ALREADY_EXISTS
     graft.sinks.Sinks.dropTableAndLocation(spark, tmp)
-    spark.table(table)
-      .repartition(numBuckets, bucketCols.map(col): _*)
-      .dropDuplicates()
-      .write.format("parquet")
+    // default canonical form: the distinct row set (replay appends exact
+    // duplicates); state whose history FOLDS (the cluster registry's
+    // latest-per-doc) passes its own reduction
+    val canonical = canonicalize match {
+      case Some(f) => f(spark.table(table))
+        .repartition(numBuckets, bucketCols.map(col): _*)
+      case None => spark.table(table)
+        .repartition(numBuckets, bucketCols.map(col): _*)
+        .dropDuplicates()
+    }
+    canonical.write.format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
@@ -535,6 +543,150 @@ object Dedup {
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** The persisted cluster registry behind [[clusterIncrement]] — the
+    * continuous-ingest counterpart of [[connectedComponents]], so a
+    * streaming pipeline can maintain near-dup clusters without a batch
+    * re-run. Two append-only catalog tables holding the same
+    * (doc_id, cluster_id, batch_id) rows, bucketed for the two access
+    * paths:
+    *
+    *  - `byDocTable` bucketed by doc_id: "which cluster is this doc in
+    *    now?" (the probe for a batch's pair endpoints);
+    *  - `byClusterTable` bucketed by cluster_id: "who else is in that
+    *    cluster?" (the member expansion that bounds each increment to the
+    *    AFFECTED components, never the corpus).
+    *
+    * A doc's current cluster is its max-batch_id row; cluster ids only
+    * ever shrink (component minimum), so when a cluster merges away,
+    * every member is re-appended under the new root and the old id is no
+    * longer anyone's latest — stale rows are never reachable through a
+    * current cluster id, and [[clusterCompact]] folds them away.
+    */
+  final case class ClusterState(tablePrefix: String, numBuckets: Int = 32) {
+    def byDocTable: String = s"${tablePrefix}_by_doc"
+    def byClusterTable: String = s"${tablePrefix}_by_cluster"
+    def dropTables(spark: org.apache.spark.sql.SparkSession): Unit =
+      Seq(byDocTable, byClusterTable).flatMap(t => Seq(t, t + "__compact"))
+        .foreach(graft.sinks.Sinks.dropTableAndLocation(spark, _))
+  }
+
+  /** The latest mapping: (doc_id, cluster_id), one row per doc that has
+    * appeared in any pair — [[connectedComponents]]' output shape over
+    * everything ingested so far.
+    */
+  def clusterMapping(spark: org.apache.spark.sql.SparkSession,
+                     state: ClusterState): DataFrame = {
+    finishCrashedSwap(spark, state.byDocTable)
+    spark.table(state.byDocTable).groupBy("doc_id")
+      .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
+  }
+
+  /** One micro-batch of incremental connected components: merges a batch
+    * of near-dup pairs (e.g. [[minHashLshIncrement]]'s emissions) into the
+    * registry. The union of the CURRENT mapping rows of the affected
+    * clusters with the new pairs is a contracted graph equivalent to the
+    * full pair history, so running [[connectedComponents]] on just that
+    * union — affected components + this batch, never the corpus — yields
+    * exactly the clusters a batch run over all pairs would:
+    *
+    *  1. probe `byDocTable` for the pair endpoints' current clusters
+    *     (semi-join on doc_id, latest row per doc);
+    *  2. expand those clusters to their full member edge lists via
+    *     `byClusterTable` (semi-join on cluster_id);
+    *  3. [[connectedComponents]] over member edges ∪ new pairs;
+    *  4. append the re-rooted rows to both tables under this batch_id.
+    *
+    * Replay safety: state reads filter `batch_id <` this batch (a replay
+    * sees what the first attempt saw) and re-appended rows are exact
+    * duplicates, absorbed by the latest-row reads and shed by
+    * [[clusterCompact]]. After any prefix of batches, [[clusterMapping]]
+    * equals [[connectedComponents]] over the union of those batches'
+    * pairs — the x39 oracle and the ExtensionsSpec golden.
+    */
+  def clusterIncrement(newPairs: DataFrame, state: ClusterState,
+                       batchId: Long, maxIters: Int = 20): Unit = {
+    val spark = newPairs.sparkSession
+    finishCrashedSwap(spark, state.byDocTable)
+    finishCrashedSwap(spark, state.byClusterTable)
+    // the connectedComponents integral-id guard, applied BEFORE the widening
+    // cast (casting a string id would silently null it past the guard)
+    locally {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      Seq("d1", "d2").foreach { c =>
+        val dt = newPairs.schema(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"clusterIncrement needs integral doc ids; pair column '$c' is " +
+            s"$dt — map ids to longs (dictionary join / dense rank) first")
+      }
+    }
+    val pairs = newPairs.select(col("d1").cast("long"), col("d2").cast("long"))
+    val exists = spark.catalog.tableExists(state.byDocTable)
+    val edges =
+      if (!exists) pairs
+      else {
+        val docs = pairs.select(col("d1").as("doc_id"))
+          .union(pairs.select(col("d2").as("doc_id"))).distinct()
+        val current = spark.table(state.byDocTable)
+          .filter(col("batch_id") < batchId)
+          .join(docs, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id")
+          .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
+        val members = spark.table(state.byClusterTable)
+          .filter(col("batch_id") < batchId)
+          .join(current.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
+          .select(col("doc_id").as("d1"), col("cluster_id").as("d2")).distinct()
+        members.union(pairs)
+      }
+    val cc = connectedComponents(edges, maxIters)
+      .withColumn("batch_id", lit(batchId))
+    val mode = if (exists) "append" else "overwrite"
+    cc.write.mode(mode).format("parquet")
+      .bucketBy(state.numBuckets, "doc_id").saveAsTable(state.byDocTable)
+    cc.write.mode(mode).format("parquet")
+      .bucketBy(state.numBuckets, "cluster_id").saveAsTable(state.byClusterTable)
+  }
+
+  /** Streaming cluster maintenance: [[clusterIncrement]] per micro-batch
+    * of pairs (chain it downstream of [[minHashLshStream]]'s pairsDir, or
+    * feed any pair stream). `compactEvery = N` folds history after every
+    * Nth batch via [[clusterCompact]] with `uptoBatch = batchId - 1` —
+    * the largest prefix a replay of the in-flight batch never reads.
+    */
+  def clusterStream(pairs: DataFrame, state: ClusterState,
+                    compactEvery: Int = 0, maxIters: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      clusterIncrement(batch.toDF(), state, id, maxIters)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        clusterCompact(batch.sparkSession, state, uptoBatch = id - 1)
+    }
+
+  /** Routine maintenance for a [[ClusterState]]: folds every doc's rows
+    * with `batch_id <= uptoBatch` to its single latest row (keeping that
+    * row's real batch_id) and rewrites both tables to ≤ numBuckets files.
+    * Rows NEWER than `uptoBatch` are preserved as-is: an in-flight batch k
+    * replays with a `batch_id < k` read, so fold only up to the last batch
+    * the stream has fully committed (`k - 1` when called between batches —
+    * what [[clusterStream]] does). On a stopped stream, fold everything
+    * (`Long.MaxValue`).
+    */
+  def clusterCompact(spark: org.apache.spark.sql.SparkSession,
+                     state: ClusterState,
+                     uptoBatch: Long = Long.MaxValue): Unit = {
+    val fold = (df: DataFrame) => {
+      val keep = df.filter(col("batch_id") > uptoBatch)
+      val folded = df.filter(col("batch_id") <= uptoBatch)
+        .groupBy("doc_id")
+        .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"),
+          max(col("batch_id")).as("batch_id"))
+        .select("doc_id", "cluster_id", "batch_id")
+      folded.unionByName(keep.select("doc_id", "cluster_id", "batch_id"))
+    }
+    compactBucketedTable(spark, state.byDocTable, state.numBuckets,
+      Seq("doc_id"), Some(fold))
+    compactBucketedTable(spark, state.byClusterTable, state.numBuckets,
+      Seq("cluster_id"), Some(fold))
   }
 
   /** Corpus-wide exact LINE dedup — the C4/RefinedWeb boilerplate-removal

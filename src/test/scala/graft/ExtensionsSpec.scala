@@ -84,6 +84,56 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("incremental cluster registry: cross-batch merges, replay, compaction fold") {
+    import spark.implicits._
+    val state = Dedup.ClusterState("tclus", numBuckets = 4)
+    state.dropTables(spark)
+    def mapping() = Dedup.clusterMapping(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // batch 0: two separate clusters {1,2} and {5,6}, island {10,11}
+      Dedup.clusterIncrement(Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("d1", "d2"),
+        state, batchId = 0L)
+      assert(mapping() === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+        10L -> 10L, 11L -> 10L))
+      // batch 1: pair (2,5) must MERGE the two clusters through their
+      // members — docs 1 and 6 are only reachable via the member expansion
+      Dedup.clusterIncrement(Seq((2L, 5L)).toDF("d1", "d2"), state, batchId = 1L)
+      val merged = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+        10L -> 10L, 11L -> 10L)
+      assert(mapping() === merged, "merge must re-root every member of both clusters")
+      // at-least-once replay of batch 1: reads filter batch_id < 1, appended
+      // rows are exact duplicates — the mapping must not move
+      Dedup.clusterIncrement(Seq((2L, 5L)).toDF("d1", "d2"), state, batchId = 1L)
+      assert(mapping() === merged, "replay must be idempotent")
+      // compaction folds history (4 appends x <=4 buckets) to latest rows;
+      // the mapping and subsequent increments must not move
+      val before = Seq(state.byDocTable, state.byClusterTable)
+        .map(t => spark.table(t).inputFiles.length)
+      Dedup.clusterCompact(spark, state)
+      Seq(state.byDocTable, state.byClusterTable).zip(before).foreach { case (t, b) =>
+        val after = spark.table(t).inputFiles.length
+        assert(after <= 4 && after < b, s"$t: $b -> $after files")
+        assert(spark.table(t).count() === 6L, s"$t must fold to one row per doc")
+      }
+      assert(mapping() === merged, "mapping must survive compaction")
+      // a post-compaction batch joining the island through doc 11
+      Dedup.clusterIncrement(Seq((11L, 3L)).toDF("d1", "d2"), state, batchId = 2L)
+      assert(mapping() === merged ++ Map(3L -> 3L, 10L -> 3L, 11L -> 3L),
+        "post-compaction merges must still reach the folded members")
+      // equivalence with the batch operator over ALL pairs at once
+      val batch = Dedup.connectedComponents(Seq((1L, 2L), (5L, 6L), (10L, 11L),
+          (2L, 5L), (11L, 3L)).toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release(spark)
+      assert(mapping() === batch, "incremental must equal the batch closure")
+      // rejects non-integral ids like the batch operator
+      intercept[IllegalArgumentException] {
+        Dedup.clusterIncrement(Seq(("a", "b")).toDF("d1", "d2"), state, batchId = 3L)
+      }
+    } finally state.dropTables(spark)
+  }
+
   test("connectedComponents handles empty pair sets and self-pairs") {
     import spark.implicits._
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() === 0L)
