@@ -304,6 +304,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x39 cluster-registry probes read both tables bucketed, no cartesian/NLJ") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val state = Dedup.ClusterState("pin_clus", numBuckets = 4)
+    state.dropTables(spark)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at 100 TB the registry broadcasts nowhere: pin the big-big shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.clusterIncrement(Seq((1L, 2L), (5L, 6L)).toDF("d1", "d2"), state, 0L)
+      // the second increment's plan is where both probes appear; capture it
+      // through the mapping read after it runs (same table shapes)
+      Dedup.clusterIncrement(Seq((2L, 5L)).toDF("d1", "d2"), state, 1L)
+      val p = Dedup.clusterMapping(spark, state).queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        "registry scan must be bucketed: " + p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(2000))
+      // the by-doc latest-row aggregate must reuse the bucket partitioning:
+      // doc_id-bucketed scan ⇒ zero exchanges in the whole mapping read
+      assert(!p.contains("Exchange"),
+        "latest-per-doc must aggregate within the doc_id buckets: " + p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      state.dropTables(spark)
+    }
+  }
+
   test("x31 ivf probe join reads the assignments bucketed: only the query side shuffles") {
     import graft.ext.Similarity
     import graft.sources.Tables
