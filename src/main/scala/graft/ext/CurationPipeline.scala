@@ -197,6 +197,9 @@ object CurationPipeline {
     def hashTable: String = s"${tablePrefix}_hashes"
     def lshIndex: Dedup.LshIndex =
       Dedup.LshIndex(s"${tablePrefix}_bands", s"${tablePrefix}_shingles", numBuckets)
+    /** The near-dup cluster registry fed by `maintainClusters = true`. */
+    def clusterState: Dedup.ClusterState =
+      Dedup.ClusterState(s"${tablePrefix}_clusters", numBuckets)
     def pairsDir: String = s"$stateDir/pairs"
     def offsetsDir: String = s"$stateDir/offsets"
     def outDir: String = s"$stateDir/curated"
@@ -204,10 +207,12 @@ object CurationPipeline {
       * `__compact` siblings a crashed compaction may have left) via
       * [[graft.sinks.Sinks.dropTableAndLocation]].
       */
-    def dropTables(spark: org.apache.spark.sql.SparkSession): Unit =
+    def dropTables(spark: org.apache.spark.sql.SparkSession): Unit = {
       Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable)
         .flatMap(t => Seq(t, t + "__compact"))
         .foreach(graft.sinks.Sinks.dropTableAndLocation(spark, _))
+      clusterState.dropTables(spark)
+    }
   }
 
   /** Routine maintenance for a long-running [[StreamState]]: compacts the
@@ -280,7 +285,8 @@ object CurationPipeline {
     */
   def streamIncrement(batch: DataFrame, idCol: String, textCol: String,
                       holdoutGrams: Option[DataFrame], cfg: Config,
-                      state: StreamState, batchId: Long): Unit = {
+                      state: StreamState, batchId: Long,
+                      maintainClusters: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // the batch cap is a df statistic over the WHOLE train corpus, which a
     // stream cannot know prospectively — a silently ignored cap would
@@ -289,6 +295,20 @@ object CurationPipeline {
     require(cfg.maxGramDf.isEmpty,
       "streamIncrement: maxGramDf is a whole-corpus statistic unavailable to " +
         "a stream - set Config(maxGramDf = None) for streaming curation")
+    // collapse is a whole-HISTORY decision a stream cannot honor
+    // retroactively: when a later pair merges two clusters, the batch rule
+    // drops the larger root — but that root was already emitted in an
+    // earlier partition. Silently ignoring the flag would diverge from the
+    // equivalently-configured batch run, so fail loudly; the streaming
+    // answer is maintainClusters = true (the continuously-updated registry,
+    // [[Dedup.clusterMapping]]) + downstream retro-collapse
+    require(!cfg.collapseClusters,
+      "streamIncrement: collapseClusters is a whole-history decision a stream " +
+        "cannot apply retroactively - set Config(collapseClusters = false) and " +
+        "use maintainClusters = true for the continuously-updated cluster registry")
+    require(cfg.embeddingCol.isEmpty,
+      "streamIncrement: the semantic near-dup stage is batch-only - set " +
+        "Config(embeddingCol = None) for streaming curation")
     // a compactState swap that crashed between DROP and RENAME must be
     // finished BEFORE the tableExists checks below (the LSH tables get the
     // same treatment inside minHashLshIncrement)
@@ -340,6 +360,25 @@ object CurationPipeline {
           .select(col("d2").as(idCol)).distinct()
       else spark.range(0).select(col("id").cast(idType).as(idCol))
     val nearKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
+
+    // optional: merge this batch's emitted pairs into the cluster registry
+    // ([[Dedup.clusterIncrement]] — replay-safe like every other state
+    // write here). The registry is the streaming stand-in for the batch
+    // collapseClusters rule: the per-batch keep decision stays per-pair,
+    // and [[Dedup.clusterMapping]] supports retroactive whole-chain
+    // collapse downstream.
+    if (maintainClusters) {
+      val batchPairs =
+        if (dirExists(spark, state.pairsDir))
+          spark.read.schema(StructType(Seq(
+              StructField("d1", idType), StructField("d2", idType),
+              StructField("batch_id", LongType))))
+            .parquet(state.pairsDir)
+            .filter(col("batch_id") === batchId).select("d1", "d2")
+        else spark.range(0).select(col("id").cast(idType).as("d1"),
+          col("id").cast(idType).as("d2"))
+      Dedup.clusterIncrement(batchPairs, state.clusterState, batchId)
+    }
 
     // 4: decontamination (stateless stream-static)
     val clean = holdoutGrams match {
@@ -419,14 +458,19 @@ object CurationPipeline {
     */
   def runStream(docs: DataFrame, idCol: String, textCol: String,
                 holdout: Option[DataFrame], cfg: Config, state: StreamState,
-                compactEvery: Int = 0)
+                compactEvery: Int = 0, maintainClusters: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hg = holdout.map(h => holdoutGramSet(h, idCol, textCol, cfg))
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id,
+          maintainClusters)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           compactState(batch.sparkSession, state)
+          if (maintainClusters)
+            Dedup.clusterCompact(batch.sparkSession, state.clusterState,
+              uptoBatch = id - 1)
+        }
     }
   }
 }

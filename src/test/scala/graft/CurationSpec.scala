@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CurationPipeline, Decontaminate, Sampling, Sharding}
+import graft.ext.{CurationPipeline, Decontaminate, Dedup, Sampling, Sharding}
 import graft.functions.Hashing
 import graft.sources.Tables
 
@@ -636,6 +636,53 @@ class CurationSpec extends SparkSpec {
     graft.Caching.release(spark)
     assert(outSet() === batchRun4,
       "a crashed compaction swap must be recovered, not misread as an empty corpus")
+    state.dropTables(spark)
+  }
+
+  test("streaming curation maintains the cluster registry; batch-only config fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val en20 = "the of and to in is it that for with the of and to in is it that for with"
+    def tail(p: String) = (1 to 15).map(i => s"$p$i").mkString(" ")
+    val body = en20 + " " + tail("kappa")
+    // 1-2 near-dup in batch 0; 11 chains onto 2 in batch 1 (cross-batch
+    // merge through the registry's member expansion)
+    val batch1 = Seq(1L -> body, 2L -> (body + " changed"))
+    val batch2 = Seq(11L -> (body + " changed more"),
+      12L -> (en20 + " " + tail("rho")))
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en"),
+      nearDupThreshold = 0.5, maxGramDf = None, tokensPerShard = 25L, shardBuckets = 2)
+    val state = CurationPipeline.StreamState("tclreg",
+      java.nio.file.Files.createTempDirectory("graft_cur_clus").toString, numBuckets = 4)
+    state.dropTables(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cur_clus_ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.runStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", None, cfg, state, compactEvery = 1, maintainClusters = true)
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val mapping = Dedup.clusterMapping(spark, state.clusterState)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = spark.read.parquet(state.pairsDir).select("d1", "d2")
+    val batchCc = Dedup.connectedComponents(allPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release(spark)
+    assert(mapping === batchCc,
+      s"registry $mapping must equal the batch closure $batchCc over all emitted pairs")
+    assert(mapping === Map(1L -> 1L, 2L -> 1L, 11L -> 1L),
+      s"cross-batch chain 1-2-11 must collapse to one cluster: $mapping")
+    // batch-only config must fail loudly, not silently diverge
+    intercept[IllegalArgumentException] {
+      CurationPipeline.streamIncrement(batch1.toDF("doc_id", "text"), "doc_id",
+        "text", None, cfg.copy(collapseClusters = true), state, batchId = 9L)
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.streamIncrement(batch1.toDF("doc_id", "text"), "doc_id",
+        "text", None, cfg.copy(embeddingCol = Some("emb")), state, batchId = 9L)
+    }
     state.dropTables(spark)
   }
 
