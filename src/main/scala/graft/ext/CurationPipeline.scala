@@ -200,6 +200,12 @@ object CurationPipeline {
     /** The near-dup cluster registry fed by `maintainClusters = true`. */
     def clusterState: Dedup.ClusterState =
       Dedup.ClusterState(s"${tablePrefix}_clusters", numBuckets)
+    /** The semantic (embedding) near-dup index, used when
+      * `Config.embeddingCol` is set.
+      */
+    def embedIndex: Similarity.CosineLshIndex =
+      Similarity.CosineLshIndex(s"${tablePrefix}_ebands", s"${tablePrefix}_evecs", numBuckets)
+    def ePairsDir: String = s"$stateDir/epairs"
     def pairsDir: String = s"$stateDir/pairs"
     def offsetsDir: String = s"$stateDir/offsets"
     def outDir: String = s"$stateDir/curated"
@@ -208,7 +214,8 @@ object CurationPipeline {
       * [[graft.sinks.Sinks.dropTableAndLocation]].
       */
     def dropTables(spark: org.apache.spark.sql.SparkSession): Unit = {
-      Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable)
+      Seq(hashTable, lshIndex.bandsTable, lshIndex.shinglesTable,
+          embedIndex.bandsTable, embedIndex.vecsTable)
         .flatMap(t => Seq(t, t + "__compact"))
         .foreach(graft.sinks.Sinks.dropTableAndLocation(spark, _))
       clusterState.dropTables(spark)
@@ -232,6 +239,11 @@ object CurationPipeline {
   def compactState(spark: org.apache.spark.sql.SparkSession, state: StreamState): Unit = {
     Dedup.compactBucketedTable(spark, state.hashTable, state.numBuckets, Seq("text_hash"))
     Dedup.compactIndex(spark, state.lshIndex)
+    // present only when the pipeline runs with an embedding column — its
+    // absence is a no-semantic-stage run, not a misconfiguration
+    if (spark.catalog.tableExists(state.embedIndex.bandsTable) ||
+        spark.catalog.tableExists(state.embedIndex.bandsTable + "__compact"))
+      Similarity.cosineLshCompact(spark, state.embedIndex)
   }
 
   /** The static holdout gram set [[streamIncrement]] decontaminates
@@ -306,9 +318,8 @@ object CurationPipeline {
       "streamIncrement: collapseClusters is a whole-history decision a stream " +
         "cannot apply retroactively - set Config(collapseClusters = false) and " +
         "use maintainClusters = true for the continuously-updated cluster registry")
-    require(cfg.embeddingCol.isEmpty,
-      "streamIncrement: the semantic near-dup stage is batch-only - set " +
-        "Config(embeddingCol = None) for streaming curation")
+    cfg.embeddingCol.foreach(ec => require(batch.columns.contains(ec),
+      s"streamIncrement: embeddingCol '$ec' not in input (${batch.columns.mkString(", ")})"))
     // a compactState swap that crashed between DROP and RENAME must be
     // finished BEFORE the tableExists checks below (the LSH tables get the
     // same treatment inside minHashLshIncrement)
@@ -359,24 +370,54 @@ object CurationPipeline {
           .filter(col("batch_id") === batchId)
           .select(col("d2").as(idCol)).distinct()
       else spark.range(0).select(col("id").cast(idType).as(idCol))
-    val nearKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
+    val lexKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
+
+    // 3b (optional): SEMANTIC near-dup — the lexical survivors stream into
+    // the embedding index exactly like the shingle stage ([[Similarity
+    // .cosineLshIncrement]] — in-batch self-join ∪ index probe, exact
+    // verify, pairs per batch_id partition, survivors AND dropped docs
+    // index as detectors); this batch's vec_id_b side drops, the batch
+    // pipeline's per-pair rule
+    val nearKept = cfg.embeddingCol match {
+      case Some(ec) =>
+        Similarity.cosineLshIncrement(lexKept.select(col(idCol), col(ec)),
+          idCol, ec, cfg.embedCosineThreshold, state.embedIndex,
+          state.ePairsDir, batchId)
+        val eDrops =
+          if (dirExists(spark, state.ePairsDir))
+            spark.read.schema(StructType(Seq(
+                StructField("vec_id_b", LongType), StructField("batch_id", LongType))))
+              .parquet(state.ePairsDir)
+              .filter(col("batch_id") === batchId)
+              .select(col("vec_id_b").cast(idType).as(idCol)).distinct()
+          else spark.range(0).select(col("id").cast(idType).as(idCol))
+        lexKept.join(eDrops, Seq(idCol), "left_anti")
+      case None => lexKept
+    }
 
     // optional: merge this batch's emitted pairs into the cluster registry
     // ([[Dedup.clusterIncrement]] — replay-safe like every other state
     // write here). The registry is the streaming stand-in for the batch
     // collapseClusters rule: the per-batch keep decision stays per-pair,
     // and [[Dedup.clusterMapping]] supports retroactive whole-chain
-    // collapse downstream.
+    // collapse downstream. ONE increment per batch — lexical AND semantic
+    // pairs union into it (two same-batch_id increments would break the
+    // `batch_id <` replay reads).
     if (maintainClusters) {
-      val batchPairs =
-        if (dirExists(spark, state.pairsDir))
+      def pairsOf(dir: String, aCol: String, bCol: String) =
+        if (dirExists(spark, dir))
           spark.read.schema(StructType(Seq(
-              StructField("d1", idType), StructField("d2", idType),
+              StructField(aCol, if (dir == state.pairsDir) idType else LongType),
+              StructField(bCol, if (dir == state.pairsDir) idType else LongType),
               StructField("batch_id", LongType))))
-            .parquet(state.pairsDir)
-            .filter(col("batch_id") === batchId).select("d1", "d2")
-        else spark.range(0).select(col("id").cast(idType).as("d1"),
-          col("id").cast(idType).as("d2"))
+            .parquet(dir)
+            .filter(col("batch_id") === batchId)
+            .select(col(aCol).cast("long").as("d1"), col(bCol).cast("long").as("d2"))
+        else spark.range(0).select(col("id").as("d1"), col("id").as("d2"))
+      val batchPairs = pairsOf(state.pairsDir, "d1", "d2")
+        .union(cfg.embeddingCol.map(_ =>
+          pairsOf(state.ePairsDir, "vec_id_a", "vec_id_b"))
+          .getOrElse(spark.range(0).select(col("id").as("d1"), col("id").as("d2"))))
       Dedup.clusterIncrement(batchPairs, state.clusterState, batchId)
     }
 

@@ -367,4 +367,123 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"))
   }
+
+  /** The persisted corpus index behind [[cosineLshIncrement]] — the
+    * embedding analog of [[Dedup.LshIndex]]:
+    *
+    *  - `bandsTable` (id, band, bv), bucketed by (band, bv): each
+    *    micro-batch's SRP signature bands probe it exchange-free, so probe
+    *    cost scales with the batch, not the corpus;
+    *  - `vecsTable` (id, v, nrm), bucketed by id: serves the exact-cosine
+    *    verification of candidate pairs (only candidate ids are pulled).
+    *
+    * Maintenance: [[cosineLshCompact]], same contract as the rest.
+    */
+  final case class CosineLshIndex(bandsTable: String, vecsTable: String,
+                                  numBuckets: Int = 32)
+
+  private def srpBands(base: DataFrame, numBits: Int, bandSize: Int): DataFrame = {
+    val nBands = numBits / bandSize
+    base.select(col("id"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit((1L << bandSize) - 1)).as("bv"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bv").as("bv"))
+  }
+
+  /** One micro-batch of incremental SEMANTIC near-dup detection — the
+    * embedding analog of [[Dedup.minHashLshIncrement]], with the identical
+    * exactly-once pair emission contract: candidates = in-batch band
+    * self-join ∪ batch×index band probe, verified with exact cosine (no
+    * false positives), pairs written under a `batch_id=` partition with
+    * dynamic overwrite, and only then the batch's bands and vectors
+    * appended — a pair is found exactly once, when its LATER vector
+    * arrives. Replay-duplicated index rows are absorbed: candidates are
+    * distinct'd and the verification side deduplicates per id after the
+    * candidate semi-join (bounded by candidates, never the corpus).
+    */
+  def cosineLshIncrement(batch: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, index: CosineLshIndex,
+                         pairsDir: String, batchId: Long,
+                         numBits: Int = 48, bandSize: Int = 2): Unit = {
+    require(numBits % bandSize == 0)
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    Dedup.finishCrashedSwap(spark, index.bandsTable)
+    Dedup.finishCrashedSwap(spark, index.vecsTable)
+    val base = batch
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exists = spark.catalog.tableExists(index.bandsTable)
+      val bands = srpBands(base, numBits, bandSize)
+      val inBatch = bands.toDF("id_a", "band", "bv")
+        .join(bands.toDF("id_b", "band", "bv"), Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val cross =
+        if (exists)
+          spark.table(index.bandsTable).toDF("stored_id", "band", "bv")
+            .join(bands.toDF("new_id", "band", "bv"), Seq("band", "bv"))
+            .filter(col("stored_id") =!= col("new_id"))
+            .select(least(col("stored_id"), col("new_id")).as("id_a"),
+              greatest(col("stored_id"), col("new_id")).as("id_b"))
+        else inBatch.limit(0)
+      val cand = inBatch.union(cross).distinct()
+      val allVecs =
+        if (exists)
+          spark.table(index.vecsTable).select("id", "v", "nrm")
+            .union(base.select("id", "v", "nrm"))
+        else base.select("id", "v", "nrm")
+      val candIds = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id"))).distinct()
+      // replay-duplicated vec rows would duplicate verified pairs — dedup
+      // per id AFTER the candidate semi-join, so the distinct is bounded
+      // by the candidate set
+      val vecs = allVecs.join(candIds, Seq("id"), "left_semi")
+        .dropDuplicates("id")
+      // pairs MATERIALIZE while the index holds only PRIOR batches (the
+      // minHashLshIncrement ordering argument)
+      cand
+        .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+        .filter(dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+        .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(pairsDir)
+      val mode = if (exists) "append" else "overwrite"
+      srpBands(base, numBits, bandSize).write.mode(mode).format("parquet")
+        .bucketBy(index.numBuckets, "band", "bv").saveAsTable(index.bandsTable)
+      base.select("id", "v", "nrm").write.mode(mode).format("parquet")
+        .bucketBy(index.numBuckets, "id").saveAsTable(index.vecsTable)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Streaming semantic near-dup: [[cosineLshIncrement]] per micro-batch;
+    * `compactEvery` as everywhere else.
+    */
+  def cosineLshStream(vecs: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, pairsDir: String, index: CosineLshIndex,
+                      numBits: Int = 48, bandSize: Int = 2,
+                      compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      cosineLshIncrement(batch.toDF(), idCol, vecCol, threshold, index,
+        pairsDir, id, numBits, bandSize)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        cosineLshCompact(batch.sparkSession, index)
+    }
+
+  /** Folds both index tables back to ≤ numBuckets files and sheds
+    * replay-duplicated rows; same swap contract as [[Dedup.compactIndex]].
+    */
+  def cosineLshCompact(spark: org.apache.spark.sql.SparkSession,
+                       index: CosineLshIndex): Unit = {
+    Dedup.compactBucketedTable(spark, index.bandsTable, index.numBuckets, Seq("band", "bv"))
+    Dedup.compactBucketedTable(spark, index.vecsTable, index.numBuckets, Seq("id"))
+  }
 }

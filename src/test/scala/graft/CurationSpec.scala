@@ -686,6 +686,57 @@ class CurationSpec extends SparkSpec {
     state.dropTables(spark)
   }
 
+  test("streaming curation with a semantic stage equals the batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val en20 = "the of and to in is it that for with the of and to in is it that for with"
+    def tail(p: String) = (1 to 15).map(i => s"$p$i").mkString(" ")
+    // lexically DISTINCT docs (shared en20 stopword prefix stays under the
+    // 0.5 shingle threshold); the paraphrase is planted in the embeddings:
+    // doc 11 is a semantic near-dup of doc 1 ACROSS batches, so the drop
+    // must come from the embedding index probe, not the batch self-join
+    val e1 = Array(1f, 0f, 0f); val e2 = Array(0f, 1f, 0f)
+    val e11 = Array(0.99f, 0.1f, 0f); val e12 = Array(0f, 0f, 1f)
+    val batch1 = Seq((1L, en20 + " " + tail("alpha"), e1),
+      (2L, en20 + " " + tail("beta"), e2))
+    val batch2 = Seq((11L, en20 + " " + tail("gamma"), e11),
+      (12L, en20 + " " + tail("delta"), e12))
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en"),
+      nearDupThreshold = 0.5, maxGramDf = None, embeddingCol = Some("emb"),
+      embedCosineThreshold = 0.9, tokensPerShard = 25L, shardBuckets = 2)
+    val state = CurationPipeline.StreamState("tsem",
+      java.nio.file.Files.createTempDirectory("graft_cur_sem").toString, numBuckets = 4)
+    state.dropTables(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cur_sem_ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Float])]
+    val q = CurationPipeline.runStream(input.toDF().toDF("doc_id", "text", "emb"),
+        "doc_id", "text", None, cfg, state, compactEvery = 1, maintainClusters = true)
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def fields(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val streamed = spark.read.parquet(state.outDir)
+      .select("doc_id", "n_tokens", "bucket", "shard", "split")
+      .collect().map(fields).toSet
+    val batchRun = CurationPipeline.run((batch1 ++ batch2).toDF("doc_id", "text", "emb"),
+        "doc_id", "text", None, cfg)
+      .select("doc_id", "n_tokens", "bucket", "shard", "split")
+      .collect().map(fields).toSet
+    val mapping = Dedup.clusterMapping(spark, state.clusterState)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release(spark)
+    assert(streamed.map(_._1) === Set(1L, 2L, 12L),
+      s"the cross-batch semantic dup (11) must drop: $streamed")
+    assert(streamed === batchRun, s"streamed $streamed != batch $batchRun")
+    assert(mapping === Map(1L -> 1L, 11L -> 1L),
+      s"the registry must hold the semantic pair's cluster: $mapping")
+    state.dropTables(spark)
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
