@@ -274,6 +274,10 @@ object CurationPipeline {
     *     side of any emitted pair — [[Dedup.keepList]]'s rule, and dropped
     *     docs still enter the index as detectors, exactly like the batch
     *     path where pairs are found among ALL exact-dedup survivors;
+    *  3b. (when `Config.embeddingCol` is set) SEMANTIC near-dup: the
+    *     lexical survivors stream into the embedding index the same way
+    *     ([[Similarity.cosineLshIncrement]]), and this batch's vec_id_b
+    *     sides drop;
     *  4. decontamination: stateless anti-join against the static holdout
     *     gram set (UNCAPPED — the batch cap is a df statistic over the
     *     whole train corpus, which a stream cannot know prospectively;
