@@ -462,6 +462,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("streaming cosine LSH finds cross-batch pairs and equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 1-3 near-dup ACROSS batches (the index probe), 3-4 IN batch (the
+    // self-join), 2 unrelated; exact values so both engines agree
+    val all = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.99f, 0.05f, 0f, 0f)),
+      (4L, Array(0.98f, 0.08f, 0f, 0f)))
+    val idx = Similarity.CosineLshIndex("t33_ebands", "t33_evecs", numBuckets = 4)
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clsh_stream")
+    val pairsDir = tmp.resolve("pairs").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = Similarity.cosineLshStream(input.toDF().toDF("vec_id", "emb"),
+        "vec_id", "emb", 0.9, pairsDir, idx, compactEvery = 1)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+    try {
+      input.addData(all.take(2): _*); q.processAllAvailable()
+      input.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(pairsDir).select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Similarity.cosineLshPairs(all.toDF("vec_id", "emb"), "vec_id", "emb", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    assert(streamed.contains((1L, 3L)), s"cross-batch pair must come from the probe: $streamed")
+    assert(streamed.contains((3L, 4L)), s"in-batch pair must come from the self-join: $streamed")
+    assert(streamed === batch, s"streamed $streamed != batch $batch")
+  }
+
   test("line dedup keeps first occurrences, preserves empty lines and document order") {
     import spark.implicits._
     val rows = Seq(

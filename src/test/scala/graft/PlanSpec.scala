@@ -332,6 +332,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic-stream probe reads the embedding band index bucketed") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val idx = Similarity.CosineLshIndex("pin_ebands", "pin_evecs", numBuckets = 4)
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pin_clsh")
+      Similarity.cosineLshIncrement(Seq((1L, Array(1f, 0f))).toDF("vec_id", "emb"),
+        "vec_id", "emb", 0.9, idx, tmp.resolve("pairs").toString, 0L)
+      // the probe side of a subsequent increment reads the stored bands
+      // bucketed — no exchange on the corpus side of the candidate join
+      val p = spark.table(idx.bandsTable).toDF("stored_id", "band", "bv")
+        .join(Seq((2L, 0, 1L)).toDF("new_id", "band", "bv"), Seq("band", "bv"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), "band index scan must be bucketed: " + p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq(idx.bandsTable, idx.vecsTable)
+        .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    }
+  }
+
   test("x31 ivf probe join reads the assignments bucketed: only the query side shuffles") {
     import graft.ext.Similarity
     import graft.sources.Tables
