@@ -246,6 +246,24 @@ object CurationPipeline {
       Similarity.cosineLshCompact(spark, state.embedIndex)
   }
 
+  /** The retroactive whole-chain collapse the per-batch stream cannot
+    * apply in place: the curated output under `state.outDir`, minus every
+    * doc the cluster registry maps to a cluster it does not root — i.e.
+    * exactly the docs `Config.collapseClusters = true` would have dropped,
+    * applied AFTER the fact with the full pair history. Requires the
+    * stream to have run with `maintainClusters = true`. One anti-join
+    * against the (already latest-per-doc) mapping; the caller writes the
+    * result wherever the collapsed corpus should live (rewriting
+    * `state.outDir` in place would fight the stream's own partitions).
+    */
+  def collapsedOutput(spark: org.apache.spark.sql.SparkSession,
+                      state: StreamState, idCol: String): DataFrame = {
+    val drop = Dedup.clusterMapping(spark, state.clusterState)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    spark.read.parquet(state.outDir).join(drop, Seq(idCol), "left_anti")
+  }
+
   /** The static holdout gram set [[streamIncrement]] decontaminates
     * against, derived once and scoped-persisted (it is re-joined every
     * micro-batch; release via [[graft.Caching.release]] after the stream

@@ -674,6 +674,18 @@ class CurationSpec extends SparkSpec {
       s"registry $mapping must equal the batch closure $batchCc over all emitted pairs")
     assert(mapping === Map(1L -> 1L, 2L -> 1L, 11L -> 1L),
       s"cross-batch chain 1-2-11 must collapse to one cluster: $mapping")
+    // retroactive collapse: streamed output minus registry non-roots must
+    // equal the batch pipeline run WITH collapseClusters (the decision the
+    // stream could not apply in place)
+    val collapsed = CurationPipeline.collapsedOutput(spark, state, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchCollapsed = CurationPipeline.run(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", None,
+        cfg.copy(collapseClusters = true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(collapsed === batchCollapsed,
+      s"retro-collapse $collapsed != batch collapse $batchCollapsed")
     // batch-only config must fail loudly, not silently diverge
     intercept[IllegalArgumentException] {
       CurationPipeline.streamIncrement(batch1.toDF("doc_id", "text"), "doc_id",
