@@ -380,18 +380,24 @@ object CurationPipeline {
       cfg.shingleN)
     // a batch with zero verified pairs writes no partition — the dir can be
     // missing OR exist with no data files (an empty dynamic-overwrite still
-    // creates the base dir), so the read declares its schema instead of
-    // inferring from footers that may not exist
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // creates the base dir), so reads declare their schemas instead of
+    // inferring from footers that may not exist. One reader serves both
+    // the drop sets and the registry; column types are passed explicitly
+    // (the lexical pairs carry the input id type, the semantic pairs are
+    // written as longs by cosineLshIncrement).
+    import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
     val idType = batch.schema(idCol).dataType
-    val batchDrops =
-      if (dirExists(spark, state.pairsDir))
+    def pairsOf(dir: String, aCol: String, bCol: String, t: DataType): DataFrame =
+      if (dirExists(spark, dir))
         spark.read.schema(StructType(Seq(
-            StructField("d2", idType), StructField("batch_id", LongType))))
-          .parquet(state.pairsDir)
+            StructField(aCol, t), StructField(bCol, t),
+            StructField("batch_id", LongType))))
+          .parquet(dir)
           .filter(col("batch_id") === batchId)
-          .select(col("d2").as(idCol)).distinct()
-      else spark.range(0).select(col("id").cast(idType).as(idCol))
+          .select(col(aCol).as("d1"), col(bCol).as("d2"))
+      else spark.range(0).select(col("id").cast(t).as("d1"), col("id").cast(t).as("d2"))
+    val lexPairs = pairsOf(state.pairsDir, "d1", "d2", idType)
+    val batchDrops = lexPairs.select(col("d2").as(idCol)).distinct()
     val lexKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
 
     // 3b (optional): SEMANTIC near-dup — the lexical survivors stream into
@@ -400,19 +406,15 @@ object CurationPipeline {
     // verify, pairs per batch_id partition, survivors AND dropped docs
     // index as detectors); this batch's vec_id_b side drops, the batch
     // pipeline's per-pair rule
-    val nearKept = cfg.embeddingCol match {
-      case Some(ec) =>
-        Similarity.cosineLshIncrement(lexKept.select(col(idCol), col(ec)),
-          idCol, ec, cfg.embedCosineThreshold, state.embedIndex,
-          state.ePairsDir, batchId)
-        val eDrops =
-          if (dirExists(spark, state.ePairsDir))
-            spark.read.schema(StructType(Seq(
-                StructField("vec_id_b", LongType), StructField("batch_id", LongType))))
-              .parquet(state.ePairsDir)
-              .filter(col("batch_id") === batchId)
-              .select(col("vec_id_b").cast(idType).as(idCol)).distinct()
-          else spark.range(0).select(col("id").cast(idType).as(idCol))
+    val ePairs = cfg.embeddingCol.map { ec =>
+      Similarity.cosineLshIncrement(lexKept.select(col(idCol), col(ec)),
+        idCol, ec, cfg.embedCosineThreshold, state.embedIndex,
+        state.ePairsDir, batchId)
+      pairsOf(state.ePairsDir, "vec_id_a", "vec_id_b", LongType)
+    }
+    val nearKept = ePairs match {
+      case Some(ep) =>
+        val eDrops = ep.select(col("d2").cast(idType).as(idCol)).distinct()
         lexKept.join(eDrops, Seq(idCol), "left_anti")
       case None => lexKept
     }
@@ -424,22 +426,13 @@ object CurationPipeline {
     // and [[Dedup.clusterMapping]] supports retroactive whole-chain
     // collapse downstream. ONE increment per batch — lexical AND semantic
     // pairs union into it (two same-batch_id increments would break the
-    // `batch_id <` replay reads).
+    // `batch_id <` replay reads). clusterIncrement's own integral-id guard
+    // sees the PRE-cast lexical pair type, so a non-integral id fails
+    // loudly instead of silently nulling into an empty registry.
     if (maintainClusters) {
-      def pairsOf(dir: String, aCol: String, bCol: String) =
-        if (dirExists(spark, dir))
-          spark.read.schema(StructType(Seq(
-              StructField(aCol, if (dir == state.pairsDir) idType else LongType),
-              StructField(bCol, if (dir == state.pairsDir) idType else LongType),
-              StructField("batch_id", LongType))))
-            .parquet(dir)
-            .filter(col("batch_id") === batchId)
-            .select(col(aCol).cast("long").as("d1"), col(bCol).cast("long").as("d2"))
-        else spark.range(0).select(col("id").as("d1"), col("id").as("d2"))
-      val batchPairs = pairsOf(state.pairsDir, "d1", "d2")
-        .union(cfg.embeddingCol.map(_ =>
-          pairsOf(state.ePairsDir, "vec_id_a", "vec_id_b"))
-          .getOrElse(spark.range(0).select(col("id").as("d1"), col("id").as("d2"))))
+      val batchPairs = lexPairs
+        .union(ePairs.map(_.select(col("d1").cast(idType), col("d2").cast(idType)))
+          .getOrElse(lexPairs.limit(0)))
       Dedup.clusterIncrement(batchPairs, state.clusterState, batchId)
     }
 

@@ -262,7 +262,13 @@ object Dedup {
     val batchBands = signatureBands(batchShingles, numHashes, bandSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val exists = spark.catalog.tableExists(index.bandsTable)
+      // BOTH tables, not just one: a first-batch crash between the two
+      // appends leaves only the bands table, and a replay that trusted it
+      // alone would throw reading the missing shingles table forever —
+      // treating half-created state as a fresh stream re-creates both
+      // (the replay's reads see no prior batches either way)
+      val exists = spark.catalog.tableExists(index.bandsTable) &&
+        spark.catalog.tableExists(index.shinglesTable)
       val inBatch = batchBands.toDF("d1", "band", "band_key")
         .join(batchBands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
         .filter(col("d1") < col("d2"))
@@ -622,7 +628,10 @@ object Dedup {
       }
     }
     val pairs = newPairs.select(col("d1").cast("long"), col("d2").cast("long"))
-    val exists = spark.catalog.tableExists(state.byDocTable)
+    // BOTH tables (the minHashLshIncrement first-batch-crash argument): a
+    // crash between the two first writes must read as a fresh registry
+    val exists = spark.catalog.tableExists(state.byDocTable) &&
+      spark.catalog.tableExists(state.byClusterTable)
     val edges =
       if (!exists) pairs
       else {

@@ -409,6 +409,16 @@ object Similarity {
                          numBits: Int = 48, bandSize: Int = 2): Unit = {
     require(numBits % bandSize == 0)
     val spark = batch.sparkSession
+    // the long cast below would silently NULL a non-integral id — every
+    // candidate filter then drops every row and the stage finds nothing,
+    // diverging from the batch path without an error. Guard first.
+    locally {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = batch.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"cosineLshIncrement needs integral ids; '$idCol' is $dt — map ids " +
+          "to longs (dictionary join / dense rank) first")
+    }
     graft.functions.GraftFunctions.register(spark)
     Dedup.finishCrashedSwap(spark, index.bandsTable)
     Dedup.finishCrashedSwap(spark, index.vecsTable)
@@ -419,7 +429,9 @@ object Similarity {
       .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val exists = spark.catalog.tableExists(index.bandsTable)
+      // BOTH tables (the minHashLshIncrement first-batch-crash argument)
+      val exists = spark.catalog.tableExists(index.bandsTable) &&
+        spark.catalog.tableExists(index.vecsTable)
       val bands = srpBands(base, numBits, bandSize)
       val inBatch = bands.toDF("id_a", "band", "bv")
         .join(bands.toDF("id_b", "band", "bv"), Seq("band", "bv"))
@@ -457,7 +469,7 @@ object Similarity {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(pairsDir)
       val mode = if (exists) "append" else "overwrite"
-      srpBands(base, numBits, bandSize).write.mode(mode).format("parquet")
+      bands.write.mode(mode).format("parquet")
         .bucketBy(index.numBuckets, "band", "bv").saveAsTable(index.bandsTable)
       base.select("id", "v", "nrm").write.mode(mode).format("parquet")
         .bucketBy(index.numBuckets, "id").saveAsTable(index.vecsTable)

@@ -134,6 +134,23 @@ class ExtensionsSpec extends SparkSpec {
     } finally state.dropTables(spark)
   }
 
+  test("a first-batch crash between the two registry writes recovers on replay") {
+    import spark.implicits._
+    val state = Dedup.ClusterState("tclus2", numBuckets = 4)
+    state.dropTables(spark)
+    // simulate the crash window: byDoc committed, byCluster never written —
+    // the replay must treat the half-created state as a fresh registry
+    // (reads would see batch_id < 0 = nothing anyway) instead of throwing
+    // on the missing table forever
+    Seq((1L, 1L, 0L)).toDF("doc_id", "cluster_id", "batch_id")
+      .write.format("parquet").bucketBy(4, "doc_id").saveAsTable(state.byDocTable)
+    Dedup.clusterIncrement(Seq((1L, 2L)).toDF("d1", "d2"), state, batchId = 0L)
+    val m = Dedup.clusterMapping(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    state.dropTables(spark)
+    assert(m === Map(1L -> 1L, 2L -> 1L), s"replay after partial create: $m")
+  }
+
   test("connectedComponents handles empty pair sets and self-pairs") {
     import spark.implicits._
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() === 0L)
