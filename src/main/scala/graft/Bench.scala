@@ -214,6 +214,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // queries that failed SOME runs but not all: the median over survivors
+    // is still reported, but the failure must not be invisible — a
+    // recurring partial failure (leaked state, nondeterminism) looks
+    // exactly like a healthy query without this
+    val flaky = scala.collection.mutable.LinkedHashSet.empty[String]
     var storagePeak = 0L
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
@@ -232,8 +237,10 @@ object Bench {
         } catch { case _: Throwable => None }
       }
       // -1 + errors entry = failed EVERY run (never report a crash as a
-      // fast success); a single-run hiccup with surviving runs is noise
+      // fast success); a single-run hiccup with surviving runs reports in
+      // `flaky` (its median still counts)
       if (times.isEmpty) errors += name
+      else if (times.length < RunsPerQuery) flaky += name
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     // x18 per-stage attribution: the pipeline is the bench's most expensive
@@ -271,12 +278,14 @@ object Bench {
     val st = streaming.map { case (k, v) => s"\"" + k + "\":" + math.round(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stJ = x18Stages.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$RunsPerQuery,"stat":"median","isolation":"cache-cleared-per-run",""" +
-      s""""storage_peak_bytes":$storagePeak,"errors":$errJson,"x18_stages":$stJ,""" +
+      s""""storage_peak_bytes":$storagePeak,"errors":$errJson,"flaky":$flakyJson,""" +
+      s""""x18_stages":$stJ,""" +
       s""""streaming":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
