@@ -266,6 +266,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental cluster registry equals batch components on random edge streams") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // random sparse graphs over a small id space force chains, merges of
+    // previously-separate components across chunk boundaries, self-pairs,
+    // and re-seen edges; random 3-way ordered splits exercise the
+    // endpoint-probe + member-expansion paths on every shape
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 29L)
+      b <- Gen.choose(0L, 29L)
+    } yield (math.min(a, b), math.max(a, b)))
+    for (seed <- 70L to 72L) {
+      val edges = sample(edgeGen, seed)
+      val cuts = sample(Gen.listOfN(2, Gen.choose(1, 24)), seed * 5 + 3).distinct.sorted
+      val chunks = (0 +: cuts :+ 25).distinct.sliding(2).toList
+      val state = Dedup.ClusterState(s"pclus_$seed", numBuckets = 4)
+      state.dropTables(spark)
+      chunks.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        Dedup.clusterIncrement(edges.slice(lo, hi).toDF("d1", "d2"), state, i.toLong)
+        // fold history mid-stream on the first boundary: later increments
+        // must see the same mapping through the compacted tables
+        if (i == 0) Dedup.clusterCompact(spark, state, uptoBatch = 0L)
+      }
+      val got = Dedup.clusterMapping(spark, state)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release(spark)
+      state.dropTables(spark)
+      assert(got == want, s"seed $seed (cuts $cuts): incremental $got != batch $want")
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
