@@ -270,6 +270,46 @@ object Bench {
         Caching.release(spark)
         spark.catalog.clearCache()
       }
+    // x33 per-batch attribution: continuous curation is the bench's most
+    // expensive line and is ~all fixed per-micro-batch overhead — split it
+    // so a regression names a batch: batch 0 creates every state table
+    // cold, batch 1 exercises the cross-batch probe paths (hash anti-join,
+    // LSH index probe, offsets carry). Timed once, attribution only.
+    val x33Batches: Seq[(String, Double)] =
+      try {
+        Caching.release(spark)
+        spark.catalog.clearCache()
+        val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+        val train = docs.filter(col("doc_id") % 10 =!= 7)
+        val cfg = Queries.X18Config.copy(maxGramDf = None)
+        val state = graft.ext.CurationPipeline.StreamState(
+          s"bench_x33_${java.lang.Long.toHexString(System.nanoTime())}",
+          java.nio.file.Files.createTempDirectory("graft_bench_x33").toString,
+          numBuckets = 8)
+        val hg = graft.ext.CurationPipeline.holdoutGramSet(
+          docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", cfg)
+        val mx = train.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          Seq(0L, 1L).map { i =>
+            val lo = mx * i / 2
+            val hi = if (i == 1) mx + 1 else mx / 2
+            val t0 = System.nanoTime()
+            graft.ext.CurationPipeline.streamIncrement(
+              train.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              "doc_id", "text", Some(hg), cfg, state, batchId = i)
+            s"batch$i" -> (System.nanoTime() - t0) / 1e9
+          }
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          state.dropTables(spark)
+        }
+      } catch { case _: Throwable => errors += "x33_batches"; Seq.empty }
+      finally {
+        Caching.release(spark)
+        spark.catalog.clearCache()
+      }
     val streaming =
       try streamingBench(spark)
       catch { case _: Throwable => errors += "streaming_bench"; Map.empty[String, Double] }
@@ -281,11 +321,13 @@ object Bench {
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stJ = x18Stages.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val x33J = x33Batches.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$RunsPerQuery,"stat":"median","isolation":"cache-cleared-per-run",""" +
       s""""storage_peak_bytes":$storagePeak,"errors":$errJson,"flaky":$flakyJson,""" +
-      s""""x18_stages":$stJ,""" +
+      s""""x18_stages":$stJ,"x33_batches":$x33J,""" +
       s""""streaming":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
