@@ -36,6 +36,45 @@ object Bench {
 
   private val RunsPerQuery = 3
 
+  /** Queries whose protocol mutates shared JVM/session state (catalog
+    * tables, state-store providers, streaming checkpoints) rather than just
+    * reading parquet. They run AFTER every plain batch query: r6's official
+    * bench measured x02 at 37.4 s where a fresh JVM ran it in 3.3 s — the
+    * inflation was state-store providers and GC debt these queries left
+    * behind leaking into whichever batch queries the Map ordering happened
+    * to run next.
+    */
+  private val StreamingProtocolQueries = Set(
+    "x30_dedup_minhash_stream", "x31_ann_ivf_index", "x33_curation_stream",
+    "x38_ann_ivf_append", "x39_cluster_stream")
+
+  /** Unload every loaded streaming state-store provider + collect garbage —
+    * the per-run isolation barrier for BOTH the batch and streaming loops.
+    * StateStore.unloadAll() is private[sql] (it is the hook Spark's own
+    * state-store tests use between queries) — invoked reflectively; this is
+    * bench-harness isolation, not engine code. The lookup is resolved once
+    * and guarded: a Spark upgrade that renames the API degrades isolation
+    * to System.gc() (with one stderr note) instead of aborting the bench.
+    */
+  private lazy val unloadAllHook: Option[() => Unit] =
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val m = cls.getMethod("unloadAll")
+      val module = cls.getField("MODULE$").get(null)
+      Some(() => { m.invoke(module); () })
+    } catch {
+      case _: Throwable =>
+        System.err.println(
+          "bench: StateStore.unloadAll unavailable; isolation degrades to System.gc() only")
+        None
+    }
+
+  private def isolate(): Unit = {
+    unloadAllHook.foreach(h => try h() catch { case _: Throwable => () })
+    System.gc()
+  }
+
   /** Storage currently pinned by persisted RDDs (memory + disk), bytes. */
   private def storageBytes(spark: SparkSession): Long =
     spark.sparkContext.getRDDStorageInfo
@@ -121,8 +160,8 @@ object Bench {
       (lww, left, right, ttLeft, ttRight, dedup)
     }
 
-    // Per-query isolation mirroring the batch side's cache-clearing: drop
-    // every loaded state-store provider (each finished query leaves its
+    // Per-query isolation via the shared [[isolate]] barrier: drop every
+    // loaded state-store provider (each finished query leaves its
     // providers' version maps loaded until maintenance unloads them) and
     // collect garbage, so a query's rate is not a function of which queries
     // ran before it in this JVM. Root cause of the r5 "tableTableJoin
@@ -130,16 +169,6 @@ object Bench {
     // 4-5x faster (276-383k rows/s), and repeated runs of the SAME query
     // in one JVM spanned 148k-456k — the median was measuring accumulated
     // JVM/GC context, not the operator.
-    def isolate(): Unit = {
-      // StateStore.unloadAll() is private[sql] (it is the hook Spark's own
-      // state-store tests use between queries) — invoke reflectively; this
-      // is bench-harness isolation, not engine code
-      val cls = Class.forName(
-        "org.apache.spark.sql.execution.streaming.state.StateStore$")
-      cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
-      System.gc()
-    }
-
     def run(n: Int, staged: (Dataset[KRecord[Long, String]], Dataset[KRecord[Long, String]],
             Dataset[KRecord[Long, Long]], Dataset[KRecord[Long, String]],
             Dataset[KRecord[Long, Long]], org.apache.spark.sql.DataFrame)): (Double, Double, Double, Double) = {
@@ -220,12 +249,21 @@ object Bench {
     // exactly like a healthy query without this
     val flaky = scala.collection.mutable.LinkedHashSet.empty[String]
     var storagePeak = 0L
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Plain batch queries run FIRST (name order — deterministic, readable
+    // JSON), the streaming-protocol queries LAST: their per-micro-batch
+    // state (providers, metastore churn, checkpoints) must pollute only
+    // each other's neighborhood, never the plain queries' measurements.
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (StreamingProtocolQueries.contains(name), name)
+    }
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
-        // per-run isolation: no run inherits cached state from any prior
-        // run or query (see the protocol note in the scaladoc)
+        // per-run isolation: no run inherits cached state, loaded
+        // state-store providers, or GC debt from any prior run or query
+        // (see the protocol note in the scaladoc)
         Caching.release(spark)
         spark.catalog.clearCache()
+        isolate()
         val t0 = System.nanoTime()
         // noop sink materializes every column of every row (count() would let
         // Catalyst prune the projections and flatter the numbers)
@@ -241,8 +279,18 @@ object Bench {
       // `flaky` (its median still counts)
       if (times.isEmpty) errors += name
       else if (times.length < RunsPerQuery) flaky += name
+      // fail-fast-visibly on catalog leaks: a query that leaves tables
+      // behind (a missed finally in its protocol) would silently tax every
+      // subsequent query's metastore; name it in errors AND drop the
+      // leftovers so the damage stops here
+      val leaked = spark.catalog.listTables().collect()
+        .filter(t => t.tableType != "TEMPORARY" && !t.isTemporary)
+      if (leaked.nonEmpty) {
+        errors += s"leaked_tables:$name:" + leaked.map(_.name).mkString("+")
+        leaked.foreach(t => graft.sinks.Sinks.dropTableAndLocation(spark, t.name))
+      }
       name -> (if (times.isEmpty) -1.0 else median(times))
-    }
+    }.toMap
     // x18 per-stage attribution: the pipeline is the bench's most expensive
     // query, so its time is broken down by stage (a regression then names a
     // stage, not "the pipeline"). Stages materialize IN ORDER with each
