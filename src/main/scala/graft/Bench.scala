@@ -30,7 +30,24 @@ import graft.streaming.StatefulOps
   * shape is attributable at a glance.
   *
   * A query that fails every run reports -1 and is named in "errors" — a
-  * crash must not masquerade as a fast success.
+  * crash must not masquerade as a fast success. "errors" contains ONLY
+  * query/section names; catalog leaks are reported separately (see below).
+  *
+  * Output protocol (round 8): TWO stdout JSON lines. The driver keeps only
+  * the TAIL of stdout, and the previous single giant line printed the total
+  * first — so BENCH_r06/r07 recorded `parsed: null` with the total and ~12
+  * queries truncated away. Now a large DETAIL line (per-run times arrays,
+  * stage/batch attribution, storage peak) prints FIRST and a compact
+  * SUMMARY line (per-query medians at 3 decimals, total, errors, flaky,
+  * leaks, streaming) prints LAST, so tail-capture always yields a complete
+  * parseable summary, and a systematic all-runs-slow query is
+  * distinguishable from one-run jitter via the detail arrays.
+  *
+  * Catalog-leak policy: a pre-loop sweep drops tables left by a previous
+  * crashed JVM and reports them as "preexisting:<table>" in "leaks" (not
+  * blamed on any query). The leak check then runs INSIDE the per-run loop,
+  * so a table leaked by run 1 cannot pollute runs 2-3 of the same query;
+  * entries are "<query>:<table>" in the dedicated "leaks" field.
   */
 object Bench {
 
@@ -248,15 +265,40 @@ object Bench {
     // recurring partial failure (leaked state, nondeterminism) looks
     // exactly like a healthy query without this
     val flaky = scala.collection.mutable.LinkedHashSet.empty[String]
+    // "<origin>:<table>" per leaked catalog table; origin is "preexisting"
+    // (pre-loop sweep) or the query whose run left it behind
+    val leaks = scala.collection.mutable.LinkedHashSet.empty[String]
     var storagePeak = 0L
-    // Plain batch queries run FIRST (name order — deterministic, readable
-    // JSON), the streaming-protocol queries LAST: their per-micro-batch
-    // state (providers, metastore churn, checkpoints) must pollute only
-    // each other's neighborhood, never the plain queries' measurements.
+
+    /** Drop every non-temporary catalog table, charging each to `origin` in
+      * `leaks`. Detection must not mask a healthy run: listTables failure
+      * (e.g. a corrupt metastore) is itself surfaced as a leak entry.
+      */
+    def sweepLeaks(origin: String): Unit =
+      try {
+        val leaked = spark.catalog.listTables().collect()
+          .filter(t => t.tableType != "TEMPORARY" && !t.isTemporary)
+        leaked.foreach { t =>
+          leaks += s"$origin:${t.name}"
+          graft.sinks.Sinks.dropTableAndLocation(spark, t.name)
+        }
+      } catch { case _: Throwable => leaks += s"$origin:listTables-failed" }
+
+    // Pre-loop sweep: Derby metastore + spark-warehouse persist across JVMs,
+    // so a previous crashed run's tables would otherwise be blamed on (and
+    // slow down) whichever query runs first.
+    sweepLeaks("preexisting")
+
+    // Plain batch queries run FIRST (name order — deterministic), the
+    // streaming-protocol queries LAST: their per-micro-batch state
+    // (providers, metastore churn, checkpoints) must pollute only each
+    // other's neighborhood, never the plain queries' measurements.
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (StreamingProtocolQueries.contains(name), name)
     }
-    val results = ordered.map { case (name, fn) =>
+    // name -> every surviving run time, in run order (Seq, not Map: JSON
+    // emission preserves this execution order)
+    val runTimes: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
         // per-run isolation: no run inherits cached state, loaded
         // state-store providers, or GC debt from any prior run or query
@@ -267,30 +309,28 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink materializes every column of every row (count() would let
         // Catalyst prune the projections and flatter the numbers)
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          storagePeak = math.max(storagePeak, storageBytes(spark))
-          Some(dt)
-        } catch { case _: Throwable => None }
+        val dt =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            storagePeak = math.max(storagePeak, storageBytes(spark))
+            Some(t)
+          } catch { case _: Throwable => None }
+        // leak check per RUN (one cheap metastore listing), not per query:
+        // a table leaked by run 1 must not tax runs 2-3 of the same query
+        sweepLeaks(name)
+        dt
       }
       // -1 + errors entry = failed EVERY run (never report a crash as a
       // fast success); a single-run hiccup with surviving runs reports in
       // `flaky` (its median still counts)
       if (times.isEmpty) errors += name
       else if (times.length < RunsPerQuery) flaky += name
-      // fail-fast-visibly on catalog leaks: a query that leaves tables
-      // behind (a missed finally in its protocol) would silently tax every
-      // subsequent query's metastore; name it in errors AND drop the
-      // leftovers so the damage stops here
-      val leaked = spark.catalog.listTables().collect()
-        .filter(t => t.tableType != "TEMPORARY" && !t.isTemporary)
-      if (leaked.nonEmpty) {
-        errors += s"leaked_tables:$name:" + leaked.map(_.name).mkString("+")
-        leaked.foreach(t => graft.sinks.Sinks.dropTableAndLocation(spark, t.name))
-      }
+      name -> times
+    }
+    val results: Seq[(String, Double)] = runTimes.map { case (name, times) =>
       name -> (if (times.isEmpty) -1.0 else median(times))
-    }.toMap
+    }
     // x18 per-stage attribution: the pipeline is the bench's most expensive
     // query, so its time is broken down by stage (a regression then names a
     // stage, not "the pipeline"). Stages materialize IN ORDER with each
@@ -301,6 +341,10 @@ object Bench {
       try {
         Caching.release(spark)
         spark.catalog.clearCache()
+        // full isolation barrier, not just cache release: this block runs
+        // right after the five streaming-protocol queries, whose provider/
+        // GC debt inflated the r7 stage sum 9.1 → 24.6 s on unchanged code
+        isolate()
         val docs = graft.sources.Tables.load(spark, sfDir, "documents")
         val stages = graft.ext.CurationPipeline.stageOutputs(
           docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
@@ -327,6 +371,7 @@ object Bench {
       try {
         Caching.release(spark)
         spark.catalog.clearCache()
+        isolate() // same barrier as x18Stages — see comment there
         val docs = graft.sources.Tables.load(spark, sfDir, "documents")
         val train = docs.filter(col("doc_id") % 10 =!= 7)
         val cfg = Queries.X18Config.copy(maxGramDf = None)
@@ -361,22 +406,39 @@ object Bench {
     val streaming =
       try streamingBench(spark)
       catch { case _: Throwable => errors += "streaming_bench"; Map.empty[String, Double] }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // 3-decimal fixed-point, locale-independent (a comma decimal separator
+    // would corrupt the JSON)
+    def f3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def strArr(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // serialize from the ordered Seqs directly — a .toMap here would rehash
+    // into hash order and lose the deterministic name-order emission
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val st = streaming.map { case (k, v) => s"\"" + k + "\":" + math.round(v) }
+    val runsJ = runTimes.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val st = streaming.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val stJ = x18Stages.map { case (k, v) => s"\"" + k + "\":" + v }
+    val stJ = x18Stages.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val x33J = x33Batches.map { case (k, v) => s"\"" + k + "\":" + v }
+    val x33J = x33Batches.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs_per_query":$RunsPerQuery,"stat":"median","isolation":"cache-cleared-per-run",""" +
-      s""""storage_peak_bytes":$storagePeak,"errors":$errJson,"flaky":$flakyJson,""" +
-      s""""x18_stages":$stJ,"x33_batches":$x33J,""" +
-      s""""streaming":$st,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // DETAIL line first (large, safe to truncate): per-run times arrays so a
+    // systematic all-runs-slow query is distinguishable from one-run jitter,
+    // plus the attribution blocks and storage peak.
+    println(s"""{"detail":true,"runs":$runsJ,"x18_stages":$stJ,"x33_batches":$x33J,""" +
+      s""""storage_peak_bytes":$storagePeak,"runs_per_query":$RunsPerQuery}""")
+    // SUMMARY line LAST — the driver tail-captures stdout, so this compact
+    // line is what survives; it alone must satisfy the driver's contract
+    // (metric/value/unit/queries/sf).
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""stat":"median","runs_per_query":$RunsPerQuery,"errors":${strArr(errors)},""" +
+      s""""flaky":${strArr(flaky)},"leaks":${strArr(leaks)},"streaming":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
