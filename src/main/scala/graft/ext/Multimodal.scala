@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * partition, vectorized batches of rows — the Scala analog of
   * `mapInPandas`).
   *
-  * The container has no codec libraries, so the decode kernels are STUBS
-  * with deterministic fakes; the Spark-side contract — schema, partitioning,
-  * batch shape, null handling — is real and tested. Swap [[StubCodecs]] for
-  * a real JNI/ffmpeg-backed codec to productionize.
+  * IMAGE decode is REAL: [[ImageCodecs]] uses JDK ImageIO (PNG/JPEG/BMP/GIF
+  * readers ship with the JRE — no external codec library needed) for
+  * metadata, resize/re-encode, and the perceptual-hash pixel grid. A payload
+  * no ImageIO reader accepts falls back to the deterministic [[StubCodecs]]
+  * fakes, so non-image bytes still flow through the same schema instead of
+  * failing the stage. Video frame sampling and the visual-embedding
+  * extractor remain stubs (no video codec / vision encoder in the JRE) —
+  * swap those kernels for JNI/ffmpeg/ONNX in production; signatures and
+  * batch shape stay the same.
   */
 object Multimodal {
 
@@ -73,22 +78,191 @@ object Multimodal {
     }
   }
 
-  /** Decode image metadata for every row. One decoder per partition; rows
-    * stream through without buffering the partition.
+  /** REAL image codec kernels over JDK ImageIO. Every entry point is total:
+    * a payload no allow-listed reader claims falls back to [[StubCodecs]]'
+    * deterministic fakes, so arbitrary bytes flow through the same schema
+    * instead of failing the stage. All methods are pure functions of the
+    * payload bytes (no wall clock, no RNG) — decode twice, get identical
+    * results, which is what lets the DuckDB oracle predict decoded values
+    * for synthesized inputs.
+    */
+  object ImageCodecs {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // never spill decode scratch to disk: executors shouldn't touch /tmp
+    ImageIO.setUseCache(false)
+
+    /** Formats we trust the magic-byte probe for. WBMP is deliberately
+      * excluded: its header has no magic, so its reader false-positives on
+      * arbitrary binary — which would nondeterministically steal rows from
+      * the stub fallback path.
+      */
+    private val AllowedFormats = Set("png", "jpeg", "gif", "bmp")
+
+    /** (formatName, width, height, numComponents) via the reader's header
+      * probe — no pixel decode, O(header) per row.
+      */
+    def probe(payload: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      val iis =
+        try ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (iis == null) None
+      else try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            val fmt = r.getFormatName.toLowerCase
+            if (!AllowedFormats(fmt)) None
+            else {
+              r.setInput(iis)
+              val types = r.getImageTypes(0)
+              val channels =
+                if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+              Some((fmt, r.getWidth(0), r.getHeight(0), channels))
+            }
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+    /** Full pixel decode, `None` for anything the allowlist rejects. */
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      if (probe(payload).isEmpty) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+
+    def imageMeta(id: Long, payload: Array[Byte]): MediaMeta = probe(payload) match {
+      case Some((fmt, w, h, ch)) => MediaMeta(id, payload.length.toLong, w, h, ch, fmt)
+      case None                  => StubCodecs.imageMeta(id, payload)
+    }
+
+    /** Downscale so max(width,height) == maxDim, preserving aspect ratio
+      * with floor integer math (`ow = max(1, w*maxDim/max(w,h))`) — the
+      * exact formula the x14 oracle mirrors in SQL. Already-small images
+      * pass through byte-identical; output re-encodes as PNG (lossless, so
+      * a follow-up decode sees exactly the scaled dimensions).
+      */
+    def resize(payload: Array[Byte], maxDim: Int): Array[Byte] = decode(payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight; val m = math.max(w, h)
+        if (m <= maxDim) payload
+        else {
+          val ow = math.max(1, w * maxDim / m)
+          val oh = math.max(1, h * maxDim / m)
+          val out = new BufferedImage(ow, oh, BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, ow, oh, null) finally g.dispose()
+          encodePng(out)
+        }
+      case None => StubCodecs.resize(payload, maxDim)
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Integer BT.601 luma — for single-band (gray) rasters this reads the
+      * raw sample (r=g=b=v ⇒ (299v+587v+114v)/1000 = v exactly), which is
+      * what makes the gray-PNG pHash oracle bit-exact.
+      */
+    private def luma(raster: java.awt.image.Raster, bands: Int, x: Int, y: Int): Int =
+      if (bands == 1) raster.getSample(x, y, 0)
+      else {
+        val r = raster.getSample(x, y, 0)
+        val g = raster.getSample(x, y, math.min(1, bands - 1))
+        val b = raster.getSample(x, y, math.min(2, bands - 1))
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+
+    /** `cols`×`rows` luminance grid, row-major. Matching dimensions read
+      * samples 1:1 (bit-exact); anything else area-average-pools by hand —
+      * deterministic floor math, no AWT resampling (whose interpolation is
+      * JVM-version-dependent).
+      */
+    def luminanceGrid(img: BufferedImage, cols: Int, rows: Int): Array[Int] = {
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val w = img.getWidth; val h = img.getHeight
+      if (w == cols && h == rows)
+        Array.tabulate(cols * rows)(i => luma(raster, bands, i % cols, i / cols))
+      else
+        Array.tabulate(cols * rows) { i =>
+          val c = i % cols; val r = i / cols
+          val x0 = c * w / cols; val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+          val y0 = r * h / rows; val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) { sum += luma(raster, bands, x, y); n += 1; x += 1 }
+            y += 1
+          }
+          if (n == 0) 0 else (sum / n).toInt
+        }
+    }
+
+    /** Deterministic RGB test image: pixel = splitmix64(seed, x, y). The
+      * correctness queries synthesize these in-query so the oracle can
+      * predict what a REAL decode must report.
+      */
+    def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var z = seed + x.toLong * 0x9E3779B97F4A7C15L + y.toLong * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          img.setRGB(x, y, (z ^ (z >>> 31)).toInt & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Lossless 8-bit grayscale PNG from explicit row-major pixel values —
+      * the x32 oracle's bridge: it predicts these very samples back out of
+      * the real decode.
+      */
+    def grayPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+      require(pixels.length == width * height, "pixels must be width*height row-major")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < pixels.length) { raster.setSample(i % width, i / width, 0, pixels(i) & 0xff); i += 1 }
+      encodePng(img)
+    }
+  }
+
+  /** Decode image metadata for every row — REAL ImageIO header probe with
+    * stub fallback. One decoder per partition; rows stream through without
+    * buffering the partition.
     */
   def decodeImageMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
     media.mapPartitions { it =>
       // per-partition decoder init would go here (JNI context, thread pools)
-      it.map(r => StubCodecs.imageMeta(r.id, r.payload))
+      it.map(r => ImageCodecs.imageMeta(r.id, r.payload))
     }(Encoders.product[MediaMeta])
 
   /** Sample frames from a video payload, 1→N. */
   def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] =
     media.mapPartitions(_.flatMap(r => StubCodecs.frames(r.id, r.payload)))(Encoders.product[Frame])
 
-  /** Resize/re-encode every payload (1→1 binary→binary, narrow). */
+  /** Resize/re-encode every payload (1→1 binary→binary, narrow) — REAL
+    * ImageIO decode→scale→PNG re-encode, stub fallback for non-images.
+    */
   def resizeImages(media: Dataset[MediaRow], maxDim: Int = 224): Dataset[MediaRow] =
-    media.mapPartitions(_.map(r => MediaRow(r.id, StubCodecs.resize(r.payload, maxDim))))(
+    media.mapPartitions(_.map(r => MediaRow(r.id, ImageCodecs.resize(r.payload, maxDim))))(
       Encoders.product[MediaRow])
 
   final case class MediaEmbedding(id: Long, embedding: Array[Float])
@@ -109,46 +283,79 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).cast("binary").as("payload")).as(enc)
   }
 
-  /** 60-bit perceptual difference-hash (dHash) over a codec-free STUB
-    * decode — the image-dedup path the container's missing codec libraries
-    * allow. Real dHash: resize to a (rows+1)-wide grayscale grid, set one
-    * bit per adjacent-pixel comparison; near-identical images then differ
-    * in few bits, found via [[graft.ext.Dedup.simHashPairs]]' pigeonhole
-    * bands — NEVER an all-pairs compare. The stub decode stands in for
-    * resize+grayscale with a deterministic locality-preserving sample:
-    * pixel (r,c) = first md5 byte of the fixed-stride payload window at
-    * index r*11+c (matching windows ⇒ matching pixels, so payloads sharing
-    * most content share most bits; windows past the payload end hash ""
-    * and contribute constant pixels). Swapping in a real decoder changes
-    * ONLY the pixel function — grid, banding and pair search stay.
+  /** 60-bit perceptual difference-hash (dHash): REAL ImageIO decode to an
+    * 11×6 grayscale luminance grid, one bit per adjacent-pixel comparison;
+    * near-identical images then differ in few bits, found via
+    * [[graft.ext.Dedup.simHashPairs]]' pigeonhole bands — NEVER an
+    * all-pairs compare. Because the hash survives lossless re-encoding
+    * (PNG↔BMP of the same pixels decodes to the same grid), byte-level
+    * dedup misses those duplicates but pHash catches them.
     *
-    * Entirely codegen built-ins (md5/substring/conv), reproducible by the
-    * DuckDB oracle (x32). The payload is interpreted as UTF-8 text and
-    * windowed by CHARACTERS — part of the stub contract (a byte windowing
-    * would be unreproducible in portable SQL for multi-byte text).
+    * A payload ImageIO rejects falls back to a deterministic text
+    * fingerprint on the SAME grid: pixel (r,c) = first md5 byte of the
+    * 8-char stride-7 window at code-point offset (r*11+c)*7 of the UTF-8
+    * text (matching windows ⇒ matching pixels, so payloads sharing most
+    * content share most bits; windows past the end hash "" and contribute
+    * constant pixels). Both paths are reproduced by the DuckDB oracle
+    * (x32): the image path via synthesized gray PNGs whose samples the
+    * oracle predicts, the text path via md5/substr transcription.
     *
-    * Known hazard (shared with real dHash): LOW-TEXTURE payloads — here,
-    * ones shorter than the ~460-unit sampled range; in production, flat or
-    * near-empty images — collapse toward few distinct hashes and pair
-    * densely, making their bands hot join keys. Filter degenerate payloads
-    * upstream (length/quality gates) before pairing a 100 TB corpus, the
-    * same stance as [[graft.ext.Dedup.jaccardPairs]]' df cap.
+    * Known hazard (shared with any dHash): LOW-TEXTURE inputs — flat or
+    * near-empty images, texts shorter than the ~460-char sampled range —
+    * collapse toward few distinct hashes and pair densely, making their
+    * bands hot join keys. Filter degenerate payloads upstream
+    * (length/quality gates) before pairing a 100 TB corpus, the same
+    * stance as [[graft.ext.Dedup.jaccardPairs]]' df cap.
     *
     * Output (id, simhash) feeds [[graft.ext.Dedup.simHashPairs]] directly.
     */
   def pHash(media: DataFrame, idCol: String = "id",
             payloadCol: String = "payload"): DataFrame = {
-    val window = 8
-    val stride = 7
-    val text = col(payloadCol).cast("string")
-    def pixel(idx: Int) =
-      conv(substring(md5(substring(text, 1 + idx * stride, window)), 1, 2), 16, 10)
-        .cast("long")
-    val bits =
-      for (r <- 0 until 6; c <- 0 until 10)
-        yield when(pixel(r * 11 + c) < pixel(r * 11 + c + 1),
-          lit(1L << (r * 10 + c))).otherwise(lit(0L))
-    media.select(col(idCol).as("id"), bits.reduce(_ + _).as("simhash"))
+    val hashUdf = udf((payload: Array[Byte]) => pHash60(payload))
+    media.select(col(idCol).as("id"), hashUdf(col(payloadCol).cast("binary")).as("simhash"))
+  }
+
+  private[ext] val PHashCols = 11
+  private[ext] val PHashRows = 6
+
+  /** The pHash kernel: decode→11×6 luminance grid (stub text fingerprint on
+    * decode failure), then dHash bit (r*10+c) = grid(r,c) < grid(r,c+1).
+    */
+  def pHash60(payload: Array[Byte]): Long = {
+    val px = ImageCodecs.decode(payload) match {
+      case Some(img) => ImageCodecs.luminanceGrid(img, PHashCols, PHashRows)
+      case None      => stubTextPixels(payload)
+    }
+    var bits = 0L
+    var r = 0
+    while (r < PHashRows) {
+      var c = 0
+      while (c < PHashCols - 1) {
+        if (px(r * PHashCols + c) < px(r * PHashCols + c + 1))
+          bits |= 1L << (r * (PHashCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Text-fingerprint fallback grid: pixel idx = first md5 byte of the
+    * 8-char window at CODE-POINT offset idx*7 — code points, not UTF-16
+    * units or bytes, because that is what SQL `substr` counts in both
+    * Spark and DuckDB (the oracle transcribes this formula verbatim).
+    */
+  private[ext] def stubTextPixels(payload: Array[Byte]): Array[Int] = {
+    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val nCp = text.codePointCount(0, text.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(PHashCols * PHashRows) { idx =>
+      val s = math.min(idx * 7, nCp)
+      val e = math.min(idx * 7 + 8, nCp)
+      val window = text.substring(text.offsetByCodePoints(0, s), text.offsetByCodePoints(0, e))
+      md.reset()
+      md.digest(window.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+    }
   }
 
   /** Near-duplicate image pairs: Hamming distance <= maxHamming over
