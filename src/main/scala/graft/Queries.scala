@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GStream
@@ -37,6 +37,78 @@ object Queries {
     * least indicative of copying).
     */
   val FingerprintDfCap = 20L
+
+  /** Synthesized multimodal corpus for x11/x14: 2 of every 5 docs become
+    * REAL PNGs with doc_id-derived dimensions (w = id%29+3, h = id%23+3 —
+    * mixed above/below the x14 maxDim so both resize branches execute), the
+    * rest stay raw text exercising the stub fallback. The oracle predicts
+    * the decoded dimensions from the same arithmetic.
+    */
+  private val SynthPngUdf = udf((id: Long) =>
+    Multimodal.ImageCodecs.syntheticPng(((id % 29) + 3).toInt, ((id % 23) + 3).toInt, id))
+
+  private def synthImageMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] =
+    docs.select(col("doc_id").as("id"),
+      when(col("doc_id") % 5 < 2, SynthPngUdf(col("doc_id")))
+        .otherwise(col("text").cast("binary")).as("payload"))
+      .as(Encoders.product[Multimodal.MediaRow])
+
+  /** Run `body` with the named catalog tables' lifetime bound to it: the
+    * drops run in a `finally`, so a mid-run failure (a crashed stream, a
+    * lost executor) cannot strand state tables in the shared warehouse and
+    * tax every later query's metastore. `DROP TABLE IF EXISTS` is
+    * idempotent — dropping tables the body never got around to creating is
+    * a no-op, and a failed drop of one table must not mask the body's own
+    * exception (or skip the remaining drops).
+    */
+  private[graft] def withStateCleanup[A](cleanup: => Unit)(body: => A): A =
+    try body
+    finally { try cleanup catch { case _: Exception => () } }
+
+  private[graft] def withStateTables[A](s: SparkSession, tables: String*)(body: => A): A =
+    withStateCleanup(tables.foreach { tbl =>
+      try s.sql(s"DROP TABLE IF EXISTS $tbl")
+      catch { case _: Exception => () }
+    })(body)
+
+  /** Per-run scratch directory, registered for recursive deletion at JVM
+    * exit — the result DataFrames of the stateful queries lazily read from
+    * these, so deletion cannot happen any earlier than shutdown.
+    */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    ScratchDirs.add(dir)
+    dir
+  }
+
+  private object ScratchDirs {
+    private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+    def add(d: java.nio.file.Path): Unit = dirs.add(d)
+  }
+
+  /** Synthesized gray 11×6 PNGs for x32: pixel i = first md5 byte of
+    * "g<group>:<i>" (group = doc_id/5); the doc_id%5==1 near-dup shifts
+    * only the last pixel by +128 (mod 256), flipping at most dHash bit 59 —
+    * so the REAL decode must pair it with its base at Hamming <= 1. The
+    * oracle reproduces the pixel formula with md5/strpos transcription.
+    */
+  private val GrayPngUdf = udf { (id: Long) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = Array.tabulate(66) { i =>
+      md.reset()
+      md.digest(s"g${id / 5}:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+    }
+    if (id % 5 == 1) px(65) = (px(65) + 128) % 256
+    Multimodal.ImageCodecs.grayPng(px, 11, 6)
+  }
 
   /** x15 decontamination parameters, mirrored into the DuckDB oracle: the
     * published 13-gram recipe, holdout = doc_id % 10 == 7, boilerplate
@@ -209,7 +281,7 @@ object Queries {
     // batches must hash-match the batch x03 replay — same oracle.
     "x30_dedup_minhash_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x30")
+      val tmp = scratchDir("graft_x30")
       val staged = tmp.resolve("docs").toString
       // 3 parquet files + maxFilesPerTrigger=1 => a genuine multi-batch
       // ingest (cross-batch pairs must come from the index, not the batch).
@@ -222,23 +294,25 @@ object Queries {
       val suffix = java.lang.Long.toHexString(System.nanoTime())
       val idx = Dedup.LshIndex(s"x30_bands_$suffix", s"x30_shingles_$suffix", numBuckets = 8)
       val pairsDir = tmp.resolve("pairs").toString
-      // size the micro-batch shuffles like the streaming bench does: 32
+      // the emitted pairs are the result; the index tables are the run's
+      // state and are dropped with it — in a finally, so a mid-stream crash
+      // cannot strand them in the shared warehouse.
+      // Size the micro-batch shuffles like the streaming bench does: 32
       // partitions of tiny-task overhead dominate toy micro-batches
       // (production sizes this to the cluster); restored before returning
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = Dedup.minHashLshStream(stream, "doc_id", "text", 0.5, pairsDir, idx)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      // the emitted pairs are the result; the index tables are the run's
-      // state and are dropped with it. Schema declared, not inferred: a
-      // corpus with zero near-dup pairs leaves pairsDir without data files
-      // and inference would throw where the batch x03 returns empty
-      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+      withStateTables(s, idx.bandsTable, idx.shinglesTable) {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = Dedup.minHashLshStream(stream, "doc_id", "text", 0.5, pairsDir, idx)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      // Schema declared, not inferred: a corpus with zero near-dup pairs
+      // leaves pairsDir without data files and inference would throw where
+      // the batch x03 returns empty
       import org.apache.spark.sql.types._
       s.read.schema(StructType(Seq(
           StructField("d1", LongType), StructField("d2", LongType),
@@ -286,20 +360,23 @@ object Queries {
       val docs = t(s, dir, "documents")
       val suffix = java.lang.Long.toHexString(System.nanoTime())
       val state = Dedup.ClusterState(s"x39_$suffix", numBuckets = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x39")
+      val tmp = scratchDir("graft_x39")
       val pairs = graft.Caching.scoped(
         Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
           .select("d1", "d2"))
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        Seq(0L, 1L).foreach { i =>
-          Dedup.clusterIncrement(
-            pairs.filter(pmod(col("d1") + col("d2"), lit(2)) === i), state, batchId = i)
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      Dedup.clusterMapping(s, state).write.parquet(tmp.resolve("out").toString)
-      state.dropTables(s)
+      // state tables dropped in a finally (after the mapping materializes
+      // to scratch INSIDE the guarded body — it reads them)
+      withStateCleanup(state.dropTables(s)) {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          Seq(0L, 1L).foreach { i =>
+            Dedup.clusterIncrement(
+              pairs.filter(pmod(col("d1") + col("d2"), lit(2)) === i), state, batchId = i)
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        Dedup.clusterMapping(s, state).write.parquet(tmp.resolve("out").toString)
+      }
       s.read.parquet(tmp.resolve("out").toString)
     }),
 
@@ -361,14 +438,15 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val suffix = java.lang.Long.toHexString(System.nanoTime())
       val idx = Similarity.IvfIndex(s"x31_assign_$suffix", s"x31_codebook_$suffix", numBuckets = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x31")
-      Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 16, iters = 5)
-      // materialize the query result, then drop the run's index tables
-      Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
-        .select("query_id", "rank", "nbr_id")
-        .write.parquet(tmp.resolve("out").toString)
-      s.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
-      s.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+      val tmp = scratchDir("graft_x31")
+      // materialize the query result inside the guard, drop the run's index
+      // tables in its finally (a failed build/query must not strand them)
+      withStateTables(s, idx.assignmentsTable, idx.codebookTable) {
+        Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+        Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
+          .select("query_id", "rank", "nbr_id")
+          .write.parquet(tmp.resolve("out").toString)
+      }
       s.read.parquet(tmp.resolve("out").toString)
     }),
 
@@ -386,21 +464,24 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val suffix = java.lang.Long.toHexString(System.nanoTime())
       val idx = Similarity.IvfIndex(s"x38_assign_$suffix", s"x38_codebook_$suffix", numBuckets = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x38")
+      val tmp = scratchDir("graft_x38")
       val mx = emb.agg(max("vec_id")).head().getLong(0)
-      Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
-        "vec_id", "embedding", idx, nClusters = 16, iters = 5)
-      val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
-      val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
-      Similarity.ivfAppend(b1, "vec_id", "embedding", idx)
-      Similarity.ivfCompact(s, idx)
-      Similarity.ivfAppend(b2, "vec_id", "embedding", idx)
-      Similarity.ivfAppend(b2, "vec_id", "embedding", idx) // at-least-once replay
-      Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
-        .select("query_id", "rank", "nbr_id")
-        .write.parquet(tmp.resolve("out").toString)
-      s.sql(s"DROP TABLE IF EXISTS ${idx.assignmentsTable}")
-      s.sql(s"DROP TABLE IF EXISTS ${idx.codebookTable}")
+      // index tables dropped in a finally — a compaction or append crash
+      // must not strand them (incl. a mid-swap __compact sibling)
+      withStateTables(s, idx.assignmentsTable, idx.codebookTable,
+          idx.assignmentsTable + "__compact") {
+        Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+          "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+        val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
+        val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
+        Similarity.ivfAppend(b1, "vec_id", "embedding", idx)
+        Similarity.ivfCompact(s, idx)
+        Similarity.ivfAppend(b2, "vec_id", "embedding", idx)
+        Similarity.ivfAppend(b2, "vec_id", "embedding", idx) // at-least-once replay
+        Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
+          .select("query_id", "rank", "nbr_id")
+          .write.parquet(tmp.resolve("out").toString)
+      }
       s.read.parquet(tmp.resolve("out").toString)
     }),
 
@@ -423,33 +504,52 @@ object Queries {
       Dedup.fingerprintPairs(t(s, dir, "documents"), "doc_id", "text",
         minShared = 2L, maxFingerprintDf = Some(FingerprintDfCap))),
 
-    "x11_mm_image_meta" -> ((s, dir) =>
-      Multimodal.decodeImageMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF().select(col("id"), col("n_bytes"), col("width").cast("long").as("width"),
+    // REAL ImageIO decode under oracle check: 2 of every 5 docs become
+    // synthesized PNGs whose dimensions are a pure function of doc_id — the
+    // oracle predicts what a real header probe must report — and the rest
+    // stay raw text exercising the stub fallback. n_bytes is intentionally
+    // not projected: a PNG encoder's output size is deterministic but not
+    // SQL-expressible.
+    "x11_mm_image_meta" -> ((s, dir) => {
+      val media = synthImageMedia(t(s, dir, "documents"))
+      Multimodal.decodeImageMeta(media)
+        .toDF().select(col("id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("channels").cast("long").as("channels"),
-          col("format"))),
+          col("format"))
+    }),
 
     "x12_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF()),
 
-    // resize/re-encode (stub kernel; real 1→1 binary plumbing): verify via
-    // the deterministic output size
-    "x14_mm_resize" -> ((s, dir) =>
-      Multimodal.resizeImages(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF().select(col("id"), length(col("payload")).cast("long").as("n_bytes"))),
+    // REAL resize under oracle check: decode the synthesized PNGs, downscale
+    // to maxDim=16 with the floor formula ImageCodecs.resize documents,
+    // re-decode the output — the oracle predicts the scaled dimensions with
+    // the same integer math. Text rows ride the stub (every-other-byte)
+    // fallback, verified via output size.
+    "x14_mm_resize" -> ((s, dir) => {
+      val media = synthImageMedia(t(s, dir, "documents"))
+      val resized = Multimodal.resizeImages(media, maxDim = 16)
+      // one narrow pass: MediaMeta.n_bytes is the resized payload length, so
+      // no self-join is needed; rows are discriminated by the same doc_id
+      // rule that synthesized them (the stub's format field can collide with
+      // "png" by its length%3 formula, so format is NOT a valid switch)
+      Multimodal.decodeImageMeta(resized).toDF()
+        .select(col("id"),
+          when(col("id") % 5 < 2, col("width").cast("long")).otherwise(lit(-1L)).as("width"),
+          when(col("id") % 5 < 2, col("height").cast("long")).otherwise(lit(-1L)).as("height"),
+          when(col("id") % 5 >= 2, col("n_bytes")).otherwise(lit(-1L)).as("n_bytes"))
+    }),
 
-    // perceptual-hash image dedup (codec-free dHash): like x24, the test
-    // corpus carries no natural image dups, so deterministic media are
-    // synthesized from doc_id identically in both engines — per group of 5
-    // docs, one base "image", one near-dup of it (a byte appended: only the
-    // final sample windows move, Hamming <= 2), three unrelated real texts.
-    // The kernel + pigeonhole band search are what's under test.
+    // perceptual-hash image dedup over REAL ImageIO decode: the corpus
+    // carries no natural image dups, so per group of 5 docs two gray 11×6
+    // PNGs are synthesized (one base, one near-dup differing in one pixel —
+    // the real decode must pair them at Hamming <= 1) and three raw texts
+    // ride the stub-fingerprint fallback. Codec round-trip + fallback +
+    // pigeonhole band search are all under oracle check.
     "x32_mm_phash_pairs" -> ((s, dir) => {
-      val base = repeat(concat(lit("w"), expr("doc_id div 5").cast("string"), lit(" ")), 66)
       val media = t(s, dir, "documents").select(col("doc_id").as("id"),
-        when(col("doc_id") % 5 === 0, base)
-          .when(col("doc_id") % 5 === 1, concat(base, lit("x")))
-          .otherwise(col("text")).cast("binary").as("payload"))
+        when(col("doc_id") % 5 <= 1, GrayPngUdf(col("doc_id")))
+          .otherwise(col("text").cast("binary")).as("payload"))
       Multimodal.pHashPairs(media, maxHamming = 3)
     }),
 
@@ -524,26 +624,29 @@ object Queries {
       val cfg = X18Config.copy(maxGramDf = None)
       val suffix = java.lang.Long.toHexString(System.nanoTime())
       val state = CurationPipeline.StreamState(s"x33_$suffix",
-        java.nio.file.Files.createTempDirectory("graft_x33").toString, numBuckets = 8)
+        scratchDir("graft_x33").toString, numBuckets = 8)
       val hg = CurationPipeline.holdoutGramSet(
         docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", cfg)
       val mx = train.agg(max("doc_id")).head().getLong(0)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        // two id-RANGE chunks in order = ordered continuous ingest — one
-        // cold batch plus one batch exercising every cross-batch state path
-        // (hash index, LSH probe, offsets ledger); the foreachBatch wiring
-        // and >2-batch behavior are golden-tested in CurationSpec
-        Seq(0L, 1L).foreach { i =>
-          val lo = mx * i / 2
-          val hi = if (i == 1) mx + 1 else mx / 2
-          CurationPipeline.streamIncrement(
-            train.filter(col("doc_id") >= lo && col("doc_id") < hi),
-            "doc_id", "text", Some(hg), cfg, state, batchId = i)
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      state.dropTables(s)
+      // state tables dropped in a finally — a mid-increment crash must not
+      // strand the hash/LSH/cluster tables in the shared warehouse
+      withStateCleanup(state.dropTables(s)) {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          // two id-RANGE chunks in order = ordered continuous ingest — one
+          // cold batch plus one batch exercising every cross-batch state path
+          // (hash index, LSH probe, offsets ledger); the foreachBatch wiring
+          // and >2-batch behavior are golden-tested in CurationSpec
+          Seq(0L, 1L).foreach { i =>
+            val lo = mx * i / 2
+            val hi = if (i == 1) mx + 1 else mx / 2
+            CurationPipeline.streamIncrement(
+              train.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              "doc_id", "text", Some(hg), cfg, state, batchId = i)
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.read.parquet(state.outDir)
         .select("doc_id", "n_tokens", "bucket", "shard", "split")
     }),
@@ -895,37 +998,61 @@ object Queries {
         |FROM ok a JOIN ok b USING (fingerprint) WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
+    // the PNG branch predicts what a REAL header probe must report (dims
+    // from the synthesis arithmetic, 3 RGB components, format "png"); the
+    // text branch transcribes the stub formulas
     "x11_mm_image_meta" ->
-      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
-        |CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS BIGINT) AS height,
+      """SELECT doc_id AS id,
+        |CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 29 + 3 AS BIGINT)
+        |     ELSE CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) END AS width,
+        |CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 23 + 3 AS BIGINT)
+        |     ELSE CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS BIGINT) END AS height,
         |CAST(3 AS BIGINT) AS channels,
-        |CASE octet_length(CAST(text AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |CASE WHEN doc_id % 5 < 2 THEN 'png'
+        |     ELSE CASE octet_length(CAST(text AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END END AS format
         |FROM documents""".stripMargin,
 
     "x12_mm_frames" ->
       """SELECT doc_id AS id, i.i AS frame_idx, i.i * 256 AS byte_offset
         |FROM documents, LATERAL unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 256)) i(i)""".stripMargin,
 
+    // PNG branch: the scaled dimensions a real decode of the resized output
+    // must report — same floor math as ImageCodecs.resize (`w*16 //
+    // greatest(w,h)`, no-op when already <= 16); text branch: the stub's
+    // every-other-byte output size
     "x14_mm_resize" ->
-      """SELECT doc_id AS id, (octet_length(CAST(text AS BLOB)) + 1) // 2 AS n_bytes
-        |FROM documents""".stripMargin,
+      """WITH d AS (SELECT doc_id, doc_id % 29 + 3 AS w, doc_id % 23 + 3 AS h,
+        |  octet_length(CAST(text AS BLOB)) AS len FROM documents)
+        |SELECT doc_id AS id,
+        |CASE WHEN doc_id % 5 < 2 THEN
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w ELSE greatest(1, w * 16 // greatest(w, h)) END AS BIGINT)
+        |ELSE CAST(-1 AS BIGINT) END AS width,
+        |CASE WHEN doc_id % 5 < 2 THEN
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN h ELSE greatest(1, h * 16 // greatest(w, h)) END AS BIGINT)
+        |ELSE CAST(-1 AS BIGINT) END AS height,
+        |CASE WHEN doc_id % 5 >= 2 THEN CAST((len + 1) // 2 AS BIGINT)
+        |ELSE CAST(-1 AS BIGINT) END AS n_bytes
+        |FROM d""".stripMargin,
 
     "x32_mm_phash_pairs" ->
-      // transcription of Multimodal.pHash: the same synthesized media, 66
-      // fixed-stride 8-char windows, pixel = first md5 byte of each window,
+      // transcription of Multimodal.pHash over the same synthesized media:
+      // image rows (doc_id%5<=1) predict the gray-PNG samples the REAL
+      // decode reads back (pixel i = first md5 byte of "g<group>:<i>", the
+      // near-dup's last pixel +128 mod 256); text rows transcribe the
+      // stub fingerprint (first md5 byte of each 8-char stride-7 window).
       // dHash bit (r*10+c) set when pixel r*11+c < its right neighbor, then
       // brute-force Hamming pairs (the Spark side's pigeonhole bands are
       // exact, so the brute-force compare is the oracle — the x04 stance)
-      """WITH img AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN repeat('w' || CAST(doc_id // 5 AS VARCHAR) || ' ', 66)
-        |       WHEN doc_id % 5 = 1 THEN repeat('w' || CAST(doc_id // 5 AS VARCHAR) || ' ', 66) || 'x'
-        |       ELSE text END AS t
-        |  FROM documents),
-        |px AS (SELECT doc_id, i.i AS i,
-        |  (strpos('0123456789abcdef', substr(md5(substr(t, 1 + i.i * 7, 8)), 1, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(md5(substr(t, 1 + i.i * 7, 8)), 2, 1)) - 1) AS p
-        |  FROM img, LATERAL unnest(generate_series(0, 65)) i(i)),
+      """WITH raw AS (SELECT doc_id, i.i AS i,
+        |  CASE WHEN doc_id % 5 <= 1 THEN md5('g' || CAST(doc_id // 5 AS VARCHAR) || ':' || CAST(i.i AS VARCHAR))
+        |       ELSE md5(substr(text, 1 + i.i * 7, 8)) END AS hx,
+        |  (doc_id % 5 = 1 AND i.i = 65) AS tweak
+        |  FROM documents, LATERAL unnest(generate_series(0, 65)) i(i)),
+        |px AS (SELECT doc_id, i,
+        |  CASE WHEN tweak THEN (b + 128) % 256 ELSE b END AS p
+        |  FROM (SELECT doc_id, i, tweak,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b FROM raw)),
         |sig AS (SELECT a.doc_id,
         |  CAST(SUM(CASE WHEN a.p < b.p THEN (CAST(1 AS BIGINT) << ((a.i // 11) * 10 + (a.i % 11))) ELSE 0 END) AS BIGINT) AS h
         |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.i % 11 < 10

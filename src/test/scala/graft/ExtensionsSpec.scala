@@ -570,6 +570,71 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs === brute)
   }
 
+  test("a mid-stream failure cannot strand x30-style state tables in the warehouse") {
+    // the x30 shape: a file stream feeds minHashLshStream, whose index
+    // tables live only for the run — Queries wraps the run in
+    // withStateTables, so an exception AFTER the stream has created and
+    // populated the tables must still drop them on the way out
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x30_failspec")
+    val staged = tmp.resolve("docs").toString
+    docs.limit(50).coalesce(1).write.mode("overwrite").parquet(staged)
+    val idx = Dedup.LshIndex("x30fail_bands", "x30fail_shingles", numBuckets = 2)
+    val boom = intercept[RuntimeException] {
+      Queries.withStateTables(spark, idx.bandsTable, idx.shinglesTable) {
+        val stream = spark.readStream.schema(docs.schema).parquet(staged)
+        val q = Dedup.minHashLshStream(stream, "doc_id", "text", 0.5,
+            tmp.resolve("pairs").toString, idx)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the tables exist mid-run — this is the state a crash would strand
+        assert(spark.catalog.tableExists(idx.bandsTable))
+        throw new RuntimeException("injected mid-stream failure")
+      }
+    }
+    assert(boom.getMessage === "injected mid-stream failure",
+      "the body's own exception must propagate, not be masked by cleanup")
+    assert(!spark.catalog.tableExists(idx.bandsTable))
+    assert(!spark.catalog.tableExists(idx.shinglesTable))
+  }
+
+  test("ImageIO decode is real: header probe, resize floor math, stub fallback") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.ImageCodecs
+    val png = ImageCodecs.syntheticPng(20, 10, 42L)
+    assert(ImageCodecs.probe(png) === Some(("png", 20, 10, 3)))
+    assert(Multimodal.ImageCodecs.imageMeta(1L, png) ===
+      Multimodal.MediaMeta(1L, png.length.toLong, 20, 10, 3, "png"))
+    // downscale: ow = max(1, w*maxDim/max(w,h)) floor — 30x20 @ 16 -> 16x10
+    val resized = ImageCodecs.resize(ImageCodecs.syntheticPng(30, 20, 1L), 16)
+    assert(ImageCodecs.probe(resized) === Some(("png", 16, 10, 3)))
+    // already-small image passes through byte-identical
+    val small = ImageCodecs.syntheticPng(5, 4, 2L)
+    assert(ImageCodecs.resize(small, 16) eq small)
+    // non-image bytes: probe rejects, meta falls back to the stub formulas
+    val text = "just some text".getBytes("UTF-8")
+    assert(ImageCodecs.probe(text).isEmpty)
+    assert(ImageCodecs.imageMeta(2L, text) === Multimodal.StubCodecs.imageMeta(2L, text))
+  }
+
+  test("pHash survives lossless re-encoding: PNG vs BMP of the same pixels hash identically") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.ImageCodecs
+    val png = ImageCodecs.syntheticPng(64, 48, 7L)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(ImageCodecs.decode(png).get, "bmp", bos))
+    val bmp = bos.toByteArray
+    // different bytes (exact dedup misses it), same perceptual hash
+    assert(!java.util.Arrays.equals(png, bmp))
+    assert(Multimodal.pHash60(png) === Multimodal.pHash60(bmp))
+    // an unrelated image does NOT collide
+    assert(Multimodal.pHash60(png) !== Multimodal.pHash60(ImageCodecs.syntheticPng(64, 48, 8L)))
+    // gray-PNG sample round-trip is bit-exact — the x32 oracle's premise
+    val px = Array.tabulate(66)(i => (i * 37 + 11) % 256)
+    val grid = ImageCodecs.luminanceGrid(ImageCodecs.decode(ImageCodecs.grayPng(px, 11, 6)).get, 11, 6)
+    assert(grid.sameElements(px))
+  }
+
   test("cosine LSH pairs equal brute-force pairs at threshold 0.35 (x05 recall = 1)") {
     val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
