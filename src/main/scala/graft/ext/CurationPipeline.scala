@@ -261,8 +261,54 @@ object CurationPipeline {
     val drop = Dedup.clusterMapping(spark, state.clusterState)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))
-    spark.read.parquet(state.outDir).join(drop, Seq(idCol), "left_anti")
+    // read with the schema the stream recorded at its first batch
+    // ([[outSchemaPath]]): a stream whose every doc was filtered leaves
+    // outDir with no data files, where inference throws but a declared
+    // schema correctly yields the empty corpus (and at any size, a declared
+    // schema also skips the footer-sampling inference pass)
+    val curated = readOutSchema(spark, state) match {
+      case Some(schema) => spark.read.schema(schema).parquet(state.outDir)
+      case None         => spark.read.parquet(state.outDir)
+    }
+    curated.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Where [[streamIncrement]] records the curated-output schema (Spark DDL
+    * text, written once at the first batch). The curated schema is
+    * input-dependent — every batch column rides through — so it cannot be
+    * statically declared the way the x30 pairs schema is.
+    */
+  private def outSchemaPath(state: StreamState) =
+    new org.apache.hadoop.fs.Path(state.stateDir, "out_schema.ddl")
+
+  private def readOutSchema(spark: org.apache.spark.sql.SparkSession,
+                            state: StreamState): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val p = outSchemaPath(state)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try {
+          in.readFully(0, buf)
+          Some(org.apache.spark.sql.types.StructType.fromDDL(
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8)))
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  private def writeOutSchemaOnce(spark: org.apache.spark.sql.SparkSession,
+                                 state: StreamState, schema: org.apache.spark.sql.types.StructType): Unit =
+    try {
+      val p = outSchemaPath(state)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val out = fs.create(p, true)
+        try out.write(schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    } catch { case _: Exception => () }
 
   /** The static holdout gram set [[streamIncrement]] decontaminates
     * against, derived once and scoped-persisted (it is re-joined every
@@ -483,8 +529,13 @@ object CurationPipeline {
         col("bucket") * Sharding.ShardsPerBucket + expr(s"cum_before div ${cfg.tokensPerShard}"))
       .drop("__local", "__base", "cum_before")
 
-    // curated output, then the updated ledger, then (last) the hash index
-    packed.withColumn("batch_id", lit(batchId))
+    // curated output, then the updated ledger, then (last) the hash index.
+    // The schema snapshot must land even for an all-filtered batch (zero
+    // rows write no parquet files — the snapshot is then the ONLY schema
+    // record [[collapsedOutput]] can read).
+    val curatedOut = packed.withColumn("batch_id", lit(batchId))
+    writeOutSchemaOnce(spark, state, curatedOut.schema)
+    curatedOut
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(state.outDir)
     withBucket.groupBy("bucket").agg(sum(col("n_tokens")).as("__batch_tokens"))

@@ -103,8 +103,12 @@ object Sharding {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     tokenCountCol.foreach(c => require(df.columns.contains(c),
       s"packSequences: token count column '$c' not in input (${df.columns.mkString(", ")})"))
+    // only "n_tokens" may legitimately pre-exist, and only when it IS the
+    // declared token-count input — a tokenCountCol named after any OTHER
+    // reserved column (e.g. "bucket") would be silently overwritten by the
+    // packing bookkeeping, so it gets no exemption
     Seq("n_tokens", "bucket", "seq", "tok_start", "tok_end", "cum_before").foreach(c =>
-      require(!df.columns.contains(c) || tokenCountCol.contains(c),
+      require(!df.columns.contains(c) || (c == "n_tokens" && tokenCountCol.contains(c)),
         s"packSequences writes column '$c' — input already has one; rename or drop it first"))
     val nTokens = tokenCountCol
       .map(c => when(col(c).isNull || col(c) < 0,

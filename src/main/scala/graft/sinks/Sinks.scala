@@ -85,10 +85,24 @@ object Sinks {
     * file cleanup is best-effort hygiene.
     */
   def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    // resolve the REAL location from the catalog BEFORE the drop — a table
+    // in a non-default database or created with a custom LOCATION lives
+    // nowhere near <warehouse>/<table>, so a path guess would delete the
+    // wrong directory (or none). The warehouse-convention fallback remains
+    // for the orphan case: a crashed metastore-less JVM leaves the location
+    // directory with no catalog entry to resolve.
+    val resolved =
+      try {
+        if (spark.catalog.tableExists(table))
+          Some(new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(table)).location))
+        else None
+      } catch { case _: Exception => None }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     try {
-      val loc = new org.apache.hadoop.fs.Path(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      val loc = resolved.getOrElse(new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     } catch { case _: Exception => () }
   }

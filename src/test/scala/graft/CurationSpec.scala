@@ -749,6 +749,53 @@ class CurationSpec extends SparkSpec {
     state.dropTables(spark)
   }
 
+  test("collapsedOutput survives a stream whose every doc was filtered (zero data files)") {
+    // an all-filtered batch writes NO parquet files under outDir, so schema
+    // inference has nothing to read — collapsedOutput must fall back to the
+    // schema snapshot streamIncrement records and yield the empty corpus
+    val cfg = CurationPipeline.Config(minTokens = 10L, langs = Set("en"), maxGramDf = None)
+    val state = CurationPipeline.StreamState("tzero",
+      java.nio.file.Files.createTempDirectory("graft_cur_zero").toString, numBuckets = 2)
+    state.dropTables(spark)
+    try {
+      CurationPipeline.streamIncrement(df(1L -> "too short", 2L -> "also short"),
+        "doc_id", "text", None, cfg, state, batchId = 0L, maintainClusters = true)
+      val collapsed = CurationPipeline.collapsedOutput(spark, state, "doc_id")
+      assert(collapsed.count() === 0L)
+      // the declared schema carries the curated-output shape, not a stub
+      assert(collapsed.columns.toSet ===
+        Set("doc_id", "text", "n_tokens", "split", "bucket", "shard", "batch_id"))
+    } finally state.dropTables(spark)
+  }
+
+  test("dropTableAndLocation resolves a custom table LOCATION from the catalog") {
+    import graft.sinks.Sinks
+    val loc = java.nio.file.Files.createTempDirectory("graft_droploc").resolve("tbl")
+    spark.sql(s"CREATE TABLE tdroploc (id BIGINT) USING parquet LOCATION '${loc.toUri}'")
+    spark.sql("INSERT INTO tdroploc VALUES (1), (2)")
+    assert(java.nio.file.Files.exists(loc), "table data must land at the custom location")
+    Sinks.dropTableAndLocation(spark, "tdroploc")
+    assert(!spark.catalog.tableExists("tdroploc"))
+    assert(!java.nio.file.Files.exists(loc),
+      "the drop must delete the CATALOG-resolved location, not a <warehouse>/<table> guess")
+  }
+
+  test("packSequences rejects a tokenCountCol named after a non-n_tokens reserved column") {
+    val in = df(1L -> "one two three four five six seven eight nine ten")
+      .withColumn("bucket", lit(7L))
+    val boom = intercept[IllegalArgumentException] {
+      Sharding.packSequences(in, "doc_id", "text", seqLen = 10L,
+        tokenCountCol = Some("bucket"))
+    }
+    assert(boom.getMessage.contains("bucket"))
+    // the one legitimate exemption still works: a pre-existing n_tokens
+    // column that IS the declared token-count input
+    val ok = Sharding.packSequences(
+      df(1L -> "one two three four five").withColumn("n_tokens", lit(5L)),
+      "doc_id", "text", seqLen = 10L, tokenCountCol = Some("n_tokens"))
+    assert(ok.count() >= 1L)
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
