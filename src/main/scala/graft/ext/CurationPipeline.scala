@@ -388,6 +388,10 @@ object CurationPipeline {
         "use maintainClusters = true for the continuously-updated cluster registry")
     cfg.embeddingCol.foreach(ec => require(batch.columns.contains(ec),
       s"streamIncrement: embeddingCol '$ec' not in input (${batch.columns.mkString(", ")})"))
+    // single-writer contract: no increment while compactState rewrites the
+    // hash index ([[StateLease]]; the LSH/cluster/embed tables get their
+    // own asserts inside their increment entry points)
+    StateLease.assertFree(spark, state.hashTable)
     // a compactState swap that crashed between DROP and RENAME must be
     // finished BEFORE the tableExists checks below (the LSH tables get the
     // same treatment inside minHashLshIncrement)

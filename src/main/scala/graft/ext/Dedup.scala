@@ -250,6 +250,11 @@ object Dedup {
                           batchId: Long, shingleN: Int = 3,
                           numHashes: Int = 64, bandSize: Int = 2): Unit = {
     val spark = batch.sparkSession
+    // single-writer contract: fail loudly if a compaction is rewriting the
+    // index right now (appends to the pre-snapshot table would be dropped
+    // by its swap)
+    StateLease.assertFree(spark, index.bandsTable)
+    StateLease.assertFree(spark, index.shinglesTable)
     // a compaction swap that crashed between DROP and RENAME must be
     // finished BEFORE the tableExists checks below — a missing table with
     // a __compact sibling is the accumulated corpus, not a fresh stream
@@ -360,29 +365,34 @@ object Dedup {
   private[graft] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                                           table: String, numBuckets: Int,
                                           bucketCols: Seq[String],
-                                          canonicalize: Option[DataFrame => DataFrame] = None): Unit = {
-    val tmp = table + "__compact"
-    finishCrashedSwap(spark, table)
-    require(spark.catalog.tableExists(table), s"compact: no such table $table")
-    // a crash mid-write can leave tmp's DATA DIR with no catalog entry
-    // (the CTAS commits the catalog entry last) — drop location too, or
-    // every future compaction wedges on LOCATION_ALREADY_EXISTS
-    graft.sinks.Sinks.dropTableAndLocation(spark, tmp)
-    // default canonical form: the distinct row set (replay appends exact
-    // duplicates); state whose history FOLDS (the cluster registry's
-    // latest-per-doc) passes its own reduction
-    val canonical = canonicalize match {
-      case Some(f) => f(spark.table(table))
-        .repartition(numBuckets, bucketCols.map(col): _*)
-      case None => spark.table(table)
-        .repartition(numBuckets, bucketCols.map(col): _*)
-        .dropDuplicates()
-    }
-    canonical.write.format("parquet")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+                                          canonicalize: Option[DataFrame => DataFrame] = None): Unit =
+    // the "no increment during compaction" contract, enforced: the rewrite
+    // holds the table's single-writer lease, and every increment entry
+    // point asserts it free ([[StateLease]]) — a racing writer fails
+    // loudly instead of appending to a table the swap is about to drop
+    StateLease.withLease(spark, table, s"compact $table") {
+      val tmp = table + "__compact"
+      finishCrashedSwap(spark, table)
+      require(spark.catalog.tableExists(table), s"compact: no such table $table")
+      // a crash mid-write can leave tmp's DATA DIR with no catalog entry
+      // (the CTAS commits the catalog entry last) — drop location too, or
+      // every future compaction wedges on LOCATION_ALREADY_EXISTS
+      graft.sinks.Sinks.dropTableAndLocation(spark, tmp)
+      // default canonical form: the distinct row set (replay appends exact
+      // duplicates); state whose history FOLDS (the cluster registry's
+      // latest-per-doc) passes its own reduction
+      val canonical = canonicalize match {
+        case Some(f) => f(spark.table(table))
+          .repartition(numBuckets, bucketCols.map(col): _*)
+        case None => spark.table(table)
+          .repartition(numBuckets, bucketCols.map(col): _*)
+          .dropDuplicates()
+      }
+      canonical.write.format("parquet")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Routine maintenance for a [[LshIndex]]: compact both tables back to
@@ -614,6 +624,10 @@ object Dedup {
   def clusterIncrement(newPairs: DataFrame, state: ClusterState,
                        batchId: Long, maxIters: Int = 20): Unit = {
     val spark = newPairs.sparkSession
+    // single-writer contract: no increment while a compaction rewrites the
+    // registry ([[StateLease]] — the race would append to a dropped table)
+    StateLease.assertFree(spark, state.byDocTable)
+    StateLease.assertFree(spark, state.byClusterTable)
     finishCrashedSwap(spark, state.byDocTable)
     finishCrashedSwap(spark, state.byClusterTable)
     // the connectedComponents integral-id guard, applied BEFORE the widening

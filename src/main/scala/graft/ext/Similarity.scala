@@ -277,6 +277,9 @@ object Similarity {
   def ivfAppend(batch: DataFrame, idCol: String, vecCol: String, index: IvfIndex): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // single-writer contract: no append while ivfCompact rewrites the
+    // assignments ([[StateLease]])
+    StateLease.assertFree(spark, index.assignmentsTable)
     Dedup.finishCrashedSwap(spark, index.assignmentsTable)
     require(spark.catalog.tableExists(index.codebookTable) &&
       spark.catalog.tableExists(index.assignmentsTable),
@@ -419,6 +422,10 @@ object Similarity {
         s"cosineLshIncrement needs integral ids; '$idCol' is $dt — map ids " +
           "to longs (dictionary join / dense rank) first")
     }
+    // single-writer contract: no increment while cosineLshCompact rewrites
+    // the index ([[StateLease]])
+    StateLease.assertFree(spark, index.bandsTable)
+    StateLease.assertFree(spark, index.vecsTable)
     graft.functions.GraftFunctions.register(spark)
     Dedup.finishCrashedSwap(spark, index.bandsTable)
     Dedup.finishCrashedSwap(spark, index.vecsTable)

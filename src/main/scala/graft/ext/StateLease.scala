@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer lease for persisted state-table maintenance.
+  *
+  * The compaction contract ([[Dedup.compactBucketedTable]]: "run while no
+  * increment is writing") was previously documentation only — a misbehaving
+  * caller racing an increment against a compaction would corrupt the index
+  * silently (the increment can append to the OLD table after compaction
+  * snapshotted it, and the swap then drops those rows). This makes the
+  * contract load-bearing: compaction holds a lease file for each table it
+  * rewrites, and every increment entry point asserts the lease is free
+  * before touching state — the race now fails loudly at the entry point
+  * instead of corrupting the corpus.
+  *
+  * Mechanics: one marker file per table under `<warehouse>/.graft_leases/`,
+  * created with `FileSystem.create(overwrite = false)` — atomic on HDFS and
+  * object stores with conditional-put semantics; best-effort (check+create)
+  * on a raw local filesystem, which is still a sound guard for the
+  * foreachBatch orchestration this protects (increments and compactions of
+  * one state family are driven from one driver). The file body records
+  * owner + acquisition time for the error message.
+  *
+  * A compaction that CRASHES leaves its lease held, and every subsequent
+  * increment fails loudly until an operator runs [[breakLease]].
+  * Deliberately NO auto-expiry: only the operator knows whether the
+  * compaction JVM is truly dead — a TTL that guessed wrong would readmit
+  * the second writer this lease exists to exclude. Recovery is
+  * `breakLease` + the increments' own [[Dedup.finishCrashedSwap]] pass.
+  */
+object StateLease {
+
+  private def fs(spark: SparkSession) =
+    leaseDir(spark).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def leaseDir(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      ".graft_leases")
+
+  private def leasePath(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(leaseDir(spark), table.toLowerCase + ".lease")
+
+  /** Take the maintenance lease on `table`, failing loudly if another
+    * writer holds it (two concurrent compactions are as unsafe as an
+    * increment racing one).
+    */
+  def acquire(spark: SparkSession, table: String, owner: String): Unit = {
+    val f = fs(spark)
+    f.mkdirs(leaseDir(spark))
+    val p = leasePath(spark, table)
+    try {
+      val out = f.create(p, false)
+      try out.write(s"$owner since ${java.time.Instant.now()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"state table '$table' is under maintenance (${holder(spark, table)}) — " +
+            "a compaction holds its single-writer lease; retry after it " +
+            "finishes, or StateLease.breakLease if its JVM is dead")
+    }
+  }
+
+  def release(spark: SparkSession, table: String): Unit =
+    fs(spark).delete(leasePath(spark, table), false)
+
+  /** Operator override for a lease stranded by a crashed compaction. */
+  def breakLease(spark: SparkSession, table: String): Unit =
+    release(spark, table)
+
+  private def holder(spark: SparkSession, table: String): String =
+    try {
+      val p = leasePath(spark, table)
+      val f = fs(spark)
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: Exception => "holder unknown" }
+
+  /** Increment-side guard: throws while `table`'s maintenance lease is
+    * held. One cheap existence probe per increment — noise next to the
+    * jobs the increment runs.
+    */
+  def assertFree(spark: SparkSession, table: String): Unit =
+    if (fs(spark).exists(leasePath(spark, table)))
+      throw new IllegalStateException(
+        s"state table '$table' is under maintenance (${holder(spark, table)}) — " +
+          "increments must not run during compaction; retry after it " +
+          "finishes, or StateLease.breakLease if its JVM is dead")
+
+  /** Lease-scoped maintenance: acquire, run, always release. */
+  def withLease[A](spark: SparkSession, table: String, owner: String)(body: => A): A = {
+    acquire(spark, table, owner)
+    try body finally release(spark, table)
+  }
+}

@@ -570,6 +570,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs === brute)
   }
 
+  test("an increment racing a compaction fails loudly (single-writer lease)") {
+    import spark.implicits._
+    import graft.ext.StateLease
+    val state = Dedup.ClusterState("tlease", numBuckets = 2)
+    state.dropTables(spark)
+    try {
+      Dedup.clusterIncrement(Seq((1L, 2L)).toDF("d1", "d2"), state, batchId = 0L)
+      // simulate an in-flight compaction of the registry
+      StateLease.acquire(spark, state.byDocTable, "compaction-in-test")
+      val boom = intercept[IllegalStateException] {
+        Dedup.clusterIncrement(Seq((2L, 3L)).toDF("d1", "d2"), state, batchId = 1L)
+      }
+      assert(boom.getMessage.contains("maintenance") &&
+        boom.getMessage.contains("compaction-in-test"), boom.getMessage)
+      // a second compaction is excluded just like an increment
+      val boom2 = intercept[IllegalStateException] {
+        Dedup.clusterCompact(spark, state)
+      }
+      assert(boom2.getMessage.contains("maintenance"), boom2.getMessage)
+      // release (the crashed-JVM operator path is breakLease) and both
+      // the increment and a real compaction proceed — which must leave the
+      // lease free again on the way out
+      StateLease.release(spark, state.byDocTable)
+      Dedup.clusterIncrement(Seq((2L, 3L)).toDF("d1", "d2"), state, batchId = 1L)
+      Dedup.clusterCompact(spark, state)
+      StateLease.assertFree(spark, state.byDocTable)
+      StateLease.assertFree(spark, state.byClusterTable)
+      val mapping = Dedup.clusterMapping(spark, state)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mapping === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally state.dropTables(spark)
+  }
+
   test("a mid-stream failure cannot strand x30-style state tables in the warehouse") {
     // the x30 shape: a file stream feeds minHashLshStream, whose index
     // tables live only for the run — Queries wraps the run in
