@@ -299,6 +299,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ImageIO codecs round-trip on random dimensions and pixel content") {
+    import graft.ext.Multimodal.ImageCodecs
+    val dims = Gen.zip(Gen.choose(1, 40), Gen.choose(1, 40), Gen.choose(0L, 1000000L))
+    for (seed <- 50L to 53L) {
+      val (w, h, s) = sample(dims, seed)
+      // probe reports the true dims of a real encode, no pixel decode
+      val png = ImageCodecs.syntheticPng(w, h, s)
+      assert(ImageCodecs.probe(png) === Some(("png", w, h, 3)), s"seed $seed ($w x $h)")
+      // resize obeys the declared floor formula at any dims
+      val maxDim = 16
+      val m = math.max(w, h)
+      val resized = ImageCodecs.resize(png, maxDim)
+      val expect =
+        if (m <= maxDim) (w, h)
+        else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+      assert(ImageCodecs.probe(resized).map(p => (p._2, p._3)) === Some(expect),
+        s"seed $seed ($w x $h -> $expect)")
+      // random gray pixels survive encode->decode->grid bit-exactly
+      val px = sample(Gen.listOfN(66, Gen.choose(0, 255)), seed).toArray
+      val grid = ImageCodecs.luminanceGrid(
+        ImageCodecs.decode(ImageCodecs.grayPng(px, 11, 6)).get, 11, 6)
+      assert(grid.sameElements(px), s"seed $seed gray round-trip")
+    }
+  }
+
   test("capPerGroup equals the sequential hash-rank model on random groups") {
     import spark.implicits._
     for (seed <- 40L to 41L) {
