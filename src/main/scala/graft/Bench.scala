@@ -34,14 +34,19 @@ import graft.streaming.StatefulOps
   * query/section names; catalog leaks are reported separately (see below).
   *
   * Output protocol (round 8): TWO stdout JSON lines. The driver keeps only
-  * the TAIL of stdout, and the previous single giant line printed the total
-  * first — so BENCH_r06/r07 recorded `parsed: null` with the total and ~12
-  * queries truncated away. Now a large DETAIL line (per-run times arrays,
-  * stage/batch attribution, storage peak) prints FIRST and a compact
-  * SUMMARY line (per-query medians at 3 decimals, total, errors, flaky,
-  * leaks, streaming) prints LAST, so tail-capture always yields a complete
-  * parseable summary, and a systematic all-runs-slow query is
-  * distinguishable from one-run jitter via the detail arrays.
+  * the last ~2000 chars of stdout, and the previous single giant line
+  * printed the total first — so BENCH_r06/r07 recorded `parsed: null` with
+  * the total and ~12 queries truncated away. Now a large DETAIL line
+  * (per-run times arrays, stage/batch attribution, storage peak) prints
+  * FIRST and a compact SUMMARY line (per-query medians, total, errors,
+  * flaky, leaks, streaming) prints LAST, so tail-capture always yields a
+  * complete parseable summary, and a systematic all-runs-slow query is
+  * distinguishable from one-run jitter via the detail arrays. The summary
+  * must fit the capture window WHOLE (front-truncated JSON is unparseable),
+  * so the anomaly arrays cap at 3 entries + an overflow count and the
+  * per-query precision degrades 3 → 2 → 1 decimals if the assembled line
+  * would exceed the budget; full 3-decimal per-run times always live in
+  * the detail line.
   *
   * Catalog-leak policy: a pre-loop sweep drops tables left by a previous
   * crashed JVM and reports them as "preexisting:<table>" in "leaks" (not
@@ -407,16 +412,21 @@ object Bench {
       try streamingBench(spark)
       catch { case _: Throwable => errors += "streaming_bench"; Map.empty[String, Double] }
 
-    // 3-decimal fixed-point, locale-independent (a comma decimal separator
+    // fixed-point seconds, locale-independent (a comma decimal separator
     // would corrupt the JSON)
-    def f3(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def strArr(xs: Iterable[String]): String =
-      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // serialize from the ordered Seqs directly — a .toMap here would rehash
-    // into hash order and lose the deterministic name-order emission
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def fp(v: Double, decimals: Int): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    def f3(v: Double): String = fp(v, 3)
+    // the driver keeps only the last ~2000 chars of stdout, truncating the
+    // FRONT of what remains — so an anomaly list must never balloon the
+    // summary line past the window (56 error names would): cap at 3 entries
+    // plus an honest overflow count
+    def strArr(xs: Iterable[String]): String = {
+      val s = xs.toSeq
+      val shown = s.take(3) ++ (if (s.length > 3) Seq(s"+${s.length - 3} more") else Nil)
+      shown.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     val runsJ = runTimes.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -432,13 +442,30 @@ object Bench {
     // systematic all-runs-slow query is distinguishable from one-run jitter,
     // plus the attribution blocks and storage peak.
     println(s"""{"detail":true,"runs":$runsJ,"x18_stages":$stJ,"x33_batches":$x33J,""" +
-      s""""storage_peak_bytes":$storagePeak,"runs_per_query":$RunsPerQuery}""")
+      s""""storage_peak_bytes":$storagePeak,"runs_per_query":$RunsPerQuery,"stat":"median"}""")
     // SUMMARY line LAST — the driver tail-captures stdout, so this compact
     // line is what survives; it alone must satisfy the driver's contract
-    // (metric/value/unit/queries/sf).
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""stat":"median","runs_per_query":$RunsPerQuery,"errors":${strArr(errors)},""" +
-      s""""flaky":${strArr(flaky)},"leaks":${strArr(leaks)},"streaming":$st,"sf":"$sfDir"}""")
+    // (metric/value/unit/queries/sf). It must also FIT the capture window
+    // WHOLE (a front-truncated JSON object is unparseable), so per-query
+    // precision degrades 3 → 2 → 1 decimals if the assembled line would
+    // exceed the budget (2000-char window minus the sbt epilogue) — full
+    // 3-decimal medians are always in the detail line's runs arrays.
+    // serialize from the ordered Seqs directly — a .toMap would rehash into
+    // hash order and lose the deterministic name-order emission
+    val summary = (3 to 1 by -1).iterator.map { decimals =>
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fp(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+        s""""errors":${strArr(errors)},"flaky":${strArr(flaky)},""" +
+        s""""leaks":${strArr(leaks)},"streaming":$st,"sf":"$sfDir"}"""
+    }.find(_.length <= 1900).getOrElse {
+      // last resort (hundreds of queries): keep the contract fields intact
+      // and let the queries map be the one thing that grows the line
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fp(v, 1) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    println(summary)
     spark.stop()
   }
 }
