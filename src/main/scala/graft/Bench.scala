@@ -241,11 +241,7 @@ object Bench {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // best-effort temp cleanup
-      try {
-        import scala.jdk.CollectionConverters._
-        Files.walk(stageRoot).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      Queries.deleteTree(stageRoot)
     }
   }
 
@@ -441,7 +437,13 @@ object Bench {
     // DETAIL line first (large, safe to truncate): per-run times arrays so a
     // systematic all-runs-slow query is distinguishable from one-run jitter,
     // plus the attribution blocks and storage peak.
+    // the detail line carries the UNCAPPED anomaly lists (the summary caps
+    // them at 3+count to fit the capture window; leaks especially are not
+    // reconstructible from anything else)
+    def fullArr(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"detail":true,"runs":$runsJ,"x18_stages":$stJ,"x33_batches":$x33J,""" +
+      s""""errors":${fullArr(errors)},"flaky":${fullArr(flaky)},"leaks":${fullArr(leaks)},""" +
       s""""storage_peak_bytes":$storagePeak,"runs_per_query":$RunsPerQuery,"stat":"median"}""")
     // SUMMARY line LAST — the driver tail-captures stdout, so this compact
     // line is what survives; it alone must satisfy the driver's contract

@@ -81,16 +81,21 @@ object Queries {
     dir
   }
 
+  /** Best-effort recursive delete (children before parents), shared by the
+    * scratch-dir shutdown hook and Bench's staging cleanup.
+    */
+  private[graft] def deleteTree(d: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(d)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Exception => () }
+
   private object ScratchDirs {
     private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.forEach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Exception => () }
-      }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => dirs.forEach(deleteTree(_))))
     def add(d: java.nio.file.Path): Unit = dirs.add(d)
   }
 

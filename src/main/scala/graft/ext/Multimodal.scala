@@ -27,7 +27,11 @@ object Multimodal {
   final case class Frame(id: Long, frame_idx: Long, byte_offset: Long)
 
   /** STUB decoders: deterministic pure functions of the payload bytes.
-    * Replace with real image/audio decoding (e.g. javacv) in production —
+    * Since round 8 these are the FALLBACK behind [[ImageCodecs]]' real
+    * ImageIO decode (non-image payloads flow through the same schema
+    * instead of failing the stage) and the stand-ins for the kernels the
+    * JRE cannot supply — video frame sampling and the visual-embedding
+    * forward pass. Swap those for JNI/ffmpeg/ONNX in production;
     * signatures and batch shape stay the same.
     */
   object StubCodecs {
@@ -101,10 +105,30 @@ object Multimodal {
       */
     private val AllowedFormats = Set("png", "jpeg", "gif", "bmp")
 
-    /** (formatName, width, height, numComponents) via the reader's header
-      * probe — no pixel decode, O(header) per row.
+    /** Formats whose magic is non-printable binary (PNG's \\x89PNG,
+      * JPEG's \\xFF\\xD8) — real text cannot start with it, so the header
+      * probe alone is trustworthy. GIF ("GIF89a") and BMP ("BM") magics are
+      * printable ASCII a text payload CAN begin with, so those formats are
+      * trusted only after their pixels actually decode.
       */
-    def probe(payload: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    private val BinaryMagicFormats = Set("png", "jpeg")
+
+    /** Refuse to decode anything whose HEADER declares more pixels than
+      * this before allocating — a text payload opening with "GIF89a" parses
+      * arbitrary following bytes as unvalidated u16 dimensions, and an
+      * unguarded read would then try to allocate the garbage (OOM kills the
+      * task, and OutOfMemoryError is not an Exception a catch-all sees).
+      */
+    private val MaxPixels = 64L * 1024 * 1024
+
+    /** One reader dispatch shared by probe and decode: stream setup, magic
+      * dispatch, allowlist + declared-dimension sanity, then `f` on the
+      * positioned reader. Any failure anywhere is `None` — callers fall
+      * back to the deterministic stubs.
+      */
+    private def withReader[A](payload: Array[Byte])(
+        f: (javax.imageio.ImageReader, String, Int, Int) => Option[A]): Option[A] = {
+      if (payload == null) return None
       val iis =
         try ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
         catch { case _: Exception => null }
@@ -119,10 +143,9 @@ object Multimodal {
             if (!AllowedFormats(fmt)) None
             else {
               r.setInput(iis)
-              val types = r.getImageTypes(0)
-              val channels =
-                if (types.hasNext) types.next().getColorModel.getNumComponents else 3
-              Some((fmt, r.getWidth(0), r.getHeight(0), channels))
+              val w = r.getWidth(0); val h = r.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+              else f(r, fmt, w, h)
             }
           } finally r.dispose()
         }
@@ -130,16 +153,43 @@ object Multimodal {
       finally iis.close()
     }
 
-    /** Full pixel decode, `None` for anything the allowlist rejects. */
+    /** (formatName, width, height, numComponents). Header-only for the
+      * binary-magic formats; GIF/BMP additionally require a successful
+      * pixel decode that confirms the declared dimensions (see
+      * [[BinaryMagicFormats]]).
+      */
+    def probe(payload: Array[Byte]): Option[(String, Int, Int, Int)] =
+      withReader(payload) { (r, fmt, w, h) =>
+        val types = r.getImageTypes(0)
+        val channels =
+          if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+        if (BinaryMagicFormats(fmt)) Some((fmt, w, h, channels))
+        else {
+          val img = r.read(0)
+          if (img != null && img.getWidth == w && img.getHeight == h)
+            Some((fmt, w, h, channels))
+          else None
+        }
+      }
+
+    /** Full pixel decode in ONE reader pass (no separate probe — the
+      * dispatch and header parse are not paid twice), `None` for anything
+      * the allowlist or sanity checks reject.
+      */
     def decode(payload: Array[Byte]): Option[BufferedImage] =
-      if (probe(payload).isEmpty) None
-      else
-        try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-        catch { case _: Exception => None }
+      withReader(payload) { (r, fmt, w, h) =>
+        val img = r.read(0)
+        if (img != null && (BinaryMagicFormats(fmt) ||
+            (img.getWidth == w && img.getHeight == h))) Option(img)
+        else None
+      }
 
     def imageMeta(id: Long, payload: Array[Byte]): MediaMeta = probe(payload) match {
       case Some((fmt, w, h, ch)) => MediaMeta(id, payload.length.toLong, w, h, ch, fmt)
-      case None                  => StubCodecs.imageMeta(id, payload)
+      // null rides the stub path as the empty payload (the SQL formulas
+      // these stubs mirror treat NULL text as zero-length bytes)
+      case None => StubCodecs.imageMeta(id,
+        if (payload == null) Array.emptyByteArray else payload)
     }
 
     /** Downscale so max(width,height) == maxDim, preserving aspect ratio
@@ -160,7 +210,8 @@ object Multimodal {
           try g.drawImage(img, 0, 0, ow, oh, null) finally g.dispose()
           encodePng(out)
         }
-      case None => StubCodecs.resize(payload, maxDim)
+      case None =>
+        StubCodecs.resize(if (payload == null) Array.emptyByteArray else payload, maxDim)
     }
 
     def encodePng(img: BufferedImage): Array[Byte] = {
@@ -324,7 +375,10 @@ object Multimodal {
   def pHash60(payload: Array[Byte]): Long = {
     val px = ImageCodecs.decode(payload) match {
       case Some(img) => ImageCodecs.luminanceGrid(img, PHashCols, PHashRows)
-      case None      => stubTextPixels(payload)
+      // null hashes like the SQL formula hashed NULL text: an empty grid of
+      // identical pixels, i.e. simhash 0 — never an NPE out of a UDF
+      case None =>
+        stubTextPixels(if (payload == null) Array.emptyByteArray else payload)
     }
     var bits = 0L
     var r = 0

@@ -50,22 +50,42 @@ object StateLease {
     val f = fs(spark)
     f.mkdirs(leaseDir(spark))
     val p = leasePath(spark, table)
+    val out =
+      try f.create(p, false)
+      catch {
+        // only a failed create-exclusive means "someone holds it"; any
+        // other IO failure is a real filesystem error and must surface as
+        // itself, not misdirect the operator toward breakLease
+        case e: java.io.IOException if f.exists(p) =>
+          throw new IllegalStateException(
+            s"state table '$table' is under maintenance (${holder(spark, table)}) — " +
+              "a compaction holds its single-writer lease; retry after it " +
+              "finishes, or StateLease.breakLease if its JVM is dead", e)
+      }
+    // a write failure AFTER the create would otherwise strand a lease this
+    // very caller created — nobody holds it, everybody is blocked
     try {
-      val out = f.create(p, false)
       try out.write(s"$owner since ${java.time.Instant.now()}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     } catch {
-      case _: java.io.IOException =>
-        throw new IllegalStateException(
-          s"state table '$table' is under maintenance (${holder(spark, table)}) — " +
-            "a compaction holds its single-writer lease; retry after it " +
-            "finishes, or StateLease.breakLease if its JVM is dead")
+      case e: Exception =>
+        try f.delete(p, false) catch { case _: Exception => () }
+        throw e
     }
   }
 
   def release(spark: SparkSession, table: String): Unit =
     fs(spark).delete(leasePath(spark, table), false)
+
+  /** Best-effort release for state-RESET paths
+    * ([[graft.sinks.Sinks.dropTableAndLocation]]): dropping a table
+    * supersedes any lease on it — a lease stranded by a crashed compaction
+    * must not outlive the state it protected and block the rebuilt state
+    * forever.
+    */
+  def releaseQuiet(spark: SparkSession, table: String): Unit =
+    try release(spark, table) catch { case _: Exception => () }
 
   /** Operator override for a lease stranded by a crashed compaction. */
   def breakLease(spark: SparkSession, table: String): Unit =

@@ -105,6 +105,9 @@ object Sinks {
         new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     } catch { case _: Exception => () }
+    // dropping the table supersedes any maintenance lease on it — a lease
+    // stranded by a crashed compaction must not block the rebuilt state
+    graft.ext.StateLease.releaseQuiet(spark, table)
   }
 
   def bucketedTable(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {

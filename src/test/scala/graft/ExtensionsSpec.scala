@@ -600,6 +600,13 @@ class ExtensionsSpec extends SparkSpec {
       val mapping = Dedup.clusterMapping(spark, state)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(mapping === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // a lease stranded by a crashed compaction (simulated) is superseded
+      // by the state-RESET path: dropTables must clear it, so a rebuilt
+      // state is not blocked by the ghost of the one it replaced
+      StateLease.acquire(spark, state.byDocTable, "crashed-compaction")
+      state.dropTables(spark)
+      StateLease.assertFree(spark, state.byDocTable)
+      Dedup.clusterIncrement(Seq((5L, 6L)).toDF("d1", "d2"), state, batchId = 0L)
     } finally state.dropTables(spark)
   }
 
@@ -648,6 +655,18 @@ class ExtensionsSpec extends SparkSpec {
     val text = "just some text".getBytes("UTF-8")
     assert(ImageCodecs.probe(text).isEmpty)
     assert(ImageCodecs.imageMeta(2L, text) === Multimodal.StubCodecs.imageMeta(2L, text))
+    // a NULL payload rides the stub path as empty bytes — never an NPE out
+    // of a UDF, and simhash 0 like the SQL formulas give NULL text
+    assert(Multimodal.pHash60(null) === 0L)
+    assert(ImageCodecs.imageMeta(3L, null) ===
+      Multimodal.StubCodecs.imageMeta(3L, Array.emptyByteArray))
+    assert(ImageCodecs.resize(null, 16).sameElements(Array.emptyByteArray))
+    // text that BEGINS with GIF's printable ASCII magic must not steal the
+    // row from the stub path (the header would parse garbage dimensions) —
+    // GIF/BMP are trusted only after their pixels actually decode
+    val gifText = "GIF89a and then just prose, no real image data here at all".getBytes("UTF-8")
+    assert(ImageCodecs.probe(gifText).isEmpty)
+    assert(ImageCodecs.imageMeta(4L, gifText) === Multimodal.StubCodecs.imageMeta(4L, gifText))
   }
 
   test("pHash survives lossless re-encoding: PNG vs BMP of the same pixels hash identically") {
