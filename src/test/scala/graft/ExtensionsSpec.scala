@@ -669,6 +669,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(ImageCodecs.imageMeta(4L, gifText) === Multimodal.StubCodecs.imageMeta(4L, gifText))
   }
 
+  test("pHash text fallback matches DuckDB's substr transcription on multi-byte text") {
+    import graft.ext.Multimodal
+    // goldens computed in DuckDB with the exact x32 oracle formula (66
+    // 8-char stride-7 windows, first md5 byte each, dHash bits) — pins the
+    // CODE-POINT windowing claim: SQL substr counts characters, so a UTF-16
+    // or byte-offset windowing in the Scala fallback would diverge on
+    // exactly these inputs
+    val goldens = Seq(
+      "héllo wörld 你好世界 " * 40 -> 961040981731088732L,
+      "ascii only text repeated here " * 20 -> 276326840914062727L,
+      "短 文" -> 1L)
+    for ((text, expected) <- goldens)
+      assert(Multimodal.pHash60(text.getBytes("UTF-8")) === expected,
+        s"fallback hash diverged from the DuckDB oracle for: ${text.take(20)}")
+  }
+
   test("pHash survives lossless re-encoding: PNG vs BMP of the same pixels hash identically") {
     import graft.ext.Multimodal
     import graft.ext.Multimodal.ImageCodecs
