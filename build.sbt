@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt runMain` and tail-captures stdout, then parses
+// the last JSON line (BENCH protocol). Two sbt default behaviors break
+// that parse: the logger prefixes every forked-run output line with
+// "[info] ", and a "[success] Total time..." epilogue prints after the
+// run. Route forked-run output straight through to stdout (no prefix) and
+// suppress the success epilogue so Bench's summary JSON is the literal
+// last line of stdout.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crash must be a VISIBLE failure, not an omission: round 8's
+        // three crashed queries were simply absent from the correctness
+        // artifact, which then read as fully passing. Writing a one-row
+        // error-marker output guarantees the driver's DuckDB compare emits
+        // a failing entry (rows/schema/hash all mismatch) whose content
+        // names the exception.
+        try {
+          import spark.implicits._
+          val msg = String.valueOf(e).take(500)
+          Seq(("GRAFT_QUERY_CRASHED", msg)).toDF("graft_error", "graft_message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // operator-internal persists are scoped to one query run
       finally Caching.release(spark)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -17,19 +17,33 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Read `dir/name.parquet`, normalizing types the rest of the engine
-    * expects. The `events` table is written with parquet TIMESTAMP(NANOS)
-    * which Spark's reader rejects; we read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-    * TimestampType — the same truncation DuckDB applies on
-    * `CAST(ts AS TIMESTAMP)`, keeping the oracle comparable.
+    * expects. The engine's event-time contract is instant-semantics
+    * `TimestampType` (sessions are pinned UTC), so `events.ts` is
+    * normalized from whichever physical shape the generator wrote:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's reader rejects it; we read nanos
+    *    as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    *    microseconds — the same truncation DuckDB applies on
+    *    `CAST(ts AS TIMESTAMP)`, keeping the oracle comparable.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    `TimestampNTZType`, on which `unix_millis`/watermarks throw
+    *    DATATYPE_MISMATCH; cast to TimestampType (UTC session ⇒ the wall
+    *    clock IS the instant, value-preserving, and DuckDB's naive
+    *    TIMESTAMP reads the same microseconds).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
-      case "events" if df.schema("ts").dataType == LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "events" =>
+        df.schema("ts").dataType match {
+          case LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => df
+        }
       case _ => df
     }
   }
