@@ -38,5 +38,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Size the single-JVM heap to the machine: local[32] runs 32 concurrent
+  // tasks whose execution-memory share at 8g was ~145 MB/task — tight
+  // enough that the aggregation-heavy queries (minhash/LSH/pipeline) sat
+  // one co-tenant memory squeeze away from GC thrash (the BENCH_r08 shape:
+  // heavy queries 2-8x slower than the same command replayed, sub-second
+  // queries untouched). The box has 125 GiB; 24g is still conservative.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
