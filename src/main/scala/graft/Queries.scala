@@ -723,6 +723,42 @@ object Queries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" from 192.0.2."), (col("doc_id") % 256).cast("string")).as("text_pii"))
       TextAnalysis.redactPii(pii, "text_pii").select("doc_id", "redacted")
+    }),
+
+    // SEMANTIC decontamination: train docs whose embedding is cosine-close
+    // to any holdout embedding are dropped — the paraphrase-leakage sweep
+    // the n-gram pass (x15) cannot catch. Declared path is the banded SRP
+    // cross-join + exact verify; the brute-force NOT EXISTS is the oracle.
+    // Holdout = vec_id%10=7, the x18 convention.
+    "x40_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticDecontaminate(
+          emb.filter(col("vec_id") % 10 =!= 7), emb.filter(col("vec_id") % 10 === 7),
+          "vec_id", "embedding", threshold = 0.35)
+        .select("vec_id")
+    }),
+
+    // α-temperature mixture resampling (α=0.5, target half the corpus
+    // tokens): per-source keep fractions computed from exact per-source
+    // token masses, kept rows a pure function of (seed, doc_id) — the
+    // multilingual/multi-source rebalancing rule
+    "x41_temperature_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Sampling.temperatureSample(docs, "doc_id", "source", col("n_tokens"),
+          alpha = 0.5, targetFrac = 0.5, seed = SplitSeed)
+        .select("doc_id", "source", "n_tokens")
+    }),
+
+    // leakage-safe split: assignment keyed on the near-dup COMPONENT root
+    // (x25's connected components over the x03 pair graph), so no near-dup
+    // pair ever straddles train/test — the split-leakage guard
+    "x42_component_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      Sampling.splitByComponent(docs, "doc_id", pairs, SplitSeed,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "root_id", "bucket", "split")
     })
   )
 
@@ -1314,7 +1350,61 @@ object Queries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM pii""".stripMargin
+        |FROM pii""".stripMargin,
+
+    // brute-force NOT EXISTS over train×holdout cosine; the declared path's
+    // banded candidates are exactly verified, so (at recall 1 on this data,
+    // the x05 stance) the survivor sets coincide. NaN cosine (zero-norm)
+    // fails >= in both engines — such docs always survive.
+    "x40_semantic_decontaminate" ->
+      """SELECT vec_id FROM embeddings t WHERE vec_id % 10 <> 7 AND NOT EXISTS (
+        |  SELECT 1 FROM embeddings h WHERE h.vec_id % 10 = 7
+        |    AND list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(h.embedding AS DOUBLE[])) >= 0.35)""".stripMargin,
+
+    // transcription of Sampling.temperatureSample at α=0.5 / target 0.5:
+    // exact BIGINT per-source masses, the α-power sum in sorted-source
+    // order via an ordered list_reduce (bit-matching the driver's fold),
+    // sqrt (IEEE-exact in both engines, unlike pow), and the SAME
+    // left-associated double expression tree for the threshold; kept iff
+    // the x16 md5 bucket < thr as a double compare
+    "x41_temperature_sample" ->
+      ("""WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS msum FROM t GROUP BY source),
+        |tot AS (SELECT CAST(SUM(msum) AS BIGINT) AS mt,
+        |  list_reduce(list(sqrt(CAST(msum AS DOUBLE)) ORDER BY source), (a, b) -> a + b) AS sp FROM m),
+        |f AS (SELECT source,
+        |  LEAST(10000.0, 0.5 * mt * (sqrt(CAST(msum AS DOUBLE)) / sp) / CAST(msum AS DOUBLE) * 10000) AS thr
+        |  FROM m, tot WHERE msum > 0),
+        |""".stripMargin +
+      s"""b AS (SELECT doc_id, source, n_tokens,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 10000 AS bucket FROM t)
+        |SELECT b.doc_id, b.source, b.n_tokens FROM b JOIN f USING (source)
+        |WHERE CAST(bucket AS DOUBLE) < thr""".stripMargin),
+
+    // x25's recursive component closure for the root mapping (unpaired
+    // docs root at themselves), then the x16 md5 bucket/split arithmetic
+    // keyed on root_id instead of doc_id
+    "x42_component_split" ->
+      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($jaccardOracle)),
+        |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM walk GROUP BY a),
+        |r AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS root_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |b AS (SELECT doc_id, root_id,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(root_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 10000 AS bucket FROM r)
+        |SELECT doc_id, root_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -87,6 +87,48 @@ object Decontaminate {
   def cleanTrainSet(train: DataFrame, idCol: String, overlap: DataFrame): DataFrame =
     train.join(overlap.select(col("train_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** SEMANTIC decontamination: drop training documents whose EMBEDDING is
+    * cosine-similar (>= `threshold`) to any holdout document — the
+    * companion sweep to [[ngramOverlap]] for leakage that survives
+    * paraphrase (n-gram overlap only catches verbatim reuse; embedding
+    * similarity catches the benchmark question restated in different
+    * words, the contamination mode reported for modern chat-formatted
+    * benchmarks).
+    *
+    * Scale shape: both sides reduce to SRP signatures
+    * ([[Similarity.srpBase]] — codegen kernel, narrow), candidates come
+    * from a banded equi-join between the train and holdout band tables
+    * (never an all-pairs compare; with defaults, P(miss) ≈ 1.2e-5 per
+    * leaked pair at cosine 0.35), and candidates are verified with exact
+    * cosine before the decision — so there are no false drops. The
+    * holdout side (benchmark suites) is orders of magnitude smaller than
+    * the train side: AQE broadcasts its bands AND its verification
+    * vectors, so the train corpus never shuffles; the candidate distinct
+    * runs on skinny (train id, holdout id) pairs only. Zero-norm vectors
+    * have no defined cosine, never pair, and always survive — matching
+    * the NaN-fails-`>=` behavior of the SQL oracle.
+    */
+  def semanticDecontaminate(train: DataFrame, holdout: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            numBits: Int = 48, bandSize: Int = 2): DataFrame = {
+    require(numBits % bandSize == 0, s"numBits $numBits not a multiple of bandSize $bandSize")
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    // each base feeds its band explosion plus the verification re-join:
+    // scoped persists, released by the caller via graft.Caching.release
+    val tb = graft.Caching.scoped(Similarity.srpBase(train, idCol, vecCol, numBits))
+    val hb = graft.Caching.scoped(Similarity.srpBase(holdout, idCol, vecCol, numBits))
+    val cand = Similarity.srpBands(tb, numBits, bandSize).toDF("id", "band", "bv")
+      .join(Similarity.srpBands(hb, numBits, bandSize).toDF("hid", "band", "bv"),
+        Seq("band", "bv"))
+      .select("id", "hid").distinct()
+    val leaked = cand
+      .join(tb.select(col("id"), col("v").as("tv"), col("nrm").as("tn")), "id")
+      .join(hb.select(col("id").as("hid"), col("v").as("hv"), col("nrm").as("hn")), "hid")
+      .filter(Similarity.dot(col("tv"), col("hv")) >= lit(threshold) * col("tn") * col("hn"))
+      .select(col("id").as(idCol)).distinct()
+    train.join(leaked, Seq(idCol), "left_anti")
+  }
+
   /** Streaming decontamination for continuous ingest: matches each arriving
     * document's n-grams against a STATIC holdout gram set (benchmarks change
     * rarely; re-deploy to pick up a new holdout). Emits one append-mode row

@@ -37,21 +37,9 @@ object Sampling {
     */
   def hashSplit(df: DataFrame, idCol: String, seed: String,
                 splits: Seq[(String, Double)]): DataFrame = {
-    require(splits.nonEmpty, "hashSplit needs at least one split")
     Seq("bucket", "split").foreach(c => require(!df.columns.contains(c),
       s"hashSplit writes column '$c' — input already has one; rename or drop it first"))
-    require(math.abs(splits.map(_._2).sum - 1.0) * Buckets < 1.0,
-      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + math.round(f * Buckets)
-    }.tail
-    val b = col("bucket")
-    // last split takes the remainder of rounding, so every bucket is assigned
-    val assign = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
-      case (((name, _), bound), rest) => when(b < bound, name).otherwise(rest)
-    }
-    df.withColumn("bucket", bucketOf(col(idCol), seed))
-      .withColumn("split", assign)
+    withSplitOf(df, col(idCol), seed, splits)
   }
 
   /** Keeps a deterministic `frac` of rows: the [0, frac·Buckets) bucket
@@ -119,6 +107,111 @@ object Sampling {
       .withColumn("shuffle_pos",
         col("shuffle_bucket") * graft.ext.Sharding.ShardsPerBucket +
           (org.apache.spark.sql.functions.row_number().over(w).cast("long") - 1L))
+  }
+
+  /** α-temperature mixture resampling — the standard source-rebalancing
+    * rule for multi-source/multilingual training corpora (p_s ∝ m_s^α with
+    * α ∈ (0, 1], the exponent flattening the source-size distribution:
+    * α = 1 is proportional, α → 0 is uniform; the recipe published for
+    * XLM-R/mT5-style multilingual sampling and Pile/ROOTS-style source
+    * weighting). Unlike [[stratifiedSampleByHash]] the per-source keep
+    * fractions are COMPUTED from the data: with m_s the total `massCol`
+    * (typically token count) of source s,
+    *
+    *   w_s = m_s^α / Σ_t m_t^α           (temperature weight)
+    *   f_s = min(1, targetFrac·M·w_s / m_s)   (keep fraction, M = Σ m_s)
+    *
+    * and a row is kept iff its deterministic bucket < f_s·10000 — so the
+    * expected kept mass is targetFrac·M distributed across sources by w,
+    * capped at each source's available mass (no upsampling: a source whose
+    * target exceeds its size keeps everything; the shortfall is NOT
+    * redistributed, keeping f a closed form both engines reproduce).
+    *
+    * Scale shape: one tiny per-source aggregate (exact LONG sums — no
+    * float-order sensitivity), collected to the driver (bounded by the
+    * number of distinct sources, the IVF-codebook precedent), fractions
+    * folded into a literal when-chain — the kept/dropped decision is then
+    * a pure codegen per-row expression, no join, no shuffle. The α-power
+    * sum runs in sorted-source order with sqrt for α = 0.5 (IEEE-exact in
+    * every engine, unlike pow) so the thresholds are bit-reproducible by
+    * the DuckDB oracle. Null-source and zero-mass-source rows are dropped
+    * (no defined weight), matching the oracle's inner join + m > 0.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        massCol: Column, alpha: Double, targetFrac: Double,
+                        seed: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac must be in (0,1], got $targetFrac")
+    val perSource = df
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(sum(massCol.cast("long")).as("__m"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(s => (s, r.getLong(1))))
+      .filter(_._2 > 0L)
+      .sortBy(_._1)
+    require(perSource.nonEmpty, "temperatureSample: no source has positive mass")
+    def pw(m: Double): Double = if (alpha == 0.5) math.sqrt(m) else math.pow(m, alpha)
+    val mTot = perSource.map(_._2).sum // exact: long
+    val sPow = perSource.foldLeft(0.0) { case (acc, (_, m)) => acc + pw(m.toDouble) }
+    // threshold expression tree mirrors the oracle's EXACTLY (left-assoc
+    // double ops in the same order), so boundary buckets cannot flip
+    val thresholds = perSource.map { case (s, m) =>
+      val md = m.toDouble
+      s -> math.min(10000.0, targetFrac * mTot * (pw(md) / sPow) / md * Buckets)
+    }
+    val thrCol = thresholds.foldRight(lit(Double.NegativeInfinity): Column) {
+      case ((s, thr), rest) => when(col(sourceCol) === s, lit(thr)).otherwise(rest)
+    }
+    df.filter(bucketOf(col(idCol), seed).cast("double") < thrCol)
+  }
+
+  /** Leakage-safe train/val/test assignment: split by the NEAR-DUP
+    * COMPONENT root instead of the document id, so two near-duplicate
+    * documents can never land in different splits (with [[hashSplit]] a
+    * near-dup pair straddles train/test with probability 2·0.8·0.1 + ... —
+    * at web scale that is millions of eval documents whose paraphrase is
+    * in train, the split-leakage mode near-dedup papers warn about).
+    * `pairs` is any (d1, d2) near-dup pair set (MinHash LSH, SimHash,
+    * embedding LSH); every document of a connected component inherits the
+    * component minimum as `root_id` (unpaired documents root at
+    * themselves) and the split is a pure function of (seed, root_id).
+    *
+    * Scale shape: [[Dedup.connectedComponents]]'s log-round star
+    * contraction over the pair set (equi-joins only), one left join to
+    * attach roots (pair sets are sparse — AQE broadcasts the mapping when
+    * small), then the same codegen bucket expression as [[hashSplit]].
+    */
+  def splitByComponent(df: DataFrame, idCol: String, pairs: DataFrame, seed: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    Seq("root_id", "bucket", "split").foreach(c => require(!df.columns.contains(c),
+      s"splitByComponent writes column '$c' — input already has one; rename or drop it first"))
+    val mapping = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_root"))
+    val withRoot = df
+      .join(mapping, col(idCol) === col("__cc_id"), "left")
+      .withColumn("root_id", coalesce(col("__cc_root"), col(idCol).cast("long")))
+      .drop("__cc_id", "__cc_root")
+    withSplitOf(withRoot, col("root_id"), seed, splits)
+  }
+
+  /** Shared split assignment: bucket from (seed, key), named split by
+    * cumulative bucket ranges (see [[hashSplit]] for the contract).
+    */
+  private def withSplitOf(df: DataFrame, keyCol: Column, seed: String,
+                          splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "split assignment needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) * Buckets < 1.0,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    val b = col("bucket")
+    // last split takes the remainder of rounding, so every bucket is assigned
+    val assign = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), rest) => when(b < bound, name).otherwise(rest)
+    }
+    df.withColumn("bucket", bucketOf(keyCol, seed))
+      .withColumn("split", assign)
   }
 
   /** Per-stratum deterministic sampling: keep `frac(stratum)` of each

@@ -346,20 +346,10 @@ object Similarity {
     // to the previous UDF, minus the ArrayData→Seq conversion per row.
     graft.functions.GraftFunctions.register(df.sparkSession)
     // base feeds band explosion plus both candidate re-joins: cache so the
-    // scan + signature kernel run once. Zero-norm vectors are dropped for the
-    // same oracle-parity reason as in cosinePairs. Scoped: callers release
-    // via graft.Caching.release after materializing.
-    val base = graft.Caching.scoped(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-        .filter(col("nrm") > 0)
-        .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits))))
-    val nBands = numBits / bandSize
-    val bands = base.select(col("id"),
-      explode(array((0 until nBands).map { i =>
-        struct(lit(i).as("band"),
-          (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit((1L << bandSize) - 1)).as("bv"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    // scan + signature kernel run once. Scoped: callers release via
+    // graft.Caching.release after materializing.
+    val base = graft.Caching.scoped(srpBase(df, idCol, vecCol, numBits))
+    val bands = srpBands(base, numBits, bandSize)
     val cand = bands.toDF("id_a", "band", "bv")
       .join(bands.toDF("id_b", "band", "bv"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
@@ -385,7 +375,17 @@ object Similarity {
   final case class CosineLshIndex(bandsTable: String, vecsTable: String,
                                   numBuckets: Int = 32)
 
-  private def srpBands(base: DataFrame, numBits: Int, bandSize: Int): DataFrame = {
+  /** (id, v, nrm, sig) SRP-signature base over one corpus side — zero-norm
+    * vectors are dropped (no defined cosine: they can never pair, matching
+    * the NaN-fails-the-threshold behavior of the SQL oracles).
+    */
+  private[ext] def srpBase(df: DataFrame, idCol: String, vecCol: String,
+                           numBits: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
+
+  private[ext] def srpBands(base: DataFrame, numBits: Int, bandSize: Int): DataFrame = {
     val nBands = numBits / bandSize
     base.select(col("id"),
       explode(array((0 until nBands).map { i =>

@@ -805,4 +805,73 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("temperatureSample flattens the source mix; α=1 is proportional; caps at 1") {
+    import spark.implicits._
+    // source A: 90 docs x 100 tokens, source B: 10 docs x 100 tokens
+    // (m_A=9000, m_B=1000). At α=0.5, target 0.5: w=(0.75, 0.25), T=5000
+    // ⇒ f_A = 5000·0.75/9000 ≈ 0.417, f_B = 5000·0.25/1000 = 1.25 → 1.
+    val docs = ((1L to 90L).map((_, "A", 100L)) ++ (101L to 110L).map((_, "B", 100L)))
+      .toDF("doc_id", "source", "mass")
+    val kept = Sampling.temperatureSample(docs, "doc_id", "source", col("mass"),
+        alpha = 0.5, targetFrac = 0.5, seed = "s")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("B") == 10, s"small source must keep everything (f capped at 1): $kept")
+    assert(kept("A") > 20 && kept("A") < 65, s"large source must downsample to ~42%: $kept")
+    // α=1 is proportional sampling: every source keeps ~targetFrac
+    val prop = Sampling.temperatureSample(docs, "doc_id", "source", col("mass"),
+        alpha = 1.0, targetFrac = 0.5, seed = "s")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("A") > 25 && prop("A") < 65, s"α=1 keeps ~half of A: $prop")
+    assert(prop.getOrElse("B", 0L) >= 2 && prop("B") <= 9, s"α=1 keeps ~half of B: $prop")
+    // deterministic and a subset of the input
+    val again = Sampling.temperatureSample(docs, "doc_id", "source", col("mass"),
+        alpha = 0.5, targetFrac = 0.5, seed = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureSample(docs, "doc_id", "source", col("mass"),
+        alpha = 0.5, targetFrac = 0.5, seed = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+    // null-source rows are dropped (no defined weight)
+    val withNull = docs.union(Seq((900L, null.asInstanceOf[String], 100L))
+      .toDF("doc_id", "source", "mass"))
+    val keptNull = Sampling.temperatureSample(withNull, "doc_id", "source", col("mass"),
+        alpha = 0.5, targetFrac = 0.5, seed = "s")
+      .filter(col("doc_id") === 900L).count()
+    assert(keptNull == 0L)
+  }
+
+  test("splitByComponent keeps every near-dup chain in ONE split; unpaired docs match hashSplit") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // synthetic chain 1-2-3 (transitive) + island (10,11) + unpaired 20..40:
+    // all chain members inherit root 1's split, whatever it is
+    val sdocs = ((1L to 3L) ++ Seq(10L, 11L) ++ (20L to 40L)).toDF("doc_id")
+    val spairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val out = Sampling.splitByComponent(sdocs, "doc_id", spairs, "s", splits)
+      .select("doc_id", "root_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    graft.Caching.release(spark)
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1, "chain must share root AND split")
+    assert(Seq(10L, 11L).map(out(_)).distinct.size == 1)
+    assert(out(1L)._1 == 1L && out(10L)._1 == 10L)
+    // unpaired docs: root at themselves, split identical to plain hashSplit
+    val hs = Sampling.hashSplit((20L to 40L).toDF("doc_id"), "doc_id", "s", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (20L to 40L).foreach { id =>
+      assert(out(id)._1 == id && out(id)._2 == hs(id), s"doc $id")
+    }
+    // the real corpus: no x03 near-dup pair may straddle splits
+    val d = docs
+    val pairs = Dedup.minHashLsh(Dedup.wordShingles(d, "doc_id", "text", 3), 0.5)
+      .select("d1", "d2")
+    val real = Sampling.splitByComponent(d, "doc_id", pairs, Queries.SplitSeed, splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caching.release(spark)
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(real(a) == real(b), s"pair ($a,$b) straddles splits")
+    }
+  }
 }

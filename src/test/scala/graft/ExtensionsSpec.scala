@@ -811,4 +811,23 @@ class ExtensionsSpec extends SparkSpec {
     val topk = Similarity.bruteForceTopK(df, df.filter(col("id") < 5), "id", "embedding", 3)
     assert(topk.count() == df.filter(col("id") < 5).count() * 3)
   }
+
+  test("semanticDecontaminate drops exactly the brute-force cosine leaks (x40)") {
+    val train = emb.filter(col("vec_id") % 10 =!= 7)
+    val hold = emb.filter(col("vec_id") % 10 === 7)
+    val got = graft.ext.Decontaminate
+      .semanticDecontaminate(train, hold, "vec_id", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    // expected from the engine-verified brute-force pair set: a train doc
+    // leaks iff it pairs with a holdout doc at cosine >= 0.35
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val leaked = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(x => x % 10 != 7 && (if (x == a) b else a) % 10 == 7)
+    }.toSet
+    val trainIds = train.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(leaked.nonEmpty, "test data must contain at least one semantic leak")
+    assert(got == trainIds -- leaked)
+  }
 }

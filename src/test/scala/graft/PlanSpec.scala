@@ -122,6 +122,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x40 semantic decontamination: banded equi-joins only, no cartesian/NLJ/UDF") {
+    val p = plan("x40_semantic_decontaminate")
+    graft.Caching.release(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the SRP band equi-join: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("x41 temperature sample decision is a pure codegen filter: zero exchanges/joins/UDFs") {
+    // the per-source aggregate runs once at build time (bounded by source
+    // count); the returned KEPT/DROPPED decision itself must be narrow
+    val p = plan("x41_temperature_sample")
+    assert(!p.contains("Exchange"), "the keep decision must not shuffle: " + p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("x42 component split: equi-joins only, no cartesian/NLJ/UDF") {
+    val p = plan("x42_component_split")
+    graft.Caching.release(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("x17 sharding windows per bucket: hash exchange only, no global range sort") {
     val p = plan("x17_token_shards")
     assert(p.contains("Exchange hashpartitioning"), p.take(2000))
