@@ -337,4 +337,68 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed $seed")
     }
   }
+
+  test("temperatureSample equals the closed-form threshold model; larger targets nest") {
+    import spark.implicits._
+    val rowsGen: Gen[List[(Long, String, Long)]] = Gen.listOfN(200, for {
+      s <- Gen.oneOf("a", "b", "c", "d")
+      m <- Gen.choose(1L, 500L)
+    } yield (s, m)).map(_.zipWithIndex.map { case ((s, m), i) => (i.toLong, s, m) })
+    for (seed <- 90L to 92L) {
+      val rows = sample(rowsGen, seed)
+      val df = rows.toDF("doc_id", "source", "mass")
+      val got = Sampling.temperatureSample(df, "doc_id", "source", col("mass"),
+          alpha = 0.5, targetFrac = 0.4, seed = s"t$seed")
+        .select("doc_id").as[Long].collect().toSet
+      // model: the documented closed form, replayed sequentially
+      val masses = rows.groupBy(_._2).map { case (s, g) => s -> g.map(_._3).sum }
+      val mTot = masses.values.sum
+      val sPow = masses.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, m)) =>
+        acc + math.sqrt(m.toDouble) }
+      val thr = masses.map { case (s, m) =>
+        val md = m.toDouble
+        s -> math.min(10000.0, 0.4 * mTot * (math.sqrt(md) / sPow) / md * Sampling.Buckets)
+      }
+      val want = rows.filter { case (id, s, _) =>
+        (Hashing.md5Hash60(s"t$seed:$id") % Sampling.Buckets).toDouble < thr(s)
+      }.map(_._1).toSet
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
+      // thresholds are monotone in targetFrac ⇒ a larger target keeps a superset
+      val bigger = Sampling.temperatureSample(df, "doc_id", "source", col("mass"),
+          alpha = 0.5, targetFrac = 0.7, seed = s"t$seed")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got.subsetOf(bigger), s"seed $seed: target 0.4 not nested in 0.7")
+    }
+  }
+
+  test("splitByComponent equals hashSplit-of-union-find-root on random graphs") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val edgesGen: Gen[List[(Long, Long)]] = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 60L)))
+    for (seed <- 95L to 96L) {
+      val edges = sample(edgesGen, seed).filter { case (a, b) => a != b }
+      val docs = (0L to 60L).toDF("doc_id")
+      val got = Sampling.splitByComponent(docs, "doc_id", edges.toDF("d1", "d2"),
+          s"c$seed", splits)
+        .select("doc_id", "root_id", "split").as[(Long, Long, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      Caching.release(spark)
+      // model: union-find component min as root, then the hashSplit rule on it
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      (0L to 60L).foreach { id =>
+        val root = if (nodes(id)) minOfRoot(find(id)) else id
+        val bucket = Hashing.md5Hash60(s"c$seed:$root") % Sampling.Buckets
+        val split = if (bucket < 8000) "train" else if (bucket < 9000) "val" else "test"
+        assert(got(id) == ((root, split)), s"seed $seed doc $id")
+      }
+    }
+  }
 }
