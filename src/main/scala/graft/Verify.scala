@@ -4,6 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** A crash must be a VISIBLE failure, not an omission: round 8's three
+    * crashed queries were simply absent from the correctness artifact,
+    * which then read as fully passing. A one-row error-marker output
+    * guarantees the driver's DuckDB compare emits a failing entry
+    * (rows/schema/hash all mismatch) whose content names the exception.
+    * Best-effort by design — marker writing must never mask the original
+    * failure path.
+    */
+  private[graft] def writeErrorMarker(spark: SparkSession, outDir: String,
+                                      name: String, e: Throwable): Unit =
+    try {
+      import spark.implicits._
+      val msg = String.valueOf(e).take(500)
+      Seq(("GRAFT_QUERY_CRASHED", msg)).toDF("graft_error", "graft_message")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,18 +38,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // A crash must be a VISIBLE failure, not an omission: round 8's
-        // three crashed queries were simply absent from the correctness
-        // artifact, which then read as fully passing. Writing a one-row
-        // error-marker output guarantees the driver's DuckDB compare emits
-        // a failing entry (rows/schema/hash all mismatch) whose content
-        // names the exception.
-        try {
-          import spark.implicits._
-          val msg = String.valueOf(e).take(500)
-          Seq(("GRAFT_QUERY_CRASHED", msg)).toDF("graft_error", "graft_message")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
+        writeErrorMarker(spark, outDir, name, e)
       }
       // operator-internal persists are scoped to one query run
       finally Caching.release(spark)

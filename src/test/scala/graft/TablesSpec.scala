@@ -53,4 +53,19 @@ class TablesSpec extends SparkSpec {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("a crashed verify query leaves a readable error marker, not an omission") {
+    val out = java.nio.file.Files.createTempDirectory("graft_vmark").toString
+    try {
+      Verify.writeErrorMarker(spark, out, "q99_boom",
+        new IllegalStateException("x" * 600))
+      val got = spark.read.parquet(s"$out/q99_boom").collect()
+      assert(got.length == 1)
+      val row = got.head
+      assert(row.getAs[String]("graft_error") == "GRAFT_QUERY_CRASHED")
+      val msg = row.getAs[String]("graft_message")
+      assert(msg.startsWith("java.lang.IllegalStateException"))
+      assert(msg.length == 500, "exception text must be truncated to 500 chars")
+    } finally Queries.deleteTree(java.nio.file.Paths.get(out))
+  }
 }
