@@ -759,6 +759,30 @@ object Queries {
       Sampling.splitByComponent(docs, "doc_id", pairs, SplitSeed,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "root_id", "bucket", "split")
+    }),
+
+    // CCNet-style unigram quality: per-doc mean -log2 p(token) under the
+    // corpus's own unigram distribution, integer-quantized (floor-log2 on
+    // exact counts) so every aggregate is exact long arithmetic and the
+    // single final division bit-matches the oracle
+    "x43_unigram_quality" -> ((s, dir) =>
+      TextAnalysis.unigramQuality(t(s, dir, "documents"), "doc_id", "text")),
+
+    // the Gopher (MassiveText) rule-set filter: all seven published rules
+    // as exact-integer metrics + one division each, composed into `keep`
+    "x44_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text")),
+
+    // quality-ranked cluster collapse: per near-dup component keep the
+    // LONGEST doc (rank = n_chars, ties min id) — the survivor rule real
+    // pipelines want, vs x25's arbitrary min-id representative
+    "x45_collapse_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.collapseBest(docs, "doc_id",
+          Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+            .select("d1", "d2"),
+          "n_chars")
+        .select("doc_id")
     })
   )
 
@@ -1404,7 +1428,81 @@ object Queries {
         |    (a, b) -> a * 16 + b) % 10000 AS bucket FROM r)
         |SELECT doc_id, root_id, bucket,
         |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // transcription of TextAnalysis.unigramQuality: per-(doc, token)
+    // counts, corpus frequencies, integer floor-log2 via binary string
+    // length (exact — no libm log2), one final division. Token-less docs
+    // carry through the LEFT JOIN with n_tokens 0 / NULL score.
+    "x43_unigram_quality" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |dtc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toked) GROUP BY 1, 2),
+        |freq AS (SELECT tok, SUM(cnt) AS c FROM dtc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+        |per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cnt * (length(ltrim(bin(CAST(c AS BIGINT)), '0')) - 1)) AS BIGINT) AS s
+        |  FROM dtc JOIN freq USING (tok) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN p.n_tokens IS NULL THEN NULL
+        |       ELSE CAST(p.n_tokens * (length(ltrim(bin((SELECT n FROM tot)), '0')) - 1) - p.s AS DOUBLE) / p.n_tokens
+        |  END AS nll_bits
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // transcription of TextAnalysis.gopherFilter: every count exact
+    // integer, every ratio ONE division, thresholds verbatim. The
+    // alpha-word pattern relies on leftmost-first greedy matching making
+    // each match one whitespace-token containing a letter — identical in
+    // RE2 and Java regex; no lookarounds.
+    "x44_gopher_filter" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        |  string_split(text, chr(10)) AS lns FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_len,
+        |  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha,
+        |  CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_sym,
+        |  CAST(len(lns) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[•\-\*]'))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis,
+        |  CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop
+        |  FROM base),
+        |r AS (SELECT doc_id, n_words,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+        |  CAST(n_bullet AS DOUBLE) / n_lines AS bullet_ratio,
+        |  CAST(n_ellipsis AS DOUBLE) / n_lines AS ellipsis_ratio,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_ratio,
+        |  n_stop FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_ratio, n_stop,
+        |  COALESCE(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio < 0.1
+        |    AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3
+        |    AND alpha_ratio >= 0.8
+        |    AND n_stop >= 2, FALSE) AS keep
+        |FROM r""".stripMargin,
+
+    // x25's recursive component closure, then the quality-ranked survivor:
+    // per cluster the max-n_chars (ties min doc_id) member keeps, the rest
+    // drop; unpaired docs always survive
+    "x45_collapse_best" ->
+      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($jaccardOracle)),
+        |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM walk GROUP BY a),
+        |ranked AS (SELECT c.doc_id, c.cluster_id,
+        |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN documents d USING (doc_id))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -63,7 +63,13 @@ object CurationPipeline {
       // same per-pair/collapse rule as stage 4. Catches paraphrases and
       // translations that share no shingles; costs one more banded join.
       embeddingCol: Option[String] = None,
-      embedCosineThreshold: Double = 0.9)
+      embedCosineThreshold: Double = 0.9,
+      // true ⇒ stage 1 additionally requires the published Gopher rule-set
+      // verdict ([[TextAnalysis.withGopherMetrics]] — word-count bounds,
+      // mean word length, symbol/bullet/ellipsis ratios, alpha-word
+      // fraction, stopword floor). Narrow Column expressions like the rest
+      // of stage 1, so the flag works unchanged in [[streamIncrement]].
+      gopherRules: Boolean = false)
 
   /** Runs the full pipeline over `docs`; `holdout` is the eval corpus to
     * decontaminate against (None skips stage 5).
@@ -84,8 +90,11 @@ object CurationPipeline {
       s"CurationPipeline: tokenCountCol '$c' not in input (${docs.columns.mkString(", ")})"))
     val base = TextAnalysis.withLangId(
       TextAnalysis.withQualityMetrics(docs, textCol), textCol)
-    val scored =
+    val repScored =
       if (repetitionOn) TextAnalysis.withRepetitionMetrics(base, textCol) else base
+    val scored =
+      if (cfg.gopherRules) TextAnalysis.withGopherMetrics(repScored, textCol) else repScored
+    val gopherOk = if (cfg.gopherRules) col("keep") else lit(true)
     val repetitionOk =
       if (repetitionOn)
         col("dup_token_frac") <= cfg.maxDupTokenFrac &&
@@ -106,6 +115,7 @@ object CurationPipeline {
       .filter(gateTokens.between(cfg.minTokens, cfg.maxTokens) &&
         col("punct_ratio") <= cfg.maxPunctRatio &&
         repetitionOk &&
+        gopherOk &&
         col("lang_pred").isInCollection(cfg.langs))
       .select(docs.columns.map(col): _*)
   }

@@ -561,6 +561,39 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[keepListCollapsed]] with a QUALITY-RANKED survivor: per connected
+    * component of the pair graph, the kept document is the one maximizing
+    * `rankCol` (ties broken by minimum id) instead of the arbitrary
+    * min-id — the rule real curation pipelines want, where the longest /
+    * highest-quality-scored near-duplicate survives and its shorter or
+    * noisier copies drop. With a constant rank this degenerates to
+    * [[keepListCollapsed]] exactly (the min-id tie-break).
+    *
+    * Scale shape: the [[connectedComponents]] log-round contraction over
+    * the SPARSE pair set, one equi-join to attach ranks to the paired docs
+    * only (the unpaired corpus never shuffles — it passes through the
+    * final anti-join untouched), and the per-cluster argmax is a plain
+    * hash aggregate of a two-field struct (max of (rank, -id): exact
+    * integer comparison, deterministic under any partitioning — never a
+    * window/sort). NULL ranks lose to every ranked member (and tie among
+    * themselves back to min id).
+    */
+  def collapseBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                   rankCol: String, maxIters: Int = 20): DataFrame = {
+    val mapping = connectedComponents(pairs, maxIters)
+    val members = mapping.join(
+      df.select(col(idCol).as("doc_id"),
+        coalesce(col(rankCol).cast("long"), lit(Long.MinValue)).as("__rank")),
+      Seq("doc_id"))
+    val reps = members.groupBy("cluster_id")
+      .agg(max(struct(col("__rank").as("r"), (-col("doc_id")).as("ni"))).as("__best"))
+      .select(col("cluster_id"), (-col("__best.ni")).as("__rep"))
+    val drop = members.join(reps, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** The persisted cluster registry behind [[clusterIncrement]] — the
     * continuous-ingest counterpart of [[connectedComponents]], so a
     * streaming pipeline can maintain near-dup clusters without a batch

@@ -195,4 +195,145 @@ object TextAnalysis {
       PiiPatterns.foldLeft(col(textCol)) { case (c, (re, tag)) =>
         regexp_replace(c, re, tag)
       })
+
+  /** Exact floor(log2(c)) of a positive integral column via the binary
+    * string length — `conv` is string arithmetic, so unlike
+    * `floor(log2(x))` there is no libm double to round differently across
+    * engines (the DuckDB mirror is `length(ltrim(bin(c),'0')) - 1`).
+    */
+  def floorLog2(c: Column): Column = (length(conv(c, 10, 2)) - 1).cast("long")
+
+  /** CCNet-style corpus-trained unigram quality score: each document's
+    * mean negative log-likelihood under the unigram distribution of the
+    * corpus itself — gibberish and OOV-heavy documents score high, fluent
+    * prose built from common words scores low. The standard cheap stand-in
+    * for the KenLM perplexity filter (Wenzek et al., "CCNet", 2020) when
+    * no external LM is available.
+    *
+    * Reproducibility: -log2 p(t) = log2 N − log2 c(t) is INTEGER-quantized
+    * per token ([[floorLog2]]), so every aggregation is exact long
+    * arithmetic in any order; the only double op is the single final
+    * division by `n_tokens` — bit-identical in any IEEE engine, which is
+    * what lets a DuckDB oracle hash-match the scores.
+    *
+    * Scale shape: tokenize is narrow; per-(doc, token) counts first (ONE
+    * shuffle on (doc, token), and the join payload shrinks to distinct
+    * tokens per doc — stopword repeats collapse before they travel);
+    * corpus frequencies derive from those counts by a map-side-combined
+    * re-aggregation; the frequency join is an equi-join on token (AQE
+    * handles stopword skew); the total-token count N is ONE driver-side
+    * long (the x41 bounded-collect precedent). `vocabSize` is the 100 TB
+    * path: only the top-V tokens (by count, ties by token) keep their true
+    * frequency — the tail is floored to count 1 (= the maximum surprise a
+    * seen-once token would score) — and the V-row vocabulary BROADCASTS,
+    * so the corpus-side explode never shuffles for the join at all. With
+    * V ≥ |vocab| the two paths are identical (spec-pinned).
+    *
+    * Output: (idCol, n_tokens LONG, nll_bits DOUBLE — NULL for token-less
+    * docs, one row per input doc).
+    */
+  def unigramQuality(df: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Option[Int] = None): DataFrame = {
+    // Scoped (the minHashLsh stance): dtc backs the N action, the frequency
+    // aggregation AND the join probe; callers release via Caching.release
+    // after materializing.
+    val dtc = graft.Caching.scoped(
+      df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__tok"))
+        .groupBy(col(idCol), col("__tok"))
+        .agg(count(lit(1)).as("__cnt")))
+    val nTotal: Long = dtc.agg(coalesce(sum("__cnt"), lit(0L))).head.getLong(0)
+    val fullFreq = dtc.groupBy("__tok").agg(sum("__cnt").as("__c"))
+    val joined = vocabSize match {
+      case Some(v) =>
+        val vocab = broadcast(fullFreq.orderBy(col("__c").desc, col("__tok")).limit(v))
+        dtc.join(vocab, Seq("__tok"), "left")
+          .withColumn("__c", coalesce(col("__c"), lit(1L)))
+      case None => dtc.join(fullFreq, Seq("__tok"))
+    }
+    val per = joined.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(col("__cnt") * floorLog2(col("__c"))).as("__s"))
+      .withColumn("nll_bits",
+        (col("n_tokens") * floorLog2(lit(nTotal)) - col("__s")).cast("double") /
+          col("n_tokens"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll_bits"))
+  }
+
+  /** The Gopher stopword list (Rae et al. 2021, appendix A1 rule 7) —
+    * distinct from [[stopwords]] (the x08 ratio list) on purpose: the
+    * published rule names these eight words.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Appends the Gopher rule-set metrics (Rae et al. 2021, appendix A1 —
+    * the MassiveText quality filter, reused by MassiveWeb/RefinedWeb-class
+    * pipelines) and the composed `keep` verdict:
+    *
+    *  1. 50 ≤ word count ≤ 100,000
+    *  2. 3 ≤ mean word length ≤ 10
+    *  3. symbol-to-word ratio (`#` or ellipsis) < 0.1
+    *  4. ≤ 90% of lines start with a bullet
+    *  5. ≤ 30% of lines end with an ellipsis
+    *  6. ≥ 80% of words contain at least one alphabetic character
+    *  7. at least 2 of the eight Gopher stopwords appear
+    *
+    * All counts are exact integers from single-level codegen expressions
+    * (token/line arrays, `regexp_count`); each ratio is ONE division of
+    * two exact longs, so thresholds compare bit-identically across IEEE
+    * engines and the whole operator is narrow — zero shuffle, scan-bound
+    * at 100 TB. Token-less docs get NULL ratios (the x08 stance) and
+    * `keep = false`. The alphabetic-word count uses `\S*[A-Za-z]\S*`:
+    * leftmost-first greedy matching makes each match exactly one
+    * whitespace-token containing a letter in both Java regex and RE2 —
+    * no lookarounds, which RE2 (DuckDB) lacks.
+    */
+  def withGopherMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    // sum of token lengths == chars left after deleting all whitespace
+    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val nAlpha = regexp_count(text, lit("\\S*[A-Za-z]\\S*")).cast("long")
+    val nSym = (length(text) - length(regexp_replace(text, "#", "")) +
+      regexp_count(text, lit("\\.\\.\\.|…"))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    val nStop = size(filter(tokens(lower(text)), w => array_contains(stopArr, w))).cast("long")
+    val nullD = lit(null).cast("double")
+    val meanWordLen = when(nWords === 0, nullD).otherwise(sumLen.cast("double") / nWords)
+    val symbolRatio = when(nWords === 0, nullD).otherwise(nSym.cast("double") / nWords)
+    val bulletRatio = nBullet.cast("double") / nLines // split() never yields []
+    val ellipsisRatio = nEllipsis.cast("double") / nLines
+    val alphaRatio = when(nWords === 0, nullD).otherwise(nAlpha.cast("double") / nWords)
+    val keep = coalesce(
+      nWords.between(50L, 100000L) &&
+        meanWordLen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        nStop >= 2L,
+      lit(false))
+    df.withColumns(Map(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio,
+      "alpha_ratio" -> alphaRatio,
+      "n_stop" -> nStop,
+      "keep" -> keep))
+  }
+
+  /** Per-document Gopher metrics + verdict only — the declared-query shape. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withGopherMetrics(df, textCol).select(col(idCol), col("n_words"),
+      col("mean_word_len"), col("symbol_ratio"), col("bullet_ratio"),
+      col("ellipsis_ratio"), col("alpha_ratio"), col("n_stop"), col("keep"))
 }

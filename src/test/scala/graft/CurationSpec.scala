@@ -318,6 +318,46 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherRules config gates stage 1 on the published verdict; off by default") {
+    val keepable = (1 to 5).flatMap(_ => Seq("the", "and", "that", "have", "with",
+      "quick", "brown", "foxes", "jumps", "barns")).mkString(" ")
+    // passes the default thresholds (>= 10 tokens, en, low punct) but
+    // fails Gopher rule 1 (< 50 words); vocabulary mostly disjoint from
+    // doc 1 so the near-dup stage cannot pair them
+    val twentyWords = (1 to 2).flatMap(_ => Seq("little", "green", "houses", "stand",
+      "alone", "the", "nearby", "and", "quite", "still")).mkString(" ")
+    val docs = df(1L -> keepable, 2L -> twentyWords)
+    val cfg = CurationPipeline.Config(minTokens = 10L)
+    def survivors(c: CurationPipeline.Config) = {
+      val ids = CurationPipeline.run(docs, "doc_id", "text", None, c)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.Caching.release(spark)
+      ids
+    }
+    assert(survivors(cfg) === Set(1L, 2L), "default config keeps both")
+    assert(survivors(cfg.copy(gopherRules = true)) === Set(1L),
+      "gopher rules drop the 20-word doc")
+  }
+
+  test("gopher filter runs unchanged on a stream with zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val keepable = (1 to 5).flatMap(_ => Seq("the", "and", "that", "have", "with",
+      "quick", "brown", "foxes", "jumps", "barns")).mkString(" ")
+    val scored = graft.ext.TextAnalysis.withGopherMetrics(input.toDF().toDF("doc_id", "text"), "text")
+    val q = scored.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> keepable, 2L -> "too short")
+      q.processAllAvailable()
+      val rows = spark.table("gopher_stream").select("doc_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows === Map(1L -> true, 2L -> false))
+      assert(q.lastProgress.stateOperators.isEmpty, "all seven rules are narrow")
+    } finally q.stop()
+  }
+
   test("repetition metrics score planted spam high and clean text low") {
     val rows = df(
       1L -> "spam spam spam spam spam spam",                 // one token repeated

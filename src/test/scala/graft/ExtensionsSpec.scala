@@ -42,6 +42,111 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("collapseBest keeps the max-rank member per component (ties min id); null ranks lose; constant rank = min id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val ranked = Seq(1L -> 5L, 2L -> 9L, 3L -> 9L, 4L -> 1L, 10L -> 7L, 11L -> 3L, 20L -> 2L)
+      .toDF("doc_id", "quality")
+    val best = Dedup.collapseBest(ranked, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(best === Set(2L, 10L, 20L),
+      "chain keeps rank-9 tie-min-id 2; island keeps rank-7 10; unpaired 20 survives")
+
+    // a NULL rank loses to any ranked member of its component
+    val withNull = Seq(1L -> Some(5L), 2L -> Some(9L), 3L -> Some(9L), 4L -> Some(1L),
+      10L -> None, 11L -> Some(3L), 20L -> Some(2L))
+      .toDF("doc_id", "quality")
+    val nullBest = Dedup.collapseBest(withNull, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(nullBest === Set(2L, 11L, 20L))
+
+    // constant rank degenerates to keepListCollapsed's min-id rule
+    val const = ranked.withColumn("quality", lit(1L))
+    val constBest = Dedup.collapseBest(const, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    val minId = Dedup.keepListCollapsed(const, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(constBest === minId && constBest === Set(1L, 10L, 20L))
+  }
+
+  test("unigramQuality scores hand-computed NLLs; vocab cap floors the tail and is exact when V covers the vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the the cat",
+      2L -> "The dog",       // lowercased before counting
+      3L -> "   ",           // token-less: n_tokens 0, NULL score
+      4L -> "cat cat cat cat"
+    ).toDF("doc_id", "text")
+    // counts: the=3, cat=5, dog=1, N=9; floor-log2: N->3, the->1, cat->2, dog->0
+    def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Double])] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val full = collectScores(TextAnalysis.unigramQuality(docs, "doc_id", "text"))
+    graft.Caching.release(spark)
+    assert(full === Map(
+      1L -> (3L, Some((3 * 3 - 4).toDouble / 3)),  // s = 2*1(the) + 1*2(cat)
+      2L -> (2L, Some(2.5)),                       // s = 1*1(the) + 1*0(dog)
+      3L -> (0L, None),
+      4L -> (4L, Some(1.0))))                      // s = 4*2(cat)
+
+    // V=1 keeps only 'cat' (count desc); 'the'/'dog' floor to count 1
+    val capped = collectScores(
+      TextAnalysis.unigramQuality(docs, "doc_id", "text", vocabSize = Some(1)))
+    graft.Caching.release(spark)
+    assert(capped === Map(
+      1L -> (3L, Some((3 * 3 - 2).toDouble / 3)),
+      2L -> (2L, Some(3.0)),
+      3L -> (0L, None),
+      4L -> (4L, Some(1.0))))
+
+    // V >= |vocab|: identical to the full path, bit for bit
+    val wide = collectScores(
+      TextAnalysis.unigramQuality(docs, "doc_id", "text", vocabSize = Some(10)))
+    graft.Caching.release(spark)
+    assert(wide === full)
+  }
+
+  test("gopherFilter applies each published rule; metrics are exact") {
+    import spark.implicits._
+    val goodWords = Seq("the", "and", "that", "have", "with",
+      "quick", "brown", "foxes", "jumps", "barns")
+    val good = (1 to 5).flatMap(_ => goodWords).mkString(" ")  // 50 words, mean len 4.3
+    val bulletLines = (1 to 10).map(_ => "- the and that have with words").mkString("\n")
+    val ellipsisLines = ((1 to 6).map(_ => "the and that have with words") ++
+      (1 to 4).map(_ => "the and that have with words...")).mkString("\n")
+    val symbols = good + " ####### #######"
+    val numeric = ((1 to 5).flatMap(_ => Seq("the", "and", "that", "have", "with",
+      "acorn", "baker")) ++ (1 to 15).map(_ => "12345")).mkString(" ")
+    val noStop = (1 to 10).flatMap(_ => Seq("alpha", "bravo", "delta", "gamma", "omega")).mkString(" ")
+    val docs = Seq(1L -> good, 2L -> "the cat", 3L -> bulletLines, 4L -> ellipsisLines,
+      5L -> symbols, 6L -> numeric, 7L -> noStop).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), "all rules pass")
+    assert(rows(1L).getAs[Double]("mean_word_len") === 4.3)
+    assert(rows(1L).getAs[Long]("n_stop") === 25L)
+    assert(!rows(2L).getAs[Boolean]("keep") && rows(2L).getAs[Long]("n_words") === 2L,
+      "rule 1: word count")
+    assert(!rows(3L).getAs[Boolean]("keep") &&
+      rows(3L).getAs[Double]("bullet_ratio") === 1.0, "rule 4: bullet lines")
+    assert(!rows(4L).getAs[Boolean]("keep") &&
+      rows(4L).getAs[Double]("ellipsis_ratio") === 0.4, "rule 5: ellipsis lines")
+    assert(!rows(5L).getAs[Boolean]("keep") &&
+      rows(5L).getAs[Double]("symbol_ratio") > 0.1, "rule 3: symbol ratio")
+    assert(!rows(6L).getAs[Boolean]("keep") &&
+      rows(6L).getAs[Double]("alpha_ratio") === 0.7, "rule 6: alpha words")
+    assert(!rows(7L).getAs[Boolean]("keep") &&
+      rows(7L).getAs[Long]("n_stop") === 0L, "rule 7: stopwords")
+    // token-less doc: NULL ratios, keep = false (never NULL)
+    val empty = TextAnalysis.gopherFilter(Seq(8L -> "  ").toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(!empty.getAs[Boolean]("keep") && empty.isNullAt(empty.fieldIndex("mean_word_len")))
+  }
+
   test("fingerprintPairs finds copied passages and respects minShared/df cap") {
     import spark.implicits._
     val passage = (1 to 30).map(i => s"tok$i").mkString(" ")

@@ -146,6 +146,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x43 unigram quality: equi-joins + map-side-combined aggregates, no cartesian/NLJ/UDF") {
+    val p = plan("x43_unigram_quality")
+    graft.Caching.release(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "frequency lookup must be an equi-join: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "token aggregation must map-side combine: " + p.take(2000))
+  }
+
+  test("x44 gopher filter is pure per-row projection: zero shuffle, zero UDFs") {
+    val p = plan("x44_gopher_filter")
+    assert(!p.contains("Exchange"), "all seven rules are narrow: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("x45 quality-ranked collapse: argmax via hash aggregate, no window sort, no cartesian/NLJ") {
+    val p = plan("x45_collapse_best")
+    graft.Caching.release(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "survivor selection must be a struct-max aggregate, not a window: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("x17 sharding windows per bucket: hash exchange only, no global range sort") {
     val p = plan("x17_token_shards")
     assert(p.contains("Exchange hashpartitioning"), p.take(2000))
