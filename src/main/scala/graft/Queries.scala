@@ -121,6 +121,11 @@ object Queries {
     */
   val DecontamN = 13
   val DecontamGramDfCap = 20L
+  /** x46 runs the bloom variant at a shorter gram so its join is not
+    * trivially empty at small SF (13-grams rarely collide across the
+    * synthetic corpus's slices; 8-grams do).
+    */
+  val BloomDecontamN = 8
 
   /** x16 split parameters: seed and cumulative bucket bounds (0.8/0.1/0.1
     * of [[graft.ext.Sampling.Buckets]]), mirrored into the oracle.
@@ -783,6 +788,44 @@ object Queries {
             .select("d1", "d2"),
           "n_chars")
         .select("doc_id")
+    }),
+
+    // bloom-prefiltered decontamination: the x15 sweep with the holdout
+    // gram set folded into a broadcast bloom literal that drops
+    // cannot-match train grams BEFORE any exchange — the shape that keeps
+    // the train side un-shuffled when the holdout outgrows a broadcast
+    // hash relation. Bit-identical to the exact join (no false negatives;
+    // FPs die in the join), so the oracle is the plain-join transcription.
+    "x46_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.ngramOverlapBloom(
+        docs.filter(col("doc_id") % 10 =!= 3), docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", n = BloomDecontamN, maxGramDf = Some(DecontamGramDfCap),
+        bloomBits = 1 << 20, bloomHashes = 5)
+    }),
+
+    // α-temperature resampling WITH upsampling (x41 without the f<=1 cap):
+    // small sources replicate to ⌊f⌋/⌈f⌉ epochs, large ones downsample —
+    // the published multilingual mixture rule in full. target = the whole
+    // corpus mass redistributed by w_s = sqrt-mass weights.
+    "x48_temperature_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Sampling.temperatureResample(docs, "doc_id", "source", col("n_tokens"),
+          alpha = 0.5, targetFrac = 1.0, seed = SplitSeed)
+        .select("doc_id", "source", "n_tokens", "epoch")
+    }),
+
+    // product-quantization ANN: corpus compressed to 8 one-byte codes +
+    // norm, candidates scored by codegen ADC table lookups, exact re-rank.
+    // Declared at overfetch >= corpus so the shortlist is total and the
+    // result ≡ brute force (the x06 full-probe convention); the
+    // approximate path keeps its recall spec.
+    "x47_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+          "vec_id", "embedding", k = 10, m = 8, ksub = 16, overfetch = 4096)
+        .select("query_id", "rank", "nbr_id")
     })
   )
 
@@ -1502,7 +1545,61 @@ object Queries {
         |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn
         |  FROM comp c JOIN documents d USING (doc_id))
         |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin,
+
+    // the bloom pre-filter is result-invisible (no false negatives; FPs
+    // die in the exact join), so the transcription is x15's plain join at
+    // the x46 gram length and holdout slice
+    "x46_bloom_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${BloomDecontamN - 1}], ' ') AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - ${BloomDecontamN - 1})) i(i) WHERE len(w) >= $BloomDecontamN),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > $DecontamGramDfCap),
+        |ok AS (SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot))
+        |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM (SELECT * FROM ok WHERE doc_id % 10 <> 3) tr
+        |JOIN (SELECT * FROM ok WHERE doc_id % 10 = 3) ev USING (g)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x41's f computation WITHOUT the LEAST cap, then ⌊f⌋ whole epochs
+    // plus one fractional epoch decided by the md5 bucket, expanded by
+    // generate_series (empty when n = 0). Same double-op order as the
+    // Scala literals, so copy counts match to the ULP.
+    "x48_temperature_resample" ->
+      ("""WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS msum FROM t GROUP BY source),
+        |tot AS (SELECT CAST(SUM(msum) AS BIGINT) AS mt,
+        |  list_reduce(list(sqrt(CAST(msum AS DOUBLE)) ORDER BY source), (a, b) -> a + b) AS sp FROM m),
+        |f AS (SELECT source,
+        |  1.0 * mt * (sqrt(CAST(msum AS DOUBLE)) / sp) / CAST(msum AS DOUBLE) AS f
+        |  FROM m, tot WHERE msum > 0),
+        |""".stripMargin +
+      s"""b AS (SELECT doc_id, source, n_tokens,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('$SplitSeed:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 10000 AS bucket FROM t),
+        |c AS (SELECT b.doc_id, b.source, b.n_tokens,
+        |  CAST(FLOOR(f.f) AS BIGINT)
+        |    + CASE WHEN CAST(bucket AS DOUBLE) < (f.f - FLOOR(f.f)) * 10000 THEN 1 ELSE 0 END AS n
+        |  FROM b JOIN f USING (source))
+        |SELECT doc_id, source, n_tokens, CAST(e.epoch AS BIGINT) AS epoch
+        |FROM c, LATERAL unnest(generate_series(0, n - 1)) e(epoch) WHERE n >= 1""".stripMargin),
+
+    // at overfetch >= corpus the ADC shortlist is total and the exact
+    // re-rank IS brute force: the x07 transcription on the x47 query slice
+    "x47_pq_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 20 AND vec_id < 40),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -54,8 +54,11 @@ object Decontaminate {
     * decontamination recipes drop them outright rather than weighting.
     */
   def ngramOverlap(train: DataFrame, holdout: DataFrame, idCol: String, textCol: String,
-                   n: Int = 13, maxGramDf: Option[Long] = None): DataFrame = {
-    val (tg, eg) = (docGrams(train, idCol, textCol, n), docGrams(holdout, idCol, textCol, n))
+                   n: Int = 13, maxGramDf: Option[Long] = None): DataFrame =
+    overlapOf(docGrams(train, idCol, textCol, n), docGrams(holdout, idCol, textCol, n),
+      maxGramDf)
+
+  private def overlapOf(tg: DataFrame, eg: DataFrame, maxGramDf: Option[Long]): DataFrame = {
     val (tf, ef) = maxGramDf match {
       case Some(cap) =>
         // each side feeds the df aggregate AND the anti-join probe: persist
@@ -78,6 +81,44 @@ object Decontaminate {
     tf.toDF("train_id", "gram_h")
       .join(ef.toDF("eval_id", "gram_h"), Seq("gram_h"))
       .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[ngramOverlap]] with a bloom-filter SEMI-JOIN pre-filter on the train
+    * side: the holdout gram hashes aggregate into one `bloomBits`-bit bloom
+    * ([[graft.functions.BloomFilterAgg]] — map-side OR-merged partials, one
+    * bounded blob), collected and folded into the plan as a literal, and
+    * train grams that cannot be in the holdout (no false negatives) are
+    * dropped by a pure codegen filter BEFORE any exchange.
+    *
+    * The result is bit-identical to [[ngramOverlap]]: the exact equi-join
+    * still runs, so bloom false positives are removed there; and a gram
+    * present in the holdout keeps its full document frequency on both
+    * sides (every train occurrence passes the filter), so the symmetric
+    * `maxGramDf` hot-gram decision is unchanged for every gram that could
+    * produce a pair — grams the filter drops can never join.
+    *
+    * When to prefer it: [[ngramOverlap]] already never shuffles the train
+    * side IF the holdout gram set fits a broadcast hash relation. At
+    * benchmark-suite scale it does; with a HOLDOUT too big to broadcast
+    * (say all eval suites plus their paraphrase expansions — billions of
+    * grams) the join degrades to a full shuffle of the train corpus' gram
+    * table, which at 100 TB is the dominant cost of the whole sweep. A
+    * 2³²-bit bloom (512 MiB, ~10 bits/gram at 3e9 grams ⇒ ~1% FP) still
+    * broadcasts, and cuts the shuffled train side to (leaked + 1%).
+    */
+  def ngramOverlapBloom(train: DataFrame, holdout: DataFrame, idCol: String, textCol: String,
+                        n: Int = 13, maxGramDf: Option[Long] = None,
+                        bloomBits: Int = 1 << 22, bloomHashes: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    // the holdout grams feed the bloom build AND the join probe: scoped
+    // persist (released by the caller via graft.Caching.release)
+    val eg = graft.Caching.scoped(docGrams(holdout, idCol, textCol, n))
+    val blob = eg.agg(
+        call_function("graft_bloom", col("gram_h"), lit(bloomBits), lit(bloomHashes)).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val tg = docGrams(train, idCol, textCol, n)
+      .filter(call_function("graft_bloom_contains", lit(blob), col("gram_h")))
+    overlapOf(tg, eg, maxGramDf)
   }
 
   /** The decontamination *decision*: the training set minus every document

@@ -137,11 +137,12 @@ object Sampling {
     * the DuckDB oracle. Null-source and zero-mass-source rows are dropped
     * (no defined weight), matching the oracle's inner join + m > 0.
     */
-  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
-                        massCol: Column, alpha: Double, targetFrac: Double,
-                        seed: String): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac must be in (0,1], got $targetFrac")
+  /** Exact per-source masses, collected (bounded by the source count — the
+    * IVF-codebook precedent) and sorted by source for a deterministic
+    * power-sum order. Null-source and zero-mass sources are dropped.
+    */
+  private def sourceMasses(df: DataFrame, sourceCol: String, massCol: Column,
+                           who: String): Array[(String, Long)] = {
     val perSource = df
       .groupBy(col(sourceCol).cast("string").as("__s"))
       .agg(sum(massCol.cast("long")).as("__m"))
@@ -149,8 +150,20 @@ object Sampling {
       .flatMap(r => Option(r.getString(0)).map(s => (s, r.getLong(1))))
       .filter(_._2 > 0L)
       .sortBy(_._1)
-    require(perSource.nonEmpty, "temperatureSample: no source has positive mass")
-    def pw(m: Double): Double = if (alpha == 0.5) math.sqrt(m) else math.pow(m, alpha)
+    require(perSource.nonEmpty, s"$who: no source has positive mass")
+    perSource
+  }
+
+  private def pow(alpha: Double)(m: Double): Double =
+    if (alpha == 0.5) math.sqrt(m) else math.pow(m, alpha)
+
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        massCol: Column, alpha: Double, targetFrac: Double,
+                        seed: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac must be in (0,1], got $targetFrac")
+    val perSource = sourceMasses(df, sourceCol, massCol, "temperatureSample")
+    val pw = pow(alpha) _
     val mTot = perSource.map(_._2).sum // exact: long
     val sPow = perSource.foldLeft(0.0) { case (acc, (_, m)) => acc + pw(m.toDouble) }
     // threshold expression tree mirrors the oracle's EXACTLY (left-assoc
@@ -163,6 +176,62 @@ object Sampling {
       case ((s, thr), rest) => when(col(sourceCol) === s, lit(thr)).otherwise(rest)
     }
     df.filter(bucketOf(col(idCol), seed).cast("double") < thrCol)
+  }
+
+  /** [[temperatureSample]] WITH upsampling — the full published mixture
+    * rule: where temperatureSample caps every keep fraction at 1 (a source
+    * can only shrink), real multilingual recipes REPLICATE small sources
+    * (XLM-R upsamples low-resource languages by epochs > 1; mixture specs
+    * quote "N epochs of source s"). With f_s = targetFrac·M·w_s / m_s
+    * (uncapped), a row of source s is emitted
+    *
+    *   n = ⌊f_s⌋ + (bucket(seed, id) < frac(f_s)·10000 ? 1 : 0)
+    *
+    * times, tagged `epoch` 0..n−1 — every source's expected emitted mass
+    * is f_s·m_s, so the mixture hits targetFrac·M with the w proportions
+    * exactly (no cap shortfall), and the whole decision stays a pure
+    * per-row function of (seed, id): reruns, repartitions, and the DuckDB
+    * oracle reproduce the same copies. `targetFrac` may exceed 1 (a
+    * corpus stretched over multiple epochs).
+    *
+    * Scale shape: identical to [[temperatureSample]] — one bounded
+    * per-source aggregate folded into literal when-chains — plus one
+    * NARROW explode of at most ⌈f_s⌉ copies; no join, no shuffle. The
+    * `epoch` column is the standard downstream interleave key: feed
+    * (epoch, doc) to [[shuffleOrder]] so replicas of one doc land far
+    * apart in the training stream.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, sourceCol: String,
+                          massCol: Column, alpha: Double, targetFrac: Double,
+                          seed: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(targetFrac > 0, s"targetFrac must be positive, got $targetFrac")
+    require(!df.columns.contains("epoch"),
+      "temperatureResample writes column 'epoch' — input already has one; rename or drop it first")
+    val perSource = sourceMasses(df, sourceCol, massCol, "temperatureResample")
+    val pw = pow(alpha) _
+    val mTot = perSource.map(_._2).sum // exact: long
+    val sPow = perSource.foldLeft(0.0) { case (acc, (_, m)) => acc + pw(m.toDouble) }
+    // two literals per source: whole-epoch count and the fractional-epoch
+    // bucket threshold; arithmetic order mirrors the oracle EXACTLY (f
+    // first, then floor/frac of the same double), so copy counts cannot
+    // differ by a ULP between engines
+    val copies = perSource.map { case (s, m) =>
+      val md = m.toDouble
+      val f = targetFrac * mTot * (pw(md) / sPow) / md
+      (s, math.floor(f).toLong, (f - math.floor(f)) * Buckets)
+    }
+    val baseCol = copies.foldRight(lit(0L): Column) {
+      case ((s, base, _), rest) => when(col(sourceCol) === s, lit(base)).otherwise(rest)
+    }
+    val thrCol = copies.foldRight(lit(Double.NegativeInfinity): Column) {
+      case ((s, _, thr), rest) => when(col(sourceCol) === s, lit(thr)).otherwise(rest)
+    }
+    val n = baseCol + when(bucketOf(col(idCol), seed).cast("double") < thrCol, 1L).otherwise(0L)
+    df.withColumn("__graft_epochs", n)
+      .filter(col("__graft_epochs") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__graft_epochs") - 1L)))
+      .drop("__graft_epochs")
   }
 
   /** Leakage-safe train/val/test assignment: split by the NEAR-DUP

@@ -320,6 +320,160 @@ object Similarity {
         ivfCompact(batch.sparkSession, index)
     }
 
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al., PAMI 2011)
+
+  /** Per-subspace PQ codebooks: `codebooks(sub)(code)` is the dsub-dim
+    * centroid for `code` in subspace `sub`. Memory per corpus vector drops
+    * from 4·dim bytes (float) to m bytes + one stored norm — the
+    * compression that lets a 100 TB embedding corpus's candidate scan fit
+    * in a fraction of the I/O, with [[pqTopK]]'s exact re-rank restoring
+    * full precision on the shortlist.
+    */
+  final case class PqModel(dim: Int, m: Int, ksub: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+  }
+
+  /** Trains one deterministic k-means codebook per subspace on an id-hash
+    * sample — the shared [[trainCodebook]] trainer, so PQ and IVF
+    * codebooks come from the same bit-identical kernel. `ksub` ≤ 256 so a
+    * code is one byte.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 5): PqModel = graft.Caching.scope {
+    require(ksub >= 1 && ksub <= 256, s"pqTrain: ksub must be in [1, 256], got $ksub")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+    // training rescans the sample m × iters times: cache once (scope-local —
+    // fully consumed before return)
+    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"pqTrain: dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { sub =>
+      val lo = sub * dsub
+      // restore the (id, v) column names the shared trainer's
+      // deterministic lowest-id init sorts on (a bare .map yields _1/_2)
+      val s = vecs.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, lo, lo + dsub)) }
+        .toDF("id", "v").as[(Long, Array[Float])]
+      trainCodebook(s, ksub, iters)
+    }
+    PqModel(dim, m, ksub, books)
+  }
+
+  /** Encode each corpus vector as m one-byte nearest-centroid codes plus
+    * its exact norm (the cosine denominator PQ cannot reconstruct):
+    * (id, codes binary, nrm). Zero-norm vectors are excluded — the
+    * [[bruteForceTopK]] undefined-cosine stance.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val codes = new Array[Byte](mm.m)
+        var sub = 0
+        while (sub < mm.m) {
+          val s = java.util.Arrays.copyOfRange(v, sub * mm.dsub, (sub + 1) * mm.dsub)
+          codes(sub) = nearest(mm.codebooks(sub), s).toByte
+          sub += 1
+        }
+        // same double left-to-right order as norm(col) = sqrt(graft_dot(v,v))
+        var nn = 0.0
+        var j = 0
+        while (j < v.length) { nn += v(j).toDouble * v(j).toDouble; j += 1 }
+        (id, codes, math.sqrt(nn))
+      }.toDF("id", "codes", "nrm")
+  }
+
+  /** One flattened m×ksub inner-product lookup table per query:
+    * lut[sub·ksub + c] = <q_sub, codebook(sub)(c)> — the per-query setup
+    * cost that makes each candidate score m array reads
+    * ([[graft.functions.PqAdcScore]]).
+    */
+  private def pqLuts(queries: DataFrame, idCol: String, vecCol: String,
+                     model: PqModel): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val lut = new Array[Double](mm.m * mm.ksub)
+        var sub = 0
+        while (sub < mm.m) {
+          val book = mm.codebooks(sub)
+          var c = 0
+          while (c < book.length) {
+            val cent = book(c)
+            var acc = 0.0
+            var j = 0
+            while (j < cent.length) { acc += v(sub * mm.dsub + j).toDouble * cent(j); j += 1 }
+            lut(sub * mm.ksub + c) = acc
+            c += 1
+          }
+          sub += 1
+        }
+        var nn = 0.0
+        var j = 0
+        while (j < v.length) { nn += v(j).toDouble * v(j).toDouble; j += 1 }
+        (id, lut, math.sqrt(nn))
+      }.toDF("query_id", "lut", "qnrm")
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank: corpus vectors compress
+    * to m-byte codes, every (query, candidate) score is an m-entry table
+    * lookup ([[graft.functions.PqAdcScore]], codegen), the per-query ADC
+    * shortlist of `overfetch` ids comes from the bounded `graft_topk`
+    * aggregate (map-side partials — the shuffle carries queries ×
+    * partitions × overfetch entries, never the scored pairs), and exact
+    * cosine re-ranks the shortlist to k. With `overfetch` ≥ corpus size
+    * the shortlist is everything and the result equals [[bruteForceTopK]]
+    * bit-for-bit (the oracle configuration); at production overfetch
+    * (4–10×k) recall follows the PQ reconstruction quality (spec-pinned).
+    *
+    * Scale shape: the corpus side streams its (id, codes, nrm) rows —
+    * m+8 bytes a vector instead of 4·dim — through one broadcast
+    * nested-loop join against the tiny query LUT table; no exchange ever
+    * touches the corpus side before the bounded aggregate. Compose with
+    * [[ivfBuild]]-style cluster routing to cut the scanned fraction too:
+    * PQ shrinks bytes-per-candidate, IVF shrinks candidates.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, overfetch: Int = 100,
+             iters: Int = 5): DataFrame = {
+    require(overfetch >= k, s"pqTopK: overfetch $overfetch must be >= k $k")
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val model = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
+    val codes = pqEncode(corpus, idCol, vecCol, model)
+    val luts = pqLuts(queries, idCol, vecCol, model)
+    val adc = codes.join(broadcast(luts), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("nbr_id"),
+        (call_function("graft_pq_adc", col("lut"), col("codes")) /
+          (col("qnrm") * col("nrm"))).as("adc_cos"))
+    val cands = adc.groupBy("query_id")
+      .agg(call_function("graft_topk", col("adc_cos"), col("nbr_id"), lit(overfetch)).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("s"))
+      .select(col("query_id"), col("s.nbr_id").as("nbr_id"))
+    val cv = corpus.select(col(idCol).cast("long").as("nbr_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .filter(norm(col("qv")) > 0)
+    val scored = cands.join(cv, Seq("nbr_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+    topKRank(scored, k)
+  }
+
   /** Signed-random-projection LSH candidate pairs, verified with exact
     * cosine — the equi-join ANN path. `numBits` hyperplane signs per
     * vector, banded into `numBits / bandSize` keys; hyperplane entries are

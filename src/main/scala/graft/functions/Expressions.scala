@@ -80,6 +80,59 @@ case class KafkaMurmur2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_pq_adc(lut, codes)` — asymmetric-distance (ADC) inner-product
+  * lookup for product-quantized vectors (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", PAMI 2011): `lut` is one
+  * query's flattened m×ksub table of per-subspace partial dot products
+  * (`lut[sub*ksub + c] = <q_sub, codebook[sub][c]>`), `codes` is a corpus
+  * vector's m-byte PQ code, and the score is Σ_sub lut[sub*ksub +
+  * codes[sub]] = <q, reconstruct(codes)> — m array reads + adds per
+  * candidate instead of a d-element float dot (d/m × fewer flops, and the
+  * corpus side touches m BYTES per vector instead of 4d). ksub is derived
+  * as lut.length / codes.length, so the two inputs can never disagree
+  * about the layout silently.
+  */
+case class PqAdcScore(lutExpr: Expression, codesExpr: Expression) extends BinaryExpression {
+  override def left: Expression = lutExpr
+  override def right: Expression = codesExpr
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = (lutExpr.dataType, codesExpr.dataType) match {
+    case (ArrayType(DoubleType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc requires (array<double> lut, binary codes), got ${l.sql} and ${r.sql}")
+  }
+
+  override protected def nullSafeEval(lut: Any, codes: Any): Any = {
+    val l = lut.asInstanceOf[ArrayData]
+    val c = codes.asInstanceOf[Array[Byte]]
+    val ksub = l.numElements() / c.length
+    var acc = 0.0
+    var sub = 0
+    while (sub < c.length) { acc += l.getDouble(sub * ksub + (c(sub) & 0xff)); sub += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val ksub = ctx.freshName("ksub")
+      val sub = ctx.freshName("sub")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $ksub = $lut.numElements() / $codes.length;
+         |double $acc = 0.0;
+         |for (int $sub = 0; $sub < $codes.length; $sub++) {
+         |  $acc += $lut.getDouble($sub * $ksub + ($codes[$sub] & 0xff));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(lutExpr = newLeft, codesExpr = newRight)
+}
+
 object KafkaMurmur2 {
   /** murmur2, seed 0x9747b28c — byte-for-byte the Kafka variant. */
   def hash(data: Array[Byte]): Int = {
@@ -150,5 +203,11 @@ object GraftFunctions {
       es => KMinValues(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_qsample",
       es => SampleByMinHash(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom",
+      es => BloomFilterAgg(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      es => BloomMightContain(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      es => PqAdcScore(es(0), es(1)), "built-in")
   }
 }

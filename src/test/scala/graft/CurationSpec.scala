@@ -836,6 +836,61 @@ class CurationSpec extends SparkSpec {
     assert(ok.count() >= 1L)
   }
 
+  test("ngramOverlapBloom matches ngramOverlap bit-for-bit on the real corpus (x46)") {
+    // real corpus slices + one planted cross-side leak, so the compared
+    // pair set is non-empty at any SF
+    val d = docs.select("doc_id", "text")
+    val leak = (1 to Queries.BloomDecontamN).map(i => s"leak$i").mkString(" ")
+    val train = d.filter(col("doc_id") % 10 =!= 3)
+      .unionByName(df(1000003L -> s"$leak and some tail"))
+    val hold = d.filter(col("doc_id") % 10 === 3)
+      .unionByName(df(1000013L -> s"prefix $leak"))
+    val exact = Decontaminate.ngramOverlap(train, hold, "doc_id", "text",
+        n = Queries.BloomDecontamN, maxGramDf = Some(Queries.DecontamGramDfCap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // tiny, adversarial bloom (2^10 bits for thousands of grams => high FP
+    // rate): the exact join must still kill every false positive
+    val bloomed = Decontaminate.ngramOverlapBloom(train, hold, "doc_id", "text",
+        n = Queries.BloomDecontamN, maxGramDf = Some(Queries.DecontamGramDfCap),
+        bloomBits = 1 << 10, bloomHashes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caching.release(spark)
+    assert(exact.nonEmpty, "fixture must produce at least one leaked pair")
+    assert(bloomed == exact)
+  }
+
+  test("bloom aggregate+probe: no false negatives; FP rate near the analytic bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val inserted = Array.fill(2000)(rnd.nextLong() >>> 4)
+    val others = Array.fill(4000)(rnd.nextLong() >>> 4).filterNot(inserted.toSet)
+    // m = 2^15 bits, k = 5, n = 2000 => FP ~ (1 - e^{-kn/m})^k ~ 0.17%
+    val blob = inserted.toSeq.toDF("h")
+      .agg(call_function("graft_bloom", col("h"), lit(1 << 15), lit(5)).as("b"))
+      .head.getAs[Array[Byte]](0)
+    inserted.foreach(h =>
+      assert(graft.functions.Bloom.mightContainBytes(blob, h), s"false negative on $h"))
+    val fp = others.count(graft.functions.Bloom.mightContainBytes(blob, _))
+    assert(fp <= 40, s"FP count $fp of ${others.length} far above the ~0.17% analytic rate")
+    // the probe expression agrees with the direct probe on every hash
+    val viaExpr = (inserted ++ others).toSeq.toDF("h")
+      .filter(call_function("graft_bloom_contains", lit(blob), col("h")))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaExpr == (inserted ++ others.filter(graft.functions.Bloom.mightContainBytes(blob, _))).toSet)
+  }
+
+  test("bloom pre-filter sits on the train scan side, and the plan stays equi-join-only") {
+    val d = docs
+    val plan = Decontaminate.ngramOverlapBloom(
+        d.filter(col("doc_id") % 10 =!= 3), d.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", n = Queries.BloomDecontamN,
+        maxGramDf = Some(Queries.DecontamGramDfCap))
+      .queryExecution.executedPlan.toString
+    graft.Caching.release(spark)
+    assert(plan.contains("graft_bloom_contains"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("decontamination join plan is an equi-join, no cartesian/NLJ") {
     val d = docs
     val plan = Decontaminate.ngramOverlap(
@@ -879,6 +934,39 @@ class CurationSpec extends SparkSpec {
         alpha = 0.5, targetFrac = 0.5, seed = "s")
       .filter(col("doc_id") === 900L).count()
     assert(keptNull == 0L)
+  }
+
+  test("temperatureResample upsamples small sources by epochs and hits the target mass (x48)") {
+    import spark.implicits._
+    // m_A=9000, m_B=1000; α=0.5, target 1.0: w=(0.75,0.25), M=10000
+    // ⇒ f_A = 10000·0.75/9000 ≈ 0.833, f_B = 10000·0.25/1000 = 2.5:
+    // B docs appear 2 or 3 times, A docs 0 or 1 times.
+    val docs = ((1L to 90L).map((_, "A", 100L)) ++ (101L to 110L).map((_, "B", 100L)))
+      .toDF("doc_id", "source", "mass")
+    val out = Sampling.temperatureResample(docs, "doc_id", "source", col("mass"),
+      alpha = 0.5, targetFrac = 1.0, seed = "s")
+    val perDoc = out.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    perDoc.foreach {
+      case (_, "A", n) => assert(n == 1L, s"A copies must be 0/1, got $n")
+      case (_, "B", n) => assert(n == 2L || n == 3L, s"B copies must be 2/3, got $n")
+      case other => fail(other.toString)
+    }
+    val bCopies = perDoc.filter(_._2 == "B").map(_._3).sum
+    assert(bCopies >= 21L && bCopies <= 29L, s"10 B docs at f=2.5 emit ~25 copies: $bCopies")
+    // epochs are dense 0..n-1 per doc
+    val epochs = out.filter(col("source") === "B").groupBy("doc_id")
+      .agg(sort_array(collect_list("epoch")).as("e")).collect()
+    epochs.foreach(r => assert(r.getSeq[Long](1) == (0L until r.getSeq[Long](1).size).toSeq))
+    // with every f <= 1 it degenerates to temperatureSample + epoch 0
+    val down = Sampling.temperatureResample(docs, "doc_id", "source", col("mass"),
+        alpha = 1.0, targetFrac = 0.5, seed = "s")
+    assert(down.select(max("epoch")).head.getLong(0) == 0L)
+    val downIds = down.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampleIds = Sampling.temperatureSample(docs, "doc_id", "source", col("mass"),
+        alpha = 1.0, targetFrac = 0.5, seed = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(downIds == sampleIds)
   }
 
   test("splitByComponent keeps every near-dup chain in ONE split; unpaired docs match hashSplit") {

