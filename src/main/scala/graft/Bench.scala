@@ -73,7 +73,7 @@ object Bench {
     */
   private val StreamingProtocolQueries = Set(
     "x30_dedup_minhash_stream", "x31_ann_ivf_index", "x33_curation_stream",
-    "x38_ann_ivf_append", "x39_cluster_stream")
+    "x38_ann_ivf_append", "x39_cluster_stream", "x49_ivfpq_index")
 
   /** Unload every loaded streaming state-store provider + collect garbage —
     * the per-run isolation barrier for BOTH the batch and streaming loops.

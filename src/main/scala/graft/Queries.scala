@@ -816,6 +816,27 @@ object Queries {
         .select("doc_id", "source", "n_tokens", "epoch")
     }),
 
+    // the composed persisted index (IVFADC): cluster routing shrinks the
+    // candidate set, PQ codes shrink bytes-per-candidate, exact re-rank
+    // restores precision. Declared at full probe + full overfetch ≡ brute
+    // force (the x31 convention).
+    "x49_ivfpq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val idx = Similarity.IvfPqIndex(s"x49_assign_$suffix", s"x49_codebook_$suffix",
+        s"x49_pq_$suffix", numBuckets = 8)
+      val tmp = scratchDir("graft_x49")
+      withStateTables(s, idx.assignmentsTable, idx.codebookTable, idx.pqTable) {
+        Similarity.ivfPqBuild(emb, "vec_id", "embedding", idx,
+          nClusters = 16, m = 8, ksub = 16, iters = 5)
+        Similarity.ivfPqQuery(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
+            "vec_id", "embedding", idx, k = 10, nProbe = 16, overfetch = 4096)
+          .select("query_id", "rank", "nbr_id")
+          .write.parquet(tmp.resolve("out").toString)
+      }
+      s.read.parquet(tmp.resolve("out").toString)
+    }),
+
     // product-quantization ANN: corpus compressed to 8 one-byte codes +
     // norm, candidates scored by codegen ADC table lookups, exact re-rank.
     // Declared at overfetch >= corpus so the shortlist is total and the
@@ -1592,6 +1613,19 @@ object Queries {
     // re-rank IS brute force: the x07 transcription on the x47 query slice
     "x47_pq_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 20 AND vec_id < 40),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // full probe + full overfetch ≡ brute force: the x07 transcription on
+    // the x49 query slice
+    "x49_ivfpq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 40 AND vec_id < 60),
         |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
         |scored AS (
         |  SELECT query_id, nbr_id,

@@ -69,7 +69,17 @@ object CurationPipeline {
       // mean word length, symbol/bullet/ellipsis ratios, alpha-word
       // fraction, stopword floor). Narrow Column expressions like the rest
       // of stage 1, so the flag works unchanged in [[streamIncrement]].
-      gopherRules: Boolean = false)
+      gopherRules: Boolean = false,
+      // bloom pre-filter for stage 5 ([[Decontaminate.ngramOverlapBloom]]):
+      // Some(bits) folds the holdout gram set into a bits-size bloom
+      // literal that drops cannot-match train grams BEFORE the contamination
+      // join's exchange. Result-invisible (no false negatives; FPs die in
+      // the exact join) — set it when the holdout outgrows a broadcast hash
+      // relation, the join's scale ceiling. Batch-only: [[streamIncrement]]
+      // already decontaminates via a stateless stream-static join against
+      // the static gram set and rejects the flag loudly (the maxGramDf
+      // precedent — silently ignoring a scale knob is how configs rot).
+      decontamBloomBits: Option[Int] = None)
 
   /** Runs the full pipeline over `docs`; `holdout` is the eval corpus to
     * decontaminate against (None skips stage 5).
@@ -170,9 +180,13 @@ object CurationPipeline {
     val clean = holdout match {
       case Some(h) =>
         val nk = graft.Caching.scoped(nearKept)
-        Decontaminate.cleanTrainSet(nk, idCol,
-          Decontaminate.ngramOverlap(nk, h, idCol, textCol,
-            cfg.decontamN, cfg.maxGramDf))
+        val overlap = cfg.decontamBloomBits match {
+          case Some(bits) => Decontaminate.ngramOverlapBloom(nk, h, idCol, textCol,
+            cfg.decontamN, cfg.maxGramDf, bloomBits = bits)
+          case None => Decontaminate.ngramOverlap(nk, h, idCol, textCol,
+            cfg.decontamN, cfg.maxGramDf)
+        }
+        Decontaminate.cleanTrainSet(nk, idCol, overlap)
       case None => nearKept
     }
 
@@ -385,6 +399,13 @@ object CurationPipeline {
     require(cfg.maxGramDf.isEmpty,
       "streamIncrement: maxGramDf is a whole-corpus statistic unavailable to " +
         "a stream - set Config(maxGramDf = None) for streaming curation")
+    // the stream decontaminates via a stateless join against the static
+    // gram set already — a bloom pre-filter of a different corpus shape
+    // would be a silently dead knob, so reject it (the maxGramDf stance)
+    require(cfg.decontamBloomBits.isEmpty,
+      "streamIncrement: decontamBloomBits is the BATCH join's pre-filter; " +
+        "the stream's stream-static decontamination does not use it - set " +
+        "Config(decontamBloomBits = None) for streaming curation")
     // collapse is a whole-HISTORY decision a stream cannot honor
     // retroactively: when a later pair merges two clusters, the batch rule
     // drops the larger root — but that root was already emitted in an

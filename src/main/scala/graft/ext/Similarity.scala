@@ -364,6 +364,26 @@ object Similarity {
     PqModel(dim, m, ksub, books)
   }
 
+  /** One vector's m nearest-subspace-centroid codes. */
+  private def encodeOne(model: PqModel, v: Array[Float]): Array[Byte] = {
+    val codes = new Array[Byte](model.m)
+    var sub = 0
+    while (sub < model.m) {
+      val s = java.util.Arrays.copyOfRange(v, sub * model.dsub, (sub + 1) * model.dsub)
+      codes(sub) = nearest(model.codebooks(sub), s).toByte
+      sub += 1
+    }
+    codes
+  }
+
+  /** Same double left-to-right order as norm(col) = sqrt(graft_dot(v,v)). */
+  private def normOf(v: Array[Float]): Double = {
+    var nn = 0.0
+    var j = 0
+    while (j < v.length) { nn += v(j).toDouble * v(j).toDouble; j += 1 }
+    math.sqrt(nn)
+  }
+
   /** Encode each corpus vector as m one-byte nearest-centroid codes plus
     * its exact norm (the cosine denominator PQ cannot reconstruct):
     * (id, codes binary, nrm). Zero-norm vectors are excluded — the
@@ -376,21 +396,8 @@ object Similarity {
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(norm(col("v")) > 0)
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val mm = bc.value
-        val codes = new Array[Byte](mm.m)
-        var sub = 0
-        while (sub < mm.m) {
-          val s = java.util.Arrays.copyOfRange(v, sub * mm.dsub, (sub + 1) * mm.dsub)
-          codes(sub) = nearest(mm.codebooks(sub), s).toByte
-          sub += 1
-        }
-        // same double left-to-right order as norm(col) = sqrt(graft_dot(v,v))
-        var nn = 0.0
-        var j = 0
-        while (j < v.length) { nn += v(j).toDouble * v(j).toDouble; j += 1 }
-        (id, codes, math.sqrt(nn))
-      }.toDF("id", "codes", "nrm")
+      .map { case (id, v) => (id, encodeOne(bc.value, v), normOf(v)) }
+      .toDF("id", "codes", "nrm")
   }
 
   /** One flattened m×ksub inner-product lookup table per query:
@@ -469,6 +476,144 @@ object Similarity {
     val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .filter(norm(col("qv")) > 0)
     val scored = cands.join(cv, Seq("nbr_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+    topKRank(scored, k)
+  }
+
+  /** The composed persisted index — IVF cluster routing (shrinks the
+    * CANDIDATE set to nProbe/nClusters of the corpus) over PQ codes
+    * (shrinks BYTES PER CANDIDATE to m+8): the standard IVFADC layout
+    * (Jégou et al. 2011) and the shape a 100 TB embedding corpus actually
+    * serves queries from. Three tables: the IVF codebook, the PQ
+    * codebooks (m×ksub rows), and cluster-bucketed assignments carrying
+    * (id, v, cluster, codes, nrm) — the ADC scan reads only
+    * (cluster, id, codes, nrm) thanks to parquet column pruning
+    * (PlanSpec-pinned), while the exact vectors stay colocated for the
+    * re-rank join.
+    */
+  final case class IvfPqIndex(assignmentsTable: String, codebookTable: String,
+                              pqTable: String, numBuckets: Int = 16)
+
+  /** Trains the IVF codebook AND the per-subspace PQ codebooks on the same
+    * corpus (shared deterministic trainer), then writes the three index
+    * tables in one encoding pass.
+    */
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, index: IvfPqIndex,
+                 nClusters: Int = 16, m: Int = 8, ksub: Int = 16,
+                 iters: Int = 5): Unit = graft.Caching.scope {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
+    val cents = trainCodebook(vecs, nClusters, iters)
+    val pq = pqTrain(df, idCol, vecCol, m, ksub, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable)
+    pq.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(index.pqTable)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcP = spark.sparkContext.broadcast(pq)
+    vecs.map { case (id, v) =>
+      (id, v, nearest(bcC.value, v), encodeOne(bcP.value, v), normOf(v))
+    }.toDF("id", "v", "cluster", "codes", "nrm")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(index.numBuckets, "cluster")
+      .saveAsTable(index.assignmentsTable)
+  }
+
+  /** Rehydrate the PQ model from its table — bounded (m×ksub rows), the
+    * codebook-collect precedent.
+    */
+  private def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                          pqTable: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.table(pqTable).as[(Int, Int, Array[Double])].collect()
+    require(rows.nonEmpty, s"ivfPq: PQ codebook table $pqTable is empty")
+    val m = rows.map(_._1).max + 1
+    val books = Array.tabulate(m) { sub =>
+      rows.filter(_._1 == sub).sortBy(_._2).map(_._3)
+    }
+    val dsub = books(0)(0).length
+    PqModel(m * dsub, m, books.map(_.length).max, books)
+  }
+
+  /** Top-k against a built [[IvfPqIndex]]: queries route to their `nProbe`
+    * nearest clusters via the broadcast IVF codebook, candidates inside
+    * those clusters are ADC-scored off the pruned (codes, nrm) columns
+    * with NO exchange on the corpus side (bucketed join — only the tiny
+    * probe side shuffles), the per-query `overfetch` shortlist comes from
+    * the bounded `graft_topk` partial aggregate, and exact cosine re-ranks
+    * the shortlist (one broadcast-probed scan of (id, v)). With
+    * `nProbe = nClusters` AND `overfetch` ≥ corpus it equals
+    * [[bruteForceTopK]] bit-for-bit (the declared-oracle configuration);
+    * production settings trade recall for a candidate scan of
+    * nProbe/nClusters × (m+8)/(4·dim) of the corpus bytes.
+    */
+  def ivfPqQuery(queries: DataFrame, idCol: String, vecCol: String,
+                 index: IvfPqIndex, k: Int, nProbe: Int = 6,
+                 overfetch: Int = 100): DataFrame = {
+    require(overfetch >= k, s"ivfPqQuery: overfetch $overfetch must be >= k $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Dedup.finishCrashedSwap(spark, index.assignmentsTable)
+    val cents: Array[Array[Double]] = spark.table(index.codebookTable)
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val pq = loadPqModel(spark, index.pqTable)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcP = spark.sparkContext.broadcast(pq)
+    // one pass per query: nProbe (query, cluster) rows each carrying the
+    // query's ADC lookup table and norm
+    val probes = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .filter(norm(col("qv")) > 0)
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val c = bcC.value
+        val mm = bcP.value
+        val lut = new Array[Double](mm.m * mm.ksub)
+        var sub = 0
+        while (sub < mm.m) {
+          val book = mm.codebooks(sub)
+          var ci = 0
+          while (ci < book.length) {
+            val cent = book(ci)
+            var acc = 0.0
+            var j = 0
+            while (j < cent.length) { acc += v(sub * mm.dsub + j).toDouble * cent(j); j += 1 }
+            lut(sub * mm.ksub + ci) = acc
+            ci += 1
+          }
+          sub += 1
+        }
+        val dists = c.indices.map { ci =>
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
+          (d, ci)
+        }
+        dists.sorted.take(nProbe).map { case (_, ci) => (id, ci, lut, normOf(v)) }
+      }.toDF("query_id", "cluster", "lut", "qnrm")
+    // ADC scan: column pruning keeps v out of this read entirely
+    val codes = spark.table(index.assignmentsTable)
+      .select(col("cluster"), col("id"), col("codes"), col("nrm"))
+    val cands = probes.join(codes, Seq("cluster"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("nbr_id"),
+        (call_function("graft_pq_adc", col("lut"), col("codes")) /
+          (col("qnrm") * col("nrm"))).as("adc_cos"))
+    val shortlist = cands.groupBy("query_id")
+      .agg(call_function("graft_topk", col("adc_cos"), col("nbr_id"), lit(overfetch)).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("s"))
+      .select(col("query_id"), col("s.nbr_id").as("nbr_id"))
+    val cv = spark.table(index.assignmentsTable).select(col("id").as("nbr_id"), col("v").as("cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .filter(norm(col("qv")) > 0)
+    val scored = shortlist.join(cv, Seq("nbr_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
     topKRank(scored, k)

@@ -234,6 +234,23 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pipeline with decontamBloomBits keeps exactly the same survivors") {
+    val holdout = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en", "zh"),
+      tokensPerShard = 2000L, shardBuckets = 8)
+    val plain = CurationPipeline.run(train, "doc_id", "text", Some(holdout), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    // adversarially tiny bloom: high FP rate, yet result-identical because
+    // the exact join still runs behind it
+    val bloomed = CurationPipeline.run(train, "doc_id", "text", Some(holdout),
+        cfg.copy(decontamBloomBits = Some(1 << 10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(plain.nonEmpty && bloomed == plain)
+  }
+
   test("curation pipeline collapseClusters keeps a subset: one survivor per near-dup component") {
     val cfgBase = CurationPipeline.Config(minTokens = 20L, langs = Set("en", "zh"),
       tokensPerShard = 2000L, shardBuckets = 8)
@@ -734,6 +751,10 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CurationPipeline.streamIncrement(batch1.toDF("doc_id", "text"), "doc_id",
         "text", None, cfg.copy(embeddingCol = Some("emb")), state, batchId = 9L)
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.streamIncrement(batch1.toDF("doc_id", "text"), "doc_id",
+        "text", None, cfg.copy(decontamBloomBits = Some(1 << 20)), state, batchId = 9L)
     }
     state.dropTables(spark)
   }

@@ -539,6 +539,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF+PQ index: full probe+overfetch equals brute force; partial settings recall (x49)") {
+    val idx = Similarity.IvfPqIndex("tivfpq_assign", "tivfpq_cb", "tivfpq_pq", numBuckets = 4)
+    Seq(idx.assignmentsTable, idx.codebookTable, idx.pqTable).foreach(dropTableHard)
+    try {
+      Similarity.ivfPqBuild(emb, "vec_id", "embedding", idx,
+        nClusters = 8, m = 8, ksub = 16, iters = 2)
+      val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val full = Similarity.ivfPqQuery(emb, "vec_id", "embedding", idx,
+          k = 10, nProbe = 8, overfetch = 4096)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(full === brute,
+        "full probe + full overfetch must equal brute force, ranks included")
+      // production settings: routed candidates + ADC shortlist, exact re-rank
+      val partial = Similarity.ivfPqQuery(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          idx, k = 10, nProbe = 4, overfetch = 50)
+        .select("query_id", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteSub = brute.filter(_._1 < 20).map(t => (t._1, t._3))
+      val recall = (bruteSub intersect partial).size.toDouble / bruteSub.size
+      assert(recall >= 0.5, s"IVF+PQ recall at nProbe 4/8, overfetch 5x: $recall")
+      graft.Caching.release(spark)
+    } finally {
+      Seq(idx.assignmentsTable, idx.codebookTable, idx.pqTable).foreach(dropTableHard)
+    }
+  }
+
   test("streaming IVF ingest: appends route via the codebook, replays collapse, compaction serves") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

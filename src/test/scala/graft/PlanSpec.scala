@@ -437,6 +437,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x49 ivf+pq ADC scan: bucketed assignments, exact vectors pruned out of the read") {
+    import graft.ext.Similarity
+    import graft.sources.Tables
+    val idx = Similarity.IvfPqIndex("pin_ivfpq_assign", "pin_ivfpq_cb", "pin_ivfpq_pq",
+      numBuckets = 4)
+    Seq(idx.assignmentsTable, idx.codebookTable, idx.pqTable).foreach(dropTableHard)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.load(spark, sf(), "embeddings")
+      Similarity.ivfPqBuild(emb, "vec_id", "embedding", idx, nClusters = 8, m = 8,
+        ksub = 16, iters = 2)
+      val p = Similarity.ivfPqQuery(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        idx, k = 5, nProbe = 2, overfetch = 20).queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), "assignments scan must be bucketed: " + p.take(2000))
+      assert(p.contains("graft_pq_adc"), "candidates must score via codegen ADC: " + p.take(2000))
+      // the ADC-side read must NOT materialize the exact vectors: one scan
+      // reads (cluster, id, codes, nrm), and only the re-rank scan reads v
+      assert(p.contains("ReadSchema: struct<id:bigint,cluster:int,codes:binary,nrm:double>") ||
+        p.contains("ReadSchema: struct<cluster:int,id:bigint,codes:binary,nrm:double>"),
+        "ADC scan must prune the exact vectors: " + p.take(3000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq(idx.assignmentsTable, idx.codebookTable, idx.pqTable).foreach(dropTableHard)
+    }
+  }
+
   test("x31 ivf probe join reads the assignments bucketed: only the query side shuffles") {
     import graft.ext.Similarity
     import graft.sources.Tables
