@@ -73,7 +73,8 @@ object Bench {
     */
   private val StreamingProtocolQueries = Set(
     "x30_dedup_minhash_stream", "x31_ann_ivf_index", "x33_curation_stream",
-    "x38_ann_ivf_append", "x39_cluster_stream", "x49_ivfpq_index")
+    "x38_ann_ivf_append", "x39_cluster_stream", "x49_ivfpq_index",
+    "x50_ivfpq_append")
 
   /** Unload every loaded streaming state-store provider + collect garbage —
     * the per-run isolation barrier for BOTH the batch and streaming loops.

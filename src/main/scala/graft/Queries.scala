@@ -495,6 +495,12 @@ object Queries {
       s.read.parquet(tmp.resolve("out").toString)
     }),
 
+    // corpus-trained bigram conditional quality: mean -log2 p(w2|w1) per
+    // doc, integer-quantized like x43 so the score hash-matches — ranks
+    // local word-order coherence where x43 ranks vocabulary
+    "x51_bigram_quality" -> ((s, dir) =>
+      TextAnalysis.bigramQuality(t(s, dir, "documents"), "doc_id", "text")),
+
     "x08_text_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
@@ -829,6 +835,36 @@ object Queries {
       withStateTables(s, idx.assignmentsTable, idx.codebookTable, idx.pqTable) {
         Similarity.ivfPqBuild(emb, "vec_id", "embedding", idx,
           nClusters = 16, m = 8, ksub = 16, iters = 5)
+        Similarity.ivfPqQuery(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
+            "vec_id", "embedding", idx, k = 10, nProbe = 16, overfetch = 4096)
+          .select("query_id", "rank", "nbr_id")
+          .write.parquet(tmp.resolve("out").toString)
+      }
+      s.read.parquet(tmp.resolve("out").toString)
+    }),
+
+    // streaming ingest into the composed index: build on a 60% prefix,
+    // append + compact + replayed append (frozen codebooks route and
+    // encode the new vectors), then full probe + overfetch must STILL
+    // equal brute force over the whole corpus — the x38 protocol on the
+    // IVFADC tables
+    "x50_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val idx = Similarity.IvfPqIndex(s"x50_assign_$suffix", s"x50_codebook_$suffix",
+        s"x50_pq_$suffix", numBuckets = 8)
+      val tmp = scratchDir("graft_x50")
+      val mx = emb.agg(max("vec_id")).head().getLong(0)
+      withStateTables(s, idx.assignmentsTable, idx.codebookTable, idx.pqTable,
+          idx.assignmentsTable + "__compact") {
+        Similarity.ivfPqBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+          "vec_id", "embedding", idx, nClusters = 16, m = 8, ksub = 16, iters = 5)
+        val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
+        val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
+        Similarity.ivfPqAppend(b1, "vec_id", "embedding", idx)
+        Similarity.ivfPqCompact(s, idx)
+        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx)
+        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx) // at-least-once replay
         Similarity.ivfPqQuery(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
             "vec_id", "embedding", idx, k = 10, nProbe = 16, overfetch = 4096)
           .select("query_id", "rank", "nbr_id")
@@ -1625,6 +1661,39 @@ object Queries {
     // full probe + full overfetch ≡ brute force: the x07 transcription on
     // the x49 query slice
     "x49_ivfpq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 40 AND vec_id < 60),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // transcription of TextAnalysis.bigramQuality: per-(doc, bigram)
+    // pre-counts, corpus bigram + context frequencies, integer floor-log2
+    // per pair, one final division. Docs with < 2 tokens carry through
+    // the LEFT JOIN with n_pairs 0 / NULL score.
+    "x51_bigram_quality" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t FROM documents),
+        |dpc AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM (
+        |  SELECT doc_id, t[i.i] AS w1, t[i.i+1] AS w2
+        |  FROM toked, LATERAL unnest(generate_series(1, len(t) - 1)) i(i) WHERE len(t) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |bf AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS cb FROM dpc GROUP BY 1, 2),
+        |cf AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cc FROM bf GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(cnt * ((length(ltrim(bin(cc), '0')) - 1) - (length(ltrim(bin(cb), '0')) - 1))) AS BIGINT) AS s
+        |  FROM dpc JOIN bf USING (w1, w2) JOIN cf USING (w1) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN p.n_pairs IS NULL THEN NULL ELSE CAST(p.s AS DOUBLE) / p.n_pairs END AS nll_bits
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // the appends, compaction, and replay are result-invisible at full
+    // probe + overfetch: identical transcription to x49
+    "x50_ivfpq_append" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 40 AND vec_id < 60),
         |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
         |scored AS (

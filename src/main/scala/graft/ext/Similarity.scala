@@ -619,6 +619,60 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** Continuous embedding ingest into a built [[IvfPqIndex]] — the
+    * [[ivfAppend]] contract (broadcast-codebook routing, no retraining,
+    * recall drifts slowly / re-rank precision never, replayed rows
+    * absorbed by `graft_topk`'s equal-(score,id) collapse until
+    * [[ivfPqCompact]] sheds them) plus the PQ encode: new vectors pick up
+    * their m codes from the FROZEN subspace codebooks, so ADC scores stay
+    * comparable across the whole table.
+    */
+  def ivfPqAppend(batch: DataFrame, idCol: String, vecCol: String,
+                  index: IvfPqIndex): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    StateLease.assertFree(spark, index.assignmentsTable)
+    Dedup.finishCrashedSwap(spark, index.assignmentsTable)
+    require(spark.catalog.tableExists(index.codebookTable) &&
+      spark.catalog.tableExists(index.pqTable) &&
+      spark.catalog.tableExists(index.assignmentsTable),
+      s"ivfPqAppend: build the index first (ivfPqBuild) - missing one of " +
+        s"${index.codebookTable}/${index.pqTable}/${index.assignmentsTable}")
+    val cents: Array[Array[Double]] = spark.table(index.codebookTable)
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val pq = loadPqModel(spark, index.pqTable)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcP = spark.sparkContext.broadcast(pq)
+    batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(norm(col("v")) > 0)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, v, nearest(bcC.value, v), encodeOne(bcP.value, v), normOf(v))
+      }.toDF("id", "v", "cluster", "codes", "nrm")
+      .write.mode("append").format("parquet")
+      .bucketBy(index.numBuckets, "cluster")
+      .saveAsTable(index.assignmentsTable)
+  }
+
+  /** [[ivfCompact]] for the composed index: folds the appended-to
+    * assignments back to one file per bucket and sheds replay duplicates.
+    */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession, index: IvfPqIndex): Unit =
+    Dedup.compactBucketedTable(spark, index.assignmentsTable, index.numBuckets,
+      Seq("cluster"))
+
+  /** [[ivfStream]] for the composed index: per-micro-batch [[ivfPqAppend]]
+    * with an optional compaction cadence. Caller sets trigger/checkpoint
+    * and starts.
+    */
+  def ivfPqStream(vecs: DataFrame, idCol: String, vecCol: String, index: IvfPqIndex,
+                  compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      ivfPqAppend(batch.toDF(), idCol, vecCol, index)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        ivfPqCompact(batch.sparkSession, index)
+    }
+
   /** Signed-random-projection LSH candidate pairs, verified with exact
     * cosine — the equi-join ANN path. `numBits` hyperplane signs per
     * vector, banded into `numBits / bandSize` keys; hyperplane entries are

@@ -261,6 +261,57 @@ object TextAnalysis {
         col("nll_bits"))
   }
 
+  /** Corpus-trained BIGRAM conditional quality: each document's mean
+    * -log2 p(w2 | w1) over its adjacent token pairs, with p estimated
+    * from the corpus's own bigram counts — one model order up from
+    * [[unigramQuality]], so it additionally penalizes documents whose
+    * WORDS are common but whose word ORDER is not (shuffled/templated/
+    * keyword-stuffed text that a unigram model scores as fluent). The
+    * pair: unigram NLL ranks vocabulary quality, bigram NLL ranks local
+    * coherence — CCNet-style pipelines threshold on both.
+    *
+    * Same reproducibility contract as x43: -log2 p(w2|w1) =
+    * log2 C(w1·) − log2 C(w1 w2) is INTEGER-quantized per pair
+    * ([[floorLog2]] on exact long counts), every aggregate is exact long
+    * arithmetic, and the ONE double op is the final division by the
+    * doc's pair count — so a DuckDB oracle reproduces the score
+    * bit-for-bit.
+    *
+    * Scale shape: the per-(doc, bigram) pre-count is ONE hash exchange
+    * with map-side partials (a doc's repeated bigrams collapse before
+    * anything moves); bigram and context frequencies re-aggregate those
+    * counts; the two lookups are equi-joins on the bigram/context keys
+    * (AQE absorbs the stopword-bigram skew). Shuffle volume is bounded
+    * by the DISTINCT (doc, bigram) count, never the token stream.
+    *
+    * Output: (idCol, n_pairs LONG, nll_bits DOUBLE — NULL for docs with
+    * fewer than 2 tokens, one row per input doc).
+    */
+  def bigramQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val pairsOfDoc = df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    // scoped (the unigramQuality stance): the pre-count feeds the bigram
+    // frequency aggregation AND the join probe
+    val dpc = graft.Caching.scoped(
+      pairsOfDoc.groupBy(col(idCol), col("__w1"), col("__w2")).agg(count(lit(1)).as("__cnt")))
+    val bf = graft.Caching.scoped(
+      dpc.groupBy("__w1", "__w2").agg(sum("__cnt").as("__cb")))
+    val cf = bf.groupBy("__w1").agg(sum("__cb").as("__cc"))
+    val per = dpc.join(bf, Seq("__w1", "__w2")).join(cf, Seq("__w1"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_pairs"),
+        sum(col("__cnt") * (floorLog2(col("__cc")) - floorLog2(col("__cb")))).as("__s"))
+      .withColumn("nll_bits", col("__s").cast("double") / col("n_pairs"))
+    df.select(col(idCol)).join(per.select(col(idCol), col("n_pairs"), col("nll_bits")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("nll_bits"))
+  }
+
   /** The Gopher stopword list (Rae et al. 2021, appendix A1 rule 7) —
     * distinct from [[stopwords]] (the x08 ratio list) on purpose: the
     * published rule names these eight words.

@@ -181,33 +181,48 @@ object KafkaMurmur2 {
   * and GraftSession.tune).
   */
 object GraftFunctions {
+
+  /** Name → (representative class, builder) for every graft SQL function —
+    * ONE list feeding both registration paths so they cannot drift.
+    */
+  private[graft] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[FloatVectorDot], es => FloatVectorDot(es(0), es(1))),
+    ("kafka_murmur2", classOf[KafkaMurmur2], es => KafkaMurmur2(es.head)),
+    ("graft_srp_sig", classOf[SrpSignature], es => SrpSignature(es(0), es(1))),
+    ("graft_minhash_bands", classOf[MinHashBands], es => MinHashBands(es(0), es(1), es(2))),
+    ("graft_simhash", classOf[SimHash60], es => SimHash60(es(0), es(1))),
+    ("graft_fingerprints", classOf[WinnowFingerprints],
+      es => WinnowFingerprints(es(0), es(1), es(2))),
+    ("graft_topk", classOf[TopKByScore], es => TopKByScore(es(0), es(1), es(2))),
+    ("graft_bottomk_long", classOf[BottomKIdsByLong],
+      es => BottomKIdsByLong(es(0), es(1), es(2))),
+    ("graft_minhash_bands_agg", classOf[MinHashBandsAgg],
+      es => MinHashBandsAgg(es(0), es(1), es(2))),
+    ("graft_repetition", classOf[RepetitionStats], es => RepetitionStats(es.head)),
+    ("graft_kmv", classOf[KMinValues], es => KMinValues(es(0), es(1))),
+    ("graft_qsample", classOf[SampleByMinHash], es => SampleByMinHash(es(0), es(1), es(2))),
+    ("graft_bloom", classOf[BloomFilterAgg], es => BloomFilterAgg(es(0), es(1), es(2))),
+    ("graft_bloom_contains", classOf[BloomMightContain], es => BloomMightContain(es(0), es(1))),
+    ("graft_pq_adc", classOf[PqAdcScore], es => PqAdcScore(es(0), es(1))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot", es => FloatVectorDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("kafka_murmur2", es => KafkaMurmur2(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_srp_sig", es => SrpSignature(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_bands",
-      es => MinHashBands(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash", es => SimHash60(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_fingerprints",
-      es => WinnowFingerprints(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_topk",
-      es => TopKByScore(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_bottomk_long",
-      es => BottomKIdsByLong(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_bands_agg",
-      es => MinHashBandsAgg(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_repetition",
-      es => RepetitionStats(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_kmv",
-      es => KMinValues(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_qsample",
-      es => SampleByMinHash(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_bloom",
-      es => BloomFilterAgg(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_bloom_contains",
-      es => BloomMightContain(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_adc",
-      es => PqAdcScore(es(0), es(1)), "built-in")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** The `spark.sql.extensions` injection path ([[graft.GraftExtensions]]):
+    * functions land in the session's registry at build time, so plain
+    * `spark.sql("SELECT graft_dot(...)")` works on a session the library
+    * never touched programmatically — the idiomatic deployment for
+    * spark-submit / Thrift-server users.
+    */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, cls, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        b))
+    }
 }

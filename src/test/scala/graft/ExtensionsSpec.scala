@@ -110,6 +110,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(wide === full)
   }
 
+  test("bigramQuality scores hand-computed conditional NLLs (x51)") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b a b",  // pairs (a,b)x2, (b,a)x1
+      2L -> "a b",      // (a,b)
+      3L -> "x",        // < 2 tokens: n_pairs 0, NULL score
+      4L -> "b c a"     // (b,c), (c,a)
+    ).toDF("doc_id", "text")
+    // corpus: C(a,b)=3 C(b,a)=1 C(b,c)=1 C(c,a)=1; contexts: a->3 b->2 c->1
+    // fl2 diffs: (a,b): 1-1=0, (b,a): 1-0=1, (b,c): 1-0=1, (c,a): 0-0=0
+    val got = TextAnalysis.bigramQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    graft.Caching.release(spark)
+    assert(got === Map(
+      1L -> (3L, Some(1.0 / 3)), // s = 2*0 + 1*1
+      2L -> (1L, Some(0.0)),
+      3L -> (0L, None),
+      4L -> (2L, Some(0.5))))    // s = 1 + 0
+  }
+
   test("gopherFilter applies each published rule; metrics are exact") {
     import spark.implicits._
     val goodWords = Seq("the", "and", "that", "have", "with",
@@ -566,6 +587,36 @@ class ExtensionsSpec extends SparkSpec {
     } finally {
       Seq(idx.assignmentsTable, idx.codebookTable, idx.pqTable).foreach(dropTableHard)
     }
+  }
+
+  test("IVF+PQ append: frozen codebooks route+encode; compaction and replay invisible (x50)") {
+    val idx = Similarity.IvfPqIndex("tivfpqa_assign", "tivfpqa_cb", "tivfpqa_pq",
+      numBuckets = 4)
+    val all = Seq(idx.assignmentsTable, idx.codebookTable, idx.pqTable,
+      idx.assignmentsTable + "__compact")
+    all.foreach(dropTableHard)
+    try {
+      val mx = emb.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+      Similarity.ivfPqBuild(emb.filter(col("vec_id") <= mx * 3 / 5), "vec_id", "embedding",
+        idx, nClusters = 8, m = 8, ksub = 16, iters = 2)
+      val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
+      val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
+      Similarity.ivfPqAppend(b1, "vec_id", "embedding", idx)
+      Similarity.ivfPqCompact(spark, idx)
+      Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx)
+      Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx) // replay
+      val got = Similarity.ivfPqQuery(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          idx, k = 10, nProbe = 8, overfetch = 4096)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 10)
+        .select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === brute,
+        "append+compact+replay at full probe/overfetch must still equal brute force")
+      graft.Caching.release(spark)
+    } finally all.foreach(dropTableHard)
   }
 
   test("streaming IVF ingest: appends route via the codebook, replays collapse, compaction serves") {

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The `spark.sql.extensions` deployment path: a session built with
+  * `graft.GraftExtensions` must expose the SQL function surface with no
+  * programmatic registration call.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("a session built with graft.GraftExtensions speaks the graft SQL surface") {
+    val base = spark // force the shared context into existence first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // the same instance `spark.sql.extensions=graft.GraftExtensions`
+      // loads reflectively at deploy time, applied through the public
+      // builder hook (a static conf cannot be planted on a running
+      // context from test code)
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions()).getOrCreate()
+      assert(s2 ne base, "must be a fresh session, not the suite's")
+      // scalar expression via plain SQL, no register() call anywhere
+      val d = s2.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .head.getDouble(0)
+      assert(d == 11.0, s"got $d")
+      // an injected AGGREGATE resolves too
+      val k = s2.sql(
+        "SELECT graft_kmv(h, 3) AS k FROM (SELECT CAST(id AS BIGINT) AS h FROM range(10))")
+        .head.getSeq[Long](0)
+      assert(k == Seq(0L, 1L, 2L), s"got $k")
+      // and DESCRIBE FUNCTION knows it (the ExpressionInfo landed)
+      val desc = s2.sql("DESCRIBE FUNCTION graft_simhash").collect().map(_.getString(0))
+      assert(desc.exists(_.contains("graft_simhash")), desc.mkString("; "))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

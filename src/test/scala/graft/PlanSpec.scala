@@ -154,6 +154,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x51 bigram quality: equi-joins + map-side-combined aggregates, no cartesian/NLJ/UDF") {
+    val p = plan("x51_bigram_quality")
+    graft.Caching.release(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "pre-counts must combine map-side: " + p.take(2000))
+  }
+
   test("x43 unigram quality: equi-joins + map-side-combined aggregates, no cartesian/NLJ/UDF") {
     val p = plan("x43_unigram_quality")
     graft.Caching.release(spark)
