@@ -464,6 +464,11 @@ object Bench {
     val st = streaming.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + math.round(v) }
       .mkString("{", ",", "}")
+    // space-saving form for the summary ladder: the unit moves into the
+    // block name, the metric keys shed their suffix
+    val stShort = streaming.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.stripSuffix("_rows_per_sec") + "\":" + math.round(v) }
+      .mkString("{", ",", "}")
     val stJ = x18Stages.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val x33J = x33Batches.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -486,7 +491,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     println(s"""{"detail":true,"runs":$runsJ,"sys":$sysJ,"max_heap_mb":$heapMb,""" +
-      s""""x18_stages":$stJ,"x33_batches":$x33J,""" +
+      s""""x18_stages":$stJ,"x33_batches":$x33J,"streaming":$st,""" +
       s""""errors":${fullArr(errors)},"flaky":${fullArr(flaky)},"leaks":${fullArr(leaks)},""" +
       s""""storage_peak_bytes":$storagePeak,"runs_per_query":$RunsPerQuery,"stat":"median"}""")
     // SUMMARY line LAST — the driver tail-captures stdout, so this compact
@@ -498,18 +503,26 @@ object Bench {
     // 3-decimal medians are always in the detail line's runs arrays.
     // serialize from the ordered Seqs directly — a .toMap would rehash into
     // hash order and lose the deterministic name-order emission
-    val summary = (3 to 1 by -1).iterator.map { decimals =>
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fp(v, decimals) }
+    // degradation ladder: per-query decimals 3 → 2 → 1 first; then drop the
+    // streaming block; then (last resort) errors/flaky/leaks too. The
+    // ERROR fields outlive the streaming rates on purpose — a crash being
+    // visible in the parsed artifact matters more than four throughput
+    // numbers (which survive in the detail line's tail when it fits).
+    val summary = {
+      def qsAt(decimals: Int) = results.map { case (k, v) => "\"" + k + "\":" + fp(v, decimals) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":${strArr(errors)},"flaky":${strArr(flaky)},""" +
-        s""""leaks":${strArr(leaks)},"streaming":$st,"sf":"$sfDir"}"""
-    }.find(_.length <= 1900).getOrElse {
-      // last resort (hundreds of queries): keep the contract fields intact
-      // and let the queries map be the one thing that grows the line
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fp(v, 1) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      def line(qs: String, streamingJson: Option[String], withErrors: Boolean) =
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+          (if (withErrors) s""""errors":${strArr(errors)},"flaky":${strArr(flaky)},"leaks":${strArr(leaks)},""" else "") +
+          streamingJson.map(_ + ",").getOrElse("") +
+          s""""sf":"$sfDir"}"""
+      val full = Some(s""""streaming":$st""")
+      val short = Some(s""""streaming_rows_per_sec":$stShort""")
+      val candidates = (3 to 1 by -1).iterator.map(d => line(qsAt(d), full, withErrors = true)) ++
+        Iterator(line(qsAt(1), short, withErrors = true),
+          line(qsAt(1), None, withErrors = true))
+      candidates.find(_.length <= 1960)
+        .getOrElse(line(qsAt(1), None, withErrors = false))
     }
     println(summary)
     spark.stop()

@@ -115,6 +115,17 @@ object Queries {
     Multimodal.ImageCodecs.grayPng(px, 11, 6)
   }
 
+  /** Synthesized 8-bit mono WAVs for x52: n = 200 + id%100 samples of
+    * s_i = (id·31 + i·17) mod 256 at 8 kHz — pure integer arithmetic the
+    * oracle reproduces with generate_series, so the REAL AudioSystem
+    * decode must hand back exactly these statistics.
+    */
+  private val SynthWavUdf = udf { (id: Long) =>
+    val n = 200 + (id % 100).toInt
+    val samples = Array.tabulate(n)(i => ((id * 31 + i.toLong * 17) % 256).toByte)
+    Multimodal.AudioCodecs.pcmWav(8000, 1, 8, samples)
+  }
+
   /** x15 decontamination parameters, mirrored into the DuckDB oracle: the
     * published 13-gram recipe, holdout = doc_id % 10 == 7, boilerplate
     * grams (df > cap across both corpora) dropped before the join.
@@ -500,6 +511,17 @@ object Queries {
     // local word-order coherence where x43 ranks vocabulary
     "x51_bigram_quality" -> ((s, dir) =>
       TextAnalysis.bigramQuality(t(s, dir, "documents"), "doc_id", "text")),
+
+    // REAL audio decode under oracle check: synthesized 8-bit PCM WAVs
+    // (doc_id%5<=1) decode via the JRE's AudioSystem and must return the
+    // exact sample count and Σ centered-sample² the oracle computes from
+    // the synthesis formula; text rows ride the stub fallback
+    "x52_mm_audio_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(col("doc_id").as("id"),
+        when(col("doc_id") % 5 <= 1, SynthWavUdf(col("doc_id")))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.decodeAudioMeta(Multimodal.asMedia(media, "id", "payload")).toDF()
+    }),
 
     "x08_text_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
@@ -1690,6 +1712,25 @@ object Queries {
         |SELECT d.doc_id, COALESCE(p.n_pairs, 0) AS n_pairs,
         |  CASE WHEN p.n_pairs IS NULL THEN NULL ELSE CAST(p.s AS DOUBLE) / p.n_pairs END AS nll_bits
         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // the synthesis formula transcribed: WAV rows carry the 44-byte header
+    // + n samples, energy = Σ ((id·31 + i·17) mod 256 − 128)²; text rows
+    // are the stub (zeros, byte length, NULL energy)
+    "x52_mm_audio_meta" ->
+      """WITH base AS (SELECT doc_id, text, 200 + doc_id % 100 AS n FROM documents),
+        |e AS (SELECT doc_id,
+        |  (SELECT CAST(SUM((((doc_id * 31 + i.i * 17) % 256) - 128) * (((doc_id * 31 + i.i * 17) % 256) - 128)) AS BIGINT)
+        |   FROM unnest(generate_series(0, n - 1)) i(i)) AS energy
+        |  FROM base WHERE doc_id % 5 <= 1)
+        |SELECT b.doc_id AS id,
+        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 44 + b.n ELSE strlen(b.text) END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 1 ELSE 0 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 8 ELSE 0 END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN b.n ELSE strlen(b.text) END AS BIGINT) AS n_samples,
+        |  e.energy,
+        |  CASE WHEN b.doc_id % 5 <= 1 THEN 'wav' ELSE 'stub' END AS format
+        |FROM base b LEFT JOIN e ON b.doc_id = e.doc_id""".stripMargin,
 
     // the appends, compaction, and replay are result-invisible at full
     // probe + overfetch: identical transcription to x49

@@ -299,6 +299,108 @@ object Multimodal {
     * stub fallback. One decoder per partition; rows stream through without
     * buffering the partition.
     */
+  /** One row per audio payload: container facts + exact sample statistics.
+    * `energy` = Σ centered-sample² over every channel sample (the zeroth
+    * spectral moment — the standard silence/clipping screen); None on the
+    * stub path, where the bytes have no audio semantics.
+    */
+  final case class AudioMeta(id: Long, n_bytes: Long, sample_rate: Long, channels: Long,
+                             bits: Long, n_samples: Long, energy: Option[Long], format: String)
+
+  /** REAL audio codec kernels over `javax.sound.sampled` (JRE-native WAV /
+    * RIFF PCM — the same no-external-deps stance as [[ImageCodecs]]).
+    * Total: payloads the decoder rejects fall back to a deterministic
+    * stub row, so arbitrary bytes flow through the same schema. Pure
+    * functions of the payload bytes — which is what lets the DuckDB
+    * oracle predict the decoded statistics for synthesized inputs.
+    * Compressed codecs (MP3/AAC/Opus) need external libraries — swap in
+    * a JNI decoder in production; signatures and batch shape stay.
+    */
+  object AudioCodecs {
+    import java.io.ByteArrayInputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Canonical 44-byte RIFF/WAVE header + raw PCM frames — 8-bit
+      * unsigned or 16-bit signed little-endian (the two canonical WAV PCM
+      * layouts). The test/fixture writer; decode goes through the real
+      * [[AudioSystem]] reader, so round-trips exercise the JRE parser.
+      */
+    def pcmWav(sampleRate: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"pcmWav: bits must be 8 or 16, got $bits")
+      require(channels >= 1, s"pcmWav: channels must be >= 1, got $channels")
+      val blockAlign = channels * bits / 8
+      val out = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1.toShort)
+        .putShort(channels.toShort).putInt(sampleRate).putInt(sampleRate * blockAlign)
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+      out.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      out.array()
+    }
+
+    /** Real decode via the JRE reader, restricted to the PCM layouts whose
+      * sample math is exact: 8-bit unsigned, 16-bit signed LE. The "RIFF"
+      * magic is printable ASCII a text payload CAN begin with (the GIF/BMP
+      * hazard), so the format is trusted only after the reader accepts it.
+      */
+    private def decodePcm(payload: Array[Byte]): Option[(AudioFormat, Array[Byte])] = {
+      if (payload == null || payload.length < 44 ||
+        payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F')
+        return None
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          val ok =
+            (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && f.getSampleSizeInBits == 8) ||
+              (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && f.getSampleSizeInBits == 16 &&
+                !f.isBigEndian)
+          if (!ok) None else Some((f, in.readAllBytes()))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Decode + exact statistics; stub fallback (zeros + byte length, no
+      * energy) for payloads the reader rejects.
+      */
+    def audioMeta(id: Long, payload: Array[Byte]): AudioMeta = decodePcm(payload) match {
+      case Some((f, data)) =>
+        val bits = f.getSampleSizeInBits
+        var energy = 0L
+        if (bits == 8) {
+          var i = 0
+          while (i < data.length) {
+            val c = (data(i) & 0xff) - 128
+            energy += c.toLong * c
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+            energy += s * s
+            i += 2
+          }
+        }
+        val blockAlign = f.getChannels * bits / 8
+        AudioMeta(id, payload.length.toLong, f.getSampleRate.toLong, f.getChannels.toLong,
+          bits.toLong, data.length.toLong / blockAlign, Some(energy), "wav")
+      case None =>
+        val n = if (payload == null) 0L else payload.length.toLong
+        AudioMeta(id, n, 0L, 0L, 0L, n, None, "stub")
+    }
+  }
+
+  /** Audio metadata + exact sample statistics per payload (1→1, narrow) —
+    * REAL JRE WAV/PCM decode, stub fallback for non-audio bytes.
+    */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] =
+    media.mapPartitions { it =>
+      it.map(r => AudioCodecs.audioMeta(r.id, r.payload))
+    }(Encoders.product[AudioMeta])
+
   def decodeImageMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
     media.mapPartitions { it =>
       // per-partition decoder init would go here (JNI context, thread pools)

@@ -854,6 +854,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(ImageCodecs.imageMeta(4L, gifText) === Multimodal.StubCodecs.imageMeta(4L, gifText))
   }
 
+  test("AudioSystem decode is real: PCM round-trips exact, RIFF-prefixed text stubs (x52)") {
+    import graft.ext.Multimodal.AudioCodecs
+    val rnd = new scala.util.Random(3)
+    // 8-bit unsigned mono: energy = sum of centered squares
+    val s8 = Array.fill(500)(rnd.nextInt(256).toByte)
+    val m8 = AudioCodecs.audioMeta(1L, AudioCodecs.pcmWav(8000, 1, 8, s8))
+    assert(m8.format == "wav" && m8.sample_rate == 8000L && m8.channels == 1L && m8.bits == 8L)
+    assert(m8.n_samples == 500L && m8.n_bytes == 544L)
+    val e8 = s8.map { b => val c = (b & 0xff) - 128; c.toLong * c }.sum
+    assert(m8.energy.contains(e8))
+    // 16-bit signed LE stereo: per-channel frame count, energy over all samples
+    val shorts = Array.fill(300)(rnd.nextInt(65536) - 32768)
+    val b16 = new Array[Byte](600)
+    shorts.indices.foreach { i =>
+      b16(2 * i) = (shorts(i) & 0xff).toByte
+      b16(2 * i + 1) = ((shorts(i) >> 8) & 0xff).toByte
+    }
+    val m16 = AudioCodecs.audioMeta(2L, AudioCodecs.pcmWav(44100, 2, 16, b16))
+    assert(m16.format == "wav" && m16.sample_rate == 44100L && m16.channels == 2L && m16.bits == 16L)
+    assert(m16.n_samples == 150L)
+    assert(m16.energy.contains(shorts.map(s => s.toLong * s).sum))
+    // the "RIFF" magic is printable ASCII text can begin with: the reader
+    // must reject it into the stub, not crash or fake a decode
+    val riffText = ("RIFF" + "x" * 60).getBytes("US-ASCII")
+    val g = AudioCodecs.audioMeta(3L, riffText)
+    assert(g.format == "stub" && g.energy.isEmpty && g.n_samples == 64L)
+    val plain = AudioCodecs.audioMeta(4L, "plain text".getBytes("US-ASCII"))
+    assert(plain.format == "stub" && plain.n_samples == 10L && plain.sample_rate == 0L)
+  }
+
   test("pHash text fallback matches DuckDB's substr transcription on multi-byte text") {
     import graft.ext.Multimodal
     // goldens computed in DuckDB with the exact x32 oracle formula (66
