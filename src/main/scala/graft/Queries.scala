@@ -905,7 +905,30 @@ object Queries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
           "vec_id", "embedding", k = 10, m = 8, ksub = 16, overfetch = 4096)
         .select("query_id", "rank", "nbr_id")
-    })
+    }),
+
+    // overlapping token-window chunking (RAG prep): window 32 / stride 16,
+    // fully narrow — chunk structs built inside the doc's row, zero shuffle
+    "x53_chunk_windows" -> ((s, dir) =>
+      Sharding.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 16)),
+
+    // duplicated-span stats: every 5-token rolling window hashed, global
+    // occurrence counts, per-doc duplicated fraction (ExactSubstr signal)
+    "x54_span_dedup" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    // nearest-class-mean classifier over the labeled embeddings: exact
+    // fixed-point centroids folded into literals, zero-shuffle codegen probe
+    "x55_centroid_classify" -> ((s, dir) =>
+      Similarity.centroidClassify(t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
+
+    // hashed-bag-of-words log-odds vs the src0 reference corpus — the
+    // fastText/CCNet-style quality classifier trained from the data in one
+    // pass; 1024 buckets so the weight table broadcasts at any vocab size
+    "x56_hashed_logodds" -> ((s, dir) =>
+      TextAnalysis.hashedLogOdds(t(s, dir, "documents"), "doc_id", "text",
+        positive = col("source") === "src0", dim = 1024))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1743,7 +1766,96 @@ object Queries {
         |  FROM q JOIN c ON query_id <> nbr_id)
         |SELECT query_id, rank, nbr_id FROM (
         |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // transcription of Sharding.chunkByTokens (window 32, stride 16): kept
+    // starts are 0, 16, 32, … while `s = 0 OR s + 16 < n`; chunk text is
+    // the 1-based inclusive token slice [s+1, s+32]
+    "x53_chunk_windows" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM toked WHERE len(toks) >= 1),
+        |st AS (SELECT doc_id, toks, n,
+        |  unnest(list_filter(generate_series(0, n - 1, 16), s -> s = 0 OR s + 16 < n)) AS s FROM base)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS start_token,
+        |  CAST(least(32, n - s) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[CAST(s + 1 AS BIGINT):CAST(s + 32 AS BIGINT)], ' ') AS chunk_text
+        |FROM st""".stripMargin,
+
+    // transcription of Dedup.duplicateSpanStats (k = 5): per-occurrence
+    // 5-token window md5-60 hashes, global occurrence counts, per-doc
+    // duplicated-window rollup; short docs carry through the LEFT JOIN
+    "x54_span_dedup" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |wins AS (SELECT doc_id,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS w
+        |  FROM (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))) AS g
+        |    FROM toked WHERE len(toks) >= 5)),
+        |c AS (SELECT w, COUNT(*) AS cnt FROM wins GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |  FROM wins JOIN c USING (w) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_windows, 0) AS n_windows,
+        |  COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN p.n_windows IS NULL THEN NULL
+        |       ELSE CAST(p.n_dup_windows AS DOUBLE) / p.n_windows END AS dup_fraction
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // transcription of Similarity.centroidClassify: floor(v·2²⁰) exact
+    // fixed-point quantization, exact per-(label, dim) integer sums, ONE
+    // double division per centroid component, scores as LEFT-TO-RIGHT
+    // list_reduce folds (the Spark side reduces codegen terms in the same
+    // order), argmax by (score DESC, label ASC)
+    "x55_centroid_classify" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT label, u.pos AS pos, u.q AS qq FROM
+        |  (SELECT label, unnest(list_transform(generate_series(1, len(qv)), i -> {'pos': i, 'q': qv[i]})) AS u FROM q)),
+        |cs AS (SELECT label, pos, CAST(SUM(qq) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+        |cnt AS (SELECT label, COUNT(*) AS c FROM q GROUP BY 1),
+        |cent AS (SELECT label AS clabel, list(CAST(s AS DOUBLE) / c ORDER BY pos) AS cvec
+        |  FROM cs JOIN cnt USING (label) GROUP BY label, c),
+        |sc AS (SELECT vec_id, label, clabel,
+        |  list_reduce(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * cvec[i]),
+        |    (a, b) -> a + b) AS score
+        |  FROM q CROSS JOIN cent),
+        |r AS (SELECT vec_id, label, clabel,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel ASC) AS rn FROM sc)
+        |SELECT vec_id, label, CAST(clabel AS INTEGER) AS pred_label FROM r WHERE rn = 1""".stripMargin,
+
+    // transcription of TextAnalysis.hashedLogOdds (dim 1024, reference =
+    // src0): token buckets are md5-60 % 1024, weights are add-one
+    // floor-log2 log-odds on exact counts, prior from the corpus totals
+    "x56_hashed_logodds" ->
+      """WITH toked AS (SELECT doc_id, source = 'src0' AS pos,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |tk AS (SELECT doc_id, pos,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 1024 AS b
+        |  FROM (SELECT doc_id, pos, unnest(toks) AS tok FROM toked)),
+        |dtb AS (SELECT doc_id, pos, b, COUNT(*) AS cnt FROM tk GROUP BY 1, 2, 3),
+        |w AS (SELECT b, SUM(CASE WHEN pos THEN cnt ELSE 0 END) AS cp,
+        |  SUM(CASE WHEN pos THEN 0 ELSE cnt END) AS cn FROM dtb GROUP BY 1),
+        |tp AS (SELECT CAST(COALESCE(SUM(cp), 0) + 1024 AS BIGINT) AS np,
+        |  CAST(COALESCE(SUM(cn), 0) + 1024 AS BIGINT) AS nn FROM w),
+        |per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cnt * ((length(ltrim(bin(CAST(cp + 1 AS BIGINT)), '0')) - 1)
+        |                - (length(ltrim(bin(CAST(cn + 1 AS BIGINT)), '0')) - 1))) AS BIGINT) AS s
+        |  FROM dtb JOIN w USING (b) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN p.n_tokens IS NULL THEN NULL
+        |       ELSE CAST(p.s - p.n_tokens * ((length(ltrim(bin((SELECT np FROM tp)), '0')) - 1)
+        |                                   - (length(ltrim(bin((SELECT nn FROM tp)), '0')) - 1)) AS DOUBLE) / p.n_tokens
+        |  END AS logodds_bits
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -794,6 +794,56 @@ object Dedup {
       .select(col("id").as(idCol), col("text_dedup"), col("n_lines_kept"))
   }
 
+  /** Per-document duplicated-span statistics — the window-hash
+    * approximation of suffix-array exact-substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22:
+    * memorization tracks repeated SPANS, not whole-document similarity).
+    * Every k-token rolling window is hashed; a window occurring more than
+    * once in the corpus (across documents OR repeated within one) is a
+    * duplicated span occurrence. Complements [[dedupLines]] (structural
+    * lines) and [[fingerprintPairs]] (sampled fingerprints): this counts
+    * EVERY repeated k-window, so `dup_fraction` is a direct per-document
+    * "how much of this text exists elsewhere" signal to threshold on.
+    *
+    * Scale shape: window hashes are built INSIDE the document's row
+    * (wordNGrams transform → md5-60 transform) and only 8-byte longs
+    * explode, so extraction is narrow; occurrence counts are ONE hash
+    * exchange with map-side partials; the count lookup is an equi-join on
+    * the same 8-byte key (each window row meets exactly ONE count row —
+    * linear, no pair blow-up even on boilerplate; AQE absorbs hot-key
+    * skew); the per-doc rollup reuses the exchange's key space. Two
+    * distinct windows colliding at 60 bits (~windows²/2⁶¹) would count one
+    * spurious duplicate — noise, not corruption.
+    *
+    * Output: one row per input doc — (idCol, n_windows LONG,
+    * n_dup_windows LONG, dup_fraction DOUBLE — the ONE double division,
+    * NULL for docs with fewer than k tokens).
+    */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // per-OCCURRENCE window hashes (no distinct: within-doc repeats count);
+    // feeds the global count aggregate and the lookup probe — scoped, the
+    // minHashLsh stance; callers release via Caching.release
+    val wins = graft.Caching.scoped(
+      df.select(col(idCol).as("id"),
+        explode(transform(
+          TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), k),
+          g => graft.functions.Hashing.md5Hash60Col(g))).as("__w")))
+    val counts = wins.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val per = wins.join(counts, Seq("__w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(col(idCol)).join(per.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows").isNull, lit(null).cast("double"))
+          .otherwise(col("n_dup_windows").cast("double") / col("n_windows"))
+          .as("dup_fraction"))
+  }
+
   /** Near-dup candidate pairs via shared winnowing fingerprints — the MOSS
     * shape (Schleimer et al., SIGMOD'03): documents sharing at least
     * `minShared` fingerprints ([[TextAnalysis.fingerprints]]: k-gram md5-60

@@ -72,6 +72,51 @@ object Sharding {
       .drop("cum_before")
   }
 
+  /** Overlapping token-window chunking — the retrieval/RAG prep step that
+    * splits each document into fixed-size token windows with a stride
+    * (LangChain/LlamaIndex-style "chunk_size / chunk_overlap", overlap =
+    * `window - stride`), so each chunk can be embedded and indexed
+    * independently while overlap preserves cross-boundary context.
+    *
+    * Window placement: starts at 0, stride, 2·stride, …; a start is kept
+    * while it contributes at least one token beyond the previous chunk's
+    * end (`s == 0` or `s + window - stride < n`), which (a) guarantees the
+    * final token is always covered, and (b) never emits a chunk fully
+    * contained in its predecessor. Documents with zero tokens emit no rows.
+    *
+    * Scale shape: fully NARROW — the kept starts and their chunk texts are
+    * built inside the document's own row (`filter`/`transform` over a
+    * `sequence`, the wordNGrams construction) and only the per-chunk
+    * structs explode, so the token array is never duplicated per chunk and
+    * there is ZERO shuffle at any corpus size; a 1000-executor job chunks
+    * each partition independently.
+    *
+    * Output: (idCol, chunk_id LONG — 0-based per doc in start order,
+    * start_token LONG — 0-based, n_chunk_tokens LONG ≤ window,
+    * chunk_text STRING — space-joined tokens).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window, s"stride must be in [1, window]: $stride")
+    val toked = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") >= 1)
+    val keptStarts = filter(
+      sequence(lit(0L), col("__n") - 1, lit(stride.toLong)),
+      s => (s === 0L) || (s + lit((window - stride).toLong) < col("__n")))
+    val chunks = transform(keptStarts, s => struct(
+      s.as("start_token"),
+      concat_ws(" ", slice(col("__t"), (s + 1).cast("int"), lit(window))).as("chunk_text")))
+    toked
+      .select(col(idCol), col("__n"), posexplode(chunks).as(Seq("chunk_id", "__c")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.start_token").as("start_token"),
+        least(lit(window.toLong), col("__n") - col("__c.start_token")).as("n_chunk_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
+  }
+
   /** Sequence-packing layout — the step AFTER sharding that decides how
     * documents concatenate into fixed-length training sequences (the
     * standard causal-LM data layout: docs packed back-to-back, split at

@@ -858,4 +858,77 @@ object Similarity {
     Dedup.compactBucketedTable(spark, index.bandsTable, index.numBuckets, Seq("band", "bv"))
     Dedup.compactBucketedTable(spark, index.vecsTable, index.numBuckets, Seq("id"))
   }
+
+  /** Fixed-point quantization scale for [[centroidClassify]]: floor(v·2²⁰)
+    * is EXACT on any float (float→double is exact, ×2²⁰ is a power-of-two
+    * exponent shift, floor is exact), so per-(label, dim) sums are exact
+    * long arithmetic in any aggregation order.
+    */
+  val CentroidQuantScale: Double = (1L << 20).toDouble
+
+  /** Nearest-class-mean embedding classifier (Rocchio/NCM — the standard
+    * zero-training-loop baseline for labeling embeddings at corpus scale,
+    * e.g. routing documents to domain experts or quality tiers by a few
+    * labeled seed clusters). Each label's centroid is the mean of its
+    * vectors; every vector is assigned the label whose centroid maximizes
+    * the inner product (ties → smaller label).
+    *
+    * Reproducibility: vectors are fixed-point quantized
+    * ([[CentroidQuantScale]]) so the per-(label, dim) sums are EXACT longs
+    * (order-free); each centroid component then pays ONE double division,
+    * and each score is a LEFT-TO-RIGHT sum of `quantized·centroid`
+    * products (a `reduceLeft` of codegen terms — DuckDB's `list_reduce`
+    * folds in the same order), so scores are bit-identical cross-engine
+    * and the argmax (ties by label) is deterministic.
+    *
+    * Scale shape: the centroid aggregation is ONE exchange whose map-side
+    * partials collapse each partition to ≤ labels×dim rows; the result
+    * (labels×dim longs + per-label counts) is a bounded driver-side
+    * collect (the codebook precedent) folded into LITERAL arrays, so the
+    * scoring pass is ZERO-shuffle, fully codegen (element_at chains — no
+    * lambda, no join), and embarrassingly parallel at any corpus size.
+    * The fixed-dimension contract is validated up front (one head()).
+    *
+    * Output: one row per vector — (idCol, labelCol, pred_label INT).
+    */
+  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val dims = df.select(size(col(vecCol)).as("d")).distinct().collect().map(_.getInt(0))
+    require(dims.length == 1 && dims.head > 0,
+      s"centroidClassify requires one fixed positive dimension, got ${dims.sorted.mkString(", ")}")
+    val dim = dims.head
+    // exact fixed-point quantization of component i — pure codegen, no lambda
+    def quant(i: Int): Column =
+      floor(element_at(col(vecCol), i + 1).cast("double") * lit(CentroidQuantScale))
+        .cast("long")
+    // labels×dim exact sums + per-label counts: bounded driver collect
+    val sums = df
+      .select(col(labelCol).as("__l"),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast("double") * lit(CentroidQuantScale)).cast("long")))
+          .as(Seq("__p", "__q")))
+      .groupBy("__l", "__p").agg(sum(col("__q")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val cnts = df.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val centroids: Seq[(Int, Array[Double])] = sums.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, rows) =>
+        val c = Array.ofDim[Double](dim)
+        rows.foreach { case (_, p, s) => c(p) = s.toDouble / cnts(l) }
+        (l, c)
+      }
+    // score_l = Σ_i quant(i)·centroid_l[i], summed left-to-right by
+    // reduceLeft — every term is codegen (element_at/floor × double
+    // literal), so the probe plan has NO lambda, NO join, NO exchange
+    def score(c: Array[Double]): Column =
+      (0 until dim).map(i => quant(i).cast("double") * lit(c(i))).reduceLeft(_ + _)
+    val best =
+      if (centroids.length == 1) struct(lit(0.0).as("s"), lit(-centroids.head._1).as("nl"))
+      else greatest(centroids.map { case (l, c) =>
+        struct(score(c).as("s"), lit(-l).as("nl"))
+      }: _*)
+    df.withColumn("__best", best)
+      .select(col(idCol), col(labelCol),
+        (-col("__best.nl")).cast("int").as("pred_label"))
+  }
 }

@@ -387,4 +387,70 @@ object TextAnalysis {
     withGopherMetrics(df, textCol).select(col(idCol), col("n_words"),
       col("mean_word_len"), col("symbol_ratio"), col("bullet_ratio"),
       col("ellipsis_ratio"), col("alpha_ratio"), col("n_stop"), col("keep"))
+
+  /** Exact floor(log2(v)) of a positive long — the driver-side twin of
+    * [[floorLog2]] for the bounded-collect corpus totals.
+    */
+  private[ext] def floorLog2Long(v: Long): Long = {
+    require(v > 0, s"floorLog2Long requires a positive value: $v")
+    63L - java.lang.Long.numberOfLeadingZeros(v)
+  }
+
+  /** Hashed bag-of-words log-odds quality scorer — the fastText/CCNet-style
+    * in-domain classifier filter (Joulin et al. 2016's hashing trick;
+    * CCNet/GPT-3/LLaMA pipelines score crawl docs against a curated
+    * reference corpus and keep high scorers). TRAINED FROM THE DATA in one
+    * pass: tokens hash into `dim` buckets, the `positive` predicate marks
+    * the reference sub-corpus, and each bucket's weight is the add-one
+    * log-odds of landing there under the reference vs the rest — a
+    * hashed multinomial Naive Bayes. A document's score is its tokens'
+    * mean weight, prior-corrected: positive ⇒ reads like the reference.
+    *
+    * Reproducibility (the x43 contract): log2 is INTEGER-quantized on
+    * exact counts ([[floorLog2]]) — weight_b = ⌊log2(c⁺_b+1)⌋ −
+    * ⌊log2(c⁻_b+1)⌋ and the prior term uses the corpus totals — so every
+    * aggregate is exact long arithmetic and the ONE double op is the final
+    * division by the doc's token count.
+    *
+    * Scale shape: tokenize+hash is narrow; the per-(doc, bucket) pre-count
+    * is ONE exchange with map-side partials, and its key space is capped
+    * at `dim` buckets per doc regardless of vocabulary; the weight table
+    * re-aggregates those partials to AT MOST `dim` rows, which BROADCAST
+    * to the probe join (the corpus side never shuffles again); the two
+    * corpus totals are one bounded driver-side collect (the x41/x43
+    * precedent). That bounded weight table is exactly why real pipelines
+    * hash: vocab-keyed weights grow with the corpus, bucket-keyed weights
+    * don't.
+    *
+    * Output: one row per input doc — (idCol, n_tokens LONG, logodds_bits
+    * DOUBLE — NULL for token-less docs; >0 reads reference-like).
+    */
+  def hashedLogOdds(df: DataFrame, idCol: String, textCol: String,
+                    positive: Column, dim: Int = 4096): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    // feeds the weight aggregation, the totals collect AND the probe join —
+    // scoped (the unigramQuality stance); callers release via Caching.release
+    val dtb = graft.Caching.scoped(
+      df.select(col(idCol), positive.as("__pos"),
+          explode(tokens(lower(col(textCol)))).as("__tok"))
+        .withColumn("__b", graft.functions.Hashing.md5Hash60Col(col("__tok")) % dim)
+        .groupBy(col(idCol), col("__pos"), col("__b"))
+        .agg(count(lit(1)).as("__cnt")))
+    val weights = dtb.groupBy("__b").agg(
+      sum(when(col("__pos"), col("__cnt")).otherwise(0L)).as("__cp"),
+      sum(when(col("__pos"), 0L).otherwise(col("__cnt"))).as("__cn"))
+    val tot = weights.agg(
+      coalesce(sum("__cp"), lit(0L)), coalesce(sum("__cn"), lit(0L))).head()
+    // add-`dim` smoothing keeps both priors positive on an empty side
+    val prior = floorLog2Long(tot.getLong(0) + dim) - floorLog2Long(tot.getLong(1) + dim)
+    val per = dtb.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(col("__cnt") * (floorLog2(col("__cp") + 1) - floorLog2(col("__cn") + 1))).as("__s"))
+      .withColumn("logodds_bits",
+        (col("__s") - col("n_tokens") * lit(prior)).cast("double") / col("n_tokens"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logodds_bits"))
+  }
 }

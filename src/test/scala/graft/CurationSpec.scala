@@ -1023,4 +1023,132 @@ class CurationSpec extends SparkSpec {
       assert(real(a) == real(b), s"pair ($a,$b) straddles splits")
     }
   }
+
+  private def wsTokens(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty)
+
+  test("chunkByTokens equals the sequential window model on real docs; covers every token") {
+    val window = 7
+    val stride = 3
+    val texts = docs.limit(120).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = texts.toSeq.flatMap { case (id, text) =>
+      val toks = wsTokens(text)
+      if (toks.isEmpty) Seq.empty
+      else {
+        val starts = (0 until toks.length by stride)
+          .filter(s => s == 0 || s + window - stride < toks.length)
+        starts.zipWithIndex.map { case (s, ci) =>
+          (id, ci.toLong, s.toLong,
+            math.min(window, toks.length - s).toLong,
+            toks.slice(s, s + window).mkString(" "))
+        }
+      }
+    }.toSet
+    val got = Sharding.chunkByTokens(
+        docs.filter(col("doc_id").isin(texts.keys.toSeq: _*)), "doc_id", "text", window, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // coverage + no-containment invariants on the model itself
+    expected.groupBy(_._1).foreach { case (id, chunks) =>
+      val n = wsTokens(texts(id)).length
+      val ends = chunks.toSeq.sortBy(_._2).map(c => c._3 + c._4)
+      assert(ends.last == n, s"doc $id: last token uncovered")
+      ends.sliding(2).foreach {
+        case Seq(a, b) => assert(b > a, s"doc $id: chunk contained in predecessor")
+        case _ => ()
+      }
+    }
+  }
+
+  test("chunkByTokens edges: empty docs emit nothing, short docs emit one whole-doc chunk") {
+    val d = df(1L -> "   ", 2L -> "a b c", 3L -> "")
+    val out = Sharding.chunkByTokens(d, "doc_id", "text", window = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+    intercept[IllegalArgumentException](
+      Sharding.chunkByTokens(d, "doc_id", "text", window = 4, stride = 5))
+  }
+
+  test("duplicateSpanStats counts planted cross-doc and within-doc window repeats exactly") {
+    val span = "alpha beta gamma delta epsilon" // one 5-token window
+    val d = df(
+      1L -> s"$span one two three four", // shares the span with doc 2
+      2L -> s"zero $span",
+      3L -> s"$span x $span", // within-doc repeat: windows at 0 and 6 duplicated
+      4L -> "totally distinct words only here now",
+      5L -> "tiny doc") // < 5 tokens: no windows
+    val out = Dedup.duplicateSpanStats(d, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3))))).toMap
+    graft.Caching.release(spark)
+    // doc1: 5 windows, 1 dup (the span); doc2: 2 windows, 1 dup
+    assert(out(1L) == ((5L, 1L, Some(0.2))))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    // doc3: 7 windows; the two span occurrences dup; the 5 bridging windows
+    // (containing 'x') appear nowhere else
+    assert(out(3L) == ((7L, 2L, Some(2.0 / 7))))
+    assert(out(4L)._2 == 0L)
+    assert(out(5L) == ((0L, 0L, None)), "short doc: zero windows, NULL fraction")
+  }
+
+  test("duplicateSpanStats equals the sequential model on real docs") {
+    val k = 5
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wins = texts.flatMap { case (id, text) =>
+      wsTokens(text).sliding(k).filter(_.length == k)
+        .map(w => id -> Hashing.md5Hash60(w.mkString(" "))).toSeq
+    }
+    val counts = wins.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = texts.map { case (id, text) =>
+      val ws = wins.filter(_._1 == id)
+      id -> ((ws.length.toLong, ws.count(w => counts(w._2) > 1).toLong))
+    }.toMap
+    val got = Dedup.duplicateSpanStats(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.Caching.release(spark)
+    assert(got == expected)
+    assert(expected.values.exists(_._2 > 0), "corpus should contain duplicated spans")
+  }
+
+  test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
+    val dim = 64
+    val ref = (1L to 8L).map(i =>
+      i -> (1 to 30).map(j => s"good${(i + j) % 40}").mkString(" "))
+    val crawl = (100L to 115L).map(i =>
+      i -> (1 to 30).map(j => s"bad${(i + j) % 80}").mkString(" "))
+    val d = df((ref ++ crawl) :+ (200L -> "   "): _*)
+    val got = graft.ext.TextAnalysis.hashedLogOdds(d, "doc_id", "text",
+        positive = col("doc_id") <= 8L, dim = dim)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+    graft.Caching.release(spark)
+    // sequential model: bucket counts, add-one floor-log2 log-odds, prior
+    def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    def bucket(tok: String): Long = Hashing.md5Hash60(tok) % dim
+    val all = (ref.map(r => (r._1, r._2, true)) ++ crawl.map(c => (c._1, c._2, false)))
+    val cp = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cn = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    all.foreach { case (_, text, pos) =>
+      wsTokens(text.toLowerCase).foreach { t =>
+        if (pos) cp(bucket(t)) += 1 else cn(bucket(t)) += 1
+      }
+    }
+    val prior = flog2(cp.values.sum + dim) - flog2(cn.values.sum + dim)
+    all.foreach { case (id, text, _) =>
+      val toks = wsTokens(text.toLowerCase)
+      val s = toks.map(t => flog2(cp(bucket(t)) + 1) - flog2(cn(bucket(t)) + 1)).sum
+      val exp = (s - toks.length * prior).toDouble / toks.length
+      assert(got(id) == ((toks.length.toLong, Some(exp))), s"doc $id")
+    }
+    assert(got(200L) == ((0L, None)), "token-less doc: n_tokens 0, NULL score")
+    // the classifier's point: every reference doc outscores every crawl doc
+    val refScores = ref.map(r => got(r._1)._2.get)
+    val crawlScores = crawl.map(c => got(c._1)._2.get)
+    assert(refScores.min > crawlScores.max,
+      s"ref ${refScores.min} must outscore crawl ${crawlScores.max}")
+  }
 }

@@ -1093,4 +1093,59 @@ class ExtensionsSpec extends SparkSpec {
       .head.getDouble(0)
     assert(hi == 200.0, s"got $hi")
   }
+
+  test("centroidClassify assigns clustered vectors to their cluster's label, not their own") {
+    import spark.implicits._
+    // two tight clusters in orthogonal corners; vec 99 carries label 7 but
+    // sits in cluster 0's corner — NCM must assign it 0 (it's a classifier,
+    // not an identity map). Labels deliberately non-contiguous.
+    def v(base: Array[Float], j: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == j % 4) 0.01f else 0f) }
+    val c0 = Array(1f, 0f, 0f, 0f)
+    val c7 = Array(0f, 0f, 1f, 0f)
+    val rows = (0 until 6).map(i => (i.toLong, v(c0, i), 0)) ++
+      (10 until 16).map(i => (i.toLong, v(c7, i), 7)) :+
+      ((99L, v(c0, 1), 7))
+    val out = Similarity.centroidClassify(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    (0 until 6).foreach(i => assert(out(i.toLong) == 0))
+    (10 until 16).foreach(i => assert(out(i.toLong) == 7))
+    assert(out(99L) == 0, "mislabeled vector must follow its cluster")
+  }
+
+  test("centroidClassify equals the sequential NCM model on the real embeddings; beats chance") {
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val dim = rows.head._2.length
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * Similarity.CentroidQuantScale).toLong)
+    val byLabel = rows.groupBy(_._3)
+    val centroids = byLabel.toSeq.sortBy(_._1).map { case (l, vs) =>
+      val s = Array.ofDim[Long](dim)
+      vs.foreach(r => quant(r._2).zipWithIndex.foreach { case (q, i) => s(i) += q })
+      l -> s.map(_.toDouble / vs.length)
+    }
+    val expected = rows.map { case (id, v, _) =>
+      val qv = quant(v)
+      // left-to-right fold, the declared summation order
+      val scored = centroids.map { case (l, c) =>
+        (l, (0 until dim).map(i => qv(i).toDouble * c(i)).reduceLeft(_ + _))
+      }
+      id -> scored.maxBy { case (l, s) => (s, -l) }._1
+    }.toMap
+    val got = Similarity.centroidClassify(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expected)
+    val acc = rows.count(r => got(r._1) == r._3).toDouble / rows.length
+    assert(acc > 0.2, s"NCM should beat 10-class chance, got $acc")
+  }
+
+  test("centroidClassify rejects mixed-dimension input loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(1f, 2f), 0), (2L, Array(1f, 2f, 3f), 1))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException](
+      Similarity.centroidClassify(bad, "vec_id", "embedding", "label"))
+  }
 }

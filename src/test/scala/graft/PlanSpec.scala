@@ -525,4 +525,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
+
+  test("x53 chunking is fully narrow: zero exchange, no UDF — chunk structs built in-row") {
+    val p = plan("x53_chunk_windows")
+    assert(!p.contains("Exchange"), "chunking must not shuffle: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("x54 span dedup: equi-join on window hashes with partial counts, no cartesian/NLJ/UDF") {
+    val p = plan("x54_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("partial_count"), "occurrence counts must combine map-side: " + p.take(2000))
+    Caching.release(spark)
+  }
+
+  test("x55 centroid probe is zero-shuffle codegen: centroids are literals, no join, no HOF lambda") {
+    val p = plan("x55_centroid_classify")
+    assert(!p.contains("Exchange"), "the scoring pass must not shuffle: " + p.take(2000))
+    assert(!p.contains("Join"), "centroids must fold into literals, not a join: " + p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("LambdaFunction"), p.take(2000))
+  }
+
+  test("x56 hashed log-odds: the dim-bounded weight table broadcasts to the probe join") {
+    val p = plan("x56_hashed_logodds")
+    assert(p.contains("BroadcastHashJoin"), "weights must broadcast: " + p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p.take(2000))
+    Caching.release(spark)
+  }
 }
