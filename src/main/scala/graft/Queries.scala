@@ -928,7 +928,12 @@ object Queries {
     // pass; 1024 buckets so the weight table broadcasts at any vocab size
     "x56_hashed_logodds" -> ((s, dir) =>
       TextAnalysis.hashedLogOdds(t(s, dir, "documents"), "doc_id", "text",
-        positive = col("source") === "src0", dim = 1024))
+        positive = col("source") === "src0", dim = 1024)),
+
+    // the action x54 measures: cut every duplicated 5-token span except
+    // its global first (min (doc,pos)) occurrence — ExactSubstr semantics
+    "x57_span_removal" -> ((s, dir) =>
+      Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", k = 5))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1855,7 +1860,36 @@ object Queries {
         |       ELSE CAST(p.s - p.n_tokens * ((length(ltrim(bin((SELECT np FROM tp)), '0')) - 1)
         |                                   - (length(ltrim(bin((SELECT nn FROM tp)), '0')) - 1)) AS DOUBLE) / p.n_tokens
         |  END AS logodds_bits
-        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // transcription of Dedup.dedupSpans (k = 5): positioned window hashes,
+    // per-hash occurrence count + min-(doc, pos) winner (encoded as
+    // doc·2³² + pos — lexicographic for non-negative ids), losers expand
+    // to covered token indexes, survivors re-join whitespace-normalized
+    "x57_span_removal" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |wins AS (SELECT doc_id, u.p AS p,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(u.g), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS w
+        |  FROM (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 4),
+        |      i -> {'p': i - 1, 'g': array_to_string(toks[i:i+4], ' ')})) AS u
+        |    FROM toked WHERE len(toks) >= 5)),
+        |st AS (SELECT w, COUNT(*) AS cnt, MIN(doc_id * 4294967296 + p) AS wk FROM wins GROUP BY 1),
+        |losers AS (SELECT doc_id, p FROM wins JOIN st USING (w)
+        |  WHERE cnt > 1 AND doc_id * 4294967296 + p <> wk),
+        |cov AS (SELECT doc_id, list_distinct(flatten(list(generate_series(p, p + 4)))) AS covered
+        |  FROM losers GROUP BY 1),
+        |r AS (SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CASE WHEN c.covered IS NULL THEN generate_series(0, len(toks) - 1)
+        |       ELSE list_filter(generate_series(0, len(toks) - 1), i -> NOT list_contains(c.covered, i))
+        |  END AS kept, toks
+        |  FROM toked t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list_transform(kept, i -> toks[i + 1]), ' '), '') AS text_dedup
+        |FROM r""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

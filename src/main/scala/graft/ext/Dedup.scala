@@ -844,6 +844,57 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Duplicated-span REMOVAL — the action [[duplicateSpanStats]] measures:
+    * every k-token window occurring more than once in the corpus is cut
+    * from every occurrence EXCEPT the globally first (min (doc id,
+    * position) — the [[dedupLines]] survivor rule at window granularity),
+    * the ExactSubstr semantics of Lee et al., ACL'22. A token is removed
+    * iff a losing duplicate window covers it; surviving tokens re-join
+    * in original order (whitespace-normalized, the dedupLines contract).
+    *
+    * Scale shape: window hashes with positions are in-row transforms
+    * exploding (pos, hash) pairs only; ONE map-side-combined aggregate
+    * computes each hash's occurrence count AND its min-(id, pos) winner
+    * together; the loser lookup is the linear x54 equi-join; per-doc
+    * loser starts collect bounded by the doc's own window count; coverage
+    * expansion and token filtering are narrow array ops inside the doc's
+    * row (`array_except` — hash-set semantics, not per-token scans).
+    *
+    * Output: one row per input doc — (idCol, n_tokens LONG,
+    * n_removed LONG, text_dedup STRING).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toked = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+    // per-occurrence (position, hash) pairs — scoped: feeds the winner
+    // aggregate and the loser probe; callers release via Caching.release
+    val wins = graft.Caching.scoped(
+      toked.select(col("id"),
+        posexplode(transform(TextAnalysis.wordNGrams(col("__t"), k),
+          g => graft.functions.Hashing.md5Hash60Col(g))).as(Seq("__p", "__w"))))
+    val stats = wins.groupBy("__w").agg(
+      count(lit(1)).as("__c"), min(struct(col("id"), col("__p"))).as("__win"))
+    val losers = wins.join(stats, Seq("__w"))
+      .filter(col("__c") > 1 &&
+        !(col("id") === col("__win.id") && col("__p") === col("__win.__p")))
+      .groupBy("id").agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    toked.join(losers, Seq("id"), "left")
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__cov",
+        when(col("__starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("__starts"),
+            s => sequence(s, s + lit(k - 1)))))))
+      .withColumn("__kept",
+        when(col("__n") === 0, array().cast("array<int>"))
+          .otherwise(array_except(sequence(lit(0), col("__n") - 1), col("__cov"))))
+      .select(col("id").as(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("__kept"), i => element_at(col("__t"), i + 1)))
+          .as("text_dedup"))
+  }
+
   /** Near-dup candidate pairs via shared winnowing fingerprints — the MOSS
     * shape (Schleimer et al., SIGMOD'03): documents sharing at least
     * `minShared` fingerprints ([[TextAnalysis.fingerprints]]: k-gram md5-60

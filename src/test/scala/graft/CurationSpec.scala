@@ -1114,6 +1114,57 @@ class CurationSpec extends SparkSpec {
     assert(expected.values.exists(_._2 > 0), "corpus should contain duplicated spans")
   }
 
+  test("dedupSpans cuts every duplicated span except the global first occurrence") {
+    val span = "alpha beta gamma delta epsilon"
+    val d = df(
+      1L -> s"$span one two three four", // global first occurrence: survives
+      2L -> s"zero $span", // loser: the span's 5 tokens are cut
+      3L -> s"$span x $span", // loser twice: both occurrences cut (doc 1 won)
+      4L -> "totally distinct words only here now",
+      5L -> "tiny doc") // < 5 tokens: untouched
+    val out = Dedup.dedupSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.Caching.release(spark)
+    assert(out(1L) == ((9L, 0L, s"$span one two three four")))
+    assert(out(2L) == ((6L, 5L, "zero")))
+    // doc 3: both span occurrences lose; the bridging windows around 'x'
+    // are unique but their tokens lie inside the cut spans — only 'x' has
+    // covered-by-loser windows too (every window containing x is unique,
+    // but x sits in NO losing window? positions 0-4 and 6-10 are the span
+    // occurrences; 'x' at 5 is covered by windows starting 1..5, all
+    // unique — so 'x' survives)
+    assert(out(3L) == ((11L, 10L, "x")))
+    assert(out(4L) == ((6L, 0L, "totally distinct words only here now")))
+    assert(out(5L) == ((2L, 0L, "tiny doc")))
+  }
+
+  test("dedupSpans equals the sequential winner model on real docs and removes something") {
+    val k = 5
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val wins = texts.flatMap { case (id, text) =>
+      wsTokens(text).sliding(k).filter(_.length == k).zipWithIndex
+        .map { case (w, p) => (id, p, Hashing.md5Hash60(w.mkString(" "))) }.toSeq
+    }
+    val byHash = wins.groupBy(_._3)
+    val expected = texts.map { case (id, text) =>
+      val toks = wsTokens(text)
+      val loserStarts = wins.filter(_._1 == id).collect {
+        case (_, p, h) if byHash(h).length > 1 &&
+          byHash(h).map(o => (o._1, o._2)).min != ((id, p)) => p
+      }
+      val covered = loserStarts.flatMap(s => s until s + k).toSet
+      val kept = toks.indices.filterNot(covered)
+      (id, (toks.length.toLong, (toks.length - kept.length).toLong,
+        kept.map(toks).mkString(" ")))
+    }.toMap
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.Caching.release(spark)
+    assert(got == expected)
+    assert(expected.values.exists(_._2 > 0), "corpus should lose some duplicated spans")
+  }
+
   test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
     val dim = 64
     val ref = (1L to 8L).map(i =>

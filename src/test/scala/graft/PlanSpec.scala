@@ -547,6 +547,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("LambdaFunction"), p.take(2000))
   }
 
+  test("x57 span removal: winner decided by one partial-min aggregate, no window sort") {
+    val p = plan("x57_span_removal")
+    assert(p.contains("partial_min"), "winner must combine map-side: " + p.take(2000))
+    assert(!p.contains("Window"), "hot spans must not window-sort: " + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    Caching.release(spark)
+  }
+
   test("x56 hashed log-odds: the dim-bounded weight table broadcasts to the probe join") {
     val p = plan("x56_hashed_logodds")
     assert(p.contains("BroadcastHashJoin"), "weights must broadcast: " + p.take(2000))
