@@ -933,7 +933,13 @@ object Queries {
     // the action x54 measures: cut every duplicated 5-token span except
     // its global first (min (doc,pos)) occurrence — ExactSubstr semantics
     "x57_span_removal" -> ((s, dir) =>
-      Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", k = 5))
+      Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    // Okapi BM25 top-50 for a fixed lexical query: one bounded stats
+    // collect, zero-shuffle scoring scan, graft_topk bounded reduction
+    "x58_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "query", "window"), k = 50))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1889,7 +1895,39 @@ object Queries {
         |  FROM toked t LEFT JOIN cov c USING (doc_id))
         |SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
         |  COALESCE(array_to_string(list_transform(kept, i -> toks[i + 1]), ' '), '') AS text_dedup
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // transcription of TextAnalysis.bm25TopK (terms spark/query/window,
+    // k = 50): add-one floor-log2 idf, avgdl in millitokens (1000·L div
+    // N), per-term score as ONE double division of exact longs, terms
+    // summed left-to-right, row_number (score DESC, doc ASC) ≡ graft_topk
+    "x58_bm25_topk" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l,
+        |  CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |c AS (SELECT (1000 * l) // n AS av,
+        |  (length(ltrim(bin(n + 1), '0')) - 1) - (length(ltrim(bin(df0 + 1), '0')) - 1) AS idf0,
+        |  (length(ltrim(bin(n + 1), '0')) - 1) - (length(ltrim(bin(df1 + 1), '0')) - 1) AS idf1,
+        |  (length(ltrim(bin(n + 1), '0')) - 1) - (length(ltrim(bin(df2 + 1), '0')) - 1) AS idf2
+        |  FROM st),
+        |tfs AS (SELECT doc_id, dl,
+        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |  CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+        |  CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf2
+        |  FROM d),
+        |sc AS (SELECT doc_id, tf0 + tf1 + tf2 AS tft,
+        |  CAST(22 * av * idf0 * tf0 AS DOUBLE) / CAST(10 * av * tf0 + 3 * av + 9000 * dl AS DOUBLE)
+        |  + CAST(22 * av * idf1 * tf1 AS DOUBLE) / CAST(10 * av * tf1 + 3 * av + 9000 * dl AS DOUBLE)
+        |  + CAST(22 * av * idf2 * tf2 AS DOUBLE) / CAST(10 * av * tf2 + 3 * av + 9000 * dl AS DOUBLE) AS score
+        |  FROM tfs CROSS JOIN c)
+        |SELECT rank, doc_id FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank, doc_id
+        |  FROM sc WHERE tft > 0) WHERE rank <= 50""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -824,12 +824,15 @@ object Dedup {
     require(k > 0, s"k must be positive: $k")
     // per-OCCURRENCE window hashes (no distinct: within-doc repeats count);
     // feeds the global count aggregate and the lookup probe — scoped, the
-    // minHashLsh stance; callers release via Caching.release
+    // minHashLsh stance; callers release via Caching.release. The token
+    // array is PROJECTED before wordNGrams (the docGrams/dedupSpans shape):
+    // passing tokens(text) inline re-evaluates the regex split inside every
+    // element_at — O(n·k) tokenizations per doc, measured 10× slower.
     val wins = graft.Caching.scoped(
-      df.select(col(idCol).as("id"),
-        explode(transform(
-          TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), k),
-          g => graft.functions.Hashing.md5Hash60Col(g))).as("__w")))
+      df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+        .select(col("id"),
+          explode(transform(TextAnalysis.wordNGrams(col("__t"), k),
+            g => graft.functions.Hashing.md5Hash60Col(g))).as("__w")))
     val counts = wins.groupBy("__w").agg(count(lit(1)).as("__c"))
     val per = wins.join(counts, Seq("__w"))
       .groupBy("id")

@@ -425,6 +425,65 @@ object TextAnalysis {
     * Output: one row per input doc — (idCol, n_tokens LONG, logodds_bits
     * DOUBLE — NULL for token-less docs; >0 reads reference-like).
     */
+  /** BM25 top-k retrieval over the corpus for a fixed term query
+    * (Robertson–Spärck Jones / Okapi BM25, k1 = 1.2, b = 0.75 — the
+    * published defaults) — the lexical complement of the ANN path and the
+    * ranking step after [[graft.ext.Sharding.chunkByTokens]] chunking:
+    * score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Reproducibility: idf is add-one floor-log2 on exact counts (the x43
+    * contract); avgdl is quantized to MILLItokens (A = 1000·L div N, an
+    * exact corpus constant), which turns each term's score into the exact
+    * long ratio 22·A·idf·tf / (10·A·tf + 3·A + 9000·dl) — ONE double
+    * division per term, summed LEFT-TO-RIGHT in query-term order, so the
+    * (rank, doc) output is bit-deterministic cross-engine. Long bounds
+    * hold at any corpus size: the numerator is ≤ 22·A·idf·tf (avgdl and
+    * tf are per-document-scale, never corpus-scale — unlike a naive
+    * ×10·L clearing, which would overflow at ~10¹⁹ corpus tokens).
+    *
+    * Scale shape: ONE stats pass (N, L, per-term document frequencies —
+    * a bounded 2+|terms| long collect, the x41/x43 precedent) and ONE
+    * zero-shuffle scoring scan: per-term tf is an in-row filter over the
+    * token array, constants fold into literals, and the global top-k is
+    * the bounded `graft_topk` partial aggregate — k rows per partition
+    * move, nothing sorts the corpus.
+    *
+    * Output: k rows — (rank INT best-first, idCol) — ids only, the
+    * similarity-output convention. Docs matching no term never reach the
+    * aggregate.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK requires at least one query term")
+    require(k > 0, s"k must be positive: $k")
+    val toked = df.select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("long"))
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("__dl")).as("l")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = toked.agg(aggCols.head, aggCols.tail: _*).head()
+    val n = stats.getLong(0)
+    val l = stats.getLong(1)
+    require(n > 0 && l > 0, "bm25TopK requires a non-empty tokenized corpus")
+    val avgdlMilli = (1000L * l) / n
+    val idfs = terms.indices.map(i =>
+      floorLog2Long(n + 1) - floorLog2Long(stats.getLong(2 + i) + 1))
+    def tf(t: String): Column =
+      size(filter(col("__t"), x => x === lit(t))).cast("long")
+    val scoreTerms = terms.zip(idfs).map { case (t, idf) =>
+      (lit(22L * avgdlMilli * idf) * tf(t)).cast("double") /
+        (lit(10L * avgdlMilli) * tf(t) + lit(3L * avgdlMilli) +
+          lit(9000L) * col("__dl")).cast("double")
+    }
+    val matched = terms.map(t => tf(t)).reduceLeft(_ + _) > 0
+    toked.filter(matched)
+      .withColumn("__score", scoreTerms.reduceLeft(_ + _))
+      .agg(call_function("graft_topk", col("__score"), col(idCol), lit(k)).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rank"), col("s.nbr_id").as(idCol))
+  }
+
   def hashedLogOdds(df: DataFrame, idCol: String, textCol: String,
                     positive: Column, dim: Int = 4096): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")

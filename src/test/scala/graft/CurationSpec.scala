@@ -1165,6 +1165,68 @@ class CurationSpec extends SparkSpec {
     assert(expected.values.exists(_._2 > 0), "corpus should lose some duplicated spans")
   }
 
+  test("bm25TopK equals the sequential Okapi model and ranks denser matches first") {
+    val terms = Seq("spark", "join")
+    val d = df(
+      1L -> "spark join spark join spark", // dense in both terms, short
+      2L -> ("spark " + (1 to 40).map(i => s"pad$i").mkString(" ")), // one hit, long
+      3L -> "join alpha beta", // one hit, short
+      4L -> "nothing relevant here at all", // no hits: excluded
+      5L -> "spark join extras padding words beyond")
+    val got = graft.ext.TextAnalysis.bm25TopK(d, "doc_id", "text", terms, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // sequential Okapi model with the declared quantizations
+    def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val docs5 = Map(
+      1L -> "spark join spark join spark", 2L -> ("spark " + (1 to 40).map(i => s"pad$i").mkString(" ")),
+      3L -> "join alpha beta", 4L -> "nothing relevant here at all",
+      5L -> "spark join extras padding words beyond")
+    val toks = docs5.view.mapValues(t => wsTokens(t.toLowerCase)).toMap
+    val n = toks.size.toLong
+    val l = toks.values.map(_.length.toLong).sum
+    val av = 1000L * l / n
+    val idf = terms.map(t => t ->
+      (flog2(n + 1) - flog2(toks.values.count(_.contains(t)) + 1L))).toMap
+    val scored = toks.toSeq.map { case (id, tk) =>
+      val s = terms.map { t =>
+        val tf = tk.count(_ == t).toLong
+        (22L * av * idf(t) * tf).toDouble /
+          (10L * av * tf + 3L * av + 9000L * tk.length).toDouble
+      }.reduceLeft(_ + _)
+      (id, s, terms.map(t => tk.count(_ == t)).sum)
+    }.filter(_._3 > 0).sortBy { case (id, s, _) => (-s, id) }
+    val expected = scored.take(3).zipWithIndex.map { case ((id, _, _), i) => (i + 1, id) }
+    assert(got.toSeq == expected, s"got ${got.toSeq} want $expected")
+    // invariants: the dense short doc wins; the no-hit doc never appears
+    assert(got.head._2 == 1L)
+    assert(!got.map(_._2).contains(4L))
+  }
+
+  test("bm25TopK on the real corpus matches the full-ranking model at k=50") {
+    val terms = Seq("spark", "query", "window")
+    def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> wsTokens(r.getString(1).toLowerCase))
+    val n = texts.length.toLong
+    val l = texts.map(_._2.length.toLong).sum
+    val av = 1000L * l / n
+    val idf = terms.map(t => t ->
+      (flog2(n + 1) - flog2(texts.count(_._2.contains(t)) + 1L))).toMap
+    val expected = texts.map { case (id, tk) =>
+      val s = terms.map { t =>
+        val tf = tk.count(_ == t).toLong
+        (22L * av * idf(t) * tf).toDouble /
+          (10L * av * tf + 3L * av + 9000L * tk.length).toDouble
+      }.reduceLeft(_ + _)
+      (id, s, terms.map(t => tk.count(_ == t)).sum)
+    }.filter(_._3 > 0).sortBy { case (id, s, _) => (-s, id) }
+      .take(50).zipWithIndex.map { case ((id, _, _), i) => ((i + 1), id) }
+    val got = graft.ext.TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == expected.toSeq)
+    assert(got.size == 50)
+  }
+
   test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
     val dim = 64
     val ref = (1L to 8L).map(i =>

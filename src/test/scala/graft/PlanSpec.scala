@@ -547,6 +547,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("LambdaFunction"), p.take(2000))
   }
 
+  test("x58 bm25: zero-shuffle scoring scan into the bounded partial top-k, no window sort") {
+    val p = plan("x58_bm25_topk")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkbyscore"),
+      "top-k must be the bounded partial aggregate: " + p.take(2000))
+    assert(!p.contains("Window"), "nothing may sort the corpus: " + p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("Join"), p.take(2000))
+  }
+
   test("x57 span removal: winner decided by one partial-min aggregate, no window sort") {
     val p = plan("x57_span_removal")
     assert(p.contains("partial_min"), "winner must combine map-side: " + p.take(2000))
