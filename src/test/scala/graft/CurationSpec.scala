@@ -1227,6 +1227,26 @@ class CurationSpec extends SparkSpec {
     assert(got.size == 50)
   }
 
+  test("chunkByTokens composes with bm25TopK: chunk-level retrieval localizes the hit") {
+    // the RAG shape end-to-end: chunk the corpus, rank CHUNKS for the
+    // query — the winning chunk must be the one containing the dense
+    // match, not merely the right document
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val d = df(
+      1L -> s"$filler spark join spark join spark", // hit lives in the 2nd window
+      2L -> s"$filler $filler")
+    val chunks = Sharding.chunkByTokens(d, "doc_id", "text", window = 32, stride = 16)
+      .withColumn("chunk_uid", col("doc_id") * 1024 + col("chunk_id"))
+    val top = graft.ext.TextAnalysis.bm25TopK(chunks, "chunk_uid", "chunk_text",
+        Seq("spark", "join"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // doc 1 has 45 tokens -> chunks at starts 0, 16 (covering 16..44);
+    // only chunks of doc 1 match at all, and the start-16 chunk (uid
+    // 1*1024+1) carries all five hits
+    assert(top.head == ((1, 1L * 1024 + 1)), s"got ${top.toSeq}")
+    assert(top.forall(_._2 / 1024 == 1L), "only doc 1's chunks may match")
+  }
+
   test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
     val dim = 64
     val ref = (1L to 8L).map(i =>
