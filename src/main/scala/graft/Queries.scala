@@ -939,7 +939,16 @@ object Queries {
     // collect, zero-shuffle scoring scan, graft_topk bounded reduction
     "x58_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        terms = Seq("spark", "query", "window"), k = 50))
+        terms = Seq("spark", "query", "window"), k = 50)),
+
+    // inverted-index BM25 retrieval join: every 97th doc used as a query
+    // against the whole corpus, milli-point integer scores so the
+    // per-(query, doc) sum is order-free, bounded top-10 per query
+    "x59_bm25_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25Join(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", "doc_id", "text", k = 10)
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1927,7 +1936,32 @@ object Queries {
         |  FROM tfs CROSS JOIN c)
         |SELECT rank, doc_id FROM (
         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank, doc_id
-        |  FROM sc WHERE tft > 0) WHERE rank <= 50""".stripMargin
+        |  FROM sc WHERE tft > 0) WHERE rank <= 50""".stripMargin,
+
+    // transcription of TextAnalysis.bm25Join (queries = every 97th doc,
+    // k = 10): postings with per-(doc, term) tf, add-one floor-log2 idf,
+    // milli-point integer term scores (floor division), order-free SUM
+    // per (query, doc), rank by (score DESC, doc ASC)
+    "x59_bm25_join" ->
+      """WITH toked AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+        |cst AS (SELECT n, (1000 * l) // n AS av FROM st),
+        |p AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM p GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term FROM d WHERE doc_id % 97 = 0),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |  CAST(SUM((22000 * cst.av * ((length(ltrim(bin(cst.n + 1), '0')) - 1)
+        |                            - (length(ltrim(bin(dfs.dfc + 1), '0')) - 1)) * p.tf)
+        |    // (10 * cst.av * p.tf + 3 * cst.av + 9000 * p.dl)) AS BIGINT) AS s
+        |  FROM p JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN cst
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rn FROM sc)
+        |WHERE rn <= 10""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

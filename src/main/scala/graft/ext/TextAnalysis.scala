@@ -484,6 +484,76 @@ object TextAnalysis {
       .select((col("pos") + 1).cast("int").as("rank"), col("s.nbr_id").as(idCol))
   }
 
+  /** BM25 retrieval JOIN — rank the corpus for a TABLE of queries via the
+    * inverted-index shape (the batch analog of a search engine's posting
+    * lists, and the scale-out generalization of [[bm25TopK]]'s single
+    * fixed query): corpus terms become postings (doc, dl, term, tf),
+    * query terms probe them by EQUI-JOIN on the term, and per-(query,
+    * doc) scores reduce into the bounded `graft_topk` top-k. Query-side
+    * term repeats collapse (`array_distinct` — bag-of-words queries).
+    *
+    * Reproducibility: [[bm25TopK]]'s exact-long term score is further
+    * quantized to integer MILLIpoints (22000·A·idf·tf div (10·A·tf +
+    * 3·A + 9000·dl) — floor division, exact), so the per-(query, doc)
+    * SUM is exact long arithmetic in ANY aggregation order — the
+    * property a double-scored join could not give — and ranking (score
+    * DESC, doc ASC) is engine-deterministic. Long bounds: per-term
+    * numerator ≤ 22000·A·idf·tf ~ 5·10¹⁶ at a 10⁶-token document.
+    *
+    * Scale shape: postings are ONE map-side-combined exchange keyed
+    * (doc, term) — repeats collapse before anything moves; term document
+    * frequencies re-aggregate those partials; the probe is an equi-join
+    * on the term (NEVER a query×corpus cross product), and `maxTermDf`
+    * is the posting-list skew guard — a stopword matching every document
+    * turns one term key into a |queries|×N hot partition, and dropping
+    * ubiquitous terms is what real engines' stop lists do (the x02/x15
+    * df-cap convention; idf already scores them near zero). The final
+    * reduction ships ≤ k (query, doc) rows per partition via
+    * `graft_topk`, nothing sorts the candidate set.
+    *
+    * Output: ≤ k rows per query — (query_id, rank INT best-first, idCol).
+    */
+  def bm25Join(corpus: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String,
+               queryIdCol: String, queryTextCol: String,
+               k: Int, maxTermDf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toked = corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("long"))
+    val stats = toked.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("l")).head()
+    val (n, l) = (stats.getLong(0), stats.getLong(1))
+    require(n > 0 && l > 0, "bm25Join requires a non-empty tokenized corpus")
+    val avgdlMilli = (1000L * l) / n
+    // postings feed the df aggregate AND the probe join — scoped, the
+    // minHashLsh stance; callers release via Caching.release
+    val postings = graft.Caching.scoped(
+      toked.select(col("__doc"), col("__dl"), explode(col("__t")).as("__term"))
+        .groupBy(col("__doc"), col("__dl"), col("__term"))
+        .agg(count(lit(1)).as("__tf")))
+    val dfs = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val kept = maxTermDf match {
+      case Some(cap) => dfs.filter(col("__df") <= cap)
+      case None => dfs
+    }
+    val qterms = queries.select(col(queryIdCol).as("__qid"),
+      explode(array_distinct(tokens(lower(col(queryTextCol))))).as("__term"))
+    postings.join(kept, Seq("__term"))
+      .join(qterms, Seq("__term"))
+      .withColumn("__idf", lit(floorLog2Long(n + 1)) - floorLog2(col("__df") + 1))
+      .withColumn("__num", lit(22000L * avgdlMilli) * col("__idf") * col("__tf"))
+      .withColumn("__den", lit(10L * avgdlMilli) * col("__tf") +
+        lit(3L * avgdlMilli) + lit(9000L) * col("__dl"))
+      .withColumn("__smilli", expr("__num div __den"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(sum(col("__smilli")).as("__s"))
+      .groupBy(col("__qid"))
+      .agg(call_function("graft_topk", col("__s").cast("double"), col("__doc"), lit(k)).as("tk"))
+      .select(col("__qid").as("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.nbr_id").as(idCol))
+  }
+
   def hashedLogOdds(df: DataFrame, idCol: String, textCol: String,
                     positive: Column, dim: Int = 4096): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")

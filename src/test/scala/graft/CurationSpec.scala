@@ -1247,6 +1247,54 @@ class CurationSpec extends SparkSpec {
     assert(top.forall(_._2 / 1024 == 1L), "only doc 1's chunks may match")
   }
 
+  test("bm25Join equals the sequential posting model; the df cap drops stopword-only matches") {
+    val corpus = df(
+      1L -> "spark join fast engine",
+      2L -> "spark spark spark common words",
+      3L -> "join the common words club today",
+      4L -> "unrelated text entirely elsewhere",
+      5L -> "common common common common")
+    val queries = df(10L -> "spark join", 11L -> "common", 12L -> "absent-term")
+    def model(cap: Option[Long], k: Int): Seq[(Long, Int, Long)] = {
+      def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+      val toks = Map(1L -> "spark join fast engine", 2L -> "spark spark spark common words",
+        3L -> "join the common words club today", 4L -> "unrelated text entirely elsewhere",
+        5L -> "common common common common").view.mapValues(t => wsTokens(t.toLowerCase)).toMap
+      val n = toks.size.toLong
+      val av = 1000L * toks.values.map(_.length.toLong).sum / n
+      val dfc = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val qs = Map(10L -> Seq("spark", "join"), 11L -> Seq("common"), 12L -> Seq("absent-term"))
+      qs.toSeq.flatMap { case (qid, terms) =>
+        val present = toks.toSeq.flatMap { case (doc, tk) =>
+          val matchedTerms = terms.filter(t => dfc.get(t).exists(d => cap.forall(_ >= d)) && tk.contains(t))
+          if (matchedTerms.isEmpty) None
+          else Some((doc, matchedTerms.map { t =>
+            val tf = tk.count(_ == t).toLong
+            (22000L * av * (flog2(n + 1) - flog2(dfc(t) + 1)) * tf) /
+              (10L * av * tf + 3L * av + 9000L * tk.length)
+          }.sum))
+        }
+        present.sortBy { case (doc, s) => (-s, doc) }.take(k).zipWithIndex
+          .map { case ((doc, _), i) => (qid, i + 1, doc) }
+      }.sortBy(r => (r._1, r._2))
+    }
+    val got = graft.ext.TextAnalysis.bm25Join(corpus, queries,
+        "doc_id", "text", "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(r => (r._1, r._2))
+    graft.Caching.release(spark)
+    assert(got == model(None, 3), s"got $got want ${model(None, 3)}")
+    // query 12's term exists nowhere: no rows for it
+    assert(!got.exists(_._1 == 12L))
+    // cap at df <= 2 drops 'common' (df 3): query 11 loses ALL its matches
+    val capped = graft.ext.TextAnalysis.bm25Join(corpus, queries,
+        "doc_id", "text", "doc_id", "text", k = 3, maxTermDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    graft.Caching.release(spark)
+    assert(!capped.exists(_._1 == 11L), s"capped: $capped")
+    assert(capped.exists(_._1 == 10L), "uncapped terms keep retrieving")
+  }
+
   test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
     val dim = 64
     val ref = (1L to 8L).map(i =>

@@ -555,6 +555,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("Join"), p.take(2000))
   }
 
+  test("x59 bm25 join: term equi-joins into the bounded partial top-k, no cartesian/window") {
+    val p = plan("x59_bm25_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "retrieval must probe posting lists by equi-join: " + p.take(2000))
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkbyscore"),
+      "per-query top-k must be the bounded partial aggregate: " + p.take(2000))
+    assert(!p.contains("Window") && !p.contains("ScalaUDF"), p.take(2000))
+    Caching.release(spark)
+  }
+
   test("x57 span removal: winner decided by one partial-min aggregate, no window sort") {
     val p = plan("x57_span_removal")
     assert(p.contains("partial_min"), "winner must combine map-side: " + p.take(2000))

@@ -401,4 +401,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkByTokens invariants hold on random docs; disjoint chunks reconstruct the doc") {
+    import spark.implicits._
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(60, Gen.choose(0, 120)).map(_.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"w${(i * 31 + j * 7) % 50}").mkString(" "))
+      })
+    for (seed <- 1L to 3L) {
+      val docs = sample(docsGen, seed)
+      val d = docs.toDF("doc_id", "text")
+      for ((window, stride) <- Seq((16, 16), (16, 7), (5, 1))) {
+        val chunks = graft.ext.Sharding.chunkByTokens(d, "doc_id", "text", window, stride)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        docs.foreach { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          val mine = chunks.filter(_._1 == id).sortBy(_._2)
+          if (toks.isEmpty) assert(mine.isEmpty, s"seed $seed doc $id")
+          else {
+            // coverage: first chunk starts at 0, last covers the final token,
+            // successive chunk ends strictly increase (no contained chunk)
+            assert(mine.head._3 == 0L)
+            assert(mine.last._3 + mine.last._4 == toks.length)
+            mine.map(c => c._3 + c._4).sliding(2).foreach {
+              case Array(a, b) => assert(b > a, s"seed $seed doc $id")
+              case _ => ()
+            }
+            // every chunk's text is the exact token slice
+            mine.foreach { case (_, _, s, n, txt) =>
+              assert(txt == toks.slice(s.toInt, (s + n).toInt).mkString(" "))
+            }
+            // stride == window: disjoint chunks concatenate back to the doc
+            if (window == stride)
+              assert(mine.map(_._5).mkString(" ") == toks.mkString(" "), s"seed $seed doc $id")
+          }
+        }
+      }
+    }
+  }
 }
