@@ -79,7 +79,28 @@ object CurationPipeline {
       // already decontaminates via a stateless stream-static join against
       // the static gram set and rejects the flag loudly (the maxGramDf
       // precedent — silently ignoring a scale knob is how configs rot).
-      decontamBloomBits: Option[Int] = None)
+      decontamBloomBits: Option[Int] = None,
+      // Some(k) ⇒ an ExactSubstr span-removal stage runs after exact
+      // dedup ([[Dedup.dedupSpans]]): duplicated k-token windows are cut
+      // from all but their globally-first occurrence and the min-token
+      // gate RE-APPLIES to the shortened text (a doc hollowed out to
+      // boilerplate must not survive on its pre-removal length). Runs
+      // before shingling, so the near-dup/decontamination stages see the
+      // cleaned text. Batch-only: the window occurrence counts are a
+      // whole-corpus statistic (the maxGramDf stance) — [[streamIncrement]]
+      // rejects it loudly.
+      spanRemovalK: Option[Int] = None,
+      // Some(sql) ⇒ an in-domain quality gate runs after the narrow
+      // filters: [[TextAnalysis.hashedLogOdds]] trains against the
+      // reference sub-corpus this SQL predicate selects (over the INPUT
+      // columns, e.g. "source = 'wiki'") and only docs scoring
+      // >= minLogOddsBits survive — the CCNet reference-vs-crawl gate.
+      // Batch-only: the weight training aggregates the whole corpus
+      // eagerly; [[streamIncrement]] rejects it loudly (score a stream
+      // against frozen weights downstream instead).
+      logOddsPositive: Option[String] = None,
+      minLogOddsBits: Double = 0.0,
+      logOddsDim: Int = 4096)
 
   /** Runs the full pipeline over `docs`; `holdout` is the eval corpus to
     * decontaminate against (None skips stage 5).
@@ -139,7 +160,20 @@ object CurationPipeline {
     */
   def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
                    holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
-    val filtered = qualityLanguageFilter(docs, textCol, cfg)
+    val narrowed = qualityLanguageFilter(docs, textCol, cfg)
+
+    // 1b (optional): in-domain log-odds gate — trained on the
+    // already-narrowed corpus (cleaner training signal), applied as one
+    // semi join on the score table
+    val filtered = cfg.logOddsPositive match {
+      case Some(pred) =>
+        val keep = TextAnalysis.hashedLogOdds(narrowed, idCol, textCol,
+            expr(pred), cfg.logOddsDim)
+          .filter(col("logodds_bits") >= cfg.minLogOddsBits)
+          .select(col(idCol))
+        narrowed.join(keep, Seq(idCol), "left_semi")
+      case None => narrowed
+    }
 
     // 3: exact dedup — keep the smallest id of each identical text.
     // exactKept feeds the shingle extraction AND the keep-list anti-join;
@@ -147,9 +181,24 @@ object CurationPipeline {
     // graft.Caching — callers release with Caching.release(spark) after
     // materializing the result (leaked persists across many queries turn
     // the shared storage pool into LRU-eviction roulette).
-    val exactKept = graft.Caching.scoped(filtered.join(
+    val exactKeptRaw = graft.Caching.scoped(filtered.join(
       Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi"))
+
+    // 3b (optional): ExactSubstr span removal — duplicated windows cut
+    // from all but their first occurrence, text REPLACED for every later
+    // stage, min-token gate re-applied to the shortened text
+    val exactKept = cfg.spanRemovalK match {
+      case Some(sk) =>
+        val cleaned = Dedup.dedupSpans(exactKeptRaw, idCol, textCol, sk)
+          .filter(col("n_tokens") - col("n_removed") >= cfg.minTokens)
+          .select(col(idCol), col("text_dedup"))
+        graft.Caching.scoped(exactKeptRaw.drop(textCol)
+          .join(cleaned, Seq(idCol))
+          .withColumnRenamed("text_dedup", textCol)
+          .select(docs.columns.map(col): _*))
+      case None => exactKeptRaw
+    }
 
     // 4: near-dup dedup — LSH pairs, then either the per-pair drop or the
     // full cluster collapse (one survivor per connected component)
@@ -196,8 +245,9 @@ object CurationPipeline {
     val split = Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket")
     val packed = Sharding.packByTokens(split, idCol, textCol,
       cfg.tokensPerShard, cfg.shardBuckets, tokenCountCol = cfg.tokenCountCol)
-    Seq("filter" -> filtered, "exact_dedup" -> exactKept,
-        "near_dedup" -> lexKept) ++
+    Seq("filter" -> filtered, "exact_dedup" -> exactKeptRaw) ++
+      cfg.spanRemovalK.map(_ => "span_removal" -> exactKept).toSeq ++
+      Seq("near_dedup" -> lexKept) ++
       cfg.embeddingCol.map(_ => "embed_dedup" -> nearKept).toSeq ++
       Seq("decontaminate" -> clean, "split" -> split, "shards" -> packed)
   }
@@ -406,6 +456,18 @@ object CurationPipeline {
       "streamIncrement: decontamBloomBits is the BATCH join's pre-filter; " +
         "the stream's stream-static decontamination does not use it - set " +
         "Config(decontamBloomBits = None) for streaming curation")
+    // span-removal winners are decided by whole-corpus window counts a
+    // stream cannot know prospectively (the maxGramDf stance)
+    require(cfg.spanRemovalK.isEmpty,
+      "streamIncrement: spanRemovalK needs whole-corpus window occurrence " +
+        "counts a stream cannot know - set Config(spanRemovalK = None) and run " +
+        "Dedup.dedupSpans as a batch compaction pass instead")
+    // the log-odds gate TRAINS on the whole corpus eagerly; a stream can
+    // only score against frozen weights, which is a different operator
+    require(cfg.logOddsPositive.isEmpty,
+      "streamIncrement: logOddsPositive trains on the whole corpus eagerly - " +
+        "set Config(logOddsPositive = None) and score the stream against " +
+        "frozen TextAnalysis.hashedLogOdds weights downstream")
     // collapse is a whole-HISTORY decision a stream cannot honor
     // retroactively: when a later pair merges two clusters, the batch rule
     // drops the larger root — but that root was already emitted in an

@@ -1295,6 +1295,80 @@ class CurationSpec extends SparkSpec {
     assert(capped.exists(_._1 == 10L), "uncapped terms keep retrieving")
   }
 
+  test("pipeline spanRemovalK: boilerplate cut before near-dup, hollowed docs re-gated out") {
+    val boiler = "the cat and the dog have fun with that hat" // 10 tokens, en
+    val body2 = "that was the day we all went to the market for apples"
+    val body3 = "but nobody could have known the storm was coming that night"
+    val d = df(
+      1L -> s"$boiler and so the story begins with a happy note",
+      2L -> s"$boiler $body2",
+      3L -> s"$boiler $body3",
+      4L -> boiler) // hollowed to zero tokens by span removal
+    val cfg = CurationPipeline.Config(minTokens = 3L, maxTokens = 1000L,
+      langs = Set("en"), tokensPerShard = 100L, shardBuckets = 2,
+      spanRemovalK = Some(5))
+    val stages = CurationPipeline.stageOutputs(d, "doc_id", "text", None, cfg)
+    assert(stages.map(_._1).contains("span_removal"))
+    val span = stages.find(_._1 == "span_removal").get._2
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = CurationPipeline.run(d, "doc_id", "text", None, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    // doc 1 owns the boilerplate's first occurrence: text intact
+    assert(span(1L) == s"$boiler and so the story begins with a happy note")
+    // docs 2/3 lose exactly the boilerplate prefix
+    assert(span(2L) == body2, s"got '${span(2L)}'")
+    assert(span(3L) == body3)
+    // doc 4 was ONLY boilerplate: hollowed below minTokens, re-gated away
+    assert(!span.contains(4L))
+    assert(out == Set(1L, 2L, 3L))
+  }
+
+  test("pipeline logOddsPositive: gate keeps exactly the docs scoring >= the threshold") {
+    val stop = "the be to of and that have with"
+    // per-doc-unique content vocab so the near-dup stage cannot pair docs;
+    // the stopword prefix alone is below the 0.5 Jaccard threshold
+    val ref = (1L to 8L).map(i =>
+      i -> s"$stop ${(1 to 10).map(j => s"good${i}_$j").mkString(" ")}")
+    val crawl = (100L to 115L).map(i =>
+      i -> s"$stop ${(1 to 10).map(j => s"bad${i}_$j").mkString(" ")}")
+    val d = df(ref ++ crawl: _*)
+    val cfg0 = CurationPipeline.Config(minTokens = 3L, maxTokens = 1000L,
+      langs = Set("en"), tokensPerShard = 100L, shardBuckets = 2)
+    // all docs pass the narrow filters, so training happens on the full set
+    val narrowPass = CurationPipeline.run(d, "doc_id", "text", None, cfg0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(narrowPass == (ref ++ crawl).map(_._1).toSet, s"narrow filters interfered: $narrowPass")
+    val scores = graft.ext.TextAnalysis.hashedLogOdds(d, "doc_id", "text",
+        expr("doc_id <= 8"), 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    graft.Caching.release(spark)
+    val refMin = ref.map(r => scores(r._1)).min
+    val crawlMax = crawl.map(c => scores(c._1)).max
+    assert(refMin > crawlMax, "vocab-disjoint corpora must separate")
+    val tau = (refMin + crawlMax) / 2
+    val kept = CurationPipeline.run(d, "doc_id", "text", None,
+        cfg0.copy(logOddsPositive = Some("doc_id <= 8"), minLogOddsBits = tau))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(kept == ref.map(_._1).toSet, s"got $kept")
+  }
+
+  test("streamIncrement rejects the batch-only span-removal and log-odds config loudly") {
+    import spark.implicits._
+    val state = CurationPipeline.StreamState("tsr_reject", "/tmp/tsr_reject", 2)
+    val batch = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val base = CurationPipeline.Config(maxGramDf = None)
+    val e1 = intercept[IllegalArgumentException](
+      CurationPipeline.streamIncrement(batch, "doc_id", "text", None,
+        base.copy(spanRemovalK = Some(5)), state, 0L))
+    assert(e1.getMessage.contains("spanRemovalK"))
+    val e2 = intercept[IllegalArgumentException](
+      CurationPipeline.streamIncrement(batch, "doc_id", "text", None,
+        base.copy(logOddsPositive = Some("doc_id < 0")), state, 0L))
+    assert(e2.getMessage.contains("logOddsPositive"))
+  }
+
   test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
     val dim = 64
     val ref = (1L to 8L).map(i =>
