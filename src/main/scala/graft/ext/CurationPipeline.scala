@@ -466,8 +466,9 @@ object CurationPipeline {
     // only score against frozen weights, which is a different operator
     require(cfg.logOddsPositive.isEmpty,
       "streamIncrement: logOddsPositive trains on the whole corpus eagerly - " +
-        "set Config(logOddsPositive = None) and score the stream against " +
-        "frozen TextAnalysis.hashedLogOdds weights downstream")
+        "set Config(logOddsPositive = None); train once with " +
+        "TextAnalysis.trainLogOdds and gate the stream with the narrow " +
+        "TextAnalysis.scoreLogOdds projection instead")
     // collapse is a whole-HISTORY decision a stream cannot honor
     // retroactively: when a later pair merges two clusters, the batch rule
     // drops the larger root — but that root was already emitted in an

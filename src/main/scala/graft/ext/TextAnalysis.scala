@@ -554,6 +554,68 @@ object TextAnalysis {
         col("s.nbr_id").as(idCol))
   }
 
+  /** A trained [[hashedLogOdds]] classifier, frozen for reuse: per-bucket
+    * integer weights (index = bucket), the corpus-totals prior, and the
+    * hash dimension. `dim` is what makes freezing possible — the weights
+    * are ≤ dim longs regardless of vocabulary, so they travel as a LITERAL
+    * into any later plan (the codebook precedent).
+    */
+  final case class LogOddsModel(weights: Array[Long], prior: Long, dim: Int)
+
+  /** Train the hashed log-odds weights once and freeze them — the model
+    * [[scoreLogOdds]] applies to any later corpus, including a STREAM
+    * (training aggregates the whole corpus eagerly, which a stream cannot;
+    * scoring is a pure narrow projection, which a stream can).
+    */
+  def trainLogOdds(df: DataFrame, idCol: String, textCol: String,
+                   positive: Column, dim: Int = 4096): LogOddsModel = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val w = df.select(positive.as("__pos"),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .withColumn("__b", graft.functions.Hashing.md5Hash60Col(col("__tok")) % dim)
+      .groupBy("__b").agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__cn"))
+      .collect()
+    val weights = Array.ofDim[Long](dim)
+    var np = 0L
+    var nn = 0L
+    w.foreach { r =>
+      val (b, cp, cn) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2))
+      weights(b) = floorLog2Long(cp + 1) - floorLog2Long(cn + 1)
+      np += cp; nn += cn
+    }
+    LogOddsModel(weights, floorLog2Long(np + dim) - floorLog2Long(nn + dim), dim)
+  }
+
+  /** Score any corpus — batch or STREAMING — against a frozen
+    * [[LogOddsModel]]: the weight array is a literal, the bucket lookup is
+    * an in-row `element_at`, and the per-doc sum folds inside the row — so
+    * the plan has ZERO shuffle, ZERO joins, ZERO state, and runs unchanged
+    * as an append-mode streaming projection (what [[graft.ext
+    * .CurationPipeline.streamIncrement]]'s batch-only rejection points
+    * continuous ingest at). Scores match [[hashedLogOdds]] bit-for-bit
+    * when the model was trained on the same corpus (spec-pinned).
+    *
+    * Output: the input columns + (n_tokens LONG, logodds_bits DOUBLE —
+    * NULL for token-less docs).
+    */
+  def scoreLogOdds(df: DataFrame, textCol: String, model: LogOddsModel): DataFrame = {
+    require(model.weights.length == model.dim,
+      s"model weights length ${model.weights.length} != dim ${model.dim}")
+    val wlit = typedlit(model.weights.toSeq)
+    val perTok = transform(tokens(lower(col(textCol))),
+      t => element_at(wlit,
+        (graft.functions.Hashing.md5Hash60Col(t) % model.dim).cast("int") + 1))
+    df.withColumn("__ws", perTok)
+      .withColumn("n_tokens", size(col("__ws")).cast("long"))
+      .withColumn("logodds_bits",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise((aggregate(col("__ws"), lit(0L), (a, x) => a + x) -
+            col("n_tokens") * lit(model.prior)).cast("double") / col("n_tokens")))
+      .drop("__ws")
+  }
+
   def hashedLogOdds(df: DataFrame, idCol: String, textCol: String,
                     positive: Column, dim: Int = 4096): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")

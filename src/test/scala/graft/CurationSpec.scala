@@ -1369,6 +1369,47 @@ class CurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("logOddsPositive"))
   }
 
+  test("trainLogOdds + scoreLogOdds equals hashedLogOdds bit-for-bit; scores a stream unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1L to 8L).map(i =>
+      i -> (1 to 30).map(j => s"good${(i + j) % 40}").mkString(" "))
+    val crawl = (100L to 115L).map(i =>
+      i -> (1 to 30).map(j => s"bad${(i + j) % 80}").mkString(" "))
+    val d = df((ref ++ crawl) :+ (200L -> " "): _*)
+    val dim = 64
+    val trained = graft.ext.TextAnalysis.hashedLogOdds(d, "doc_id", "text",
+        col("doc_id") <= 8L, dim)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+    graft.Caching.release(spark)
+    val model = graft.ext.TextAnalysis.trainLogOdds(d, "doc_id", "text",
+      col("doc_id") <= 8L, dim)
+    val frozen = graft.ext.TextAnalysis.scoreLogOdds(d, "text", model)
+      .select("doc_id", "n_tokens", "logodds_bits")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+    assert(frozen == trained, "frozen scoring must be bit-identical to train-and-score")
+    // the SAME projection runs as an append-mode stream with no state
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.ext.TextAnalysis.scoreLogOdds(
+        input.toDF().toDF("doc_id", "text"), "text", model)
+      .writeStream.format("memory").queryName("lo_scores").outputMode("append").start()
+    try {
+      input.addData(1L -> ref.head._2, 2L -> crawl.head._2)
+      q.processAllAvailable()
+      input.addData(3L -> ref(1)._2) // second batch: no state carried
+      q.processAllAvailable()
+      val rows = spark.table("lo_scores").select("doc_id", "logodds_bits")
+        .as[(Long, Double)].collect().toMap
+      assert(rows(1L) == trained(1L)._2.get && rows(3L) == trained(2L)._2.get)
+      assert(rows(2L) == trained(100L)._2.get)
+      assert(q.lastProgress == null ||
+        q.recentProgress.forall(_.stateOperators.isEmpty),
+        "frozen scoring must be stateless")
+    } finally q.stop()
+  }
+
   test("hashedLogOdds separates vocabulary-distinct corpora and matches the sequential model") {
     val dim = 64
     val ref = (1L to 8L).map(i =>
