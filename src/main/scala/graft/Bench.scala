@@ -503,13 +503,20 @@ object Bench {
     // 3-decimal medians are always in the detail line's runs arrays.
     // serialize from the ordered Seqs directly — a .toMap would rehash into
     // hash order and lose the deterministic name-order emission
-    // degradation ladder: per-query decimals 3 → 2 → 1 first; then drop the
-    // streaming block; then (last resort) errors/flaky/leaks too. The
-    // ERROR fields outlive the streaming rates on purpose — a crash being
-    // visible in the parsed artifact matters more than four throughput
-    // numbers (which survive in the detail line's tail when it fits).
+    // degradation ladder: per-query decimals 3 → 2 → 1 first; then SHORTEN
+    // the query keys to their unique q··/x·· prefix ("x54_span_dedup" →
+    // "x54" — at 76+ queries the full names alone outgrow the window, which
+    // is how the r9 local run silently lost its streaming section); then
+    // drop the streaming block; then (last resort) errors/flaky/leaks too.
+    // The ERROR fields outlive the streaming rates on purpose — a crash
+    // being visible in the parsed artifact matters more than four
+    // throughput numbers (which survive in the detail line's tail when it
+    // fits).
     val summary = {
       def qsAt(decimals: Int) = results.map { case (k, v) => "\"" + k + "\":" + fp(v, decimals) }
+        .mkString("{", ",", "}")
+      def qsShortAt(decimals: Int) = results
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fp(v, decimals) }
         .mkString("{", ",", "}")
       def line(qs: String, streamingJson: Option[String], withErrors: Boolean) =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
@@ -519,10 +526,12 @@ object Bench {
       val full = Some(s""""streaming":$st""")
       val short = Some(s""""streaming_rows_per_sec":$stShort""")
       val candidates = (3 to 1 by -1).iterator.map(d => line(qsAt(d), full, withErrors = true)) ++
-        Iterator(line(qsAt(1), short, withErrors = true),
-          line(qsAt(1), None, withErrors = true))
+        (3 to 1 by -1).iterator.map(d => line(qsShortAt(d), full, withErrors = true)) ++
+        Iterator(line(qsShortAt(1), short, withErrors = true),
+          line(qsAt(1), None, withErrors = true),
+          line(qsShortAt(1), None, withErrors = true))
       candidates.find(_.length <= 1960)
-        .getOrElse(line(qsAt(1), None, withErrors = false))
+        .getOrElse(line(qsShortAt(1), None, withErrors = false))
     }
     println(summary)
     spark.stop()

@@ -891,16 +891,22 @@ object Similarity {
     *
     * Output: one row per vector — (idCol, labelCol, pred_label INT).
     */
-  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
-                       labelCol: String): DataFrame = {
+  /** A trained nearest-class-mean classifier, frozen for reuse: the
+    * label-sorted centroids (exact-quantized means as doubles) and the
+    * fixed dimension. Labels×dim bounded — the [[graft.ext.TextAnalysis
+    * .LogOddsModel]] freezing precedent.
+    */
+  final case class CentroidModel(dim: Int, centroids: Seq[(Int, Array[Double])])
+
+  /** Train the NCM centroids once and freeze them — [[classifyCentroids]]
+    * then scores any later corpus, including a STREAM (training aggregates
+    * eagerly; scoring is a pure literal-based projection).
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, labelCol: String): CentroidModel = {
     val dims = df.select(size(col(vecCol)).as("d")).distinct().collect().map(_.getInt(0))
     require(dims.length == 1 && dims.head > 0,
-      s"centroidClassify requires one fixed positive dimension, got ${dims.sorted.mkString(", ")}")
+      s"trainCentroids requires one fixed positive dimension, got ${dims.sorted.mkString(", ")}")
     val dim = dims.head
-    // exact fixed-point quantization of component i — pure codegen, no lambda
-    def quant(i: Int): Column =
-      floor(element_at(col(vecCol), i + 1).cast("double") * lit(CentroidQuantScale))
-        .cast("long")
     // labels×dim exact sums + per-label counts: bounded driver collect
     val sums = df
       .select(col(labelCol).as("__l"),
@@ -911,24 +917,42 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     val cnts = df.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val centroids: Seq[(Int, Array[Double])] = sums.groupBy(_._1).toSeq.sortBy(_._1)
+    CentroidModel(dim, sums.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (l, rows) =>
         val c = Array.ofDim[Double](dim)
         rows.foreach { case (_, p, s) => c(p) = s.toDouble / cnts(l) }
         (l, c)
-      }
-    // score_l = Σ_i quant(i)·centroid_l[i], summed left-to-right by
-    // reduceLeft — every term is codegen (element_at/floor × double
-    // literal), so the probe plan has NO lambda, NO join, NO exchange
+      })
+  }
+
+  /** Score any corpus — batch or STREAMING — against a frozen
+    * [[CentroidModel]]: appends `pred_label` as a pure codegen projection
+    * (element_at/floor term chains × centroid literals, greatest-of-structs
+    * argmax — NO lambda, NO join, NO exchange, NO state), so the same call
+    * runs unchanged as an append-mode streaming query.
+    */
+  def classifyCentroids(df: DataFrame, vecCol: String, model: CentroidModel): DataFrame = {
+    require(model.centroids.nonEmpty, "classifyCentroids requires a trained model")
+    // exact fixed-point quantization of component i — pure codegen, no lambda
+    def quant(i: Int): Column =
+      floor(element_at(col(vecCol), i + 1).cast("double") * lit(CentroidQuantScale))
+        .cast("long")
+    // score_l = Σ_i quant(i)·centroid_l[i], summed left-to-right by reduceLeft
     def score(c: Array[Double]): Column =
-      (0 until dim).map(i => quant(i).cast("double") * lit(c(i))).reduceLeft(_ + _)
+      (0 until model.dim).map(i => quant(i).cast("double") * lit(c(i))).reduceLeft(_ + _)
     val best =
-      if (centroids.length == 1) struct(lit(0.0).as("s"), lit(-centroids.head._1).as("nl"))
-      else greatest(centroids.map { case (l, c) =>
+      if (model.centroids.length == 1)
+        struct(lit(0.0).as("s"), lit(-model.centroids.head._1).as("nl"))
+      else greatest(model.centroids.map { case (l, c) =>
         struct(score(c).as("s"), lit(-l).as("nl"))
       }: _*)
     df.withColumn("__best", best)
-      .select(col(idCol), col(labelCol),
-        (-col("__best.nl")).cast("int").as("pred_label"))
+      .withColumn("pred_label", (-col("__best.nl")).cast("int"))
+      .drop("__best")
   }
+
+  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame =
+    classifyCentroids(df, vecCol, trainCentroids(df, vecCol, labelCol))
+      .select(col(idCol), col(labelCol), col("pred_label"))
 }

@@ -1141,6 +1141,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(acc > 0.2, s"NCM should beat 10-class chance, got $acc")
   }
 
+  test("frozen centroid model classifies a stream statelessly, matching the batch predictions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = Similarity.trainCentroids(emb, "embedding", "label")
+    val batchPred = Similarity.classifyCentroids(emb, "embedding", model)
+      .select("vec_id", "pred_label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = emb.select("vec_id", "embedding").limit(20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = Similarity.classifyCentroids(
+        input.toDF().toDF("vec_id", "embedding"), "embedding", model)
+      .select("vec_id", "pred_label")
+      .writeStream.format("memory").queryName("ncm_preds").outputMode("append").start()
+    try {
+      input.addData(rows.take(10).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(10).toSeq: _*) // second batch: no state carried
+      q.processAllAvailable()
+      val streamed = spark.table("ncm_preds").as[(Long, Int)].collect().toMap
+      assert(streamed == rows.map(r => r._1 -> batchPred(r._1)).toMap)
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "frozen classification must be stateless")
+    } finally q.stop()
+  }
+
   test("centroidClassify rejects mixed-dimension input loudly") {
     import spark.implicits._
     val bad = Seq((1L, Array(1f, 2f), 0), (2L, Array(1f, 2f, 3f), 1))
