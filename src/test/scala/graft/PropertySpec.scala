@@ -402,6 +402,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans equals the sequential winner model on random constrained-vocab corpora") {
+    import spark.implicits._
+    val k = 3
+    // tiny vocab forces genuine cross-doc and within-doc window repeats
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(40, Gen.choose(0, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 7)).map(_.map(v => s"v$v").mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    for (seed <- 1L to 3L) {
+      val docs = sample(docsGen, seed)
+      val wins = docs.flatMap { case (id, text) =>
+        text.split("\\s+").filter(_.nonEmpty).sliding(k).filter(_.length == k).zipWithIndex
+          .map { case (w, p) => (id, p, Hashing.md5Hash60(w.mkString(" "))) }.toSeq
+      }
+      val byHash = wins.groupBy(_._3)
+      val expected = docs.map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val losers = wins.filter(_._1 == id).collect {
+          case (_, p, h) if byHash(h).length > 1 &&
+            byHash(h).map(o => (o._1, o._2)).min != ((id, p)) => p
+        }
+        val covered = losers.flatMap(s => s until s + k).toSet
+        val kept = toks.indices.filterNot(covered)
+        (id, (toks.length.toLong, (toks.length - kept.length).toLong,
+          kept.map(toks).mkString(" ")))
+      }.toMap
+      val got = graft.ext.Dedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      graft.Caching.release(spark)
+      assert(got == expected, s"seed $seed")
+      assert(expected.values.exists(_._2 > 0), s"seed $seed produced no repeats — weak gen")
+    }
+  }
+
+  test("bm25Join equals the sequential posting model on random constrained-vocab corpora") {
+    import spark.implicits._
+    def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(25, Gen.choose(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 11)).map(_.map(v => s"t$v").mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    for (seed <- 1L to 3L) {
+      val docs = sample(docsGen, seed)
+      val queries = docs.filter(_._1 % 5 == 0)
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+      val n = docs.length.toLong
+      val l = toks.values.map(_.length.toLong).sum
+      val av = 1000L * l / n
+      val dfc = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val k = 4
+      val expected = queries.flatMap { case (qid, qt) =>
+        val terms = qt.split("\\s+").filter(_.nonEmpty).distinct
+        val present = toks.toSeq.flatMap { case (doc, tk) =>
+          val matched = terms.filter(tk.contains)
+          if (matched.isEmpty) None
+          else Some((doc, matched.map { t =>
+            val tf = tk.count(_ == t).toLong
+            (22000L * av * (flog2(n + 1) - flog2(dfc(t) + 1)) * tf) /
+              (10L * av * tf + 3L * av + 9000L * tk.length)
+          }.sum))
+        }
+        present.sortBy { case (doc, s) => (-s, doc) }.take(k).zipWithIndex
+          .map { case ((doc, _), i) => (qid, i + 1, doc) }
+      }.toSet
+      val got = graft.ext.TextAnalysis.bm25Join(
+          docs.toDF("doc_id", "text"), queries.toDF("doc_id", "text"),
+          "doc_id", "text", "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      graft.Caching.release(spark)
+      assert(got == expected, s"seed $seed")
+      assert(expected.nonEmpty, s"seed $seed retrieved nothing — weak gen")
+    }
+  }
+
   test("chunkByTokens invariants hold on random docs; disjoint chunks reconstruct the doc") {
     import spark.implicits._
     val docsGen: Gen[List[(Long, String)]] =
