@@ -13,9 +13,13 @@ object TextAnalysis {
 
   /** Whitespace tokens with empties dropped — the exact token definition the
     * DuckDB oracle mirrors (`list_filter(string_split_regex(trim(x),'\s+'))`).
+    * NULL text tokenizes as empty (not NULL): otherwise every derived
+    * operator would propagate NULL differently — one drops the row at an
+    * explode, another emits a NULL-array stats row — and a single nullable
+    * column upstream would make cross-operator row sets disagree.
     */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    filter(split(trim(coalesce(text, lit(""))), "\\s+"), t => t =!= lit(""))
 
   /** Word n-grams over a token-array column, space-joined — THE single gram
     * construction every shingle/gram operator (and its DuckDB oracle

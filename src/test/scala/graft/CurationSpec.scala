@@ -1027,6 +1027,36 @@ class CurationSpec extends SparkSpec {
   private def wsTokens(s: String): Array[String] =
     s.trim.split("\\s+").filter(_.nonEmpty)
 
+  test("text operators treat NULL text as empty, not as a row-dropping/NULL-row wildcard") {
+    import scala.jdk.CollectionConverters._
+    val d = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, "alpha beta gamma delta epsilon zeta"),
+        org.apache.spark.sql.Row(2L, null)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val stats = Dedup.duplicateSpanStats(d, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.Caching.release(spark)
+    assert(stats(2L) == ((0L, 0L)), "null text: zero windows, present row")
+    val spans = Dedup.dedupSpans(d, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    graft.Caching.release(spark)
+    assert(spans(2L) == ((0L, "")), "null text: zero tokens, empty dedup text")
+    assert(Sharding.chunkByTokens(d, "doc_id", "text", 8, 4)
+      .filter(col("doc_id") === 2L).count() == 0, "null text: no chunks")
+    val lo = graft.ext.TextAnalysis.hashedLogOdds(d, "doc_id", "text",
+        col("doc_id") === 1L, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release(spark)
+    assert(lo(2L) == 0L, "null text: zero tokens in the one-pass scorer")
+    val model = graft.ext.TextAnalysis.trainLogOdds(d, "doc_id", "text",
+      col("doc_id") === 1L, 32)
+    val frozen = graft.ext.TextAnalysis.scoreLogOdds(d, "text", model)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frozen(2L) == 0L, "null text: zero tokens in the frozen scorer")
+  }
+
   test("chunkByTokens equals the sequential window model on real docs; covers every token") {
     val window = 7
     val stride = 3
