@@ -939,7 +939,7 @@ object Queries {
     // collect, zero-shuffle scoring scan, graft_topk bounded reduction
     "x58_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        terms = Seq("spark", "query", "window"), k = 50)),
+        terms = Seq("dup", "spark", "window"), k = 50)),
 
     // inverted-index BM25 retrieval join: every 97th doc used as a query
     // against the whole corpus, milli-point integer scores so the
@@ -1906,7 +1906,9 @@ object Queries {
         |  COALESCE(array_to_string(list_transform(kept, i -> toks[i + 1]), ' '), '') AS text_dedup
         |FROM r""".stripMargin,
 
-    // transcription of TextAnalysis.bm25TopK (terms spark/query/window,
+    // transcription of TextAnalysis.bm25TopK (terms dup/spark/window —
+    // 'dup' is the corpus's one rare token (df 25/500), so its 4-bit idf
+    // dominates while the stopword-common terms correctly weigh 0,
     // k = 50): add-one floor-log2 idf, avgdl in millitokens (1000·L div
     // N), per-term score as ONE double division of exact longs, terms
     // summed left-to-right, row_number (score DESC, doc ASC) ≡ graft_topk
@@ -1915,8 +1917,8 @@ object Queries {
         |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l,
-        |  CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-        |  CAST(SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(SUM(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
         |  CAST(SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS df2
         |  FROM d),
         |c AS (SELECT (1000 * l) // n AS av,
@@ -1925,8 +1927,8 @@ object Queries {
         |  (length(ltrim(bin(n + 1), '0')) - 1) - (length(ltrim(bin(df2 + 1), '0')) - 1) AS idf2
         |  FROM st),
         |tfs AS (SELECT doc_id, dl,
-        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
-        |  CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+        |  CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
         |  CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf2
         |  FROM d),
         |sc AS (SELECT doc_id, tf0 + tf1 + tf2 AS tft,

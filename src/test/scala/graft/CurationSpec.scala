@@ -1233,7 +1233,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("bm25TopK on the real corpus matches the full-ranking model at k=50") {
-    val terms = Seq("spark", "query", "window")
+    val terms = Seq("dup", "spark", "window") // the declared x58 mix: one rare term, two stopwords
     def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> wsTokens(r.getString(1).toLowerCase))
