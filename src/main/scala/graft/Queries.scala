@@ -948,7 +948,13 @@ object Queries {
       val docs = t(s, dir, "documents")
       TextAnalysis.bm25Join(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", "doc_id", "text", k = 10)
-    })
+    }),
+
+    // per-source corpus profile: the x36 report sliced by the existing
+    // source column (no language-ID pass) — counts, deterministic
+    // token-length quantiles, KMV distinct-text estimate
+    "x60_source_profile" -> ((s, dir) =>
+      graft.ext.Profile.bySlice(t(s, dir, "documents"), "doc_id", "text", "source"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1963,7 +1969,35 @@ object Queries {
         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id FROM (
         |  SELECT query_id, doc_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rn FROM sc)
-        |WHERE rn <= 10""".stripMargin
+        |WHERE rn <= 10""".stripMargin,
+
+    // the x36 profile transcription with the language-ID CTEs replaced by
+    // the existing source column
+    "x60_source_profile" ->
+      """WITH d AS (SELECT doc_id, text, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |counts AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        |qh AS (SELECT source, CAST(n_tokens AS DOUBLE) AS v,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM d WHERE doc_id IS NOT NULL AND n_tokens IS NOT NULL),
+        |q AS (SELECT source, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM qh GROUP BY 1),
+        |kh AS (SELECT DISTINCT source,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || text), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM d WHERE text IS NOT NULL),
+        |ks AS (SELECT source, list_sort(list(hv))[1:64] AS ks FROM kh GROUP BY 1)
+        |SELECT c.source, c.n_docs, COALESCE(CAST(len(qs) AS BIGINT), 0) AS n_sample,
+        |  qs[CAST(floor(0.25 * (len(qs) - 1)) AS INTEGER) + 1] AS p25,
+        |  qs[CAST(floor(0.5 * (len(qs) - 1)) AS INTEGER) + 1] AS p50,
+        |  qs[CAST(floor(0.75 * (len(qs) - 1)) AS INTEGER) + 1] AS p75,
+        |  qs[CAST(floor(0.9 * (len(qs) - 1)) AS INTEGER) + 1] AS p90,
+        |  CASE WHEN COALESCE(len(ks), 0) < 64 THEN CAST(COALESCE(len(ks), 0) AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE) END AS est_distinct_texts
+        |FROM counts c JOIN q USING (source) JOIN ks USING (source)""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -37,11 +37,36 @@ object Profile {
       TextAnalysis.withLangId(TextAnalysis.withQualityMetrics(docs, textCol), textCol)
         .select(col(idCol).as("id"), col(textCol).as("text"),
           col("lang_pred"), col("n_tokens")))
-    val counts = base.groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
-    val quant = Sketches.quantileSketch(base, Seq("lang_pred"), "n_tokens", "id",
+    profile(base, "lang_pred", quantileK, distinctK)
+  }
+
+  /** The same report sliced by an EXISTING categorical column — per-source
+    * (or per-split, per-shard) profiles, the standard before/after artifact
+    * of a curation run over a mixed corpus. Skips the language-ID pass:
+    * one narrow tokenize feeds the three partial-aggregated reductions.
+    */
+  def bySlice(docs: DataFrame, idCol: String, textCol: String, sliceCol: String,
+              quantileK: Int = 128, distinctK: Int = 64): DataFrame = {
+    require(docs.columns.contains(sliceCol),
+      s"bySlice: column '$sliceCol' not in input (${docs.columns.mkString(", ")})")
+    val base = graft.Caching.scoped(
+      docs.select(col(idCol).as("id"), col(textCol).as("text"),
+        col(sliceCol).as("__slice"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")))
+    profile(base, "__slice", quantileK, distinctK)
+      .withColumnRenamed("__slice", sliceCol)
+  }
+
+  /** Shared reduction: counts + token-length quantiles + KMV distinct-text
+    * estimate, joined on the (few-valued, broadcastable) slice key.
+    */
+  private def profile(base: DataFrame, sliceCol: String,
+                      quantileK: Int, distinctK: Int): DataFrame = {
+    val counts = base.groupBy(sliceCol).agg(count(lit(1)).as("n_docs"))
+    val quant = Sketches.quantileSketch(base, Seq(sliceCol), "n_tokens", "id",
       k = quantileK)
-    val dist = Sketches.distinctSketch(base, Seq("lang_pred"), "text", k = distinctK)
-      .select(col("lang_pred"), col("est_distinct").as("est_distinct_texts"))
-    counts.join(quant, Seq("lang_pred")).join(dist, Seq("lang_pred"))
+    val dist = Sketches.distinctSketch(base, Seq(sliceCol), "text", k = distinctK)
+      .select(col(sliceCol), col("est_distinct").as("est_distinct_texts"))
+    counts.join(quant, Seq(sliceCol)).join(dist, Seq(sliceCol))
   }
 }

@@ -553,6 +553,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bySlice profiles an existing column: counts exact, dup mass visible, missing column loud") {
+    val prof = graft.ext.Profile.bySlice(docs, "doc_id", "text", "source")
+      .collect()
+    graft.Caching.release(spark)
+    val exactCounts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.map(_.getString(0)).toSet == exactCounts.keySet)
+    prof.foreach { r =>
+      assert(r.getLong(1) == exactCounts(r.getString(0)), s"counts must be exact: $r")
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(6),
+        s"quantiles out of order: $r")
+    }
+    // planted exact dups inside one slice show up as n_docs - est_distinct
+    val exact = docs.groupBy("source").agg(countDistinct("text").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wide = graft.ext.Profile.bySlice(docs, "doc_id", "text", "source", distinctK = 1024)
+      .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    graft.Caching.release(spark)
+    exact.foreach { case (s, nd) => assert(wide(s) === nd.toDouble, s"slice $s") }
+    intercept[IllegalArgumentException](
+      graft.ext.Profile.bySlice(docs, "doc_id", "text", "no_such_column"))
+  }
+
   test("packSequences lays docs back-to-back and splits exactly at sequence boundaries") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
