@@ -187,7 +187,15 @@ object CurationPipeline {
 
     // 3b (optional): ExactSubstr span removal — duplicated windows cut
     // from all but their first occurrence, text REPLACED for every later
-    // stage, min-token gate re-applied to the shortened text
+    // stage, min-token gate re-applied to the shortened text. A
+    // precomputed BPE count CANNOT survive this stage: it measured the
+    // ORIGINAL text, and packing shards with stale counts would silently
+    // misbudget every shard containing a cut doc — fail loudly instead
+    // (re-tokenize downstream of the removal, then re-enter).
+    require(cfg.spanRemovalK.isEmpty || cfg.tokenCountCol.isEmpty,
+      "CurationPipeline: spanRemovalK rewrites the text, invalidating the " +
+        "precomputed tokenCountCol counts - re-tokenize after span removal " +
+        "instead of combining the two flags")
     val exactKept = cfg.spanRemovalK match {
       case Some(sk) =>
         val cleaned = Dedup.dedupSpans(exactKeptRaw, idCol, textCol, sk)

@@ -44,6 +44,12 @@ object Profile {
     * (or per-split, per-shard) profiles, the standard before/after artifact
     * of a curation run over a mixed corpus. Skips the language-ID pass:
     * one narrow tokenize feeds the three partial-aggregated reductions.
+    *
+    * Rows with a NULL slice value report under the literal slice
+    * `"<null>"` — the three reductions join on the slice key, where a SQL
+    * NULL never equals itself, so without the fold those rows would
+    * silently vanish from the report (and a profile that silently drops
+    * rows is how corpus accounting drifts).
     */
   def bySlice(docs: DataFrame, idCol: String, textCol: String, sliceCol: String,
               quantileK: Int = 128, distinctK: Int = 64): DataFrame = {
@@ -51,7 +57,7 @@ object Profile {
       s"bySlice: column '$sliceCol' not in input (${docs.columns.mkString(", ")})")
     val base = graft.Caching.scoped(
       docs.select(col(idCol).as("id"), col(textCol).as("text"),
-        col(sliceCol).as("__slice"),
+        coalesce(col(sliceCol).cast("string"), lit("<null>")).as("__slice"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")))
     profile(base, "__slice", quantileK, distinctK)
       .withColumnRenamed("__slice", sliceCol)

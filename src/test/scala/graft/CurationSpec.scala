@@ -574,6 +574,27 @@ class CurationSpec extends SparkSpec {
     exact.foreach { case (s, nd) => assert(wide(s) === nd.toDouble, s"slice $s") }
     intercept[IllegalArgumentException](
       graft.ext.Profile.bySlice(docs, "doc_id", "text", "no_such_column"))
+    // NULL slices must not silently vanish through the slice-key joins
+    import scala.jdk.CollectionConverters._
+    val withNull = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, "a b c", "s1"),
+        org.apache.spark.sql.Row(2L, "d e f g", null)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType))))
+    val nulled = graft.ext.Profile.bySlice(withNull, "doc_id", "text", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.Caching.release(spark)
+    assert(nulled == Map("s1" -> 1L, "<null>" -> 1L), s"got $nulled")
+  }
+
+  test("pipeline rejects spanRemovalK combined with a precomputed token count") {
+    val e = intercept[IllegalArgumentException](
+      CurationPipeline.stageOutputs(
+        docs.withColumn("bpe", col("n_chars")), "doc_id", "text", None,
+        CurationPipeline.Config(spanRemovalK = Some(5), tokenCountCol = Some("bpe"))))
+    assert(e.getMessage.contains("spanRemovalK"))
   }
 
   test("packSequences lays docs back-to-back and splits exactly at sequence boundaries") {
