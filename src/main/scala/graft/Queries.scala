@@ -1972,9 +1972,10 @@ object Queries {
         |WHERE rn <= 10""".stripMargin,
 
     // the x36 profile transcription with the language-ID CTEs replaced by
-    // the existing source column
+    // the existing source column; the COALESCE mirrors bySlice's NULL-slice
+    // fold (USING-joins on a raw NULL key would silently drop that slice)
     "x60_source_profile" ->
-      """WITH d AS (SELECT doc_id, text, source,
+      """WITH d AS (SELECT doc_id, text, COALESCE(CAST(source AS VARCHAR), '<null>') AS source,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |counts AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),

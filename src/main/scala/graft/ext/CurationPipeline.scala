@@ -86,9 +86,14 @@ object CurationPipeline {
       // gate RE-APPLIES to the shortened text (a doc hollowed out to
       // boilerplate must not survive on its pre-removal length). Runs
       // before shingling, so the near-dup/decontamination stages see the
-      // cleaned text. Batch-only: the window occurrence counts are a
-      // whole-corpus statistic (the maxGramDf stance) — [[streamIncrement]]
-      // rejects it loudly.
+      // cleaned text. ONLY the text column is rewritten: any other
+      // text-derived payload column (a precomputed n_chars, an embedding)
+      // keeps its pre-removal value — recompute such columns downstream
+      // of the pipeline if they must reflect the cut text (the one the
+      // pipeline itself consumes, tokenCountCol, is rejected below for
+      // exactly this staleness). Batch-only: the window occurrence counts
+      // are a whole-corpus statistic (the maxGramDf stance) —
+      // [[streamIncrement]] rejects it loudly.
       spanRemovalK: Option[Int] = None,
       // Some(sql) ⇒ an in-domain quality gate runs after the narrow
       // filters: [[TextAnalysis.hashedLogOdds]] trains against the

@@ -866,31 +866,6 @@ object Similarity {
     */
   val CentroidQuantScale: Double = (1L << 20).toDouble
 
-  /** Nearest-class-mean embedding classifier (Rocchio/NCM — the standard
-    * zero-training-loop baseline for labeling embeddings at corpus scale,
-    * e.g. routing documents to domain experts or quality tiers by a few
-    * labeled seed clusters). Each label's centroid is the mean of its
-    * vectors; every vector is assigned the label whose centroid maximizes
-    * the inner product (ties → smaller label).
-    *
-    * Reproducibility: vectors are fixed-point quantized
-    * ([[CentroidQuantScale]]) so the per-(label, dim) sums are EXACT longs
-    * (order-free); each centroid component then pays ONE double division,
-    * and each score is a LEFT-TO-RIGHT sum of `quantized·centroid`
-    * products (a `reduceLeft` of codegen terms — DuckDB's `list_reduce`
-    * folds in the same order), so scores are bit-identical cross-engine
-    * and the argmax (ties by label) is deterministic.
-    *
-    * Scale shape: the centroid aggregation is ONE exchange whose map-side
-    * partials collapse each partition to ≤ labels×dim rows; the result
-    * (labels×dim longs + per-label counts) is a bounded driver-side
-    * collect (the codebook precedent) folded into LITERAL arrays, so the
-    * scoring pass is ZERO-shuffle, fully codegen (element_at chains — no
-    * lambda, no join), and embarrassingly parallel at any corpus size.
-    * The fixed-dimension contract is validated up front (one head()).
-    *
-    * Output: one row per vector — (idCol, labelCol, pred_label INT).
-    */
   /** A trained nearest-class-mean classifier, frozen for reuse: the
     * label-sorted centroids (exact-quantized means as doubles) and the
     * fixed dimension. Labels×dim bounded — the [[graft.ext.TextAnalysis
@@ -900,27 +875,35 @@ object Similarity {
 
   /** Train the NCM centroids once and freeze them — [[classifyCentroids]]
     * then scores any later corpus, including a STREAM (training aggregates
-    * eagerly; scoring is a pure literal-based projection).
+    * eagerly; scoring is a pure literal-based projection). Two passes: a
+    * cheap guard scan (NULL vectors and ragged dimensions fail LOUDLY —
+    * posexplode would silently drop a NULL row and skew the centroid) and
+    * the labels×dim exact-sum aggregate, whose per-(label, position)
+    * count doubles as the per-label vector count (every vector of a label
+    * contributes exactly one value at every position).
     */
   def trainCentroids(df: DataFrame, vecCol: String, labelCol: String): CentroidModel = {
-    val dims = df.select(size(col(vecCol)).as("d")).distinct().collect().map(_.getInt(0))
-    require(dims.length == 1 && dims.head > 0,
-      s"trainCentroids requires one fixed positive dimension, got ${dims.sorted.mkString(", ")}")
-    val dim = dims.head
-    // labels×dim exact sums + per-label counts: bounded driver collect
+    val chk = df.agg(count(lit(1)).as("n"),
+      sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
+      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax")).head()
+    require(chk.getLong(0) > 0, "trainCentroids requires a non-empty input")
+    require(chk.getLong(1) == 0,
+      s"trainCentroids: ${chk.getLong(1)} NULL ${vecCol} vectors — drop or impute them first")
+    require(chk.getInt(2) == chk.getInt(3) && chk.getInt(2) > 0,
+      s"trainCentroids requires one fixed positive dimension, got ${chk.getInt(2)}..${chk.getInt(3)}")
+    val dim = chk.getInt(2)
+    // labels×dim exact sums + counts in ONE aggregate: bounded driver collect
     val sums = df
       .select(col(labelCol).as("__l"),
         posexplode(transform(col(vecCol),
           v => floor(v.cast("double") * lit(CentroidQuantScale)).cast("long")))
           .as(Seq("__p", "__q")))
-      .groupBy("__l", "__p").agg(sum(col("__q")).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val cnts = df.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      .groupBy("__l", "__p").agg(sum(col("__q")).as("__s"), count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     CentroidModel(dim, sums.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (l, rows) =>
         val c = Array.ofDim[Double](dim)
-        rows.foreach { case (_, p, s) => c(p) = s.toDouble / cnts(l) }
+        rows.foreach { case (_, p, s, n) => c(p) = s.toDouble / n }
         (l, c)
       })
   }
@@ -929,7 +912,9 @@ object Similarity {
     * [[CentroidModel]]: appends `pred_label` as a pure codegen projection
     * (element_at/floor term chains × centroid literals, greatest-of-structs
     * argmax — NO lambda, NO join, NO exchange, NO state), so the same call
-    * runs unchanged as an append-mode streaming query.
+    * runs unchanged as an append-mode streaming query. A NULL vector
+    * predicts NULL (greatest over NULL scores would otherwise pick an
+    * arbitrary-looking survivor).
     */
   def classifyCentroids(df: DataFrame, vecCol: String, model: CentroidModel): DataFrame = {
     require(model.centroids.nonEmpty, "classifyCentroids requires a trained model")
@@ -947,10 +932,37 @@ object Similarity {
         struct(score(c).as("s"), lit(-l).as("nl"))
       }: _*)
     df.withColumn("__best", best)
-      .withColumn("pred_label", (-col("__best.nl")).cast("int"))
+      .withColumn("pred_label",
+        when(col(vecCol).isNull, lit(null).cast("int"))
+          .otherwise((-col("__best.nl")).cast("int")))
       .drop("__best")
   }
 
+  /** Nearest-class-mean embedding classifier (Rocchio/NCM — the standard
+    * zero-training-loop baseline for labeling embeddings at corpus scale,
+    * e.g. routing documents to domain experts or quality tiers by a few
+    * labeled seed clusters). Each label's centroid is the mean of its
+    * vectors; every vector is assigned the label whose centroid maximizes
+    * the inner product (ties → smaller label). One-call composition of
+    * [[trainCentroids]] + [[classifyCentroids]].
+    *
+    * Reproducibility: vectors are fixed-point quantized
+    * ([[CentroidQuantScale]]) so the per-(label, dim) sums are EXACT longs
+    * (order-free); each centroid component then pays ONE double division,
+    * and each score is a LEFT-TO-RIGHT sum of `quantized·centroid`
+    * products (a `reduceLeft` of codegen terms — DuckDB's `list_reduce`
+    * folds in the same order), so scores are bit-identical cross-engine
+    * and the argmax (ties by label) is deterministic.
+    *
+    * Scale shape: the centroid aggregation is ONE exchange whose map-side
+    * partials collapse each partition to ≤ labels×dim rows; the result
+    * (labels×dim longs + counts) is a bounded driver-side collect (the
+    * codebook precedent) folded into LITERAL arrays, so the scoring pass
+    * is ZERO-shuffle, fully codegen (element_at chains — no lambda, no
+    * join), and embarrassingly parallel at any corpus size.
+    *
+    * Output: one row per vector — (idCol, labelCol, pred_label INT).
+    */
   def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
                        labelCol: String): DataFrame =
     classifyCentroids(df, vecCol, trainCentroids(df, vecCol, labelCol))

@@ -400,35 +400,6 @@ object TextAnalysis {
     63L - java.lang.Long.numberOfLeadingZeros(v)
   }
 
-  /** Hashed bag-of-words log-odds quality scorer — the fastText/CCNet-style
-    * in-domain classifier filter (Joulin et al. 2016's hashing trick;
-    * CCNet/GPT-3/LLaMA pipelines score crawl docs against a curated
-    * reference corpus and keep high scorers). TRAINED FROM THE DATA in one
-    * pass: tokens hash into `dim` buckets, the `positive` predicate marks
-    * the reference sub-corpus, and each bucket's weight is the add-one
-    * log-odds of landing there under the reference vs the rest — a
-    * hashed multinomial Naive Bayes. A document's score is its tokens'
-    * mean weight, prior-corrected: positive ⇒ reads like the reference.
-    *
-    * Reproducibility (the x43 contract): log2 is INTEGER-quantized on
-    * exact counts ([[floorLog2]]) — weight_b = ⌊log2(c⁺_b+1)⌋ −
-    * ⌊log2(c⁻_b+1)⌋ and the prior term uses the corpus totals — so every
-    * aggregate is exact long arithmetic and the ONE double op is the final
-    * division by the doc's token count.
-    *
-    * Scale shape: tokenize+hash is narrow; the per-(doc, bucket) pre-count
-    * is ONE exchange with map-side partials, and its key space is capped
-    * at `dim` buckets per doc regardless of vocabulary; the weight table
-    * re-aggregates those partials to AT MOST `dim` rows, which BROADCAST
-    * to the probe join (the corpus side never shuffles again); the two
-    * corpus totals are one bounded driver-side collect (the x41/x43
-    * precedent). That bounded weight table is exactly why real pipelines
-    * hash: vocab-keyed weights grow with the corpus, bucket-keyed weights
-    * don't.
-    *
-    * Output: one row per input doc — (idCol, n_tokens LONG, logodds_bits
-    * DOUBLE — NULL for token-less docs; >0 reads reference-like).
-    */
   /** BM25 top-k retrieval over the corpus for a fixed term query
     * (Robertson–Spärck Jones / Okapi BM25, k1 = 1.2, b = 0.75 — the
     * published defaults) — the lexical complement of the ANN path and the
@@ -460,10 +431,14 @@ object TextAnalysis {
                terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK requires at least one query term")
     require(k > 0, s"k must be positive: $k")
+    // the corpus tokenizes LOWERCASED, so match the query terms the same
+    // way (a mixed-case term would silently contribute nothing), and
+    // de-duplicate (a repeated term would double-count its score)
+    val qterms = terms.map(_.toLowerCase).distinct
     val toked = df.select(col(idCol), tokens(lower(col(textCol))).as("__t"))
       .withColumn("__dl", size(col("__t")).cast("long"))
     val aggCols = Seq(count(lit(1)).as("n"), sum(col("__dl")).as("l")) ++
-      terms.zipWithIndex.map { case (t, i) =>
+      qterms.zipWithIndex.map { case (t, i) =>
         sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df$i")
       }
     val stats = toked.agg(aggCols.head, aggCols.tail: _*).head()
@@ -471,16 +446,16 @@ object TextAnalysis {
     val l = stats.getLong(1)
     require(n > 0 && l > 0, "bm25TopK requires a non-empty tokenized corpus")
     val avgdlMilli = (1000L * l) / n
-    val idfs = terms.indices.map(i =>
+    val idfs = qterms.indices.map(i =>
       floorLog2Long(n + 1) - floorLog2Long(stats.getLong(2 + i) + 1))
     def tf(t: String): Column =
       size(filter(col("__t"), x => x === lit(t))).cast("long")
-    val scoreTerms = terms.zip(idfs).map { case (t, idf) =>
+    val scoreTerms = qterms.zip(idfs).map { case (t, idf) =>
       (lit(22L * avgdlMilli * idf) * tf(t)).cast("double") /
         (lit(10L * avgdlMilli) * tf(t) + lit(3L * avgdlMilli) +
           lit(9000L) * col("__dl")).cast("double")
     }
-    val matched = terms.map(t => tf(t)).reduceLeft(_ + _) > 0
+    val matched = qterms.map(t => tf(t)).reduceLeft(_ + _) > 0
     toked.filter(matched)
       .withColumn("__score", scoreTerms.reduceLeft(_ + _))
       .agg(call_function("graft_topk", col("__score"), col(idCol), lit(k)).as("tk"))
@@ -620,6 +595,35 @@ object TextAnalysis {
       .drop("__ws")
   }
 
+  /** Hashed bag-of-words log-odds quality scorer — the fastText/CCNet-style
+    * in-domain classifier filter (Joulin et al. 2016's hashing trick;
+    * CCNet/GPT-3/LLaMA pipelines score crawl docs against a curated
+    * reference corpus and keep high scorers). TRAINED FROM THE DATA in one
+    * pass: tokens hash into `dim` buckets, the `positive` predicate marks
+    * the reference sub-corpus, and each bucket's weight is the add-one
+    * log-odds of landing there under the reference vs the rest — a
+    * hashed multinomial Naive Bayes. A document's score is its tokens'
+    * mean weight, prior-corrected: positive ⇒ reads like the reference.
+    *
+    * Reproducibility (the x43 contract): log2 is INTEGER-quantized on
+    * exact counts ([[floorLog2]]) — weight_b = ⌊log2(c⁺_b+1)⌋ −
+    * ⌊log2(c⁻_b+1)⌋ and the prior term uses the corpus totals — so every
+    * aggregate is exact long arithmetic and the ONE double op is the final
+    * division by the doc's token count.
+    *
+    * Scale shape: tokenize+hash is narrow; the per-(doc, bucket) pre-count
+    * is ONE exchange with map-side partials, and its key space is capped
+    * at `dim` buckets per doc regardless of vocabulary; the weight table
+    * re-aggregates those partials to AT MOST `dim` rows, which BROADCAST
+    * to the probe join (the corpus side never shuffles again); the two
+    * corpus totals are one bounded driver-side collect (the x41/x43
+    * precedent). That bounded weight table is exactly why real pipelines
+    * hash: vocab-keyed weights grow with the corpus, bucket-keyed weights
+    * don't.
+    *
+    * Output: one row per input doc — (idCol, n_tokens LONG, logodds_bits
+    * DOUBLE — NULL for token-less docs; >0 reads reference-like).
+    */
   def hashedLogOdds(df: DataFrame, idCol: String, textCol: String,
                     positive: Column, dim: Int = 4096): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
