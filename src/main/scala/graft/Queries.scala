@@ -954,7 +954,25 @@ object Queries {
     // source column (no language-ID pass) — counts, deterministic
     // token-length quantiles, KMV distinct-text estimate
     "x60_source_profile" -> ((s, dir) =>
-      graft.ext.Profile.bySlice(t(s, dir, "documents"), "doc_id", "text", "source"))
+      graft.ext.Profile.bySlice(t(s, dir, "documents"), "doc_id", "text", "source")),
+
+    // interval (range) join: events × overlapping campaign windows on a
+    // segment key — grain-bucketed equi-join, never a nested-loop theta
+    // join; campaigns start every 36h from the corpus epoch and run
+    // (id%3+1) days, so windows overlap and events multi-match
+    "x61_interval_join" -> ((s, dir) => {
+      val baseMs = 1704067200000L // 2024-01-01T00:00:00Z, the events epoch
+      val ev = t(s, dir, "events").withColumn("segment", col("user_id") % 4)
+      val iv = s.range(20).select(
+        col("id").as("campaign_id"),
+        (col("id") % 4).as("segment"),
+        (lit(baseMs) + col("id") * lit(36L * 3600 * 1000)).as("start_ms"),
+        (lit(baseMs) + col("id") * lit(36L * 3600 * 1000) +
+          ((col("id") % 3) + 1) * lit(86400000L)).as("end_ms"))
+      graft.ops.IntervalJoin.join(ev, iv, "ts", "start_ms", "end_ms",
+          keyCols = Seq("segment"), grainMs = 6L * 3600 * 1000)
+        .select("event_id", "campaign_id", "segment")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1998,7 +2016,20 @@ object Queries {
         |  qs[CAST(floor(0.9 * (len(qs) - 1)) AS INTEGER) + 1] AS p90,
         |  CASE WHEN COALESCE(len(ks), 0) < 64 THEN CAST(COALESCE(len(ks), 0) AS DOUBLE)
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE) END AS est_distinct_texts
-        |FROM counts c JOIN q USING (source) JOIN ks USING (source)""".stripMargin
+        |FROM counts c JOIN q USING (source) JOIN ks USING (source)""".stripMargin,
+
+    // transcription of IntervalJoin via the direct containment predicate
+    // (the oracle can afford the theta join the operator avoids):
+    // epoch_ms mirrors unix_millis' millisecond floor
+    "x61_interval_join" ->
+      """WITH iv AS (SELECT i.i AS campaign_id, CAST(i.i % 4 AS BIGINT) AS segment,
+        |  1704067200000 + i.i * 129600000 AS s_ms,
+        |  1704067200000 + i.i * 129600000 + ((i.i % 3) + 1) * 86400000 AS e_ms
+        |  FROM unnest(generate_series(0, 19)) i(i))
+        |SELECT e.event_id, v.campaign_id, CAST(e.user_id % 4 AS BIGINT) AS segment
+        |FROM events e JOIN iv v ON e.user_id % 4 = v.segment
+        |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) >= v.s_ms
+        |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) < v.e_ms""".stripMargin
   )
 
   /** Exact pairwise-Jaccard oracle. `capCte` optionally drops shingles with

@@ -565,6 +565,13 @@ class PlanSpec extends SparkSpec {
     Caching.release(spark)
   }
 
+  test("x61 interval join probes by grain equi-join: no theta-join fallback") {
+    val p = plan("x61_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment must filter grain-equi-join candidates, not drive a theta join: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("x57 span removal: winner decided by one partial-min aggregate, no window sort") {
     val p = plan("x57_span_removal")
     assert(p.contains("partial_min"), "winner must combine map-side: " + p.take(2000))

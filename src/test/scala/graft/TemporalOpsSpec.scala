@@ -343,4 +343,75 @@ class TemporalOpsSpec extends SparkSpec {
       Sketches.distinctSketch(kdf, Seq("n_kept"), "v")
     }
   }
+
+  // --------------------------------------------------------- interval join
+
+  test("intervalJoin: inclusive start, exclusive end, multi-match, keys, grain-invariant") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, "a", 1000L),  // inside iv1 only
+      (2L, "a", 5000L),  // = iv1.end (exclusive: out) and = iv2.start (in)
+      (3L, "a", 7000L),  // inside iv2 AND iv3 (overlap: two rows)
+      (4L, "a", 20000L), // covered by nothing
+      (5L, "b", 1000L),  // right time, wrong key
+      (6L, "a", 0L)      // = iv1.start (inclusive: in)
+    ).toDF("fact_id", "k", "t")
+    val ivs = Seq(
+      (10L, "a", 0L, 5000L),
+      (11L, "a", 5000L, 9000L),
+      (12L, "a", 6000L, 8000L),
+      (13L, "a", 9000L, 9000L),  // empty: matches nothing
+      (14L, "a", 9000L, 8000L),  // inverted: matches nothing
+      (15L, "b", 30000L, 31000L) // key b, elsewhere in time
+    ).toDF("iv_id", "k", "s", "e")
+    val expected = Set((1L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (6L, 10L))
+    for (grain <- Seq(1000L, 2500L, 7000L, 100000L)) {
+      val got = graft.ops.IntervalJoin.join(facts, ivs, "t", "s", "e",
+          keyCols = Seq("k"), grainMs = grain)
+        .select("fact_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"grain $grain")
+    }
+  }
+
+  test("intervalJoin equals the sequential containment model on random workloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val facts = (0 until 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(100000).toLong))
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (100L + i, s"k${rnd.nextInt(3)}", s, s + rnd.nextInt(20000).toLong - 2000L)
+    }
+    val expected = (for {
+      (fid, fk, t) <- facts
+      (vid, vk, s, e) <- ivs
+      if fk == vk && t >= s && t < e
+    } yield (fid, vid)).toSet
+    assert(expected.nonEmpty)
+    val got = graft.ops.IntervalJoin.join(
+        facts.toDF("fact_id", "k", "t"), ivs.toDF("iv_id", "k", "s", "e"),
+        "t", "s", "e", keyCols = Seq("k"), grainMs = 3000L)
+      .select("fact_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("intervalJoin accepts timestamps, rejects other types, and bounds the grain fan-out") {
+    import spark.implicits._
+    val facts = Seq((1L, ts(5000))).toDF("fact_id", "t")
+    val ivs = Seq((10L, ts(0), ts(10000))).toDF("iv_id", "s", "e")
+    val out = graft.ops.IntervalJoin.join(facts, ivs, "t", "s", "e", grainMs = 1000L)
+      .select("fact_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.IntervalJoin.join(
+        Seq((1L, "not a time")).toDF("fact_id", "t"), ivs, "t", "s", "e")
+    }
+    // a 10^9-ms interval at 1 ms grain would explode to 10^9 rows — loud
+    val huge = Seq((10L, 0L, 1000000000L)).toDF("iv_id", "s", "e")
+    val e = intercept[Exception] {
+      graft.ops.IntervalJoin.join(Seq((1L, 5L)).toDF("fact_id", "t"), huge,
+        "t", "s", "e", grainMs = 1L, maxGrainsPerInterval = 1000L).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("IntervalJoin"), e.getMessage)
+  }
 }
