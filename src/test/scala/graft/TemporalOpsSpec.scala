@@ -395,6 +395,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("intervalJoin runs stream-static: a fact stream joins static intervals statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ivs = Seq((10L, 0L, 5000L), (11L, 5000L, 9000L), (12L, 6000L, 8000L))
+      .toDF("iv_id", "s", "e")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.ops.IntervalJoin.join(
+        input.toDF().toDF("fact_id", "t"), ivs, "t", "s", "e", grainMs = 2500L)
+      .select("fact_id", "iv_id")
+      .writeStream.format("memory").queryName("iv_hits").outputMode("append").start()
+    try {
+      input.addData(1L -> 1000L, 2L -> 5000L)
+      q.processAllAvailable()
+      input.addData(3L -> 7000L, 4L -> 20000L) // second batch: no state carried
+      q.processAllAvailable()
+      val got = spark.table("iv_hits").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 11L), (3L, 11L), (3L, 12L)))
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "stream-static interval join must be stateless")
+    } finally q.stop()
+  }
+
   test("intervalJoin accepts timestamps, rejects other types, and bounds the grain fan-out") {
     import spark.implicits._
     val facts = Seq((1L, ts(5000))).toDF("fact_id", "t")
