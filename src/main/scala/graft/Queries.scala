@@ -972,6 +972,25 @@ object Queries {
       graft.ops.IntervalJoin.join(ev, iv, "ts", "start_ms", "end_ms",
           keyCols = Seq("segment"), grainMs = 6L * 3600 * 1000)
         .select("event_id", "campaign_id", "segment")
+    }),
+
+    // LEFT interval join: x61's enrichment, but facts covered by no
+    // campaign window survive with a NULL campaign_id — the containment
+    // predicate rides IN the grain equi-join condition, so no anti-join
+    // second pass is needed
+    "x62_interval_join_left" -> ((s, dir) => {
+      val baseMs = 1704067200000L // 2024-01-01T00:00:00Z, the events epoch
+      val ev = t(s, dir, "events").withColumn("segment", col("user_id") % 4)
+      val iv = s.range(20).select(
+        col("id").as("campaign_id"),
+        (col("id") % 4).as("segment"),
+        (lit(baseMs) + col("id") * lit(36L * 3600 * 1000)).as("start_ms"),
+        (lit(baseMs) + col("id") * lit(36L * 3600 * 1000) +
+          ((col("id") % 3) + 1) * lit(86400000L)).as("end_ms"))
+      graft.ops.IntervalJoin.join(ev, iv, "ts", "start_ms", "end_ms",
+          keyCols = Seq("segment"), grainMs = 6L * 3600 * 1000,
+          joinType = "left")
+        .select("event_id", "campaign_id", "segment")
     })
   )
 
@@ -2028,6 +2047,18 @@ object Queries {
         |  FROM unnest(generate_series(0, 19)) i(i))
         |SELECT e.event_id, v.campaign_id, CAST(e.user_id % 4 AS BIGINT) AS segment
         |FROM events e JOIN iv v ON e.user_id % 4 = v.segment
+        |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) >= v.s_ms
+        |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) < v.e_ms""".stripMargin,
+
+    // LEFT theta-join transcription of the grain-bucketed left interval
+    // join: unmatched events keep a NULL campaign_id
+    "x62_interval_join_left" ->
+      """WITH iv AS (SELECT i.i AS campaign_id, CAST(i.i % 4 AS BIGINT) AS segment,
+        |  1704067200000 + i.i * 129600000 AS s_ms,
+        |  1704067200000 + i.i * 129600000 + ((i.i % 3) + 1) * 86400000 AS e_ms
+        |  FROM unnest(generate_series(0, 19)) i(i))
+        |SELECT e.event_id, v.campaign_id, CAST(e.user_id % 4 AS BIGINT) AS segment
+        |FROM events e LEFT JOIN iv v ON e.user_id % 4 = v.segment
         |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) >= v.s_ms
         |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) < v.e_ms""".stripMargin
   )

@@ -883,6 +883,11 @@ object Similarity {
     * contributes exactly one value at every position).
     */
   def trainCentroids(df: DataFrame, vecCol: String, labelCol: String): CentroidModel = {
+    // validated up front so a LONG/STRING label fails with this message, not
+    // a bare ClassCastException at the collect below
+    val labelType = df.schema(labelCol).dataType
+    require(labelType == org.apache.spark.sql.types.IntegerType,
+      s"trainCentroids: label column '$labelCol' must be INT, got $labelType")
     val chk = df.agg(count(lit(1)).as("n"),
       sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
       min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax")).head()
@@ -914,7 +919,11 @@ object Similarity {
     * argmax — NO lambda, NO join, NO exchange, NO state), so the same call
     * runs unchanged as an append-mode streaming query. A NULL vector
     * predicts NULL (greatest over NULL scores would otherwise pick an
-    * arbitrary-looking survivor).
+    * arbitrary-looking survivor); a vector whose length differs from
+    * `model.dim` fails LOUDLY per row — element_at past the end returns
+    * NULL (non-ANSI), which would silently turn the argmax arbitrary,
+    * and on the standalone streaming path [[trainCentroids]]'s ragged-
+    * dimension guard never ran over this corpus.
     */
   def classifyCentroids(df: DataFrame, vecCol: String, model: CentroidModel): DataFrame = {
     require(model.centroids.nonEmpty, "classifyCentroids requires a trained model")
@@ -934,6 +943,10 @@ object Similarity {
     df.withColumn("__best", best)
       .withColumn("pred_label",
         when(col(vecCol).isNull, lit(null).cast("int"))
+          .when(size(col(vecCol)) =!= model.dim, raise_error(concat(
+            lit(s"classifyCentroids: vector dimension "),
+            size(col(vecCol)).cast("string"),
+            lit(s" does not match the model's dim=${model.dim}"))).cast("int"))
           .otherwise((-col("__best.nl")).cast("int")))
       .drop("__best")
   }

@@ -437,7 +437,10 @@ object TextAnalysis {
     val qterms = terms.map(_.toLowerCase).distinct
     val toked = df.select(col(idCol), tokens(lower(col(textCol))).as("__t"))
       .withColumn("__dl", size(col("__t")).cast("long"))
-    val aggCols = Seq(count(lit(1)).as("n"), sum(col("__dl")).as("l")) ++
+    // sum over zero rows is NULL — coalesce so an empty corpus reaches the
+    // descriptive require below instead of a bare NPE at getLong
+    val aggCols = Seq(count(lit(1)).as("n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("l")) ++
       qterms.zipWithIndex.map { case (t, i) =>
         sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df$i")
       }

@@ -19,20 +19,27 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * single grain (pure codegen), so candidates come from a hash EQUI-JOIN
   * on (keys…, grain) and the exact containment predicate only filters
   * them. A fact meets an interval in exactly ONE grain (its own), so no
-  * post-join dedup is needed. Pick `grainMs` near the typical interval
-  * length: finer grains multiply the interval side's rows, coarser grains
-  * multiply false candidates per grain — both linear knobs, never
-  * quadratic.
+  * post-join dedup is needed — which is also what makes the LEFT variant
+  * anti-join-free: the containment predicate rides IN the join condition
+  * (not a post-filter), so an unmatched fact surfaces exactly once with
+  * nulls instead of needing a second pass. Pick `grainMs` near the typical
+  * interval length: finer grains multiply the interval side's rows,
+  * coarser grains multiply false candidates per grain — both linear
+  * knobs, never quadratic.
   *
   * Timestamps: `tsCol`/`startCol`/`endCol` may each be TimestampType
   * (converted via `unix_millis` — instant semantics, the
   * [[graft.sources.Tables]] contract) or LongType epoch-millis. Epochs
-  * must be non-negative (`div` truncation = floor only there).
+  * must be non-negative and this IS enforced (row-level raise_error):
+  * SQL `div` truncates toward zero, so a fact at ts=-1 would map to grain
+  * 0 while an interval covering it maps to grain -1 — a silent drop, the
+  * opposite of this repo's fail-loud stance.
   *
-  * Output: the fact columns + the interval's non-key columns (a USING
-  * join on (keyCols…, grain) — other column names must be disjoint, or
-  * Spark's ambiguity check fails loudly). Inner semantics: facts covered
-  * by no interval drop out; one row per (fact, covering interval).
+  * Output: the fact columns + the interval's non-key columns (non-key
+  * column names must be disjoint across the two sides — enforced).
+  * `joinType` "inner" (default): facts covered by no interval drop out.
+  * "left"/"left_outer": such facts survive with nulls in the interval
+  * payload columns. Either way: one row per (fact, covering interval).
   */
 object IntervalJoin {
 
@@ -40,14 +47,25 @@ object IntervalJoin {
            tsCol: String, startCol: String, endCol: String,
            keyCols: Seq[String] = Seq.empty,
            grainMs: Long = 3600000L,
-           maxGrainsPerInterval: Long = 100000L): DataFrame = {
+           maxGrainsPerInterval: Long = 100000L,
+           joinType: String = "inner"): DataFrame = {
     require(grainMs > 0, s"grainMs must be positive: $grainMs")
     require(maxGrainsPerInterval > 0,
       s"maxGrainsPerInterval must be positive: $maxGrainsPerInterval")
+    val jt = joinType.toLowerCase.replace("_", "") match {
+      case "inner" => "inner"
+      case "left" | "leftouter" => "left_outer"
+      case other => throw new IllegalArgumentException(
+        s"IntervalJoin: joinType must be inner or left/left_outer, got '$other'")
+    }
     keyCols.foreach { k =>
       require(facts.columns.contains(k) && intervals.columns.contains(k),
         s"IntervalJoin: key column '$k' must exist on both sides")
     }
+    val dup = facts.columns.toSet.intersect(intervals.columns.toSet) -- keyCols
+    require(dup.isEmpty,
+      s"IntervalJoin: non-key columns must be disjoint across the two sides; " +
+        s"shared: ${dup.toSeq.sorted.mkString(", ")} — rename or drop first")
     Seq("__t", "__g", "__s", "__e").foreach(c =>
       require(!facts.columns.contains(c) && !intervals.columns.contains(c),
         s"IntervalJoin uses internal column '$c' — rename or drop it first"))
@@ -57,11 +75,20 @@ object IntervalJoin {
       case t => throw new IllegalArgumentException(
         s"IntervalJoin: '$name' must be TIMESTAMP or LONG epoch-millis, got $t")
     }
+    // `div` truncates toward zero: negative epochs would grain-bucket wrong
+    // and silently drop matches, so they fail loudly per row instead
+    def nonNeg(c: Column, what: String): Column =
+      when(c < 0, raise_error(concat(
+        lit(s"IntervalJoin: negative epoch-millis in '$what' ("),
+        c.cast("string"),
+        lit(") - grain bucketing requires non-negative epochs"))).cast("long"))
+        .otherwise(c)
     val f = facts
-      .withColumn("__t", ms(facts, tsCol))
+      .withColumn("__t", nonNeg(ms(facts, tsCol), tsCol))
       .withColumn("__g", expr(s"__t div $grainMs"))
+    // grain count = lastGrain - firstGrain + 1, so the bound is diff < max
     val lastGrain =
-      when(expr(s"(__e - 1) div $grainMs - __s div $grainMs") <= maxGrainsPerInterval,
+      when(expr(s"(__e - 1) div $grainMs - __s div $grainMs") < maxGrainsPerInterval,
         expr(s"(__e - 1) div $grainMs"))
         .otherwise(raise_error(concat(
           lit(s"IntervalJoin: interval spans more than $maxGrainsPerInterval grains of "),
@@ -69,14 +96,22 @@ object IntervalJoin {
           lit(", end="), col("__e").cast("string"),
           lit(") - raise grainMs or maxGrainsPerInterval"))).cast("long"))
     val iv = intervals
-      .withColumn("__s", ms(intervals, startCol))
+      .withColumn("__s", nonNeg(ms(intervals, startCol), startCol))
       .withColumn("__e", ms(intervals, endCol))
       // an empty/inverted interval contains nothing — dropping it here is
       // result-invisible and saves its explode
       .filter(col("__e") > col("__s"))
       .withColumn("__g", explode(sequence(expr(s"__s div $grainMs"), lastGrain)))
-    f.join(iv, keyCols :+ "__g")
-      .filter(col("__t") >= col("__s") && col("__t") < col("__e"))
-      .drop("__t", "__g", "__s", "__e")
+    val fa = f.alias("__fj")
+    val ia = iv.alias("__ij")
+    // grain + keys are equi-conditions (hash/sort-merge join); containment is
+    // the residual condition — inside the join so LEFT keeps unmatched facts
+    val cond = ((col("__fj.__g") === col("__ij.__g")) +:
+        keyCols.map(k => col(s"__fj.$k") === col(s"__ij.$k"))).reduce(_ && _) &&
+      col("__fj.__t") >= col("__ij.__s") && col("__fj.__t") < col("__ij.__e")
+    val ivPayload = intervals.columns.filterNot(keyCols.contains)
+    fa.join(ia, cond, jt)
+      .select(facts.columns.map(c => col(s"__fj.$c")).toSeq ++
+        ivPayload.map(c => col(s"__ij.$c")): _*)
   }
 }

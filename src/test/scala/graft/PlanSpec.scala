@@ -572,6 +572,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x62 LEFT interval join stays a grain equi-join with no anti-join second pass") {
+    val p = plan("x62_interval_join_left")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "left containment must ride the grain equi-join condition: " + p.take(2000))
+    assert(!p.contains("LeftAnti"),
+      "unmatched facts must come from the left join itself, not an anti-join pass: " + p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("x57 span removal: winner decided by one partial-min aggregate, no window sort") {
     val p = plan("x57_span_removal")
     assert(p.contains("partial_min"), "winner must combine map-side: " + p.take(2000))

@@ -373,6 +373,91 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin left: uncovered facts survive with nulls, same grain-invariance sweep") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, "a", 1000L),  // inside iv1 only
+      (2L, "a", 5000L),  // = iv1.end (exclusive) and = iv2.start (in)
+      (3L, "a", 7000L),  // inside iv2 AND iv3: two matched rows, no null row
+      (4L, "a", 20000L), // covered by nothing -> survives with null iv_id
+      (5L, "b", 1000L),  // right time, wrong key -> null iv_id
+      (6L, "a", 0L)      // = iv1.start (inclusive)
+    ).toDF("fact_id", "k", "t")
+    val ivs = Seq(
+      (10L, "a", 0L, 5000L),
+      (11L, "a", 5000L, 9000L),
+      (12L, "a", 6000L, 8000L),
+      (13L, "a", 9000L, 9000L),  // empty: matches nothing
+      (15L, "b", 30000L, 31000L) // key b, elsewhere in time
+    ).toDF("iv_id", "k", "s", "e")
+    val expected = Set(
+      (1L, Some(10L)), (2L, Some(11L)), (3L, Some(11L)), (3L, Some(12L)),
+      (6L, Some(10L)), (4L, None), (5L, None))
+    for (grain <- Seq(1000L, 2500L, 7000L, 100000L);
+         jt <- Seq("left", "left_outer", "LEFT_OUTER")) {
+      val got = graft.ops.IntervalJoin.join(facts, ivs, "t", "s", "e",
+          keyCols = Seq("k"), grainMs = grain, joinType = jt)
+        .select("fact_id", "iv_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == expected, s"grain $grain joinType $jt")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.IntervalJoin.join(facts, ivs, "t", "s", "e", joinType = "full")
+    }
+  }
+
+  test("intervalJoin fails loudly on negative epochs instead of silently dropping") {
+    import spark.implicits._
+    val ivs = Seq((10L, 0L, 5000L)).toDF("iv_id", "s", "e")
+    // a fact at ts=-1 would grain-bucket to 0 (div truncates toward zero)
+    // while an interval covering it sits in grain -1 — must raise, not drop
+    val negFact = intercept[Exception] {
+      graft.ops.IntervalJoin.join(
+        Seq((1L, -1L)).toDF("fact_id", "t"), ivs, "t", "s", "e",
+        grainMs = 1000L).count()
+    }
+    assert(negFact.getMessage != null &&
+      negFact.getMessage.contains("negative epoch"), negFact.getMessage)
+    val negIv = intercept[Exception] {
+      graft.ops.IntervalJoin.join(
+        Seq((1L, 5L)).toDF("fact_id", "t"),
+        Seq((10L, -100L, 5000L)).toDF("iv_id", "s", "e"), "t", "s", "e",
+        grainMs = 1000L).count()
+    }
+    assert(negIv.getMessage != null &&
+      negIv.getMessage.contains("negative epoch"), negIv.getMessage)
+  }
+
+  test("intervalJoin grain guard bounds the COUNT: exactly max grains passes, max+1 raises") {
+    import spark.implicits._
+    val facts = Seq((1L, 5L)).toDF("fact_id", "t")
+    // [0, 5000) at 1000 ms grain covers grains 0..4 = exactly 5
+    val atMax = graft.ops.IntervalJoin.join(facts,
+        Seq((10L, 0L, 5000L)).toDF("iv_id", "s", "e"), "t", "s", "e",
+        grainMs = 1000L, maxGrainsPerInterval = 5L)
+      .select("fact_id", "iv_id").collect()
+    assert(atMax.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+    // [0, 5001) covers grains 0..5 = 6 > 5 — must raise
+    val over = intercept[Exception] {
+      graft.ops.IntervalJoin.join(facts,
+        Seq((10L, 0L, 5001L)).toDF("iv_id", "s", "e"), "t", "s", "e",
+        grainMs = 1000L, maxGrainsPerInterval = 5L).count()
+    }
+    assert(over.getMessage != null && over.getMessage.contains("IntervalJoin"),
+      over.getMessage)
+  }
+
+  test("intervalJoin rejects shared non-key columns loudly") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.IntervalJoin.join(
+        Seq((1L, "x", 5L)).toDF("fact_id", "name", "t"),
+        Seq((10L, "y", 0L, 5000L)).toDF("iv_id", "name", "s", "e"),
+        "t", "s", "e", grainMs = 1000L)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
   test("intervalJoin equals the sequential containment model on random workloads") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
