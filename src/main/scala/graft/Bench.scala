@@ -421,13 +421,15 @@ object Bench {
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
+          val checks = new graft.ext.TableChecks
           Seq(0L, 1L).map { i =>
             val lo = mx * i / 2
             val hi = if (i == 1) mx + 1 else mx / 2
             val t0 = System.nanoTime()
             graft.ext.CurationPipeline.streamIncrement(
               train.filter(col("doc_id") >= lo && col("doc_id") < hi),
-              "doc_id", "text", Some(hg), cfg, state, batchId = i)
+              "doc_id", "text", Some(hg), cfg, state, batchId = i,
+              checks = checks)
             s"batch$i" -> (System.nanoTime() - t0) / 1e9
           }
         } finally {

@@ -391,9 +391,11 @@ object Queries {
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
+          val checks = new graft.ext.TableChecks
           Seq(0L, 1L).foreach { i =>
             Dedup.clusterIncrement(
-              pairs.filter(pmod(col("d1") + col("d2"), lit(2)) === i), state, batchId = i)
+              pairs.filter(pmod(col("d1") + col("d2"), lit(2)) === i), state,
+              batchId = i, checks = checks)
           }
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         Dedup.clusterMapping(s, state).write.parquet(tmp.resolve("out").toString)
@@ -676,12 +678,16 @@ object Queries {
           // cold batch plus one batch exercising every cross-batch state path
           // (hash index, LSH probe, offsets ledger); the foreachBatch wiring
           // and >2-batch behavior are golden-tested in CurationSpec
+          // one maintenance-check memo across the increments, as the
+          // runStream wiring would hold
+          val checks = new graft.ext.TableChecks
           Seq(0L, 1L).foreach { i =>
             val lo = mx * i / 2
             val hi = if (i == 1) mx + 1 else mx / 2
             CurationPipeline.streamIncrement(
               train.filter(col("doc_id") >= lo && col("doc_id") < hi),
-              "doc_id", "text", Some(hg), cfg, state, batchId = i)
+              "doc_id", "text", Some(hg), cfg, state, batchId = i,
+              checks = checks)
           }
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }

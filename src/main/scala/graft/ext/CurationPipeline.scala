@@ -453,7 +453,8 @@ object CurationPipeline {
   def streamIncrement(batch: DataFrame, idCol: String, textCol: String,
                       holdoutGrams: Option[DataFrame], cfg: Config,
                       state: StreamState, batchId: Long,
-                      maintainClusters: Boolean = false): Unit = {
+                      maintainClusters: Boolean = false,
+                      checks: TableChecks = new TableChecks): Unit = {
     val spark = batch.sparkSession
     // the batch cap is a df statistic over the WHOLE train corpus, which a
     // stream cannot know prospectively — a silently ignored cap would
@@ -497,12 +498,11 @@ object CurationPipeline {
       s"streamIncrement: embeddingCol '$ec' not in input (${batch.columns.mkString(", ")})"))
     // single-writer contract: no increment while compactState rewrites the
     // hash index ([[StateLease]]; the LSH/cluster/embed tables get their
-    // own asserts inside their increment entry points)
-    StateLease.assertFree(spark, state.hashTable)
-    // a compactState swap that crashed between DROP and RENAME must be
-    // finished BEFORE the tableExists checks below (the LSH tables get the
-    // same treatment inside minHashLshIncrement)
-    Dedup.finishCrashedSwap(spark, state.hashTable)
+    // own asserts inside their increment entry points), plus the
+    // crashed-swap finish BEFORE the tableExists checks below. Memoized per
+    // stream ([[TableChecks]] — a fresh default instance per standalone
+    // call keeps the old per-call behavior).
+    graft.ProbeTiming("ensureWritable")(checks.ensureWritable(spark, state.hashTable))
     val filtered = qualityLanguageFilter(batch, textCol, cfg)
 
     // 2: exact dedup. The hash-index append happens LAST in this increment
@@ -517,7 +517,7 @@ object CurationPipeline {
     // eviction costs a recompute only: the hash table is appended last, so
     // a recompute still sees the pre-append snapshot
     val exactKept = (
-      if (spark.catalog.tableExists(state.hashTable))
+      if (checks.exists(spark, state.hashTable))
         inBatch.join(
           spark.table(state.hashTable).filter(col("batch_id") < batchId)
             .select("text_hash"),
@@ -532,9 +532,10 @@ object CurationPipeline {
     // 3: near-dup — the increment writes this batch's verified pairs and
     // appends the batch's signatures (survivors AND dropped docs: both
     // remain detectors for future arrivals, as in the batch path)
-    Dedup.minHashLshIncrement(exactKept.drop("__h"), idCol, textCol,
-      cfg.nearDupThreshold, state.lshIndex, state.pairsDir, batchId,
-      cfg.shingleN)
+    graft.ProbeTiming("lsh_increment")(
+      Dedup.minHashLshIncrement(exactKept.drop("__h"), idCol, textCol,
+        cfg.nearDupThreshold, state.lshIndex, state.pairsDir, batchId,
+        cfg.shingleN, checks = checks))
     // a batch with zero verified pairs writes no partition — the dir can be
     // missing OR exist with no data files (an empty dynamic-overwrite still
     // creates the base dir), so reads declare their schemas instead of
@@ -566,7 +567,7 @@ object CurationPipeline {
     val ePairs = cfg.embeddingCol.map { ec =>
       Similarity.cosineLshIncrement(lexKept.select(col(idCol), col(ec)),
         idCol, ec, cfg.embedCosineThreshold, state.embedIndex,
-        state.ePairsDir, batchId)
+        state.ePairsDir, batchId, checks = checks)
       pairsOf(state.ePairsDir, "vec_id_a", "vec_id_b", LongType)
     }
     val nearKept = ePairs match {
@@ -590,7 +591,8 @@ object CurationPipeline {
       val batchPairs = lexPairs
         .union(ePairs.map(_.select(col("d1").cast(idType), col("d2").cast(idType)))
           .getOrElse(lexPairs.limit(0)))
-      Dedup.clusterIncrement(batchPairs, state.clusterState, batchId)
+      Dedup.clusterIncrement(batchPairs, state.clusterState, batchId,
+        checks = checks)
     }
 
     // 4: decontamination (stateless stream-static)
@@ -646,20 +648,27 @@ object CurationPipeline {
     // record [[collapsedOutput]] can read).
     val curatedOut = packed.withColumn("batch_id", lit(batchId))
     writeOutSchemaOnce(spark, state, curatedOut.schema)
-    curatedOut
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(state.outDir)
-    withBucket.groupBy("bucket").agg(sum(col("n_tokens")).as("__batch_tokens"))
-      .join(baseOffsets, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (coalesce(col("__base"), lit(0L)) + col("__batch_tokens")).as("cum"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(state.offsetsDir)
-    val mode = if (spark.catalog.tableExists(state.hashTable)) "append" else "overwrite"
-    exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
-      .write.mode(mode).format("parquet")
-      .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
+    // curated output and the offsets ledger both consume the persisted
+    // withBucket subtree and write to distinct dirs — concurrent (two
+    // fixed per-action costs become one max); the hash append stays LAST
+    // and alone, the replay-recompute invariant above
+    graft.ProbeTiming("curated+offsets")(ConcurrentActions.run(Seq(
+      () => curatedOut
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(state.outDir),
+      () => withBucket.groupBy("bucket").agg(sum(col("n_tokens")).as("__batch_tokens"))
+        .join(baseOffsets, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (coalesce(col("__base"), lit(0L)) + col("__batch_tokens")).as("cum"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(state.offsetsDir))))
+    val mode = if (checks.exists(spark, state.hashTable)) "append" else "overwrite"
+    graft.ProbeTiming("hash_append")(
+      exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
+        .write.mode(mode).format("parquet")
+        .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable))
+    checks.markExists(state.hashTable)
     } finally caches.foreach(_.unpersist(blocking = false))
   }
 
@@ -679,10 +688,12 @@ object CurationPipeline {
                 compactEvery: Int = 0, maintainClusters: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hg = holdout.map(h => holdoutGramSet(h, idCol, textCol, cfg))
+    // one maintenance-check memo per stream ([[TableChecks]])
+    val checks = new TableChecks
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id,
-          maintainClusters)
+          maintainClusters, checks)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           compactState(batch.sparkSession, state)
           if (maintainClusters)

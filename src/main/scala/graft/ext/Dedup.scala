@@ -166,9 +166,11 @@ object Dedup {
     *    each micro-batch's signature bands probe it with a bucketed join —
     *    the stored corpus side is read pre-partitioned, NO exchange, so
     *    probe cost scales with the BATCH, not the corpus.
-    *  - `shinglesTable` (id, shingle), bucketed by id: serves the exact-
+    *  - `shinglesTable` (id, ss array<string>), bucketed by id — ONE row
+    *    per doc holding its distinct shingle set in-row: serves the exact-
     *    Jaccard verification of candidate pairs (only candidate ids are
-    *    semi-joined out of it).
+    *    semi-joined out of it; intersection/sizes then run in-row, no
+    *    per-shingle explosion ever shuffles).
     *
     * Both tables grow by one append per micro-batch (numBuckets files
     * each); [[compactIndex]] is the routine table maintenance that folds
@@ -195,22 +197,32 @@ object Dedup {
   /** Exact-Jaccard verification for streaming candidates. Counts are
     * DISTINCT-counted so an at-least-once replay that duplicated index rows
     * (a retried micro-batch re-appending its shingles) cannot inflate
-    * intersections or set sizes — on clean input distinct-count ≡ count,
-    * so the result still matches [[minHashLsh]] bit-for-bit.
+    * intersections or set sizes — `array_distinct` sheds the duplicates in
+    * the per-doc set build, so on clean input the result still matches
+    * [[minHashLsh]] bit-for-bit.
+    *
+    * `arr` is the per-CANDIDATE-doc shingle-set table (id, ss) — the caller
+    * persists it (micro-batch-bounded: only docs that appear in a pair).
+    * Intersection and sizes are computed IN-ROW (`array_intersect`/`size`)
+    * after joining each pair to its two set rows. vs the exploded
+    * (pair × shingle) join + groupBy + two sizes joins this drops ~4
+    * exchanges per micro-batch, and both small sides broadcast under AQE —
+    * the per-batch fixed-latency budget is the whole game at a 100 TB
+    * stream's batch cadence. Batch [[minHashLsh]] deliberately keeps the
+    * exploded verify: its candidate set is corpus-scale, and a row per doc
+    * shingle SET there would hold million-element arrays on the biggest
+    * docs, where the stream's arrays are bounded by what one micro-batch's
+    * bands collide with.
     */
-  private def verifyStreamCandidates(cand: DataFrame, shingles: DataFrame,
+  private def verifyStreamCandidates(cand: DataFrame, arr: DataFrame,
                                      threshold: Double): DataFrame = {
-    val candIds = cand.select(col("d1").as("id"))
-      .union(cand.select(col("d2").as("id"))).distinct()
-    val sh = shingles.join(candIds, Seq("id"), "left_semi")
-    val sizes = sh.groupBy("id").agg(countDistinct(col("shingle")).as("n"))
     cand
-      .join(sh.toDF("d1", "s"), "d1")
-      .join(sh.toDF("d2", "s2"), "d2")
-      .filter(col("s") === col("s2"))
-      .groupBy("d1", "d2").agg(countDistinct(col("s")).as("inter_cnt"))
-      .join(sizes.toDF("d1", "n1"), "d1")
-      .join(sizes.toDF("d2", "n2"), "d2")
+      .join(arr.toDF("d1", "s1"), "d1")
+      .join(arr.toDF("d2", "s2"), "d2")
+      .withColumn("inter_cnt", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
+      .drop("s1", "s2")
       .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
       .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
       .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
@@ -248,57 +260,95 @@ object Dedup {
   def minHashLshIncrement(batch: DataFrame, idCol: String, textCol: String,
                           threshold: Double, index: LshIndex, pairsDir: String,
                           batchId: Long, shingleN: Int = 3,
-                          numHashes: Int = 64, bandSize: Int = 2): Unit = {
+                          numHashes: Int = 64, bandSize: Int = 2,
+                          checks: TableChecks = new TableChecks): Unit = {
     val spark = batch.sparkSession
     // single-writer contract: fail loudly if a compaction is rewriting the
     // index right now (appends to the pre-snapshot table would be dropped
-    // by its swap)
-    StateLease.assertFree(spark, index.bandsTable)
-    StateLease.assertFree(spark, index.shinglesTable)
-    // a compaction swap that crashed between DROP and RENAME must be
-    // finished BEFORE the tableExists checks below — a missing table with
-    // a __compact sibling is the accumulated corpus, not a fresh stream
-    finishCrashedSwap(spark, index.bandsTable)
-    finishCrashedSwap(spark, index.shinglesTable)
-    // local persists (batch-lifetime, released in finally — not Caching
-    // .scoped: the scope here is this increment, not the caller's query)
-    val batchShingles = wordShingles(batch, idCol, textCol, shingleN)
+    // by its swap); includes finishing a compaction swap that crashed
+    // between DROP and RENAME BEFORE the tableExists checks below — a
+    // missing table with a __compact sibling is the accumulated corpus,
+    // not a fresh stream. Memoized per stream via [[TableChecks]].
+    checks.ensureWritable(spark, index.bandsTable)
+    checks.ensureWritable(spark, index.shinglesTable)
+    graft.functions.GraftFunctions.register(spark)
+    // ONE narrow pass builds everything per-row: token array → distinct
+    // shingle SET (in-row, no explode+distinct exchange) → MinHash band
+    // keys via the scalar graft_minhash_bands (bit-identical to the batch
+    // path's aggregate — [[graft.functions.Lsh.updateSig]] is the shared
+    // kernel). The whole signature stage is embarrassingly parallel; only
+    // band keys ever shuffle. Requires ids unique within the batch (the
+    // exact-dedup stage upstream guarantees it; the batch path's groupBy
+    // would instead union duplicate-id rows' shingle sets).
+    // Local persist (batch-lifetime, released in finally — not Caching
+    // .scoped: the scope here is this increment, not the caller's query).
+    val batchDocs = batch
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= shingleN)
+      .select(col("id"),
+        array_distinct(TextAnalysis.wordNGrams(col("__t"), shingleN)).as("ss"))
+      .withColumn("bk", call_function("graft_minhash_bands",
+        col("ss"), lit(numHashes), lit(bandSize)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBands = signatureBands(batchShingles, numHashes, bandSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var caches: List[DataFrame] = List(batchDocs)
     try {
+      val batchBands = batchDocs
+        .select(col("id"), posexplode(col("bk")).as(Seq("band", "band_key")))
       // BOTH tables, not just one: a first-batch crash between the two
       // appends leaves only the bands table, and a replay that trusted it
       // alone would throw reading the missing shingles table forever —
       // treating half-created state as a fresh stream re-creates both
       // (the replay's reads see no prior batches either way)
-      val exists = spark.catalog.tableExists(index.bandsTable) &&
-        spark.catalog.tableExists(index.shinglesTable)
+      val exists = checks.exists(spark, index.bandsTable) &&
+        checks.exists(spark, index.shinglesTable)
       val inBatch = batchBands.toDF("d1", "band", "band_key")
         .join(batchBands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
         .filter(col("d1") < col("d2"))
         .select("d1", "d2")
-      val cand = (if (exists) inBatch.union(crossCandidates(batchBands, index))
-                  else inBatch).distinct()
-      val allShingles =
-        if (exists) spark.table(index.shinglesTable).select("id", "shingle").union(batchShingles)
-        else batchShingles
+      // the candidate pairs feed the verify chain AND both legs of the
+      // candIds union — persist (micro-batch-bounded: pairs sharing a
+      // band) so the band self-join + index probe run once per increment,
+      // not three times. That recomputation was ~half of x33's per-batch
+      // wall before round 11.
+      val cand = ((if (exists) inBatch.union(crossCandidates(batchBands, index))
+                   else inBatch).distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches ::= cand
+      val allSets =
+        if (exists) spark.table(index.shinglesTable).select("id", "ss")
+          .union(batchDocs.select("id", "ss"))
+        else batchDocs.select("id", "ss")
+      // no .distinct(): left-semi dedups against its right side for free
+      val candIds = cand.select(col("d1").as("id"))
+        .union(cand.select(col("d2").as("id")))
+      // per-candidate-doc shingle sets: the semi-join pulls only candidate
+      // ids out of the bucketed corpus table (candIds broadcasts under
+      // AQE), dropDuplicates sheds replay-duplicated index rows (identical
+      // (id, ss) rows); persisted because both verify-join legs read it
+      val arr = allSets.join(candIds, Seq("id"), "left_semi")
+        .dropDuplicates("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches ::= arr
       // the pairs write MATERIALIZES the candidates/verification plan while
       // the index still holds only PRIOR batches — appending first would
       // double-count in-batch pairs through the cross join
-      verifyStreamCandidates(cand, allShingles, threshold)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(pairsDir)
+      graft.ProbeTiming("lsh_verify+pairs")(
+        verifyStreamCandidates(cand, arr, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(pairsDir))
       val mode = if (exists) "append" else "overwrite"
-      batchBands.write.mode(mode).format("parquet")
-        .bucketBy(index.numBuckets, "band", "band_key").saveAsTable(index.bandsTable)
-      batchShingles.write.mode(mode).format("parquet")
-        .bucketBy(index.numBuckets, "id").saveAsTable(index.shinglesTable)
-    } finally {
-      batchBands.unpersist(blocking = false)
-      batchShingles.unpersist(blocking = false)
-    }
+      // the two index appends are independent of each other and read only
+      // the persisted batch caches — run them concurrently (on a
+      // micro-batch, two actions' fixed costs become one max)
+      graft.ProbeTiming("lsh_appends")(ConcurrentActions.run(Seq(
+        () => batchBands.write.mode(mode).format("parquet")
+          .bucketBy(index.numBuckets, "band", "band_key").saveAsTable(index.bandsTable),
+        () => batchDocs.select("id", "ss").write.mode(mode).format("parquet")
+          .bucketBy(index.numBuckets, "id").saveAsTable(index.shinglesTable))))
+      checks.markExists(index.bandsTable)
+      checks.markExists(index.shinglesTable)
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 
   /** Streaming near-dup dedup: [[minHashLshIncrement]] wired into
@@ -317,13 +367,17 @@ object Dedup {
   def minHashLshStream(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, pairsDir: String, index: LshIndex,
                        shingleN: Int = 3, numHashes: Int = 64,
-                       bandSize: Int = 2, compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                       bandSize: Int = 2, compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // one maintenance-check memo per STREAM: lease/crashed-swap/existence
+    // run on the first batch, not every batch ([[TableChecks]])
+    val checks = new TableChecks
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       minHashLshIncrement(batch.toDF(), idCol, textCol, threshold, index,
-        pairsDir, batchId, shingleN, numHashes, bandSize)
+        pairsDir, batchId, shingleN, numHashes, bandSize, checks)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         compactIndex(batch.sparkSession, index)
     }
+  }
 
   /** Compacts one bucketed index table back to `numBuckets` files: the
     * append-per-micro-batch growth pattern ([[minHashLshIncrement]] adds
@@ -655,14 +709,14 @@ object Dedup {
     * pairs — the x39 oracle and the ExtensionsSpec golden.
     */
   def clusterIncrement(newPairs: DataFrame, state: ClusterState,
-                       batchId: Long, maxIters: Int = 20): Unit = {
+                       batchId: Long, maxIters: Int = 20,
+                       checks: TableChecks = new TableChecks): Unit = {
     val spark = newPairs.sparkSession
     // single-writer contract: no increment while a compaction rewrites the
-    // registry ([[StateLease]] — the race would append to a dropped table)
-    StateLease.assertFree(spark, state.byDocTable)
-    StateLease.assertFree(spark, state.byClusterTable)
-    finishCrashedSwap(spark, state.byDocTable)
-    finishCrashedSwap(spark, state.byClusterTable)
+    // registry ([[StateLease]] — the race would append to a dropped table);
+    // includes the crashed-swap finish. Memoized per stream ([[TableChecks]]).
+    checks.ensureWritable(spark, state.byDocTable)
+    checks.ensureWritable(spark, state.byClusterTable)
     // the connectedComponents integral-id guard, applied BEFORE the widening
     // cast (casting a string id would silently null it past the guard)
     locally {
@@ -677,8 +731,8 @@ object Dedup {
     val pairs = newPairs.select(col("d1").cast("long"), col("d2").cast("long"))
     // BOTH tables (the minHashLshIncrement first-batch-crash argument): a
     // crash between the two first writes must read as a fresh registry
-    val exists = spark.catalog.tableExists(state.byDocTable) &&
-      spark.catalog.tableExists(state.byClusterTable)
+    val exists = checks.exists(spark, state.byDocTable) &&
+      checks.exists(spark, state.byClusterTable)
     val edges =
       if (!exists) pairs
       else {
@@ -695,13 +749,22 @@ object Dedup {
           .select(col("doc_id").as("d1"), col("cluster_id").as("d2")).distinct()
         members.union(pairs)
       }
+    // the mapping feeds BOTH registry tables: persist it, or the second
+    // save re-runs the whole log-round component iteration; the two saves
+    // read only the cache and are independent — run them concurrently
     val cc = connectedComponents(edges, maxIters)
       .withColumn("batch_id", lit(batchId))
-    val mode = if (exists) "append" else "overwrite"
-    cc.write.mode(mode).format("parquet")
-      .bucketBy(state.numBuckets, "doc_id").saveAsTable(state.byDocTable)
-    cc.write.mode(mode).format("parquet")
-      .bucketBy(state.numBuckets, "cluster_id").saveAsTable(state.byClusterTable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mode = if (exists) "append" else "overwrite"
+      ConcurrentActions.run(Seq(
+        () => cc.write.mode(mode).format("parquet")
+          .bucketBy(state.numBuckets, "doc_id").saveAsTable(state.byDocTable),
+        () => cc.write.mode(mode).format("parquet")
+          .bucketBy(state.numBuckets, "cluster_id").saveAsTable(state.byClusterTable)))
+      checks.markExists(state.byDocTable)
+      checks.markExists(state.byClusterTable)
+    } finally cc.unpersist(blocking = false)
   }
 
   /** Streaming cluster maintenance: [[clusterIncrement]] per micro-batch
@@ -711,12 +774,14 @@ object Dedup {
     * the largest prefix a replay of the in-flight batch never reads.
     */
   def clusterStream(pairs: DataFrame, state: ClusterState,
-                    compactEvery: Int = 0, maxIters: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                    compactEvery: Int = 0, maxIters: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val checks = new TableChecks
     pairs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-      clusterIncrement(batch.toDF(), state, id, maxIters)
+      clusterIncrement(batch.toDF(), state, id, maxIters, checks)
       if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
         clusterCompact(batch.sparkSession, state, uptoBatch = id - 1)
     }
+  }
 
   /** Routine maintenance for a [[ClusterState]]: folds every doc's rows
     * with `batch_id <= uptoBatch` to its single latest row (keeping that

@@ -762,7 +762,8 @@ object Similarity {
   def cosineLshIncrement(batch: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, index: CosineLshIndex,
                          pairsDir: String, batchId: Long,
-                         numBits: Int = 48, bandSize: Int = 2): Unit = {
+                         numBits: Int = 48, bandSize: Int = 2,
+                         checks: graft.ext.TableChecks = new graft.ext.TableChecks): Unit = {
     require(numBits % bandSize == 0)
     val spark = batch.sparkSession
     // the long cast below would silently NULL a non-integral id — every
@@ -776,22 +777,22 @@ object Similarity {
           "to longs (dictionary join / dense rank) first")
     }
     // single-writer contract: no increment while cosineLshCompact rewrites
-    // the index ([[StateLease]])
-    StateLease.assertFree(spark, index.bandsTable)
-    StateLease.assertFree(spark, index.vecsTable)
+    // the index ([[StateLease]]); includes the crashed-swap finish.
+    // Memoized per stream ([[TableChecks]]).
+    checks.ensureWritable(spark, index.bandsTable)
+    checks.ensureWritable(spark, index.vecsTable)
     graft.functions.GraftFunctions.register(spark)
-    Dedup.finishCrashedSwap(spark, index.bandsTable)
-    Dedup.finishCrashedSwap(spark, index.vecsTable)
     val base = batch
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .filter(col("nrm") > 0)
       .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var caches: List[DataFrame] = List(base)
     try {
       // BOTH tables (the minHashLshIncrement first-batch-crash argument)
-      val exists = spark.catalog.tableExists(index.bandsTable) &&
-        spark.catalog.tableExists(index.vecsTable)
+      val exists = checks.exists(spark, index.bandsTable) &&
+        checks.exists(spark, index.vecsTable)
       val bands = srpBands(base, numBits, bandSize)
       val inBatch = bands.toDF("id_a", "band", "bv")
         .join(bands.toDF("id_b", "band", "bv"), Seq("band", "bv"))
@@ -805,7 +806,13 @@ object Similarity {
             .select(least(col("stored_id"), col("new_id")).as("id_a"),
               greatest(col("stored_id"), col("new_id")).as("id_b"))
         else inBatch.limit(0)
+      // cand feeds the verify probes AND both candIds unions, vecs both
+      // verify sides — persist both (micro-batch-bounded; the
+      // minHashLshIncrement round-11 rationale: without these each
+      // reference re-runs the band joins / re-scans the corpus tables)
       val cand = inBatch.union(cross).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches ::= cand
       val allVecs =
         if (exists)
           spark.table(index.vecsTable).select("id", "v", "nrm")
@@ -818,6 +825,8 @@ object Similarity {
       // by the candidate set
       val vecs = allVecs.join(candIds, Seq("id"), "left_semi")
         .dropDuplicates("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches ::= vecs
       // pairs MATERIALIZE while the index holds only PRIOR batches (the
       // minHashLshIncrement ordering argument)
       cand
@@ -829,11 +838,16 @@ object Similarity {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(pairsDir)
       val mode = if (exists) "append" else "overwrite"
-      bands.write.mode(mode).format("parquet")
-        .bucketBy(index.numBuckets, "band", "bv").saveAsTable(index.bandsTable)
-      base.select("id", "v", "nrm").write.mode(mode).format("parquet")
-        .bucketBy(index.numBuckets, "id").saveAsTable(index.vecsTable)
-    } finally base.unpersist(blocking = false)
+      // independent index appends over the persisted batch base — concurrent
+      // (the minHashLshIncrement round-11 pattern)
+      graft.ext.ConcurrentActions.run(Seq(
+        () => srpBands(base, numBits, bandSize).write.mode(mode).format("parquet")
+          .bucketBy(index.numBuckets, "band", "bv").saveAsTable(index.bandsTable),
+        () => base.select("id", "v", "nrm").write.mode(mode).format("parquet")
+          .bucketBy(index.numBuckets, "id").saveAsTable(index.vecsTable)))
+      checks.markExists(index.bandsTable)
+      checks.markExists(index.vecsTable)
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 
   /** Streaming semantic near-dup: [[cosineLshIncrement]] per micro-batch;
@@ -842,13 +856,15 @@ object Similarity {
   def cosineLshStream(vecs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, pairsDir: String, index: CosineLshIndex,
                       numBits: Int = 48, bandSize: Int = 2,
-                      compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                      compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val checks = new graft.ext.TableChecks
     vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
       cosineLshIncrement(batch.toDF(), idCol, vecCol, threshold, index,
-        pairsDir, id, numBits, bandSize)
+        pairsDir, id, numBits, bandSize, checks)
       if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
         cosineLshCompact(batch.sparkSession, index)
     }
+  }
 
   /** Folds both index tables back to ≤ numBuckets files and sheds
     * replay-duplicated rows; same swap contract as [[Dedup.compactIndex]].
