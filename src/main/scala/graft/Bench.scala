@@ -63,6 +63,21 @@ object Bench {
 
   private val RunsPerQuery = 3
 
+  /** Extra isolated runs bought per query whose standard runs are
+    * [[isUnstable]] — enough to outvote one environment-inflated outlier
+    * without letting a genuinely bimodal query rerun forever.
+    */
+  private val ExtraRunsWhenUnstable = 2
+
+  /** The systematic-inflation signature shared by the convergence reruns
+    * and the summary anomalies block: the median disagrees with the run
+    * set's own floor by >1.5x. The absolute floor keeps ordinary jitter on
+    * sub-second queries (0.30 s vs a 0.18 s min) from flagging — those
+    * can't meaningfully distort the total OR the anomalies block.
+    */
+  private[graft] def isUnstable(ts: Seq[Double]): Boolean =
+    ts.nonEmpty && median(ts) > 1.5 * ts.min && median(ts) > 0.5
+
   /** Queries whose protocol mutates shared JVM/session state (catalog
     * tables, state-store providers, streaming checkpoints) rather than just
     * reading parquet. They run AFTER every plain batch query: r6's official
@@ -333,7 +348,7 @@ object Bench {
     // emission preserves this execution order)
     val runTimes: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
       val (load0, gc0, cpu0) = (loadAvg(), gcMillis(), processCpuNanos())
-      val times = (1 to RunsPerQuery).flatMap { _ =>
+      def oneRun(): Option[Double] = {
         // per-run isolation: no run inherits cached state, loaded
         // state-store providers, or GC debt from any prior run or query
         // (see the protocol note in the scaladoc)
@@ -355,11 +370,25 @@ object Bench {
         sweepLeaks(name)
         dt
       }
+      var times = (1 to RunsPerQuery).flatMap(_ => oneRun())
+      // convergence (round 11): a run set like [15.6, 3.5, 11.3] (r10's
+      // x13 — loadavg 6.9 while it ran) reports an 11.25 s official median
+      // for a 3.5 s query. When the standard runs disagree with their own
+      // floor by >1.5x ([[isUnstable]] — same gate the anomalies block
+      // uses), buy up to ExtraRunsWhenUnstable more isolated runs and
+      // report the median of ALL runs: bounded cost (only anomalous
+      // queries pay), and the full run array still lands in the detail
+      // line + anomalies block either way.
+      var extra = 0
+      while (extra < ExtraRunsWhenUnstable && times.nonEmpty && isUnstable(times)) {
+        times ++= oneRun().toSeq
+        extra += 1
+      }
       // -1 + errors entry = failed EVERY run (never report a crash as a
       // fast success); a single-run hiccup with surviving runs reports in
       // `flaky` (its median still counts)
       if (times.isEmpty) errors += name
-      else if (times.length < RunsPerQuery) flaky += name
+      else if (times.length < RunsPerQuery + extra) flaky += name
       sysStats(name) = (load0, gcMillis() - gc0,
         if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9)
       name -> times
@@ -544,8 +573,15 @@ object Bench {
     {
       def qsAt(decimals: Int) = results.map { case (k, v) => "\"" + k + "\":" + fp(v, decimals) }
         .mkString("{", ",", "}")
+      // same uniqueness rule as the anomaly keys: a duplicated short key
+      // would silently last-wins-drop a query from the parsed artifact
+      val qShortKey: Map[String, String] = {
+        val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+        val counts = pref.groupBy(_._2).map { case (p, xs) => p -> xs.length }
+        pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }.toMap
+      }
       def qsShortAt(decimals: Int) = results
-        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fp(v, decimals) }
+        .map { case (k, v) => "\"" + qShortKey(k) + "\":" + fp(v, decimals) }
         .mkString("{", ",", "}")
       // Anomaly self-attribution IN the summary (round 10): the detail
       // line's sys counters print FIRST and die in the driver's tail
@@ -561,16 +597,24 @@ object Bench {
       val medianByName = results.toMap
       val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
       val unstable = runTimes.collect {
-        case (name, ts) if ts.nonEmpty && median(ts) > 1.5 * ts.min => name
+        case (name, ts) if isUnstable(ts) => name
       }.toSet
       val anoms: Seq[(String, Seq[Double])] = runTimes
         .filter { case (name, ts) => ts.nonEmpty && (slowest(name) || unstable(name)) }
         .sortBy { case (name, _) => -medianByName(name) }
+      // keys shorten to their q··/x·· prefix ONLY while that stays unique
+      // within the block — duplicate JSON keys parse last-wins, silently
+      // hiding one anomalous query behind another
+      val shortKey: Map[String, String] = {
+        val pref = anoms.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+        val counts = pref.groupBy(_._2).map { case (p, xs) => p -> xs.length }
+        pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }.toMap
+      }
       def anomJ(cap: Int): Option[String] =
         if (anoms.isEmpty) None
         else Some("\"anomalies\":{" + anoms.take(cap).map { case (k, ts) =>
           val (load, gc, cpu) = sysStats(k)
-          "\"" + k.takeWhile(_ != '_') + "\":[[" + ts.map(fp(_, 2)).mkString(",") +
+          "\"" + shortKey(k) + "\":[[" + ts.map(fp(_, 2)).mkString(",") +
             "],[" + fp(load, 1) + "," + gc + "," + fp(cpu, 1) + "]]"
         }.mkString(",") + "}")
       def line(qs: String, streamingJson: Option[String], withErrors: Boolean,
@@ -594,9 +638,26 @@ object Bench {
           line(qsShortAt(1), short, withErrors = true, anomJ(3)),
           line(qsShortAt(1), None, withErrors = true, anomJ(3)),
           line(qsAt(1), None, withErrors = true, None),
-          line(qsShortAt(1), None, withErrors = true, None))
-      candidates.find(_.length <= 1960)
-        .getOrElse(line(qsShortAt(1), None, withErrors = false, None))
+          line(qsShortAt(1), None, withErrors = true, None),
+          line(qsShortAt(1), None, withErrors = false, None))
+      candidates.find(_.length <= 1960).getOrElse {
+        // unconditional floor: even a query surface far past today's 79
+        // (where every rung above overflows) must yield a parseable line —
+        // keep the SLOWEST queries (the informative ones) and say honestly
+        // how many were cut
+        val bySlowest = results.sortBy { case (_, v) => -v }
+        val kept = (results.length to 1 by -1).iterator.map { k =>
+          val keep = bySlowest.take(k).map(_._1).toSet
+          val qs = results.filter { case (name, _) => keep(name) }
+            .map { case (name, v) => "\"" + qShortKey(name) + "\":" + fp(v, 1) }
+            .mkString("{", ",", "}")
+          s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+            s""""queries_omitted":${results.length - k},"sf":"$sfDir"}"""
+        }
+        kept.find(_.length <= 1960)
+          .getOrElse(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},""" +
+            s""""queries_omitted":${results.length},"sf":"$sfDir"}""")
+      }
     }
   }
 }

@@ -899,11 +899,23 @@ object Similarity {
     * contributes exactly one value at every position).
     */
   def trainCentroids(df: DataFrame, vecCol: String, labelCol: String): CentroidModel = {
-    // validated up front so a LONG/STRING label fails with this message, not
-    // a bare ClassCastException at the collect below
+    // validated up front so a STRING/DOUBLE label fails with this message,
+    // not a bare ClassCastException at the collect below. Any integral type
+    // is accepted and cast to int losslessly — labels like `user_id % k`
+    // are naturally LONG — with a per-row raise on int overflow (a silent
+    // cast would wrap 2^31 to -2^31 and merge unrelated classes).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val labelType = df.schema(labelCol).dataType
-    require(labelType == org.apache.spark.sql.types.IntegerType,
-      s"trainCentroids: label column '$labelCol' must be INT, got $labelType")
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(labelType),
+      s"trainCentroids: label column '$labelCol' must be an integral type " +
+        s"(BYTE/SHORT/INT/LONG), got $labelType")
+    val labelAsInt =
+      if (labelType == LongType)
+        when(col(labelCol) =!= col(labelCol).cast("int").cast("long"),
+          raise_error(concat(lit(s"trainCentroids: label in '$labelCol' overflows INT: "),
+            col(labelCol).cast("string"))).cast("int"))
+          .otherwise(col(labelCol).cast("int"))
+      else col(labelCol).cast("int")
     val chk = df.agg(count(lit(1)).as("n"),
       sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
       min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax")).head()
@@ -915,7 +927,7 @@ object Similarity {
     val dim = chk.getInt(2)
     // labels×dim exact sums + counts in ONE aggregate: bounded driver collect
     val sums = df
-      .select(col(labelCol).as("__l"),
+      .select(labelAsInt.as("__l"),
         posexplode(transform(col(vecCol),
           v => floor(v.cast("double") * lit(CentroidQuantScale)).cast("long")))
           .as(Seq("__p", "__q")))

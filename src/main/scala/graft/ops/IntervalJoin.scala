@@ -106,12 +106,17 @@ object IntervalJoin {
     val ia = iv.alias("__ij")
     // grain + keys are equi-conditions (hash/sort-merge join); containment is
     // the residual condition — inside the join so LEFT keeps unmatched facts
+    // user column names are backtick-quoted: a bare dot in `col("__fj.a.b")`
+    // parses as a nested-field path and a literal backtick would unbalance
+    // the quoting, so escape the latter by doubling (the SQL-identifier rule)
+    def q(alias: String, c: String): Column =
+      col(s"$alias.`${c.replace("`", "``")}`")
     val cond = ((col("__fj.__g") === col("__ij.__g")) +:
-        keyCols.map(k => col(s"__fj.$k") === col(s"__ij.$k"))).reduce(_ && _) &&
+        keyCols.map(k => q("__fj", k) === q("__ij", k))).reduce(_ && _) &&
       col("__fj.__t") >= col("__ij.__s") && col("__fj.__t") < col("__ij.__e")
     val ivPayload = intervals.columns.filterNot(keyCols.contains)
     fa.join(ia, cond, jt)
-      .select(facts.columns.map(c => col(s"__fj.$c")).toSeq ++
-        ivPayload.map(c => col(s"__ij.$c")): _*)
+      .select(facts.columns.map(c => q("__fj", c)).toSeq ++
+        ivPayload.map(c => q("__ij", c)): _*)
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.buildSummary]]'s capture-window contract: the driver keeps
+  * only the LAST ~2000 chars of stdout, so the summary must (a) fit the
+  * window WHOLE at any realistic query count, (b) stay parseable JSON,
+  * (c) degrade in the declared order — errors outlive the streaming block,
+  * anomaly attribution outlives the streaming block, and anomalies drop
+  * only at the very last rung. A reorder of the ladder (or a key-collision
+  * regression that last-wins-drops a query from the parsed artifact) fails
+  * here before it silently corrupts a round's official BENCH artifact.
+  */
+class BenchSummarySpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Synthesize a bench result set: `n` queries with reference-shaped names
+    * (q01_/x02_… prefixes + a payload suffix), the last `nAnom` of them
+    * unstable (runs [3.5, 11.3, 15.6]-shaped, median >> min).
+    */
+  private def synth(n: Int, nAnom: Int, suffixLen: Int,
+                    nErr: Int, nLeak: Int) = {
+    val names = (0 until n).map(i => f"x$i%02d_" + ("a" * suffixLen))
+    val runTimes: Seq[(String, Seq[Double])] = names.zipWithIndex.map {
+      case (name, i) =>
+        if (i >= n - nAnom) name -> Seq(15.62, 3.47, 11.25)
+        else name -> Seq(0.3 + i * 0.01, 0.31 + i * 0.01, 0.29 + i * 0.01)
+    }
+    val results = runTimes.map { case (k, ts) => k -> ts.sorted.apply(1) }
+    val sysStats = names.map(_ -> ((6.9, 1450L, 540.8))).toMap
+    val errors = (0 until nErr).map(i => s"err_query_$i")
+    val leaks = (0 until nLeak).map(i => s"leaker:table_$i")
+    val st = """{"latestByKey_rows_per_sec":393508,"streamDedup_rows_per_sec":412317,"streamTableJoin_rows_per_sec":324952,"tableTableJoin_rows_per_sec":311055}"""
+    val stShort = """{"latestByKey":393508,"streamDedup":412317,"streamTableJoin":324952,"tableTableJoin":311055}"""
+    val total = results.map(_._2).sum
+    Bench.buildSummary(results, runTimes, sysStats, errors, errors.take(1),
+      leaks, total, st, stShort, "/root/testdata/sf0.1")
+  }
+
+  test("every rung of the ladder emits a <=1960-char parseable JSON object with the driver contract fields") {
+    // the sweep is sized to walk the WHOLE ladder: 5 queries fits the full
+    // 3-decimal rung, 200 long-named queries + errors forces the deepest
+    // compactions
+    for (n <- Seq(5, 40, 80, 120, 200); nErr <- Seq(0, 6); suffix <- Seq(12, 40)) {
+      val s = synth(n, nAnom = math.min(8, n), suffixLen = suffix,
+        nErr = nErr, nLeak = nErr)
+      assert(s.length <= 1960, s"n=$n suffix=$suffix: ${s.length} chars")
+      val j = mapper.readTree(s)
+      assert(j.get("metric").asText == "total", s)
+      assert(j.get("value").isNumber && j.get("unit").asText == "sec", s)
+      assert(j.get("sf").asText == "/root/testdata/sf0.1", s)
+      // key-collision detector: Jackson parses duplicate keys last-wins, so
+      // a shortening collision shows up as a SHRUNKEN queries object. Past
+      // the ladder (a far-future query surface), truncation must be
+      // DECLARED via queries_omitted — never silent
+      val omitted = if (j.has("queries_omitted")) j.get("queries_omitted").asInt else 0
+      assert(j.get("queries").size + omitted == n,
+        s"n=$n suffix=$suffix: ${j.get("queries").size} query keys + $omitted omitted")
+      // today's real surface (79 queries) must never need the truncation floor
+      if (n <= 120) assert(omitted == 0, s"n=$n must fit without truncation")
+    }
+  }
+
+  test("survival ordering: anomalies outlive streaming, errors outlive both, anomalies drop last") {
+    for (n <- Seq(5, 40, 80, 120, 200, 400); nErr <- Seq(0, 6)) {
+      val s = synth(n, nAnom = math.min(8, n), suffixLen = 40, nErr = nErr, nLeak = nErr)
+      val j = mapper.readTree(s)
+      val hasStreaming = j.has("streaming") || j.has("streaming_rows_per_sec")
+      // every rung that still carries throughput rates must also carry the
+      // anomaly attribution and the error fields — the declared priority
+      if (hasStreaming) {
+        assert(j.has("anomalies"), s"streaming without anomalies at n=$n: $s")
+        assert(j.has("errors") && j.has("flaky") && j.has("leaks"),
+          s"streaming without errors at n=$n: $s")
+      }
+      if (j.has("anomalies")) {
+        assert(j.has("errors"), s"anomalies without errors at n=$n: $s")
+        // [[runs], [loadavg, gc_ms, cpu_s]] — the attribution payload
+        val a = j.get("anomalies").elements().next()
+        assert(a.isArray && a.size == 2 && a.get(0).isArray && a.get(1).size == 3, s)
+      }
+      // the smallest inputs must keep everything (no premature degradation)
+      if (n == 5) assert(hasStreaming && j.has("anomalies") && j.has("errors"), s)
+    }
+  }
+
+  test("anomaly keys never collide: shared q../x.. prefixes fall back to full names") {
+    // two anomalous queries sharing the "x13" prefix — a prefix-always
+    // shortening would emit duplicate JSON keys (silently last-wins)
+    val runTimes = Seq(
+      "x13_dedup_keep" -> Seq(15.62, 3.47, 11.25),
+      "x13_dedup_keep_ranked" -> Seq(14.0, 3.0, 10.0))
+    val results = runTimes.map { case (k, ts) => k -> ts.sorted.apply(1) }
+    val sysStats = results.map(_._1 -> ((1.0, 10L, 5.0))).toMap
+    val s = Bench.buildSummary(results, runTimes, sysStats, Nil, Nil, Nil,
+      21.25, "{}", "{}", "/sf")
+    val j = mapper.readTree(s)
+    assert(j.get("anomalies").size == 2, s"one anomaly shadowed the other: $s")
+    assert(j.get("queries").size == 2, s)
+  }
+
+  test("isUnstable flags systematic inflation but not sub-second jitter") {
+    assert(Bench.isUnstable(Seq(15.62, 3.47, 11.25)), "r10's x13 shape must flag")
+    assert(!Bench.isUnstable(Seq(0.30, 0.18, 0.30)),
+      "sub-second jitter must not flag (absolute floor)")
+    assert(!Bench.isUnstable(Seq(5.0, 5.1, 4.9)), "stable runs must not flag")
+    assert(!Bench.isUnstable(Nil))
+  }
+}

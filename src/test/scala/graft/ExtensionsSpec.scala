@@ -1174,4 +1174,27 @@ class ExtensionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.centroidClassify(bad, "vec_id", "embedding", "label"))
   }
+
+  test("trainCentroids accepts int-valued LONG labels losslessly; overflow and fractional types raise") {
+    import spark.implicits._
+    // derived labels like `user_id % k` are naturally LONG — accepted with a
+    // lossless int cast, bit-identical to training on the INT column
+    val longLab = Seq((Array(1f, 2f), 0L), (Array(3f, 4f), 1L), (Array(5f, 6f), 0L))
+      .toDF("embedding", "label")
+    val intLab = longLab.withColumn("label", col("label").cast("int"))
+    val a = Similarity.trainCentroids(longLab, "embedding", "label")
+    val b = Similarity.trainCentroids(intLab, "embedding", "label")
+    assert(a.dim == b.dim &&
+      a.centroids.map { case (l, c) => (l, c.toSeq) } ==
+        b.centroids.map { case (l, c) => (l, c.toSeq) })
+    // a label past Int.MaxValue would wrap under a silent cast and merge
+    // unrelated classes — must raise per row instead
+    val over = Seq((Array(1f, 2f), Int.MaxValue.toLong + 1L)).toDF("embedding", "label")
+    val e = intercept[Exception](Similarity.trainCentroids(over, "embedding", "label"))
+    assert(e.getMessage != null && e.getMessage.contains("overflows INT"),
+      s"got: ${e.getMessage}")
+    // fractional/string labels are not integral classes — reject up front
+    intercept[IllegalArgumentException](Similarity.trainCentroids(
+      Seq((Array(1f, 2f), 0.5)).toDF("embedding", "label"), "embedding", "label"))
+  }
 }

@@ -406,6 +406,21 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin handles column names containing dots and backticks") {
+    import spark.implicits._
+    // a bare col("__fj.a.b") would mis-parse "a.b" as a nested-field path;
+    // the join quotes every user column, so dotted/backticked names keep
+    // working (keys, payload, and the output projection)
+    val facts = Seq((1L, "a", 1000L), (2L, "a", 9999L))
+      .toDF("fact.id", "the`key", "t")
+    val ivs = Seq((10L, "a", 0L, 5000L)).toDF("iv.id", "the`key", "s", "e")
+    val got = graft.ops.IntervalJoin.join(facts, ivs, "t", "s", "e",
+        keyCols = Seq("the`key"), grainMs = 1000L, joinType = "left")
+      .select(col("`fact.id`"), col("`iv.id`")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got == Set((1L, Some(10L)), (2L, None)))
+  }
+
   test("intervalJoin fails loudly on negative epochs instead of silently dropping") {
     import spark.implicits._
     val ivs = Seq((10L, 0L, 5000L)).toDF("iv_id", "s", "e")
