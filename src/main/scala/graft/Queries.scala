@@ -53,6 +53,20 @@ object Queries {
         .otherwise(col("text").cast("binary")).as("payload"))
       .as(Encoders.product[Multimodal.MediaRow])
 
+  /** Synthesized video corpus for x12 — the [[synthImageMedia]] stance: 2
+    * of every 5 docs become REAL MJPEG AVIs (doc_id%4+1 JPEG frames in
+    * fixed slots so frame offsets are oracle-predictable arithmetic), the
+    * rest raw text exercising the stub fallback.
+    */
+  private val SynthAviUdf = udf((id: Long) =>
+    Multimodal.VideoCodecs.syntheticMjpegAvi(((id % 4) + 1).toInt, id))
+
+  private def synthVideoMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] =
+    docs.select(col("doc_id").as("id"),
+      when(col("doc_id") % 5 < 2, SynthAviUdf(col("doc_id")))
+        .otherwise(col("text").cast("binary")).as("payload"))
+      .as(Encoders.product[Multimodal.MediaRow])
+
   /** Run `body` with the named catalog tables' lifetime bound to it: the
     * drops run in a `finally`, so a mid-run failure (a crashed stream, a
     * lost executor) cannot strand state tables in the shared warehouse and
@@ -558,8 +572,13 @@ object Queries {
           col("format"))
     }),
 
+    // REAL video frame sampling under oracle check (the x11/x14 pattern):
+    // 2 of every 5 docs become a synthesized MJPEG AVI (doc_id%4+1 real
+    // JPEG frames in fixed 2048-byte slots, so the oracle predicts every
+    // chunk offset arithmetically — VideoCodecs.syntheticMjpegAvi); the
+    // rest stay raw text exercising the stub fallback's stride-256 frames.
     "x12_mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF()),
+      Multimodal.sampleFrames(synthVideoMedia(t(s, dir, "documents"))).toDF()),
 
     // REAL resize under oracle check: decode the synthesized PNGs, downscale
     // to maxDim=16 with the floor formula ImageCodecs.resize documents,
@@ -1291,9 +1310,15 @@ object Queries {
         |     ELSE CASE octet_length(CAST(text AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END END AS format
         |FROM documents""".stripMargin,
 
+    // AVI branch: frame k's data offset in the fixed-slot MJPEG container
+    // (232-byte header arithmetic + k * (8 + 2048) chunk stride, pinned by
+    // the VideoCodecs round-trip spec); text branch: the stub's stride-256
     "x12_mm_frames" ->
-      """SELECT doc_id AS id, i.i AS frame_idx, i.i * 256 AS byte_offset
-        |FROM documents, LATERAL unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 256)) i(i)""".stripMargin,
+      """SELECT doc_id AS id, i.i AS frame_idx,
+        |CASE WHEN doc_id % 5 < 2 THEN 232 + i.i * 2056 ELSE i.i * 256 END AS byte_offset
+        |FROM documents, LATERAL unnest(generate_series(0,
+        |  CASE WHEN doc_id % 5 < 2 THEN doc_id % 4
+        |       ELSE octet_length(CAST(text AS BLOB)) // 256 END)) i(i)""".stripMargin,
 
     // PNG branch: the scaled dimensions a real decode of the resized output
     // must report — same floor math as ImageCodecs.resize (`w*16 //

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * metadata, resize/re-encode, and the perceptual-hash pixel grid. A payload
   * no ImageIO reader accepts falls back to the deterministic [[StubCodecs]]
   * fakes, so non-image bytes still flow through the same schema instead of
-  * failing the stage. Video frame sampling and the visual-embedding
-  * extractor remain stubs (no video codec / vision encoder in the JRE) —
-  * swap those kernels for JNI/ffmpeg/ONNX in production; signatures and
-  * batch shape stay the same.
+  * failing the stage. AUDIO decode is REAL for WAV/PCM ([[AudioCodecs]],
+  * `javax.sound.sampled`). VIDEO frame sampling is REAL for MJPEG-in-AVI
+  * ([[VideoCodecs]]: RIFF chunk walk + per-frame ImageIO JPEG decode — the
+  * one video format the JRE covers end-to-end). Only compressed
+  * audio/video codecs (MP3/H.264/…) and the visual-embedding extractor
+  * remain stubs — swap those kernels for JNI/ffmpeg/ONNX in production;
+  * signatures and batch shape stay the same.
   */
 object Multimodal {
 
@@ -27,12 +30,12 @@ object Multimodal {
   final case class Frame(id: Long, frame_idx: Long, byte_offset: Long)
 
   /** STUB decoders: deterministic pure functions of the payload bytes.
-    * Since round 8 these are the FALLBACK behind [[ImageCodecs]]' real
-    * ImageIO decode (non-image payloads flow through the same schema
-    * instead of failing the stage) and the stand-ins for the kernels the
-    * JRE cannot supply — video frame sampling and the visual-embedding
-    * forward pass. Swap those for JNI/ffmpeg/ONNX in production;
-    * signatures and batch shape stay the same.
+    * Since round 8 these are the FALLBACK behind the real codec paths
+    * ([[ImageCodecs]] ImageIO, [[VideoCodecs]] AVI/MJPEG — non-media
+    * payloads flow through the same schema instead of failing the stage)
+    * and the stand-in for the one kernel the JRE cannot supply: the
+    * visual-embedding forward pass. Swap that for an ONNX/JNI encoder in
+    * production; signatures and batch shape stay the same.
     */
   object StubCodecs {
     def imageMeta(id: Long, payload: Array[Byte]): MediaMeta = {
@@ -407,9 +410,166 @@ object Multimodal {
       it.map(r => ImageCodecs.imageMeta(r.id, r.payload))
     }(Encoders.product[MediaMeta])
 
-  /** Sample frames from a video payload, 1→N. */
+  /** REAL video container kernels for MJPEG-in-AVI — the one video format a
+    * JVM can handle end-to-end with no external codec: the container is a
+    * plain RIFF chunk walk (this object) and every frame payload is a JPEG
+    * the JRE's ImageIO already decodes ([[ImageCodecs]]). The same
+    * no-external-deps stance as [[AudioCodecs]]' WAV/PCM path; compressed
+    * codecs (H.264/VP9/AV1) need external libraries — swap in JNI/ffmpeg in
+    * production, signatures and batch shape stay.
+    *
+    * Layout (public RIFF/AVI spec): `RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' 00dc…))` — frame k is the data of
+    * the k-th `##dc`/`##db` chunk inside `movi`.
+    *
+    * "RIFF" is printable ASCII a text payload CAN begin with (the
+    * [[AudioCodecs]] hazard), so AVI status is trusted only after a FULL
+    * strict walk: every chunk must lie inside its parent and a `movi` list
+    * must exist, else the payload is not an AVI and the caller falls back
+    * to the stub — arbitrary bytes can't nondeterministically steal rows
+    * from the stub path.
+    */
+  object VideoCodecs {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    private def fourcc(p: Array[Byte], o: Int): String =
+      new String(p, o, 4, "US-ASCII")
+    private def u32(p: Array[Byte], o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+    /** Strict parse: Some(frames at their real byte offsets) iff the whole
+      * payload walks as a RIFF/AVI with a movi list; None = not an AVI.
+      */
+    def aviFrames(id: Long, payload: Array[Byte]): Option[Seq[Frame]] = {
+      if (payload == null || payload.length < 12 ||
+        fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+        return None
+      val riffEnd = 8L + u32(payload, 4)
+      if (riffEnd > payload.length) return None
+      val out = Seq.newBuilder[Frame]
+      var idx = 0L
+      var foundMovi = false
+      var off = 12L
+      while (off + 8 <= riffEnd) {
+        val cc = fourcc(payload, off.toInt)
+        val sz = u32(payload, off.toInt + 4)
+        if (off + 8 + sz > riffEnd) return None // overrun: not an AVI
+        if (cc == "LIST" && sz >= 4 && fourcc(payload, off.toInt + 8) == "movi") {
+          foundMovi = true
+          val end = off + 8 + sz
+          var o = off + 12
+          while (o + 8 <= end) {
+            val c2 = fourcc(payload, o.toInt)
+            val s2 = u32(payload, o.toInt + 4)
+            if (o + 8 + s2 > end) return None
+            if (c2(0).isDigit && c2(1).isDigit &&
+              (c2.endsWith("dc") || c2.endsWith("db"))) {
+              out += Frame(id, idx, o + 8)
+              idx += 1
+            }
+            o += 8 + s2 + (s2 & 1) // chunks pad to even
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      if (foundMovi) Some(out.result()) else None
+    }
+
+    /** Assemble an MJPEG AVI from already-encoded JPEG frames — the
+      * test/fixture writer (the [[AudioCodecs.pcmWav]] role); parsing goes
+      * through [[aviFrames]] and per-frame decode through the real ImageIO
+      * reader, so round-trips exercise the production read path.
+      */
+    def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                 fps: Int = 25): Array[Byte] = {
+      require(fps > 0, s"mjpegAvi: fps must be positive, got $fps")
+      def pad(n: Int): Int = n + (n & 1)
+      val strf = 40
+      val strh = 56
+      val strl = 12 + (8 + strh) + (8 + strf)
+      val avih = 56
+      val hdrl = 12 + (8 + avih) + strl
+      val moviData = frames.map(f => 8 + pad(f.length)).sum
+      val movi = 12 + moviData
+      val riffSize = 4 + hdrl + movi
+      val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      cc("RIFF"); buf.putInt(riffSize); cc("AVI ")
+      cc("LIST"); buf.putInt(hdrl - 8); cc("hdrl")
+      cc("avih"); buf.putInt(avih)
+      buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1)
+        .putInt(frames.map(_.length).foldLeft(0)(math.max))
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      cc("LIST"); buf.putInt(strl - 8); cc("strl")
+      cc("strh"); buf.putInt(strh)
+      cc("vids"); cc("MJPG")
+      buf.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps) // dwScale / dwRate
+        .putInt(0).putInt(frames.length)
+        .putInt(frames.map(_.length).foldLeft(0)(math.max))
+        .putInt(-1).putInt(0) // dwQuality, dwSampleSize
+        .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      cc("strf"); buf.putInt(strf)
+      buf.putInt(strf).putInt(width).putInt(height).putShort(1).putShort(24)
+      cc("MJPG")
+      buf.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); buf.putInt(movi - 8); cc("movi")
+      frames.foreach { f =>
+        cc("00dc"); buf.putInt(f.length).put(f)
+        if ((f.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+
+    /** Byte offset of frame 0's data in a [[mjpegAvi]] container — header
+      * arithmetic (12 RIFF + 200 hdrl + 12 movi-list header + 8 chunk
+      * header), pinned by the round-trip spec so an external oracle can
+      * predict every offset: frame k's data sits at
+      * `FirstFrameDataOffset + k * (8 + paddedFrameSize)`.
+      */
+    val FirstFrameDataOffset: Long = 232L
+
+    /** Deterministic MJPEG fixture for oracle-checked queries: `n`
+      * solid-color 16×8 JPEG frames (color mixed from (seed, frame)), each
+      * zero-padded to exactly `frameSlot` bytes so every frame offset is
+      * pure arithmetic (`232 + k * (8 + frameSlot)`) an external SQL
+      * oracle can predict — while each padded slice still ImageIO-decodes
+      * (JPEG readers stop at EOI; trailing bytes are ignored).
+      */
+    def syntheticMjpegAvi(n: Int, seed: Long, frameSlot: Int = 2048): Array[Byte] = {
+      require(n > 0, s"syntheticMjpegAvi: n must be positive, got $n")
+      require(frameSlot % 2 == 0, s"syntheticMjpegAvi: frameSlot must be even")
+      val frames = (0 until n).map { j =>
+        var z = (seed + j.toLong) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        val img = new java.awt.image.BufferedImage(16, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color((z & 0xffffff).toInt))
+        g.fillRect(0, 0, 16, 8)
+        g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpeg", out)
+        val enc = out.toByteArray
+        require(enc.length <= frameSlot,
+          s"syntheticMjpegAvi: encoded frame ${enc.length} B exceeds slot $frameSlot")
+        java.util.Arrays.copyOf(enc, frameSlot)
+      }
+      mjpegAvi(frames, width = 16, height = 8, fps = 10)
+    }
+  }
+
+  /** Sample frames from a video payload, 1→N — REAL RIFF/AVI chunk walk
+    * ([[VideoCodecs]]: frame offsets of the MJPEG `##dc` chunks, each a
+    * JPEG the JRE decodes), stub fallback for non-AVI bytes.
+    */
   def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] =
-    media.mapPartitions(_.flatMap(r => StubCodecs.frames(r.id, r.payload)))(Encoders.product[Frame])
+    media.mapPartitions(_.flatMap(r =>
+      VideoCodecs.aviFrames(r.id, r.payload).map(_.iterator)
+        .getOrElse(StubCodecs.frames(r.id, r.payload))))(Encoders.product[Frame])
 
   /** Resize/re-encode every payload (1→1 binary→binary, narrow) — REAL
     * ImageIO decode→scale→PNG re-encode, stub fallback for non-images.

@@ -664,6 +664,93 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("an injected crash between an append's write and its checkpoint commit replays cleanly (ivf + ivfpq)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the at-least-once crash window the replay contract exists for: the
+    // assignments append COMMITTED, the streaming checkpoint did not — the
+    // restarted stream re-delivers the batch, the duplicate rows must be
+    // absorbed by graft_topk's equal-(score,id) collapse, and compaction
+    // must shed them durably. Parameterized over BOTH append paths (the
+    // LSH-index precedent: the minhash/cosine streams have these goldens).
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val train = emb.filter(col("vec_id") <= mx * 3 / 5)
+    val rest = emb.filter(col("vec_id") > mx * 3 / 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cut = mx * 4 / 5
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+      .select("query_id", "rank", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfIdx = Similarity.IvfIndex("tcrash_ivf_assign", "tcrash_ivf_cb", numBuckets = 4)
+    val pqIdx = Similarity.IvfPqIndex("tcrash_pq_assign", "tcrash_pq_cb",
+      "tcrash_pq_pq", numBuckets = 4)
+    // (name, tables, build, per-batch append, compact, full-probe query)
+    val paths: Seq[(String, Seq[String], () => Unit,
+        org.apache.spark.sql.DataFrame => Unit, () => Unit,
+        () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("ivf", Seq(ivfIdx.assignmentsTable, ivfIdx.codebookTable),
+        () => Similarity.ivfBuild(train, "vec_id", "embedding", ivfIdx,
+          nClusters = 16, iters = 5),
+        b => Similarity.ivfAppend(b, "vec_id", "embedding", ivfIdx),
+        () => Similarity.ivfCompact(spark, ivfIdx),
+        () => Similarity.ivfQuery(emb, "vec_id", "embedding", ivfIdx,
+          k = 10, nProbe = 16)),
+      ("ivfpq", Seq(pqIdx.assignmentsTable, pqIdx.codebookTable, pqIdx.pqTable),
+        () => Similarity.ivfPqBuild(train, "vec_id", "embedding", pqIdx,
+          nClusters = 16, iters = 5),
+        b => Similarity.ivfPqAppend(b, "vec_id", "embedding", pqIdx),
+        () => Similarity.ivfPqCompact(spark, pqIdx),
+        () => Similarity.ivfPqQuery(emb, "vec_id", "embedding", pqIdx,
+          k = 10, nProbe = 16, overfetch = 100000)))
+    paths.foreach { case (name, tables, build, append, compact, query) =>
+      tables.foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+      try {
+        build()
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_crash_$name").toString
+        @volatile var injected = false
+        def writer() = input.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            append(b.toDF())
+            if (id == 1L && !injected) {
+              injected = true
+              throw new RuntimeException(s"injected crash: $name batch 1 appended, not committed")
+            }
+          }
+          .option("checkpointLocation", ckpt)
+        val q1 = writer().start()
+        input.addData(rest.filter(_._1 <= cut).toSeq: _*)
+        q1.processAllAvailable()
+        input.addData(rest.filter(_._1 > cut).toSeq: _*)
+        // the injected crash kills the query mid-commit
+        intercept[Exception](q1.processAllAvailable())
+        q1.stop()
+        assert(injected, s"$name: the crash must have fired")
+        // restart from the same checkpoint: batch 1 re-delivers (its append
+        // landed; its commit did not) and double-appends its rows
+        val q2 = writer().start()
+        try q2.processAllAvailable() finally q2.stop()
+        val assignments = tables.head
+        assert(spark.table(assignments).count() >
+          spark.table(assignments).distinct().count(),
+          s"$name precondition: the replayed batch must have appended duplicates")
+        def got() = {
+          val g = query().select("query_id", "rank", "nbr_id")
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          graft.Caching.release(spark)
+          g
+        }
+        assert(got() === brute,
+          s"$name: full probe over the crashed-and-replayed index must equal brute force")
+        compact()
+        assert(spark.table(assignments).count() ===
+          spark.table(assignments).distinct().count(),
+          s"$name: compaction must shed the replay duplicates")
+        assert(got() === brute, s"$name: equality must survive compaction")
+      } finally tables.foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    }
+  }
+
   test("streaming cosine LSH finds cross-batch pairs and equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1007,6 +1094,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(meta.forall(m => m.width >= 1 && m.width <= 640 && m.height >= 1 && m.height <= 480))
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.length > meta.length) // at least one frame per doc, many docs > 256 bytes
+  }
+
+  test("MJPEG-AVI frame sampling is real: chunk-walk offsets, ImageIO-decodable frames, stub fallback") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{Frame, MediaRow, VideoCodecs}
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // three solid-color JPEG frames of distinct sizes, real ImageIO encodes
+    val jpegs = Seq(0xff0000, 0x00ff00, 0x0000ff).zipWithIndex.map { case (rgb, i) =>
+      val img = new BufferedImage(16 + 4 * i, 8 + 2 * i, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, img.getWidth, img.getHeight)
+      g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val avi = VideoCodecs.mjpegAvi(jpegs, width = 24, height = 12, fps = 10)
+    val parsed = VideoCodecs.aviFrames(7L, avi)
+    assert(parsed.isDefined, "a well-formed MJPEG AVI must parse as real video")
+    val frames = parsed.get
+    assert(frames.map(_.frame_idx) == Seq(0L, 1L, 2L))
+    // each frame offset must point at the EXACT embedded JPEG, and that
+    // payload slice must decode through the production ImageIO path
+    frames.zip(jpegs).foreach { case (f, jpeg) =>
+      val slice = avi.slice(f.byte_offset.toInt, f.byte_offset.toInt + jpeg.length)
+      assert(slice.sameElements(jpeg), s"frame ${f.frame_idx} offset ${f.byte_offset}")
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(slice))
+      assert(img != null && img.getWidth == 16 + 4 * f.frame_idx,
+        s"frame ${f.frame_idx} must be a decodable JPEG")
+    }
+    // Dataset path: the AVI row samples its real frames, a text row falls
+    // back to the deterministic stub (the x12 oracle path) — strict walk,
+    // so "RIFF"-prefixed text cannot steal rows from the stub
+    import spark.implicits._
+    val textBytes = "RIFFxxxxAVI not actually a container, just text".getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      MediaRow(7L, avi), MediaRow(8L, textBytes)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val got = Multimodal.sampleFrames(media).collect().groupBy(_.id)
+    assert(got(7L).map(f => (f.frame_idx, f.byte_offset)).toSeq.sorted ==
+      frames.map(f => (f.frame_idx, f.byte_offset)).sorted)
+    assert(got(8L).toSeq == Multimodal.StubCodecs.frames(8L, textBytes).toSeq)
+    // truncated container: the walk overruns -> not an AVI -> stub fallback
+    assert(VideoCodecs.aviFrames(9L, avi.take(avi.length - 10)).isEmpty)
   }
 
   test("multimodal feature extraction feeds the ANN operators end to end") {
