@@ -818,8 +818,9 @@ object Similarity {
           spark.table(index.vecsTable).select("id", "v", "nrm")
             .union(base.select("id", "v", "nrm"))
         else base.select("id", "v", "nrm")
+      // no .distinct(): left-semi dedups against its right side for free
       val candIds = cand.select(col("id_a").as("id"))
-        .union(cand.select(col("id_b").as("id"))).distinct()
+        .union(cand.select(col("id_b").as("id")))
       // replay-duplicated vec rows would duplicate verified pairs — dedup
       // per id AFTER the candidate semi-join, so the distinct is bounded
       // by the candidate set
@@ -911,7 +912,9 @@ object Similarity {
         s"(BYTE/SHORT/INT/LONG), got $labelType")
     val labelAsInt =
       if (labelType == LongType)
-        when(col(labelCol) =!= col(labelCol).cast("int").cast("long"),
+        // bounds compare, not a round-trip cast: ANSI mode would throw its
+        // own CAST_OVERFLOW out of the probe cast before this message fires
+        when(col(labelCol) > Int.MaxValue.toLong || col(labelCol) < Int.MinValue.toLong,
           raise_error(concat(lit(s"trainCentroids: label in '$labelCol' overflows INT: "),
             col(labelCol).cast("string"))).cast("int"))
           .otherwise(col(labelCol).cast("int"))
