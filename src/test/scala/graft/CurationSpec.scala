@@ -1521,4 +1521,84 @@ class CurationSpec extends SparkSpec {
     assert(refScores.min > crawlScores.max,
       s"ref ${refScores.min} must outscore crawl ${crawlScores.max}")
   }
+
+  test("actions per streaming increment are pinned: they cannot silently grow") {
+    // the r11 overhead work holds only while the per-micro-batch ACTION
+    // count stays fixed (pairs write, two concurrent index appends,
+    // curated + offsets writes, hash append = 6; the LSH increment alone =
+    // 3). A stray .count()/debug collect or a split write would re-grow
+    // the per-batch fixed cost the bench just paid down — pin the exact
+    // counts via a QueryExecutionListener (every top-level action fires
+    // one onSuccess; broadcasts/persists ride their parent action).
+    val en20 = (1 to 20).map(i => s"word$i").mkString(" ")
+    def body(tag: String) = en20 + " the quick brown fox " + tag
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en"),
+      nearDupThreshold = 0.5, maxGramDf = None,
+      splits = Seq("train" -> 1.0), tokensPerShard = 25L, shardBuckets = 2)
+    val hg = CurationPipeline.holdoutGramSet(
+      df(100L -> body("holdout")), "doc_id", "text", cfg)
+    hg.write.format("noop").mode("overwrite").save() // materialize outside the window
+    val state = CurationPipeline.StreamState("tactions",
+      java.nio.file.Files.createTempDirectory("graft_cur_actions").toString, numBuckets = 2)
+    state.dropTables(spark)
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    // count PHYSICAL file-insert commands only: a saveAsTable fires a
+    // nest of listener events (SaveAsV1Table > CreateDataSourceTableAsSelect
+    // > InsertIntoHadoopFsRelation) but bottoms out in exactly ONE insert,
+    // and a plain dir write IS one insert — so inserts == writes
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.logical.getClass.getSimpleName == "InsertIntoHadoopFsRelationCommand")
+          { counter.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // the listener bus is async: poll until the count is stable for 500 ms
+    def settled(): Int = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+        (counter.get() != last || System.nanoTime() - lastChange < 500L * 1000 * 1000)) {
+        if (counter.get() != last) { last = counter.get(); lastChange = System.nanoTime() }
+        Thread.sleep(50)
+      }
+      counter.get()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val checks = new graft.ext.TableChecks
+      Seq(0L, 1L).foreach { i =>
+        counter.set(0)
+        CurationPipeline.streamIncrement(
+          df((10 * i + 1) -> body(s"a$i"), (10 * i + 2) -> body(s"b$i")),
+          "doc_id", "text", Some(hg), cfg, state, batchId = i, checks = checks)
+        val n = settled()
+        assert(n == 6,
+          s"streamIncrement batch $i ran $n write actions, pinned at 6 " +
+            "(pairs, bands append, shingles append, curated, offsets, hash)")
+      }
+      val idx = Dedup.LshIndex("tactions_bands", "tactions_shingles", numBuckets = 2)
+      Seq(idx.bandsTable, idx.shinglesTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val pairsDir = java.nio.file.Files.createTempDirectory("graft_lsh_actions")
+        .resolve("pairs").toString
+      val lshChecks = new graft.ext.TableChecks
+      Seq(0L, 1L).foreach { i =>
+        counter.set(0)
+        Dedup.minHashLshIncrement(
+          df((10 * i + 1) -> body(s"a$i"), (10 * i + 2) -> body(s"b$i")),
+          "doc_id", "text", 0.5, idx, pairsDir, batchId = i, checks = lshChecks)
+        val n = settled()
+        assert(n == 3,
+          s"minHashLshIncrement batch $i ran $n write actions, pinned at 3 " +
+            "(pairs write + two index appends)")
+      }
+      Seq(idx.bandsTable, idx.shinglesTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      graft.Caching.release(spark)
+      state.dropTables(spark)
+    }
+  }
 }
