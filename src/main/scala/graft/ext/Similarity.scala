@@ -117,23 +117,61 @@ object Similarity {
       .collect().map(_._2.map(_.toDouble))
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val updated = train
-        .map { case (_, v) => (nearest(bc.value, v), v) }
-        .groupByKey(_._1)
-        .mapGroups { (cid, it) =>
-          var n = 0L; var sum: Array[Double] = null
-          it.foreach { case (_, v) =>
-            if (sum == null) sum = new Array[Double](v.length)
-            var j = 0; while (j < v.length) { sum(j) += v(j); j += 1 }
-            n += 1
-          }
-          (cid, sum.map(_ / n))
-        }.collect()
-      val next = cents.clone()
-      updated.foreach { case (cid, c) => next(cid) = c }
+      // ONE narrow job per iteration: per-partition [cluster][dim+1]
+      // partial sums (count rides the last slot) merged driver-side — the
+      // previous groupByKey shuffled the WHOLE training sample every
+      // iteration, where the sufficient statistics are nClusters×(dim+1)
+      // doubles regardless of sample size
+      val k = cents.length
+      val partials = train.mapPartitions { it =>
+        val c = bc.value
+        var acc: Array[Double] = null
+        it.foreach { case (_, v) =>
+          if (acc == null) acc = new Array[Double](k * (v.length + 1))
+          val w = v.length + 1
+          val base = nearest(c, v) * w
+          var j = 0
+          while (j < v.length) { acc(base + j) += v(j); j += 1 }
+          acc(base + v.length) += 1
+        }
+        if (acc == null) Iterator.empty else Iterator.single(acc)
+      }.collect()
+      val next = cents.map(_.clone())
+      if (partials.nonEmpty) {
+        val w = partials.head.length / k
+        val dim = w - 1
+        val tot = new Array[Double](k * w)
+        partials.foreach { p =>
+          var i = 0; while (i < p.length) { tot(i) += p(i); i += 1 }
+        }
+        var ci = 0
+        while (ci < k) {
+          val n = tot(ci * w + dim)
+          // a cluster that captured nothing keeps its centroid (the
+          // previous per-group formulation's behavior)
+          if (n > 0) next(ci) = Array.tabulate(dim)(j => tot(ci * w + j) / n)
+          ci += 1
+        }
+      }
       cents = next
     }
     cents
+  }
+
+  /** [[nearest]] on the `off ..< off + c(0).length` slice of `v` without
+    * materializing the sub-vector — same arithmetic, same tie rule.
+    */
+  private def nearestOffset(c: Array[Array[Double]], v: Array[Float], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < c.length) {
+      val cc = c(ci)
+      var d = 0.0; var j = 0
+      while (j < cc.length) { val t = cc(j) - v(off + j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
   }
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -353,13 +391,58 @@ object Similarity {
     val dim = vecs.head()._2.length
     require(dim % m == 0, s"pqTrain: dim $dim must be divisible by m $m")
     val dsub = dim / m
-    val books = Array.tabulate(m) { sub =>
-      val lo = sub * dsub
-      // restore the (id, v) column names the shared trainer's
-      // deterministic lowest-id init sorts on (a bare .map yields _1/_2)
-      val s = vecs.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, lo, lo + dsub)) }
-        .toDF("id", "v").as[(Long, Array[Float])]
-      trainCodebook(s, ksub, iters)
+    // all m subspace codebooks train JOINTLY — one narrow job per Lloyd
+    // iteration carrying every subspace's [ksub][dsub+1] partial sums
+    // (m·ksub·(dsub+1) doubles regardless of sample size), instead of m
+    // independent trainCodebook loops (m×iters shuffle jobs + collects of
+    // fixed latency each — the dominant cost of x47/x49/x50 at small SF).
+    // Sampling and lowest-id initialization follow the shared trainer's
+    // rules exactly, so each subspace evolves the same Lloyd trajectory
+    // the per-subspace loop produced.
+    val train = {
+      val n = vecs.count()
+      val cap = 100000L // trainCodebook's trainSample default
+      if (n <= cap) vecs
+      else vecs.filter(r => (r._1 * 0x9E3779B97F4A7C15L >>> 40) % math.max(1L, n / cap) == 0)
+    }
+    val init = train.orderBy(col("id")).limit(ksub).collect().map(_._2)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      init.map(v => Array.tabulate(dsub)(j => v(sub * dsub + j).toDouble))
+    }
+    val w = dsub + 1
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = train.mapPartitions { it =>
+        val b = bc.value
+        var acc: Array[Double] = null
+        it.foreach { case (_, v) =>
+          if (acc == null) acc = new Array[Double](m * ksub * w)
+          var sub = 0
+          while (sub < m) {
+            val ci = nearestOffset(b(sub), v, sub * dsub)
+            val base = (sub * ksub + ci) * w
+            var j = 0
+            while (j < dsub) { acc(base + j) += v(sub * dsub + j); j += 1 }
+            acc(base + dsub) += 1
+            sub += 1
+          }
+        }
+        if (acc == null) Iterator.empty else Iterator.single(acc)
+      }.collect()
+      if (partials.nonEmpty) {
+        val tot = new Array[Double](m * ksub * w)
+        partials.foreach { p =>
+          var i = 0; while (i < p.length) { tot(i) += p(i); i += 1 }
+        }
+        books = Array.tabulate(m) { sub =>
+          Array.tabulate(ksub) { ci =>
+            val base = (sub * ksub + ci) * w
+            val n = tot(base + dsub)
+            if (n > 0) Array.tabulate(dsub)(j => tot(base + j) / n)
+            else books(sub)(ci) // empty cluster keeps its centroid
+          }
+        }
+      }
     }
     PqModel(dim, m, ksub, books)
   }
