@@ -590,15 +590,27 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(norm(col("v")) > 0)
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
-    val cents = trainCodebook(vecs, nClusters, iters)
-    val pq = pqTrain(df, idCol, vecCol, m, ksub, iters)
-    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cluster", "centroid")
-      .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable)
-    pq.codebooks.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .write.mode("overwrite").format("parquet").saveAsTable(index.pqTable)
+    // the IVF and PQ trainers are independent consumers of the same cached
+    // base: run them from concurrent driver threads so their fixed per-job
+    // latencies overlap (pqTrain opens its OWN Caching.scope on the worker
+    // thread, so cache lifecycles stay with their creators; join()
+    // publishes the results). Same for the two independent codebook-table
+    // writes below.
+    var centsV: Array[Array[Double]] = null
+    var pqV: PqModel = null
+    ConcurrentActions.run(Seq(
+      () => { centsV = trainCodebook(vecs, nClusters, iters); () },
+      () => { pqV = pqTrain(df, idCol, vecCol, m, ksub, iters); () }))
+    val cents = centsV
+    val pq = pqV
+    ConcurrentActions.run(Seq(
+      () => cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cluster", "centroid")
+        .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable),
+      () => pq.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+          book.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
+        }.toSeq.toDF("sub", "code", "centroid")
+        .write.mode("overwrite").format("parquet").saveAsTable(index.pqTable)))
     val bcC = spark.sparkContext.broadcast(cents)
     val bcP = spark.sparkContext.broadcast(pq)
     vecs.map { case (id, v) =>
@@ -1041,28 +1053,21 @@ object Similarity {
     */
   def classifyCentroids(df: DataFrame, vecCol: String, model: CentroidModel): DataFrame = {
     require(model.centroids.nonEmpty, "classifyCentroids requires a trained model")
-    // exact fixed-point quantization of component i — pure codegen, no lambda
-    def quant(i: Int): Column =
-      floor(element_at(col(vecCol), i + 1).cast("double") * lit(CentroidQuantScale))
-        .cast("long")
-    // score_l = Σ_i quant(i)·centroid_l[i], summed left-to-right by reduceLeft
-    def score(c: Array[Double]): Column =
-      (0 until model.dim).map(i => quant(i).cast("double") * lit(c(i))).reduceLeft(_ + _)
-    val best =
-      if (model.centroids.length == 1)
-        struct(lit(0.0).as("s"), lit(-model.centroids.head._1).as("nl"))
-      else greatest(model.centroids.map { case (l, c) =>
-        struct(score(c).as("s"), lit(-l).as("nl"))
-      }: _*)
-    df.withColumn("__best", best)
-      .withColumn("pred_label",
-        when(col(vecCol).isNull, lit(null).cast("int"))
-          .when(size(col(vecCol)) =!= model.dim, raise_error(concat(
-            lit(s"classifyCentroids: vector dimension "),
-            size(col(vecCol)).cast("string"),
-            lit(s" does not match the model's dim=${model.dim}"))).cast("int"))
-          .otherwise((-col("__best.nl")).cast("int")))
-      .drop("__best")
+    // ONE codegen kernel call per row ([[graft.functions.NcmArgmax]]) with
+    // the label-sorted centroids folded in as literals. The previous
+    // formulation expanded labels×dim element_at/floor/multiply terms into
+    // a greatest-of-structs — big enough to fail janino compilation at
+    // realistic model sizes and silently fall back to interpreted eval;
+    // the kernel is bit-identical by construction (same quantization, same
+    // left-to-right fold, same smaller-label tie rule) and spec-pinned
+    // against the sequential model. NULL vectors predict NULL (null
+    // propagation through the expression); a wrong-dimension vector
+    // throws per row inside the kernel.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val labels = typedLit(model.centroids.map(_._1).toArray)
+    val cents = typedLit(model.centroids.flatMap(_._2).toArray)
+    df.withColumn("pred_label",
+      call_function("graft_ncm_argmax", col(vecCol), labels, cents))
   }
 
   /** Nearest-class-mean embedding classifier (Rocchio/NCM — the standard

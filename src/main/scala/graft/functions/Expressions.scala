@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
@@ -133,6 +133,88 @@ case class PqAdcScore(lutExpr: Expression, codesExpr: Expression) extends Binary
     copy(lutExpr = newLeft, codesExpr = newRight)
 }
 
+/** `graft_ncm_argmax(vec array<float>, labels array<int>, centroids
+  * array<double>) → int` — nearest-class-mean argmax against frozen
+  * centroids (label-major flat layout: `centroids(l*dim + i)`), the scoring
+  * kernel behind [[graft.ext.Similarity.classifyCentroids]].
+  *
+  * Bit-identical by construction to the literal greatest-of-structs
+  * formulation it replaces: each component quantizes to
+  * `floor(double(v(i)) · 2^20)` longs, each label's score is the
+  * LEFT-TO-RIGHT sum of `quantized · centroid` double products (DuckDB's
+  * `list_reduce` folds the same order), ties go to the smaller label. The
+  * when-chain version expanded to labels×dim element_at/floor terms —
+  * big enough to FAIL janino compilation at realistic (labels, dim) and
+  * silently fall back to interpreted eval; this kernel is two tight loops
+  * inside whole-stage codegen at any model size. A vector of the wrong
+  * dimension throws per row (the raise_error stance: element_at past the
+  * end would silently NULL and make the argmax arbitrary).
+  */
+case class NcmArgmax(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ncm_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "graft_ncm_argmax requires (array<float> vec, array<int> labels, " +
+          s"array<double> label-major centroids), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override protected def nullSafeEval(vec: Any, labels: Any, cents: Any): Any =
+    Ncm.argmax(vec.asInstanceOf[ArrayData], labels.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, l, c) =>
+      s"${ev.value} = graft.functions.Ncm.argmax($v, $l, $c);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object Ncm {
+  /** The quantization scale — [[graft.ext.Similarity.CentroidQuantScale]]'s
+    * value, restated here so the codegen kernel has no object-graph
+    * dependency on the operator layer.
+    */
+  final val Scale: Double = (1L << 20).toDouble
+
+  def argmax(v: ArrayData, labels: ArrayData, cents: ArrayData): Int = {
+    val nLabels = labels.numElements()
+    val dim = cents.numElements() / nLabels
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"classifyCentroids: vector dimension ${v.numElements()} does not " +
+          s"match the model's dim=$dim")
+    // quantize once (the when-chain re-derived these per label); the
+    // long round-trip mirrors the chain's floor(..)::long::double exactly
+    val q = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      q(i) = Math.floor(v.getFloat(i).toDouble * Scale).toLong.toDouble
+      i += 1
+    }
+    var best = labels.getInt(0)
+    var bestS = Double.NegativeInfinity
+    var first = true
+    var l = 0
+    while (l < nLabels) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += q(j) * cents.getDouble(l * dim + j); j += 1 }
+      // strict > : ties keep the EARLIER (smaller, label-sorted) label —
+      // the greatest((score, -label)) rule of the literal formulation
+      if (first || s > bestS) { best = labels.getInt(l); bestS = s; first = false }
+      l += 1
+    }
+    best
+  }
+}
+
 object KafkaMurmur2 {
   /** murmur2, seed 0x9747b28c — byte-for-byte the Kafka variant. */
   def hash(data: Array[Byte]): Int = {
@@ -203,7 +285,8 @@ object GraftFunctions {
     ("graft_qsample", classOf[SampleByMinHash], es => SampleByMinHash(es(0), es(1), es(2))),
     ("graft_bloom", classOf[BloomFilterAgg], es => BloomFilterAgg(es(0), es(1), es(2))),
     ("graft_bloom_contains", classOf[BloomMightContain], es => BloomMightContain(es(0), es(1))),
-    ("graft_pq_adc", classOf[PqAdcScore], es => PqAdcScore(es(0), es(1))))
+    ("graft_pq_adc", classOf[PqAdcScore], es => PqAdcScore(es(0), es(1))),
+    ("graft_ncm_argmax", classOf[NcmArgmax], es => NcmArgmax(es(0), es(1), es(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
