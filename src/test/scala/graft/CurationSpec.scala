@@ -1554,13 +1554,15 @@ class CurationSpec extends SparkSpec {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
-    // the listener bus is async: poll until the count is stable for 500 ms
+    // the listener bus is async: poll until the count is stable for 1.5 s
+    // (generous — a loaded box can lag the bus; a short window would
+    // undercount and flake)
     def settled(): Int = {
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var last = -1
       var lastChange = System.nanoTime()
       while (System.nanoTime() < deadline &&
-        (counter.get() != last || System.nanoTime() - lastChange < 500L * 1000 * 1000)) {
+        (counter.get() != last || System.nanoTime() - lastChange < 1500L * 1000 * 1000)) {
         if (counter.get() != last) { last = counter.get(); lastChange = System.nanoTime() }
         Thread.sleep(50)
       }
