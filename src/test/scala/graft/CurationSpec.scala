@@ -865,6 +865,10 @@ class CurationSpec extends SparkSpec {
     try {
       CurationPipeline.streamIncrement(df(1L -> "too short", 2L -> "also short"),
         "doc_id", "text", None, cfg, state, batchId = 0L, maintainClusters = true)
+      // a literally zero-ROW micro-batch (an empty trigger) must also pass
+      // through every stage and state write without corrupting anything
+      CurationPipeline.streamIncrement(df(),
+        "doc_id", "text", None, cfg, state, batchId = 1L, maintainClusters = true)
       val collapsed = CurationPipeline.collapsedOutput(spark, state, "doc_id")
       assert(collapsed.count() === 0L)
       // the declared schema carries the curated-output shape, not a stub

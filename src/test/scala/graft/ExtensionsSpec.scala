@@ -388,6 +388,35 @@ class ExtensionsSpec extends SparkSpec {
       s"post-compaction increment must equal the batch operator: $streamed != $batch")
   }
 
+  test("empty and all-too-short micro-batches pass through the LSH increment without corrupting state") {
+    import spark.implicits._
+    // a stream WILL deliver batches with nothing to index (an empty
+    // trigger, or every doc below the shingle length) — they must neither
+    // crash nor make later cross-batch pairs unreachable
+    val p30 = (1 to 30).map(i => s"s$i").mkString(" ")
+    val idx = Dedup.LshIndex("t34_bands", "t34_shingles", numBuckets = 4)
+    Seq(idx.bandsTable, idx.shinglesTable).foreach(dropTableHard)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_empty")
+    val pairsDir = tmp.resolve("pairs").toString
+    try {
+      Dedup.minHashLshIncrement(Seq(41L -> s"$p30 one").toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, idx, pairsDir, 0L)
+      // batch 1: zero rows; batch 2: a doc too short to shingle (n=3)
+      Dedup.minHashLshIncrement(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, idx, pairsDir, 1L)
+      Dedup.minHashLshIncrement(Seq(42L -> "just two").toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, idx, pairsDir, 2L)
+      // batch 3: the cross-batch near-dup of batch 0 must still be found
+      // through the index the empty batches left intact
+      Dedup.minHashLshIncrement(Seq(43L -> s"$p30 two").toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, idx, pairsDir, 3L)
+      val got = spark.read.parquet(pairsDir).select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((41L, 43L)), s"cross-batch pair must survive empty batches: $got")
+    } finally Seq(idx.bandsTable, idx.shinglesTable).foreach(dropTableHard)
+  }
+
   test("a compaction swap crash (table dropped, __compact live) is recovered by the next increment") {
     import spark.implicits._
     val p30 = (1 to 30).map(i => s"r$i").mkString(" ")
