@@ -35,6 +35,14 @@ class GraftExtensionsSpec extends SparkSpec {
       // and DESCRIBE FUNCTION knows it (the ExpressionInfo landed)
       val desc = s2.sql("DESCRIBE FUNCTION graft_simhash").collect().map(_.getString(0))
       assert(desc.exists(_.contains("graft_simhash")), desc.mkString("; "))
+      // COMPLETENESS: every registered builder resolves in the injected
+      // session — a function added to register() but missed by the
+      // injection list (or vice versa; one shared list today, but this is
+      // the spec that keeps it one) would strand SQL users
+      graft.functions.GraftFunctions.builders.foreach { case (name, _, _) =>
+        val d = s2.sql(s"DESCRIBE FUNCTION $name").collect().map(_.getString(0))
+        assert(d.exists(_.contains(name)), s"$name missing from the injected session")
+      }
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
