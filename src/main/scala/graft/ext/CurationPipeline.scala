@@ -333,6 +333,49 @@ object CurationPipeline {
       Similarity.cosineLshCompact(spark, state.embedIndex)
   }
 
+  /** Folds the shard-offsets ledger's history: every `batch_id <=
+    * uptoBatch` partition collapses to ONE partition (per-bucket latest
+    * cumulative, `max_by(cum, batch_id)`) written under `batch_id =
+    * uptoBatch`. Without this a long-running stream accretes one ledger
+    * partition per micro-batch and EVERY batch's base-offsets read lists
+    * and scans all of them — O(batches) per batch, the one remaining
+    * unbounded-growth path after [[compactState]]'s table folds.
+    *
+    * Replay safety is the [[Dedup.clusterCompact]] uptoBatch contract:
+    * call with the batch BEFORE the in-flight one (`runStream`'s hook
+    * passes `id - 1`), so a replay of batch `id` still reads
+    * `batch_id < id` ⊇ the folded partition. Crash safety: the fold is
+    * written FIRST (dynamic overwrite of its own partition — readers'
+    * `max_by` picks it over any surviving older rows either way), the
+    * folded-away partition dirs are deleted after; a crash between the
+    * two leaves redundant rows that change no read and are re-deleted by
+    * the next fold.
+    */
+  def compactOffsets(spark: org.apache.spark.sql.SparkSession,
+                     state: StreamState, uptoBatch: Long): Unit = {
+    if (uptoBatch < 0 || !dirExists(spark, state.offsetsDir)) return
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ledger = spark.read.schema(StructType(Seq(
+        StructField("bucket", LongType), StructField("cum", LongType),
+        StructField("batch_id", LongType))))
+      .parquet(state.offsetsDir)
+      .filter(col("batch_id") <= uptoBatch)
+    val folded = ledger.groupBy("bucket")
+      .agg(expr("max_by(cum, batch_id)").as("cum"))
+      .withColumn("batch_id", lit(uptoBatch))
+    folded.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(state.offsetsDir)
+    val root = new org.apache.hadoop.fs.Path(state.offsetsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val id = try name.stripPrefix("batch_id=").toLong catch { case _: NumberFormatException => Long.MaxValue }
+        if (id < uptoBatch) { fs.delete(st.getPath, true); () }
+      }
+    }
+  }
+
   /** The retroactive whole-chain collapse the per-batch stream cannot
     * apply in place: the curated output under `state.outDir`, minus every
     * doc the cluster registry maps to a cluster it does not root — i.e.
@@ -696,6 +739,9 @@ object CurationPipeline {
           maintainClusters, checks)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           compactState(batch.sparkSession, state)
+          // id - 1: a replay of the in-flight batch id reads batch_id < id
+          // and must still see every folded row (the clusterCompact rule)
+          compactOffsets(batch.sparkSession, state, uptoBatch = id - 1)
           if (maintainClusters)
             Dedup.clusterCompact(batch.sparkSession, state.clusterState,
               uptoBatch = id - 1)

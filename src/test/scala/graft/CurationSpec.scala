@@ -705,6 +705,15 @@ class CurationSpec extends SparkSpec {
         assert(spark.table(t).inputFiles.length <= 4,
           s"$t must compact to <= numBuckets files, got ${spark.table(t).inputFiles.length}")
       }
+    // the offsets ledger folds too (one partition per batch otherwise
+    // accretes forever): ids {0, 1} collapse into batch_id=1, and the
+    // post-fold batch below proves shard offsets continue through the fold
+    CurationPipeline.compactOffsets(spark, state, uptoBatch = 1L)
+    locally {
+      val parts = new java.io.File(state.offsetsDir).listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+      assert(parts === Set("batch_id=1"), s"ledger must fold to one partition: $parts")
+    }
     val batch3 = Seq(
       21L -> body1,                          // exact dup of compacted hash -> dropped
       22L -> (en20 + " " + tail("omega") + " changed"), // near-dup of 14 via compacted index -> dropped
