@@ -582,21 +582,25 @@ object CurationPipeline {
     // a batch with zero verified pairs writes no partition — the dir can be
     // missing OR exist with no data files (an empty dynamic-overwrite still
     // creates the base dir), so reads declare their schemas instead of
-    // inferring from footers that may not exist. One reader serves both
-    // the drop sets and the registry; column types are passed explicitly
-    // (the lexical pairs carry the input id type, the semantic pairs are
-    // written as longs by cosineLshIncrement).
+    // inferring from footers that may not exist. The read targets THIS
+    // batch's `batch_id=` directory directly: a whole-dir read with a
+    // partition filter still LISTS every accumulated partition during
+    // discovery — O(batches-so-far) driver work on every micro-batch of a
+    // long-running stream, for a read that only ever wants one partition.
+    // One reader serves both the drop sets and the registry; column types
+    // are passed explicitly (the lexical pairs carry the input id type,
+    // the semantic pairs are written as longs by cosineLshIncrement).
     import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
     val idType = batch.schema(idCol).dataType
-    def pairsOf(dir: String, aCol: String, bCol: String, t: DataType): DataFrame =
-      if (dirExists(spark, dir))
+    def pairsOf(dir: String, aCol: String, bCol: String, t: DataType): DataFrame = {
+      val part = s"$dir/batch_id=$batchId"
+      if (dirExists(spark, part))
         spark.read.schema(StructType(Seq(
-            StructField(aCol, t), StructField(bCol, t),
-            StructField("batch_id", LongType))))
-          .parquet(dir)
-          .filter(col("batch_id") === batchId)
+            StructField(aCol, t), StructField(bCol, t))))
+          .parquet(part)
           .select(col(aCol).as("d1"), col(bCol).as("d2"))
       else spark.range(0).select(col("id").cast(t).as("d1"), col("id").cast(t).as("d2"))
+    }
     val lexPairs = pairsOf(state.pairsDir, "d1", "d2", idType)
     val batchDrops = lexPairs.select(col("d2").as(idCol)).distinct()
     val lexKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
