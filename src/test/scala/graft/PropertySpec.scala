@@ -513,4 +513,66 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("MJPEG-AVI container round-trips on random frame counts and sizes; any truncation parses as non-AVI") {
+    import graft.ext.Multimodal.VideoCodecs
+    // random REAL JPEG payload sizes are exercised by the ExtensionsSpec
+    // golden; here the CONTAINER walk is fuzzed: arbitrary frame byte
+    // strings (the walk never inspects frame content), odd sizes forcing
+    // chunk padding, and frame counts from 1 to 40
+    (1 to 30).foreach { trial =>
+      val rnd = new scala.util.Random(0xA51D00D + trial)
+      val n = 1 + rnd.nextInt(40)
+      val frames = (0 until n).map { _ =>
+        val b = new Array[Byte](1 + rnd.nextInt(600)) // odd sizes included
+        rnd.nextBytes(b); b
+      }
+      val avi = VideoCodecs.mjpegAvi(frames, width = 32, height = 16)
+      val parsed = VideoCodecs.aviFrames(1L, avi)
+      assert(parsed.isDefined, s"trial $trial must parse")
+      val got = parsed.get
+      assert(got.size == n, s"trial $trial: ${got.size} != $n frames")
+      got.zip(frames).zipWithIndex.foreach { case ((f, expect), i) =>
+        assert(f.frame_idx == i.toLong)
+        val slice = avi.slice(f.byte_offset.toInt, f.byte_offset.toInt + expect.length)
+        assert(slice.sameElements(expect), s"trial $trial frame $i offset ${f.byte_offset}")
+      }
+      // ANY truncation must read as not-an-AVI (strict walk), never as a
+      // container with silently fewer frames
+      val cut = 12 + rnd.nextInt(avi.length - 13)
+      assert(VideoCodecs.aviFrames(1L, avi.take(cut)).isEmpty,
+        s"trial $trial: truncation at $cut must fail the walk")
+    }
+  }
+
+  test("compactOffsets edges: no-op without a dir or with uptoBatch < 0; folding twice is idempotent; gaps fold") {
+    import graft.ext.CurationPipeline
+    val state = CurationPipeline.StreamState("tco",
+      java.nio.file.Files.createTempDirectory("graft_co").toString, numBuckets = 2)
+    // missing dir / negative uptoBatch: both no-ops, no throw
+    CurationPipeline.compactOffsets(spark, state, uptoBatch = 3L)
+    CurationPipeline.compactOffsets(spark, state, uptoBatch = -1L)
+    // a ledger with a batch GAP (batch 1 emitted no offsets) and several
+    // buckets; fold <= 2 must keep per-bucket latest and leave batch 4
+    import spark.implicits._
+    Seq((0L, 10L, 0L), (1L, 5L, 0L), (0L, 25L, 2L), (0L, 40L, 4L), (1L, 9L, 4L))
+      .toDF("bucket", "cum", "batch_id")
+      .write.partitionBy("batch_id").parquet(state.offsetsDir)
+    def read() = spark.read.parquet(state.offsetsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).toString.toLong)).toSet
+    CurationPipeline.compactOffsets(spark, state, uptoBatch = 2L)
+    val want = Set((0L, 25L, 2L), (1L, 5L, 2L), (0L, 40L, 4L), (1L, 9L, 4L))
+    assert(read() === want, s"fold <= 2: ${read()}")
+    // idempotent
+    CurationPipeline.compactOffsets(spark, state, uptoBatch = 2L)
+    assert(read() === want)
+    // and a reader of batch_id < 3 (a replay of batch 3) sees the same
+    // per-bucket base as the unfolded ledger would have given it
+    val base = spark.read.parquet(state.offsetsDir)
+      .filter(col("batch_id") < 3)
+      .groupBy("bucket").agg(expr("max_by(cum, batch_id)").as("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(base === Map(0L -> 25L, 1L -> 5L))
+  }
 }
