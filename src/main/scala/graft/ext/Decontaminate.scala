@@ -144,8 +144,10 @@ object Decontaminate {
     * cosine before the decision — so there are no false drops. The
     * holdout side (benchmark suites) is orders of magnitude smaller than
     * the train side: AQE broadcasts its bands AND its verification
-    * vectors, so the train corpus never shuffles; the candidate distinct
-    * runs on skinny (train id, holdout id) pairs only. Zero-norm vectors
+    * vectors, so the train corpus never shuffles; a pair colliding in
+    * several bands is emitted once, by its first colliding band
+    * ([[Similarity.firstBandOnly]] — in-row bit arithmetic), so no
+    * candidate distinct shuffles at all. Zero-norm vectors
     * have no defined cosine, never pair, and always survive — matching
     * the NaN-fails-`>=` behavior of the SQL oracle.
     */
@@ -158,10 +160,13 @@ object Decontaminate {
     // scoped persists, released by the caller via graft.Caching.release
     val tb = graft.Caching.scoped(Similarity.srpBase(train, idCol, vecCol, numBits))
     val hb = graft.Caching.scoped(Similarity.srpBase(holdout, idCol, vecCol, numBits))
-    val cand = Similarity.srpBands(tb, numBits, bandSize).toDF("id", "band", "bv")
-      .join(Similarity.srpBands(hb, numBits, bandSize).toDF("hid", "band", "bv"),
-        Seq("band", "bv"))
-      .select("id", "hid").distinct()
+    val cand = Similarity.srpBands(tb, numBits, bandSize, keepSig = true)
+      .toDF("id", "band", "bv", "tsig")
+      .join(Similarity.srpBands(hb, numBits, bandSize, keepSig = true)
+        .toDF("hid", "band", "bv", "hsig"), Seq("band", "bv"))
+      .filter(Similarity.firstBandOnly(col("band"), col("tsig"), col("hsig"),
+        bandSize, numBits / bandSize))
+      .select("id", "hid")
     val leaked = cand
       .join(tb.select(col("id"), col("v").as("tv"), col("nrm").as("tn")), "id")
       .join(hb.select(col("id").as("hid"), col("v").as("hv"), col("nrm").as("hn")), "hid")

@@ -782,9 +782,12 @@ object Similarity {
     * near-neighbors only; on adversarially uniform vectors the buckets are
     * balanced and candidates approach all pairs (LSH's information-theoretic
     * limit), but the plan stays shuffle+hash-join shaped — no O(n²) operator.
-    * The candidate distinct runs on skinny (id_a, id_b) pairs; vectors are
-    * re-attached afterwards by two more equi-joins, so the wide float arrays
-    * never enter the distinct's shuffle.
+    * A pair colliding in several bands is emitted ONCE, by its first
+    * colliding band ([[firstBandOnly]] — in-row bit arithmetic on the two
+    * signatures the join row already carries), so there is no corpus-scale
+    * candidate distinct: the multi-band duplicates die inside the join
+    * stage instead of shuffling. Vectors are re-attached afterwards by two
+    * equi-joins, so the wide float arrays never enter the candidate shuffle.
     */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                      numBits: Int = 48, bandSize: Int = 2): DataFrame = {
@@ -797,11 +800,13 @@ object Similarity {
     // scan + signature kernel run once. Scoped: callers release via
     // graft.Caching.release after materializing.
     val base = graft.Caching.scoped(srpBase(df, idCol, vecCol, numBits))
-    val bands = srpBands(base, numBits, bandSize)
-    val cand = bands.toDF("id_a", "band", "bv")
-      .join(bands.toDF("id_b", "band", "bv"), Seq("band", "bv"))
+    val bands = srpBands(base, numBits, bandSize, keepSig = true)
+    val cand = bands.toDF("id_a", "band", "bv", "sig_a")
+      .join(bands.toDF("id_b", "band", "bv", "sig_b"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(firstBandOnly(col("band"), col("sig_a"), col("sig_b"),
+        bandSize, numBits / bandSize))
+      .select("id_a", "id_b")
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
@@ -833,14 +838,46 @@ object Similarity {
       .filter(col("nrm") > 0)
       .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
 
-  private[ext] def srpBands(base: DataFrame, numBits: Int, bandSize: Int): DataFrame = {
+  private[ext] def srpBands(base: DataFrame, numBits: Int, bandSize: Int,
+                            keepSig: Boolean = false): DataFrame = {
     val nBands = numBits / bandSize
-    base.select(col("id"),
+    val exploded = base.select(col("id"), col("sig"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
           (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit((1L << bandSize) - 1)).as("bv"))
       }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val cols = Seq(col("id"), col("b.band").as("band"), col("b.bv").as("bv")) ++
+      (if (keepSig) Seq(col("sig")) else Nil)
+    exploded.select(cols: _*)
+  }
+
+  /** TRUE iff `band` is the FIRST band in which the two SRP signatures
+    * collide — the in-row replacement for a corpus-scale `.distinct()` on
+    * banded candidate pairs. A pair colliding in k bands appears k times in
+    * the band equi-join output; instead of shuffling all k copies into a
+    * distinct, each copy checks (pure bit arithmetic on the two 64-bit
+    * signatures it already carries) whether every EARLIER band's slice
+    * differs, and only the first-collision copy survives. The surviving set
+    * is exactly the distinct'd candidate set — a deterministic dedup, not a
+    * probabilistic one — and the candidate exchange it replaces was the
+    * widest shuffle of the pairs path (≈ nBands × the candidate count when
+    * band buckets are coarse, e.g. bandSize 2 on near-uniform vectors).
+    *
+    * Bit trick: xor's slice k is zero iff the band collides; OR-folding xor
+    * over shifts 0..bandSize-1 collapses each slice's bits onto its low bit,
+    * so "no earlier collision" is `collapsed & lowPat == lowPat` with
+    * lowPat = one set bit per earlier slice (a literal array indexed by
+    * band). All codegen-capable built-ins.
+    */
+  private[graft] def firstBandOnly(band: Column, sigA: Column, sigB: Column,
+                                   bandSize: Int, nBands: Int): Column = {
+    val xor = sigA.bitwiseXOR(sigB)
+    val collapsed = (0 until bandSize).map(s => shiftrightunsigned(xor, s))
+      .reduce(_ bitwiseOR _)
+    val lowPats: Seq[Long] =
+      (0 until nBands).map(b => (0 until b).map(k => 1L << (k * bandSize)).sum)
+    val lowPat = element_at(typedLit(lowPats), band.cast("int") + 1)
+    collapsed.bitwiseAND(lowPat) === lowPat
   }
 
   /** One micro-batch of incremental SEMANTIC near-dup detection — the

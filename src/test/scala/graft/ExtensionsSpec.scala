@@ -1043,6 +1043,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("firstBandOnly emits each colliding sig pair exactly once, from its first band") {
+    import spark.implicits._
+    // random 64-bit signature pairs, biased toward collisions by zeroing
+    // random slices; every (pair, band) row checked against the model
+    val rnd = new scala.util.Random(1234)
+    val bandSize = 2
+    val nBands = 24
+    def slice(sig: Long, k: Int): Long = (sig >>> (k * bandSize)) & ((1L << bandSize) - 1)
+    val pairs = Seq.fill(300) {
+      val a = rnd.nextLong()
+      // force some band collisions: copy a random subset of a's slices
+      var b = rnd.nextLong()
+      (0 until nBands).foreach { k =>
+        if (rnd.nextInt(3) == 0)
+          b = (b & ~(((1L << bandSize) - 1) << (k * bandSize))) | (slice(a, k) << (k * bandSize))
+      }
+      (a, b)
+    }
+    val rows = for { ((a, b), i) <- pairs.zipWithIndex; band <- 0 until nBands }
+      yield (i.toLong, a, b, band)
+    val df = rows.toDF("pid", "sig_a", "sig_b", "band")
+    val got = df
+      .filter(Similarity.firstBandOnly(col("band"), col("sig_a"), col("sig_b"), bandSize, nBands))
+      .select("pid", "band").as[(Long, Int)].collect().toSet
+    // model emission set: (pair, first colliding band) — nothing else. In
+    // production only rows whose OWN band collides reach the filter (they
+    // come out of the band equi-join), so restrict the comparison to those.
+    val wantSet = (for {
+      ((a, b), i) <- pairs.zipWithIndex
+      f <- (0 until nBands).find(k => slice(a, k) == slice(b, k))
+    } yield (i.toLong, f)).toSet
+    val collidingGot = got.filter { case (pid, band) =>
+      val (a, b) = pairs(pid.toInt); slice(a, band) == slice(b, band)
+    }
+    assert(collidingGot == wantSet)
+    assert(wantSet.nonEmpty) // the bias above guarantees collisions exist
+  }
+
   test("md5Hash60 matches the DuckDB transcription (15-hex-digit prefix of md5)") {
     import graft.functions.Hashing
     // md5("abc") = 900150983cd24fb0... ⇒ first 15 hex digits
