@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x05 candidate pairs are deduped in-row, not by a corpus-scale distinct") {
+    // a pair colliding in several SRP bands is emitted once by its first
+    // colliding band (Similarity.firstBandOnly — bit arithmetic on the two
+    // signatures the join row carries); a regression back to
+    // .distinct() would shuffle the band-join output at up to nBands x the
+    // candidate count. The only aggregate keyed on the pair ids would be
+    // that distinct — pin its absence.
+    val p = plan("x05_ann_cosine_pairs")
+    assert(!p.contains("HashAggregate(keys=[id_a"),
+      "candidate distinct reappeared: " + p.take(2000))
+    assert(!p.contains("HashAggregate(keys=[id_b"),
+      "candidate distinct reappeared: " + p.take(2000))
+  }
+
   test("x34 line dedup: partial-aggregated survivor min, never a per-line window sort") {
     val p = plan("x34_line_dedup")
     // the survivor decision must combine map-side: a boilerplate line in a
