@@ -1045,40 +1045,41 @@ class ExtensionsSpec extends SparkSpec {
 
   test("firstBandOnly emits each colliding sig pair exactly once, from its first band") {
     import spark.implicits._
-    // random 64-bit signature pairs, biased toward collisions by zeroing
-    // random slices; every (pair, band) row checked against the model
-    val rnd = new scala.util.Random(1234)
-    val bandSize = 2
-    val nBands = 24
-    def slice(sig: Long, k: Int): Long = (sig >>> (k * bandSize)) & ((1L << bandSize) - 1)
-    val pairs = Seq.fill(300) {
-      val a = rnd.nextLong()
-      // force some band collisions: copy a random subset of a's slices
-      var b = rnd.nextLong()
-      (0 until nBands).foreach { k =>
-        if (rnd.nextInt(3) == 0)
-          b = (b & ~(((1L << bandSize) - 1) << (k * bandSize))) | (slice(a, k) << (k * bandSize))
+    // random 64-bit signature pairs, biased toward collisions by copying
+    // random slices; every (pair, band) row checked against the sequential
+    // model — across band sizes incl. the 1-bit and full-64-bit edges
+    for ((bandSize, nBands) <- Seq((2, 24), (2, 32), (1, 64), (4, 12), (8, 6))) {
+      val rnd = new scala.util.Random(1234 + bandSize)
+      def slice(sig: Long, k: Int): Long =
+        (sig >>> (k * bandSize)) & (if (bandSize == 64) -1L else (1L << bandSize) - 1)
+      val pairs = Seq.fill(300) {
+        val a = rnd.nextLong()
+        var b = rnd.nextLong()
+        (0 until nBands).foreach { k =>
+          if (rnd.nextInt(3) == 0)
+            b = (b & ~(((1L << bandSize) - 1) << (k * bandSize))) | (slice(a, k) << (k * bandSize))
+        }
+        (a, b)
       }
-      (a, b)
+      val rows = for { ((a, b), i) <- pairs.zipWithIndex; band <- 0 until nBands }
+        yield (i.toLong, a, b, band)
+      val df = rows.toDF("pid", "sig_a", "sig_b", "band")
+      val got = df
+        .filter(Similarity.firstBandOnly(col("band"), col("sig_a"), col("sig_b"), bandSize, nBands))
+        .select("pid", "band").as[(Long, Int)].collect().toSet
+      // model emission set: (pair, first colliding band) — nothing else. In
+      // production only rows whose OWN band collides reach the filter (they
+      // come out of the band equi-join), so restrict the comparison to those.
+      val wantSet = (for {
+        ((a, b), i) <- pairs.zipWithIndex
+        f <- (0 until nBands).find(k => slice(a, k) == slice(b, k))
+      } yield (i.toLong, f)).toSet
+      val collidingGot = got.filter { case (pid, band) =>
+        val (a, b) = pairs(pid.toInt); slice(a, band) == slice(b, band)
+      }
+      assert(collidingGot == wantSet, s"bandSize=$bandSize nBands=$nBands")
+      assert(wantSet.nonEmpty, s"bandSize=$bandSize nBands=$nBands")
     }
-    val rows = for { ((a, b), i) <- pairs.zipWithIndex; band <- 0 until nBands }
-      yield (i.toLong, a, b, band)
-    val df = rows.toDF("pid", "sig_a", "sig_b", "band")
-    val got = df
-      .filter(Similarity.firstBandOnly(col("band"), col("sig_a"), col("sig_b"), bandSize, nBands))
-      .select("pid", "band").as[(Long, Int)].collect().toSet
-    // model emission set: (pair, first colliding band) — nothing else. In
-    // production only rows whose OWN band collides reach the filter (they
-    // come out of the band equi-join), so restrict the comparison to those.
-    val wantSet = (for {
-      ((a, b), i) <- pairs.zipWithIndex
-      f <- (0 until nBands).find(k => slice(a, k) == slice(b, k))
-    } yield (i.toLong, f)).toSet
-    val collidingGot = got.filter { case (pid, band) =>
-      val (a, b) = pairs(pid.toInt); slice(a, band) == slice(b, band)
-    }
-    assert(collidingGot == wantSet)
-    assert(wantSet.nonEmpty) // the bias above guarantees collisions exist
   }
 
   test("md5Hash60 matches the DuckDB transcription (15-hex-digit prefix of md5)") {
