@@ -103,7 +103,7 @@ object Similarity {
     * the codebook is nClusters×dim. Shared by the one-shot [[ivfTopK]] and
     * the persisted [[ivfBuild]], so both train bit-identical codebooks.
     */
-  private def trainCodebook(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+  private[graft] def trainCodebook(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                             nClusters: Int, iters: Int,
                             trainSample: Long = 100000L): Array[Array[Double]] = {
     val spark = vecs.sparkSession

@@ -191,11 +191,22 @@ object Ncm {
         s"classifyCentroids: vector dimension ${v.numElements()} does not " +
           s"match the model's dim=$dim")
     // quantize once (the when-chain re-derived these per label); the
-    // long round-trip mirrors the chain's floor(..)::long::double exactly
+    // long round-trip mirrors the chain's floor(..)::long::double exactly.
+    // Non-finite / null components raise — the literal formulation this
+    // kernel replaced threw out of its ANSI long cast (floor(NaN) has no
+    // long value); silently quantizing them to 0 would classify a corrupt
+    // embedding as whatever label happens to sort first.
     val q = new Array[Double](dim)
     var i = 0
     while (i < dim) {
-      q(i) = Math.floor(v.getFloat(i).toDouble * Scale).toLong.toDouble
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"classifyCentroids: NULL vector component at index $i")
+      val f = v.getFloat(i)
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+        throw new IllegalArgumentException(
+          s"classifyCentroids: non-finite vector component at index $i: $f")
+      q(i) = Math.floor(f.toDouble * Scale).toLong.toDouble
       i += 1
     }
     var best = labels.getInt(0)

@@ -1376,6 +1376,39 @@ class ExtensionsSpec extends SparkSpec {
       Similarity.centroidClassify(bad, "vec_id", "embedding", "label"))
   }
 
+  test("classifyCentroids: NULL vector predicts NULL; non-finite or NULL components raise") {
+    import spark.implicits._
+    val model = Similarity.trainCentroids(
+      Seq((Array(1f, 0f), 0), (Array(0f, 1f), 7)).toDF("embedding", "label"),
+      "embedding", "label")
+    // whole-vector NULL propagates to a NULL prediction (the when-chain's
+    // isNull branch; the kernel's null-propagation)
+    val nullVec = Seq((1L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    assert(Similarity.classifyCentroids(nullVec, "embedding", model)
+      .select("pred_label").head.isNullAt(0))
+    // a NaN/Inf/null COMPONENT must raise, not silently quantize to 0 and
+    // classify the corrupt embedding as whichever label sorts first (the
+    // replaced literal formulation threw out of its ANSI long cast)
+    for (bad <- Seq(Array(Float.NaN, 0f), Array(Float.PositiveInfinity, 0f))) {
+      val e = intercept[Exception](
+        Similarity.classifyCentroids(Seq((1L, bad)).toDF("vec_id", "embedding"),
+          "embedding", model).collect())
+      assert(exceptionChain(e).exists(_.getMessage != null) &&
+        exceptionChain(e).exists(m => m.getMessage != null &&
+          m.getMessage.contains("non-finite")), s"got: ${e.getMessage}")
+    }
+    val nullComp = Seq((1L, Seq(Option.empty[Float], Some(0f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val e = intercept[Exception](
+      Similarity.classifyCentroids(nullComp, "embedding", model).collect())
+    assert(exceptionChain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("NULL vector component")), s"got: ${e.getMessage}")
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("trainCentroids accepts int-valued LONG labels losslessly; overflow and fractional types raise") {
     import spark.implicits._
     // derived labels like `user_id % k` are naturally LONG — accepted with a

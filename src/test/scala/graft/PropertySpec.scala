@@ -575,4 +575,95 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(base === Map(0L -> 25L, 1L -> 5L))
   }
+
+  // --- k-means trainer equivalence ---------------------------------------
+  //
+  // The round-11 rewrite (per-partition [cluster][dim+1] partial sums merged
+  // driver-side; joint m-subspace PQ training) must evolve EXACTLY the Lloyd
+  // trajectory of the straight-line sequential model. Exact comparison is
+  // sound because the inputs are integer-VALUED floats: partial sums of
+  // small integers are exact in doubles under ANY accumulation order, so
+  // each iteration's centroids are bitwise equal to the model's (means =
+  // exact-int sum / exact count), and the per-(centroid, vector) distance
+  // loops run in identical j-order on identical operands — assignments,
+  // including first-wins ties (forced by the tiny value range), can never
+  // diverge. This holds through LATER iterations too: centroids become
+  // non-integer rationals, but both sides hold the same bit patterns.
+
+  /** Sequential Lloyd on one coordinate slice [off, off+dsub): the model for
+    * both trainers (trainCodebook is the off=0, dsub=dim case).
+    */
+  private def lloydModel(rows: Seq[(Long, Array[Float])], k: Int, iters: Int,
+                         off: Int, dsub: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = rows.sortBy(_._1).take(k)
+      .map(_._2.slice(off, off + dsub).map(_.toDouble)).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dsub))
+      val counts = new Array[Long](cents.length)
+      rows.foreach { case (_, v) =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < dsub) { val t = cents(ci)(j) - v(off + j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci } // strict <: first wins ties
+          ci += 1
+        }
+        var j = 0
+        while (j < dsub) { sums(best)(j) += v(off + j); j += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (c, ci) =>
+        if (counts(ci) > 0) Array.tabulate(dsub)(j => sums(ci)(j) / counts(ci))
+        else c // empty cluster keeps its centroid
+      }
+    }
+    cents
+  }
+
+  test("trainCodebook equals the sequential Lloyd model on integer-valued vectors") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 8L, 9L)) {
+      val dim = 6
+      val rows = sample(Gen.listOfN(80,
+        Gen.listOfN(dim, Gen.choose(0, 3)).map(_.map(_.toFloat).toArray)), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      // shuffle ids so lowest-id init is not just "the first k generated"
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+        .zipWithIndex.map { case ((_, v), i) => ((i * 37L) % 1000L, v) }
+        .groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val ds = shuffled.toDF("id", "v").as[(Long, Array[Float])].repartition(7)
+      val got = graft.ext.Similarity.trainCodebook(ds, nClusters = 5, iters = 4)
+      val want = lloydModel(shuffled, k = 5, iters = 4, off = 0, dsub = dim)
+      assert(got.length == want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), ci) =>
+        assert(java.util.Arrays.equals(g, w), s"seed=$seed centroid $ci: " +
+          s"${g.toSeq} != ${w.toSeq}")
+      }
+    }
+  }
+
+  test("pqTrain's joint subspace training equals per-subspace sequential Lloyd") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L)) {
+      val dim = 8; val m = 2; val ksub = 4; val iters = 3
+      val rows = sample(Gen.listOfN(60,
+        Gen.listOfN(dim, Gen.choose(0, 3)).map(_.map(_.toFloat).toArray)), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong * 13L % 997L, v) }
+        .groupBy(_._1).map(_._2.head).toSeq
+        .filter(_._2.exists(_ != 0f)) // pqTrain drops zero-norm vectors
+      val df = rows.toDF("vec_id", "embedding").repartition(5)
+      val model = graft.ext.Similarity.pqTrain(df, "vec_id", "embedding",
+        m = m, ksub = ksub, iters = iters)
+      assert(model.m == m && model.ksub == ksub && model.dim == dim)
+      val dsub = dim / m
+      for (sub <- 0 until m) {
+        val want = lloydModel(rows, ksub, iters, off = sub * dsub, dsub = dsub)
+        model.codebooks(sub).zip(want).zipWithIndex.foreach { case ((g, w), ci) =>
+          assert(java.util.Arrays.equals(g, w),
+            s"seed=$seed sub=$sub centroid $ci: ${g.toSeq} != ${w.toSeq}")
+        }
+      }
+    }
+  }
 }
