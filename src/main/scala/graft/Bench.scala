@@ -573,8 +573,10 @@ object Bench {
     {
       def qsAt(decimals: Int) = results.map { case (k, v) => "\"" + k + "\":" + fp(v, decimals) }
         .mkString("{", ",", "}")
-      // same uniqueness rule as the anomaly keys: a duplicated short key
-      // would silently last-wins-drop a query from the parsed artifact
+      // keys shorten to their q··/x·· prefix ONLY while that stays unique
+      // across all results (a duplicated short key would silently
+      // last-wins-drop a query from the parsed artifact); the anomalies
+      // block below reuses this exact map
       val qShortKey: Map[String, String] = {
         val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
         val counts = pref.groupBy(_._2).map { case (p, xs) => p -> xs.length }
@@ -602,19 +604,16 @@ object Bench {
       val anoms: Seq[(String, Seq[Double])] = runTimes
         .filter { case (name, ts) => ts.nonEmpty && (slowest(name) || unstable(name)) }
         .sortBy { case (name, _) => -medianByName(name) }
-      // keys shorten to their q··/x·· prefix ONLY while that stays unique
-      // within the block — duplicate JSON keys parse last-wins, silently
-      // hiding one anomalous query behind another
-      val shortKey: Map[String, String] = {
-        val pref = anoms.map { case (k, _) => k -> k.takeWhile(_ != '_') }
-        val counts = pref.groupBy(_._2).map { case (p, xs) => p -> xs.length }
-        pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }.toMap
-      }
+      // anomaly keys shorten via the SAME map as the queries block
+      // (uniqueness judged across ALL results, not just the anomalous
+      // subset) — a key map computed within `anoms` alone could emit
+      // "x13" while the queries block keeps two full x13_* names, leaving
+      // the anomaly attribution dangling between them
       def anomJ(cap: Int): Option[String] =
         if (anoms.isEmpty) None
         else Some("\"anomalies\":{" + anoms.take(cap).map { case (k, ts) =>
           val (load, gc, cpu) = sysStats(k)
-          "\"" + shortKey(k) + "\":[[" + ts.map(fp(_, 2)).mkString(",") +
+          "\"" + qShortKey.getOrElse(k, k) + "\":[[" + ts.map(fp(_, 2)).mkString(",") +
             "],[" + fp(load, 1) + "," + gc + "," + fp(cpu, 1) + "]]"
         }.mkString(",") + "}")
       def line(qs: String, streamingJson: Option[String], withErrors: Boolean,

@@ -277,9 +277,13 @@ object Dedup {
     // keys via the scalar graft_minhash_bands (bit-identical to the batch
     // path's aggregate — [[graft.functions.Lsh.updateSig]] is the shared
     // kernel). The whole signature stage is embarrassingly parallel; only
-    // band keys ever shuffle. Requires ids unique within the batch (the
-    // exact-dedup stage upstream guarantees it; the batch path's groupBy
-    // would instead union duplicate-id rows' shingle sets).
+    // band keys ever shuffle. Duplicate ids within a batch (legal on this
+    // public API — nothing upstream enforces uniqueness) keep one row EACH
+    // here: every row's bands probe for candidates, and the verify stage
+    // below set-merges same-id shingle sets, so verified pairs stay
+    // deterministic and match the batch path's groupBy-union semantics
+    // (candidate recall follows the per-row signatures, not the
+    // merged-set signature — LSH recall is probabilistic either way).
     // Local persist (batch-lifetime, released in finally — not Caching
     // .scoped: the scope here is this increment, not the caller's query).
     val batchDocs = batch
@@ -323,10 +327,17 @@ object Dedup {
         .union(cand.select(col("d2").as("id")))
       // per-candidate-doc shingle sets: the semi-join pulls only candidate
       // ids out of the bucketed corpus table (candIds broadcasts under
-      // AQE), dropDuplicates sheds replay-duplicated index rows (identical
-      // (id, ss) rows); persisted because both verify-join legs read it
+      // AQE). The set-merge aggregate (same one exchange a dropDuplicates
+      // would cost) folds replay-duplicated index rows AND genuinely
+      // different same-id rows — duplicate ids within a batch, or an id
+      // re-arriving with new text — into one deterministic UNION set, the
+      // batch path's groupBy semantics; an arbitrary-row pick here made
+      // verified pairs run-to-run nondeterministic. Verification is
+      // order-insensitive (array_intersect + size), so collect_list's
+      // nondeterministic row order cannot leak into results.
       val arr = allSets.join(candIds, Seq("id"), "left_semi")
-        .dropDuplicates("id")
+        .groupBy("id")
+        .agg(array_distinct(flatten(collect_list(col("ss")))).as("ss"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       caches ::= arr
       // the pairs write MATERIALIZES the candidates/verification plan while

@@ -103,16 +103,24 @@ object Similarity {
     * the codebook is nClusters×dim. Shared by the one-shot [[ivfTopK]] and
     * the persisted [[ivfBuild]], so both train bit-identical codebooks.
     */
+  /** The trainers' shared bounded sample: an id-hash filter keeping ~`cap`
+    * vectors. ONE definition so [[trainCodebook]] and [[pqTrain]] cannot
+    * silently diverge (the trainer-equivalence sweeps rely on both seeing
+    * the exact same sample).
+    */
+  private def trainingSample(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                             cap: Long): org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
+    val n = vecs.count()
+    if (n <= cap) vecs
+    else vecs.filter(r => (r._1 * 0x9E3779B97F4A7C15L >>> 40) % math.max(1L, n / cap) == 0)
+  }
+
   private[graft] def trainCodebook(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                             nClusters: Int, iters: Int,
                             trainSample: Long = 100000L): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val train = {
-      val n = vecs.count()
-      if (n <= trainSample) vecs
-      else vecs.filter(r => (r._1 * 0x9E3779B97F4A7C15L >>> 40) % math.max(1L, n / trainSample) == 0)
-    }
+    val train = trainingSample(vecs, trainSample)
     var cents: Array[Array[Double]] = train.orderBy(col("id")).limit(nClusters)
       .collect().map(_._2.map(_.toDouble))
     for (_ <- 1 to iters) {
@@ -399,13 +407,14 @@ object Similarity {
     // Sampling and lowest-id initialization follow the shared trainer's
     // rules exactly, so each subspace evolves the same Lloyd trajectory
     // the per-subspace loop produced.
-    val train = {
-      val n = vecs.count()
-      val cap = 100000L // trainCodebook's trainSample default
-      if (n <= cap) vecs
-      else vecs.filter(r => (r._1 * 0x9E3779B97F4A7C15L >>> 40) % math.max(1L, n / cap) == 0)
-    }
+    val train = trainingSample(vecs, 100000L) // trainCodebook's trainSample default
     val init = train.orderBy(col("id")).limit(ksub).collect().map(_._2)
+    // a sample smaller than ksub trains a shorter-but-valid codebook —
+    // the per-subspace trainCodebook loop's behavior (bounded by
+    // cents.length), which this joint loop must preserve: sizing by the
+    // requested ksub would index books(sub)(ci) past init.length on the
+    // empty-cluster branch below
+    val kEff = init.length
     var books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
       init.map(v => Array.tabulate(dsub)(j => v(sub * dsub + j).toDouble))
     }
@@ -416,11 +425,11 @@ object Similarity {
         val b = bc.value
         var acc: Array[Double] = null
         it.foreach { case (_, v) =>
-          if (acc == null) acc = new Array[Double](m * ksub * w)
+          if (acc == null) acc = new Array[Double](m * kEff * w)
           var sub = 0
           while (sub < m) {
             val ci = nearestOffset(b(sub), v, sub * dsub)
-            val base = (sub * ksub + ci) * w
+            val base = (sub * kEff + ci) * w
             var j = 0
             while (j < dsub) { acc(base + j) += v(sub * dsub + j); j += 1 }
             acc(base + dsub) += 1
@@ -430,13 +439,13 @@ object Similarity {
         if (acc == null) Iterator.empty else Iterator.single(acc)
       }.collect()
       if (partials.nonEmpty) {
-        val tot = new Array[Double](m * ksub * w)
+        val tot = new Array[Double](m * kEff * w)
         partials.foreach { p =>
           var i = 0; while (i < p.length) { tot(i) += p(i); i += 1 }
         }
         books = Array.tabulate(m) { sub =>
-          Array.tabulate(ksub) { ci =>
-            val base = (sub * ksub + ci) * w
+          Array.tabulate(kEff) { ci =>
+            val base = (sub * kEff + ci) * w
             val n = tot(base + dsub)
             if (n > 0) Array.tabulate(dsub)(j => tot(base + j) / n)
             else books(sub)(ci) // empty cluster keeps its centroid
@@ -444,7 +453,7 @@ object Similarity {
         }
       }
     }
-    PqModel(dim, m, ksub, books)
+    PqModel(dim, m, kEff, books)
   }
 
   /** One vector's m nearest-subspace-centroid codes. */
@@ -954,10 +963,18 @@ object Similarity {
       val candIds = cand.select(col("id_a").as("id"))
         .union(cand.select(col("id_b").as("id")))
       // replay-duplicated vec rows would duplicate verified pairs — dedup
-      // per id AFTER the candidate semi-join, so the distinct is bounded
-      // by the candidate set
+      // per id AFTER the candidate semi-join, so the aggregate is bounded
+      // by the candidate set. Conflicting same-id rows (duplicate ids in a
+      // batch, or an id re-arriving with a different vector) resolve to
+      // the (nrm, v)-max row — one DETERMINISTIC winner, and the SAME
+      // winner on every later increment regardless of which batch carried
+      // it (an arbitrary-row dropDuplicates made verified pairs
+      // run-to-run nondeterministic); identical replay rows collapse to
+      // themselves either way, at the same one-exchange cost
       val vecs = allVecs.join(candIds, Seq("id"), "left_semi")
-        .dropDuplicates("id")
+        .groupBy("id")
+        .agg(max(struct(col("nrm"), col("v"))).as("__w"))
+        .select(col("id"), col("__w.v").as("v"), col("__w.nrm").as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       caches ::= vecs
       // pairs MATERIALIZE while the index holds only PRIOR batches (the
@@ -1101,8 +1118,13 @@ object Similarity {
     // propagation through the expression); a wrong-dimension vector
     // throws per row inside the kernel.
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val labels = typedLit(model.centroids.map(_._1).toArray)
-    val cents = typedLit(model.centroids.flatMap(_._2).toArray)
+    // sort HERE, not just in trainCentroids: the kernel's first-wins tie
+    // rule equals the documented smaller-label rule only when the literal
+    // arrays arrive label-sorted, and CentroidModel is a public case class
+    // a caller can hand-build in any order
+    val sorted = model.centroids.sortBy(_._1)
+    val labels = typedLit(sorted.map(_._1).toArray)
+    val cents = typedLit(sorted.flatMap(_._2).toArray)
     df.withColumn("pred_label",
       call_function("graft_ncm_argmax", col(vecCol), labels, cents))
   }

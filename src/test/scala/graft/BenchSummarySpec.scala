@@ -100,6 +100,37 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(j.get("queries").size == 2, s)
   }
 
+  test("anomaly keys use the queries-block key map: a prefix shared with a STABLE query keeps the full name") {
+    // x13_dedup_keep is anomalous, x13_other is stable: uniqueness judged
+    // only within the anomalous subset would emit a bare "x13" anomaly key
+    // while the queries block keeps two full x13_* names — a dangling
+    // attribution ambiguous between them. The key map must be shared.
+    val runTimes: Seq[(String, Seq[Double])] = Seq(
+      "x13_dedup_keep" -> Seq(15.62, 3.47, 11.25),
+      "x13_other" -> Seq(0.30, 0.31, 0.29),
+      "x14_stable" -> Seq(0.20, 0.21, 0.19))
+    val results = runTimes.map { case (k, ts) => k -> ts.sorted.apply(1) }
+    val sysStats = results.map(_._1 -> ((1.0, 10L, 5.0))).toMap
+    val s = Bench.buildSummary(results, runTimes, sysStats, Nil, Nil, Nil,
+      11.75, "{}", "{}", "/sf")
+    val j = mapper.readTree(s)
+    val qKeys = {
+      val it = j.get("queries").fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    val aKeys = {
+      val it = j.get("anomalies").fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    assert(aKeys.contains("x13_dedup_keep"), s"expected the full name, got $aKeys in $s")
+    // every anomaly key resolves to EXACTLY one queries-block key (equal,
+    // or the unique short form of one full name)
+    aKeys.foreach { a =>
+      val hits = qKeys.filter(q => q == a || q.startsWith(a + "_"))
+      assert(hits.size == 1, s"anomaly key $a matches $hits in $s")
+    }
+  }
+
   test("isUnstable flags systematic inflation but not sub-second jitter") {
     assert(Bench.isUnstable(Seq(15.62, 3.47, 11.25)), "r10's x13 shape must flag")
     assert(!Bench.isUnstable(Seq(0.30, 0.18, 0.30)),

@@ -327,6 +327,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed === batch, s"streamed $streamed != batch $batch")
   }
 
+  test("duplicate ids in one increment batch verify against the merged shingle set (batch-path union semantics)") {
+    import spark.implicits._
+    // two id-7 rows with DISJOINT shingle sets plus an id-8 copy of the
+    // first: verification must score jaccard(7,8) on the UNION of id 7's
+    // sets (29/58 = exactly the 0.5 threshold), the batch path's
+    // groupBy-merge semantics. An arbitrary-row pick made this pair
+    // appear or vanish run-to-run depending on which id-7 row survived.
+    val pA = (1 to 31).map(i => s"a$i").mkString(" ") // 29 shingles
+    val pB = (1 to 31).map(i => s"b$i").mkString(" ") // 29 disjoint shingles
+    val idx = Dedup.LshIndex("t_dupid_bands", "t_dupid_shingles", numBuckets = 4)
+    dropTableHard(idx.bandsTable)
+    dropTableHard(idx.shinglesTable)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_dupid")
+    val pairsDir = tmp.resolve("pairs").toString
+    val b = Seq(7L -> pA, 7L -> pB, 8L -> pA).toDF("doc_id", "text")
+    Dedup.minHashLshIncrement(b, "doc_id", "text", 0.5, idx, pairsDir, 0L)
+    val got = spark.read.parquet(pairsDir)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((7L, 8L, 29L, 58L)), got.toSeq.toString)
+  }
+
   test("minHashLshIncrement replay is idempotent: pairs rewrite their batch partition") {
     import spark.implicits._
     val p30 = (1 to 30).map(i => s"q$i").mkString(" ")
@@ -813,6 +835,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed.contains((1L, 3L)), s"cross-batch pair must come from the probe: $streamed")
     assert(streamed.contains((3L, 4L)), s"in-batch pair must come from the self-join: $streamed")
     assert(streamed === batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("conflicting same-id vectors in a cosine increment resolve to the (nrm, v)-max winner deterministically") {
+    import spark.implicits._
+    // id 7 arrives twice in one batch with different vectors; the
+    // nrm-larger one (0.8 > 0.6) must win verification. If an
+    // arbitrary-row pick kept (0.6, 0), cosine(7, 8) would be 0 and the
+    // pair would vanish — run-to-run nondeterminism on a public API.
+    val idx = Similarity.CosineLshIndex("t_dupvec_bands", "t_dupvec_vecs", numBuckets = 4)
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clsh_dupid")
+    val pairsDir = tmp.resolve("pairs").toString
+    val b = Seq(
+      (7L, Array(0.6f, 0f)),
+      (7L, Array(0f, 0.8f)),
+      (8L, Array(0f, 0.8f))).toDF("vec_id", "emb")
+    Similarity.cosineLshIncrement(b, "vec_id", "emb", 0.9, idx, pairsDir, 0L)
+    val got = spark.read.parquet(pairsDir).select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    assert(got === Set((7L, 8L)), s"the (nrm, v)-max row must verify the pair: $got")
   }
 
   test("line dedup keeps first occurrences, preserves empty lines and document order") {
@@ -1374,6 +1419,21 @@ class ExtensionsSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     intercept[IllegalArgumentException](
       Similarity.centroidClassify(bad, "vec_id", "embedding", "label"))
+  }
+
+  test("classifyCentroids label-sorts a hand-built model: exact ties predict the smaller label in any centroid order") {
+    import spark.implicits._
+    // identical centroids under labels (5, 2), deliberately UNSORTED:
+    // the kernel's first-wins tie rule equals the documented
+    // smaller-label rule only because classifyCentroids sorts the
+    // literals — raw array order would predict 5 here
+    val model = Similarity.CentroidModel(2,
+      Seq(5 -> Array(1.0, 0.0), 2 -> Array(1.0, 0.0)))
+    val got = Similarity.classifyCentroids(
+        Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "embedding", model)
+      .select("pred_label").collect().head.getInt(0)
+    assert(got == 2, s"tie must go to the smaller label, got $got")
   }
 
   test("classifyCentroids: NULL vector predicts NULL; non-finite or NULL components raise") {

@@ -643,6 +643,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pqTrain with a training sample smaller than ksub trains the shorter valid codebook") {
+    import spark.implicits._
+    // 5 vectors, ksub=16: init collects only 5 centroids, so the joint
+    // Lloyd loop must size by the ACTUAL codebook (trainCodebook's
+    // cents.length-bounded behavior) — sizing by the requested ksub
+    // indexed past the init array on the empty-cluster branch
+    val dim = 4; val m = 2; val iters = 3
+    val rows = (1L to 5L).map(i =>
+      (i, Array.tabulate(dim)(j => (i * 2 + j).toFloat)))
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val model = graft.ext.Similarity.pqTrain(df, "vec_id", "embedding",
+      m = m, ksub = 16, iters = iters)
+    assert(model.ksub == 5 && model.m == m && model.dim == dim)
+    val dsub = dim / m
+    for (sub <- 0 until m) {
+      val want = lloydModel(rows, 16, iters, off = sub * dsub, dsub = dsub)
+      assert(want.length == 5)
+      model.codebooks(sub).zip(want).zipWithIndex.foreach { case ((g, w), ci) =>
+        assert(java.util.Arrays.equals(g, w),
+          s"sub=$sub centroid $ci: ${g.toSeq} != ${w.toSeq}")
+      }
+    }
+  }
+
   test("pqTrain's joint subspace training equals per-subspace sequential Lloyd") {
     import spark.implicits._
     for (seed <- Seq(11L, 12L)) {
