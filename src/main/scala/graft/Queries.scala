@@ -1261,12 +1261,12 @@ object Queries {
         |  FROM scored) WHERE rank <= 10""".stripMargin,
 
     "x08_text_metrics" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+      """SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
         |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
-        |CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','in','and','or','is','are','on','for','with','as','by','at'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
-        |CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
-        |FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
+        |CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','a','an','of','to','in','and','or','is','are','on','for','with','as','by','at'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |CAST(length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / NULLIF(length(t), 0) AS punct_ratio
+        |FROM (SELECT doc_id, COALESCE(text, '') AS t, list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
 
     "x09_lang_id" ->
       // transcription of TextAnalysis.langId: per-language stopword-profile
@@ -1702,7 +1702,8 @@ object Queries {
         |  CAST(len(toks) AS BIGINT) AS n_words,
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_len,
         |  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha,
-        |  CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_sym,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_ellipsis_ch,
         |  CAST(len(lns) AS BIGINT) AS n_lines,
         |  CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[•\-\*]'))) AS BIGINT) AS n_bullet,
         |  CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis,
@@ -1710,7 +1711,7 @@ object Queries {
         |  FROM base),
         |r AS (SELECT doc_id, n_words,
         |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
-        |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE GREATEST(CAST(n_hash AS DOUBLE) / n_words, CAST(n_ellipsis_ch AS DOUBLE) / n_words) END AS symbol_ratio,
         |  CAST(n_bullet AS DOUBLE) / n_lines AS bullet_ratio,
         |  CAST(n_ellipsis AS DOUBLE) / n_lines AS ellipsis_ratio,
         |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_ratio,

@@ -120,10 +120,27 @@ object CurationPipeline {
     * threshold is actually set — at the 1.0 'off' defaults the pass (and
     * its two always-true predicates) would be pure waste.
     */
-  private def qualityLanguageFilter(docs: DataFrame, textCol: String, cfg: Config): DataFrame = {
+  private def qualityLanguageFilter(docs: DataFrame, idCol: String,
+                                    textCol: String, cfg: Config): DataFrame = {
     val repetitionOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
     cfg.tokenCountCol.foreach(c => require(docs.columns.contains(c),
       s"CurationPipeline: tokenCountCol '$c' not in input (${docs.columns.mkString(", ")})"))
+    // the metric stages write via withColumn(s), which silently REPLACES a
+    // same-named input column — and the closing select re-emits the
+    // replaced values as payload. Fail loudly instead (packByTokens'
+    // stance); only the names the ENABLED stages actually write are
+    // reserved. tokenCountCol gets no exemption: a configured count named
+    // like a metric (e.g. 'n_tokens') would be overwritten by the
+    // whitespace metric BEFORE the gate reads it.
+    val reserved =
+      Seq("n_chars_m", "n_tokens", "n_bpeish", "avg_token_len",
+        "stopword_ratio", "punct_ratio", "__t", "lang_pred", "lang_score") ++
+      (if (repetitionOn) Seq("dup_token_frac", "top_bigram_frac") else Nil) ++
+      (if (cfg.gopherRules) Seq("n_words", "mean_word_len", "symbol_ratio",
+        "bullet_ratio", "ellipsis_ratio", "alpha_ratio", "n_stop", "keep") else Nil)
+    reserved.foreach(c => require(!docs.columns.contains(c),
+      s"CurationPipeline writes metric column '$c' — input already has " +
+        "one; rename or drop it first"))
     val base = TextAnalysis.withLangId(
       TextAnalysis.withQualityMetrics(docs, textCol), textCol)
     val repScored =
@@ -139,13 +156,11 @@ object CurationPipeline {
     // the min/max-token gate measures the configured token count (BPE when
     // provided); the other quality ratios stay whitespace-token-derived.
     // A null/negative configured count is an upstream tokenizer BUG, not a
-    // quality failure — raise (packByTokens' stance) instead of letting the
-    // null gate silently delete the document
+    // quality failure — the shared [[Sharding.tokenCountOrRaise]] gate
+    // raises, naming the document, instead of letting the null gate
+    // silently delete it
     val gateTokens = cfg.tokenCountCol
-      .map(c => when(col(c).isNull || col(c) < 0,
-          raise_error(concat(lit(s"CurationPipeline: null/negative token count in '$c'")))
-            .cast("long"))
-        .otherwise(col(c).cast("long")))
+      .map(Sharding.tokenCountOrRaise(_, idCol, "CurationPipeline"))
       .getOrElse(col("n_tokens"))
     scored
       .filter(gateTokens.between(cfg.minTokens, cfg.maxTokens) &&
@@ -165,7 +180,7 @@ object CurationPipeline {
     */
   def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
                    holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
-    val narrowed = qualityLanguageFilter(docs, textCol, cfg)
+    val narrowed = qualityLanguageFilter(docs, idCol, textCol, cfg)
 
     // 1b (optional): in-domain log-odds gate — trained on the
     // already-narrowed corpus (cleaner training signal), applied as one
@@ -229,10 +244,15 @@ object CurationPipeline {
       case Some(ec) =>
         require(docs.columns.contains(ec),
           s"CurationPipeline: embeddingCol '$ec' not in input (${docs.columns.mkString(", ")})")
-        val ePairs = Similarity.cosineLshPairs(lexKept, idCol, ec, cfg.embedCosineThreshold)
+        // lexKept's subtree is the whole MinHash-LSH pair generation +
+        // verify + anti-join — referenced here by BOTH the SRP pair
+        // derivation and the keep-list's left side; without the scoped
+        // persist the costliest stage of the pipeline executes twice
+        val lk = graft.Caching.scoped(lexKept)
+        val ePairs = Similarity.cosineLshPairs(lk, idCol, ec, cfg.embedCosineThreshold)
           .select(col("vec_id_a").as("d1"), col("vec_id_b").as("d2"))
-        if (cfg.collapseClusters) Dedup.keepListCollapsed(lexKept, idCol, ePairs)
-        else Dedup.keepList(lexKept, idCol, ePairs)
+        if (cfg.collapseClusters) Dedup.keepListCollapsed(lk, idCol, ePairs)
+        else Dedup.keepList(lk, idCol, ePairs)
       case None => lexKept
     }
 
@@ -546,7 +566,21 @@ object CurationPipeline {
     // stream ([[TableChecks]] — a fresh default instance per standalone
     // call keeps the old per-call behavior).
     graft.ProbeTiming("ensureWritable")(checks.ensureWritable(spark, state.hashTable))
-    val filtered = qualityLanguageFilter(batch, textCol, cfg)
+    // the packing/output stage below is INLINED (packByTokens' ledger
+    // continuation), so its guards must be too: a zero divisor would
+    // yield NULL shards under non-ANSI SQL instead of the batch path's
+    // plan-time raise, and a reserved-named payload column would be
+    // silently replaced where the batch path fails loudly
+    require(cfg.tokensPerShard > 0,
+      s"tokensPerShard must be positive: ${cfg.tokensPerShard}")
+    require(cfg.shardBuckets > 0,
+      s"shardBuckets must be positive: ${cfg.shardBuckets}")
+    Seq("n_tokens", "bucket", "shard", "cum_before", "__h", "__local",
+      "batch_id").foreach(c => require(
+      !batch.columns.contains(c) || (c == "n_tokens" && cfg.tokenCountCol.contains(c)),
+      s"streamIncrement writes column '$c' — input already has one; " +
+        "rename or drop it first"))
+    val filtered = qualityLanguageFilter(batch, idCol, textCol, cfg)
 
     // 2: exact dedup. The hash-index append happens LAST in this increment
     // (see the tail): every materialization below re-reads the table and
@@ -654,12 +688,11 @@ object CurationPipeline {
 
     // 5: split; 6: shard packing continued from the offsets ledger
     val split = Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket")
-    // null/negative configured counts raise (the packByTokens/gate stance)
+    // null/negative configured counts raise — the shared
+    // [[Sharding.tokenCountOrRaise]] gate, same error surface as the
+    // batch path
     val nTokens = cfg.tokenCountCol
-      .map(c => when(col(c).isNull || col(c) < 0,
-          raise_error(concat(lit(s"streamIncrement: null/negative token count in '$c' at $idCol="),
-            col(idCol).cast("string"))).cast("long"))
-        .otherwise(col(c).cast("long")))
+      .map(Sharding.tokenCountOrRaise(_, idCol, "streamIncrement"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
@@ -672,7 +705,12 @@ object CurationPipeline {
       .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     caches ::= withBucket
-    val baseOffsets =
+    // batch-lifetime persist (≤ one row per bucket): the curated write
+    // AND the ledger write below both join this — without it every
+    // micro-batch lists and aggregates the O(batches-so-far) ledger
+    // partitions TWICE, concurrently, exactly the per-batch listing
+    // overhead the path-scoped pairs read and compactOffsets exist to cut
+    val baseOffsets = (
       if (dirExists(spark, state.offsetsDir))
         spark.read.schema(StructType(Seq(
             StructField("bucket", LongType), StructField("cum", LongType),
@@ -682,6 +720,8 @@ object CurationPipeline {
           .groupBy("bucket").agg(expr("max_by(cum, batch_id)").as("__base"))
       else spark.range(0).select(col("id").cast("long").as("bucket"),
         col("id").as("__base"))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches ::= baseOffsets
     val packed = withBucket
       .join(baseOffsets, Seq("bucket"), "left")
       .withColumn("cum_before", col("__local") + coalesce(col("__base"), lit(0L)))

@@ -35,12 +35,17 @@ object Decontaminate {
     * dedup is `array_distinct` before the explode — no shuffle in batch,
     * and no state when `df` is a stream.
     */
-  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // n = 0 would make every doc emit ONE empty-string gram (concat_ws of
+    // zero columns), joining every train doc to every holdout doc and
+    // then emptying the train set with no error — quadratic AND wrong
+    require(n > 0, s"docGrams: n must be positive, got $n")
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("id"),
         explode(array_distinct(transform(TextAnalysis.wordNGrams(col("__t"), n),
           g => gramHash(g)))).as("gram_h"))
+  }
 
   /** Contaminated (train, eval) document pairs with the number of shared
     * n-grams: (train_id, eval_id, n_shared), n_shared >= 1.
@@ -100,11 +105,15 @@ object Decontaminate {
     * When to prefer it: [[ngramOverlap]] already never shuffles the train
     * side IF the holdout gram set fits a broadcast hash relation. At
     * benchmark-suite scale it does; with a HOLDOUT too big to broadcast
-    * (say all eval suites plus their paraphrase expansions — billions of
-    * grams) the join degrades to a full shuffle of the train corpus' gram
-    * table, which at 100 TB is the dominant cost of the whole sweep. A
-    * 2³²-bit bloom (512 MiB, ~10 bits/gram at 3e9 grams ⇒ ~1% FP) still
-    * broadcasts, and cuts the shuffled train side to (leaked + 1%).
+    * the join degrades to a full shuffle of the train corpus' gram
+    * table, which at 100 TB is the dominant cost of the whole sweep. The
+    * largest filter the Int shape (and a plan-literal blob) can carry is
+    * 2³⁰ bits = 128 MiB — ~10 bits/gram up to ~10⁸ holdout grams (~1%
+    * FP), an order of magnitude past any broadcastable hash relation. A
+    * billions-of-grams holdout saturates ANY single broadcastable filter,
+    * so shard the sweep instead: partition the holdout, run one
+    * filter+join pass per shard (each bit-identical by this function's
+    * contract), and union the pair sets.
     */
   def ngramOverlapBloom(train: DataFrame, holdout: DataFrame, idCol: String, textCol: String,
                         n: Int = 13, maxGramDf: Option[Long] = None,

@@ -254,6 +254,17 @@ object Sampling {
                        splits: Seq[(String, Double)]): DataFrame = {
     Seq("root_id", "bucket", "split").foreach(c => require(!df.columns.contains(c),
       s"splitByComponent writes column '$c' — input already has one; rename or drop it first"))
+    // the unpaired-doc fallback below casts idCol to long; a non-integral
+    // id would silently null, hash every such doc to ONE constant bucket,
+    // and collapse the corpus into a single split — the exact silent-cast
+    // class connectedComponents guards for its own pair inputs
+    locally {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"splitByComponent needs integral doc ids; '$idCol' is $dt — map " +
+          "ids to longs (dictionary join / dense rank) first")
+    }
     val mapping = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_root"))
     val withRoot = df
@@ -269,6 +280,11 @@ object Sampling {
   private def withSplitOf(df: DataFrame, keyCol: Column, seed: String,
                           splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "split assignment needs at least one split")
+    // per-fraction bounds, not just the sum: (1.1, -0.1) sums to 1 but
+    // would leave the negative split silently empty (sampleByHash /
+    // stratifiedSampleByHash already validate per-fraction)
+    splits.foreach { case (name, f) => require(f >= 0.0 && f <= 1.0,
+      s"split fraction for '$name' must be in [0, 1], got $f") }
     require(math.abs(splits.map(_._2).sum - 1.0) * Buckets < 1.0,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>

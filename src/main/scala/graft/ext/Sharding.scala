@@ -27,6 +27,31 @@ object Sharding {
     */
   val ShardsPerBucket: Long = 1L << 32
 
+  /** The configured-token-count gate shared by [[packByTokens]],
+    * [[packSequences]], and the CurationPipeline's batch/stream stages: a
+    * null count would silently pack as 0, a negative one would shrink
+    * every later doc's running offset in its bucket, and a NaN /
+    * infinite / fractional floating-point count would silently truncate
+    * (or overflow) through the long cast — fail loudly, naming the
+    * offending document. The guard compares through a double cast (never
+    * throws, any numeric type), so the raise fires BEFORE the otherwise
+    * branch's long cast could. ONE definition so the call sites cannot
+    * drift apart (the batch ≡ stream equivalence contract includes the
+    * error surface).
+    */
+  private[ext] def tokenCountOrRaise(c: String, idCol: String,
+                                     context: String): org.apache.spark.sql.Column = {
+    val d = col(c).cast("double")
+    // isnan first: Spark's NaN = NaN is TRUE, so the floor comparison
+    // alone would pass NaN through; the 9.2e18 bound rejects +Infinity
+    // and anything the long cast would overflow on
+    when(col(c).isNull || isnan(d) || d < 0 || d =!= floor(d) || d > 9.2e18,
+      raise_error(concat(
+        lit(s"$context: null/negative/non-integral token count in '$c' at $idCol="),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(c).cast("long"))
+  }
+
   /** Appends (n_tokens, bucket, shard) to every document's row — payload
     * columns pass through for pipeline use. Deterministic: a pure function
     * of (seed, ids, texts) — reruns and repartitioning cannot move a doc.
@@ -50,17 +75,15 @@ object Sharding {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     tokenCountCol.foreach(c => require(df.columns.contains(c),
       s"packByTokens: token count column '$c' not in input (${df.columns.mkString(", ")})"))
+    // only "n_tokens" may legitimately pre-exist, and only when it IS the
+    // declared token-count input — a tokenCountCol named after any OTHER
+    // reserved column (e.g. "shard") would be silently overwritten by the
+    // packing bookkeeping, so it gets no exemption (packSequences' rule)
     Seq("n_tokens", "bucket", "shard", "cum_before").foreach(c => require(
-      !df.columns.contains(c) || tokenCountCol.contains(c),
+      !df.columns.contains(c) || (c == "n_tokens" && tokenCountCol.contains(c)),
       s"packByTokens writes column '$c' — input already has one; rename or drop it first"))
-    // a null count would silently pack as 0 and a negative one would shrink
-    // every later doc's running offset in the bucket — fail loudly instead
-    // (the whitespace default can produce neither)
     val nTokens = tokenCountCol
-      .map(c => when(col(c).isNull || col(c) < 0,
-          raise_error(concat(lit(s"packByTokens: null/negative token count in '$c' at $idCol="),
-            col(idCol).cast("string"))).cast("long"))
-        .otherwise(col(c).cast("long")))
+      .map(tokenCountOrRaise(_, idCol, "packByTokens"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
@@ -156,10 +179,7 @@ object Sharding {
       require(!df.columns.contains(c) || (c == "n_tokens" && tokenCountCol.contains(c)),
         s"packSequences writes column '$c' — input already has one; rename or drop it first"))
     val nTokens = tokenCountCol
-      .map(c => when(col(c).isNull || col(c) < 0,
-          raise_error(concat(lit(s"packSequences: null/negative token count in '$c' at $idCol="),
-            col(idCol).cast("string"))).cast("long"))
-        .otherwise(col(c).cast("long")))
+      .map(tokenCountOrRaise(_, idCol, "packSequences"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)

@@ -850,10 +850,14 @@ object Similarity {
   private[ext] def srpBands(base: DataFrame, numBits: Int, bandSize: Int,
                             keepSig: Boolean = false): DataFrame = {
     val nBands = numBits / bandSize
+    // wrap-safe band mask: (1L << 64) - 1 is 0 (Long shifts are mod 64),
+    // which would constant-fold every bv to 0 and degenerate the banded
+    // equi-join into a full cross product at bandSize = 64
+    val mask = if (bandSize == 64) -1L else (1L << bandSize) - 1
     val exploded = base.select(col("id"), col("sig"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
-          (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit((1L << bandSize) - 1)).as("bv"))
+          (shiftrightunsigned(col("sig"), i * bandSize) bitwiseAND lit(mask)).as("bv"))
       }: _*)).as("b"))
     val cols = Seq(col("id"), col("b.band").as("band"), col("b.bv").as("bv")) ++
       (if (keepSig) Seq(col("sig")) else Nil)

@@ -52,10 +52,21 @@ object TextAnalysis {
   def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val nTok = size(t)
-    val nChars = length(col(textCol))
-    val punct = nChars - length(regexp_replace(col(textCol), "[!-/:-@\\[-`{-~]", ""))
+    // NULL text measures as EMPTY for the char-derived metrics too (the
+    // tokens() rule above): n_chars_m/n_bpeish read 0, not NULL — a NULL
+    // here would make a max-style gate (e.g. n_chars_m < X) disagree
+    // between NULL-text and empty-text rows
+    val safeText = coalesce(col(textCol), lit(""))
+    val nChars = length(safeText)
+    val punct = nChars - length(regexp_replace(safeText, "[!-/:-@\\[-`{-~]", ""))
     val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(filter(t, w => array_contains(stopArr, w)))
+    // stopwords match LOWERCASED tokens (the withLangId / Gopher rule):
+    // Title Case "The" is a stopword too — raw-case matching scored
+    // ALL-CAPS fluent text ~0 and a standard 0.1..0.6 gate dropped it.
+    // Lowercase the existing token ARRAY (the oracle's list_transform) —
+    // whitespace is case-invariant, so this equals re-tokenizing lowered
+    // text without paying a second split
+    val nStop = size(filter(transform(t, x => lower(x)), w => array_contains(stopArr, w)))
     // token-less / empty docs have undefined ratios: NULL, matching what
     // the SQL transcriptions' x/0 yields in DuckDB — and never a
     // DIVIDE_BY_ZERO under ANSI mode (quality gates then filter the doc,
@@ -63,7 +74,7 @@ object TextAnalysis {
     df.withColumns(Map(
       "n_chars_m" -> nChars,
       "n_tokens" -> nTok,
-      "n_bpeish" -> bpeishCount(col(textCol)),
+      "n_bpeish" -> bpeishCount(safeText),
       "avg_token_len" -> when(nTok === 0, lit(null).cast("double"))
         .otherwise(length(concat_ws("", t)).cast("double") / nTok),
       "stopword_ratio" -> when(nTok === 0, lit(null).cast("double"))
@@ -107,7 +118,9 @@ object TextAnalysis {
 
   /** Stopword-profile language ID — the classic cheap n-gram/stopword
     * heuristic. Scores each candidate language by the fraction of tokens in
-    * its stopword profile; deterministic argmax (score desc, lang asc).
+    * its stopword profile; deterministic argmax where equal scores resolve
+    * to the lexicographically LARGEST lang (the sort-ascending/take-last
+    * formulation below — the oracle transcribes the same rule).
     */
   val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "with"),
@@ -120,6 +133,11 @@ object TextAnalysis {
     * through for pipeline use.
     */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    // withColumn would silently REPLACE (then drop) a same-named payload
+    // column — guard at THIS altitude so every caller is covered, not
+    // just the pipeline's reserved-name list
+    require(!df.columns.contains("__t"),
+      "withLangId uses temp column '__t' — input already has one; rename or drop it first")
     // tokenize once into a column; scoring 5 languages over the same array
     // would otherwise re-run trim/split/filter per language
     val toked = df.withColumn("__t", tokens(lower(col(textCol))))
@@ -352,8 +370,13 @@ object TextAnalysis {
     // sum of token lengths == chars left after deleting all whitespace
     val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
     val nAlpha = regexp_count(text, lit("\\S*[A-Za-z]\\S*")).cast("long")
-    val nSym = (length(text) - length(regexp_replace(text, "#", "")) +
-      regexp_count(text, lit("\\.\\.\\.|…"))).cast("long")
+    // Rae et al. A1 thresholds the hash and ellipsis ratios EACH
+    // ("either … greater than 0.1" removes): expose the max of the two as
+    // symbol_ratio, so `symbol_ratio < 0.1` is exactly the per-symbol
+    // rule — a summed count was strictly harsher on mixed code-and-prose
+    // docs where both symbols co-occur below threshold
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEllipsisCh = regexp_count(text, lit("\\.\\.\\.|…")).cast("long")
     val lines = split(text, "\n")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long")
@@ -362,7 +385,8 @@ object TextAnalysis {
     val nStop = size(filter(tokens(lower(text)), w => array_contains(stopArr, w))).cast("long")
     val nullD = lit(null).cast("double")
     val meanWordLen = when(nWords === 0, nullD).otherwise(sumLen.cast("double") / nWords)
-    val symbolRatio = when(nWords === 0, nullD).otherwise(nSym.cast("double") / nWords)
+    val symbolRatio = when(nWords === 0, nullD).otherwise(
+      greatest(nHash.cast("double") / nWords, nEllipsisCh.cast("double") / nWords))
     val bulletRatio = nBullet.cast("double") / nLines // split() never yields []
     val ellipsisRatio = nEllipsis.cast("double") / nLines
     val alphaRatio = when(nWords === 0, nullD).otherwise(nAlpha.cast("double") / nWords)
@@ -427,10 +451,26 @@ object TextAnalysis {
     * similarity-output convention. Docs matching no term never reach the
     * aggregate.
     */
+  /** The BM25 rankers carry doc ids through `graft_topk`'s LONG slot: a
+    * non-integral id column would fail at analysis with the kernel's
+    * opaque type error, so reject it here with remediation (the
+    * cosineLshIncrement rule). Integral ids narrower than long come back
+    * WIDENED to long in the output.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$context needs integral doc ids ('$idCol' is $dt; the top-k kernel " +
+        "carries ids as LONG, and the output id column widens to long) — " +
+        "map ids to longs (dictionary join / dense rank) first")
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK requires at least one query term")
     require(k > 0, s"k must be positive: $k")
+    requireIntegralId(df, idCol, "bm25TopK")
     // the corpus tokenizes LOWERCASED, so match the query terms the same
     // way (a mixed-case term would silently contribute nothing), and
     // de-duplicate (a repeated term would double-count its score)
@@ -440,17 +480,27 @@ object TextAnalysis {
     // sum over zero rows is NULL — coalesce so an empty corpus reaches the
     // descriptive require below instead of a bare NPE at getLong
     val aggCols = Seq(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("l")) ++
+      coalesce(sum(col("__dl")), lit(0L)).as("l"),
+      coalesce(max(col("__dl")), lit(0L)).as("m")) ++
       qterms.zipWithIndex.map { case (t, i) =>
         sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df$i")
       }
     val stats = toked.agg(aggCols.head, aggCols.tail: _*).head()
     val n = stats.getLong(0)
     val l = stats.getLong(1)
+    val maxDl = stats.getLong(2)
     require(n > 0 && l > 0, "bm25TopK requires a non-empty tokenized corpus")
     val avgdlMilli = (1000L * l) / n
     val idfs = qterms.indices.map(i =>
-      floorLog2Long(n + 1) - floorLog2Long(stats.getLong(2 + i) + 1))
+      floorLog2Long(n + 1) - floorLog2Long(stats.getLong(3 + i) + 1))
+    // plan-time overflow bound on the millitoken fixed-point: the per-row
+    // numerator is 22·avgdlMilli·idf·tf with tf ≤ the longest document —
+    // past Long range ANSI mode would kill the job mid-scan (and non-ANSI
+    // would silently misrank). BigInt keeps the bound check itself exact.
+    require(BigInt(22L) * avgdlMilli * idfs.foldLeft(1L)(math.max) * math.max(maxDl, 1L)
+        <= BigInt(Long.MaxValue),
+      s"bm25TopK: score fixed-point would overflow (avgdl ${avgdlMilli / 1000} " +
+        s"tokens, longest doc $maxDl) — truncate pathologically long documents first")
     def tf(t: String): Column =
       size(filter(col("__t"), x => x === lit(t))).cast("long")
     val scoreTerms = qterms.zip(idfs).map { case (t, idf) =>
@@ -500,13 +550,22 @@ object TextAnalysis {
                queryIdCol: String, queryTextCol: String,
                k: Int, maxTermDf: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireIntegralId(corpus, idCol, "bm25Join")
     val toked = corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
       .withColumn("__dl", size(col("__t")).cast("long"))
     val stats = toked.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("l")).head()
-    val (n, l) = (stats.getLong(0), stats.getLong(1))
+      coalesce(sum(col("__dl")), lit(0L)).as("l"),
+      coalesce(max(col("__dl")), lit(0L)).as("m")).head()
+    val (n, l, maxDl) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     require(n > 0 && l > 0, "bm25Join requires a non-empty tokenized corpus")
     val avgdlMilli = (1000L * l) / n
+    // plan-time overflow bound (the bm25TopK rule, with this path's
+    // 22000 millitoken numerator): __num = 22000·avgdlMilli·idf·tf with
+    // tf ≤ the longest document and idf ≤ floorLog2(n+1)
+    require(BigInt(22000L) * avgdlMilli * math.max(floorLog2Long(n + 1), 1L) *
+        math.max(maxDl, 1L) <= BigInt(Long.MaxValue),
+      s"bm25Join: score fixed-point would overflow (avgdl ${avgdlMilli / 1000} " +
+        s"tokens, longest doc $maxDl) — truncate pathologically long documents first")
     // postings feed the df aggregate AND the probe join — scoped, the
     // minHashLsh stance; callers release via Caching.release
     val postings = graft.Caching.scoped(
@@ -585,6 +644,10 @@ object TextAnalysis {
   def scoreLogOdds(df: DataFrame, textCol: String, model: LogOddsModel): DataFrame = {
     require(model.weights.length == model.dim,
       s"model weights length ${model.weights.length} != dim ${model.dim}")
+    // withColumn would silently REPLACE (then drop) a same-named payload
+    // column (the withLangId '__t' rule)
+    require(!df.columns.contains("__ws"),
+      "scoreLogOdds uses temp column '__ws' — input already has one; rename or drop it first")
     val wlit = typedlit(model.weights.toSeq)
     val perTok = transform(tokens(lower(col(textCol))),
       t => element_at(wlit,

@@ -86,6 +86,12 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val first = out.map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(first != reseeded)
+    // per-fraction bounds, not just the sum: (1.1, -0.1) sums to 1 but
+    // would leave 'test' silently empty
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", "graft", Seq("train" -> 1.1, "test" -> -0.1))
+    }
+    assert(e.getMessage.contains("[0, 1]"), e.getMessage)
   }
 
   test("sampleByHash is nested: smaller fractions are subsets of larger ones") {
@@ -187,6 +193,29 @@ class CurationSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("packByTokens"), err.getMessage)
+    // NaN / infinite / fractional floating-point counts corrupt the same
+    // way (NaN would cast to 0, 3.7 silently truncates) — rejected per
+    // row; whole-valued doubles pass losslessly
+    for (v <- Seq(Double.NaN, Double.PositiveInfinity, 3.7)) {
+      val badD = docs.withColumn("bpe_tokens",
+        when(col("doc_id") === 7, lit(v)).otherwise(lit(5.0)))
+      val e2 = intercept[Exception] {
+        Sharding.packByTokens(badD, "doc_id", "text", 1500L, 4, "s",
+          Some("bpe_tokens")).collect()
+      }
+      assert(e2.getMessage.contains("packByTokens"), s"$v: ${e2.getMessage}")
+    }
+    val whole = Sharding.packByTokens(docs.withColumn("bpe_tokens", lit(5.0)),
+        "doc_id", "text", 1500L, 4, "s", Some("bpe_tokens"))
+      .select("n_tokens").distinct().collect().map(_.getLong(0)).toSeq
+    assert(whole == Seq(5L))
+    // a token-count column NAMED after packing bookkeeping would be
+    // overwritten mid-plan — rejected up front (only 'n_tokens' itself
+    // may double as the input)
+    intercept[IllegalArgumentException] {
+      Sharding.packByTokens(docs.withColumn("shard", lit(5L)),
+        "doc_id", "text", 1500L, 4, "s", Some("shard"))
+    }
   }
 
   test("streaming decontamination: stream-static gram join is stateless and append-safe") {
@@ -448,6 +477,51 @@ class CurationSpec extends SparkSpec {
       CurationPipeline.run(rows, "doc_id", "text", None,
         cfg.copy(tokenCountCol = Some("nope")))
     }
+  }
+
+  test("reserved metric/packing column names in pipeline input fail loudly instead of being clobbered") {
+    import spark.implicits._
+    val rows = Seq(1L -> "the of and to in is that for with plenty of words here")
+      .toDF("doc_id", "text")
+    // batch path: the metric stages' withColumns silently REPLACE a
+    // same-named payload column and the closing select re-emits the
+    // replaced values — must raise instead
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(rows.withColumn("punct_ratio", lit(0.5)),
+        "doc_id", "text", None, CurationPipeline.Config())
+    }
+    // a name is only reserved while its stage is ON: 'keep' is Gopher's
+    // verdict column, untouched (and carried through) with gopherRules off
+    val cols = CurationPipeline.run(rows.withColumn("keep", lit("payload")),
+      "doc_id", "text", None, CurationPipeline.Config(minTokens = 1L)).columns
+    graft.Caching.release(spark)
+    assert(cols.contains("keep"))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(rows.withColumn("keep", lit("payload")),
+        "doc_id", "text", None, CurationPipeline.Config(gopherRules = true))
+    }
+    // a configured token count may not hide behind a metric name the
+    // quality stage overwrites before the gate reads it
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(rows.withColumn("n_tokens", lit(42L)),
+        "doc_id", "text", None,
+        CurationPipeline.Config(tokenCountCol = Some("n_tokens")))
+    }
+    // stream path inlines the packing stage, so it must carry the same
+    // guards the batch path gets from packByTokens' requires
+    val state = CurationPipeline.StreamState("tguard",
+      java.nio.file.Files.createTempDirectory("graft_cur_guard").toString,
+      numBuckets = 2)
+    state.dropTables(spark)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.streamIncrement(rows, "doc_id", "text", None,
+        CurationPipeline.Config(tokensPerShard = 0L), state, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.streamIncrement(rows.withColumn("shard", lit(1L)),
+        "doc_id", "text", None, CurationPipeline.Config(), state, 0L)
+    }
+    state.dropTables(spark)
   }
 
   test("Caching.scope releases its own registrations without touching the global set") {
@@ -1076,6 +1150,12 @@ class CurationSpec extends SparkSpec {
     val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     graft.Caching.release(spark)
     assert(pairRows.nonEmpty)
+    // a non-integral id column would silently null through the unpaired
+    // fallback cast and collapse every unpaired doc into one bucket
+    intercept[IllegalArgumentException] {
+      Sampling.splitByComponent(sdocs.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", spairs, "s", splits)
+    }
     pairRows.foreach { case (a, b) =>
       assert(real(a) == real(b), s"pair ($a,$b) straddles splits")
     }
@@ -1287,6 +1367,37 @@ class CurationSpec extends SparkSpec {
     // invariants: the dense short doc wins; the no-hit doc never appears
     assert(got.head._2 == 1L)
     assert(!got.map(_._2).contains(4L))
+  }
+
+  test("bm25 guards: non-integral ids, fixed-point overflow, and degenerate gram n fail loudly") {
+    import spark.implicits._
+    val d = Seq(1L -> "the quick brown fox").toDF("doc_id", "text")
+    // graft_topk carries ids as LONG: string ids get a descriptive
+    // require, not the kernel's opaque type error
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.bm25TopK(d.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", "text", Seq("fox"), k = 3)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.bm25Join(
+        d.withColumn("doc_id", col("doc_id").cast("string")), d.toDF("query_id", "text"),
+        "doc_id", "text", "query_id", "text", k = 3)
+    }
+    // a million-token document pushes 22000·avgdlMilli·idf·tf past Long
+    // range — the millitoken fixed-point must refuse at plan time (ANSI
+    // would otherwise kill the job mid-scan; non-ANSI would misrank)
+    val huge = Seq(1L -> Array.fill(1000000)("a").mkString(" ")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.bm25Join(huge, d.toDF("query_id", "text"),
+        "doc_id", "text", "query_id", "text", k = 3)
+    }
+    assert(e2.getMessage.contains("overflow"), e2.getMessage)
+    // n = 0 grams would mark every train doc contaminated via one
+    // universal empty gram — rejected up front
+    intercept[IllegalArgumentException] {
+      graft.ext.Decontaminate.docGrams(d, "doc_id", "text", 0)
+    }
   }
 
   test("bm25TopK on the real corpus matches the full-ranking model at k=50") {

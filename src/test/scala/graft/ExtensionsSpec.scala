@@ -158,6 +158,15 @@ class ExtensionsSpec extends SparkSpec {
       rows(4L).getAs[Double]("ellipsis_ratio") === 0.4, "rule 5: ellipsis lines")
     assert(!rows(5L).getAs[Boolean]("keep") &&
       rows(5L).getAs[Double]("symbol_ratio") > 0.1, "rule 3: symbol ratio")
+    // rule 3 thresholds EACH symbol ("either … greater than 0.1" removes,
+    // Rae et al. A1): 3 hashes and 3 ellipses over 64 words score
+    // max(3/64, 3/64), though their SUM would read 6/64
+    val mixed = ((1 to 6).flatMap(_ => goodWords) ++ Seq("###", "...", "...", "..."))
+      .mkString(" ")
+    val mrow = TextAnalysis.gopherFilter(
+      Seq(8L -> mixed).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(mrow.getAs[Double]("symbol_ratio") === 3.0 / 64,
+      "symbol_ratio must be the max per-symbol ratio, not the sum")
     assert(!rows(6L).getAs[Boolean]("keep") &&
       rows(6L).getAs[Double]("alpha_ratio") === 0.7, "rule 6: alpha words")
     assert(!rows(7L).getAs[Boolean]("keep") &&
@@ -835,6 +844,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed.contains((1L, 3L)), s"cross-batch pair must come from the probe: $streamed")
     assert(streamed.contains((3L, 4L)), s"in-batch pair must come from the self-join: $streamed")
     assert(streamed === batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("bandSize 64 keeps the full signature as the band value — no mask wrap to a constant bucket") {
+    import spark.implicits._
+    // (1L << 64) - 1 is 0 (Long shifts are mod 64): an unmasked wrap
+    // would constant-fold every bv to 0, putting ALL vectors in one band
+    // bucket and degenerating the banded equi-join into a cross product
+    val idx = Similarity.CosineLshIndex("t_b64_bands", "t_b64_vecs", numBuckets = 2)
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b64")
+    Similarity.cosineLshIncrement(
+      Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "emb"),
+      "vec_id", "emb", 0.9, idx, tmp.resolve("p").toString, 0L,
+      numBits = 64, bandSize = 64)
+    val bvs = spark.table(idx.bandsTable).select("bv")
+      .collect().map(_.getLong(0)).toSet
+    Seq(idx.bandsTable, idx.vecsTable)
+      .foreach { t => dropTableHard(t); dropTableHard(t + "__compact") }
+    assert(bvs.size == 2, s"orthogonal vectors must land in distinct band buckets: $bvs")
   }
 
   test("conflicting same-id vectors in a cosine increment resolve to the (nrm, v)-max winner deterministically") {
