@@ -1111,7 +1111,7 @@ object Queries {
       "SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS release_ts FROM events",
 
     "x01_dedup_exact" ->
-      "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY 1",
+      "SELECT md5(COALESCE(text, '')) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY 1",
 
     "x02_dedup_jaccard" -> cappedJaccardOracle,
 
@@ -1453,7 +1453,7 @@ object Queries {
         |q AS (SELECT lang_pred, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM qh GROUP BY 1),
         |kh AS (SELECT DISTINCT lang_pred,
         |  list_reduce(list_transform(generate_series(1, 15),
-        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || text), j, 1)) - 1 AS BIGINT)),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
         |  FROM d WHERE text IS NOT NULL),
         |ks AS (SELECT lang_pred, list_sort(list(hv))[1:64] AS ks FROM kh GROUP BY 1)
@@ -2056,7 +2056,7 @@ object Queries {
         |q AS (SELECT source, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM qh GROUP BY 1),
         |kh AS (SELECT DISTINCT source,
         |  list_reduce(list_transform(generate_series(1, 15),
-        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || text), j, 1)) - 1 AS BIGINT)),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
         |  FROM d WHERE text IS NOT NULL),
         |ks AS (SELECT source, list_sort(list(hv))[1:64] AS ks FROM kh GROUP BY 1)
@@ -2165,7 +2165,7 @@ object Queries {
       |best AS (SELECT doc_id, lang FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) WHERE rn = 1),
       |f AS (SELECT q.doc_id, q.text FROM q JOIN best USING (doc_id) WHERE best.lang = 'en'),
       |e AS (SELECT f.doc_id, f.text FROM f
-      |      JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)) k USING (doc_id)),
+      |      JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(COALESCE(text, ''))) k USING (doc_id)),
       |etoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM e),
       |sh AS (SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
       |       FROM etoks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3),

@@ -585,7 +585,7 @@ object CurationPipeline {
     // 2: exact dedup. The hash-index append happens LAST in this increment
     // (see the tail): every materialization below re-reads the table and
     // must see only prior batches, eviction or not.
-    val hashed = filtered.withColumn("__h", md5(col(textCol)))
+    val hashed = filtered.withColumn("__h", md5(coalesce(col(textCol), lit("")))) // NULL≡empty, the Dedup.exact rule
     val winners = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
     val inBatch = hashed.join(winners, Seq("__h", idCol), "left_semi")
     // batch-lifetime persist (unpersisted in the finally below, NOT

@@ -18,7 +18,11 @@ object Dedup {
     * surviving doc id (smallest) and the duplicate count. One shuffle.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("text_hash"))
+    // NULL text hashes as the EMPTY text (the TextAnalysis.tokens rule):
+    // md5(NULL) is NULL, which would group NULL-text docs apart from
+    // empty-text docs — the cross-operator row-set disagreement the
+    // NULL≡empty convention exists to prevent
+    df.groupBy(md5(coalesce(col(textCol), lit(""))).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Streaming exact dedup for continuous ingest: emits the FIRST arrival
@@ -36,7 +40,7 @@ object Dedup {
     */
   def exactStream(df: DataFrame, textCol: String,
                   eventTimeCol: String, horizon: String): DataFrame =
-    df.withColumn("text_hash", md5(col(textCol)))
+    df.withColumn("text_hash", md5(coalesce(col(textCol), lit("")))) // NULL≡empty, the exact() rule
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
@@ -87,13 +91,11 @@ object Dedup {
     val inter = a.join(b, Seq("s"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))
-    inter
-      .join(sizes.toDF("d1", "n1"), "d1")
-      .join(sizes.toDF("d2", "n2"), "d2")
-      .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
-      .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
-      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
-        (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+    emitVerifiedPairs(
+      inter
+        .join(sizes.toDF("d1", "n1"), "d1")
+        .join(sizes.toDF("d2", "n2"), "d2"),
+      threshold)
   }
 
   /** MinHash + banded LSH near-dup detection — the 100 TB path.
@@ -147,16 +149,14 @@ object Dedup {
     val sizes = cached.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = cached.toDF("d1", "s")
     val b = cached.toDF("d2", "s")
-    cand
-      .join(a, "d1").join(b.withColumnRenamed("s", "s2"), "d2")
-      .filter(col("s") === col("s2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))
-      .join(sizes.toDF("d1", "n1"), "d1")
-      .join(sizes.toDF("d2", "n2"), "d2")
-      .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
-      .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
-      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
-        (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+    emitVerifiedPairs(
+      cand
+        .join(a, "d1").join(b.withColumnRenamed("s", "s2"), "d2")
+        .filter(col("s") === col("s2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))
+        .join(sizes.toDF("d1", "n1"), "d1")
+        .join(sizes.toDF("d2", "n2"), "d2"),
+      threshold)
   }
 
   /** The persisted corpus index behind [[minHashLshStream]]: two bucketed
@@ -214,19 +214,32 @@ object Dedup {
     * docs, where the stream's arrays are bounded by what one micro-batch's
     * bands collide with.
     */
-  private def verifyStreamCandidates(cand: DataFrame, arr: DataFrame,
-                                     threshold: Double): DataFrame = {
-    cand
-      .join(arr.toDF("d1", "s1"), "d1")
-      .join(arr.toDF("d2", "s2"), "d2")
-      .withColumn("inter_cnt", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn("n1", size(col("s1")).cast("long"))
-      .withColumn("n2", size(col("s2")).cast("long"))
-      .drop("s1", "s2")
+  /** The shared Jaccard verify-and-emit tail: given per-pair exact counts
+    * (d1, d2, inter_cnt, n1, n2), keep pairs meeting `threshold` and emit
+    * the (d1, d2, inter_cnt, union_cnt, jaccard) contract. ONE definition
+    * — [[jaccardPairs]], [[minHashLsh]], and the streaming verify all
+    * feed it, so the batch ≡ stream bit-for-bit equality (spec-pinned)
+    * cannot drift through a threshold-semantics fix applied to only one
+    * copy.
+    */
+  private def emitVerifiedPairs(cnts: DataFrame, threshold: Double): DataFrame =
+    cnts
       .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
       .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
       .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
         (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+
+  private def verifyStreamCandidates(cand: DataFrame, arr: DataFrame,
+                                     threshold: Double): DataFrame = {
+    emitVerifiedPairs(
+      cand
+        .join(arr.toDF("d1", "s1"), "d1")
+        .join(arr.toDF("d2", "s2"), "d2")
+        .withColumn("inter_cnt", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("n1", size(col("s1")).cast("long"))
+        .withColumn("n2", size(col("s2")).cast("long"))
+        .drop("s1", "s2"),
+      threshold)
   }
 
   /** One micro-batch of incremental near-dup detection against the corpus
@@ -645,10 +658,28 @@ object Dedup {
     */
   def collapseBest(df: DataFrame, idCol: String, pairs: DataFrame,
                    rankCol: String, maxIters: Int = 20): DataFrame = {
+    // rank comparison in the column's OWN numeric family: the previous
+    // unconditional long cast truncated every quality score in [0,1) to
+    // 0, silently degenerating "highest-scored survives" to min-id.
+    // Float ranks compare as double (NaN folded to lose — Spark orders
+    // NaN above every value, and a garbage score must not win a cluster);
+    // NULL ranks lose to every ranked member either way.
+    val rankExpr = {
+      import org.apache.spark.sql.types._
+      df.schema(rankCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          coalesce(col(rankCol).cast("long"), lit(Long.MinValue))
+        case FloatType | DoubleType =>
+          val d = col(rankCol).cast("double")
+          coalesce(when(isnan(d), lit(Double.NegativeInfinity)).otherwise(d),
+            lit(Double.NegativeInfinity))
+        case other => throw new IllegalArgumentException(
+          s"collapseBest: rank column '$rankCol' must be numeric, got $other")
+      }
+    }
     val mapping = connectedComponents(pairs, maxIters)
     val members = mapping.join(
-      df.select(col(idCol).as("doc_id"),
-        coalesce(col(rankCol).cast("long"), lit(Long.MinValue)).as("__rank")),
+      df.select(col(idCol).as("doc_id"), rankExpr.as("__rank")),
       Seq("doc_id"))
     val reps = members.groupBy("cluster_id")
       .agg(max(struct(col("__rank").as("r"), (-col("doc_id")).as("ni"))).as("__best"))
@@ -904,17 +935,27 @@ object Dedup {
     // array is PROJECTED before wordNGrams (the docGrams/dedupSpans shape):
     // passing tokens(text) inline re-evaluates the regex split inside every
     // element_at — O(n·k) tokenizations per doc, measured 10× slower.
+    // rows are keyed by (id, content hash), NOT id alone: duplicate ids
+    // are legal on this public API (and reachable from the pipeline —
+    // exact dedup groups by text hash, so two DIFFERENT texts sharing an
+    // id both survive into this stage), and an id-only rollup would merge
+    // both rows' counts and attach the merged stats to each. Two
+    // identical same-id rows still share a key — their windows are
+    // genuinely the same span occurrences.
     val wins = graft.Caching.scoped(
-      df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
-        .select(col("id"),
+      df.select(col(idCol).as("id"),
+          xxhash64(coalesce(col(textCol), lit(""))).as("__r"),
+          TextAnalysis.tokens(col(textCol)).as("__t"))
+        .select(col("id"), col("__r"),
           explode(transform(TextAnalysis.wordNGrams(col("__t"), k),
             g => graft.functions.Hashing.md5Hash60Col(g))).as("__w")))
     val counts = wins.groupBy("__w").agg(count(lit(1)).as("__c"))
     val per = wins.join(counts, Seq("__w"))
-      .groupBy("id")
+      .groupBy("id", "__r")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
-    df.select(col(idCol)).join(per.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    df.select(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("__r"))
+      .join(per.withColumnRenamed("id", idCol), Seq(idCol, "__r"), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
@@ -945,11 +986,19 @@ object Dedup {
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val toked = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+    // (id, content hash) row key — the duplicateSpanStats rule: an id-only
+    // loser rollup would cut one same-id doc's duplicated positions out of
+    // another's unrelated text. The WINNER rule stays global min (id, pos)
+    // (the documented first-occurrence contract, unchanged for unique-id
+    // corpora; same-id-same-position occurrences from identical twin rows
+    // all match the winner tuple and all survive).
+    val toked = df.select(col(idCol).as("id"),
+      xxhash64(coalesce(col(textCol), lit(""))).as("__r"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
     // per-occurrence (position, hash) pairs — scoped: feeds the winner
     // aggregate and the loser probe; callers release via Caching.release
     val wins = graft.Caching.scoped(
-      toked.select(col("id"),
+      toked.select(col("id"), col("__r"),
         posexplode(transform(TextAnalysis.wordNGrams(col("__t"), k),
           g => graft.functions.Hashing.md5Hash60Col(g))).as(Seq("__p", "__w"))))
     val stats = wins.groupBy("__w").agg(
@@ -957,8 +1006,8 @@ object Dedup {
     val losers = wins.join(stats, Seq("__w"))
       .filter(col("__c") > 1 &&
         !(col("id") === col("__win.id") && col("__p") === col("__win.__p")))
-      .groupBy("id").agg(sort_array(collect_list(col("__p"))).as("__starts"))
-    toked.join(losers, Seq("id"), "left")
+      .groupBy("id", "__r").agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    toked.join(losers, Seq("id", "__r"), "left")
       .withColumn("__n", size(col("__t")))
       .withColumn("__cov",
         when(col("__starts").isNull, array().cast("array<int>"))
@@ -1034,6 +1083,11 @@ object Dedup {
     * (band_idx, band_value), never a cross join.
     */
   def simHashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // bounds, loudly: maxHamming >= SimHashBits makes the band width 0 and
+    // every band value 0 — a silent all-pairs cross join; negative values
+    // silently return nothing (explode of an empty band array drops rows)
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"simHashPairs: maxHamming must be in [0, ${SimHashBits - 1}], got $maxHamming")
     val nBands = maxHamming + 1
     val width = SimHashBits / nBands
     val bands = sim.select(col("id"), col("simhash"),

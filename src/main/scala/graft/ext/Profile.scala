@@ -35,7 +35,12 @@ object Profile {
     // graft.Caching.release after materializing.
     val base = graft.Caching.scoped(
       TextAnalysis.withLangId(TextAnalysis.withQualityMetrics(docs, textCol), textCol)
-        .select(col(idCol).as("id"), col(textCol).as("text"),
+        .select(col(idCol).as("id"),
+          // NULL text counts as the EMPTY text (the tokens() rule): the
+          // KMV hash skips NULL inputs, so un-coalesced NULL-text docs
+          // would vanish from est_distinct_texts and silently inflate
+          // the reported duplicate mass n_docs − est_distinct_texts
+          coalesce(col(textCol), lit("")).as("text"),
           col("lang_pred"), col("n_tokens")))
     profile(base, "lang_pred", quantileK, distinctK)
   }
@@ -55,8 +60,16 @@ object Profile {
               quantileK: Int = 128, distinctK: Int = 64): DataFrame = {
     require(docs.columns.contains(sliceCol),
       s"bySlice: column '$sliceCol' not in input (${docs.columns.mkString(", ")})")
+    // the closing rename would otherwise produce TWO columns with the
+    // slice's name — the sketches' own guards never fire because the
+    // group column here is the internal '__slice'
+    Seq("n_docs", "n_sample", "p25", "p50", "p75", "p90", "est_distinct_texts")
+      .foreach(c => require(sliceCol != c,
+        s"bySlice writes stat column '$c' — rename the slice column first"))
     val base = graft.Caching.scoped(
-      docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      docs.select(col(idCol).as("id"),
+        // NULL text counts as the EMPTY text (the byLanguage rule)
+        coalesce(col(textCol), lit("")).as("text"),
         coalesce(col(sliceCol).cast("string"), lit("<null>")).as("__slice"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")))
     profile(base, "__slice", quantileK, distinctK)

@@ -1261,6 +1261,28 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, None)), "short doc: zero windows, NULL fraction")
   }
 
+  test("span operators keep duplicate-id rows independent (per-row stats, no cross-doc cuts)") {
+    import spark.implicits._
+    // two id-7 rows with unrelated texts plus an id-8 copy of the first:
+    // an id-only rollup merged both rows' windows/loser positions and
+    // applied them to each — doc B's text cut at doc A's offsets
+    val span = "alpha beta gamma delta epsilon"
+    val d = Seq(7L -> span, 7L -> "uno dos tres quatro cinco seis",
+      8L -> span).toDF("doc_id", "text")
+    val stats = Dedup.duplicateSpanStats(d, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caching.release(spark)
+    assert(stats === Set((7L, 1L, 1L), (7L, 2L, 0L), (8L, 1L, 1L)),
+      s"each row must carry ITS OWN window counts: $stats")
+    val spans = Dedup.dedupSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    graft.Caching.release(spark)
+    // global first occurrence (min (id, pos)) keeps id 7's span copy; the
+    // second id-7 row is untouched; id 8's copy is cut entirely
+    assert(spans === Set((7L, span), (7L, "uno dos tres quatro cinco seis"),
+      (8L, "")), s"losers must cut only their own row: $spans")
+  }
+
   test("duplicateSpanStats equals the sequential model on real docs") {
     val k = 5
     val texts = docs.select("doc_id", "text").collect()

@@ -42,6 +42,36 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("NULL text equals empty text in exact dedup and profile sketches; simhash/slice guards") {
+    import spark.implicits._
+    val d = Seq((1L, null: String), (2L, ""), (3L, "words here")).toDF("doc_id", "text")
+    // md5(NULL) is NULL — ungrouped from md5('') without the coalesce,
+    // splitting what every other operator treats as ONE text value
+    val ex = Dedup.exact(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(ex === Set((1L, 2L), (3L, 1L)),
+      s"NULL and '' must share one hash group (survivor 1, count 2): $ex")
+    // the KMV hash skips NULL inputs: an un-coalesced NULL text would
+    // vanish from est_distinct_texts and inflate the duplicate mass
+    val p = graft.ext.Profile.bySlice(d.withColumn("src", lit("s")),
+        "doc_id", "text", "src")
+      .select("n_docs", "est_distinct_texts").collect().head
+    graft.Caching.release(spark)
+    assert(p.getLong(0) === 3L && p.getDouble(1) === 2.0,
+      s"NULL text must sketch as the empty text: $p")
+    // simHashPairs bounds: 60 would band at width 0 (all-pairs cross
+    // join), negatives silently returned nothing
+    val sims = Dedup.simHash(d, "doc_id", "text")
+    intercept[IllegalArgumentException] { Dedup.simHashPairs(sims, 60) }
+    intercept[IllegalArgumentException] { Dedup.simHashPairs(sims, -2) }
+    // a slice column named like an output stat would emit duplicate
+    // column names through the closing rename
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.bySlice(d.withColumn("n_docs", lit("s")),
+        "doc_id", "text", "n_docs")
+    }
+  }
+
   test("collapseBest keeps the max-rank member per component (ties min id); null ranks lose; constant rank = min id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
@@ -71,6 +101,23 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     graft.Caching.release(spark)
     assert(constBest === minId && constBest === Set(1L, 10L, 20L))
+
+    // DOUBLE ranks compare as doubles: quality scores in [0, 1) must not
+    // truncate to a universal 0 (which silently degenerated the survivor
+    // rule to min-id); NaN is garbage and must not win its cluster
+    val dblRanked = Seq(1L -> 0.03, 2L -> 0.97, 3L -> 0.52, 4L -> 0.01,
+      10L -> Double.NaN, 11L -> 0.2, 20L -> 0.5)
+      .toDF("doc_id", "quality")
+    val dblBest = Dedup.collapseBest(dblRanked, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(dblBest === Set(2L, 11L, 20L),
+      s"fractional ranks must rank, and NaN must lose: $dblBest")
+    // non-numeric ranks fail loudly instead of silently casting
+    intercept[IllegalArgumentException] {
+      Dedup.collapseBest(dblRanked.withColumn("quality", lit("hi")),
+        "doc_id", pairs, "quality")
+    }
   }
 
   test("unigramQuality scores hand-computed NLLs; vocab cap floors the tail and is exact when V covers the vocab") {
