@@ -25,6 +25,11 @@ object Sessionize {
     */
   def assign(df: DataFrame, keyCols: Seq[String], tsCol: String,
              gapMs: Long, tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // withColumn would silently REPLACE an input 'session_idx' and the
+    // closing select would re-emit the replaced values as payload — fail
+    // loudly (the reserved-column stance)
+    require(!df.columns.contains("session_idx"),
+      "sessionize writes column 'session_idx' — rename the input column first")
     val order = col(tsCol).asc +: tieBreakCols.map(col(_).asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
@@ -39,10 +44,16 @@ object Sessionize {
     * the aggregation is map-side-combined within already-shuffled data.
     */
   def sessions(df: DataFrame, keyCols: Seq[String], tsCol: String,
-               gapMs: Long, tieBreakCols: Seq[String] = Nil): DataFrame =
+               gapMs: Long, tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // a key column named like a rollup stat would emit duplicate column
+    // names through the closing agg (the Profile.bySlice stance)
+    Seq("n_events", "session_start", "session_end").foreach(c =>
+      require(!keyCols.contains(c),
+        s"sessions writes stat column '$c' — rename the key column first"))
     assign(df, keyCols, tsCol, gapMs, tieBreakCols)
       .groupBy((keyCols :+ "session_idx").map(col): _*)
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
+  }
 }

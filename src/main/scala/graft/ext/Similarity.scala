@@ -131,16 +131,24 @@ object Similarity {
       // iteration, where the sufficient statistics are nClusters×(dim+1)
       // doubles regardless of sample size
       val k = cents.length
+      // stride fixed by the INIT centroids' dimension, not each row's own
+      // length: a mixed-dimension corpus would otherwise add into the
+      // wrong [cluster][dim] slots — silent centroid corruption, where
+      // every other trainer raises naming the row
+      val dim0 = cents(0).length
       val partials = train.mapPartitions { it =>
         val c = bc.value
         var acc: Array[Double] = null
-        it.foreach { case (_, v) =>
-          if (acc == null) acc = new Array[Double](k * (v.length + 1))
-          val w = v.length + 1
+        val w = dim0 + 1
+        it.foreach { case (id, v) =>
+          if (v.length != dim0) throw new IllegalArgumentException(
+            s"trainCodebook: vector id=$id has dimension ${v.length}, " +
+              s"expected $dim0")
+          if (acc == null) acc = new Array[Double](k * w)
           val base = nearest(c, v) * w
           var j = 0
-          while (j < v.length) { acc(base + j) += v(j); j += 1 }
-          acc(base + v.length) += 1
+          while (j < dim0) { acc(base + j) += v(j); j += 1 }
+          acc(base + dim0) += 1
         }
         if (acc == null) Iterator.empty else Iterator.single(acc)
       }.collect()
@@ -424,7 +432,11 @@ object Similarity {
       val partials = train.mapPartitions { it =>
         val b = bc.value
         var acc: Array[Double] = null
-        it.foreach { case (_, v) =>
+        it.foreach { case (id, v) =>
+          // loud on mixed dims: a LONGER vector would silently train on
+          // its prefix (a shorter one crashes opaquely in nearestOffset)
+          if (v.length != dim) throw new IllegalArgumentException(
+            s"pqTrain: vector id=$id has dimension ${v.length}, expected $dim")
           if (acc == null) acc = new Array[Double](m * kEff * w)
           var sub = 0
           while (sub < m) {

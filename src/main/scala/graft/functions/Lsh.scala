@@ -96,10 +96,15 @@ case class SrpSignature(left: Expression, right: Expression) extends BinaryExpre
   private lazy val numBits: Int = Lsh.literalInt(right, "numBits")
   override def dataType: DataType = LongType
 
+  // numBits caps at 64: bit p sets via 1L << p, and a 65th plane would
+  // silently WRAP onto bit 0 (JVM shift semantics), corrupting every
+  // signature instead of failing — the SimHash60 1..60 precedent
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(FloatType, _), IntegerType) if right.foldable && {
+      val b = Lsh.literalInt(right, "numBits"); b > 0 && b <= 64
+    } => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_srp_sig requires (array<float>, literal int)")
+      "graft_srp_sig requires (array<float>, literal int numBits in 1..64)")
   }
 
   override protected def nullSafeEval(v: Any, _n: Any): Any =

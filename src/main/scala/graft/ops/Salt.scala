@@ -39,6 +39,10 @@ object Salt {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salt: Column,
                       aggs: (String, (Column, Column))*): DataFrame = {
+    // withColumn would silently REPLACE an input '__salt' — and the salt
+    // expression may read the replaced value (the reserved-column stance)
+    require(!df.columns.contains("__salt"),
+      "saltedAggregate writes column '__salt' — rename the input column first")
     val partial = df.withColumn("__salt", salt)
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2._1.as(aggs.head._1), aggs.tail.map { case (n, (p, _)) => p.as(n) }: _*)
@@ -59,6 +63,9 @@ object Salt {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti").contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left/semi/anti joins, not $joinType")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin writes column '__salt' on both sides — rename the input column first")
+    require(buckets > 0, s"saltedJoin: buckets must be positive, got $buckets")
     val saltedBig = big.withColumn("__salt", saltCol(saltFrom, buckets))
     val replSmall = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))

@@ -70,6 +70,19 @@ class ExtensionsSpec extends SparkSpec {
       graft.ext.Profile.bySlice(d.withColumn("n_docs", lit("s")),
         "doc_id", "text", "n_docs")
     }
+    // graft_srp_sig numBits caps at 64: plane 64's 1L << 64 would WRAP
+    // onto bit 0 and silently corrupt every signature — analysis-time
+    // failure instead (the graft_simhash 1..60 precedent)
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      vecs.select(call_function("graft_srp_sig", col("v"), lit(65))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      vecs.select(call_function("graft_srp_sig", col("v"), lit(0))).collect()
+    }
+    assert(vecs.select(call_function("graft_srp_sig", col("v"), lit(64)))
+      .collect().length === 1, "64 planes is the legal maximum")
   }
 
   test("collapseBest keeps the max-rank member per component (ties min id); null ranks lose; constant rank = min id") {
@@ -1566,5 +1579,24 @@ class ExtensionsSpec extends SparkSpec {
     // fractional/string labels are not integral classes — reject up front
     intercept[IllegalArgumentException](Similarity.trainCentroids(
       Seq((Array(1f, 2f), 0.5)).toDF("embedding", "label"), "embedding", "label"))
+  }
+
+  test("k-means and PQ trainers raise on mixed vector dimensions, naming the row") {
+    import spark.implicits._
+    // the Lloyd partial-sum kernels stride their accumulators by the FIRST
+    // dimension seen; without the per-row check a longer vector silently
+    // trains on a prefix (PQ) or adds into wrong [cluster][dim] slots
+    // (IVF) — corrupt centroids, not an error
+    val mixed = Seq((1L, Array(1f, 2f, 3f, 4f)), (2L, Array(5f, 6f, 7f, 8f)),
+      (3L, Array(9f, 1f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception](
+      Similarity.ivfTopK(mixed, "vec_id", "embedding", k = 2, nClusters = 2).collect())
+    assert(exceptionChain(e1).exists(m => m.getMessage != null &&
+      m.getMessage.contains("dimension")), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception](
+      Similarity.pqTrain(mixed, "vec_id", "embedding", m = 2, ksub = 2))
+    assert(exceptionChain(e2).exists(m => m.getMessage != null &&
+      m.getMessage.contains("dimension")), s"got: ${e2.getMessage}")
+    graft.Caching.release(spark)
   }
 }

@@ -123,5 +123,18 @@ class OperatorSemanticsSpec extends SparkSpec {
     val plainLeft = big.join(small, Seq("k"), "left").count()
     val saltedLeft = graft.ops.Salt.saltedJoin(big, small, "k", 8, col("id"), "left").count()
     assert(saltedLeft == plainLeft)
+    // an input '__salt' would be silently replaced (and maybe read by the
+    // salt expression) — fail loudly instead; zero buckets would explode
+    // an empty array and silently drop every small-side row
+    intercept[IllegalArgumentException] {
+      graft.ops.Salt.saltedJoin(big.withColumn("__salt", lit(1)), small, "k", 8, col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Salt.saltedJoin(big, small, "k", 0, col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Salt.saltedAggregate(big.withColumn("__salt", lit(1)), Seq("k"),
+        graft.ops.Salt.saltCol(col("id"), 8), "cnt" -> (count(lit(1)), sum(col("cnt"))))
+    }
   }
 }

@@ -129,6 +129,19 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("sessionize rejects inputs whose columns collide with its outputs") {
+    // withColumn would silently replace an input 'session_idx'; a key
+    // named like a rollup stat would emit duplicate output columns
+    intercept[IllegalArgumentException] {
+      Sessionize.assign(sessionFixture.withColumn("session_idx",
+        org.apache.spark.sql.functions.lit(9L)), Seq("key"), "t", gapMs = 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.sessions(sessionFixture.withColumnRenamed("key", "n_events"),
+        Seq("n_events"), "t", gapMs = 1000L)
+    }
+  }
+
   test("sessions rollup aggregates count and bounds per session") {
     val out = Sessionize.sessions(sessionFixture, Seq("key"), "t",
         gapMs = 30 * 60 * 1000L, tieBreakCols = Seq("event_id"))
