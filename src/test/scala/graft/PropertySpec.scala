@@ -217,6 +217,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("collapseBest equals the union-find max-rank model on random graphs and double ranks") {
+    import spark.implicits._
+    val edgesGen: Gen[List[(Long, Long)]] = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+    // ranks in [0, 1) — exactly the quality-score family the pre-fix long
+    // cast truncated to a universal 0; a couple of exact ties per draw
+    val rankGen: Gen[List[Double]] = Gen.listOfN(26,
+      Gen.oneOf(0.0, 0.25, 0.25, 0.5, 0.75, 0.99))
+    for (seed <- 90L to 93L) {
+      val edges = sample(edgesGen, seed).filter { case (a, b) => a != b }
+      val ranks = sample(rankGen, seed + 1000).zipWithIndex
+        .map { case (r, i) => (i.toLong, r) }
+      val docs = ranks.toDF("doc_id", "quality")
+      val got = graft.ext.Dedup.collapseBest(docs, "doc_id",
+          edges.toDF("d1", "d2"), "quality")
+        .collect().map(_.getLong(0)).toSet
+      // model: union-find components; per component the max-rank member
+      // survives, ties to the smallest id; nodes in no edge survive as-is
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val nodes = scala.collection.mutable.Set.empty[Long]
+      edges.foreach { case (a, b) => nodes += a; nodes += b; parent(find(a)) = find(b) }
+      val rankOf = ranks.toMap
+      val byComp = nodes.groupBy(find)
+      val survivors = byComp.values.map(ns =>
+        ns.toSeq.map(n => (rankOf(n), n)).sortBy { case (r, n) => (-r, n) }.head._2).toSet
+      val want = survivors ++ ranks.map(_._1).filterNot(nodes)
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+      Caching.release(spark)
+    }
+  }
+
   test("streamed curation equals the batch pipeline on random corpora and batch splits") {
     import spark.implicits._
     import graft.ext.CurationPipeline
