@@ -316,7 +316,9 @@ object Multimodal {
     * stub row, so arbitrary bytes flow through the same schema. Pure
     * functions of the payload bytes — which is what lets the DuckDB
     * oracle predict the decoded statistics for synthesized inputs.
-    * Compressed codecs (MP3/AAC/Opus) need external libraries — swap in
+    * MP3 gets REAL header-walk metadata (strict Layer III frame walk —
+    * exact frame/sample counts, no waveform); compressed-codec PCM
+    * decode (MP3 waveform/AAC/Opus) needs external libraries — swap in
     * a JNI decoder in production; signatures and batch shape stay.
     */
   object AudioCodecs {
@@ -365,8 +367,130 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-    /** Decode + exact statistics; stub fallback (zeros + byte length, no
-      * energy) for payloads the reader rejects.
+    // ------------------------------------------------- MP3 (metadata only)
+
+    /** Layer III bitrate tables, kbps, indexed by the header's 4-bit
+      * bitrate index (published MPEG-1/2 audio frame-header layout; index
+      * 0 = "free format" and 15 are invalid for a length walk).
+      */
+    private val Mp3BitrateV1 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3BitrateV2 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    /** Sample-rate tables by version bits (3 = MPEG1, 2 = MPEG2,
+      * 0 = MPEG2.5), indexed by the 2-bit sample-rate index.
+      */
+    private def mp3Rates(version: Int): Array[Int] = version match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000) // version 0 = MPEG2.5
+    }
+
+    /** STRICT MPEG Layer III frame-header walk — metadata only, no PCM
+      * decode (compressed-audio synthesis needs external codecs; this
+      * parses the published header layout, the honest middle ground
+      * between the real WAV decode and the stub). Accepts an optional
+      * ID3v2 tag, then ≥ 1 CONSECUTIVE valid Layer III frames exactly
+      * covering the remaining bytes (optionally a trailing 128-byte ID3v1
+      * 'TAG' block); anything else is rejected — the [[VideoCodecs]]
+      * strict-walk stance, because a permissive resync scan would "find"
+      * frames inside arbitrary binary. Free-format bitrate (index 0) is
+      * rejected: the frame length is then unknowable without decoding.
+      * Sample rate / channel mode / version must be constant across
+      * frames (VBR — per-frame BITRATE — is accepted, the normal case).
+      *
+      * Returns (sampleRate, channels, frames, samplesPerFrame):
+      * 1152 samples per frame for MPEG1, 576 for MPEG2/2.5.
+      */
+    private[ext] def mp3Walk(payload: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+      if (payload == null || payload.length < 4) return None
+      var off = 0
+      // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag adds 10
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        var sz = 0
+        var i = 6
+        while (i < 10) {
+          if ((payload(i) & 0x80) != 0) return None // not syncsafe: corrupt
+          sz = (sz << 7) | (payload(i) & 0x7f)
+          i += 1
+        }
+        off = 10 + sz + (if ((payload(5) & 0x10) != 0) 10 else 0)
+        if (off >= payload.length) return None
+      }
+      var end = payload.length
+      if (end - off >= 128 + 4 && payload(end - 128) == 'T' &&
+        payload(end - 127) == 'A' && payload(end - 126) == 'G') end -= 128
+      var frames = 0L
+      var sr = -1; var ch = -1; var spf = -1
+      while (off < end) {
+        if (off + 4 > end) return None
+        val b1 = payload(off + 1) & 0xff
+        val b2 = payload(off + 2) & 0xff
+        val b3 = payload(off + 3) & 0xff
+        if ((payload(off) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0) return None
+        val version = (b1 >> 3) & 3
+        if (version == 1) return None // reserved
+        if (((b1 >> 1) & 3) != 1) return None // not Layer III
+        val bi = (b2 >> 4) & 15
+        val sri = (b2 >> 2) & 3
+        if (bi == 0 || bi == 15 || sri == 3) return None
+        val pad = (b2 >> 1) & 1
+        val rate = mp3Rates(version)(sri)
+        val kbps = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(bi)
+        val flen = (if (version == 3) 144000L * kbps / rate
+                    else 72000L * kbps / rate).toInt + pad
+        val chF = if (((b3 >> 6) & 3) == 3) 1 else 2
+        val spfF = if (version == 3) 1152 else 576
+        if (flen < 4 || off + flen > end) return None
+        if (sr == -1) { sr = rate; ch = chF; spf = spfF }
+        else if (sr != rate || ch != chF || spf != spfF) return None
+        frames += 1
+        off += flen
+      }
+      if (frames == 0) None else Some((sr, ch, frames, spf))
+    }
+
+    /** Synthesized Layer III stream for tests: one frame per bitrate
+      * index (VBR when they differ), headers + zero fill, optionally
+      * wrapped in ID3v2 padding and a trailing ID3v1 block — the
+      * [[pcmWav]]/[[VideoCodecs.syntheticMjpegAvi]] fixture stance.
+      */
+    def mp3Frames(bitrateIdxs: Seq[Int], mpeg1: Boolean = true, srIdx: Int = 0,
+                  stereo: Boolean = true, id3v2Pad: Int = -1,
+                  id3v1: Boolean = false): Array[Byte] = {
+      require(bitrateIdxs.nonEmpty && bitrateIdxs.forall(i => i >= 1 && i <= 14),
+        s"mp3Frames: bitrate indices must be in 1..14: $bitrateIdxs")
+      require(srIdx >= 0 && srIdx <= 2, s"mp3Frames: srIdx must be in 0..2: $srIdx")
+      val version = if (mpeg1) 3 else 2
+      val rate = mp3Rates(version)(srIdx)
+      val out = new java.io.ByteArrayOutputStream()
+      if (id3v2Pad >= 0) {
+        out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+        out.write(Array((id3v2Pad >> 21) & 0x7f, (id3v2Pad >> 14) & 0x7f,
+          (id3v2Pad >> 7) & 0x7f, id3v2Pad & 0x7f).map(_.toByte))
+        out.write(new Array[Byte](id3v2Pad))
+      }
+      bitrateIdxs.foreach { bi =>
+        val kbps = (if (mpeg1) Mp3BitrateV1 else Mp3BitrateV2)(bi)
+        val flen = (if (mpeg1) 144000L * kbps / rate else 72000L * kbps / rate).toInt
+        val b1 = 0xe0 | (version << 3) | (1 << 1) | 1 // Layer III, no CRC
+        val b3 = if (stereo) 0 else 3 << 6
+        out.write(Array(0xff, b1, (bi << 4) | (srIdx << 2), b3).map(_.toByte))
+        out.write(new Array[Byte](flen - 4))
+      }
+      if (id3v1) {
+        out.write(Array[Byte]('T', 'A', 'G'))
+        out.write(new Array[Byte](125))
+      }
+      out.toByteArray
+    }
+
+    /** Decode + exact statistics; MP3 payloads report header-walk
+      * metadata (format "mp3", bits 0 — compressed, no PCM width — and no
+      * energy: computing it needs a real decoder); stub fallback (zeros +
+      * byte length, no energy) for payloads both parsers reject.
       */
     def audioMeta(id: Long, payload: Array[Byte]): AudioMeta = decodePcm(payload) match {
       case Some((f, data)) =>
@@ -390,9 +514,14 @@ object Multimodal {
         val blockAlign = f.getChannels * bits / 8
         AudioMeta(id, payload.length.toLong, f.getSampleRate.toLong, f.getChannels.toLong,
           bits.toLong, data.length.toLong / blockAlign, Some(energy), "wav")
-      case None =>
-        val n = if (payload == null) 0L else payload.length.toLong
-        AudioMeta(id, n, 0L, 0L, 0L, n, None, "stub")
+      case None => mp3Walk(payload) match {
+        case Some((rate, ch, frames, spf)) =>
+          AudioMeta(id, payload.length.toLong, rate.toLong, ch.toLong,
+            0L, frames * spf, None, "mp3")
+        case None =>
+          val n = if (payload == null) 0L else payload.length.toLong
+          AudioMeta(id, n, 0L, 0L, 0L, n, None, "stub")
+      }
     }
   }
 

@@ -1134,6 +1134,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(plain.format == "stub" && plain.n_samples == 10L && plain.sample_rate == 0L)
   }
 
+  test("MP3 header walk: CBR/VBR/ID3-wrapped streams report exact frame metadata; truncation stubs") {
+    import graft.ext.Multimodal.AudioCodecs
+    // CBR: 5 MPEG1 Layer III frames at 128 kbps / 44.1 kHz stereo —
+    // duration math is frames × 1152 samples, bits 0 (compressed), no
+    // energy without a real decoder
+    val cbr = AudioCodecs.mp3Frames(Seq.fill(5)(9))
+    val m = AudioCodecs.audioMeta(1L, cbr)
+    assert(m.format == "mp3" && m.sample_rate == 44100L && m.channels == 2L,
+      s"got $m")
+    assert(m.bits == 0L && m.n_samples == 5L * 1152 && m.energy.isEmpty)
+    // VBR (per-frame bitrate) + ID3v2 front tag + ID3v1 trailer: the walk
+    // must skip both wrappers and still land frame-exact
+    val vbr = AudioCodecs.mp3Frames(Seq(1, 9, 14, 5), id3v2Pad = 37, id3v1 = true)
+    val mv = AudioCodecs.audioMeta(2L, vbr)
+    assert(mv.format == "mp3" && mv.n_samples == 4L * 1152, s"got $mv")
+    // MPEG2 mono: 576 samples per frame at the half rates
+    val m2 = AudioCodecs.audioMeta(3L,
+      AudioCodecs.mp3Frames(Seq(3, 3), mpeg1 = false, srIdx = 0, stereo = false))
+    assert(m2.format == "mp3" && m2.sample_rate == 22050L &&
+      m2.channels == 1L && m2.n_samples == 2L * 576, s"got $m2")
+    // STRICT walk: any truncation breaks the exact frame tiling → stub,
+    // never a partial count (the VideoCodecs fuzz stance)
+    (1 to 40).foreach { cut =>
+      val t = AudioCodecs.audioMeta(4L, cbr.take(cbr.length - cut))
+      assert(t.format == "stub", s"cut $cut must stub, got ${t.format}")
+    }
+    // sync-shaped garbage and a free-format bitrate (index 0) reject
+    assert(AudioCodecs.audioMeta(5L,
+      Array(0xff, 0xfb, 0x02, 0x00, 1, 2, 3).map(_.toByte)).format == "stub")
+    val free = cbr.clone(); free(2) = ((0 << 4) | (0 << 2)).toByte
+    assert(AudioCodecs.audioMeta(6L, free).format == "stub")
+    // total on arbitrary bytes: random payloads (including ID3/sync-byte
+    // prefixes) flow to SOME row, never an exception
+    val rnd2 = new scala.util.Random(11)
+    (0 until 200).foreach { i =>
+      val len = rnd2.nextInt(300)
+      val p = Array.fill(len)(rnd2.nextInt(256).toByte)
+      if (len > 3 && i % 3 == 0) { p(0) = 'I'; p(1) = 'D'; p(2) = '3' }
+      if (len > 1 && i % 3 == 1) { p(0) = 0xff.toByte; p(1) = 0xfb.toByte }
+      val r = AudioCodecs.audioMeta(i.toLong, p)
+      assert(r.format == "stub" || r.format == "mp3")
+    }
+  }
+
   test("pHash text fallback matches DuckDB's substr transcription on multi-byte text") {
     import graft.ext.Multimodal
     // goldens computed in DuckDB with the exact x32 oracle formula (66
