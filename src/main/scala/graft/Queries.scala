@@ -140,6 +140,29 @@ object Queries {
     Multimodal.AudioCodecs.pcmWav(8000, 1, 8, samples)
   }
 
+  /** Synthesized VBR MPEG1 Layer III streams for x52: 1 + id%4 frames at
+    * bitrate index 1 + (id·7 + i·3)%14, 44.1 kHz stereo, an ID3v2 pad of
+    * id%23 bytes on even ids and an ID3v1 trailer when id%3 == 0 — every
+    * byte count a pure function of id, so the oracle predicts what the
+    * strict frame walk must report.
+    */
+  private val SynthMp3Udf = udf { (id: Long) =>
+    val idxs = Seq.tabulate(1 + (id % 4).toInt)(i => 1 + ((id * 7 + i * 3) % 14).toInt)
+    Multimodal.AudioCodecs.mp3Frames(idxs,
+      id3v2Pad = if (id % 2 == 0) (id % 23).toInt else -1, id3v1 = id % 3 == 0)
+  }
+
+  /** Synthesized AAC ADTS streams for x52: 1 + id%3 frames with body
+    * lengths (id·13 + i·11)%200, sample-rate index id%13, 1 + id%3
+    * channels, 1 + id%4 raw data blocks per frame — again arithmetic the
+    * oracle transcribes exactly.
+    */
+  private val SynthAacUdf = udf { (id: Long) =>
+    val bodies = Seq.tabulate(1 + (id % 3).toInt)(i => ((id * 13 + i * 11) % 200).toInt)
+    Multimodal.AudioCodecs.aacFrames(bodies, srIdx = (id % 13).toInt,
+      chCfg = 1 + (id % 3).toInt, rdbm1 = (id % 4).toInt)
+  }
+
   /** x15 decontamination parameters, mirrored into the DuckDB oracle: the
     * published 13-gram recipe, holdout = doc_id % 10 == 7, boilerplate
     * grams (df > cap across both corpora) dropped before the join.
@@ -528,13 +551,18 @@ object Queries {
     "x51_bigram_quality" -> ((s, dir) =>
       TextAnalysis.bigramQuality(t(s, dir, "documents"), "doc_id", "text")),
 
-    // REAL audio decode under oracle check: synthesized 8-bit PCM WAVs
-    // (doc_id%5<=1) decode via the JRE's AudioSystem and must return the
-    // exact sample count and Σ centered-sample² the oracle computes from
-    // the synthesis formula; text rows ride the stub fallback
+    // REAL audio parsing under oracle check, all four branches: synthesized
+    // 8-bit PCM WAVs (doc_id%5<=1) decode via the JRE's AudioSystem and
+    // must return the exact sample count and Σ centered-sample² the oracle
+    // computes from the synthesis formula; doc_id%5==2 rows become VBR MP3
+    // streams and ==3 rows AAC/ADTS streams whose strict header walks must
+    // report the arithmetic the fixtures were built from; ==4 rows stay
+    // text exercising the stub fallback
     "x52_mm_audio_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents").select(col("doc_id").as("id"),
         when(col("doc_id") % 5 <= 1, SynthWavUdf(col("doc_id")))
+          .when(col("doc_id") % 5 === 2, SynthMp3Udf(col("doc_id")))
+          .when(col("doc_id") % 5 === 3, SynthAacUdf(col("doc_id")))
           .otherwise(col("text").cast("binary")).as("payload"))
       Multimodal.decodeAudioMeta(Multimodal.asMedia(media, "id", "payload")).toDF()
     }),
@@ -1831,24 +1859,51 @@ object Queries {
         |  CASE WHEN p.n_pairs IS NULL THEN NULL ELSE CAST(p.s AS DOUBLE) / p.n_pairs END AS nll_bits
         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
-    // the synthesis formula transcribed: WAV rows carry the 44-byte header
-    // + n samples, energy = Σ ((id·31 + i·17) mod 256 − 128)²; text rows
-    // are the stub (zeros, byte length, NULL energy)
+    // the synthesis formulas transcribed, one CTE per container: WAV rows
+    // carry the 44-byte header + n samples with energy = Σ ((id·31 +
+    // i·17) mod 256 − 128)²; MP3 rows sum the Layer III frame-length
+    // formula floor(144000·kbps/44100) over the per-frame bitrate indices
+    // plus the ID3 wrappers; AAC rows sum 7-byte headers + body lengths
+    // with 1024·(rdb+1) samples per frame; text rows are the stub
     "x52_mm_audio_meta" ->
-      """WITH base AS (SELECT doc_id, text, 200 + doc_id % 100 AS n FROM documents),
+      """WITH base AS (SELECT doc_id, text, doc_id % 5 AS m, 200 + doc_id % 100 AS n FROM documents),
         |e AS (SELECT doc_id,
         |  (SELECT CAST(SUM((((doc_id * 31 + i.i * 17) % 256) - 128) * (((doc_id * 31 + i.i * 17) % 256) - 128)) AS BIGINT)
         |   FROM unnest(generate_series(0, n - 1)) i(i)) AS energy
-        |  FROM base WHERE doc_id % 5 <= 1)
+        |  FROM base WHERE m <= 1),
+        |mp3 AS (SELECT doc_id,
+        |  (SELECT CAST(SUM((144000 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(1 + (doc_id * 7 + i.i * 3) % 14 AS INT)]) // 44100) AS BIGINT)
+        |   FROM unnest(generate_series(0, doc_id % 4)) i(i)) AS frame_bytes,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS frames
+        |  FROM base WHERE m = 2),
+        |aac AS (SELECT doc_id,
+        |  (SELECT CAST(SUM(7 + (doc_id * 13 + i.i * 11) % 200) AS BIGINT)
+        |   FROM unnest(generate_series(0, doc_id % 3)) i(i)) AS total_bytes,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS frames,
+        |  ([96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,11025,8000,7350])[CAST(1 + doc_id % 13 AS INT)] AS rate,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS ch,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS rdb
+        |  FROM base WHERE m = 3)
         |SELECT b.doc_id AS id,
-        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 44 + b.n ELSE strlen(b.text) END AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
-        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 1 ELSE 0 END AS BIGINT) AS channels,
-        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN 8 ELSE 0 END AS BIGINT) AS bits,
-        |  CAST(CASE WHEN b.doc_id % 5 <= 1 THEN b.n ELSE strlen(b.text) END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN b.m <= 1 THEN 44 + b.n
+        |            WHEN b.m = 2 THEN (CASE WHEN b.doc_id % 2 = 0 THEN 10 + b.doc_id % 23 ELSE 0 END)
+        |                              + p.frame_bytes + (CASE WHEN b.doc_id % 3 = 0 THEN 128 ELSE 0 END)
+        |            WHEN b.m = 3 THEN a.total_bytes
+        |            ELSE strlen(b.text) END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN b.m <= 1 THEN 8000 WHEN b.m = 2 THEN 44100
+        |            WHEN b.m = 3 THEN a.rate ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN b.m <= 1 THEN 1 WHEN b.m = 2 THEN 2
+        |            WHEN b.m = 3 THEN a.ch ELSE 0 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN b.m <= 1 THEN 8 ELSE 0 END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN b.m <= 1 THEN b.n WHEN b.m = 2 THEN p.frames * 1152
+        |            WHEN b.m = 3 THEN a.frames * 1024 * a.rdb
+        |            ELSE strlen(b.text) END AS BIGINT) AS n_samples,
         |  e.energy,
-        |  CASE WHEN b.doc_id % 5 <= 1 THEN 'wav' ELSE 'stub' END AS format
-        |FROM base b LEFT JOIN e ON b.doc_id = e.doc_id""".stripMargin,
+        |  CASE WHEN b.m <= 1 THEN 'wav' WHEN b.m = 2 THEN 'mp3'
+        |       WHEN b.m = 3 THEN 'aac' ELSE 'stub' END AS format
+        |FROM base b LEFT JOIN e ON b.doc_id = e.doc_id
+        |LEFT JOIN mp3 p ON b.doc_id = p.doc_id
+        |LEFT JOIN aac a ON b.doc_id = a.doc_id""".stripMargin,
 
     // the appends, compaction, and replay are result-invisible at full
     // probe + overfetch: identical transcription to x49

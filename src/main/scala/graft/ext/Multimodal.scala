@@ -316,9 +316,9 @@ object Multimodal {
     * stub row, so arbitrary bytes flow through the same schema. Pure
     * functions of the payload bytes — which is what lets the DuckDB
     * oracle predict the decoded statistics for synthesized inputs.
-    * MP3 gets REAL header-walk metadata (strict Layer III frame walk —
+    * MP3 and AAC/ADTS get REAL header-walk metadata (strict frame walks —
     * exact frame/sample counts, no waveform); compressed-codec PCM
-    * decode (MP3 waveform/AAC/Opus) needs external libraries — swap in
+    * decode (MP3/AAC waveforms, Opus) needs external libraries — swap in
     * a JNI decoder in production; signatures and batch shape stay.
     */
   object AudioCodecs {
@@ -487,10 +487,91 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Decode + exact statistics; MP3 payloads report header-walk
-      * metadata (format "mp3", bits 0 — compressed, no PCM width — and no
-      * energy: computing it needs a real decoder); stub fallback (zeros +
-      * byte length, no energy) for payloads both parsers reject.
+    // ------------------------------------------------- AAC ADTS (metadata)
+
+    /** ADTS sampling-frequency table, indexed by the header's 4-bit
+      * sampling_frequency_index (published MPEG-4 audio layout; 13/14 are
+      * reserved, 15 means explicit frequency — rejected, it needs the
+      * escape bits a metadata walk shouldn't trust).
+      */
+    private val AacRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+    /** STRICT AAC ADTS frame-header walk — the [[mp3Walk]] stance for the
+      * other ubiquitous compressed-audio container: ≥ 1 CONSECUTIVE valid
+      * ADTS frames exactly covering the payload, or rejection. Unlike MP3,
+      * ADTS headers carry an explicit 13-bit frame length, so the walk
+      * needs no bitrate table; each frame contributes
+      * 1024 × (raw_data_blocks+1) samples. channel_configuration 0 (the
+      * channel map lives in an in-band PCE) is rejected — unknowable
+      * without decoding; 7 means 8 channels per the published mapping.
+      * Sample rate / channel config must be constant across frames.
+      *
+      * Returns (sampleRate, channels, totalSamples).
+      */
+    private[ext] def aacWalk(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (payload == null || payload.length < 7) return None
+      var off = 0
+      val end = payload.length
+      var frames = 0L
+      var samples = 0L
+      var sr = -1; var ch = -1
+      while (off < end) {
+        if (off + 7 > end) return None
+        val b1 = payload(off + 1) & 0xff
+        if ((payload(off) & 0xff) != 0xff || (b1 & 0xf0) != 0xf0) return None
+        if (((b1 >> 1) & 3) != 0) return None // ADTS layer must be 00
+        val headerLen = if ((b1 & 1) == 1) 7 else 9 // protection_absent=0 adds CRC16
+        val b2 = payload(off + 2) & 0xff
+        val sri = (b2 >> 2) & 0xf
+        if (sri >= 13) return None
+        val b3 = payload(off + 3) & 0xff
+        val chCfg = ((b2 & 1) << 2) | ((b3 >> 6) & 3)
+        if (chCfg == 0) return None
+        val chF = if (chCfg == 7) 8 else chCfg
+        val flen = ((b3 & 3) << 11) | ((payload(off + 4) & 0xff) << 3) |
+          ((payload(off + 5) & 0xff) >> 5)
+        val rdb = payload(off + 6) & 3
+        if (flen < headerLen || off + flen > end) return None
+        if (sr == -1) { sr = AacRates(sri); ch = chF }
+        else if (sr != AacRates(sri) || ch != chF) return None
+        frames += 1
+        samples += 1024L * (rdb + 1)
+        off += flen
+      }
+      if (frames == 0) None else Some((sr, ch, samples))
+    }
+
+    /** Synthesized ADTS stream for tests: one 7-byte header per body
+      * length, zero-filled bodies — the [[mp3Frames]] fixture stance.
+      */
+    def aacFrames(bodyLens: Seq[Int], srIdx: Int = 4, chCfg: Int = 2,
+                  rdbm1: Int = 0): Array[Byte] = {
+      require(bodyLens.nonEmpty && bodyLens.forall(l => l >= 0 && l <= 8191 - 7),
+        s"aacFrames: body lengths must fit the 13-bit frame length: $bodyLens")
+      require(srIdx >= 0 && srIdx <= 12, s"aacFrames: srIdx must be in 0..12: $srIdx")
+      require(chCfg >= 1 && chCfg <= 7, s"aacFrames: chCfg must be in 1..7: $chCfg")
+      require(rdbm1 >= 0 && rdbm1 <= 3, s"aacFrames: rdbm1 must be in 0..3: $rdbm1")
+      val out = new java.io.ByteArrayOutputStream()
+      bodyLens.foreach { bl =>
+        val flen = 7 + bl
+        // MPEG-4, layer 00, protection absent; profile AAC-LC; VBR
+        // buffer-fullness (all ones)
+        out.write(Array(
+          0xff, 0xf1, (1 << 6) | (srIdx << 2) | ((chCfg >> 2) & 1),
+          ((chCfg & 3) << 6) | ((flen >> 11) & 3), (flen >> 3) & 0xff,
+          ((flen & 7) << 5) | 0x1f, (0x3f << 2) | rdbm1).map(_.toByte))
+        out.write(new Array[Byte](bl))
+      }
+      out.toByteArray
+    }
+
+    /** Decode + exact statistics; MP3/AAC payloads report header-walk
+      * metadata (format "mp3"/"aac", bits 0 — compressed, no PCM width —
+      * and no energy: computing it needs a real decoder); stub fallback
+      * (zeros + byte length, no energy) for payloads every parser rejects.
+      * The walks are mutually exclusive by construction: mp3Walk requires
+      * layer bits 01 (Layer III) where ADTS requires 00.
       */
     def audioMeta(id: Long, payload: Array[Byte]): AudioMeta = decodePcm(payload) match {
       case Some((f, data)) =>
@@ -518,9 +599,14 @@ object Multimodal {
         case Some((rate, ch, frames, spf)) =>
           AudioMeta(id, payload.length.toLong, rate.toLong, ch.toLong,
             0L, frames * spf, None, "mp3")
-        case None =>
-          val n = if (payload == null) 0L else payload.length.toLong
-          AudioMeta(id, n, 0L, 0L, 0L, n, None, "stub")
+        case None => aacWalk(payload) match {
+          case Some((rate, ch, samples)) =>
+            AudioMeta(id, payload.length.toLong, rate.toLong, ch.toLong,
+              0L, samples, None, "aac")
+          case None =>
+            val n = if (payload == null) 0L else payload.length.toLong
+            AudioMeta(id, n, 0L, 0L, 0L, n, None, "stub")
+        }
       }
     }
   }

@@ -1178,6 +1178,51 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("AAC ADTS walk: frame-length-tiled streams report exact sample metadata; truncation stubs") {
+    import graft.ext.Multimodal.AudioCodecs
+    // 3 ADTS frames, AAC-LC 44.1 kHz stereo, one raw data block each →
+    // 1024 samples per frame, bits 0 (compressed), energy absent
+    val adts = AudioCodecs.aacFrames(Seq(50, 0, 137))
+    val m = AudioCodecs.audioMeta(1L, adts)
+    assert(m.format == "aac" && m.sample_rate == 44100L && m.channels == 2L, s"got $m")
+    assert(m.bits == 0L && m.n_samples == 3L * 1024 && m.energy.isEmpty)
+    assert(m.n_bytes == 3L * 7 + 50 + 0 + 137)
+    // multiple raw data blocks per frame multiply the sample count; 8 kHz
+    // mono exercises the far end of the rate table; chCfg 7 maps to 8 ch
+    val m2 = AudioCodecs.audioMeta(2L,
+      AudioCodecs.aacFrames(Seq(10, 20), srIdx = 11, chCfg = 1, rdbm1 = 3))
+    assert(m2.format == "aac" && m2.sample_rate == 8000L &&
+      m2.channels == 1L && m2.n_samples == 2L * 4 * 1024, s"got $m2")
+    assert(AudioCodecs.audioMeta(3L,
+      AudioCodecs.aacFrames(Seq(5), chCfg = 7)).channels == 8L)
+    // STRICT walk: any truncation breaks the exact frame tiling → stub
+    (1 to 30).foreach { cut =>
+      val t = AudioCodecs.audioMeta(4L, adts.take(adts.length - cut))
+      assert(t.format == "stub", s"cut $cut must stub, got ${t.format}")
+    }
+    // sync-shaped garbage, reserved rate index, and PCE channel config 0
+    // all reject (metadata would be a guess, not a parse)
+    assert(AudioCodecs.audioMeta(5L,
+      Array(0xff, 0xf1, 0x50, 0x80, 0x00, 0x3f, 0xfc).map(_.toByte)).format == "stub")
+    val badSr = adts.clone(); badSr(2) = ((1 << 6) | (13 << 2)).toByte
+    assert(AudioCodecs.audioMeta(6L, badSr).format == "stub")
+    val pce = AudioCodecs.aacFrames(Seq(50)).clone()
+    pce(2) = (pce(2) & ~1).toByte; pce(3) = (pce(3) & 0x3f).toByte
+    assert(AudioCodecs.audioMeta(7L, pce).format == "stub")
+    // an MP3 stream is never claimed by the AAC walk and vice versa (the
+    // layer bits are disjoint): formats stay stable when both parsers run
+    assert(AudioCodecs.audioMeta(8L, AudioCodecs.mp3Frames(Seq(9))).format == "mp3")
+    // total on arbitrary bytes: random payloads flow to SOME row
+    val rnd3 = new scala.util.Random(17)
+    (0 until 200).foreach { i =>
+      val len = rnd3.nextInt(300)
+      val p = Array.fill(len)(rnd3.nextInt(256).toByte)
+      if (len > 1 && i % 2 == 0) { p(0) = 0xff.toByte; p(1) = 0xf1.toByte }
+      val r = AudioCodecs.audioMeta(i.toLong, p)
+      assert(r.format == "stub" || r.format == "aac" || r.format == "mp3")
+    }
+  }
+
   test("pHash text fallback matches DuckDB's substr transcription on multi-byte text") {
     import graft.ext.Multimodal
     // goldens computed in DuckDB with the exact x32 oracle formula (66
