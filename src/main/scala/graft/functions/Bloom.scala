@@ -221,20 +221,23 @@ case class BloomMightContain(filterExpr: Expression, hashExpr: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val blobRef = ctx.freshName("bloomBlob")
-    val wordsRef = ctx.freshName("bloomWords")
-    val kRef = ctx.freshName("bloomK")
-    // mutable state: one cached (blob, words, k) triple per generated class
-    ctx.addMutableState("byte[]", blobRef, forceInline = true)
-    ctx.addMutableState("long[]", wordsRef, forceInline = true)
-    ctx.addMutableState("int", kRef, forceInline = true)
+    // mutable state: one cached (blob, words, k) triple per generated
+    // class. addMutableState freshens the name itself and RETURNS the
+    // field it declared — referencing a separately-freshened name emits an
+    // undeclared identifier and the whole stage falls back to interpreted
+    // (janino: "not an rvalue"), which is exactly the hot path this
+    // expression exists to keep in codegen.
+    val blobRef = ctx.addMutableState("byte[]", "bloomBlob", forceInline = true)
+    val wordsRef = ctx.addMutableState("long[]", "bloomWords", forceInline = true)
+    val kRef = ctx.addMutableState("int", "bloomK", forceInline = true)
     nullSafeCodeGen(ctx, ev, (blob, hash) => {
+      val t = ctx.freshName("bloomParsed")
       s"""
          |if ($blob != $blobRef) {
-         |  scala.Tuple2 t = graft.functions.Bloom.fromBytes($blob);
+         |  scala.Tuple2 $t = graft.functions.Bloom.fromBytes($blob);
          |  $blobRef = $blob;
-         |  $wordsRef = (long[]) t._1();
-         |  $kRef = ((java.lang.Integer) t._2()).intValue();
+         |  $wordsRef = (long[]) $t._1();
+         |  $kRef = ((java.lang.Integer) $t._2()).intValue();
          |}
          |${ev.value} = graft.functions.Bloom.mightContain($wordsRef, $kRef, (long) $hash);
        """.stripMargin
