@@ -1223,6 +1223,49 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("audio walk property: random valid MP3/AAC fixtures round-trip frame-exact") {
+    import graft.ext.Multimodal.AudioCodecs
+    // the fixture writers and the strict walks implement the same
+    // published header arithmetic from opposite ends; random parameters
+    // across the whole space pin that they agree everywhere, not just on
+    // the handful of fixed examples above
+    val rnd = new scala.util.Random(29)
+    (0 until 150).foreach { trial =>
+      if (trial % 2 == 0) {
+        val mpeg1 = rnd.nextBoolean()
+        val k = 1 + rnd.nextInt(6)
+        val idxs = Seq.fill(k)(1 + rnd.nextInt(14))
+        val srIdx = rnd.nextInt(3)
+        val stereo = rnd.nextBoolean()
+        val pad = if (rnd.nextBoolean()) rnd.nextInt(100) else -1
+        val v1 = rnd.nextBoolean()
+        val bytes = AudioCodecs.mp3Frames(idxs, mpeg1, srIdx, stereo, pad, v1)
+        val m = AudioCodecs.audioMeta(trial.toLong, bytes)
+        val rates = if (mpeg1) Seq(44100, 48000, 32000) else Seq(22050, 24000, 16000)
+        assert(m.format == "mp3" && m.sample_rate == rates(srIdx).toLong &&
+          m.channels == (if (stereo) 2L else 1L) &&
+          m.n_samples == k.toLong * (if (mpeg1) 1152 else 576) &&
+          m.n_bytes == bytes.length.toLong,
+          s"trial $trial mpeg1=$mpeg1 idxs=$idxs srIdx=$srIdx pad=$pad v1=$v1: $m")
+      } else {
+        val k = 1 + rnd.nextInt(5)
+        val bodies = Seq.fill(k)(rnd.nextInt(500))
+        val srIdx = rnd.nextInt(13)
+        val chCfg = 1 + rnd.nextInt(7)
+        val rdbm1 = rnd.nextInt(4)
+        val bytes = AudioCodecs.aacFrames(bodies, srIdx, chCfg, rdbm1)
+        val m = AudioCodecs.audioMeta(trial.toLong, bytes)
+        val rates = Seq(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+          22050, 16000, 12000, 11025, 8000, 7350)
+        assert(m.format == "aac" && m.sample_rate == rates(srIdx).toLong &&
+          m.channels == (if (chCfg == 7) 8L else chCfg.toLong) &&
+          m.n_samples == k.toLong * 1024 * (rdbm1 + 1) &&
+          m.n_bytes == (7L * k + bodies.sum),
+          s"trial $trial bodies=$bodies srIdx=$srIdx chCfg=$chCfg rdbm1=$rdbm1: $m")
+      }
+    }
+  }
+
   test("pHash text fallback matches DuckDB's substr transcription on multi-byte text") {
     import graft.ext.Multimodal
     // goldens computed in DuckDB with the exact x32 oracle formula (66
