@@ -299,10 +299,20 @@ object GraftFunctions {
     ("graft_pq_adc", classOf[PqAdcScore], es => PqAdcScore(es(0), es(1))),
     ("graft_ncm_argmax", classOf[NcmArgmax], es => NcmArgmax(es(0), es(1), es(2))))
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+  /** Sessions already registered — weak keys so a dropped session can GC.
+    * Operator entry points call [[register]] defensively on every
+    * invocation; without this guard each call re-replaces all functions
+    * and a full bench run emits ~6400 SimpleFunctionRegistry warnings.
+    */
+  private val registered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, _, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
 

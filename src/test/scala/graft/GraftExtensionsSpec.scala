@@ -48,4 +48,31 @@ class GraftExtensionsSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("register() is once-per-session: repeat calls do not re-replace functions") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    graft.functions.GraftFunctions.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    // plant a marker in graft_dot's slot, then call register() again —
+    // the per-session guard must make it a no-op (operator entry points
+    // call it on EVERY invocation; without the guard a bench run logs
+    // ~6400 replaced-function warnings and any user override is clobbered
+    // mid-session)
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => org.apache.spark.sql.catalyst.expressions.Literal(42.0d), "built-in")
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      import org.apache.spark.sql.functions._
+      val d = spark.range(1)
+        .select(call_function("graft_dot", lit(1.0f), lit(2.0f)))
+        .head.getDouble(0)
+      assert(d == 42.0, s"repeat register() replaced the marker: got $d")
+    } finally {
+      // restore the real builder for every spec that runs after this one
+      reg.dropFunction(FunctionIdentifier("graft_dot"))
+      graft.functions.GraftFunctions.builders
+        .collectFirst { case ("graft_dot", _, b) =>
+          reg.createOrReplaceTempFunction("graft_dot", b, "built-in") }
+    }
+  }
 }
