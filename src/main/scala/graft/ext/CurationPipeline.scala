@@ -575,9 +575,13 @@ object CurationPipeline {
       s"tokensPerShard must be positive: ${cfg.tokensPerShard}")
     require(cfg.shardBuckets > 0,
       s"shardBuckets must be positive: ${cfg.shardBuckets}")
+    // no tokenCountCol exemption for "n_tokens" here: qualityLanguageFilter
+    // reserves it unconditionally (the whitespace metric would overwrite a
+    // precomputed count named like a metric BEFORE the gate reads it), so
+    // an exemption would only delay the same raise to a worse message —
+    // name a precomputed count anything but the metric names
     Seq("n_tokens", "bucket", "shard", "cum_before", "__h", "__local",
-      "batch_id").foreach(c => require(
-      !batch.columns.contains(c) || (c == "n_tokens" && cfg.tokenCountCol.contains(c)),
+      "batch_id").foreach(c => require(!batch.columns.contains(c),
       s"streamIncrement writes column '$c' — input already has one; " +
         "rename or drop it first"))
     val filtered = qualityLanguageFilter(batch, idCol, textCol, cfg)

@@ -673,6 +673,14 @@ object Dedup {
           val d = col(rankCol).cast("double")
           coalesce(when(isnan(d), lit(Double.NegativeInfinity)).otherwise(d),
             lit(Double.NegativeInfinity))
+        case dec: DecimalType =>
+          // decimals compare exactly in their own family (casting a
+          // DECIMAL(38,0) id-rank to double would silently lose precision
+          // past 2^53); NULL loses to every ranked member via the type's
+          // own minimum bound
+          val minStr = "-" + ("9" * (dec.precision - dec.scale)) +
+            (if (dec.scale > 0) "." + ("9" * dec.scale) else "")
+          coalesce(col(rankCol), lit(new java.math.BigDecimal(minStr)).cast(dec))
         case other => throw new IllegalArgumentException(
           s"collapseBest: rank column '$rankCol' must be numeric, got $other")
       }

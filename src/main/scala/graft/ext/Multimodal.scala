@@ -682,6 +682,24 @@ object Multimodal {
               (c2.endsWith("dc") || c2.endsWith("db"))) {
               out += Frame(id, idx, o + 8)
               idx += 1
+            } else if (c2 == "LIST" && s2 >= 4 &&
+              fourcc(payload, o.toInt + 8) == "rec ") {
+              // interleaved (CD-ROM-style) AVIs group each frame's chunks
+              // one level deeper in LIST('rec ' …) — walk into it with the
+              // same containment checks, or real frames silently vanish
+              val rend = o + 8 + s2
+              var r = o + 12
+              while (r + 8 <= rend) {
+                val c3 = fourcc(payload, r.toInt)
+                val s3 = u32(payload, r.toInt + 4)
+                if (r + 8 + s3 > rend) return None
+                if (c3(0).isDigit && c3(1).isDigit &&
+                  (c3.endsWith("dc") || c3.endsWith("db"))) {
+                  out += Frame(id, idx, r + 8)
+                  idx += 1
+                }
+                r += 8 + s3 + (s3 & 1)
+              }
             }
             o += 8 + s2 + (s2 & 1) // chunks pad to even
           }
@@ -784,7 +802,11 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] =
     media.mapPartitions(_.flatMap(r =>
       VideoCodecs.aviFrames(r.id, r.payload).map(_.iterator)
-        .getOrElse(StubCodecs.frames(r.id, r.payload))))(Encoders.product[Frame])
+        // null rides the stub path as the empty payload — the imageMeta/
+        // resize convention; without it a NULL payload NPEs the stage
+        .getOrElse(StubCodecs.frames(r.id,
+          if (r.payload == null) Array.emptyByteArray else r.payload))))(
+      Encoders.product[Frame])
 
   /** Resize/re-encode every payload (1→1 binary→binary, narrow) — REAL
     * ImageIO decode→scale→PNG re-encode, stub fallback for non-images.
@@ -800,7 +822,8 @@ object Multimodal {
     * near-dup pipeline in one narrow stage.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] =
-    media.mapPartitions(_.map(r => MediaEmbedding(r.id, StubCodecs.features(r.payload, dim))))(
+    media.mapPartitions(_.map(r => MediaEmbedding(r.id, StubCodecs.features(
+      if (r.payload == null) Array.emptyByteArray else r.payload, dim))))(
       Encoders.product[MediaEmbedding])
 
   /** Test harness: lift any (id, string) pair into a binary media column so

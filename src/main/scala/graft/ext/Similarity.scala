@@ -123,6 +123,12 @@ object Similarity {
     val train = trainingSample(vecs, trainSample)
     var cents: Array[Array[Double]] = train.orderBy(col("id")).limit(nClusters)
       .collect().map(_._2.map(_.toDouble))
+    // loud, named failure instead of the bare cents(0) AIOOBE two lines
+    // down — an all-zero-norm (or simply empty) corpus reaches here with
+    // nothing to train on and the caller should hear WHY
+    require(cents.nonEmpty,
+      "trainCodebook requires a non-empty training set (is the corpus empty, " +
+        "or were all vectors zero-norm?)")
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cents)
       // ONE narrow job per iteration: per-partition [cluster][dim+1]

@@ -79,7 +79,16 @@ private[graft] object ConcurrentActions {
         t
       }
       threads.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
+      if (!errs.isEmpty) {
+        // rethrow the first failure with every OTHER concurrent failure
+        // attached as suppressed — when two writes fail together the
+        // second may be the root cause, and dropping it debugs a replayed
+        // batch with half the evidence
+        val it = errs.iterator()
+        val first = it.next()
+        while (it.hasNext) first.addSuppressed(it.next())
+        throw first
+      }
     }
   }
 }

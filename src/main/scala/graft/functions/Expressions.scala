@@ -185,6 +185,13 @@ object Ncm {
 
   def argmax(v: ArrayData, labels: ArrayData, cents: ArrayData): Int = {
     val nLabels = labels.numElements()
+    // a ragged or empty model would otherwise misclassify silently: floor
+    // division shifts every label's centroid offset when the flat array is
+    // not an exact labels×dim rectangle, and zero labels divides by zero
+    if (nLabels == 0 || cents.numElements() % nLabels != 0)
+      throw new IllegalArgumentException(
+        s"classifyCentroids: centroid array of ${cents.numElements()} doubles " +
+          s"is not a rectangle over $nLabels labels")
     val dim = cents.numElements() / nLabels
     if (v.numElements() != dim)
       throw new IllegalArgumentException(

@@ -521,6 +521,16 @@ class CurationSpec extends SparkSpec {
       CurationPipeline.streamIncrement(rows.withColumn("shard", lit(1L)),
         "doc_id", "text", None, CurationPipeline.Config(), state, 0L)
     }
+    // tokenCountCol = "n_tokens" gets NO stream-side exemption: the metric
+    // stage reserves that name unconditionally (it would overwrite the
+    // precomputed count before the gate reads it), so the entry guard
+    // must raise the same way the batch path does — not advertise a
+    // configuration the pipeline always rejects two calls later
+    intercept[IllegalArgumentException] {
+      CurationPipeline.streamIncrement(rows.withColumn("n_tokens", lit(42L)),
+        "doc_id", "text", None,
+        CurationPipeline.Config(tokenCountCol = Some("n_tokens")), state, 0L)
+    }
     state.dropTables(spark)
   }
 

@@ -131,6 +131,23 @@ class ExtensionsSpec extends SparkSpec {
       Dedup.collapseBest(dblRanked.withColumn("quality", lit("hi")),
         "doc_id", pairs, "quality")
     }
+
+    // DECIMAL ranks are numeric and compare exactly in their own family —
+    // a DECIMAL(38,0) id-like rank one apart past 2^53 would collapse to
+    // the same double, and a [0,1) decimal score must not truncate; NULL
+    // loses as in every other family
+    val bigA = BigDecimal("9007199254740993") // 2^53 + 1
+    val bigB = BigDecimal("9007199254740992") // 2^53 — same double as bigA
+    val decRanked = Seq(1L -> Option(BigDecimal("0.03")), 2L -> Option(bigA),
+      3L -> Option(bigB), 4L -> Option(BigDecimal("0.01")),
+      10L -> None, 11L -> Option(BigDecimal("0.2")),
+      20L -> Option(BigDecimal("0.5")))
+      .toDF("doc_id", "quality")
+    val decBest = Dedup.collapseBest(decRanked, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(decBest === Set(2L, 11L, 20L),
+      s"decimal ranks must compare exactly (2^53+1 beats 2^53) and NULL must lose: $decBest")
   }
 
   test("unigramQuality scores hand-computed NLLs; vocab cap floors the tail and is exact when V covers the vocab") {
@@ -1474,6 +1491,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(8L).toSeq == Multimodal.StubCodecs.frames(8L, textBytes).toSeq)
     // truncated container: the walk overruns -> not an AVI -> stub fallback
     assert(VideoCodecs.aviFrames(9L, avi.take(avi.length - 10)).isEmpty)
+
+    // interleaved (CD-ROM-style) layout: frames grouped one level deeper
+    // in LIST('rec ' …) alongside audio chunks must still be found — the
+    // spec-legal layout a top-level-only walk silently undercounts
+    val recAvi = {
+      def pad(n: Int): Int = n + (n & 1)
+      val audio = Array.fill[Byte](6)(0x55)
+      val recs = jpegs.map { j => 12 + (8 + pad(j.length)) + (8 + pad(audio.length)) }
+      val moviSz = 4 + recs.sum
+      val riffSz = 4 + 8 + moviSz
+      val buf = java.nio.ByteBuffer.allocate(8 + riffSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      cc("RIFF"); buf.putInt(riffSz); cc("AVI ")
+      cc("LIST"); buf.putInt(moviSz); cc("movi")
+      jpegs.foreach { j =>
+        cc("LIST"); buf.putInt(4 + (8 + pad(j.length)) + (8 + pad(audio.length)))
+        cc("rec ")
+        cc("00dc"); buf.putInt(j.length); buf.put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte)
+        cc("01wb"); buf.putInt(audio.length); buf.put(audio)
+      }
+      buf.array()
+    }
+    val recParsed = VideoCodecs.aviFrames(13L, recAvi)
+    assert(recParsed.isDefined, "a rec-list AVI must parse as real video")
+    val recFrames = recParsed.get
+    assert(recFrames.map(_.frame_idx) == Seq(0L, 1L, 2L),
+      s"all rec-wrapped frames must be found: $recFrames")
+    recFrames.zip(jpegs).foreach { case (f, jpeg) =>
+      val slice = recAvi.slice(f.byte_offset.toInt, f.byte_offset.toInt + jpeg.length)
+      assert(slice.sameElements(jpeg), s"rec frame ${f.frame_idx} offset ${f.byte_offset}")
+      assert(ImageIO.read(new java.io.ByteArrayInputStream(slice)) != null)
+    }
+    // a chunk overrunning its rec list still rejects the whole container
+    // (same containment rule as top level): outer sizes consistent, inner
+    // 00dc declares 100 bytes the 12-byte rec list cannot hold
+    val badRec = {
+      val buf = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      cc("RIFF"); buf.putInt(36); cc("AVI ")
+      cc("LIST"); buf.putInt(24); cc("movi")
+      cc("LIST"); buf.putInt(12); cc("rec ")
+      cc("00dc"); buf.putInt(100)
+      buf.array()
+    }
+    assert(VideoCodecs.aviFrames(14L, badRec).isEmpty,
+      "an inner-rec overrun must reject the container, not undercount")
+
+    // NULL payload rides the stub path as the empty payload instead of
+    // NPE-ing the stage (the imageMeta/resize convention)
+    val withNull = spark.createDataset(Seq(MediaRow(21L, null)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val nullFrames = Multimodal.sampleFrames(withNull).collect()
+    assert(nullFrames.toSeq == Seq(Multimodal.Frame(21L, 0L, 0L)),
+      s"null payload must stub one zero-offset frame row: ${nullFrames.toSeq}")
+    val nullEmb = Multimodal.extractFeatures(withNull, dim = 8).collect()
+    assert(nullEmb.length == 1 && nullEmb.head.embedding.length == 8)
   }
 
   test("multimodal feature extraction feeds the ANN operators end to end") {
@@ -1730,5 +1806,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(exceptionChain(e2).exists(m => m.getMessage != null &&
       m.getMessage.contains("dimension")), s"got: ${e2.getMessage}")
     graft.Caching.release(spark)
+  }
+
+  test("trainCodebook raises a named error on an empty training set, not an index crash") {
+    import spark.implicits._
+    // an empty corpus (or one the zero-norm filter empties) used to reach
+    // the stride computation and die with a bare ArrayIndexOutOfBounds
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.ivfTopK(empty, "vec_id", "embedding", k = 2, nClusters = 2).collect())
+    assert(exceptionChain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("non-empty training set")), s"got: ${e.getMessage}")
+    graft.Caching.release(spark)
+  }
+
+  test("graft_ncm_argmax rejects ragged and empty centroid models instead of misclassifying") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
+    // 5 doubles over 2 labels is not a labels×dim rectangle: floor
+    // division would shift every label's offset and silently flip
+    // predictions — must raise naming the shape
+    val ragged = intercept[Exception](df.select(call_function("graft_ncm_argmax",
+      col("v"), array(lit(0), lit(1)),
+      array(Seq(1d, 2d, 3d, 4d, 5d).map(lit(_)): _*))).collect())
+    assert(exceptionChain(ragged).exists(m => m.getMessage != null &&
+      m.getMessage.contains("not a rectangle")), s"got: ${ragged.getMessage}")
+    // zero labels used to die with a bare '/ by zero'
+    val emptyM = intercept[Exception](df.select(call_function("graft_ncm_argmax",
+      col("v"), array().cast("array<int>"),
+      array().cast("array<double>"))).collect())
+    assert(exceptionChain(emptyM).exists(m => m.getMessage != null &&
+      m.getMessage.contains("not a rectangle")), s"got: ${emptyM.getMessage}")
   }
 }

@@ -92,5 +92,14 @@ class TableChecksSpec extends SparkSpec {
     val thread = new java.util.concurrent.atomic.AtomicReference[Thread]()
     ConcurrentActions.run(Seq(() => { thread.set(Thread.currentThread()); () }))
     assert(thread.get() eq Thread.currentThread())
+    // TWO failures: one is thrown, the other arrives as suppressed — a
+    // replayed batch where both writes failed must not debug on half the
+    // evidence
+    val e2 = intercept[RuntimeException](ConcurrentActions.run(Seq(
+      () => throw new RuntimeException("first"),
+      () => throw new RuntimeException("second"))))
+    val msgs = (e2.getMessage +: e2.getSuppressed.map(_.getMessage).toSeq).toSet
+    assert(msgs == Set("first", "second"),
+      s"both concurrent failures must surface: $msgs")
   }
 }
