@@ -73,9 +73,14 @@ object AsOfJoin {
       Seq(col(leftTsCol).as("__ts"), lit(leftSide).as("__side"),
         lit(null).cast(payloadType).as("__r")) ++
         tieNull ++ leftCols.map(col): _*)
-    // null rightTs can never satisfy `rightTs <= leftTs`: drop before the
-    // union so NULLS-FIRST ordering cannot carry its payload to every row
-    val r = right.filter(col(rightTsCol).isNotNull).select(
+    // null rightTs can never satisfy `rightTs <= leftTs`, and a null KEY
+    // never equi-joins (NULL = NULL is not true) — but the window
+    // PARTITION BY groups nulls together, so unfiltered null-keyed right
+    // rows would silently carry their payload onto null-keyed left rows.
+    // Drop both before the union; null-keyed left rows then sit in a
+    // partition with no right rows and come out unmatched, as ASOF demands
+    val r = right.filter(keyCols.foldLeft(col(rightTsCol).isNotNull)(
+      (acc, c) => acc && col(c).isNotNull)).select(
       Seq(col(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
         payload.as("__r")) ++
         tieVals ++

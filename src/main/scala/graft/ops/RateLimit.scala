@@ -50,7 +50,13 @@ object RateLimit {
         var tokens = capacity
         var tstamp = 0L
         iter.map { row =>
-          val k = keyIdx.map(row.get)
+          // binary keys compare by VALUE: a raw Array[Byte] inside the Seq
+          // compares by reference, making every row look like a new key and
+          // silently resetting the bucket per record
+          val k: Seq[Any] = keyIdx.map(i => row.get(i) match {
+            case b: Array[Byte] => b.toSeq
+            case x => x
+          })
           if (k != curKey) { curKey = k; tokens = capacity; tstamp = 0L }
           val ts = row.getLong(tsIdx)
           // age (mem_token_bucket_store.h __age)

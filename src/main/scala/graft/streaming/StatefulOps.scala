@@ -101,7 +101,9 @@ object StatefulOps {
   def windowedLatestByKey[K, V](ds: Dataset[KRecord[K, V]], retentionMs: Long,
                                 watermarkDelay: String = "0 seconds")(
       implicit ek: Encoder[K], ec: Encoder[Cell[V]], ew: Encoder[WRec[K, V]],
-      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
+    require(retentionMs > 0,
+      s"windowedLatestByKey: retentionMs must be positive, got $retentionMs")
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, V]], state: GroupState[Cell[V]]) =>
@@ -137,6 +139,7 @@ object StatefulOps {
             out.result().iterator
           }
       }
+  }
 
   /** Per-key additive counter state. */
   final case class CounterCell(sum: Long, ts: Long)
@@ -192,7 +195,12 @@ object StatefulOps {
     * them in a metric; count the difference via `observe` upstream).
     */
   def rateLimiter[K, V](ds: Dataset[KRecord[K, V]], capacity: Long, ageTimeMs: Long)(
-      implicit ek: Encoder[K], eb: Encoder[Bucket], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+      implicit ek: Encoder[K], eb: Encoder[Bucket], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
+    // the batch twin (RateLimit.replay) guards these too: ageTimeMs=0 is a
+    // per-record executor-side divide-by-zero, capacity=0 silently admits
+    // nothing — both should fail at construction, not mid-stream
+    require(capacity > 0 && ageTimeMs > 0,
+      s"rateLimiter: capacity and ageTimeMs must be positive, got capacity=$capacity ageTimeMs=$ageTimeMs")
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Bucket]) =>
@@ -206,6 +214,7 @@ object StatefulOps {
           state.update(b)
           out.result().iterator
       }
+  }
 
   /** Held row for the delay operator. */
   final case class Held[K, V](rows: Seq[KRecord[K, V]])
@@ -246,7 +255,7 @@ object StatefulOps {
 
   /** Tagged union of the two input changelogs. */
   final case class SideRec[K, L, R](key: K, leftValue: Option[L], rightValue: Option[R],
-                                    isLeft: Boolean, isTombstone: Boolean, eventTime: Long)
+                                    isLeft: Boolean, eventTime: Long)
 
   /** One join emission: `tombstone = true` means the reference emitted a
     * null-valued record (retraction); otherwise `left`/`right` carry the
@@ -287,9 +296,9 @@ object StatefulOps {
       implicit ek: Encoder[K], es: Encoder[SideRec[K, L, R]], ej: Encoder[JoinState[L, R]],
       eo: Encoder[JoinEmit[K, L, R]]): Dataset[JoinEmit[K, L, R]] = {
     val tagged = leftLog
-      .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.value.isEmpty, r.eventTime))
+      .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.eventTime))
       .union(rightLog
-        .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.value.isEmpty, r.eventTime)))
+        .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.eventTime)))
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[SideRec[K, L, R]], state: GroupState[JoinState[L, R]]) =>
@@ -314,7 +323,13 @@ object StatefulOps {
             }
             out += emit
           }
-          state.update(s)
+          // both cells erased (tombstoned): drop the state entry entirely —
+          // insertCell keeps no LWW timestamp after an erase (mem_store.h
+          // erases on delete), so an empty JoinState carries no information
+          // and a churning key space would otherwise grow the store forever
+          if (s.left.isEmpty && s.right.isEmpty) {
+            if (state.exists) state.remove()
+          } else state.update(s)
           out.result().iterator
       }
   }
@@ -332,9 +347,9 @@ object StatefulOps {
       eo: Encoder[JoinEmit[K, L, R]]): Dataset[JoinEmit[K, L, R]] = {
     require(joinType != OuterJoin, "kstream joins are left or inner (join.h:28-209)")
     val tagged = stream
-      .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.value.isEmpty, r.eventTime))
+      .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.eventTime))
       .union(rightLog
-        .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.value.isEmpty, r.eventTime)))
+        .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.eventTime)))
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[SideRec[K, L, R]], state: GroupState[JoinState[L, R]]) =>
@@ -353,7 +368,13 @@ object StatefulOps {
               }
             }
           }
-          state.update(s)
+          // only the right (table) cell ever holds data here — the left
+          // side is a stream probe, never stored; drop the entry when the
+          // table side erases, for the same unbounded-growth reason as the
+          // table-table join above
+          if (s.right.isEmpty) {
+            if (state.exists) state.remove()
+          } else state.update(s)
           out.result().iterator
       }
   }
@@ -376,7 +397,9 @@ object StatefulOps {
   def punctuatedCount[K](ds: Dataset[KRecord[K, Long]], punctuateIntervalMs: Long,
                          watermarkDelay: String = "0 seconds")(
       implicit ek: Encoder[K], ec: Encoder[Counter], ew: Encoder[WRec[K, Long]],
-      er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] =
+      er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] = {
+    require(punctuateIntervalMs > 0,
+      s"punctuatedCount: punctuateIntervalMs must be positive, got $punctuateIntervalMs")
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, Long]], state: GroupState[Counter]) =>
@@ -412,4 +435,5 @@ object StatefulOps {
             out.result().iterator
           }
       }
+  }
 }

@@ -19,8 +19,19 @@ object Throttle {
   /** Source options capping rows per trigger for a target msgs/sec at a
     * given trigger interval.
     */
-  def sourceOptions(messagesPerSec: Long, triggerIntervalMs: Long): Map[String, String] =
-    Map("maxOffsetsPerTrigger" -> ((messagesPerSec * triggerIntervalMs) / 1000).toString)
+  def sourceOptions(messagesPerSec: Long, triggerIntervalMs: Long): Map[String, String] = {
+    require(messagesPerSec > 0 && triggerIntervalMs > 0,
+      s"Throttle.sourceOptions: rates must be positive, got " +
+        s"messagesPerSec=$messagesPerSec triggerIntervalMs=$triggerIntervalMs")
+    val rows = (messagesPerSec * triggerIntervalMs) / 1000
+    // a truncated 0 would make the source admit nothing and the stream
+    // stall forever with no error — fail loudly instead of silently parking
+    require(rows > 0,
+      s"Throttle.sourceOptions: $messagesPerSec msg/s over a " +
+        s"$triggerIntervalMs ms trigger rounds to 0 rows per trigger — " +
+        "increase the trigger interval")
+    Map("maxOffsetsPerTrigger" -> rows.toString)
+  }
 
   /** foreachBatch wrapper: if a micro-batch finished faster than its row
     * budget allows, sleep the difference on the driver (executors are idle
@@ -31,8 +42,9 @@ object Throttle {
     (batch: DataFrame, _: Long) =>
       val t0 = System.nanoTime()
       val n = batch.persist().count()
-      writer(batch)
-      batch.unpersist()
+      // unpersist in finally: a throwing writer retried by foreachBatch
+      // would otherwise stack one leaked cached copy per attempt
+      try writer(batch) finally batch.unpersist()
       val budgetMs = (n * 1000) / math.max(1, messagesPerSec)
       val spentMs = (System.nanoTime() - t0) / 1000000
       if (spentMs < budgetMs) Thread.sleep(budgetMs - spentMs)

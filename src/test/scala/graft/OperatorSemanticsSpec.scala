@@ -73,6 +73,24 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out == Seq(true, true, false, true))
   }
 
+  test("token bucket replay on BINARY keys: same-key rows share one bucket") {
+    import spark.implicits._
+    // Kafka keys are bytes; a raw Array[Byte] inside the key Seq compares
+    // by reference, so every row would look like a new key and reset the
+    // bucket — all four same-key records would be admitted at capacity 1
+    val t0 = 1700000000000L
+    val df = Seq(
+      (Array[Byte](1, 2), t0, 1L), (Array[Byte](1, 2), t0 + 1, 2L),
+      (Array[Byte](1, 2), t0 + 2, 3L), (Array[Byte](1, 2), t0 + 3, 4L),
+      (Array[Byte](9, 9), t0, 5L)
+    ).toDF("key", "ts_ms", "id")
+    val out = RateLimit.replay(df, Seq("key"), "ts_ms", Seq("id"),
+        capacity = 1, ageTimeMs = 100000)
+      .orderBy("id").select("admitted").as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, false, false, true),
+      s"binary keys must compare by value, not reference: $out")
+  }
+
   test("kstream joins drop/keep unmatched stream rows (join.h:28-209)") {
     import spark.implicits._
     val stream = Seq((1, "e1"), (2, "e2"), (3, "e3")).toDF("k", "payload")

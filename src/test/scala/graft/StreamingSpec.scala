@@ -175,6 +175,56 @@ class StreamingSpec extends SparkSpec {
     assert(written == 3L)
     // 3 rows at 1000/s → at least 3 ms of pacing budget consumed
     assert(elapsedMs >= 3, s"no pacing: $elapsedMs ms")
+    // a rate that truncates to 0 rows/trigger would stall the stream
+    // forever (maxOffsetsPerTrigger=0 admits nothing) — raise instead
+    val e = intercept[IllegalArgumentException](Throttle.sourceOptions(100L, 5L))
+    assert(e.getMessage.contains("rounds to 0"), e.getMessage)
+    intercept[IllegalArgumentException](Throttle.sourceOptions(0L, 500L))
+    // a throwing writer must still unpersist its cached batch — foreachBatch
+    // retries would otherwise stack one leaked cached copy per attempt
+    val leaky = Seq(1, 2).toDF("n")
+    val failing = Throttle.paceBatches(_ => throw new RuntimeException("sink down"), 1000L)
+    intercept[RuntimeException](failing(leaky, 0L))
+    assert(leaky.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"failed batch left cached at ${leaky.storageLevel}")
+  }
+
+  test("stateful entry points reject non-positive time/capacity parameters at construction") {
+    import spark.implicits._
+    val ds = Seq(KRecord.of(1, "v", 100L)).toDS()
+    val counts = Seq(KRecord.of(1, 1L, 100L)).toDS()
+    // mid-stream these are a per-record ArithmeticException (ageTimeMs=0),
+    // a silent admit-nothing (capacity=0), or a setTimeoutTimestamp crash
+    // (retention/punctuate <= 0) — all should fail fast on the driver
+    intercept[IllegalArgumentException](StatefulOps.rateLimiter(ds, capacity = 0L, ageTimeMs = 100L))
+    intercept[IllegalArgumentException](StatefulOps.rateLimiter(ds, capacity = 2L, ageTimeMs = 0L))
+    intercept[IllegalArgumentException](StatefulOps.windowedLatestByKey(ds, retentionMs = 0L))
+    intercept[IllegalArgumentException](StatefulOps.punctuatedCount(counts, punctuateIntervalMs = 0L))
+  }
+
+  test("table-table join state is dropped when both sides tombstone (no unbounded growth)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[KRecord[Int, String]]
+    val right = MemoryStream[KRecord[Int, Long]]
+    val q = StatefulOps.tableTableJoinChangelog(left.toDS(), right.toDS(), StatefulOps.InnerJoin)
+      .writeStream.format("memory").queryName("tt_gc_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      left.addData(KRecord.of(1, "l1", 100L))
+      right.addData(KRecord.of(1, 10L, 100L))
+      q.processAllAvailable()
+      assert(q.recentProgress.flatMap(_.stateOperators).exists(_.numRowsTotal == 1),
+        "one live key must hold one state row")
+      // both sides tombstone: insertCell erases each cell, and the empty
+      // JoinState must be REMOVED — a churning key space would otherwise
+      // grow the state store forever
+      left.addData(KRecord[Int, String](1, None, 200L))
+      right.addData(KRecord[Int, Long](1, None, 200L))
+      q.processAllAvailable()
+      val lastRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).last
+      assert(lastRows == 0, s"fully-tombstoned key must free its state row: $lastRows")
+    } finally q.stop()
   }
 
   test("stateful ops run on the RocksDB state store provider (rocksdb_store parity)") {

@@ -88,6 +88,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out === Map(1L -> Some(20L), 2L -> None))
   }
 
+  test("asOf never matches null keys: NULL = NULL is not an equi-join hit") {
+    import spark.implicits._
+    // the window PARTITION BY groups nulls together, so without the
+    // null-key right filter the null-keyed left row would silently pick
+    // up rv=42 — DuckDB ASOF (and every SQL equi-join) leaves it unmatched
+    val left = Seq(
+      (1L, Option("u"), ts(5000)),
+      (2L, Option.empty[String], ts(5000))
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      (Option("u"), ts(2000), 20L),
+      (Option.empty[String], ts(2000), 42L)
+    ).toDF("key", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"))
+      .select("event_id", "rv").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(1L -> Some(20L), 2L -> None),
+      s"null-keyed left rows must stay unmatched: $out")
+  }
+
   test("asOf rejects reserved __-prefixed input columns") {
     val (left, right) = asOfFixture
     val e = intercept[IllegalArgumentException] {
