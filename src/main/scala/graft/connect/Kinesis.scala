@@ -99,6 +99,12 @@ object SigV4 {
   * ApproximateArrivalTimestamp millis.
   */
 object KinesisClient {
+
+  /** One HttpClient per JVM: each instance owns a thread + connection
+    * pool, and a per-reader/per-probe `newHttpClient()` churned one per
+    * shard per micro-batch (the ElasticsearchSink sharing rationale).
+    */
+  private[connect] lazy val sharedHttpClient = java.net.http.HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
 
   final case class KRecord(key: String, value: Array[Byte], eventTimeMs: Long,
@@ -126,7 +132,7 @@ object KinesisClient {
     val base = endpointOverride.map { e =>
       val u = java.net.URI.create(e); s"${u.getScheme}://${u.getAuthority}"
     }.getOrElse(s"https://$host")
-    val client = java.net.http.HttpClient.newHttpClient()
+    val client = KinesisClient.sharedHttpClient
     (target, body) => {
       val amzDate = SigV4.amzDateNow()
       val auth = SigV4.authorization(host, target, body, amzDate, region, "kinesis",
@@ -183,7 +189,10 @@ object KinesisClient {
     */
   def getRecords(transport: (String, String) => String, iterator: String,
                  limit: Int = 10000): RecordsPage = {
-    val req = mapper.createObjectNode().put("ShardIterator", iterator).put("Limit", limit)
+    // the API rejects Limit outside [1, 10000] with ValidationException —
+    // a larger per-shard batch budget just takes more hops
+    val req = mapper.createObjectNode().put("ShardIterator", iterator)
+      .put("Limit", math.max(1, math.min(limit, 10000)))
     val resp = mapper.readTree(transport("Kinesis_20131202.GetRecords", req.toString))
     val recs = collection.mutable.ArrayBuffer.empty[KRecord]
     resp.get("Records").forEach { (r: JsonNode) =>

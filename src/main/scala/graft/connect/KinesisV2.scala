@@ -157,8 +157,15 @@ object KinesisV2 {
       }
       val cap = rowCap(limit)
       val shards = KinesisClient.listShards(transport, conf.stream)
-      val hints = collection.mutable.Map.empty[String, String]
-      val ends = shards.map { shard =>
+      val hints = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      // shard probes are independent blocking HTTP loops: run them
+      // concurrently (bounded pool) — serialized, a 100-shard stream pays
+      // 100 × the per-shard round-trip latency on EVERY trigger
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(shards.size, 1), 16))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def probeShard(shard: String): (String, Option[String]) = {
         var it: Option[String] = Some(KinesisClient.shardIterator(transport, conf.stream, shard,
           iteratorType = s.shards.get(shard).map(_ => "AFTER_SEQUENCE_NUMBER")
             .getOrElse(conf.startingPosition),
@@ -186,10 +193,17 @@ object KinesisV2 {
           it = page.nextIterator
           hops += 1
         }
-        if (s.shards.get(shard).isEmpty) firstSeq.foreach(hints(shard) = _)
+        if (s.shards.get(shard).isEmpty) firstSeq.foreach(hints.put(shard, _))
         shard -> endSeq
       }
-      firstSeqHints = firstSeqHints ++ hints
+      val ends =
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          Await.result(Future.traverse(shards)(sh => Future(probeShard(sh))), Duration.Inf)
+        } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      firstSeqHints = firstSeqHints ++ hints.asScala
       KinesisOffset(ends.collect { case (sh, Some(seq)) => sh -> seq }.toMap)
     }
 

@@ -103,9 +103,18 @@ object OffsetStorage {
 
     override protected def persistOffset(offset: Long): Boolean =
       // contract: false on failure (watermark stays behind, next commit
-      // retries) — a full disk must not crash commit()/close()
-      try { Files.write(path, toBytes(offset)); true }
-      catch { case _: java.io.IOException => false }
+      // retries) — a full disk must not crash commit()/close().
+      // write-temp-then-ATOMIC_MOVE (the CdcCursor.FileOffsetStore commit):
+      // a plain truncate-then-write crashing mid-write leaves a short file,
+      // which loadOffset reads as OffsetBeginning — silently rewinding the
+      // stream to the start
+      try {
+        val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+        Files.write(tmp, toBytes(offset))
+        Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      } catch { case _: java.io.IOException => false }
   }
 
   /** null_offset_storage (offset_storage_provider.h:62-71): start(STORED)

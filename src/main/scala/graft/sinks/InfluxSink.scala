@@ -37,7 +37,14 @@ object InfluxSink {
         case StringType => concat(lit(k + "=\""), escFieldString(v), lit("\""))
         case ByteType | ShortType | IntegerType | LongType =>
           concat(lit(k + "="), v.cast("string"), lit("i"))
-        case _ => concat(lit(k + "="), v.cast("string")) // float/double/boolean
+        case FloatType | DoubleType | BooleanType =>
+          concat(lit(k + "="), v.cast("string"))
+        case other => throw new IllegalArgumentException(
+          // e.g. a TimestampType renders with an unescaped space, which
+          // terminates the field set early and fails the WHOLE chunk —
+          // reject at plan time where the error names the column
+          s"InfluxSink: field '$k' has unsupported type $other — cast it to " +
+            "string/integer/float/boolean explicitly")
       }
       when(v.isNotNull, rendered)
     }
@@ -55,9 +62,11 @@ object InfluxSink {
   /** POST the payload to `<baseUrl>/write?db=<db>`. Serializable; one HTTP
     * client per executor (reused across chunks).
     */
-  def httpTransport(baseUrl: String, db: String): String => Int =
-    new ElasticsearchSink.SerializableHttpPost(
+  def httpTransport(baseUrl: String, db: String): String => Int = {
+    val post = new ElasticsearchSink.SerializableHttpPost(
       s"$baseUrl/write?db=$db", "text/plain; charset=utf-8")
+    (s: String) => post(s).status // Influx has no per-item result body
+  }
 
   /** Write a (micro-)batch of line-protocol strings (first column). Null
     * lines — all-null-fields rows, or a null timestamp — cannot be sent
@@ -71,8 +80,11 @@ object InfluxSink {
     val all = lines.select(c.as("line"))
     // nulls are counted inside the same single pass that posts the valid
     // lines — a second action over a non-deterministic upstream could
-    // disagree with the posted set
-    ElasticsearchSink.postChunks(all, transport, maxLinesPerPost,
+    // disagree with the posted set. Influx has no per-item result body
+    // (204 = all accepted), so the status-only transport loses nothing.
+    ElasticsearchSink.postChunks(all,
+      (s: String) => ElasticsearchSink.HttpResult(transport(s)), maxLinesPerPost,
       sep = "\n", suffix = "", countNullAsClientError = true, maxRetries, backoffMs)
   }
+
 }

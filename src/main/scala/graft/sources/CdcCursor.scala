@@ -66,7 +66,16 @@ object CdcCursor {
     def whereClause(s: State): String = {
       (rescrape, s.atEof, s.lastTs, tsColumn) match {
         case (RescrapeLastQueryTs(ticks), true, Some(ts), Some(tsCol)) if ts.nonEmpty =>
-          return s" WHERE $tsCol >= '${ts.toLong - ticks}'$orderBy"
+          // the ts-minus-ticks arithmetic needs a NUMERIC ts column; a SQL
+          // timestamp string would otherwise throw a bare
+          // NumberFormatException at the first eof poll — late and
+          // data-dependent. Name the misconfiguration instead.
+          val tsNum = try ts.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"CdcCursor: RescrapeLastQueryTs requires a numeric ts column; " +
+                s"'$tsCol' produced '$ts' — use a numeric tick column or drop rescrape")
+          }
+          return s" WHERE $tsCol >= '${tsNum - ticks}'$orderBy"
         case _ =>
       }
       (s.lastTs.filter(_.nonEmpty), s.lastId.filter(_.nonEmpty)) match {

@@ -210,10 +210,20 @@ object CdcV2 {
       * moves in the executors' planInputPartitions range scan).
       */
     private def pagedEnd(s: CdcOffset, cap: Option[Long]): CdcOffset = {
-      val capSql = cap.map(c => conf.limit(c.min(Int.MaxValue.toLong).toInt)).getOrElse("")
       val where = conf.afterClause(s).map(c => s" WHERE $c").getOrElse("")
-      val sql = s"SELECT ${conf.tsCol}, ${conf.idCol} FROM (${conf.query}) graft_src$where" +
-        s" ORDER BY ${conf.tsCol} ASC, ${conf.idCol} ASC$capSql"
+      // with no row cap (ReadAllAvailable), the end is simply the backlog
+      // tip: ONE max-(ts,id) row via the DESC index probe — an un-LIMITed
+      // ascending scan would stream the whole backlog row-by-row through
+      // the driver just to keep the final pair
+      val sql = cap match {
+        case Some(c) =>
+          s"SELECT ${conf.tsCol}, ${conf.idCol} FROM (${conf.query}) graft_src$where" +
+            s" ORDER BY ${conf.tsCol} ASC, ${conf.idCol} ASC" +
+            conf.limit(c.min(Int.MaxValue.toLong).toInt)
+        case None =>
+          s"SELECT ${conf.tsCol}, ${conf.idCol} FROM (${conf.query}) graft_src$where" +
+            s" ORDER BY ${conf.tsCol} DESC, ${conf.idCol} DESC${conf.limit(1)}"
+      }
       val conn = conf.connect()
       try {
         val rs = conn.createStatement().executeQuery(sql)
@@ -251,6 +261,11 @@ object CdcV2 {
       extends PartitionReader[InternalRow] {
     private val conn = conf.connect()
     private val rs = {
+      // PostgreSQL's driver only honors fetchSize with autoCommit OFF
+      // (cursor-based fetch); with the default autoCommit=true the whole
+      // range materializes in executor memory — fatal for the uncapped
+      // ReadAllAvailable partition that covers the entire backlog
+      try conn.setAutoCommit(false) catch { case _: java.sql.SQLException => }
       val st = conn.createStatement()
       st.setFetchSize(1000)
       st.executeQuery(conf.rangeSql(start, end))
@@ -290,7 +305,11 @@ object CdcV2 {
     }
 
     override def close(): Unit = {
-      rs.close(); conn.close()
+      rs.close()
+      // end the read-only cursor transaction before close — Derby refuses
+      // to close a connection with an open transaction (autoCommit=false)
+      try conn.rollback() catch { case _: java.sql.SQLException => }
+      conn.close()
     }
   }
 }

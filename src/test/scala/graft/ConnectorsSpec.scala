@@ -41,6 +41,11 @@ class ConnectorsSpec extends SparkSpec {
     // not at eof: rescrape policy dormant, normal cursor predicate
     assert(rescrape.whereClause(CdcCursor.State(Some("100"), Some("7"), atEof = false)) ==
       " WHERE (ts = '100' AND id > '7') OR (ts > '100') ORDER BY ts ASC, id ASC")
+    // rescrape against a non-numeric ts column names the misconfiguration
+    // instead of a bare NumberFormatException at the first eof poll
+    val e = intercept[IllegalArgumentException](rescrape.whereClause(
+      CdcCursor.State(Some("2026-08-15 10:30:00.0"), Some("7"), atEof = true)))
+    assert(e.getMessage.contains("numeric ts column"), e.getMessage)
   }
 
   test("pollSql wraps the base query and bounds the page") {
@@ -383,6 +388,11 @@ class OffsetStorageSpec extends SparkSpec {
     assert(s2.start(OffsetStorage.OffsetStored) == 125L)
     s2.commit(125L, flush = true) // no-op: nothing newer than flushed
     assert(stored() == 125L)
+    // atomic persist: the write goes through temp+ATOMIC_MOVE, so no .tmp
+    // residue is left and the 8-byte file is never truncated in place (a
+    // crash mid-write must not rewind the stream to OffsetBeginning)
+    assert(!java.nio.file.Files.exists(path.resolveSibling("topic.offset.tmp")),
+      "temp file must be renamed away")
   }
 
   test("null offset storage starts at END and persists nothing") {

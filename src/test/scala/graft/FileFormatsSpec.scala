@@ -17,6 +17,9 @@ class FileFormatsSpec extends SparkSpec {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("avro write/read round-trips all generic_avro types incl. nulls and nesting") {
     val st = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -257,16 +260,19 @@ class FileFormatsSpec extends SparkSpec {
     assert(cmds.contains("{\"delete\":{\"_index\":\"idx\",\"_id\":\"3\"}}"))
 
     // fake transports: every chunk succeeds / 4xx / 5xx
-    val s1 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => 200, maxDocsPerBulk = 2)
+    import ElasticsearchSink.HttpResult
+    val s1 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"),
+      _ => HttpResult(200), maxDocsPerBulk = 2)
     assert(s1 == ElasticsearchSink.Stats(3, 0, 0))
-    val s2 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => 404)
+    val s2 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => HttpResult(404))
     assert(s2 == ElasticsearchSink.Stats(0, 3, 0))
-    val s3 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => 503)
+    val s3 = ElasticsearchSink.write(batch, "idx", "k", Some("payload"), _ => HttpResult(503))
     assert(s3 == ElasticsearchSink.Stats(0, 0, 3))
 
     // chunking: maxDocsPerBulk=1 → one POST per doc, all still counted
     val s4 = ElasticsearchSink.write(batch.repartition(1), "idx", "k", Some("payload"),
-      p => { assert(p.endsWith("\n") && !p.dropRight(1).isEmpty); 200 }, maxDocsPerBulk = 1)
+      p => { assert(p.endsWith("\n") && !p.dropRight(1).isEmpty); HttpResult(200) },
+      maxDocsPerBulk = 1)
     assert(s4.ok == 3)
 
     // ids with JSON metacharacters stay valid (escaped by to_json)
@@ -274,6 +280,41 @@ class FileFormatsSpec extends SparkSpec {
     val wc = ElasticsearchSink.bulkCommands(weird, "idx", "k", Some("payload"))
       .as[String].collect().head
     assert(wc.startsWith("{\"index\":{\"_index\":\"idx\",\"_id\":\"a\\\"b\\\\c\"}}\n"), wc)
+
+    // a NULL id raises: to_json would drop the field and ES would
+    // auto-generate an id, silently breaking idempotent upsert/delete
+    val nullId = Seq((Option.empty[String], Option("x"), 1L)).toDF("k", "payload", "v")
+    val e = intercept[Exception](ElasticsearchSink
+      .bulkCommands(nullId, "idx", "k", Some("payload")).as[String].collect())
+    assert(exceptionChain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("NULL k")), s"got: ${e.getMessage}")
+
+    // ES reports per-item failures INSIDE a 200 answer ("errors":true) —
+    // a status-only count would book failed docs as ok (silent data loss)
+    val itemBody =
+      """{"took":5,"errors":true,"items":[
+        |{"index":{"_index":"idx","_id":"1","status":201}},
+        |{"index":{"_index":"idx","_id":"2","status":429}},
+        |{"index":{"_index":"idx","_id":"3","status":400}}]}""".stripMargin
+    // 400 is a permanent client error; 429 (es_rejected_execution) is the
+    // transient rejection, classified with 5xx so the retry loop sees it
+    assert(ElasticsearchSink.bulkItemErrors(itemBody) == (1L, 1L))
+    val sItems = ElasticsearchSink.write(batch.repartition(1), "idx", "k", Some("payload"),
+      _ => HttpResult(200, itemBody), maxDocsPerBulk = 10)
+    assert(sItems == ElasticsearchSink.Stats(1, 1, 1),
+      s"per-item failures must not count as ok: $sItems")
+    // a 5xx ITEM (es_rejected_execution) in a 2xx answer retries the whole
+    // chunk — idempotent _id actions make the replay safe
+    val rejected =
+      """{"errors":true,"items":[{"index":{"_id":"1","status":503}}]}"""
+    var calls = 0
+    val sRetry = ElasticsearchSink.write(batch.repartition(1), "idx", "k", Some("payload"),
+      { _ => calls += 1; if (calls < 2) HttpResult(200, rejected)
+             else HttpResult(200, """{"errors":false,"items":[]}""") },
+      maxDocsPerBulk = 10, maxRetries = 2, backoffMs = 1)
+    assert(sRetry == ElasticsearchSink.Stats(3, 0, 0, retries = 1), s"$sRetry")
+    // no-errors fast path parses nothing
+    assert(ElasticsearchSink.bulkItemErrors("""{"took":1,"errors":false}""") == (0L, 0L))
   }
 
   test("ES sink bounded 5xx retry with backoff against a loopback server (elasticsearch_producer.h:17-120)") {

@@ -96,6 +96,22 @@ class KinesisSpec extends SparkSpec {
       ("u3", "!", 1700000002250L)))
   }
 
+  test("getRecords clamps Limit to the API maximum of 10000") {
+    // a per-shard batch budget above 10000 must not leak into the request:
+    // the real API rejects Limit > 10000 with ValidationException, failing
+    // the stream on its first trigger
+    var seen = -1
+    val capture: (String, String) => String = { (target, body) =>
+      val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      seen = req.get("Limit").asInt()
+      """{"Records":[],"MillisBehindLatest":0}"""
+    }
+    KinesisClient.getRecords(capture, "it-x", limit = 20000)
+    assert(seen == 10000, s"Limit must clamp to 10000, sent $seen")
+    KinesisClient.getRecords(capture, "it-x", limit = 0)
+    assert(seen == 1, s"Limit must clamp up to 1, sent $seen")
+  }
+
   test("httpTransport sends a SigV4-signed x-amz-json-1.1 POST") {
     val received = new java.util.concurrent.atomic.AtomicReference[(String, String, String, String)]()
     val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
