@@ -44,9 +44,18 @@ final class GStream(val df: DataFrame) {
     * (processors/delay.h:6-74). In batch the release time is materialized as
     * a column; the streaming variant holds rows on a state timeout.
     */
-  def delay(eventTimeCol: String, delayMs: Long, releaseCol: String = "release_time"): GStream =
-    new GStream(df.withColumn(releaseCol,
-      col(eventTimeCol) + expr(s"INTERVAL $delayMs MILLISECONDS")))
+  def delay(eventTimeCol: String, delayMs: Long, releaseCol: String = "release_time"): GStream = {
+    // the library's event-time convention is epoch MILLIS (bigint) —
+    // KRecord.eventTime, rateLimit's eventTimeMsCol — where an INTERVAL add
+    // is a Catalyst type error; timestamps get the interval form
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val release = df.schema(eventTimeCol).dataType match {
+      case TimestampType | TimestampNTZType =>
+        col(eventTimeCol) + expr(s"INTERVAL $delayMs MILLISECONDS")
+      case _ => col(eventTimeCol) + lit(delayMs)
+    }
+    new GStream(df.withColumn(releaseCol, release))
+  }
 
   /** count_by_key (processors/count.h:9-123): keyed occurrence count. */
   def countByKey(keys: Seq[String], countCol: String = "cnt"): GStream =
@@ -63,9 +72,11 @@ final class GStream(val df: DataFrame) {
     * keyed sums; Spark's hash aggregate supplies the partial (map-side) merge
     * the RocksDB merge operator provided in the reference.
     */
-  def sumByKey(keys: Seq[String], sums: (String, Column)*): GStream =
+  def sumByKey(keys: Seq[String], sums: (String, Column)*): GStream = {
+    require(sums.nonEmpty, "sumByKey requires at least one (name, aggregate) pair")
     new GStream(df.groupBy(keys.map(col): _*)
       .agg(sums.head._2.as(sums.head._1), sums.tail.map { case (n, c) => c.as(n) }: _*))
+  }
 
   /** ktable: changelog → latest-surviving-row-per-key snapshot
     * (processors/ktable.h, mem_store LWW + tombstone rules).

@@ -130,10 +130,11 @@ case class TopKByScore(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (scoreExpr.dataType, idExpr.dataType) match {
-      case (DoubleType, LongType | IntegerType) if kExpr.foldable =>
+      case (DoubleType, LongType | IntegerType)
+          if Lsh.literalIntOpt(kExpr).exists(_ > 0) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "graft_topk requires (double score, integral id, literal int k)")
+        "graft_topk requires (double score, integral id, literal int k > 0)")
     }
 
   // dedup: an exactly-equal (score, id) pair is the same neighbor scored
@@ -215,10 +216,11 @@ case class BottomKIdsByLong(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (scoreExpr.dataType, idExpr.dataType) match {
-      case (LongType | IntegerType, LongType | IntegerType) if kExpr.foldable =>
+      case (LongType | IntegerType, LongType | IntegerType)
+          if Lsh.literalIntOpt(kExpr).exists(_ > 0) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "graft_bottomk_long requires (integral score, integral id, literal int k)")
+        "graft_bottomk_long requires (integral score, integral id, literal int k > 0)")
     }
 
   override def createAggregationBuffer(): BoundedKBuffer[(Long, Long)] =
@@ -295,6 +297,21 @@ case class MinHashBandsAgg(
   override def children: Seq[Expression] = Seq(shingleExpr, numHashesExpr, bandSizeExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // without this, ANY shingle type was accepted and stringified via
+  // toString — an array<string> column (the scalar sibling's input shape)
+  // hashed as "UnsafeArrayData@…" object identities: well-formed,
+  // meaningless band keys with no error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (shingleExpr.dataType,
+      for { nh <- Lsh.literalIntOpt(numHashesExpr); bs <- Lsh.literalIntOpt(bandSizeExpr) }
+        yield nh > 0 && bs > 0 && nh % bs == 0) match {
+      case (org.apache.spark.sql.types.StringType, Some(true)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_minhash_bands_agg requires (string shingle, literal numHashes, " +
+          "literal bandSize dividing it)")
+    }
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
@@ -379,10 +396,11 @@ case class SampleByMinHash(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (hashExpr.dataType, valueExpr.dataType) match {
-      case (LongType | IntegerType, DoubleType) if kExpr.foldable =>
+      case (LongType | IntegerType, DoubleType)
+          if Lsh.literalIntOpt(kExpr).exists(_ > 0) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "graft_qsample requires (integral hash, double value, literal int k)")
+        "graft_qsample requires (integral hash, double value, literal int k > 0)")
     }
 
   override def createAggregationBuffer(): BoundedKBuffer[(Long, Double)] =
@@ -467,9 +485,10 @@ case class KMinValues(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = hashExpr.dataType match {
-    case LongType | IntegerType if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
+    case LongType | IntegerType if Lsh.literalIntOpt(kExpr).exists(_ > 0) =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_kmv requires (integral hash, literal int k)")
+      "graft_kmv requires (integral hash, literal int k > 0)")
   }
 
   override def createAggregationBuffer(): java.util.TreeSet[Long] =

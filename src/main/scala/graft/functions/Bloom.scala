@@ -40,12 +40,7 @@ object Bloom {
     * a query and an inserted key is a GUARANTEED false positive (~n/m
     * extra FP rate — measured 8% where the analytic rate was 0.1%).
     */
-  private def mix(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-    x ^= x >>> 27; x *= 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  private def mix(x0: Long): Long = Hashing.mix64(x0)
 
   def wordsFor(numBits: Int): Int = numBits / 64
 
@@ -148,7 +143,8 @@ case class BloomFilterAgg(
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult = hashExpr.dataType match {
-    case LongType | IntegerType if numBitsExpr.foldable && numHashesExpr.foldable =>
+    case LongType | IntegerType if Lsh.literalIntOpt(numBitsExpr).isDefined &&
+        Lsh.literalIntOpt(numHashesExpr).isDefined =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_bloom requires (integral hash, literal int numBits, literal int numHashes)")

@@ -30,30 +30,39 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    acc
+    FloatVectorDot.dot(x, y)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FloatVectorDot.dot($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object FloatVectorDot {
+  /** Shared eval/codegen kernel. Mismatched dimensions RAISE — the old
+    * math.min truncation summed a corrupt short vector's prefix and
+    * returned a plausible wrong score (the Ncm.argmax dim-raise stance);
+    * NULL components raise too, where getFloat would silently read 0.0.
+    */
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector dimensions differ: $n vs ${y.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: NULL vector component at index $i")
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Kafka's murmur2 hash of a binary key, matching the reference's producer
@@ -104,33 +113,45 @@ case class PqAdcScore(lutExpr: Expression, codesExpr: Expression) extends Binary
       s"graft_pq_adc requires (array<double> lut, binary codes), got ${l.sql} and ${r.sql}")
   }
 
-  override protected def nullSafeEval(lut: Any, codes: Any): Any = {
-    val l = lut.asInstanceOf[ArrayData]
-    val c = codes.asInstanceOf[Array[Byte]]
-    val ksub = l.numElements() / c.length
-    var acc = 0.0
-    var sub = 0
-    while (sub < c.length) { acc += l.getDouble(sub * ksub + (c(sub) & 0xff)); sub += 1 }
-    acc
-  }
+  override protected def nullSafeEval(lut: Any, codes: Any): Any =
+    PqAdcScore.score(lut.asInstanceOf[ArrayData], codes.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (lut, codes) => {
-      val ksub = ctx.freshName("ksub")
-      val sub = ctx.freshName("sub")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $ksub = $lut.numElements() / $codes.length;
-         |double $acc = 0.0;
-         |for (int $sub = 0; $sub < $codes.length; $sub++) {
-         |  $acc += $lut.getDouble($sub * $ksub + ($codes[$sub] & 0xff));
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (lut, codes) =>
+      s"${ev.value} = graft.functions.PqAdcScore.score($lut, $codes);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(lutExpr = newLeft, codesExpr = newRight)
+}
+
+object PqAdcScore {
+  /** Shared eval/codegen kernel. The layout must be a rectangle and every
+    * code must index inside its subspace row: a lut/codes pair from two
+    * DIFFERENT models would otherwise read out-of-bounds unsafe memory —
+    * UnsafeArrayData.getDouble has no bounds check, so the "score" is
+    * whatever bytes follow the array (silently wrong ANN ranking, the
+    * failure class Ncm.argmax's rectangle raise exists for). Empty codes
+    * were a bare divide-by-zero.
+    */
+  def score(l: ArrayData, c: Array[Byte]): Double = {
+    if (c.length == 0 || l.numElements() % c.length != 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: lut of ${l.numElements()} doubles is not a rectangle " +
+          s"over ${c.length} code bytes — lut and codes come from different models")
+    val ksub = l.numElements() / c.length
+    var acc = 0.0
+    var sub = 0
+    while (sub < c.length) {
+      val code = c(sub) & 0xff
+      if (code >= ksub)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $code at subspace $sub exceeds ksub=$ksub — " +
+            "codes were encoded with a different codebook")
+      acc += l.getDouble(sub * ksub + code)
+      sub += 1
+    }
+    acc
+  }
 }
 
 /** `graft_ncm_argmax(vec array<float>, labels array<int>, centroids

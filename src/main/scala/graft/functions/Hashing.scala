@@ -11,6 +11,17 @@ import java.security.MessageDigest
   */
 object Hashing {
 
+  /** splitmix64 finalizer — the shared full-avalanche mix behind
+    * [[Bloom]]'s double hashing and [[Lsh.srpSign]]'s plane hashes; ONE
+    * definition so the two cannot silently diverge.
+    */
+  def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   private val digests = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }

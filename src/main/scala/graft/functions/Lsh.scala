@@ -20,16 +20,24 @@ object Lsh {
     */
   def srpSign(v: ArrayData, numBits: Int): Long = {
     val n = v.numElements()
+    // one null scan per ROW (not per plane): getFloat reads a NULL slot as
+    // 0.0f silently, which would bucket a corrupt embedding with arbitrary
+    // neighbors — the Ncm.argmax NULL-component stance
+    var chk = 0
+    while (chk < n) {
+      if (v.isNullAt(chk))
+        throw new IllegalArgumentException(
+          s"graft_srp_sig: NULL vector component at index $chk")
+      chk += 1
+    }
     var sig = 0L
     var p = 0
     while (p < numBits) {
       var s = 0.0
       var d = 0
       while (d < n) {
-        var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^= (z >>> 31)
+        val z = Hashing.mix64(
+          (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L))
         s += (if (z >= 0) v.getFloat(d) else -v.getFloat(d))
         d += 1
       }
@@ -87,8 +95,20 @@ object Lsh {
 
   private[functions] def literalInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null int literal, got $other")
+    }
   }
+
+  /** Non-throwing variant for checkInputDataTypes guards: a foldable NULL
+    * (CAST(NULL AS INT)) or non-numeric literal must produce the analysis
+    * TypeCheckFailure message, not an NPE out of the analyzer.
+    */
+  private[functions] def literalIntOpt(e: Expression): Option[Int] =
+    if (!e.foldable) None
+    else e.eval() match { case n: Number => Some(n.intValue()); case _ => None }
 }
 
 /** `graft_srp_sig(vec array<float>, numBits int-literal) → long`. */
@@ -100,9 +120,9 @@ case class SrpSignature(left: Expression, right: Expression) extends BinaryExpre
   // silently WRAP onto bit 0 (JVM shift semantics), corrupting every
   // signature instead of failing — the SimHash60 1..60 precedent
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), IntegerType) if right.foldable && {
-      val b = Lsh.literalInt(right, "numBits"); b > 0 && b <= 64
-    } => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(FloatType, _), IntegerType)
+        if Lsh.literalIntOpt(right).exists(b => b > 0 && b <= 64) =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_srp_sig requires (array<float>, literal int numBits in 1..64)")
   }
@@ -127,11 +147,9 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(StringType, _), IntegerType, IntegerType)
-          if second.foldable && third.foldable && {
-            val nh = Lsh.literalInt(second, "numHashes")
-            val bs = Lsh.literalInt(third, "bandSize")
-            nh > 0 && bs > 0 && nh % bs == 0
-          } => TypeCheckResult.TypeCheckSuccess
+          if (for { nh <- Lsh.literalIntOpt(second); bs <- Lsh.literalIntOpt(third) }
+            yield nh > 0 && bs > 0 && nh % bs == 0).getOrElse(false) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_minhash_bands requires (array<string>, literal numHashes, literal bandSize dividing it)")
     }

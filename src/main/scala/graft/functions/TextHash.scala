@@ -79,7 +79,32 @@ object TextHash {
       else {
         val hashes = toks.sliding(k).map(gram => Hashing.md5Hash60(gram.mkString(" "))).toArray
         if (hashes.length <= w) Array(hashes.min)
-        else hashes.sliding(w).map(_.min).toArray.distinct
+        else {
+          // monotonic-deque window minimum: one amortized comparison per
+          // hash instead of re-scanning w elements per window (the
+          // sliding(w).map(_.min) form cost O(n·w) on this codegen hot
+          // path); emits the same per-window minima in the same order,
+          // then first-occurrence distinct — equivalence property-pinned
+          val m = hashes.length
+          val dq = new Array[Int](m)
+          var head = 0
+          var tail = 0
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val res = Array.newBuilder[Long]
+          var i = 0
+          while (i < m) {
+            while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+            dq(tail) = i
+            tail += 1
+            if (dq(head) <= i - w) head += 1
+            if (i >= w - 1) {
+              val v = hashes(dq(head))
+              if (seen.add(v)) res += v
+            }
+            i += 1
+          }
+          res.result()
+        }
       }
     new GenericArrayData(out)
   }
@@ -92,9 +117,9 @@ case class SimHash60(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (StringType, IntegerType) if right.foldable && {
-      val b = Lsh.literalInt(right, "bits"); b > 0 && b <= 60
-    } => TypeCheckResult.TypeCheckSuccess
+    case (StringType, IntegerType)
+        if Lsh.literalIntOpt(right).exists(b => b > 0 && b <= 60) =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_simhash requires (string, literal int bits in 1..60)")
   }
@@ -120,8 +145,8 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, IntegerType)
-          if second.foldable && third.foldable &&
-            Lsh.literalInt(second, "k") > 0 && Lsh.literalInt(third, "w") > 0 =>
+          if Lsh.literalIntOpt(second).exists(_ > 0) &&
+            Lsh.literalIntOpt(third).exists(_ > 0) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_fingerprints requires (string, literal k > 0, literal w > 0)")

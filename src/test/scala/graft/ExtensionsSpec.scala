@@ -1808,6 +1808,85 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("similarity kernels reject corrupt inputs: dim mismatch, NULLs, foreign PQ models") {
+    import spark.implicits._
+    val two = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    // mismatched dimensions raise — the old math.min truncation summed a
+    // short corrupt vector's prefix and returned a plausible wrong score
+    val e1 = intercept[Exception](two.select(
+      call_function("graft_dot", col("a"), col("b"))).collect())
+    assert(exceptionChain(e1).exists(m => m.getMessage != null &&
+      m.getMessage.contains("dimensions differ")), s"got: ${e1.getMessage}")
+    // NULL components raise (getFloat silently reads a null slot as 0.0)
+    val withNull = Seq(Tuple1(Seq(Some(1f), None, Some(3f)))).toDF("v")
+    val e2 = intercept[Exception](withNull.select(
+      call_function("graft_dot", col("v"), col("v"))).collect())
+    assert(exceptionChain(e2).exists(m => m.getMessage != null &&
+      m.getMessage.contains("NULL vector component")), s"got: ${e2.getMessage}")
+    val e3 = intercept[Exception](withNull.select(
+      call_function("graft_srp_sig", col("v"), lit(16))).collect())
+    assert(exceptionChain(e3).exists(m => m.getMessage != null &&
+      m.getMessage.contains("NULL vector component")), s"got: ${e3.getMessage}")
+    // graft_pq_adc: a lut/codes pair from different models would read
+    // out-of-bounds unsafe memory (garbage scores) — raise on a ragged
+    // layout, an out-of-codebook code, and empty codes
+    val lut8 = array((0 until 8).map(i => lit(i.toDouble)): _*) // rectangle over 2 codes: ksub=4
+    val one = spark.range(1)
+    val ragged = intercept[Exception](one.select(call_function("graft_pq_adc",
+      array((0 until 7).map(i => lit(i.toDouble)): _*), lit(Array[Byte](0, 1)))).collect())
+    assert(exceptionChain(ragged).exists(m => m.getMessage != null &&
+      m.getMessage.contains("not a rectangle")), s"got: ${ragged.getMessage}")
+    val oob = intercept[Exception](one.select(call_function("graft_pq_adc",
+      lut8, lit(Array[Byte](0, 5)))).collect())
+    assert(exceptionChain(oob).exists(m => m.getMessage != null &&
+      m.getMessage.contains("exceeds ksub")), s"got: ${oob.getMessage}")
+    val emptyC = intercept[Exception](one.select(call_function("graft_pq_adc",
+      lut8, lit(Array.empty[Byte]))).collect())
+    assert(exceptionChain(emptyC).exists(m => m.getMessage != null &&
+      m.getMessage.contains("not a rectangle")), s"got: ${emptyC.getMessage}")
+    // valid shape still scores: lut[0*4+0] + lut[1*4+3] = 0 + 7
+    assert(one.select(call_function("graft_pq_adc", lut8, lit(Array[Byte](0, 3))))
+      .head.getDouble(0) == 7.0)
+    // a foldable NULL literal parameter produces the analysis message, not
+    // an NPE out of the analyzer; non-positive k is rejected up front
+    val doc = Seq(Tuple1("hello world")).toDF("text")
+    val a1 = intercept[org.apache.spark.sql.AnalysisException](doc.select(
+      call_function("graft_simhash", col("text"), lit(null).cast("int"))).collect())
+    assert(a1.getMessage.contains("literal int bits"), a1.getMessage)
+    val a2 = intercept[org.apache.spark.sql.AnalysisException](
+      Seq(1L).toDF("h").agg(call_function("graft_kmv", col("h"), lit(0))).collect())
+    assert(a2.getMessage.contains("literal int k > 0"), a2.getMessage)
+    // the banded-minhash AGGREGATE only accepts string shingles: an array
+    // column (the scalar sibling's shape) would hash object identities
+    val arr = Seq(Tuple1(Seq("a", "b"))).toDF("ss")
+    val a3 = intercept[org.apache.spark.sql.AnalysisException](arr.agg(
+      call_function("graft_minhash_bands_agg", col("ss"), lit(8), lit(2))).collect())
+    assert(a3.getMessage.contains("string shingle"), a3.getMessage)
+  }
+
+  test("winnowing deque equals the naive sliding-window minima (order and distinct)") {
+    import graft.functions.{Hashing, TextHash}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 120) {
+      val n = 1 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(4)
+      val w = 1 + rnd.nextInt(8)
+      // tiny vocab so window minima repeat and the distinct pass matters
+      val toks = Seq.fill(n)("w" + rnd.nextInt(6))
+      val text = toks.mkString(" ")
+      val got = TextHash.fingerprints(UTF8String.fromString(text), k, w)
+        .toLongArray().toSeq
+      val want: Seq[Long] =
+        if (toks.length < k) Seq.empty
+        else {
+          val hs = toks.sliding(k).map(g => Hashing.md5Hash60(g.mkString(" "))).toArray
+          if (hs.length <= w) Seq(hs.min) else hs.sliding(w).map(_.min).toSeq.distinct
+        }
+      assert(got == want, s"n=$n k=$k w=$w toks=$toks")
+    }
+  }
+
   test("trainCodebook raises a named error on an empty training set, not an index crash") {
     import spark.implicits._
     // an empty corpus (or one the zero-norm filter empties) used to reach

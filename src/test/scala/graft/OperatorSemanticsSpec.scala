@@ -112,6 +112,29 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(g.df.count() == 3) // users 4..10 have no route
   }
 
+  test("GStream.delay works on the epoch-millis convention and on timestamps") {
+    import spark.implicits._
+    // the library's event-time convention is epoch ms (bigint) — an
+    // INTERVAL add on that type is a Catalyst DATATYPE_MISMATCH; release
+    // must come out as eventTime + delayMs
+    val ms = Seq((1L, 1000L), (2L, 2500L)).toDF("id", "event_time")
+    val gotMs = api.GStream(ms).delay("event_time", 500L).df
+      .orderBy("id").select("release_time").as[Long].collect().toSeq
+    assert(gotMs == Seq(1500L, 3000L), s"epoch-ms delay: $gotMs")
+    // timestamp columns keep the interval form
+    val ts = ms.withColumn("event_time", timestamp_millis(col("event_time")))
+    val gotTs = api.GStream(ts).delay("event_time", 500L).df
+      .orderBy("id").select(unix_millis(col("release_time"))).as[Long].collect().toSeq
+    assert(gotTs == Seq(1500L, 3000L), s"timestamp delay: $gotTs")
+  }
+
+  test("sumByKey with no aggregates fails with a named error, not head-of-empty-list") {
+    import spark.implicits._
+    val df = Seq((1, 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](api.GStream(df).sumByKey(Seq("k")))
+    assert(e.getMessage.contains("at least one"), e.getMessage)
+  }
+
   test("salted aggregate equals plain aggregate under a hot key") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
