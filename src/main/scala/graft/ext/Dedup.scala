@@ -39,10 +39,16 @@ object Dedup {
     * nothing and saves the caller a stream-stream join back to the source.
     */
   def exactStream(df: DataFrame, textCol: String,
-                  eventTimeCol: String, horizon: String): DataFrame =
+                  eventTimeCol: String, horizon: String): DataFrame = {
+    // withColumn silently REPLACES a same-named payload column; an
+    // upstream checksum named text_hash would be destroyed and downstream
+    // readers would see a different hash family (the reserved-column rule)
+    require(!df.columns.contains("text_hash"),
+      "exactStream writes column 'text_hash' — input already has one; rename or drop it first")
     df.withColumn("text_hash", md5(coalesce(col(textCol), lit("")))) // NULL≡empty, the exact() rule
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("text_hash")
+  }
 
   /** Distinct word n-gram shingles per document: (id, shingle). Narrow
     * per-row generation, then a distinct (one shuffle).
@@ -82,7 +88,11 @@ object Dedup {
         // is itself large (every boilerplate shingle in the corpus), and a
         // forced broadcast would collect it to the driver; AQE broadcasts
         // it anyway whenever it is actually small
-        cached.join(hot, Seq("shingle"), "left_anti").select("id", "shingle")
+        // the capped table feeds the size aggregate plus both self-join
+        // sides: persist it too, or the df-count shuffle and anti-join run
+        // 3x (exchange reuse is plan luck, not contract)
+        graft.Caching.scoped(
+          cached.join(hot, Seq("shingle"), "left_anti").select("id", "shingle"))
       case None => cached
     }
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -140,7 +150,9 @@ object Dedup {
     // 100 TB a missed reuse rescans the whole corpus up to 4×. Scoped:
     // callers release via graft.Caching.release after materializing.
     val cached = graft.Caching.scoped(shingles)
-    val bands = signatureBands(cached, numHashes, bandSize)
+    // the signature aggregate (the CPU-heavy step) feeds both sides of the
+    // candidate self-join: persist its output, not just its input
+    val bands = graft.Caching.scoped(signatureBands(cached, numHashes, bandSize))
     val cand = bands.toDF("d1", "band", "band_key")
       .join(bands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("d1") < col("d2"))
@@ -892,21 +904,34 @@ object Dedup {
     // join probe, and the short-line bypass union — persist so the corpus
     // scan + split run once (the minHashLsh stance: exchange reuse is plan
     // luck, not contract). Scoped: callers release via Caching.release.
+    // Rows are keyed by (id, content hash __r), NOT id alone — the
+    // duplicateSpanStats rule: duplicate ids are legal on this API family,
+    // and an id-only reassembly would interleave two DIFFERENT same-id
+    // texts into one corrupted document. Identical same-id twins collapse
+    // to one output row (they are exact duplicates — this is a dedup
+    // operator), with array_distinct dropping their doubled (pos, line)
+    // copies.
     val lines = graft.Caching.scoped(df.select(col(idCol).as("id"),
+      xxhash64(coalesce(col(textCol), lit(""))).as("__r"),
       posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line"))))
     val eligible = lines.filter(length(col("line")) >= minLineLen)
       .withColumn("__lh", graft.functions.Hashing.md5Hash60Col(col("line")))
+    // survivor rule unchanged for unique ids: global first occurrence by
+    // (id, pos); __r only disambiguates same-id texts deterministically
     val winners = eligible.groupBy("__lh")
-      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+      .agg(min(struct(col("id"), col("pos"), col("__r"))).as("__w"))
     val kept = eligible.join(winners, "__lh")
-      .filter(col("id") === col("__w.id") && col("pos") === col("__w.pos"))
-      .select("id", "pos", "line")
-      .union(lines.filter(length(col("line")) < minLineLen).select("id", "pos", "line"))
-    kept.groupBy("id").agg(
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line")), "\n").as("text_dedup"),
-        count(lit(1)).as("n_lines_kept"))
-      .select(col("id").as(idCol), col("text_dedup"), col("n_lines_kept"))
+      .filter(col("id") === col("__w.id") && col("pos") === col("__w.pos") &&
+        col("__r") === col("__w.__r"))
+      .select("id", "__r", "pos", "line")
+      .union(lines.filter(length(col("line")) < minLineLen)
+        .select("id", "__r", "pos", "line"))
+    kept.groupBy("id", "__r")
+      .agg(array_distinct(array_sort(collect_list(struct(col("pos"), col("line")))))
+        .as("__ls"))
+      .select(col("id").as(idCol),
+        array_join(transform(col("__ls"), s => s.getField("line")), "\n").as("text_dedup"),
+        size(col("__ls")).cast("long").as("n_lines_kept"))
   }
 
   /** Per-document duplicated-span statistics — the window-hash
@@ -962,8 +987,20 @@ object Dedup {
       .groupBy("id", "__r")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    // identical same-(id, text) twin rows share one (id, __r) key, so the
+    // rollup counted BOTH rows' windows — n_windows reported 2x (Nx) the
+    // document's own window count on each twin. Divide by the key's input
+    // multiplicity (exact: every window row is duplicated exactly mult
+    // times); dup_fraction was already right, the absolute counts weren't.
+    val mult = df.groupBy(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("__r"))
+      .agg(count(lit(1)).as("__m"))
+    val perDoc = per.withColumnRenamed("id", idCol)
+      .join(mult, Seq(idCol, "__r"))
+      .select(col(idCol), col("__r"),
+        (col("n_windows") / col("__m")).cast("long").as("n_windows"),
+        (col("n_dup_windows") / col("__m")).cast("long").as("n_dup_windows"))
     df.select(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("__r"))
-      .join(per.withColumnRenamed("id", idCol), Seq(idCol, "__r"), "left")
+      .join(perDoc, Seq(idCol, "__r"), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
@@ -1057,7 +1094,10 @@ object Dedup {
       case Some(cap) =>
         val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("fingerprint")
-        fp.join(hot, Seq("fingerprint"), "left_anti").select("id", "fingerprint")
+        // feeds both self-join sides: persist, or the df aggregate and
+        // anti-join recompute per side
+        graft.Caching.scoped(
+          fp.join(hot, Seq("fingerprint"), "left_anti").select("id", "fingerprint"))
       case None => fp
     }
     filtered.toDF("d1", "f").join(filtered.toDF("d2", "f"), Seq("f"))
@@ -1090,7 +1130,8 @@ object Dedup {
     * exactly on at least one band, so candidates come from an equi-join on
     * (band_idx, band_value), never a cross join.
     */
-  def simHashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(sim: DataFrame, maxHamming: Int = 3,
+                   maxBandDf: Option[Long] = None): DataFrame = {
     // bounds, loudly: maxHamming >= SimHashBits makes the band width 0 and
     // every band value 0 — a silent all-pairs cross join; negative values
     // silently return nothing (explode of an empty band array drops rows)
@@ -1098,12 +1139,30 @@ object Dedup {
       s"simHashPairs: maxHamming must be in [0, ${SimHashBits - 1}], got $maxHamming")
     val nBands = maxHamming + 1
     val width = SimHashBits / nBands
-    val bands = sim.select(col("id"), col("simhash"),
+    val raw = sim.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
           (shiftrightunsigned(col("simhash"), i * width) bitwiseAND lit((1L << width) - 1)).as("bv"))
       }: _*)).as("bs"))
       .select(col("id"), col("simhash"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    // skew cap, the jaccardPairs maxShingleDf precedent: a (band, bv)
+    // value shared by k docs contributes k² candidate rows on ONE join
+    // key — a corpus with a degenerate signature class (e.g. 1M empty
+    // docs all at simhash 0) is a 10¹²-row hot partition. With the cap,
+    // over-dense band values drop from candidate generation; pairs within
+    // such a class can still surface through their other (rarer) bands,
+    // and the default None keeps exact semantics for the oracle.
+    // the band table feeds BOTH self-join sides (and the df aggregate when
+    // capped): persist, or the simhash kernel re-runs per side
+    val cached = graft.Caching.scoped(raw)
+    val bands = maxBandDf match {
+      case Some(cap) =>
+        val hot = cached.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select("band", "bv")
+        graft.Caching.scoped(cached.join(hot, Seq("band", "bv"), "left_anti"))
+      case None => cached
+    }
     bands.toDF("d1", "h1", "band", "bv")
       .join(bands.toDF("d2", "h2", "band", "bv"), Seq("band", "bv"))
       .filter(col("d1") < col("d2"))

@@ -989,6 +989,56 @@ class ExtensionsSpec extends SparkSpec {
         "doc_id", "text", minLineLen = 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(short === Map(1L -> "ok\nzz", 2L -> "ok\nzz"))
+    graft.Caching.release(spark)
+
+    // duplicate ids are legal on this API family: two DIFFERENT texts
+    // sharing an id must come out as two rows, never interleaved into one
+    // corrupted document; identical same-id twins collapse to ONE row
+    // (they are exact duplicates) with un-doubled lines and counts
+    val dup = Seq(7L -> "aa x\nbb x", 7L -> "cc y\ndd y", 8L -> "ee\nff", 8L -> "ee\nff")
+      .toDF("doc_id", "text")
+    val dupOut = Dedup.dedupLines(dup, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    graft.Caching.release(spark)
+    assert(dupOut === Set((7L, "aa x\nbb x", 2L), (7L, "cc y\ndd y", 2L),
+      (8L, "ee\nff", 2L)), s"got $dupOut")
+
+    // span stats report each doc's OWN window count on twin rows, not the
+    // summed occurrences across the twin class
+    val twinStats = Dedup.duplicateSpanStats(
+      Seq(1L -> "a b c d e f", 1L -> "a b c d e f").toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    graft.Caching.release(spark)
+    // 6 tokens, k=5 → 2 windows per doc; each window occurs twice in the
+    // corpus (the twin), so both are duplicated — but n_windows stays 2
+    assert(twinStats.toSeq == Seq((2L, 2L), (2L, 2L)), s"got ${twinStats.toSeq}")
+
+    // exactStream refuses an input already carrying text_hash
+    val e = intercept[IllegalArgumentException](Dedup.exactStream(
+      Seq((1L, "x", "h")).toDF("doc_id", "text", "text_hash")
+        .withColumn("ts", timestamp_millis(lit(0L))), "text", "ts", "1 minute"))
+    assert(e.getMessage.contains("text_hash"), e.getMessage)
+  }
+
+  test("simHashPairs maxBandDf caps a degenerate signature class without losing other pairs") {
+    import spark.implicits._
+    // 6 empty docs all sign to 0 (a quadratic hot band value) plus one real
+    // near-dup pair; the cap drops the degenerate class's bands while the
+    // real pair still surfaces through its (rare) agreeing bands
+    val docs = (1L to 6L).map(_ -> "") ++
+      Seq(10L -> "the quick brown fox jumps over the lazy dog",
+          11L -> "the quick brown fox jumps over the lazy cat")
+    val sim = Dedup.simHash(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val capped = Dedup.simHashPairs(sim, maxHamming = 3, maxBandDf = Some(5L))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    assert(!capped.exists(p => p._1 <= 6L && p._2 <= 6L),
+      s"degenerate empty-doc pairs must be capped away: $capped")
+    // the default (None) keeps exact semantics: all 15 empty pairs emit
+    val full = Dedup.simHashPairs(sim, maxHamming = 3)
+      .filter(col("d1") <= 6L && col("d2") <= 6L).count()
+    graft.Caching.release(spark)
+    assert(full == 15L, s"uncapped all-pairs among the 6 empties: $full")
   }
 
   test("pHash image dedup: identical media collide, in-range edits stay local, bands are exact") {
