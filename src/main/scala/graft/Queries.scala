@@ -1748,7 +1748,7 @@ object Queries {
         |  ellipsis_ratio, alpha_ratio, n_stop,
         |  COALESCE(n_words BETWEEN 50 AND 100000
         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-        |    AND symbol_ratio < 0.1
+        |    AND symbol_ratio <= 0.1
         |    AND bullet_ratio <= 0.9
         |    AND ellipsis_ratio <= 0.3
         |    AND alpha_ratio >= 0.8

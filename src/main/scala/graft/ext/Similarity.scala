@@ -108,6 +108,19 @@ object Similarity {
     * silently diverge (the trainer-equivalence sweeps rely on both seeing
     * the exact same sample).
     */
+  /** The long cast below each entry point would silently NULL a
+    * non-integral id under non-ANSI SQL — the query-vs-corpus filters then
+    * drop every candidate and the operator "finds nothing" with no error
+    * (the cosineLshIncrement guard, shared by the whole IVF/PQ family).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$context needs integral ids; '$idCol' is $dt — map ids to longs " +
+        "(dictionary join / dense rank) first")
+  }
+
   private def trainingSample(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                              cap: Long): org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
     val n = vecs.count()
@@ -200,6 +213,7 @@ object Similarity {
               nClusters: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol, "ivfTopK")
     // zero-norm/null vectors out up front (undefined cosine — the
     // bruteForceTopK/cosinePairs stance), so the exact re-rank's top-k
     // aggregate never sees a NaN or null score
@@ -261,6 +275,7 @@ object Similarity {
     // would unpersist caches the CALLER still has in flight
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol, "ivfBuild")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(norm(col("v")) > 0)
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
@@ -291,6 +306,7 @@ object Similarity {
     val cents: Array[Array[Double]] = spark.table(index.codebookTable)
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(cents)
+    requireIntegralId(queries, idCol, "ivfProbeScores")
     val probes = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("qv"))
       .filter(norm(col("qv")) > 0)
@@ -337,6 +353,7 @@ object Similarity {
   def ivfAppend(batch: DataFrame, idCol: String, vecCol: String, index: IvfIndex): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    requireIntegralId(batch, idCol, "ivfAppend")
     // single-writer contract: no append while ivfCompact rewrites the
     // assignments ([[StateLease]])
     StateLease.assertFree(spark, index.assignmentsTable)
@@ -402,15 +419,32 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 16, iters: Int = 5): PqModel = graft.Caching.scope {
-    require(ksub >= 1 && ksub <= 256, s"pqTrain: ksub must be in [1, 256], got $ksub")
+    requireIntegralId(df, idCol, "pqTrain")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(norm(col("v")) > 0)
     // training rescans the sample m × iters times: cache once (scope-local —
     // fully consumed before return)
-    val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
-    val dim = vecs.head()._2.length
+    pqTrainVecs(graft.Caching.scoped(base.as[(Long, Array[Float])]), m, ksub, iters)
+  }
+
+  /** [[pqTrain]] over an ALREADY-CACHED, norm-filtered vector set — lets
+    * [[ivfPqBuild]] share one cache between both trainers instead of the
+    * sample being re-derived, re-counted, and re-persisted a second time.
+    */
+  private[graft] def pqTrainVecs(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                                 m: Int, ksub: Int, iters: Int): PqModel = {
+    require(ksub >= 1 && ksub <= 256, s"pqTrain: ksub must be in [1, 256], got $ksub")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // named failure instead of head()'s bare NoSuchElementException — the
+    // trainCodebook empty-corpus stance
+    val headRow = vecs.limit(1).collect()
+    require(headRow.nonEmpty,
+      "pqTrain requires a non-empty training set (is the corpus empty, " +
+        "or were all vectors zero-norm?)")
+    val dim = headRow.head._2.length
     require(dim % m == 0, s"pqTrain: dim $dim must be divisible by m $m")
     val dsub = dim / m
     // all m subspace codebooks train JOINTLY — one narrow job per Lloyd
@@ -502,6 +536,7 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol, "pqEncode")
     val bc = spark.sparkContext.broadcast(model)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(norm(col("v")) > 0)
@@ -525,6 +560,11 @@ object Similarity {
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val mm = bc.value
+        // loud per-row raise: a longer query would build the LUT from its
+        // PREFIX (the math.min-truncation class — plausible wrong ADC
+        // shortlist), a shorter one crashes opaquely mid-loop
+        if (v.length != mm.dim) throw new IllegalArgumentException(
+          s"pq query id=$id has dimension ${v.length}, expected model dim=${mm.dim}")
         val lut = new Array[Double](mm.m * mm.ksub)
         var sub = 0
         while (sub < mm.m) {
@@ -571,6 +611,8 @@ object Similarity {
     require(overfetch >= k, s"pqTopK: overfetch $overfetch must be >= k $k")
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    requireIntegralId(corpus, idCol, "pqTopK")
+    requireIntegralId(queries, idCol, "pqTopK")
     val model = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
     val codes = pqEncode(corpus, idCol, vecCol, model)
     val luts = pqLuts(queries, idCol, vecCol, model)
@@ -614,20 +656,22 @@ object Similarity {
                  iters: Int = 5): Unit = graft.Caching.scope {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol, "ivfPqBuild")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(norm(col("v")) > 0)
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
     // the IVF and PQ trainers are independent consumers of the same cached
     // base: run them from concurrent driver threads so their fixed per-job
-    // latencies overlap (pqTrain opens its OWN Caching.scope on the worker
-    // thread, so cache lifecycles stay with their creators; join()
-    // publishes the results). Same for the two independent codebook-table
-    // writes below.
+    // latencies overlap (join() publishes the results). BOTH consume the
+    // ONE cached vector set — pqTrainVecs, not pqTrain, which would
+    // re-derive, re-count, and re-persist its own copy of the same
+    // filtered corpus concurrently. Same for the two independent
+    // codebook-table writes below.
     var centsV: Array[Array[Double]] = null
     var pqV: PqModel = null
     ConcurrentActions.run(Seq(
       () => { centsV = trainCodebook(vecs, nClusters, iters); () },
-      () => { pqV = pqTrain(df, idCol, vecCol, m, ksub, iters); () }))
+      () => { pqV = pqTrainVecs(vecs, m, ksub, iters); () }))
     val cents = centsV
     val pq = pqV
     ConcurrentActions.run(Seq(
@@ -691,6 +735,7 @@ object Similarity {
     val bcP = spark.sparkContext.broadcast(pq)
     // one pass per query: nProbe (query, cluster) rows each carrying the
     // query's ADC lookup table and norm
+    requireIntegralId(queries, idCol, "ivfPqQuery")
     val probes = queries
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
       .filter(norm(col("qv")) > 0)
@@ -698,6 +743,8 @@ object Similarity {
       .flatMap { case (id, v) =>
         val c = bcC.value
         val mm = bcP.value
+        if (v.length != mm.dim) throw new IllegalArgumentException(
+          s"pq query id=$id has dimension ${v.length}, expected model dim=${mm.dim}")
         val lut = new Array[Double](mm.m * mm.ksub)
         var sub = 0
         while (sub < mm.m) {
@@ -753,6 +800,7 @@ object Similarity {
                   index: IvfPqIndex): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    requireIntegralId(batch, idCol, "ivfPqAppend")
     StateLease.assertFree(spark, index.assignmentsTable)
     Dedup.finishCrashedSwap(spark, index.assignmentsTable)
     require(spark.catalog.tableExists(index.codebookTable) &&
@@ -1092,10 +1140,16 @@ object Similarity {
       else col(labelCol).cast("int")
     val chk = df.agg(count(lit(1)).as("n"),
       sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
-      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax")).head()
+      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
+      sum(when(col(labelCol).isNull, 1L).otherwise(0L)).as("lnulls")).head()
     require(chk.getLong(0) > 0, "trainCentroids requires a non-empty input")
     require(chk.getLong(1) == 0,
       s"trainCentroids: ${chk.getLong(1)} NULL ${vecCol} vectors — drop or impute them first")
+    // a NULL label survives the groupBy as a null-keyed class and the
+    // collect's getInt then throws a bare 'Value at index 0 in null' NPE —
+    // the third input corruption, named like the other two
+    require(chk.getLong(4) == 0,
+      s"trainCentroids: ${chk.getLong(4)} NULL ${labelCol} labels — drop or impute them first")
     require(chk.getInt(2) == chk.getInt(3) && chk.getInt(2) > 0,
       s"trainCentroids requires one fixed positive dimension, got ${chk.getInt(2)}..${chk.getInt(3)}")
     val dim = chk.getInt(2)

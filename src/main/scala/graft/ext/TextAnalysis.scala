@@ -40,7 +40,10 @@ object TextAnalysis {
     * non-space chars — a cheap stand-in for subword tokenization.
     */
   def bpeishCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    // NULL text counts as 0, not size(NULL) = -1 (the tokens() rule) — a
+    // -1 passes every `n < threshold` gate
+    size(regexp_extract_all(coalesce(text, lit("")),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "on", "for", "with", "as", "by", "at")
@@ -364,7 +367,11 @@ object TextAnalysis {
     * no lookarounds, which RE2 (DuckDB) lacks.
     */
   def withGopherMetrics(df: DataFrame, textCol: String): DataFrame = {
-    val text = col(textCol)
+    // NULL text measures as EMPTY (the withQualityMetrics rule): raw NULL
+    // here made bullet_ratio/ellipsis_ratio read -1/-1 = 1.0 under
+    // non-ANSI SQL ("100% of lines are bullets") and NULL under ANSI —
+    // config-divergent garbage on exactly the rows a gate must drop
+    val text = coalesce(col(textCol), lit(""))
     val toks = tokens(text)
     val nWords = size(toks).cast("long")
     // sum of token lengths == chars left after deleting all whitespace
@@ -372,7 +379,7 @@ object TextAnalysis {
     val nAlpha = regexp_count(text, lit("\\S*[A-Za-z]\\S*")).cast("long")
     // Rae et al. A1 thresholds the hash and ellipsis ratios EACH
     // ("either … greater than 0.1" removes): expose the max of the two as
-    // symbol_ratio, so `symbol_ratio < 0.1` is exactly the per-symbol
+    // symbol_ratio, so `symbol_ratio <= 0.1` is exactly the per-symbol
     // rule — a summed count was strictly harsher on mixed code-and-prose
     // docs where both symbols co-occur below threshold
     val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
@@ -393,7 +400,7 @@ object TextAnalysis {
     val keep = coalesce(
       nWords.between(50L, 100000L) &&
         meanWordLen.between(3.0, 10.0) &&
-        symbolRatio < 0.1 &&
+        symbolRatio <= 0.1 && // Rae et al. remove at "greater than 0.1": the boundary keeps
         bulletRatio <= 0.9 &&
         ellipsisRatio <= 0.3 &&
         alphaRatio >= 0.8 &&
@@ -471,6 +478,10 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25TopK requires at least one query term")
     require(k > 0, s"k must be positive: $k")
     requireIntegralId(df, idCol, "bm25TopK")
+    // defensive, like every other graft_* consumer: a fresh session that
+    // never passed through Tables.load would otherwise throw
+    // UNRESOLVED_ROUTINE on graft_topk
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // the corpus tokenizes LOWERCASED, so match the query terms the same
     // way (a mixed-case term would silently contribute nothing), and
     // de-duplicate (a repeated term would double-count its score)
@@ -551,6 +562,7 @@ object TextAnalysis {
                k: Int, maxTermDf: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     requireIntegralId(corpus, idCol, "bm25Join")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val toked = corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
       .withColumn("__dl", size(col("__t")).cast("long"))
     val stats = toked.agg(count(lit(1)).as("n"),

@@ -252,6 +252,23 @@ class ExtensionsSpec extends SparkSpec {
     val empty = TextAnalysis.gopherFilter(Seq(8L -> "  ").toDF("doc_id", "text"), "doc_id", "text")
       .collect().head
     assert(!empty.getAs[Boolean]("keep") && empty.isNullAt(empty.fieldIndex("mean_word_len")))
+    // NULL text measures as EMPTY: bullet/ellipsis ratios read 0.0, not the
+    // -1/-1 = 1.0 garbage raw size(NULL) produced under non-ANSI SQL
+    val nullRow = TextAnalysis.gopherFilter(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(!nullRow.getAs[Boolean]("keep") &&
+      nullRow.getAs[Double]("bullet_ratio") === 0.0 &&
+      nullRow.getAs[Double]("ellipsis_ratio") === 0.0, s"got $nullRow")
+    // the A1 symbol rule removes at "GREATER than 0.1": a doc at exactly
+    // 0.1 keeps. 50 words, five '#' chars → symbol_ratio == 0.1 exactly
+    val boundary = (("the of " * 10).trim + " " +
+      (1 to 25).map(i => if (i <= 5) s"word$i#" else s"word$i").mkString(" ") + " " +
+      (1 to 5).map(i => s"tail$i").mkString(" "))
+    val bRow = TextAnalysis.gopherFilter(
+      Seq(10L -> boundary).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(bRow.getAs[Double]("symbol_ratio") === 0.1, s"fixture drift: $bRow")
+    assert(bRow.getAs[Boolean]("keep"),
+      s"symbol_ratio exactly 0.1 must keep (remove is strictly greater): $bRow")
   }
 
   test("fingerprintPairs finds copied passages and respects minShared/df cap") {
@@ -1935,6 +1952,43 @@ class ExtensionsSpec extends SparkSpec {
         }
       assert(got == want, s"n=$n k=$k w=$w toks=$toks")
     }
+  }
+
+  test("ANN entry points reject non-integral ids, dim-mismatched queries, and NULL labels by name") {
+    import spark.implicits._
+    // a string id silently casts to NULL under non-ANSI SQL and every
+    // candidate filter then drops every row — the whole IVF/PQ family
+    // guards like cosineLshIncrement now
+    val strIds = Seq(("doc-1", Array(1f, 2f)), ("doc-2", Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(strIds, "vec_id", "embedding", k = 1))
+    assert(e1.getMessage.contains("integral ids"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.pqTrain(strIds, "vec_id", "embedding", m = 2, ksub = 2))
+    assert(e2.getMessage.contains("integral ids"), e2.getMessage)
+    // pqTrain on an all-zero-norm corpus raises the named empty-set error,
+    // not head()'s bare NoSuchElementException
+    val zeros = Seq((1L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.pqTrain(zeros, "vec_id", "embedding", m = 2, ksub = 2))
+    assert(e3.getMessage.contains("non-empty training set"), e3.getMessage)
+    // a dim-mismatched QUERY raises per row instead of building the ADC
+    // lookup table from its prefix (plausible wrong shortlist)
+    val corpus = (1L to 8L).map(i => (i, Array(i.toFloat, 1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val wideQ = Seq((100L, Array(1f, 2f, 3f, 4f, 5f, 6f))).toDF("vec_id", "embedding")
+    val e4 = intercept[Exception](Similarity.pqTopK(corpus, wideQ, "vec_id", "embedding",
+      k = 2, m = 2, ksub = 2, overfetch = 4).collect())
+    assert(exceptionChain(e4).exists(m => m.getMessage != null &&
+      m.getMessage.contains("expected model dim")), s"got: ${e4.getMessage}")
+    graft.Caching.release(spark)
+    // a NULL label raises by name, not 'Value at index 0 in null'
+    val nullLab = Seq((Array(1f, 2f), Some(0)), (Array(3f, 4f), None))
+      .toDF("embedding", "label")
+    val e5 = intercept[IllegalArgumentException](
+      Similarity.trainCentroids(nullLab, "embedding", "label"))
+    assert(e5.getMessage.contains("NULL label labels"), e5.getMessage)
   }
 
   test("trainCodebook raises a named error on an empty training set, not an index crash") {
