@@ -196,13 +196,17 @@ object CurationPipeline {
     }
 
     // 3: exact dedup — keep the smallest id of each identical text.
-    // exactKept feeds the shingle extraction AND the keep-list anti-join;
-    // persist so the narrow filters + dedup join run once. Registered with
+    // `filtered` carries the regex-heavy quality/language subtree and
+    // feeds BOTH sides of the self-referencing dedup join (plus the
+    // log-odds passes when enabled): persist it FIRST — the persist on the
+    // join result below cannot dedupe a subtree running twice inside the
+    // same job. exactKept then also persists: it feeds the shingle
+    // extraction AND the keep-list anti-join. Both registered with
     // graft.Caching — callers release with Caching.release(spark) after
-    // materializing the result (leaked persists across many queries turn
-    // the shared storage pool into LRU-eviction roulette).
-    val exactKeptRaw = graft.Caching.scoped(filtered.join(
-      Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol)),
+    // materializing the result.
+    val filteredC = graft.Caching.scoped(filtered)
+    val exactKeptRaw = graft.Caching.scoped(filteredC.join(
+      Dedup.exact(filteredC, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi"))
 
     // 3b (optional): ExactSubstr span removal — duplicated windows cut
@@ -589,7 +593,12 @@ object CurationPipeline {
     // 2: exact dedup. The hash-index append happens LAST in this increment
     // (see the tail): every materialization below re-reads the table and
     // must see only prior batches, eviction or not.
+    // `hashed` carries the batch's quality/language regex subtree and
+    // feeds the winners aggregate AND the semi-join probe — persist for
+    // the batch lifetime (joins the caches list below), or the most
+    // expensive narrow stage runs twice per micro-batch
     val hashed = filtered.withColumn("__h", md5(coalesce(col(textCol), lit("")))) // NULL≡empty, the Dedup.exact rule
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
     val inBatch = hashed.join(winners, Seq("__h", idCol), "left_semi")
     // batch-lifetime persist (unpersisted in the finally below, NOT
@@ -607,7 +616,7 @@ object CurationPipeline {
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every batch-lifetime persist lands here and unpersists in the finally
     // (a failed ledger/index write must not leak a cached subtree per retry)
-    var caches: List[DataFrame] = List(exactKept)
+    var caches: List[DataFrame] = List(exactKept, hashed)
     try {
 
     // 3: near-dup — the increment writes this batch's verified pairs and

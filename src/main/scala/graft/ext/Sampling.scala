@@ -24,8 +24,16 @@ object Sampling {
   /** [[graft.functions.Hashing.md5Hash60]] of "seed:id" — codegen'd and
     * DuckDB-reproducible.
     */
-  def hash60(id: Column, seed: String): Column =
-    graft.functions.Hashing.md5Hash60Col(concat_ws(":", lit(seed), id.cast("string")))
+  def hash60(id: Column, seed: String): Column = {
+    // concat_ws SKIPS null args, so every null-id row would hash to the
+    // same constant bucket — one split/sample decision and one shuffle
+    // position shared by all of them, silently. Raise per row instead.
+    val idStr = when(id.isNull, raise_error(lit(
+      "graft sampling: NULL id — null-id rows would all share one constant " +
+        "bucket (same split/sample/shuffle slot); drop or fill ids first"))
+      .cast("string")).otherwise(id.cast("string"))
+    graft.functions.Hashing.md5Hash60Col(concat_ws(":", lit(seed), idStr))
+  }
 
   /** Deterministic bucket in [0, Buckets) from (seed, id). */
   def bucketOf(id: Column, seed: String): Column = hash60(id, seed) % Buckets
@@ -96,14 +104,34 @@ object Sampling {
     * there is no single global sort; parallelism = `nBuckets`.
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: String,
-                   nBuckets: Int = 256): DataFrame = {
+                   nBuckets: Int = 256): DataFrame =
+    shuffleOrder(df, Seq(idCol), seed, nBuckets)
+
+  /** Composite-key variant — the [[temperatureResample]] handoff: feed
+    * (epoch, doc id) so a doc's replicas hash to DIFFERENT positions
+    * instead of sharing one bucket with fully-tied (hash, id) ordering
+    * (nondeterministic row_number ties AND consecutive replica placement,
+    * the opposite of the documented interleave). The single-column form
+    * hashes the identical "seed:id" string, so existing orders are
+    * unchanged.
+    */
+  def shuffleOrder(df: DataFrame, idCols: Seq[String], seed: String,
+                   nBuckets: Int): DataFrame = {
+    require(idCols.nonEmpty, "shuffleOrder requires at least one id column")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     Seq("shuffle_bucket", "shuffle_pos").foreach(c => require(!df.columns.contains(c),
       s"shuffleOrder writes column '$c' — input already has one; rename or drop it first"))
+    // NULL components raise (concat_ws would silently skip them — the
+    // hash60 constant-bucket hazard, per component)
+    val parts = idCols.map(c => when(col(c).isNull, raise_error(lit(
+      s"shuffleOrder: NULL $c — null key components would collapse into " +
+        "one shared shuffle slot")).cast("string"))
+      .otherwise(col(c).cast("string")))
+    val key = if (parts.size == 1) parts.head else concat_ws(" ", parts: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shuffle_bucket")
-      .orderBy(hash60(col(idCol), seed + ":r"), col(idCol))
-    df.withColumn("shuffle_bucket", hash60(col(idCol), seed) % nBuckets)
+      .orderBy(hash60(key, seed + ":r") +: idCols.map(col(_)): _*)
+    df.withColumn("shuffle_bucket", hash60(key, seed) % nBuckets)
       .withColumn("shuffle_pos",
         col("shuffle_bucket") * graft.ext.Sharding.ShardsPerBucket +
           (org.apache.spark.sql.functions.row_number().over(w).cast("long") - 1L))
@@ -143,9 +171,19 @@ object Sampling {
     */
   private def sourceMasses(df: DataFrame, sourceCol: String, massCol: Column,
                            who: String): Array[(String, Long)] = {
+    // validate per row BEFORE the long cast: a NaN/fractional double mass
+    // would silently truncate (NaN → 0 under non-ANSI SQL), shifting every
+    // source's keep fraction with no error; NULL masses made the collect
+    // NPE. The Sharding.tokenCountOrRaise rule, applied to masses.
+    val d = massCol.cast("double")
+    val safeMass = when(massCol.isNull || isnan(d) || d < 0 ||
+        d =!= floor(d) || d > 9.2e18,
+      raise_error(concat(lit(s"$who: null/negative/non-integral mass: "),
+        massCol.cast("string"))).cast("long"))
+      .otherwise(massCol.cast("long"))
     val perSource = df
       .groupBy(col(sourceCol).cast("string").as("__s"))
-      .agg(sum(massCol.cast("long")).as("__m"))
+      .agg(sum(safeMass).as("__m"))
       .collect()
       .flatMap(r => Option(r.getString(0)).map(s => (s, r.getLong(1))))
       .filter(_._2 > 0L)
@@ -157,20 +195,32 @@ object Sampling {
   private def pow(alpha: Double)(m: Double): Double =
     if (alpha == 0.5) math.sqrt(m) else math.pow(m, alpha)
 
+  /** Per-source uncapped keep fraction f_s = targetFrac·M·w_s / m_s — ONE
+    * definition of the oracle-mirrored arithmetic (left-assoc double ops in
+    * sorted-source order), shared by [[temperatureSample]] and
+    * [[temperatureResample]] so the two can never drift by a ULP.
+    */
+  private def sourceFractions(perSource: Array[(String, Long)],
+                              alpha: Double, targetFrac: Double): Array[(String, Double)] = {
+    val pw = pow(alpha) _
+    val mTot = perSource.map(_._2).sum // exact: long
+    val sPow = perSource.foldLeft(0.0) { case (acc, (_, m)) => acc + pw(m.toDouble) }
+    perSource.map { case (s, m) =>
+      val md = m.toDouble
+      s -> targetFrac * mTot * (pw(md) / sPow) / md
+    }
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
                         massCol: Column, alpha: Double, targetFrac: Double,
                         seed: String): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(targetFrac > 0 && targetFrac <= 1, s"targetFrac must be in (0,1], got $targetFrac")
     val perSource = sourceMasses(df, sourceCol, massCol, "temperatureSample")
-    val pw = pow(alpha) _
-    val mTot = perSource.map(_._2).sum // exact: long
-    val sPow = perSource.foldLeft(0.0) { case (acc, (_, m)) => acc + pw(m.toDouble) }
     // threshold expression tree mirrors the oracle's EXACTLY (left-assoc
-    // double ops in the same order), so boundary buckets cannot flip
-    val thresholds = perSource.map { case (s, m) =>
-      val md = m.toDouble
-      s -> math.min(10000.0, targetFrac * mTot * (pw(md) / sPow) / md * Buckets)
+    // double ops in the same order, via the shared sourceFractions)
+    val thresholds = sourceFractions(perSource, alpha, targetFrac).map {
+      case (s, f) => s -> math.min(10000.0, f * Buckets)
     }
     val thrCol = thresholds.foldRight(lit(Double.NegativeInfinity): Column) {
       case ((s, thr), rest) => when(col(sourceCol) === s, lit(thr)).otherwise(rest)
@@ -206,20 +256,15 @@ object Sampling {
                           seed: String): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(targetFrac > 0, s"targetFrac must be positive, got $targetFrac")
-    require(!df.columns.contains("epoch"),
-      "temperatureResample writes column 'epoch' — input already has one; rename or drop it first")
+    Seq("epoch", "__graft_epochs").foreach(c => require(!df.columns.contains(c),
+      s"temperatureResample writes column '$c' — input already has one; rename or drop it first"))
     val perSource = sourceMasses(df, sourceCol, massCol, "temperatureResample")
-    val pw = pow(alpha) _
-    val mTot = perSource.map(_._2).sum // exact: long
-    val sPow = perSource.foldLeft(0.0) { case (acc, (_, m)) => acc + pw(m.toDouble) }
     // two literals per source: whole-epoch count and the fractional-epoch
-    // bucket threshold; arithmetic order mirrors the oracle EXACTLY (f
-    // first, then floor/frac of the same double), so copy counts cannot
-    // differ by a ULP between engines
-    val copies = perSource.map { case (s, m) =>
-      val md = m.toDouble
-      val f = targetFrac * mTot * (pw(md) / sPow) / md
-      (s, math.floor(f).toLong, (f - math.floor(f)) * Buckets)
+    // bucket threshold; arithmetic order mirrors the oracle EXACTLY (the
+    // shared sourceFractions f first, then floor/frac of the same double),
+    // so copy counts cannot differ by a ULP between engines
+    val copies = sourceFractions(perSource, alpha, targetFrac).map {
+      case (s, f) => (s, math.floor(f).toLong, (f - math.floor(f)) * Buckets)
     }
     val baseCol = copies.foldRight(lit(0L): Column) {
       case ((s, base, _), rest) => when(col(sourceCol) === s, lit(base)).otherwise(rest)
@@ -258,13 +303,7 @@ object Sampling {
     // id would silently null, hash every such doc to ONE constant bucket,
     // and collapse the corpus into a single split — the exact silent-cast
     // class connectedComponents guards for its own pair inputs
-    locally {
-      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-      val dt = df.schema(idCol).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"splitByComponent needs integral doc ids; '$idCol' is $dt — map " +
-          "ids to longs (dictionary join / dense rank) first")
-    }
+    Guards.requireIntegralId(df, idCol, "splitByComponent")
     val mapping = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_root"))
     val withRoot = df

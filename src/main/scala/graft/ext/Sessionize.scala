@@ -30,11 +30,20 @@ object Sessionize {
     // loudly (the reserved-column stance)
     require(!df.columns.contains("session_idx"),
       "sessionize writes column 'session_idx' — rename the input column first")
-    val order = col(tsCol).asc +: tieBreakCols.map(col(_).asc)
+    // a NULL timestamp would silently start its own session (nulls sort
+    // first, lag() hands the next row a NULL prev, isNew fires) — k null
+    // events inflate the count by k singleton sessions with NULL bounds.
+    // Raise per row, naming the key (the tokenCountOrRaise stance).
+    val ts = when(col(tsCol).isNull, raise_error(concat(
+      lit(s"sessionize: NULL $tsCol at ${keyCols.mkString(",")}="),
+      concat_ws(",", keyCols.map(col(_).cast("string")): _*)))
+      .cast(df.schema(tsCol).dataType))
+      .otherwise(col(tsCol))
+    val order = ts.asc +: tieBreakCols.map(col(_).asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    val prev = lag(col(tsCol), 1).over(w)
+    val prev = lag(ts, 1).over(w)
     val isNew = when(prev.isNull ||
-      unix_millis(col(tsCol)) - unix_millis(prev) > gapMs, 1).otherwise(0)
+      unix_millis(ts) - unix_millis(prev) > gapMs, 1).otherwise(0)
     df.withColumn("session_idx",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

@@ -110,16 +110,10 @@ object Similarity {
     */
   /** The long cast below each entry point would silently NULL a
     * non-integral id under non-ANSI SQL — the query-vs-corpus filters then
-    * drop every candidate and the operator "finds nothing" with no error
-    * (the cosineLshIncrement guard, shared by the whole IVF/PQ family).
+    * drop every candidate and the operator "finds nothing" with no error.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$context needs integral ids; '$idCol' is $dt — map ids to longs " +
-        "(dictionary join / dense rank) first")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit =
+    Guards.requireIntegralId(df, idCol, context)
 
   private def trainingSample(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                              cap: Long): org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
@@ -980,13 +974,7 @@ object Similarity {
     // the long cast below would silently NULL a non-integral id — every
     // candidate filter then drops every row and the stage finds nothing,
     // diverging from the batch path without an error. Guard first.
-    locally {
-      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-      val dt = batch.schema(idCol).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"cosineLshIncrement needs integral ids; '$idCol' is $dt — map ids " +
-          "to longs (dictionary join / dense rank) first")
-    }
+    Guards.requireIntegralId(batch, idCol, "cosineLshIncrement")
     // single-writer contract: no increment while cosineLshCompact rewrites
     // the index ([[StateLease]]); includes the crashed-swap finish.
     // Memoized per stream ([[TableChecks]]).

@@ -52,6 +52,25 @@ final class TableChecks {
   def markExists(table: String): Unit = { known.add(table); () }
 }
 
+/** Shared input guards for the operator layer — ONE copy of each check so
+  * the allowlists and remediation wording cannot drift between operators.
+  */
+private[graft] object Guards {
+
+  /** A non-integral id silently casts to NULL under non-ANSI SQL (or hashes
+    * to one constant bucket), corrupting instead of failing — every
+    * operator that long-casts or hashes an id calls this first.
+    */
+  def requireIntegralId(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        context: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$context needs integral ids; '$idCol' is $dt — map ids to longs " +
+        "(dictionary join / dense rank) first")
+  }
+}
+
 /** Driver-side fan-out of independent actions (writes to DISTINCT targets
   * whose plans read only already-materialized inputs — persisted batch
   * subtrees or files written before the call). Spark's scheduler runs jobs

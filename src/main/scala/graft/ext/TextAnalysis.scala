@@ -464,14 +464,8 @@ object TextAnalysis {
     * cosineLshIncrement rule). Integral ids narrower than long come back
     * WIDENED to long in the output.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$context needs integral doc ids ('$idCol' is $dt; the top-k kernel " +
-        "carries ids as LONG, and the output id column widens to long) — " +
-        "map ids to longs (dictionary join / dense rank) first")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit =
+    Guards.requireIntegralId(df, idCol, context)
 
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int): DataFrame = {

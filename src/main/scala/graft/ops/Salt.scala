@@ -23,7 +23,13 @@ object Salt {
   /** Deterministic salt in [0, buckets) derived from `from` (pick a column
     * that varies within a hot key, e.g. the record id).
     */
-  def saltCol(from: Column, buckets: Int): Column = pmod(hash(from), lit(buckets))
+  def saltCol(from: Column, buckets: Int): Column = {
+    // pmod(hash, 0) is NULL under non-ANSI SQL: every row then shares the
+    // (key, NULL) salt group and the hot key funnels back into one reducer
+    // with correct results — the misconfiguration would never surface
+    require(buckets > 0, s"saltCol: buckets must be positive, got $buckets")
+    pmod(hash(from), lit(buckets))
+  }
 
   /** Skew-immune groupBy-aggregate: aggregates each (key, salt) partial on
     * the mappers' shuffle, then merges partials per key — the hot key's work

@@ -1875,6 +1875,75 @@ class ExtensionsSpec extends SparkSpec {
     graft.Caching.release(spark)
   }
 
+  test("sampling/sessionize guards: NULL ids, NULL timestamps, corrupt masses raise by name") {
+    import spark.implicits._
+    import graft.ext.{Sampling, Sessionize}
+    // a NULL id would hash to one constant bucket — same split for every
+    // null-id row, silently
+    val nullId = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "text")
+    val e1 = intercept[Exception](Sampling.hashSplit(nullId, "doc_id", "s",
+      Seq("train" -> 1.0)).collect())
+    assert(exceptionChain(e1).exists(m => m.getMessage != null &&
+      m.getMessage.contains("NULL id")), s"got: ${e1.getMessage}")
+    // NaN / fractional masses truncated silently under the old long cast
+    val nanMass = Seq((1L, "a", 5.0), (2L, "a", Double.NaN)).toDF("doc_id", "src", "m")
+    val e2 = intercept[Exception](Sampling.temperatureSample(nanMass, "doc_id", "src",
+      col("m"), alpha = 0.5, targetFrac = 0.5, seed = "s").collect())
+    assert(exceptionChain(e2).exists(m => m.getMessage != null &&
+      m.getMessage.contains("non-integral mass")), s"got: ${e2.getMessage}")
+    // a payload column named like the temp column must not silently vanish
+    val e3 = intercept[IllegalArgumentException](Sampling.temperatureResample(
+      Seq((1L, "a", 5L)).toDF("doc_id", "src", "m").withColumn("__graft_epochs", lit(1)),
+      "doc_id", "src", col("m"), alpha = 0.5, targetFrac = 1.0, seed = "s"))
+    assert(e3.getMessage.contains("__graft_epochs"), e3.getMessage)
+    // a NULL timestamp would silently start its own singleton session
+    val nullTs = Seq((1L, Some(1000L), 1L), (1L, None, 2L)).toDF("user_id", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val e4 = intercept[Exception](Sessionize.assign(nullTs, Seq("user_id"), "ts",
+      gapMs = 100L, tieBreakCols = Seq("event_id")).collect())
+    assert(exceptionChain(e4).exists(m => m.getMessage != null &&
+      m.getMessage.contains("NULL ts")), s"got: ${e4.getMessage}")
+    // pmod(hash, 0) is NULL: the salt misconfiguration must raise
+    val e5 = intercept[IllegalArgumentException](graft.ops.Salt.saltCol(col("x"), 0))
+    assert(e5.getMessage.contains("buckets"), e5.getMessage)
+  }
+
+  test("shuffleOrder composite keys spread resample replicas; single-col form unchanged") {
+    import spark.implicits._
+    import graft.ext.Sampling
+    val docs = (1L to 20L).map(i => (i, "src", 10L)).toDF("doc_id", "src", "m")
+    // targetFrac 3.0 over one source → 3 epochs per doc
+    val rep = Sampling.temperatureResample(docs, "doc_id", "src", col("m"),
+      alpha = 1.0, targetFrac = 3.0, seed = "s")
+    val ordered = Sampling.shuffleOrder(rep, Seq("epoch", "doc_id"), "s", nBuckets = 8)
+    val byDoc = ordered.select("doc_id", "epoch", "shuffle_pos")
+      .collect().groupBy(_.getLong(0))
+    // replicas of one doc must NOT sit at consecutive positions for every
+    // doc (the single-col hash gave all replicas one bucket + tied ranks)
+    val consecutive = byDoc.values.count { rows =>
+      val ps = rows.map(_.getLong(2)).sorted
+      ps.zip(ps.tail).forall { case (a, b) => b == a + 1 }
+    }
+    assert(consecutive < byDoc.size,
+      s"all $consecutive/${byDoc.size} docs have consecutive replicas — no interleave")
+    // positions are distinct and deterministic across reruns
+    val all = ordered.select("shuffle_pos").collect().map(_.getLong(0)).toSeq
+    assert(all.distinct.size == all.size, "positions must be unique")
+    val again = Sampling.shuffleOrder(rep, Seq("epoch", "doc_id"), "s", nBuckets = 8)
+      .select("doc_id", "epoch", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = ordered.select("doc_id", "epoch", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == first, "composite shuffle must be rerun-identical")
+    // the single-column form routes through the same hash as before: equal
+    // to the Seq(one) form by construction
+    val a = Sampling.shuffleOrder(docs, "doc_id", "s", nBuckets = 8)
+      .select("doc_id", "shuffle_pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.shuffleOrder(docs, Seq("doc_id"), "s", nBuckets = 8)
+      .select("doc_id", "shuffle_pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("similarity kernels reject corrupt inputs: dim mismatch, NULLs, foreign PQ models") {
     import spark.implicits._
     val two = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
