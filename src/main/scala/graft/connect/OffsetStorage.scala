@@ -111,8 +111,19 @@ object OffsetStorage {
       try {
         val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
         Files.write(tmp, toBytes(offset))
-        Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try
+          Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          // filesystems without atomic rename (some NFS/FUSE mounts) throw
+          // this on EVERY move — mapping it to false would fail every commit
+          // and rewind to OffsetBeginning on restart, the exact failure the
+          // rename protects against. Fall back to a plain rename: still
+          // write-then-move, just not atomic.
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, path,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         true
       } catch { case _: java.io.IOException => false }
   }

@@ -369,11 +369,12 @@ object CurationPipeline {
     * call with the batch BEFORE the in-flight one (`runStream`'s hook
     * passes `id - 1`), so a replay of batch `id` still reads
     * `batch_id < id` ⊇ the folded partition. Crash safety: the fold is
-    * written FIRST (dynamic overwrite of its own partition — readers'
-    * `max_by` picks it over any surviving older rows either way), the
-    * folded-away partition dirs are deleted after; a crash between the
-    * two leaves redundant rows that change no read and are re-deleted by
-    * the next fold.
+    * materialized driver-side (≤ one row per bucket), THEN written
+    * (dynamic overwrite of its own partition — readers' `max_by` picks it
+    * over any surviving older rows either way), and the folded-away
+    * partition dirs are deleted last; a crash between the steps leaves
+    * redundant rows that change no read and are re-deleted by the next
+    * fold.
     */
   def compactOffsets(spark: org.apache.spark.sql.SparkSession,
                      state: StreamState, uptoBatch: Long): Unit = {
@@ -387,7 +388,18 @@ object CurationPipeline {
     val folded = ledger.groupBy("bucket")
       .agg(expr("max_by(cum, batch_id)").as("cum"))
       .withColumn("batch_id", lit(uptoBatch))
-    folded.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    // The dynamic overwrite replaces the batch_id=uptoBatch partition of
+    // the SAME root the fold reads. Lazily that makes the job's input
+    // overlap its output — safe only while the committer stages everything
+    // and commits after every read task finishes; a task retry racing the
+    // commit could drop ledger rows and silently rewind shard offsets. The
+    // fold is ≤ one row per bucket (numBuckets-bounded), so materialize it
+    // driver-side FIRST, then write from the local rows: the write plan
+    // reads nothing.
+    val foldedRows = folded.collect()
+    spark.createDataFrame(java.util.Arrays.asList(foldedRows: _*), folded.schema)
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(state.offsetsDir)
     val root = new org.apache.hadoop.fs.Path(state.offsetsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -159,6 +159,14 @@ object Decontaminate {
     * candidate distinct shuffles at all. Zero-norm vectors
     * have no defined cosine, never pair, and always survive — matching
     * the NaN-fails-`>=` behavior of the SQL oracle.
+    *
+    * Duplicate train ids: pair emission is absorbed by the `leaked`
+    * distinct + anti-join, so the OUTPUT stays set-correct, but
+    * verification runs against an arbitrary copy's vector — if two rows
+    * share an id with different vectors, a leak detected on either copy
+    * removes both. Resolve duplicate ids upstream when copies can carry
+    * different embeddings (see [[Similarity.cosineLshPairs]]'s
+    * precondition note).
     */
   def semanticDecontaminate(train: DataFrame, holdout: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,

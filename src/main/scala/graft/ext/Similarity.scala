@@ -857,6 +857,15 @@ object Similarity {
     * candidate distinct: the multi-band duplicates die inside the join
     * stage instead of shuffling. Vectors are re-attached afterwards by two
     * equi-joins, so the wide float arrays never enter the candidate shuffle.
+    *
+    * PRECONDITION: `idCol` must be unique. [[firstBandOnly]] dedups the
+    * multi-BAND copies of a pair, not multi-ROW copies: with k rows sharing
+    * an id, each (id_a, id_b) pair is emitted once per row combination, and
+    * the vector re-join verifies against an arbitrary copy. Callers with
+    * possibly-duplicated ids must resolve them first (as the streaming
+    * increments do with their deterministic same-id set-merge) — a
+    * corpus-wide dropDuplicates here would re-add the exchange this path
+    * exists to avoid.
     */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                      numBits: Int = 48, bandSize: Int = 2): DataFrame = {

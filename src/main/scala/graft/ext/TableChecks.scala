@@ -12,15 +12,19 @@ import org.apache.spark.sql.SparkSession
   * [[CurationPipeline.runStream]], [[Dedup.minHashLshStream]] etc. create at
   * stream open) runs each check once and memoizes:
   *
-  *  - `ensureWritable` (lease free + no crashed compaction swap) is checked
-  *    once per table per stream. The safety trade is explicit: a lease
-  *    check at stream open instead of per batch means an EXTERNAL
-  *    compaction that starts mid-stream is no longer detected per batch —
-  *    but the per-batch check was always a check-then-act window, not a
-  *    lock, and the supported orchestration (one driver owns a state
-  *    family; in-process `compactEvery` hooks run between batches and hold
-  *    the lease themselves) is unaffected. A new JVM makes a new instance,
-  *    so crash recovery (`finishCrashedSwap`) still runs on restart.
+  *  - `ensureWritable` runs the FULL check (lease free + no crashed
+  *    compaction swap) once per table per stream, then RE-validates the
+  *    lease — one filesystem existence probe, the cheap half — every
+  *    `revalidateEvery` batches. The crashed-swap scan is genuinely a
+  *    stream-open concern (a swap crashed before this stream started; a
+  *    compaction crashing MID-stream strands its lease, which the
+  *    revalidation catches), but the lease is not: an out-of-process
+  *    compaction acquiring it mid-stream must stop the increments within a
+  *    bounded number of batches, not never. The in-process `compactEvery`
+  *    hooks acquire and release the lease themselves between batches, so a
+  *    revalidation after one passes — no invalidation handshake needed.
+  *    A new JVM makes a new instance, so crash recovery
+  *    (`finishCrashedSwap`) still runs on restart.
   *  - `exists` memoizes TRUE only (state tables are created once and never
   *    dropped mid-stream; FALSE re-checks until the first append creates
   *    the table, which the increment records via `markExists`).
@@ -28,17 +32,28 @@ import org.apache.spark.sql.SparkSession
   * The default argument on every increment entry point is a FRESH instance,
   * so a standalone (non-stream) increment call behaves exactly as before.
   */
-final class TableChecks {
-  private val writable = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+final class TableChecks(revalidateEvery: Int = TableChecks.DefaultRevalidateEvery) {
+  require(revalidateEvery > 0, s"revalidateEvery must be positive: $revalidateEvery")
+  // batches since the last lease check, per table; absent = never checked
+  private val sinceLeaseCheck =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val known = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Lease-free + crashed-swap-finished, once per table per instance. */
-  def ensureWritable(spark: SparkSession, table: String): Unit =
-    if (!writable.contains(table)) {
+  /** Full check (lease free + crashed swap finished) on first call per
+    * table; lease-only revalidation every `revalidateEvery` calls after.
+    */
+  def ensureWritable(spark: SparkSession, table: String): Unit = {
+    val prev = sinceLeaseCheck.get(table)
+    if (prev == null) {
       StateLease.assertFree(spark, table)
       Dedup.finishCrashedSwap(spark, table)
-      writable.add(table)
-    }
+      sinceLeaseCheck.put(table, 0)
+    } else if (prev + 1 >= revalidateEvery) {
+      StateLease.assertFree(spark, table)
+      sinceLeaseCheck.put(table, 0)
+    } else sinceLeaseCheck.put(table, prev + 1)
+    ()
+  }
 
   /** Memoized `tableExists` — caches TRUE only. */
   def exists(spark: SparkSession, table: String): Boolean =
@@ -50,6 +65,15 @@ final class TableChecks {
 
   /** Record that an append/overwrite just created `table`. */
   def markExists(table: String): Unit = { known.add(table); () }
+}
+
+object TableChecks {
+  /** Lease revalidation cadence: an external compaction acquiring the lease
+    * mid-stream stalls the increments within this many batches. 8 existence
+    * probes per 8 batches saved vs per-batch checking, while the detection
+    * window stays seconds-scale at any realistic trigger interval.
+    */
+  val DefaultRevalidateEvery = 8
 }
 
 /** Shared input guards for the operator layer — ONE copy of each check so

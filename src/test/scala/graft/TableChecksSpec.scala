@@ -44,23 +44,34 @@ class TableChecksSpec extends SparkSpec {
     assert(c.exists(spark, t))
   }
 
-  test("ensureWritable runs lease + crashed-swap recovery once per table, then never again") {
+  test("ensureWritable runs lease + crashed-swap recovery once per table, revalidates the lease on a cadence") {
     val t = "tchk_writable"
     dropTableHard(t); dropTableHard(t + "__compact")
     import spark.implicits._
     try {
       // crashed-swap state: data lives only under __compact
       Seq(1L).toDF("id").write.format("parquet").saveAsTable(t + "__compact")
-      val c = new TableChecks
+      val c = new TableChecks(revalidateEvery = 3)
       c.ensureWritable(spark, t)
       assert(spark.catalog.tableExists(t) && !spark.catalog.tableExists(t + "__compact"),
         "first ensureWritable must finish the crashed swap")
-      // memoized: a lease taken AFTER the first check no longer raises
-      // (the documented per-stream trade — the supported orchestration
-      // holds the lease only from in-between-batches hooks)
+      // a lease taken AFTER the first check is tolerated only until the
+      // next revalidation: batches 2 and 3 pass on the memo, batch 4
+      // (revalidateEvery = 3 past the last check) re-probes and fails
       StateLease.acquire(spark, t, "external compaction")
-      try c.ensureWritable(spark, t)
-      finally StateLease.release(spark, t)
+      try {
+        c.ensureWritable(spark, t)
+        c.ensureWritable(spark, t)
+        intercept[IllegalStateException](c.ensureWritable(spark, t))
+      } finally StateLease.release(spark, t)
+      // a passing revalidation resets the cadence (and must not re-run the
+      // crashed-swap scan: plant a fresh __compact table and confirm it is
+      // NOT swapped — proving only the cheap lease probe re-ran)
+      Seq(2L).toDF("id").write.format("parquet").saveAsTable(t + "__compact")
+      (1 to 7).foreach(_ => c.ensureWritable(spark, t))
+      assert(spark.catalog.tableExists(t + "__compact"),
+        "revalidation must be lease-only — the crashed-swap scan is per-stream")
+      dropTableHard(t + "__compact")
       // a FRESH instance (new stream / restarted JVM) re-asserts and must
       // fail loudly while the lease is held
       StateLease.acquire(spark, t, "external compaction")
