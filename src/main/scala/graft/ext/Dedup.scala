@@ -613,16 +613,17 @@ object Dedup {
         .select(col("v").as("a"), col("m").as("b")).distinct()
     }
 
-    var edges = truncate(pairs
+    var edges = graft.ProbeTiming("cc_init")(truncate(pairs
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+      .filter(col("a") =!= col("b")).distinct()))
     var prevCount = edges.count()
     var converged = prevCount == 0L
     var it = 0
     while (!converged && it < maxIters) {
-      val next = truncate(smallStar(largeStar(edges)))
+      val next = graft.ProbeTiming(s"cc_round_$it")(truncate(smallStar(largeStar(edges))))
       val n = next.count()
-      converged = n == prevCount && next.except(edges).isEmpty
+      converged = n == prevCount &&
+        graft.ProbeTiming(s"cc_except_$it")(next.except(edges).isEmpty)
       freeRetired(edges)
       edges = next
       prevCount = n
@@ -814,16 +815,16 @@ object Dedup {
     // the mapping feeds BOTH registry tables: persist it, or the second
     // save re-runs the whole log-round component iteration; the two saves
     // read only the cache and are independent — run them concurrently
-    val cc = connectedComponents(edges, maxIters)
+    val cc = graft.ProbeTiming("cluster_cc")(connectedComponents(edges, maxIters))
       .withColumn("batch_id", lit(batchId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val mode = if (exists) "append" else "overwrite"
-      ConcurrentActions.run(Seq(
+      graft.ProbeTiming("cluster_saves")(ConcurrentActions.run(Seq(
         () => cc.write.mode(mode).format("parquet")
           .bucketBy(state.numBuckets, "doc_id").saveAsTable(state.byDocTable),
         () => cc.write.mode(mode).format("parquet")
-          .bucketBy(state.numBuckets, "cluster_id").saveAsTable(state.byClusterTable)))
+          .bucketBy(state.numBuckets, "cluster_id").saveAsTable(state.byClusterTable))))
       checks.markExists(state.byDocTable)
       checks.markExists(state.byClusterTable)
     } finally cc.unpersist(blocking = false)
