@@ -78,6 +78,44 @@ object Bench {
   private[graft] def isUnstable(ts: Seq[Double]): Boolean =
     ts.nonEmpty && median(ts) > 1.5 * ts.min && median(ts) > 0.5
 
+  /** The REGRESSION signature — [[isUnstable]]'s complement: that gate
+    * catches a median inflated above the run set's own floor, but not a
+    * floor that itself moved (r11's x39 read 11.51 s official while its
+    * floor was ~10 s and the gate stayed silent). A query regressed when
+    * even its FASTEST run this round exceeds the prior round's official
+    * median by >1.3× (and by >0.5 s absolute — sub-second jitter again).
+    */
+  private[graft] def isRegressed(ts: Seq[Double], priorMedian: Option[Double]): Boolean =
+    ts.nonEmpty && priorMedian.exists(p =>
+      p > 0 && ts.min > 1.3 * p && ts.min - p > 0.5)
+
+  /** Per-query official medians of the most recent prior round, read from
+    * the highest-numbered `BENCH_r{N}.json` in `dir` (the driver writes
+    * them to the repo root, which is the bench's working directory). Keys
+    * are as the artifact spelled them — possibly ladder-shortened — so
+    * lookups try both spellings. Any read/parse failure degrades to "no
+    * prior" rather than failing the bench.
+    */
+  private[graft] def priorMedians(dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+    try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f))
+          case _ => None
+        })
+      if (files.isEmpty) Map.empty
+      else {
+        val q = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(files.maxBy(_._1)._2).path("parsed").path("queries")
+        if (!q.isObject) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+
   /** Queries whose protocol mutates shared JVM/session state (catalog
     * tables, state-store providers, streaming checkpoints) rather than just
     * reading parquet. They run AFTER every plain batch query: r6's official
@@ -544,7 +582,7 @@ object Bench {
     // throughput numbers (which survive in the detail line's tail when it
     // fits).
     val summary = buildSummary(results, runTimes, sysStats.toMap, errors.toSeq,
-      flaky.toSeq, leaks.toSeq, total, st, stShort, sfDir)
+      flaky.toSeq, leaks.toSeq, total, st, stShort, sfDir, priorMedians())
     println(summary)
     spark.stop()
   }
@@ -560,7 +598,8 @@ object Bench {
                                   errors: Seq[String], flaky: Seq[String],
                                   leaks: Seq[String], total: Double,
                                   st: String, stShort: String,
-                                  sfDir: String): String = {
+                                  sfDir: String,
+                                  prior: Map[String, Double] = Map.empty): String = {
     def fp(v: Double, decimals: Int): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
@@ -601,8 +640,18 @@ object Bench {
       val unstable = runTimes.collect {
         case (name, ts) if isUnstable(ts) => name
       }.toSet
+      // prior-round comparison (round 12): "inflated" means this round's
+      // median overstates its own floor; "regressed" means the floor
+      // itself moved vs the last official artifact. Both tags can apply.
+      def priorOf(name: String): Option[Double] =
+        prior.get(name).orElse(prior.get(qShortKey.getOrElse(name, name)))
+      val regressed = runTimes.collect {
+        case (name, ts) if isRegressed(ts, priorOf(name)) => name
+      }.toSet
       val anoms: Seq[(String, Seq[Double])] = runTimes
-        .filter { case (name, ts) => ts.nonEmpty && (slowest(name) || unstable(name)) }
+        .filter { case (name, ts) =>
+          ts.nonEmpty && (slowest(name) || unstable(name) || regressed(name))
+        }
         .sortBy { case (name, _) => -medianByName(name) }
       // anomaly keys shorten via the SAME map as the queries block
       // (uniqueness judged across ALL results, not just the anomalous
@@ -613,8 +662,16 @@ object Bench {
         if (anoms.isEmpty) None
         else Some("\"anomalies\":{" + anoms.take(cap).map { case (k, ts) =>
           val (load, gc, cpu) = sysStats(k)
+          // third element: why the entry is here — "inflated" (median >
+          // 1.5x own floor), "regressed" (floor > 1.3x prior official
+          // median), both, or "slow" (top-5 by median, no pathology)
+          val tag = (if (unstable(k)) Seq("inflated") else Nil) ++
+            (if (regressed(k)) Seq("regressed") else Nil) match {
+            case Nil => "slow"
+            case ts2 => ts2.mkString("+")
+          }
           "\"" + qShortKey.getOrElse(k, k) + "\":[[" + ts.map(fp(_, 2)).mkString(",") +
-            "],[" + fp(load, 1) + "," + gc + "," + fp(cpu, 1) + "]]"
+            "],[" + fp(load, 1) + "," + gc + "," + fp(cpu, 1) + "],\"" + tag + "\"]"
         }.mkString(",") + "}")
       def line(qs: String, streamingJson: Option[String], withErrors: Boolean,
                anomalies: Option[String]) =

@@ -76,9 +76,10 @@ class BenchSummarySpec extends AnyFunSuite {
       }
       if (j.has("anomalies")) {
         assert(j.has("errors"), s"anomalies without errors at n=$n: $s")
-        // [[runs], [loadavg, gc_ms, cpu_s]] — the attribution payload
+        // [[runs], [loadavg, gc_ms, cpu_s], "why"] — the attribution payload
         val a = j.get("anomalies").elements().next()
-        assert(a.isArray && a.size == 2 && a.get(0).isArray && a.get(1).size == 3, s)
+        assert(a.isArray && a.size == 3 && a.get(0).isArray && a.get(1).size == 3 &&
+          a.get(2).isTextual, s)
       }
       // the smallest inputs must keep everything (no premature degradation)
       if (n == 5) assert(hasStreaming && j.has("anomalies") && j.has("errors"), s)
@@ -137,5 +138,62 @@ class BenchSummarySpec extends AnyFunSuite {
       "sub-second jitter must not flag (absolute floor)")
     assert(!Bench.isUnstable(Seq(5.0, 5.1, 4.9)), "stable runs must not flag")
     assert(!Bench.isUnstable(Nil))
+  }
+
+  test("isRegressed flags a moved floor against the prior median, not jitter or missing priors") {
+    // r11's x39: stable runs whose FLOOR exceeds the prior official median
+    // — isUnstable stays silent (median within 1.5x of the set's own min),
+    // the regression gate must not
+    assert(!Bench.isUnstable(Seq(10.5, 11.51, 12.0)),
+      "precondition: this shape is invisible to the inflation gate")
+    assert(Bench.isRegressed(Seq(10.5, 11.51, 12.0), Some(7.77)),
+      "a floor 1.35x past the prior median must flag as regressed")
+    assert(!Bench.isRegressed(Seq(8.0, 8.1, 8.2), Some(7.77)),
+      "within 1.3x of prior must not flag")
+    assert(!Bench.isRegressed(Seq(0.45, 0.46, 0.47), Some(0.30)),
+      "sub-second deltas must not flag (0.5 s absolute floor)")
+    assert(!Bench.isRegressed(Seq(10.0, 11.0, 12.0), None),
+      "no prior artifact, no flag")
+    assert(!Bench.isRegressed(Nil, Some(1.0)))
+  }
+
+  test("anomalies block tags entries inflated / regressed / slow and includes prior-regressed queries") {
+    val runTimes: Seq[(String, Seq[Double])] = Seq(
+      "x01_regressed_only" -> Seq(10.5, 11.51, 12.0), // stable, floor moved
+      "x02_inflated_only" -> Seq(15.62, 3.47, 11.25), // median >> own floor
+      "x03_slow_stable" -> Seq(9.0, 9.1, 8.9), // top-5 by median, healthy
+      "x04_fast" -> Seq(0.30, 0.31, 0.29))
+    val results = runTimes.map { case (k, ts) => k -> ts.sorted.apply(1) }
+    val sysStats = results.map(_._1 -> ((1.0, 10L, 5.0))).toMap
+    val prior = Map("x01" -> 7.77, "x03_slow_stable" -> 8.8) // short + full keys
+    val s = Bench.buildSummary(results, runTimes, sysStats, Nil, Nil, Nil,
+      30.0, "{}", "{}", "/sf", prior)
+    val j = mapper.readTree(s)
+    val a = j.get("anomalies")
+    assert(a.get("x01").get(2).asText == "regressed", s)
+    assert(a.get("x02").get(2).asText == "inflated", s)
+    assert(a.get("x03").get(2).asText == "slow", s)
+  }
+
+  test("priorMedians reads the highest-numbered BENCH artifact and degrades to empty") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prior").toFile
+    try {
+      assert(Bench.priorMedians(dir).isEmpty, "empty dir must yield no priors")
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r03.json"),
+        """{"parsed":{"queries":{"q01":0.5,"x39":7.77}}}""")
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
+        """{"parsed":{"queries":{"q01":0.31,"x39":11.51}}}""")
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r02.json"),
+        """not json at all""")
+      val p = Bench.priorMedians(dir)
+      assert(p == Map("q01" -> 0.31, "x39" -> 11.51),
+        s"must read r11 (highest N), got $p")
+      // a corrupt HIGHEST artifact degrades to empty, never throws
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r12.json"),
+        """{"truncated""")
+      assert(Bench.priorMedians(dir).isEmpty)
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete(); ()
+    }
   }
 }
