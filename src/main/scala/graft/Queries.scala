@@ -53,6 +53,21 @@ object Queries {
         .otherwise(col("text").cast("binary")).as("payload"))
       .as(Encoders.product[Multimodal.MediaRow])
 
+  /** Synthesized gray 8×8 PNGs for x63: pixel i = first md5 byte of
+    * "f<doc_id>:<i>". The grid dims equal the descriptor side, so the REAL
+    * decode reads these samples back 1:1 and the feature vector is exactly
+    * the bytes L2-normalized — double math, float cast, bit-identical IEEE
+    * rounding in both engines (the x32 gray-PNG stance).
+    */
+  private val FeatPngUdf = udf { (id: Long) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = Array.tabulate(64) { i =>
+      md.reset()
+      md.digest(s"f$id:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+    }
+    Multimodal.ImageCodecs.grayPng(px, 8, 8)
+  }
+
   /** Synthesized video corpus for x12 — the [[synthImageMedia]] stance: 2
     * of every 5 docs become REAL MJPEG AVIs (doc_id%4+1 JPEG frames in
     * fixed slots so frame offsets are oracle-predictable arithmetic), the
@@ -599,6 +614,18 @@ object Queries {
           col("height").cast("long").as("height"), col("channels").cast("long").as("channels"),
           col("format"))
     }),
+
+    // REAL visual-feature extraction under oracle check (the x32 gray-PNG
+    // stance): every doc gets a synthesized 8×8 gray PNG whose samples the
+    // oracle predicts arithmetically; the descriptor is the decoded
+    // luminance grid L2-normalized — double-exact ops + one float cast,
+    // so the float32s hash-match across engines.
+    "x63_mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), FeatPngUdf(col("doc_id")).as("payload"))
+          .as(Encoders.product[Multimodal.MediaRow]),
+        dim = 64).toDF()),
 
     // REAL video frame sampling under oracle check (the x11/x14 pattern):
     // 2 of every 5 docs become a synthesized MJPEG AVI (doc_id%4+1 real
@@ -1392,6 +1419,23 @@ object Queries {
         |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.h, b.h)) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+
+    "x63_mm_features" ->
+      // transcription of Multimodal.extractFeatures over the same
+      // synthesized 8×8 gray PNGs: pixel i = first md5 byte of
+      // "f<doc_id>:<i>" (the REAL decode reads the grid back 1:1 at
+      // matching dims), then L2-normalize in double and cast each entry
+      // to float32 — both engines run the identical correctly-rounded
+      // IEEE op sequence, so the arrays hash-match bitwise.
+      """WITH raw AS (SELECT doc_id, i.i AS i,
+        |  (strpos('0123456789abcdef', substr(md5('f' || CAST(doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5('f' || CAST(doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 2, 1)) - 1) AS p
+        |  FROM documents, LATERAL unnest(generate_series(0, 63)) i(i)),
+        |nrm AS (SELECT doc_id, sqrt(SUM(CAST(p AS DOUBLE) * p)) AS n FROM raw GROUP BY doc_id)
+        |SELECT r.doc_id AS id,
+        |  list_transform(list(r.p ORDER BY r.i), x -> CAST(x / n AS FLOAT)) AS embedding
+        |FROM raw r JOIN nrm ON r.doc_id = nrm.doc_id
+        |GROUP BY r.doc_id, n""".stripMargin,
 
     "x15_decontaminate" ->
       // transcription of Decontaminate.ngramOverlap: distinct 13-grams per

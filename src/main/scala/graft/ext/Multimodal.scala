@@ -263,6 +263,42 @@ object Multimodal {
         }
     }
 
+    /** The NEAREST-to-square cols×rows grid with cols·rows == dim (rows =
+      * the largest divisor of dim ≤ √dim): dim 64 → 8×8, 32 → 8×4, 8 →
+      * 4×2, a prime dim degrades to a 1-row strip. Deterministic, so the
+      * oracle and the descriptor always agree on the grid shape.
+      */
+    private[graft] def gridDims(dim: Int): (Int, Int) = {
+      require(dim > 0, s"feature dim must be positive, got $dim")
+      var rows = math.sqrt(dim.toDouble).toInt
+      while (dim % rows != 0) rows -= 1
+      (dim / rows, rows)
+    }
+
+    /** REAL visual descriptor — the tiny-image baseline (Torralba et al.,
+      * PAMI 2008 used 32×32 grayscale; this is the [[gridDims]]-shaped
+      * variant): decode → luminance grid via the same exact integer
+      * pooling as [[luminanceGrid]] → L2-normalize. Normalization runs
+      * entirely in DOUBLE (the grid ints are double-exact, the squared
+      * sum ≤ dim·255² is double-exact, sqrt and divide are correctly
+      * rounded) and casts to float only at the end — so an oracle
+      * computing the same pixels in SQL doubles produces bit-identical
+      * float32s (x63). An all-black grid has no direction: it stays the
+      * zero vector, which downstream cosine ops already treat as "never
+      * pairs" (the [[graft.ext.Similarity]] zero-norm convention). `None`
+      * when the payload is not a decodable image — callers choose the
+      * fallback.
+      */
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val (cols, rows) = gridDims(dim)
+      decode(payload).map { img =>
+        val grid = luminanceGrid(img, cols, rows)
+        val norm = math.sqrt(grid.foldLeft(0.0)((a, v) => a + v.toDouble * v))
+        if (norm == 0.0) new Array[Float](dim)
+        else grid.map(v => (v / norm).toFloat)
+      }
+    }
+
     /** Deterministic RGB test image: pixel = splitmix64(seed, x, y). The
       * correctness queries synthesize these in-query so the oracle can
       * predict what a REAL decode must report.
@@ -819,12 +855,22 @@ object Multimodal {
 
   /** Visual-embedding extraction: binary payload → `array<float>` column,
     * ready for [[Similarity]]'s ANN operators — the multimodal→embedding→
-    * near-dup pipeline in one narrow stage.
+    * near-dup pipeline in one narrow stage. Image payloads get the REAL
+    * [[ImageCodecs.features]] descriptor (a near-square luminance grid of
+    * `dim` cells over the actual ImageIO decode, L2-normalized —
+    * oracle-checked by x63); anything the decoder rejects rides the
+    * deterministic [[StubCodecs.features]] fallback, the imageMeta/resize
+    * convention, so arbitrary bytes flow through the same schema. `dim`
+    * is validated at plan time, before any task launches.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] =
-    media.mapPartitions(_.map(r => MediaEmbedding(r.id, StubCodecs.features(
-      if (r.payload == null) Array.emptyByteArray else r.payload, dim))))(
-      Encoders.product[MediaEmbedding])
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
+    ImageCodecs.gridDims(dim)
+    media.mapPartitions(_.map { r =>
+      val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+      MediaEmbedding(r.id, ImageCodecs.features(payload, dim)
+        .getOrElse(StubCodecs.features(payload, dim)))
+    })(Encoders.product[MediaEmbedding])
+  }
 
   /** Test harness: lift any (id, string) pair into a binary media column so
     * the plumbing is exercisable on the driver-provided `documents` table.

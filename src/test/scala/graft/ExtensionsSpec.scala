@@ -1619,6 +1619,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(nullEmb.length == 1 && nullEmb.head.embedding.length == 8)
   }
 
+  test("REAL image features: decoded grid L2-normalized exactly, stub only off the image path") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{ImageCodecs, MediaRow, StubCodecs}
+    // grid factorization: largest divisor <= sqrt, exact cover of dim
+    assert(ImageCodecs.gridDims(64) == ((8, 8)))
+    assert(ImageCodecs.gridDims(32) == ((8, 4)))
+    assert(ImageCodecs.gridDims(8) == ((4, 2)))
+    assert(ImageCodecs.gridDims(7) == ((7, 1)))
+    intercept[IllegalArgumentException](ImageCodecs.gridDims(0))
+    // matching-dims gray PNG: the descriptor is EXACTLY the pixel bytes
+    // L2-normalized in double then cast to float (the x63 oracle contract)
+    val px = Array.tabulate(64)(i => (i * 37 + 11) % 256)
+    val png = ImageCodecs.grayPng(px, 8, 8)
+    val norm = math.sqrt(px.foldLeft(0.0)((a, v) => a + v.toDouble * v))
+    val expected = px.map(v => (v / norm).toFloat)
+    assert(ImageCodecs.features(png, 64).get.sameElements(expected),
+      "matching-dims decode must hand back the normalized samples bitwise")
+    // non-matching dims area-pool deterministically; unit norm either way
+    val pooled = ImageCodecs.features(ImageCodecs.grayPng(px, 8, 8), 16).get
+    assert(pooled.length == 16 &&
+      math.abs(pooled.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    // an all-black image has no direction: zero vector, never NaN
+    val black = ImageCodecs.features(ImageCodecs.grayPng(new Array[Int](64), 8, 8), 64).get
+    assert(black.forall(_ == 0.0f), "zero-norm grid must stay the zero vector")
+    // non-image bytes: None from the real kernel (callers choose the stub)
+    assert(ImageCodecs.features("just text".getBytes, 64).isEmpty)
+    // extractFeatures routes per row: image rows real, text rows stub
+    val mixed = spark.createDataset(Seq(
+      MediaRow(1L, png), MediaRow(2L, "just text".getBytes)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val byId = Multimodal.extractFeatures(mixed, dim = 64).collect()
+      .map(r => r.id -> r.embedding).toMap
+    assert(byId(1L).sameElements(expected), "image row must take the real path")
+    assert(byId(2L).sameElements(StubCodecs.features("just text".getBytes, 64)),
+      "non-image row must take the stub path")
+  }
+
   test("multimodal feature extraction feeds the ANN operators end to end") {
     import graft.ext.Multimodal
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
