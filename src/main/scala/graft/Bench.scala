@@ -93,28 +93,52 @@ object Bench {
     * the highest-numbered `BENCH_r{N}.json` in `dir` (the driver writes
     * them to the repo root, which is the bench's working directory). Keys
     * are as the artifact spelled them — possibly ladder-shortened — so
-    * lookups try both spellings. Any read/parse failure degrades to "no
-    * prior" rather than failing the bench.
+    * lookups try both spellings.
+    *
+    * Two guards keep the gate from lying rather than going quietly dark:
+    * the prior's `parsed.sf` must equal THIS run's sf (comparing an sf1
+    * run against sf0.1 medians would tag every query "regressed" and
+    * flood the anomalies block out of its real entries), and any
+    * unusable artifact — bad round number, unreadable JSON, sf mismatch,
+    * missing queries — degrades to "no priors" WITH one stderr note, so
+    * a regression round whose gate never fired is distinguishable from a
+    * clean one.
     */
-  private[graft] def priorMedians(dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+  private[graft] def priorMedians(expectSf: String,
+                                  dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
+    def dark(reason: String): Map[String, Double] = {
+      System.err.println(s"bench: regression gate dark — $reason")
+      Map.empty
+    }
     try {
       val re = "BENCH_r(\\d+)\\.json".r
+      // per-file name parsing: one stray huge round number must not mute
+      // the gate for every query (toInt throws past 2^31)
       val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f))
+          case re(n) => n.toIntOption.map(i => (i, f))
           case _ => None
         })
-      if (files.isEmpty) Map.empty
+      if (files.isEmpty) Map.empty // no prior round: normal on round 1
       else {
-        val q = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(files.maxBy(_._1)._2).path("parsed").path("queries")
-        if (!q.isObject) Map.empty
+        val (round, file) = files.maxBy(_._1)
+        val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(file).path("parsed")
+        val sf = parsed.path("sf").asText("")
+        val q = parsed.path("queries")
+        if (!q.isObject || q.isEmpty)
+          dark(s"BENCH_r$round.json carries no parsed queries")
+        else if (sf != expectSf)
+          dark(s"BENCH_r$round.json is sf '$sf', this run is '$expectSf'")
         else {
           import scala.jdk.CollectionConverters._
           q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).toMap
         }
       }
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      case e: Exception => dark(s"prior artifact unreadable: ${e.getMessage}")
+    }
+  }
 
   /** Queries whose protocol mutates shared JVM/session state (catalog
     * tables, state-store providers, streaming checkpoints) rather than just
@@ -582,7 +606,7 @@ object Bench {
     // throughput numbers (which survive in the detail line's tail when it
     // fits).
     val summary = buildSummary(results, runTimes, sysStats.toMap, errors.toSeq,
-      flaky.toSeq, leaks.toSeq, total, st, stShort, sfDir, priorMedians())
+      flaky.toSeq, leaks.toSeq, total, st, stShort, sfDir, priorMedians(sfDir))
     println(summary)
     spark.stop()
   }

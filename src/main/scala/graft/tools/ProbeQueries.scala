@@ -25,6 +25,22 @@ object ProbeQueries {
         graft.ProbeTiming.jobs.incrementAndGet(); ()
       }
     })
+    // exact job attribution: flush the async listener bus before each
+    // SUBPROBE counter read (see ProbeTiming.drain). listenerBus is
+    // private[spark]; resolved reflectively, degrading to no-drain
+    // (approximate counts) if a Spark upgrade moves it.
+    graft.ProbeTiming.drain =
+      try {
+        val sc = spark.sparkContext
+        val busM = sc.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(sc)
+        val wait = bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        wait match {
+          case Some(m) => () => { try m.invoke(bus) catch { case _: Exception => () }; () }
+          case None => () => ()
+        }
+      } catch { case _: Throwable => () => () }
     try {
       names.foreach { n =>
         (1 to runs).foreach { run =>

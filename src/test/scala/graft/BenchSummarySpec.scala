@@ -175,23 +175,31 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(a.get("x03").get(2).asText == "slow", s)
   }
 
-  test("priorMedians reads the highest-numbered BENCH artifact and degrades to empty") {
+  test("priorMedians reads the highest-numbered BENCH artifact, guards sf, and degrades to empty") {
     val dir = java.nio.file.Files.createTempDirectory("bench-prior").toFile
+    val sf = "/root/testdata/sf0.1"
     try {
-      assert(Bench.priorMedians(dir).isEmpty, "empty dir must yield no priors")
+      assert(Bench.priorMedians(sf, dir).isEmpty, "empty dir must yield no priors")
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r03.json"),
-        """{"parsed":{"queries":{"q01":0.5,"x39":7.77}}}""")
+        s"""{"parsed":{"queries":{"q01":0.5,"x39":7.77},"sf":"$sf"}}""")
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
-        """{"parsed":{"queries":{"q01":0.31,"x39":11.51}}}""")
+        s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"sf":"$sf"}}""")
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r02.json"),
         """not json at all""")
-      val p = Bench.priorMedians(dir)
+      // a stray huge round number must not mute the gate (toInt overflow)
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r99999999999.json"),
+        """{"parsed":{"queries":{"q01":9.9}}}""")
+      val p = Bench.priorMedians(sf, dir)
       assert(p == Map("q01" -> 0.31, "x39" -> 11.51),
-        s"must read r11 (highest N), got $p")
+        s"must read r11 (highest valid N), got $p")
+      // an sf-mismatched prior must NOT compare: sf1 floors vs sf0.1
+      // medians would tag every query regressed
+      assert(Bench.priorMedians("/root/testdata/sf1", dir).isEmpty,
+        "sf mismatch must yield no priors")
       // a corrupt HIGHEST artifact degrades to empty, never throws
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r12.json"),
         """{"truncated""")
-      assert(Bench.priorMedians(dir).isEmpty)
+      assert(Bench.priorMedians(sf, dir).isEmpty)
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete(); ()
     }

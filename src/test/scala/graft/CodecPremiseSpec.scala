@@ -48,10 +48,23 @@ class CodecPremiseSpec extends AnyFunSuite {
         s"$name: expected UnsupportedAudioFileException, got $e — a decoder " +
           "appeared; replace the header-walk stub with a real decode")
     }
-    // and no MP3/AAC file-type SPI is registered at all
-    val types = javax.sound.sampled.AudioSystem.getAudioFileTypes.map(_.getExtension).toSet
-    assert(!types.exists(t => t.contains("mp3") || t.contains("aac") || t.contains("m4a")),
-      s"audio SPI types now include a compressed codec: $types")
+    // and no third-party DECODE SPI is registered: decoder plugins
+    // (JLayer's mp3spi, JAAD) register AudioFileReader /
+    // FormatConversionProvider services — NOT writers, so
+    // getAudioFileTypes (write support) would never see them; enumerate
+    // the read-side registries themselves
+    import scala.jdk.CollectionConverters._
+    val readers = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.map(_.getClass.getName).toSeq
+    val converters = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+      .asScala.map(_.getClass.getName).toSeq
+    val thirdParty = (readers ++ converters)
+      .filterNot(n => n.startsWith("com.sun.media.sound.") || n.startsWith("sun."))
+    assert(thirdParty.isEmpty,
+      s"non-JDK audio decode SPIs appeared: $thirdParty — a decoder " +
+        "plugin landed; replace the header-walk stub with a real decode")
   }
 
   test("no pure-JVM MP3/AAC/H.264 codec library is on the classpath") {
