@@ -133,7 +133,7 @@ object KinesisClient {
       val u = java.net.URI.create(e); s"${u.getScheme}://${u.getAuthority}"
     }.getOrElse(s"https://$host")
     val client = KinesisClient.sharedHttpClient
-    (target, body) => {
+    val send: (String, String) => (Int, String) = (target, body) => {
       val amzDate = SigV4.amzDateNow()
       val auth = SigV4.authorization(host, target, body, amzDate, region, "kinesis",
         accessKey, secretKey, sessionToken)
@@ -146,10 +146,40 @@ object KinesisClient {
       sessionToken.foreach(b.header("X-Amz-Security-Token", _))
       val req = b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode() / 100 == 2, s"Kinesis $target failed: ${resp.statusCode()} ${resp.body()}")
-      resp.body()
+      (resp.statusCode(), resp.body())
+    }
+    // Routine throttling (GetRecords is capped at 5 calls/sec/shard, and
+    // the unpaced probe loop can exceed that on a deep backlog) and
+    // transient 5xx must not fail the whole micro-batch on the first hit:
+    // bounded exponential backoff, the ElasticsearchSink.postChunks
+    // stance. Every attempt re-signs (X-Amz-Date must be fresh).
+    (target, body) => {
+      var attempt = 0
+      var out: String = null
+      while (out == null) {
+        val (code, respBody) = send(target, body)
+        if (code / 100 == 2) out = respBody
+        else {
+          val throttled = code == 400 &&
+            (respBody.contains("ProvisionedThroughputExceededException") ||
+              respBody.contains("LimitExceededException") ||
+              respBody.contains("ThrottlingException"))
+          attempt += 1
+          if (!(throttled || code / 100 == 5) || attempt > KinesisClient.MaxRetries)
+            throw new IllegalArgumentException(
+              s"Kinesis $target failed: $code $respBody")
+          Thread.sleep(math.min(100L << attempt, 2000L))
+        }
+      }
+      out
     }
   }
+
+  /** Bounded retry budget for throttled/5xx Kinesis calls — with the
+    * 100·2^attempt ms backoff this is ≤ ~6 s of waiting before the
+    * micro-batch fails for real.
+    */
+  val MaxRetries = 5
 
   /** All shard ids, following HasMoreShards/ExclusiveStartShardId paging
     * exactly like kinesis_consumer.cpp:124-144.
@@ -163,8 +193,12 @@ object KinesisClient {
       startAfter.foreach(req.put("ExclusiveStartShardId", _))
       val resp = mapper.readTree(transport("Kinesis_20131202.DescribeStream", req.toString))
       val desc = resp.get("StreamDescription")
+      val before = shards.size
       desc.get("Shards").forEach((s: JsonNode) => shards += s.get("ShardId").asText())
-      more = desc.get("HasMoreShards").asBoolean() && shards.nonEmpty
+      // progress-gated: HasMoreShards=true with a page that ADDED nothing
+      // would otherwise re-send the identical request forever (the old
+      // guard only checked the accumulated buffer, which never shrinks)
+      more = desc.get("HasMoreShards").asBoolean() && shards.size > before
       startAfter = shards.lastOption
     }
     shards.toSeq
@@ -183,6 +217,29 @@ object KinesisClient {
     mapper.readTree(transport("Kinesis_20131202.GetShardIterator", req.toString))
       .get("ShardIterator").asText()
   }
+
+  /** [[shardIterator]] with the poison-offset escape hatch: a checkpointed
+    * sequence number OLDER THAN THE STREAM RETENTION is rejected by
+    * GetShardIterator on every call (InvalidArgumentException) — without a
+    * fallback the stream can never progress again short of deleting the
+    * checkpoint. When a sequence-relative request fails that way, resolve
+    * TRIM_HORIZON instead (one stderr note): re-reading from the earliest
+    * retained record is at-least-once — exactly the delivery contract the
+    * source already documents — while the poison offset is forever.
+    */
+  def shardIteratorOrHorizon(transport: (String, String) => String, stream: String,
+                             shardId: String, iteratorType: String,
+                             startingSequenceNumber: Option[String]): String =
+    try shardIterator(transport, stream, shardId, iteratorType, startingSequenceNumber)
+    catch {
+      case e: IllegalArgumentException
+          if startingSequenceNumber.isDefined &&
+            e.getMessage != null && e.getMessage.contains("InvalidArgumentException") =>
+        System.err.println(
+          s"kinesis: checkpointed sequence for shard $shardId no longer in " +
+            s"retention (${e.getMessage.take(200)}); re-reading from TRIM_HORIZON")
+        shardIterator(transport, stream, shardId, "TRIM_HORIZON", None)
+    }
 
   /** One GetRecords page → decoded records + next iterator
     * (kinesis_consumer.cpp:178-210).

@@ -166,7 +166,7 @@ object KinesisV2 {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       def probeShard(shard: String): (String, Option[String]) = {
-        var it: Option[String] = Some(KinesisClient.shardIterator(transport, conf.stream, shard,
+        var it: Option[String] = Some(KinesisClient.shardIteratorOrHorizon(transport, conf.stream, shard,
           iteratorType = s.shards.get(shard).map(_ => "AFTER_SEQUENCE_NUMBER")
             .getOrElse(conf.startingPosition),
           startingSequenceNumber = s.shards.get(shard)))
@@ -250,7 +250,7 @@ object KinesisV2 {
       case (None, None) => ("TRIM_HORIZON", None)
     }
     private var iterator: Option[String] = Some(
-      KinesisClient.shardIterator(transport, conf.stream, p.shard,
+      KinesisClient.shardIteratorOrHorizon(transport, conf.stream, p.shard,
         iteratorType = itType, startingSequenceNumber = itSeq))
     private var buffer: Iterator[KinesisClient.KRecord] = Iterator.empty
     private var reachedEnd = false

@@ -89,8 +89,28 @@ object MqttCodec {
   def disconnect: Array[Byte] = frame(DISCONNECT, 0, Array.empty)
 
   /** Blocking read of one control packet; throws EOFException at EOF. */
-  def readPacket(in: DataInputStream): Packet = {
-    val h = in.readUnsignedByte()
+  def readPacket(in: DataInputStream): Packet =
+    readRest(in, in.readUnsignedByte())
+
+  /** Read a packet, returning None if the wire is IDLE (socket timeout
+    * before the first header byte — zero bytes consumed, stream still in
+    * sync). A timeout AFTER the header byte means a half-delivered packet:
+    * the stream is desynchronized and resuming would parse from its
+    * middle, so that surfaces as an IOException instead of a silent None.
+    */
+  def readPacketOrIdle(in: DataInputStream): Option[Packet] = {
+    val h =
+      try in.readUnsignedByte()
+      catch { case _: java.net.SocketTimeoutException => return None }
+    try Some(readRest(in, h))
+    catch {
+      case e: java.net.SocketTimeoutException =>
+        throw new java.io.IOException(
+          "socket timeout mid-packet: MQTT stream desynchronized — close the connection", e)
+    }
+  }
+
+  private def readRest(in: DataInputStream, h: Int): Packet = {
     var len = 0; var mult = 1; var i = 0
     var more = true
     while (more) {
@@ -141,7 +161,12 @@ final class MqttClient(host: String, port: Int, clientId: String,
   private var nextPacketId = 1
 
   locally {
-    out.write(MqttCodec.connect(clientId)); out.flush()
+    // keepAliveSecs = 0 DISABLES the keep-alive contract (MQTT 3.1.1
+    // §3.1.2.10): this blocking client never sends PINGREQ, so any
+    // nonzero value is a promise it cannot keep — a receive-only drain
+    // quieter than 1.5× the advertised interval would be disconnected by
+    // the broker mid-batch ([MQTT-3.1.2-24]).
+    out.write(MqttCodec.connect(clientId, keepAliveSecs = 0)); out.flush()
     val ack = MqttCodec.readPacket(in)
     require(ack.ptype == MqttCodec.CONNACK && ack.body(1) == 0,
       s"MQTT connect refused: type=${ack.ptype} code=${if (ack.body.length > 1) ack.body(1) else -1}")
@@ -181,28 +206,33 @@ final class MqttClient(host: String, port: Int, clientId: String,
       s"subscribe not acked: type=${ack.ptype}")
   }
 
-  /** Receive the next PUBLISH (PUBACK-ing QoS 1), or None on socket
-    * timeout. PINGREQ from the broker is answered inline.
+  /** Receive the next PUBLISH (PUBACK-ing QoS 1), or None when the wire
+    * is idle for `timeoutMs`. Idle means zero bytes consumed — the stream
+    * stays in sync and the client is reusable; a timeout MID-packet
+    * (broker stalled after partial delivery) raises IOException instead
+    * of returning None, because resuming would parse from the middle of
+    * the half-delivered packet (readPacketOrIdle). PINGRESP and other
+    * non-PUBLISH control packets are skipped. (Brokers never send
+    * PINGREQ — that packet is client→server only, and this client runs
+    * with keep-alive disabled.)
     */
   def receive(timeoutMs: Int): Option[(String, Array[Byte])] = {
     socket.setSoTimeout(timeoutMs)
-    try {
-      var res: Option[(String, Array[Byte])] = None
-      while (res.isEmpty) {
-        val p = MqttCodec.readPacket(in)
-        p.ptype match {
+    var res: Option[(String, Array[Byte])] = None
+    var idle = false
+    while (res.isEmpty && !idle) {
+      MqttCodec.readPacketOrIdle(in) match {
+        case None => idle = true
+        case Some(p) => p.ptype match {
           case MqttCodec.PUBLISH =>
             val (topic, pid, payload) = MqttCodec.decodePublish(p)
             pid.foreach { id => out.write(MqttCodec.puback(id)); out.flush() }
             res = Some((topic, payload))
-          case MqttCodec.PINGREQ => out.write(MqttCodec.pingresp); out.flush()
-          case _ => // ignore
+          case _ => // PINGRESP / unexpected control packets: skip
         }
       }
-      res
-    } catch {
-      case _: java.net.SocketTimeoutException => None
     }
+    res
   }
 
   override def close(): Unit = {

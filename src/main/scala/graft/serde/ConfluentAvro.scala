@@ -129,11 +129,24 @@ object ConfluentAvro {
     Framed(ByteBuffer.wrap(bytes, 1, 4).getInt, bytes.drop(5))
   }
 
+  // per-record decode is the UDF hot path: the reader is pure per schema
+  // (GenericDatumReader holds only the parsed schema) and the schema id
+  // repeats for millions of rows — cache readers like the registry caches
+  // schemas, and decode straight from the framed buffer at offset 5
+  // instead of copying the whole body per record. Keyed by (registry, id):
+  // the same numeric id in two DIFFERENT registries names two different
+  // schemas, and an id-only cache would decode one registry's records
+  // with the other's reader.
+  private val readerCache =
+    new TrieMap[(SchemaRegistry, Int), GenericDatumReader[GenericRecord]]()
+
   def decode(bytes: Array[Byte], registry: SchemaRegistry): GenericRecord = {
-    val f = deframe(bytes)
-    val schema = registry.get(f.schemaId)
-    val dec = DecoderFactory.get().binaryDecoder(f.body, null)
-    new GenericDatumReader[GenericRecord](schema).read(null, dec)
+    require(bytes.length >= 5 && bytes(0) == MagicByte, "not Confluent-framed avro")
+    val schemaId = ByteBuffer.wrap(bytes, 1, 4).getInt
+    val reader = readerCache.getOrElseUpdate((registry, schemaId),
+      new GenericDatumReader[GenericRecord](registry.get(schemaId)))
+    val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+    reader.read(null, dec)
   }
 
   /** Column-level decoder: framed binary → JSON string, which `from_json`

@@ -103,6 +103,11 @@ object ConfluentProto {
     }
     def lengthDelimited(): (Int, Int) = { // (offset, length)
       val len = varint().toInt
+      // a varint whose low 32 bits are negative would move pos BACKWARDS
+      // (pos + len <= end still holds), re-reading the same bytes forever
+      // via skip() — a corrupt payload must fail the record, not hang the
+      // task
+      require(len >= 0, s"negative length-delimited field length $len")
       require(pos + len <= end, "length-delimited field overruns buffer")
       val off = pos; pos += len; (off, len)
     }

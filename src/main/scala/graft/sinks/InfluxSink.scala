@@ -19,11 +19,25 @@ import org.apache.spark.sql.types._
   */
 object InfluxSink {
 
+  // Line protocol cannot carry a raw newline ANYWHERE — it terminates the
+  // point, so one newline-bearing value splits its row into two malformed
+  // lines and the server 400s the whole ≤1000-line chunk (the same
+  // fails-the-WHOLE-chunk blast radius the unsupported-type check below
+  // rejects at plan time). Tags have no escape for it in the spec: \n/\r
+  // map to a space (lossy but chunk-safe). String fields keep them
+  // losslessly as the two-character escapes \n/\r, which the earlier
+  // backslash-doubling pass would otherwise mangle — hence ordered last.
+
   private def escTag(v: Column): Column =
-    regexp_replace(v.cast("string"), "([ ,=])", "\\\\$1")
+    regexp_replace(
+      regexp_replace(v.cast("string"), "([ ,=])", "\\\\$1"),
+      "[\\n\\r]", " ")
 
   private def escFieldString(v: Column): Column =
-    regexp_replace(regexp_replace(v.cast("string"), "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      v.cast("string"),
+      "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      "\\n", "\\\\n"), "\\r", "\\\\r")
 
   /** Render `measurement,tag=v,... field=v,... ts`. `timeNs` must be epoch
     * nanos (Influx's default precision). Null tags and fields are omitted.

@@ -74,6 +74,7 @@ object JdbcUpsert {
     }
     rows.foreach { case (row, isTombstone) =>
       val key = keyIdx.map(row)
+      requireKeyNonNull(key, keyColumns)
       if (isTombstone) {
         flushUpserts()
         deletes :+= key
@@ -88,6 +89,21 @@ object JdbcUpsert {
     flushUpserts(); flushDeletes()
     out.result()
   }
+
+  /** The MqttSink/ElasticsearchSink null-key stance, enforced on BOTH the
+    * planner and prepared-statement paths: a NULL key silently corrupts
+    * rather than erroring — `k = NULL` never matches (the delete no-ops),
+    * and conflict targets treat NULLs as distinct (every retry INSERTS a
+    * fresh duplicate row), breaking the idempotent-retry argument the
+    * "at-least-once + idempotent = exactly-once" contract relies on.
+    */
+  private[graft] def requireKeyNonNull(key: Seq[Any], keyColumns: Seq[String]): Unit =
+    key.zip(keyColumns).foreach { case (v, kc) =>
+      if (v == null) throw new IllegalArgumentException(
+        s"jdbc upsert: NULL key column '$kc' — a NULL key can neither " +
+          "match a DELETE nor hit ON CONFLICT; filter or default NULL " +
+          "keys upstream")
+    }
 
   /** Parameterized SQL for the prepared-statement path. */
   def preparedUpsertSql(table: String, columns: Seq[String], keyColumns: Seq[String]): String = {
@@ -138,6 +154,7 @@ object JdbcUpsert {
           var current: java.sql.PreparedStatement = null
           def flush(): Unit = if (pending > 0) { current.executeBatch(); pending = 0 }
           it.foreach { r =>
+            requireKeyNonNull(keyIdx.map(r.get), keyColumns)
             val isTombstone = tombIdx.exists(i => r.isNullAt(i))
             val ps = if (isTombstone) deletePs else upsertPs
             if (current != null && (ps ne current)) flush() // preserve upsert↔delete order

@@ -140,6 +140,25 @@ class ConnectorsSpec extends SparkSpec {
     assert(stmts(1).contains("('a', 2)"))
   }
 
+  test("NULL key values are rejected loudly on both upsert and delete paths") {
+    // `k = NULL` never matches (the DELETE silently no-ops) and conflict
+    // targets treat NULLs as distinct (every retry INSERTS a duplicate) —
+    // either way the idempotent-retry argument breaks, so a NULL key must
+    // fail the batch, the MqttSink/ElasticsearchSink stance
+    val e = intercept[IllegalArgumentException](JdbcUpsert.planStatements(
+      "t", cols, Seq("k"), Seq((Seq[Any](null, 1), false))))
+    assert(e.getMessage.contains("NULL key column 'k'"), e.getMessage)
+    intercept[IllegalArgumentException](JdbcUpsert.planStatements(
+      "t", cols, Seq("k"), Seq((Seq[Any](null, null), true))))
+    // non-key nulls stay legal (tombstone marker, nullable values)
+    assert(JdbcUpsert.planStatements("t", cols, Seq("k"),
+      Seq((Seq[Any]("a", null), true))).nonEmpty)
+    // and the prepared-statement path shares the guard
+    intercept[IllegalArgumentException](
+      JdbcUpsert.requireKeyNonNull(Seq("a", null), Seq("k1", "k2")))
+    JdbcUpsert.requireKeyNonNull(Seq("a", 1), Seq("k1", "k2"))
+  }
+
   test("planStatements preserves upsert/delete order per key") {
     val rows = Seq(
       (Seq[Any]("a", 1), false), (Seq[Any]("a", null), true), (Seq[Any]("a", 3), false))

@@ -181,6 +181,31 @@ class FileFormatsSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("influx escaping: a newline in a tag or string field cannot split the chunk") {
+    import graft.sinks.InfluxSink
+    import spark.implicits._
+    val df = Seq(("e\nu", "a\nb\rc", 1700000000000000000L)).toDF("region", "msg", "ts_ns")
+    val line = df.select(InfluxSink.lineProtocol(df, "cpu",
+      tags = Seq("region" -> col("region")),
+      fields = Seq("msg" -> col("msg")),
+      timeNs = col("ts_ns")).as("line")).as[String].collect().head
+    // ONE physical line: a raw newline terminates a line-protocol point,
+    // so one bad value would 400 the whole <=1000-line POST
+    assert(!line.contains("\n") && !line.contains("\r"), line)
+    // tags: \n/\r have no spec escape — mapped to a space (lossy, chunk-safe)
+    assert(line.startsWith("cpu,region=e u "), line)
+    // string fields: kept losslessly as the 2-char escapes \n / \r
+    assert(line.contains("msg=\"a\\nb\\rc\""), line)
+    // a literal backslash-n in the INPUT stays distinguishable (doubles to
+    // \\n) from a real newline (escapes to \n)
+    val df2 = Seq(("x", "a\\nb", 1L)).toDF("region", "msg", "ts_ns")
+    val line2 = df2.select(InfluxSink.lineProtocol(df2, "cpu",
+      tags = Seq("region" -> col("region")),
+      fields = Seq("msg" -> col("msg")),
+      timeNs = col("ts_ns")).as("line")).as[String].collect().head
+    assert(line2.contains("msg=\"a\\\\nb\""), line2)
+  }
+
   test("influx sink renders line protocol and batches posts (influx_sink.h:10-53)") {
     import graft.sinks.InfluxSink
     import spark.implicits._

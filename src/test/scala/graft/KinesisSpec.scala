@@ -96,6 +96,80 @@ class KinesisSpec extends SparkSpec {
       ("u3", "!", 1700000002250L)))
   }
 
+  test("listShards terminates when HasMoreShards lies with an empty page") {
+    // a page that ADDS nothing with HasMoreShards=true would re-send the
+    // identical request forever — the guard is per-page progress
+    val transport: (String, String) => String = (target, body) => {
+      val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      assert(target == "Kinesis_20131202.DescribeStream")
+      if (!req.has("ExclusiveStartShardId"))
+        """{"StreamDescription":{"Shards":[{"ShardId":"s0"}],"HasMoreShards":true}}"""
+      else
+        """{"StreamDescription":{"Shards":[],"HasMoreShards":true}}"""
+    }
+    assert(KinesisClient.listShards(transport, "events") == Seq("s0"))
+  }
+
+  test("transport retries throttling and 5xx with bounded backoff, fails fast otherwise") {
+    val codes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val script = new java.util.concurrent.atomic.AtomicReference[Seq[(Int, String)]](Nil)
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", { exchange =>
+      exchange.getRequestBody.readAllBytes()
+      val s = script.get()
+      val (code, body) = if (s.isEmpty) (200, "{}") else s.head
+      script.set(if (s.isEmpty) Nil else s.tail)
+      codes.add(code)
+      val b = body.getBytes(UTF_8)
+      exchange.sendResponseHeaders(code, b.length)
+      exchange.getResponseBody.write(b)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val transport = KinesisClient.httpTransport(region = "us-east-1",
+        endpointOverride = Some(s"http://127.0.0.1:${server.getAddress.getPort}"),
+        accessKey = "AK", secretKey = "SK", sessionToken = None)
+      // two throttles then success: the call must succeed on attempt 3
+      script.set(Seq(
+        (400, """{"__type":"ProvisionedThroughputExceededException"}"""),
+        (500, "oops")))
+      assert(transport("Kinesis_20131202.GetRecords", "{}") == "{}")
+      assert(codes.size == 3, s"expected 3 attempts, saw $codes")
+      // a non-retriable 400 (validation) fails on the FIRST attempt
+      codes.clear()
+      script.set(Seq((400, """{"__type":"ValidationException"}"""), (200, "{}")))
+      val e = intercept[IllegalArgumentException](
+        transport("Kinesis_20131202.GetRecords", "{}"))
+      assert(e.getMessage.contains("ValidationException"))
+      assert(codes.size == 1, s"validation errors must not retry: $codes")
+    } finally server.stop(0)
+  }
+
+  test("an out-of-retention checkpoint sequence falls back to TRIM_HORIZON instead of poisoning") {
+    val types = collection.mutable.ArrayBuffer.empty[String]
+    val transport: (String, String) => String = (target, body) => {
+      assert(target == "Kinesis_20131202.GetShardIterator")
+      val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val t = req.get("ShardIteratorType").asText()
+      types += t
+      if (t == "AFTER_SEQUENCE_NUMBER")
+        throw new IllegalArgumentException(
+          """Kinesis GetShardIterator failed: 400 {"__type":"InvalidArgumentException","message":"sequence number out of retention"}""")
+      else s"""{"ShardIterator":"it-horizon"}"""
+    }
+    val it = KinesisClient.shardIteratorOrHorizon(transport, "events", "s0",
+      "AFTER_SEQUENCE_NUMBER", Some("49590000000000000000000000"))
+    assert(it == "it-horizon")
+    assert(types.toSeq == Seq("AFTER_SEQUENCE_NUMBER", "TRIM_HORIZON"))
+    // WITHOUT a sequence (LATEST/TRIM_HORIZON request itself failing),
+    // the error is real and must propagate — no silent rewrite
+    val failAll: (String, String) => String = (_, _) =>
+      throw new IllegalArgumentException("""{"__type":"InvalidArgumentException"}""")
+    intercept[IllegalArgumentException](
+      KinesisClient.shardIteratorOrHorizon(failAll, "events", "s0", "LATEST", None))
+  }
+
   test("getRecords clamps Limit to the API maximum of 10000") {
     // a per-shard batch budget above 10000 must not leak into the request:
     // the real API rejects Limit > 10000 with ValidationException, failing

@@ -78,6 +78,70 @@ class MqttSpec extends SparkSpec {
     override def close(): Unit = { running = false; server.close() }
   }
 
+  test("CONNECT advertises keep-alive 0: the client never pings, so it must not promise to") {
+    // the keep-alive u16 sits right after the "MQTT" string + level + flags
+    val c = MqttCodec.connect("cid")
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(c))
+    val p = MqttCodec.readPacket(in)
+    val ka = ((p.body(8) & 0xff) << 8) | (p.body(9) & 0xff)
+    assert(ka == 60, "the codec default stays 60 for broker-side tests")
+    // ...but the CLIENT must connect with 0 ([MQTT-3.1.2-24]: a nonzero
+    // value lets the broker disconnect a quiet receive-only drain at
+    // 1.5x the interval — this client sends no PINGREQ)
+    val c0 = MqttCodec.connect("cid", keepAliveSecs = 0)
+    val p0 = MqttCodec.readPacket(new DataInputStream(new java.io.ByteArrayInputStream(c0)))
+    assert((((p0.body(8) & 0xff) << 8) | (p0.body(9) & 0xff)) == 0)
+    val broker = new FakeBroker()
+    try {
+      val cl = new MqttClient("127.0.0.1", broker.server.getLocalPort, "ka-test")
+      try cl.publish("t", "v".getBytes(UTF_8)) finally cl.close()
+    } finally broker.close()
+  }
+
+  test("idle timeout returns None and keeps the stream reusable; mid-packet timeout raises") {
+    // idle: zero bytes arrive — None, then a subsequent full packet parses
+    val server = new ServerSocket(0)
+    try {
+      val t = new Thread(() => {
+        val s = server.accept()
+        val out = new DataOutputStream(s.getOutputStream)
+        Thread.sleep(400) // client times out at 100ms first
+        out.write(MqttCodec.publish("t", "late".getBytes(UTF_8), qos = 0)); out.flush()
+        Thread.sleep(600) // hold the socket open
+        s.close()
+      })
+      t.setDaemon(true); t.start()
+      val s = new Socket("127.0.0.1", server.getLocalPort)
+      s.setSoTimeout(100)
+      val in = new DataInputStream(s.getInputStream)
+      assert(MqttCodec.readPacketOrIdle(in).isEmpty, "idle wire must read as None")
+      s.setSoTimeout(1000)
+      val p = MqttCodec.readPacketOrIdle(in)
+      assert(p.exists(_.ptype == MqttCodec.PUBLISH),
+        "the stream must stay in sync across an idle timeout")
+      s.close()
+    } finally server.close()
+    // mid-packet: header byte delivered, body never arrives — IOException,
+    // NOT a silent None that would resume parsing mid-packet
+    val server2 = new ServerSocket(0)
+    try {
+      val t2 = new Thread(() => {
+        val s = server2.accept()
+        val out = new DataOutputStream(s.getOutputStream)
+        out.write(0x30); out.flush() // PUBLISH header, then stall
+        Thread.sleep(2000)
+        s.close()
+      })
+      t2.setDaemon(true); t2.start()
+      val s = new Socket("127.0.0.1", server2.getLocalPort)
+      s.setSoTimeout(200)
+      val in = new DataInputStream(s.getInputStream)
+      val e = intercept[java.io.IOException](MqttCodec.readPacketOrIdle(in))
+      assert(e.getMessage.contains("desynchronized"), e.getMessage)
+      s.close()
+    } finally server2.close()
+  }
+
   test("client handshake + QoS1 publish round-trips through a real socket") {
     val broker = new FakeBroker()
     try {

@@ -44,6 +44,21 @@ class ProtoSerdeSpec extends SparkSpec {
     }
   }
 
+  test("a negative length-delimited varint fails the record instead of hanging") {
+    // varint 0xFFFFFFF0 = F0 FF FF FF 0F: its low 32 bits are negative, so
+    // an unchecked `pos += len` would move the cursor BACKWARDS and skip()
+    // on the unknown field would re-read the same bytes forever — the task
+    // hang failure mode, not a crash. Field 15 wire type 2 = tag 0x7A.
+    val schema = ProtoSchema(Seq(Field(1, "a", PInt32)))
+    val malformed = Array[Byte](0x7A, 0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)
+    val e = intercept[IllegalArgumentException](decodeMessage(malformed, schema))
+    assert(e.getMessage.contains("negative length"), e.getMessage)
+    // same guard on a DECLARED string field (tag 0x12 = field 2, wire 2)
+    val sSchema = ProtoSchema(Seq(Field(2, "b", PString)))
+    val malformed2 = Array[Byte](0x12, 0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)
+    intercept[IllegalArgumentException](decodeMessage(malformed2, sSchema))
+  }
+
   test("packed repeated decode matches the spec example; unpacked encode round-trips") {
     // docs: repeated int32 f=4, [3,270,86942] packed → `22 06 03 8e 02 9e a7 05`
     val schema = ProtoSchema(Seq(Field(4, "f", PInt32, repeated = true)))
