@@ -110,8 +110,30 @@ object Caching {
     try body
     finally {
       scopes.pop()
-      set.forEach(f => f())
+      runAll(set)
     }
+  }
+
+  /** Run EVERY cleanup even when one throws: cleanups include IO (reliable-
+    * checkpoint file deletes), and an abort on the first failure would
+    * permanently orphan the rest — pinned RDD blocks for the session
+    * lifetime, the exact leak this class exists to prevent. The first
+    * failure rethrows with the others suppressed (the ConcurrentActions
+    * evidence rule).
+    */
+  private def runAll(set: java.util.Set[() => Unit]): Int = {
+    var n = 0
+    var first: Throwable = null
+    set.forEach { f =>
+      try { f(); () }
+      catch {
+        case t: Throwable =>
+          if (first == null) first = t else first.addSuppressed(t)
+      }
+      n += 1
+    }
+    if (first != null) throw first
+    n
   }
 
   /** Runs every cleanup registered on `spark` since the last release
@@ -122,12 +144,7 @@ object Caching {
     */
   def release(spark: SparkSession): Int = {
     val set = registry.remove(spark)
-    if (set == null) 0
-    else {
-      var n = 0
-      set.forEach { f => f(); n += 1 }
-      n
-    }
+    if (set == null) 0 else runAll(set)
   }
 
   /** Number of currently registered (unreleased) session-global cleanups. */

@@ -54,7 +54,10 @@ object Sharding {
 
   /** Appends (n_tokens, bucket, shard) to every document's row — payload
     * columns pass through for pipeline use. Deterministic: a pure function
-    * of (seed, ids, texts) — reruns and repartitioning cannot move a doc.
+    * of (seed, ids, token counts, texts) — reruns and repartitioning
+    * cannot move a doc, including under duplicate ids (ties order by
+    * token count then text hash; rows identical in all three are
+    * interchangeable).
     * Packing is by start offset: a doc belongs to the shard its
     * within-bucket cumulative token offset falls in, so every shard spans
     * exactly `tokensPerShard` offset units and can overflow by at most the
@@ -85,7 +88,13 @@ object Sharding {
     val nTokens = tokenCountCol
       .map(tokenCountOrRaise(_, idCol, "packByTokens"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
-    val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
+    // ordering ties broken by (n_tokens, text hash): with DUPLICATE ids an
+    // id-only sort gives tied rows arbitrary relative order per run, so
+    // cum_before — hence shard — would differ between reruns. After the
+    // tiebreaks, remaining ties are rows identical in (id, count, text),
+    // which are interchangeable: any order yields the same assignment.
+    val w = expressions.Window.partitionBy("bucket")
+      .orderBy(col(idCol), col("n_tokens"), xxhash64(col(textCol)))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", nTokens)
       .withColumn("bucket", Sampling.hash60(col(idCol), seed) % nBuckets)
@@ -122,6 +131,14 @@ object Sharding {
                     window: Int, stride: Int): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(stride > 0 && stride <= window, s"stride must be in [1, window]: $stride")
+    // the packByTokens reserved-column stance: an idCol named like an
+    // intermediate (e.g. "__n") would be silently REPLACED by the token
+    // count — every chunk then carries the count as its document id
+    Seq("__t", "__n", "__c", "chunk_id", "start_token", "n_chunk_tokens", "chunk_text")
+      .foreach { c =>
+        require(idCol != c && textCol != c,
+          s"chunkByTokens writes column '$c' — rename the id/text column first")
+      }
     val toked = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .withColumn("__n", size(col("__t")).cast("long"))
       .filter(col("__n") >= 1)
@@ -181,7 +198,10 @@ object Sharding {
     val nTokens = tokenCountCol
       .map(tokenCountOrRaise(_, idCol, "packSequences"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
-    val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
+    // same duplicate-id tiebreak as packByTokens, so sequence and shard
+    // layouts stay mutually consistent AND deterministic under reruns
+    val w = expressions.Window.partitionBy("bucket")
+      .orderBy(col(idCol), col("n_tokens"), xxhash64(col(textCol)))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", nTokens)
       .filter(col("n_tokens") > 0)

@@ -29,6 +29,11 @@ object Sketches {
     */
   def distinctSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      k: Int = 64, seed: String = "kmv"): DataFrame = {
+    // k = 1 degenerates the saturated-branch estimator to (k-1)·2^60/kth
+    // = 0.0 for EVERY non-empty group — a plainly wrong estimate with no
+    // error (k >= 2 keeps the numerator meaningful; below saturation the
+    // sketch is exact at any k)
+    require(k >= 2, s"distinctSketch needs k >= 2 (k-minimum-values): $k")
     // a group column named like a written (or intermediate) column would
     // yield ambiguous/duplicate output columns — fail loudly (the
     // packByTokens reserved-column stance)
@@ -90,9 +95,15 @@ object Sketches {
     (Seq("qs", "n_sample") ++ pNames).foreach(c =>
       require(!groupCols.contains(c),
         s"quantileSketch writes column '$c' — rename the group column first"))
+    require(k >= 1, s"quantileSketch needs a positive sample size: $k")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val h = Hashing.md5Hash60Col(
-      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    // Sampling.hash60, not a hand-built concat: concat is null-intolerant,
+    // so a NULL id hashed NULL and graft_qsample silently DROPPED the row
+    // from the sample while it still counted in n_docs — biased quantiles
+    // with no error. hash60 raises per row on NULL ids (the
+    // split/sample/shard convention), and spells the same seed:id string
+    // for every non-null id, so existing oracles are unchanged.
+    val h = Sampling.hash60(col(idCol), seed)
     df.groupBy(groupCols.map(col): _*)
       .agg(call_function("graft_qsample",
         h, col(valueCol).cast("double"), lit(k)).as("qs"))

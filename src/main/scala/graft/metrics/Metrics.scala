@@ -24,8 +24,22 @@ object Metrics {
   def observe(df: DataFrame, name: String, eventTimeCol: Option[String] = None): DataFrame =
     eventTimeCol match {
       case Some(ts) =>
+        // accept BOTH event-time conventions the library itself uses:
+        // TIMESTAMP columns and epoch-millis LONGs (KRecord.eventTime,
+        // RateLimit's eventTimeMsCol — the convention GStream.delay also
+        // branches on). unix_millis on a LONG is an AnalysisException, so
+        // without the branch the observability helper rejected the
+        // facade's own timestamp convention at plan time.
+        val tsMillis = df.schema(ts).dataType match {
+          case org.apache.spark.sql.types.TimestampType => unix_millis(col(ts))
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+            col(ts).cast("long")
+          case other => throw new IllegalArgumentException(
+            s"observe: event-time column '$ts' must be TIMESTAMP or integral epoch millis, got $other")
+        }
         df.observe(name, count(lit(1)).as("processed_count"),
-          max(unix_millis(current_timestamp()) - unix_millis(col(ts))).as("max_lag_ms"))
+          max(unix_millis(current_timestamp()) - tsMillis).as("max_lag_ms"))
       case None =>
         df.observe(name, count(lit(1)).as("processed_count"))
     }
@@ -76,11 +90,23 @@ object Metrics {
         s"kspp_${m.what}{$labels} $v"
       }.mkString("", "\n", "\n")
 
+    /** Pushgateway URL-path job component ("job/<name>", or the gateway's
+      * `job@base64/<b64url>` convention for names outside the simple-token
+      * set) — a raw "a b" throws in URI.create per push, and a raw "a/b"
+      * is silently parsed as job "a" plus a dangling label segment.
+      */
+    private[graft] def jobPath(job: String): String =
+      if (job.nonEmpty && job.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
+        s"job/$job"
+      else "job@base64/" + java.util.Base64.getUrlEncoder.withoutPadding()
+        .encodeToString(job.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     def httpTransport(gatewayBaseUrl: String, job: String): String => Int = {
       val client = java.net.http.HttpClient.newHttpClient()
+      val seg = jobPath(job)
       payload => {
         val req = java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(s"${gatewayBaseUrl.stripSuffix("/")}/metrics/job/$job"))
+          .uri(java.net.URI.create(s"${gatewayBaseUrl.stripSuffix("/")}/metrics/$seg"))
           .header("Content-Type", "text/plain; version=0.0.4")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
           .build()

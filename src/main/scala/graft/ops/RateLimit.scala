@@ -23,6 +23,23 @@ import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
   */
 object RateLimit {
 
+  /** Overflow-safe token refill: the naive `elapsed * capacity / ageTimeMs`
+    * multiplies BEFORE dividing, so a large capacity against epoch-millis
+    * elapsed times (first event: elapsed ≈ 1.7e12 against tstamp 0; the
+    * product wraps past capacity ≈ 5.4e6) goes negative — the bucket then
+    * never refills and, after the initial `capacity` admissions, rejects
+    * every event forever. A full-or-more period clamps to `capacity`
+    * exactly (callers min-clamp anyway); a partial period whose product
+    * would overflow computes exactly through BigInt on that rare branch
+    * only. Shared by the batch replay and the streaming rateLimiter twin.
+    */
+  private[graft] def refillTokens(elapsed: Long, capacity: Long, ageTimeMs: Long): Long =
+    if (elapsed <= 0) 0L
+    else if (elapsed >= ageTimeMs) capacity
+    else if (capacity > Long.MaxValue / elapsed)
+      (BigInt(elapsed) * capacity / ageTimeMs).toLong
+    else elapsed * capacity / ageTimeMs
+
   /** Returns `df`'s columns plus a boolean `admitted`, replaying each key's
     * events in `(eventTimeMs, tieBreak)` order through a token bucket.
     *
@@ -60,7 +77,7 @@ object RateLimit {
           if (k != curKey) { curKey = k; tokens = capacity; tstamp = 0L }
           val ts = row.getLong(tsIdx)
           // age (mem_token_bucket_store.h __age)
-          val delta = ((ts - tstamp) * capacity) / ageTimeMs
+          val delta = RateLimit.refillTokens(ts - tstamp, capacity, ageTimeMs)
           if (delta > 0) {
             tstamp = ts
             tokens = math.min(capacity, tokens + delta)

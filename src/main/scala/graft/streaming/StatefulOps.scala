@@ -207,7 +207,8 @@ object StatefulOps {
           var b = state.getOption.getOrElse(Bucket(capacity, 0L))
           val out = Vector.newBuilder[KRecord[K, V]]
           it.toSeq.sortBy(_.eventTime).foreach { rec =>
-            val delta = ((rec.eventTime - b.tstamp) * capacity) / ageTimeMs
+            val delta = graft.ops.RateLimit.refillTokens(
+              rec.eventTime - b.tstamp, capacity, ageTimeMs)
             if (delta > 0) b = Bucket(math.min(capacity, b.tokens + delta), rec.eventTime)
             if (b.tokens > 0) { b = b.copy(tokens = b.tokens - 1); out += rec }
           }

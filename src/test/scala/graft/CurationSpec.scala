@@ -158,6 +158,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packing is deterministic under duplicate ids; chunkByTokens guards reserved names") {
+    import spark.implicits._
+    // two rows share id 1 with DIFFERENT token counts: an id-only window
+    // sort gives them arbitrary relative order per run, moving the shard
+    // boundary between runs — the (n_tokens, text-hash) tiebreak pins it
+    val dup = Seq(
+      (1L, Array.fill(100)("w").mkString(" ")),
+      (1L, Array.fill(400)("w").mkString(" ")),
+      (2L, Array.fill(300)("w").mkString(" "))).toDF("doc_id", "text")
+    def run() = Sharding.packByTokens(dup, "doc_id", "text",
+        tokensPerShard = 450L, nBuckets = 1, seed = "s")
+      .select("n_tokens", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val first = run()
+    (1 to 3).foreach(_ => assert(run() == first, "rerun moved a doc"))
+    // deterministic law: within the bucket the order is id, then count —
+    // (1,100) offset 0 → shard 0; (1,400) offset 100 → shard 0;
+    // (2,300) offset 500 → shard 1 (rows here sorted by n_tokens)
+    assert(first == Seq((100L, 0L), (300L, 1L), (400L, 0L)), first.toString)
+    val seq1 = Sharding.packSequences(dup, "doc_id", "text", seqLen = 450L,
+      nBuckets = 1, seed = "s").select("n_tokens", "seq", "tok_start", "tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    (1 to 2).foreach(_ => assert(Sharding.packSequences(dup, "doc_id", "text", 450L, 1, "s")
+      .select("n_tokens", "seq", "tok_start", "tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == seq1))
+    // chunkByTokens: an idCol named like an intermediate was silently
+    // REPLACED by the token count (every chunk then carried the count as
+    // its id) — reserved names fail loudly now
+    for (bad <- Seq("__n", "__t", "chunk_id", "chunk_text")) {
+      val e = intercept[IllegalArgumentException](
+        Sharding.chunkByTokens(dup.withColumnRenamed("doc_id", bad), bad, "text", 10, 5))
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
+
   test("packByTokens accepts a precomputed token-count column (BPE budgets)") {
     // pretend a tokenizer pass materialized real model-token counts: 3x the
     // whitespace count — shard budgets must follow the provided column
@@ -551,6 +586,30 @@ class CurationSpec extends SparkSpec {
     assert(Caching.registered(spark) == 1)
     assert(globalDs.storageLevel.useMemory || globalDs.storageLevel.useDisk)
     assert(Caching.release(spark) == 1)
+  }
+
+  test("Caching runs EVERY cleanup when one throws (release and scope)") {
+    // cleanups include IO (checkpoint-file deletes): an abort on the first
+    // failure would orphan the rest — pinned blocks for the session
+    // lifetime, the exact leak this class exists to prevent
+    Caching.release(spark)
+    var ran = Set.empty[Int]
+    Caching.onRelease(spark)(() => { ran += 1; throw new RuntimeException("io-1") })
+    Caching.onRelease(spark)(() => ran += 2)
+    Caching.onRelease(spark)(() => { ran += 3; throw new RuntimeException("io-3") })
+    val e = intercept[RuntimeException](Caching.release(spark))
+    assert(ran == Set(1, 2, 3), s"all cleanups must run: $ran")
+    // both failures surface: the first thrown, the other suppressed
+    val msgs = (e.getMessage +: e.getSuppressed.map(_.getMessage).toSeq).toSet
+    assert(msgs == Set("io-1", "io-3"), msgs.toString)
+    assert(Caching.registered(spark) == 0)
+    // same aggregation on scope exit
+    var scopedRan = Set.empty[Int]
+    val e2 = intercept[RuntimeException](Caching.scope {
+      Caching.onRelease(spark)(() => { scopedRan += 1; throw new RuntimeException("s-1") })
+      Caching.onRelease(spark)(() => scopedRan += 2)
+    })
+    assert(scopedRan == Set(1, 2) && e2.getMessage == "s-1")
   }
 
   test("shuffleOrder is a deterministic permutation, dense per bucket, partition-invariant") {

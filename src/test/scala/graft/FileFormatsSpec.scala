@@ -181,6 +181,33 @@ class FileFormatsSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("observe lag accepts both event-time conventions; pushgateway encodes the job path") {
+    import graft.metrics.Metrics
+    import spark.implicits._
+    // epoch-millis LONG is the library's own KRecord convention — observe
+    // must branch on type like GStream.delay, not throw at plan time
+    val longTs = Seq((1, 1700000000000L)).toDF("n", "eventTime")
+    val obs1 = Metrics.observe(longTs, "lag_long", Some("eventTime"))
+    assert(obs1.count() == 1)
+    val tsTs = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("n", "eventTime")
+    assert(Metrics.observe(tsTs, "lag_ts", Some("eventTime")).count() == 1)
+    val e = intercept[IllegalArgumentException](
+      Metrics.observe(longTs.withColumn("eventTime", col("eventTime").cast("string")),
+        "lag_bad", Some("eventTime")))
+    assert(e.getMessage.contains("TIMESTAMP or integral"), e.getMessage)
+    // job names outside the simple-token set use the gateway's @base64
+    // path convention: a raw "a b" threw in URI.create per push and a raw
+    // "a/b" silently posted as job "a" with a dangling label segment
+    import graft.metrics.Metrics.Pushgateway
+    assert(Pushgateway.jobPath("curation_run-1") == "job/curation_run-1")
+    val b64 = Pushgateway.jobPath("curation run/2")
+    assert(b64.startsWith("job@base64/"), b64)
+    assert(new String(java.util.Base64.getUrlDecoder.decode(
+      b64.stripPrefix("job@base64/")), "UTF-8") == "curation run/2")
+    assert(Pushgateway.jobPath("") .startsWith("job@base64/"))
+  }
+
   test("influx escaping: a newline in a tag or string field cannot split the chunk") {
     import graft.sinks.InfluxSink
     import spark.implicits._

@@ -91,6 +91,34 @@ class OperatorSemanticsSpec extends SparkSpec {
       s"binary keys must compare by value, not reference: $out")
   }
 
+  test("token bucket refill survives large capacity x epoch-millis elapsed (overflow)") {
+    import spark.implicits._
+    // naive (ts - tstamp) * capacity overflows Long on the FIRST event
+    // (tstamp 0, ts ~1.7e12, capacity 1e7 → product ~1.7e19 wraps
+    // negative): the bucket then never refills and after `capacity`
+    // admissions rejects everything forever
+    val t0 = 1700000000000L
+    val cap = 10000000L
+    val df = Seq((1, t0, 1L), (1, t0 + 1, 2L), (1, t0 + 86400001L, 3L))
+      .toDF("key", "ts_ms", "id")
+    val out = RateLimit.replay(df, Seq("key"), "ts_ms", Seq("id"),
+        capacity = cap, ageTimeMs = 86400000L)
+      .orderBy("id").select("admitted").as[Boolean].collect().toSeq
+    assert(out == Seq(true, true, true), s"refill must not overflow: $out")
+    // the shared kernel: exact partial refill, exact overflow branch,
+    // full-period clamp, and zero/negative elapsed
+    assert(RateLimit.refillTokens(50L, 10L, 100L) == 5L)
+    assert(RateLimit.refillTokens(100L, 10L, 100L) == 10L)
+    assert(RateLimit.refillTokens(200L, 10L, 100L) == 10L, "over-full clamps")
+    assert(RateLimit.refillTokens(0L, 10L, 100L) == 0L)
+    assert(RateLimit.refillTokens(-5L, 10L, 100L) == 0L)
+    // overflow branch computes EXACTLY (not a clamp): elapsed half the
+    // period at huge capacity refills half the capacity
+    val bigCap = Long.MaxValue / 2
+    assert(RateLimit.refillTokens(50L, bigCap, 100L) == bigCap / 2,
+      "partial refill through the BigInt branch must stay exact")
+  }
+
   test("kstream joins drop/keep unmatched stream rows (join.h:28-209)") {
     import spark.implicits._
     val stream = Seq((1, "e1"), (2, "e2"), (3, "e3")).toDF("k", "payload")

@@ -219,6 +219,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est")
   }
 
+  test("sketch knob and id guards: k bounds fail loudly, NULL ids raise instead of biasing") {
+    import spark.implicits._
+    val df = Seq(("g", 1, 1L), ("g", 2, 2L)).toDF("g", "v", "id")
+    // k = 1 degenerates the saturated estimator to (k-1)·2^60/kth = 0.0
+    // for every non-empty group — plainly wrong with no error
+    val e = intercept[IllegalArgumentException](
+      Sketches.distinctSketch(df, Seq("g"), "v", k = 1))
+    assert(e.getMessage.contains("k >= 2"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Sketches.quantileSketch(df, Seq("g"), "v", "id", k = 0))
+    // a NULL id silently VANISHED from the quantile sample (concat is
+    // null-intolerant; the row still counted in n_docs) — biased
+    // quantiles; the shared hash60 raises per row instead
+    val withNull = Seq(("g", 1.0, Some(1L)), ("g", 2.0, None))
+      .toDF("g", "v", "id")
+    val err = intercept[Exception](
+      Sketches.quantileSketch(withNull, Seq("g"), "v", "id").collect())
+    assert(err.getMessage.contains("NULL id"), err.getMessage)
+  }
+
   test("kmv sketch is invariant to partitioning (partial merge is sound)") {
     import spark.implicits._
     val df = (0 until 3000).map(i => ("g" + (i % 3), i % 997)).toDF("g", "v")
