@@ -143,9 +143,23 @@ object AvroFiles {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val file = {
       val st = fs.getFileStatus(hPath)
-      if (st.isDirectory)
-        fs.listStatus(hPath).map(_.getPath).filter(_.getName.endsWith(".avro")).minBy(_.getName)
-      else hPath
+      if (st.isDirectory) {
+        // one level of partition subdirectories is searched too — the
+        // windowed sink's own window_start=<ms>/part-*.avro layout must be
+        // readable by the library's own read path (previously: a bare
+        // "empty.minBy" UnsupportedOperationException)
+        val direct = fs.listStatus(hPath).filter(!_.isDirectory).map(_.getPath)
+          .filter(_.getName.endsWith(".avro"))
+        val nested =
+          if (direct.nonEmpty) direct
+          else fs.listStatus(hPath).filter(_.isDirectory)
+            .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath)
+            .filter(_.getName.endsWith(".avro"))
+        require(nested.nonEmpty,
+          s"no .avro container files under $path (searched the directory " +
+            "and one level of partition subdirectories)")
+        nested.minBy(_.toString)
+      } else hPath
     }
     val in = fs.open(file)
     try {
@@ -231,6 +245,12 @@ object AvroFiles {
     parts.rdd.mapPartitions { it =>
       val s = new Schema.Parser().parse(schemaJson)
       it.map { row =>
+        // a NULL event time has no window: fail with the column named
+        // BEFORE the unboxing NPE (which would surface as an anonymous
+        // executor NullPointerException after the full shuffle ran)
+        if (row.isNullAt(nFields)) throw new IllegalArgumentException(
+          s"writeWindowed: NULL event time in column '$eventTimeCol' — " +
+            "rows need a window; filter NULL timestamps or assign a default")
         (new org.apache.hadoop.io.LongWritable(row.getLong(nFields)),
           new AvroKey[GenericRecord](rowToRecord(Row.fromSeq(row.toSeq.take(nFields)), st, s)))
       }

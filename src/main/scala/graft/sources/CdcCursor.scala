@@ -131,23 +131,21 @@ object CdcCursor {
     def load(): State = {
       // crash between delete and rename: promote the complete temp file to
       // the main path first, so the recovered cursor is durable before the
-      // next commit truncates the temp file again
-      if (!fs.exists(hPath) && fs.exists(tmpPath)) fs.rename(tmpPath, hPath)
-      readIfExists(hPath) match {
-        case Some(txt) => txt.split("\n", -1).toList match {
-          case ts :: id :: rest =>
-            State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty),
-              atEof = rest.headOption.contains("1"))
-          case _ => State(None, None, atEof = false)
-        }
-        case None => State(None, None, atEof = false)
-      }
+      // next commit truncates the temp file again. A FAILED promotion must
+      // throw, not fall through: readIfExists(hPath) would answer None and
+      // the job would silently rewind to the beginning — and the next
+      // commit then truncates tmpPath, destroying the only newer cursor
+      // (the S3ObjectClient.get transient-error stance).
+      if (!fs.exists(hPath) && fs.exists(tmpPath) && !fs.rename(tmpPath, hPath))
+        sys.error(s"offset recovery rename failed: $path — refusing to " +
+          "silently restart from the beginning; fix filesystem permissions " +
+          "or promote the .tmp file manually")
+      readIfExists(hPath).map(decodeState).getOrElse(State(None, None, atEof = false))
     }
 
     def commit(s: State): Unit = {
       val out = fs.create(tmpPath, true)
-      try out.write((s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("") +
-        "\n" + (if (s.atEof) "1" else "0")).getBytes("UTF-8"))
+      try out.write(encodeState(s))
       finally out.close()
       fs.delete(hPath, false)
       if (!fs.rename(tmpPath, hPath)) sys.error(s"offset commit rename failed: $path")
@@ -165,23 +163,28 @@ object CdcCursor {
   final class S3CursorStore(client: graft.connect.OffsetStorage.S3ObjectClient)
       extends CursorStore {
     def load(): State =
-      client.get(None) match {
-        case Some(bytes) =>
-          new String(bytes, "UTF-8").split("\n", -1).toList match {
-            case ts :: id :: rest =>
-              State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty),
-                atEof = rest.headOption.contains("1"))
-            case _ => State(None, None, atEof = false)
-          }
-        case None => State(None, None, atEof = false)
-      }
+      client.get(None).map(b => decodeState(new String(b, "UTF-8")))
+        .getOrElse(State(None, None, atEof = false))
 
-    def commit(s: State): Unit = {
-      val payload = (s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("") +
-        "\n" + (if (s.atEof) "1" else "0")).getBytes("UTF-8")
-      if (!client.put(payload)) sys.error("cursor commit PUT to s3 failed")
-    }
+    def commit(s: State): Unit =
+      if (!client.put(encodeState(s))) sys.error("cursor commit PUT to s3 failed")
   }
+
+  /** ONE copy of the 3-line cursor wire format (ts \n id \n eof-flag) for
+    * every [[CursorStore]] backend — a format change applied to one store
+    * must not silently strand cursors written by the other.
+    */
+  private[sources] def encodeState(s: State): Array[Byte] =
+    (s.lastTs.getOrElse("") + "\n" + s.lastId.getOrElse("") +
+      "\n" + (if (s.atEof) "1" else "0")).getBytes("UTF-8")
+
+  private[sources] def decodeState(txt: String): State =
+    txt.split("\n", -1).toList match {
+      case ts :: id :: rest =>
+        State(Some(ts).filter(_.nonEmpty), Some(id).filter(_.nonEmpty),
+          atEof = rest.headOption.contains("1"))
+      case _ => State(None, None, atEof = false)
+    }
 
   /** Drain everything currently available: poll until eof, handing each page
     * to `sink` and committing the cursor after the page's effects are
@@ -249,8 +252,20 @@ object CdcCursor {
         require(i >= 0, s"cursor column $c not in result set ${page.schema.fieldNames.mkString(",")}")
         i
       }
-      val newTs = spec.tsColumn.map(c => last.get(idx(c)).toString).orElse(state.lastTs)
-      val newId = spec.idColumn.map(c => last.get(idx(c)).toString).orElse(state.lastId)
+      // a NULL at the page tail would NPE here (and NULLs sort to a page
+      // edge in every dialect, so one NULL row becomes a permanent poison
+      // record: every run re-reads the same page and crashes) — name the
+      // column and the remediation instead
+      def cursorVal(c: String): String = {
+        val v = last.get(idx(c))
+        if (v == null) throw new IllegalStateException(
+          s"cdc cursor: NULL in cursor column '$c' — (ts, id) cursor " +
+            "columns must be non-null; exclude NULL rows in the query or " +
+            "backfill the column")
+        v.toString
+      }
+      val newTs = spec.tsColumn.map(cursorVal).orElse(state.lastTs)
+      val newId = spec.idColumn.map(cursorVal).orElse(state.lastId)
       (df, State(newTs, newId, atEof = rows.length < spec.maxItemsPerFetch))
     }
   }

@@ -168,8 +168,23 @@ object CdcV2 {
       try {
         val rs = conn.createStatement().executeQuery(sql)
         availableNowTarget = Some(
-          if (rs.next()) CdcOffset(rs.getString(1), rs.getString(2)) else CdcOffset("", ""))
+          if (rs.next()) offsetOf(rs) else CdcOffset("", ""))
       } finally conn.close()
+    }
+
+    /** Read a (ts, id) offset off the current probe row, refusing NULLs by
+      * name: a NULL cursor value would otherwise NPE on isStart (or, after
+      * a checkpoint round-trip, compare the WHERE clause against the
+      * literal string "null" — silently wrong rows skipped or re-read).
+      */
+    private def offsetOf(rs: java.sql.ResultSet): CdcOffset = {
+      val ts = rs.getString(1)
+      val id = rs.getString(2)
+      if (ts == null || id == null) throw new IllegalStateException(
+        s"cdc: NULL in cursor column ('${conf.tsCol}' = $ts, '${conf.idCol}' = $id) — " +
+          "(ts, id) cursor columns must be non-null; exclude NULL rows in " +
+          "the query or backfill the column")
+      CdcOffset(ts, id)
     }
 
     override def initialOffset(): Offset = CdcOffset("", "")
@@ -195,13 +210,16 @@ object CdcV2 {
           c.getReadLimits.flatMap(rowCap(_)).reduceOption(_ min _)
         case _ => None // ReadAllAvailable / unknown: no row cap
       }
-      val paced = pagedEnd(s, rowCap(limit))
       availableNowTarget match {
-        // an all-empty target means the table had no rows at prepare time —
-        // clamping to it would move the offset backwards
-        case Some(target) if !target.isStart =>
+        // the table had no rows at prepare time: the AvailableNow contract
+        // is "process only data available at query start", so the answer
+        // is NO PROGRESS (return start) — returning the paced offset would
+        // chase fresh inserts forever and the run-once query never stops
+        case Some(target) if target.isStart => s
+        case Some(target) =>
+          val paced = pagedEnd(s, rowCap(limit))
           if (notPast(paced, target)) paced else target
-        case _ => paced
+        case None => pagedEnd(s, rowCap(limit))
       }
     }
 
@@ -215,11 +233,17 @@ object CdcV2 {
       // tip: ONE max-(ts,id) row via the DESC index probe — an un-LIMITed
       // ascending scan would stream the whole backlog row-by-row through
       // the driver just to keep the final pair
+      // both shapes return ONE row: the capped page is wrapped and re-sorted
+      // DESC so the database keeps the page and hands back only its tail —
+      // the previous ascending stream pulled every (ts, id) pair of the
+      // page through the driver per trigger just to keep the last one
       val sql = cap match {
         case Some(c) =>
-          s"SELECT ${conf.tsCol}, ${conf.idCol} FROM (${conf.query}) graft_src$where" +
+          val page = s"SELECT ${conf.tsCol}, ${conf.idCol} FROM (${conf.query}) graft_src$where" +
             s" ORDER BY ${conf.tsCol} ASC, ${conf.idCol} ASC" +
             conf.limit(c.min(Int.MaxValue.toLong).toInt)
+          s"SELECT ${conf.tsCol}, ${conf.idCol} FROM ($page) graft_page" +
+            s" ORDER BY ${conf.tsCol} DESC, ${conf.idCol} DESC${conf.limit(1)}"
         case None =>
           s"SELECT ${conf.tsCol}, ${conf.idCol} FROM (${conf.query}) graft_src$where" +
             s" ORDER BY ${conf.tsCol} DESC, ${conf.idCol} DESC${conf.limit(1)}"
@@ -227,9 +251,7 @@ object CdcV2 {
       val conn = conf.connect()
       try {
         val rs = conn.createStatement().executeQuery(sql)
-        var last: CdcOffset = s
-        while (rs.next()) last = CdcOffset(rs.getString(1), rs.getString(2))
-        last
+        if (rs.next()) offsetOf(rs) else s
       } finally conn.close()
     }
 

@@ -39,13 +39,18 @@ object Throttle {
     * thoughput_limiter.h's bucket, at batch granularity.
     */
   def paceBatches(writer: DataFrame => Unit, messagesPerSec: Long): (DataFrame, Long) => Unit = {
+    // the sourceOptions stance: silently coercing 0 (or a negative value
+    // intended as "unlimited") to 1 msg/s would park the driver for
+    // n seconds per n-row batch with no error
+    require(messagesPerSec > 0,
+      s"paceBatches: messagesPerSec must be positive, got $messagesPerSec")
     (batch: DataFrame, _: Long) =>
       val t0 = System.nanoTime()
       val n = batch.persist().count()
       // unpersist in finally: a throwing writer retried by foreachBatch
       // would otherwise stack one leaked cached copy per attempt
       try writer(batch) finally batch.unpersist()
-      val budgetMs = (n * 1000) / math.max(1, messagesPerSec)
+      val budgetMs = (n * 1000) / messagesPerSec
       val spentMs = (System.nanoTime() - t0) / 1000000
       if (spentMs < budgetMs) Thread.sleep(budgetMs - spentMs)
   }

@@ -55,6 +55,57 @@ class CdcStreamSpec extends SparkSpec {
     assert(resumed == (rows ++ Seq(("500", "8"), ("600", "9"))).sorted)
     conn.close()
   }
+
+  test("AvailableNow on an empty-at-prepare table reports no progress for post-start inserts") {
+    import graft.sources.CdcV2
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE src_empty (ts VARCHAR(10) NOT NULL, id VARCHAR(10) NOT NULL)")
+    // drive the MicroBatchStream contract directly (the query-level test
+    // races the async prepare against the insert): prepare on the EMPTY
+    // table, insert afterwards, and ask for the next offset — the
+    // AvailableNow contract is "process only data available at query
+    // start", so the answer must be NO PROGRESS, not the paced offset
+    // (which would chase fresh inserts and keep the run-once query alive)
+    val conf = CdcV2.Conf(Map("url" -> url, "query" -> "SELECT * FROM src_empty",
+      "tsColumn" -> "ts", "idColumn" -> "id", "maxItemsPerFetch" -> "3"))
+    val stream = new CdcV2.CdcMicroBatchStream(
+      new org.apache.spark.sql.types.StructType(), conf)
+    stream.prepareForTriggerAvailableNow()
+    st.execute("INSERT INTO src_empty VALUES ('100', '1')")
+    val start = stream.initialOffset()
+    val next = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(3L))
+    assert(next == start, s"empty-at-prepare must clamp to no progress, got $next")
+    // while a NON-empty prepare still clamps to the prepared tip
+    stream.prepareForTriggerAvailableNow()
+    st.execute("INSERT INTO src_empty VALUES ('200', '2')")
+    val next2 = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(3L))
+    assert(next2 == CdcV2.CdcOffset("100", "1"),
+      s"non-empty prepare must clamp to the prepared tip, got $next2")
+    conn.close()
+  }
+
+  test("a NULL cursor value fails loudly by column name instead of poisoning the cursor") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE src_null (ts VARCHAR(10), id VARCHAR(10), payload VARCHAR(20))")
+    st.execute("INSERT INTO src_null VALUES ('100', '1', 'ok')")
+    st.execute("INSERT INTO src_null VALUES (NULL, '2', 'poison')")
+    // poll path (CdcCursor): NULLs sort last in Derby ASC, so the poison
+    // row is the page tail — a bare NPE here would re-crash every run
+    val props = new java.util.Properties()
+    val spec = graft.sources.CdcCursor.Spec("SELECT * FROM src_null",
+      Some("ts"), Some("id"), maxItemsPerFetch = 10,
+      limitClause = n => s" FETCH FIRST $n ROWS ONLY")
+    val e = intercept[IllegalStateException] {
+      graft.sources.CdcCursor.poll(spark, url, props, spec,
+        graft.sources.CdcCursor.State(None, None, atEof = false))
+    }
+    assert(e.getMessage.contains("NULL in cursor column 'ts'"), e.getMessage)
+    conn.close()
+  }
 }
 
 /** Offset-comparison semantics used by AvailableNow clamping: numeric when

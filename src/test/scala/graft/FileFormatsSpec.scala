@@ -83,6 +83,40 @@ class FileFormatsSpec extends SparkSpec {
     assert(total == 200)
   }
 
+  test("readSchema opens the windowed sink's own layout; NULL event times fail by name") {
+    val events = Tables.load(spark, sf(), "events").limit(20)
+    val root = tmpDir("avro_win_schema") + "/out"
+    AvroFiles.writeWindowed(events, "ts", 86400000L, root)
+    // the .avro files live one level down (window_start=<ms>/part-*.avro):
+    // the library's read path must consume what its own sink writes
+    // (previously: a bare "empty.minBy" UnsupportedOperationException)
+    val schema = AvroFiles.readSchema(spark, root)
+    assert(schema.getFields.size() == events.schema.size)
+    // an empty directory still errors intelligibly
+    val empty = tmpDir("avro_empty")
+    val e = intercept[IllegalArgumentException](AvroFiles.readSchema(spark, empty))
+    assert(e.getMessage.contains("no .avro container files"), e.getMessage)
+    // one NULL event time must name the column, not NPE anonymously on an
+    // executor after the full shuffle ran
+    val withNull = events.withColumn("ts",
+      when(col("event_id") % 5 === 0, lit(null).cast("timestamp")).otherwise(col("ts")))
+    val err = intercept[org.apache.spark.SparkException](
+      AvroFiles.writeWindowed(withNull, "ts", 86400000L, tmpDir("avro_null") + "/out"))
+    val root2 = Option(err.getCause).map(_.toString).getOrElse("") + err.getMessage
+    assert(root2.contains("NULL event time") || err.toString.contains("NULL event time"),
+      s"expected the named error, got: $err")
+  }
+
+  test("paceBatches rejects a non-positive rate instead of sleeping ~forever") {
+    // messagesPerSec = 0 used to coerce to 1 msg/s: a 10k-row batch would
+    // park the driver for ~10,000 s with no error
+    import graft.streaming.Throttle
+    val e = intercept[IllegalArgumentException](
+      Throttle.paceBatches(_ => (), messagesPerSec = 0L))
+    assert(e.getMessage.contains("positive"), e.getMessage)
+    intercept[IllegalArgumentException](Throttle.paceBatches(_ => (), -5L))
+  }
+
   test("windowed avro sink's job count is O(1) in the window count (salted hot windows)") {
     // the per-window job loop it replaced serialized n_windows + 1 jobs — a
     // ~9k sequential-job driver loop for a year of hour windows at 100 TB.
