@@ -462,9 +462,15 @@ object Queries {
     // by each doc_id%7 group; dedup keeps each boilerplate line only in
     // its first (min id) document and reassembles the rest
     "x34_line_dedup" -> ((s, dir) => {
+      // NULL text coalesces to '' in BOTH engines before the synth concat:
+      // Spark's null-intolerant concat would yield a NULL synth doc that
+      // dedupLines then treats as empty (one (id, "", 1) row) while the
+      // oracle's null-intolerant || DROPPED the doc entirely — a latent
+      // row-set mismatch on any corpus with one NULL-text document (the
+      // NULL≡empty lockstep convention)
       val synth = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("all docs share this boilerplate header line"), lit("\n"),
-          col("text"), lit("\n"),
+          coalesce(col("text"), lit("")), lit("\n"),
           lit("group footer "), (col("doc_id") % 7).cast("string")).as("text"))
       Dedup.dedupLines(synth, "doc_id", "text")
     }),
@@ -1231,7 +1237,7 @@ object Queries {
       // line strings — identical absent a 2^-60 collision), short/empty
       // lines bypass, documents reassemble in position order
       """WITH synth AS (SELECT doc_id,
-        |  'all docs share this boilerplate header line' || chr(10) || text || chr(10) || 'group footer ' || CAST(doc_id % 7 AS VARCHAR) AS t
+        |  'all docs share this boilerplate header line' || chr(10) || COALESCE(text, '') || chr(10) || 'group footer ' || CAST(doc_id % 7 AS VARCHAR) AS t
         |  FROM documents),
         |lines AS (SELECT doc_id, i.i - 1 AS pos, ln[i.i] AS line
         |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM synth),
@@ -1265,55 +1271,23 @@ object Queries {
     // brute force — the clustering stages cancel out mathematically but the
     // oracle still executes them end-to-end on the Spark side
     "x06_ann_ivf_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(),
 
     // the persisted-index full-probe query is mathematically brute force,
     // like x06 — but exercises the build→probe-join→re-rank path end-to-end
     "x31_ann_ivf_index" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(),
 
     "x38_ann_ivf_append" ->
       // full-probe over build + appends ≡ brute force over the whole
       // corpus — identical transcription to x31 (the appends and the
       // replay must be invisible to the result)
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(),
 
     "x07_ann_topk" ->
       // brute-force top-k is rank-deterministic (cos desc, nbr_id asc) and
       // the output carries no float columns, so it hash-matches
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(" WHERE vec_id < 20"),
 
     "x08_text_metrics" ->
       """SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1503,9 +1477,14 @@ object Queries {
       // composition of the proven x09 (langId), x26-shape (hash-min
       // quantile sample of n_tokens seeded 'qs:'||doc_id) and x23-shape
       // (KMV over 'kmv:'||text) transcriptions, joined per language
-      """WITH toks AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS lt,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      // NULL text coalesces to '' ONCE at the top (the Profile/byLanguage
+      // convention), so a NULL-text doc rides the x09-proven empty-text
+      // path everywhere below — the previous half-applied filters
+      // (n_tokens IS NOT NULL, text IS NOT NULL) dropped such docs from
+      // the quantile sample and KMV sketch while Spark counted them
+      """WITH toks AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |  list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\s+'), x -> x <> '') AS lt,
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |langs(lang, words) AS (VALUES
         |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
@@ -1521,13 +1500,13 @@ object Queries {
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
-        |  FROM d WHERE doc_id IS NOT NULL AND n_tokens IS NOT NULL),
+        |  FROM d),
         |q AS (SELECT lang_pred, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM qh GROUP BY 1),
         |kh AS (SELECT DISTINCT lang_pred,
         |  list_reduce(list_transform(generate_series(1, 15),
-        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || text), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
-        |  FROM d WHERE text IS NOT NULL),
+        |  FROM d),
         |ks AS (SELECT lang_pred, list_sort(list(hv))[1:64] AS ks FROM kh GROUP BY 1)
         |SELECT c.lang_pred, c.n_docs, COALESCE(CAST(len(qs) AS BIGINT), 0) AS n_sample,
         |  qs[CAST(floor(0.25 * (len(qs) - 1)) AS INTEGER) + 1] AS p25,
@@ -1860,28 +1839,12 @@ object Queries {
     // at overfetch >= corpus the ADC shortlist is total and the exact
     // re-rank IS brute force: the x07 transcription on the x47 query slice
     "x47_pq_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 20 AND vec_id < 40),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(" WHERE vec_id >= 20 AND vec_id < 40"),
 
     // full probe + full overfetch ≡ brute force: the x07 transcription on
     // the x49 query slice
     "x49_ivfpq_index" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 40 AND vec_id < 60),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(" WHERE vec_id >= 40 AND vec_id < 60"),
 
     // transcription of TextAnalysis.bigramQuality: per-(doc, bigram)
     // pre-counts, corpus bigram + context frequencies, integer floor-log2
@@ -1952,15 +1915,7 @@ object Queries {
     // the appends, compaction, and replay are result-invisible at full
     // probe + overfetch: identical transcription to x49
     "x50_ivfpq_append" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 40 AND vec_id < 60),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
-        |  FROM q JOIN c ON query_id <> nbr_id)
-        |SELECT query_id, rank, nbr_id FROM (
-        |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 10""".stripMargin,
+      bruteForceTopKOracle(" WHERE vec_id >= 40 AND vec_id < 60"),
 
     // transcription of Sharding.chunkByTokens (window 32, stride 16): kept
     // starts are 0, 16, 32, … while `s = 0 OR s + 16 < n`; chunk text is
@@ -2143,21 +2098,22 @@ object Queries {
     // the existing source column; the COALESCE mirrors bySlice's NULL-slice
     // fold (USING-joins on a raw NULL key would silently drop that slice)
     "x60_source_profile" ->
-      """WITH d AS (SELECT doc_id, text, COALESCE(CAST(source AS VARCHAR), '<null>') AS source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      // the x36 NULL≡empty stance: text coalesces ONCE at the top
+      """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text, COALESCE(CAST(source AS VARCHAR), '<null>') AS source,
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |counts AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
         |qh AS (SELECT source, CAST(n_tokens AS DOUBLE) AS v,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
-        |  FROM d WHERE doc_id IS NOT NULL AND n_tokens IS NOT NULL),
+        |  FROM d),
         |q AS (SELECT source, list_sort((list(v ORDER BY hv, v))[1:128]) AS qs FROM qh GROUP BY 1),
         |kh AS (SELECT DISTINCT source,
         |  list_reduce(list_transform(generate_series(1, 15),
-        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5('kmv:' || text), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS hv
-        |  FROM d WHERE text IS NOT NULL),
+        |  FROM d),
         |ks AS (SELECT source, list_sort(list(hv))[1:64] AS ks FROM kh GROUP BY 1)
         |SELECT c.source, c.n_docs, COALESCE(CAST(len(qs) AS BIGINT), 0) AS n_sample,
         |  qs[CAST(floor(0.25 * (len(qs) - 1)) AS INTEGER) + 1] AS p25,
@@ -2231,6 +2187,23 @@ object Queries {
     * streamed x33 (a stream cannot know the whole-corpus gram df, so its
     * decontamination is uncapped) — the ONLY difference is the hot CTE.
     */
+  /** ONE copy of the brute-force cosine top-k transcription shared by the
+    * seven full-probe ANN oracles (x06/x07/x31/x38/x47/x49/x50): rank-
+    * deterministic (cos DESC, nbr_id ASC), ids-only output (no float
+    * columns, so it hash-matches). `querySlice` narrows the query side
+    * ("" = every vector queries). Previously seven drift-prone copies.
+    */
+  private def bruteForceTopKOracle(querySlice: String = ""): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings$querySlice),
+      |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, nbr_id,
+      |         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+      |  FROM q JOIN c ON query_id <> nbr_id)
+      |SELECT query_id, rank, nbr_id FROM (
+      |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+
   private def curationOracle(capped: Boolean): String = {
     val leakSection =
       if (capped)

@@ -20,7 +20,7 @@ object Pipelines {
     * name.
     */
   def normalizeName(s: String): String = {
-    val base = s.toLowerCase.replace(' ', '_')
+    val base = s.toLowerCase(java.util.Locale.ROOT).replace(' ', '_')
       .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
     if (base.isEmpty) "_" else if (base.head.isDigit) "_" + base else base
   }
@@ -35,12 +35,16 @@ object Pipelines {
     val raw = spark.read.option("header", "true")
       .option("inferSchema", inferSchema.toString).csv(csvPath)
     // normalized headers can collide ("A B" and "a_b"): suffix _2, _3, …
-    val seen = collection.mutable.Map.empty[String, Int]
+    // The generated names register in `seen` too — headers "x_2,x,x" would
+    // otherwise assign the third column the suffix "x_2", colliding with
+    // column 1 and crashing Schema.createRecord on a duplicate field.
+    val seen = collection.mutable.Set.empty[String]
     val names = raw.columns.map { c =>
       val n = normalizeName(c)
-      val count = seen.getOrElse(n, 0) + 1
-      seen(n) = count
-      if (count == 1) n else s"${n}_$count"
+      val unique =
+        if (seen.add(n)) n
+        else Iterator.from(2).map(i => s"${n}_$i").find(seen.add).get
+      unique
     }
     AvroFiles.write(raw.toDF(names: _*), avroPath)
   }
@@ -54,10 +58,17 @@ object Pipelines {
                  path: String, windowMs: Long): DataStreamWriter[org.apache.spark.sql.Row] = {
     val in = KafkaSource.stream(spark, brokers, topic)
     in.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // one subdirectory per micro-batch: the avro writer refuses an
-      // existing directory, and a window routinely spans several batches —
-      // readers glob path/batch=*/window_start=*
-      AvroFiles.writeWindowed(batch, "timestamp", windowMs, s"$path/batch=$batchId")
+      // one subdirectory per micro-batch, USED for replay idempotence: the
+      // windowed writer deliberately appends into existing roots (periodic
+      // batch jobs), so a foreachBatch replay of batch N would silently
+      // append a second full copy of every row. Delete the batch's own
+      // directory first — a retry then rebuilds exactly one copy. Readers
+      // glob path/batch=*/window_start=*.
+      val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+      val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        sys.error(s"kafka2avro: could not clear replayed batch dir $dir")
+      AvroFiles.writeWindowed(batch, "timestamp", windowMs, dir.toString)
     }
   }
 

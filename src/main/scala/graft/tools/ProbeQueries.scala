@@ -42,6 +42,14 @@ object ProbeQueries {
         }
       } catch { case _: Throwable => () => () }
     try {
+      // the filtered oracle dump makes the output directory directly
+      // verifiable: python3 tools/check_oracle.py <sfDir> <outDir>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      names.foreach(n => graft.SparkEntry.oracleSql.get(n).foreach(node.put(n, _)))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "oracle_sql.json"), node.toString)
       names.foreach { n =>
         (1 to runs).foreach { run =>
           val t0 = System.nanoTime()
