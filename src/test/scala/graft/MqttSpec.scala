@@ -105,17 +105,19 @@ class MqttSpec extends SparkSpec {
       val t = new Thread(() => {
         val s = server.accept()
         val out = new DataOutputStream(s.getOutputStream)
-        Thread.sleep(400) // client times out at 100ms first
+        Thread.sleep(1200) // client times out at 150ms first (wide margin
+        // against suite-load scheduling delays: the idle read must finish
+        // long before this send)
         out.write(MqttCodec.publish("t", "late".getBytes(UTF_8), qos = 0)); out.flush()
-        Thread.sleep(600) // hold the socket open
+        Thread.sleep(1500) // hold the socket open
         s.close()
       })
       t.setDaemon(true); t.start()
       val s = new Socket("127.0.0.1", server.getLocalPort)
-      s.setSoTimeout(100)
+      s.setSoTimeout(150)
       val in = new DataInputStream(s.getInputStream)
       assert(MqttCodec.readPacketOrIdle(in).isEmpty, "idle wire must read as None")
-      s.setSoTimeout(1000)
+      s.setSoTimeout(5000)
       val p = MqttCodec.readPacketOrIdle(in)
       assert(p.exists(_.ptype == MqttCodec.PUBLISH),
         "the stream must stay in sync across an idle timeout")

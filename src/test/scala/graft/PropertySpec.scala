@@ -50,6 +50,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("refillTokens equals the exact BigInt model across random magnitudes incl. overflow") {
+    val rnd = new scala.util.Random(7)
+    def draw(maxPow: Int): Long = {
+      val v = math.abs(rnd.nextLong()) % (1L << rnd.nextInt(maxPow))
+      math.max(1L, v)
+    }
+    (1 to 2000).foreach { i =>
+      val elapsed = (if (rnd.nextInt(10) == 0) -draw(40) else draw(62))
+      val capacity = draw(62)
+      val age = draw(48)
+      val got = RateLimit.refillTokens(elapsed, capacity, age)
+      // exact model, clamped at capacity like every caller's min()
+      val want =
+        if (elapsed <= 0) 0L
+        else (BigInt(elapsed) * capacity / age).min(BigInt(capacity)).toLong
+      assert(got == want,
+        s"case $i: refillTokens($elapsed, $capacity, $age) = $got, model $want")
+    }
+  }
+
   test("latestByKey snapshot matches the sequential LWW model on random workloads") {
     import spark.implicits._
     for (seed <- 10L to 13L) {
