@@ -62,10 +62,12 @@ final class KStream[K, V](val ds: Dataset[KRecord[K, V]]) {
   /** rate_limiter (processors/rate_limiter.h): admits through the per-key
     * token bucket, rejected records dropped.
     */
-  def rateLimit(capacity: Long, ageTimeMs: Long)(
+  def rateLimit(capacity: Long, ageTimeMs: Long,
+                gcWatermarkDelay: Option[String] = None)(
       implicit ek: Encoder[K], eb: Encoder[StatefulOps.Bucket],
+      ew: Encoder[StatefulOps.WRec[K, V]],
       er: Encoder[KRecord[K, V]]): KStream[K, V] =
-    new KStream(StatefulOps.rateLimiter(ds, capacity, ageTimeMs))
+    new KStream(StatefulOps.rateLimiter(ds, capacity, ageTimeMs, gcWatermarkDelay))
 
   /** counter store aggregation (state_stores/mem_counter_store.h): values
     * add (out-of-order accepted, negatives subtract), tombstones delete

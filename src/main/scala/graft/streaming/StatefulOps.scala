@@ -31,6 +31,32 @@ object StatefulOps {
   /** Stored cell of the LWW table. */
   final case class Cell[V](value: Option[V], eventTime: Long)
 
+  /** Current event-time watermark, or None on a BATCH execution: the
+    * analyzer eliminates the watermark node for non-streaming plans
+    * (EliminateEventTimeWatermark), so batch GroupState has no watermark
+    * and getCurrentWatermarkMs throws — which would break the file
+    * header's "all of these also run on a batch Dataset" contract.
+    */
+  private def watermarkOpt(state: GroupState[_]): Option[Long] =
+    try Some(state.getCurrentWatermarkMs())
+    catch { case _: UnsupportedOperationException => None }
+
+  /** ONE copy of mem_store::_insert (mem_store.h:64-83): absent+tombstone
+    * stays absent (not accepted); stored strictly newer skips; tombstone
+    * erases (accepted); else upserts (accepted). Returns (new cell,
+    * accepted) — every LWW site (latestByKey, windowedLatestByKey, the
+    * join stores) applies THIS rule, so the semantics cannot drift between
+    * copies.
+    */
+  private def lwwInsert[V](cell: Option[Cell[V]], value: Option[V],
+                           eventTime: Long): (Option[Cell[V]], Boolean) =
+    cell match {
+      case Some(c) if c.eventTime > eventTime => (cell, false)
+      case _ =>
+        if (value.isDefined) (Some(Cell(value, eventTime)), true)
+        else (None, cell.isDefined)
+    }
+
   /** Streaming ktable (processors/ktable.h + mem_store LWW rules): the
     * changelog of the materialized latest-by-key table. Emits every
     * *accepted* state change — upserts as records, accepted deletes as
@@ -50,21 +76,12 @@ object StatefulOps {
           var cell = state.getOption
           val out = Vector.newBuilder[KRecord[K, V]]
           it.toSeq.sortBy(_.eventTime).foreach { rec =>
-            cell match {
-              case Some(c) if c.eventTime > rec.eventTime => // stale: skip (mem_store.h:75-77)
-              case _ =>
-                if (rec.value.isDefined) {
-                  cell = Some(Cell(rec.value, rec.eventTime))
-                  out += rec
-                } else if (cell.isDefined) {
-                  // accepted delete ERASES the entry — the reference keeps
-                  // no tombstone (mem_store.h:79-81 store_.erase), so a
-                  // later out-of-order upsert is accepted again
-                  cell = None
-                  out += rec // forward the tombstone downstream
-                }
-              // tombstone for an absent key: no store, no emit (mem_store.h:68-72)
-            }
+            // the shared mem_store insert rule: an accepted delete ERASES
+            // the entry (no tombstone kept, so a later out-of-order upsert
+            // is accepted again); accepted changes forward downstream
+            val (next, accepted) = lwwInsert(cell, rec.value, rec.eventTime)
+            cell = next
+            if (accepted) out += rec
           }
           cell match {
             case Some(c)                => state.update(c)
@@ -115,24 +132,26 @@ object StatefulOps {
             var cell = state.getOption
             val out = Vector.newBuilder[KRecord[K, V]]
             it.toSeq.sortBy(_.eventTime).foreach { rec =>
-              cell match {
-                case Some(c) if c.eventTime > rec.eventTime =>
-                case _ =>
-                  if (rec.value.isDefined) {
-                    cell = Some(Cell(rec.value, rec.eventTime))
-                    out += KRecord(rec.key, rec.value, rec.eventTime)
-                  } else if (cell.isDefined) {
-                    // accepted delete erases the slot entry — no tombstone
-                    // kept (mem_windowed_store.h:159-164 bucket erase)
-                    cell = None
-                    out += KRecord[K, V](rec.key, None, rec.eventTime)
-                  }
-              }
+              // the shared mem_store rule (an accepted delete erases the
+              // slot entry, mem_windowed_store.h:159-164 bucket erase)
+              val (next, accepted) = lwwInsert(cell, rec.value, rec.eventTime)
+              cell = next
+              if (accepted) out += KRecord(rec.key, rec.value, rec.eventTime)
             }
             cell match {
               case Some(c) =>
                 state.update(c)
-                state.setTimeoutTimestamp(c.eventTime + retentionMs)
+                // clamp past the EVICTION watermark (the punctuatedCount
+                // stance): Spark's two-watermark split filters late input
+                // with the PREVIOUS batch's watermark, so an accepted
+                // out-of-order row can put eventTime + retentionMs behind
+                // the eviction watermark — setTimeoutTimestamp then throws
+                // and kills the query (mutation-verified: the spec fails
+                // with Spark's own IllegalArgumentException without this).
+                // Batch runs have no watermark (and no timeouts): the
+                // deadline is then just the raw value.
+                state.setTimeoutTimestamp(math.max(c.eventTime + retentionMs,
+                  watermarkOpt(state).map(_ + 1L).getOrElse(Long.MinValue)))
               case None if state.exists => state.remove()
               case None =>
             }
@@ -194,27 +213,65 @@ object StatefulOps {
     * math). Rejected records are dropped, as in the reference (which counts
     * them in a metric; count the difference via `observe` upstream).
     */
-  def rateLimiter[K, V](ds: Dataset[KRecord[K, V]], capacity: Long, ageTimeMs: Long)(
-      implicit ek: Encoder[K], eb: Encoder[Bucket], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
+  def rateLimiter[K, V](ds: Dataset[KRecord[K, V]], capacity: Long, ageTimeMs: Long,
+                        gcWatermarkDelay: Option[String] = None)(
+      implicit ek: Encoder[K], eb: Encoder[Bucket], ew: Encoder[WRec[K, V]],
+      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
     // the batch twin (RateLimit.replay) guards these too: ageTimeMs=0 is a
     // per-record executor-side divide-by-zero, capacity=0 silently admits
     // nothing — both should fail at construction, not mid-stream
     require(capacity > 0 && ageTimeMs > 0,
       s"rateLimiter: capacity and ageTimeMs must be positive, got capacity=$capacity ageTimeMs=$ageTimeMs")
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Bucket]) =>
-          var b = state.getOption.getOrElse(Bucket(capacity, 0L))
-          val out = Vector.newBuilder[KRecord[K, V]]
-          it.toSeq.sortBy(_.eventTime).foreach { rec =>
-            val delta = graft.ops.RateLimit.refillTokens(
-              rec.eventTime - b.tstamp, capacity, ageTimeMs)
-            if (delta > 0) b = Bucket(math.min(capacity, b.tokens + delta), rec.eventTime)
-            if (b.tokens > 0) { b = b.copy(tokens = b.tokens - 1); out += rec }
-          }
-          state.update(b)
-          out.result().iterator
+    // deterministic intra-timestamp order (RateLimit.replay's tieBreakCols
+    // stance): event-time ties break on the rendered value, so a
+    // micro-batch RETRY admits the same records the first attempt emitted
+    // to a non-transactional sink. Records identical in (eventTime, value)
+    // are interchangeable.
+    // (A val lambda, NOT a nested def: a def lifts to a method on this
+    // non-serializable object and the stateful closure would drag
+    // StatefulOps$ into the task; the lambda captures only primitives.)
+    val admit: (Iterator[KRecord[K, V]], GroupState[Bucket]) => Iterator[KRecord[K, V]] = (it, state) => {
+      var b = state.getOption.getOrElse(Bucket(capacity, 0L))
+      val out = Vector.newBuilder[KRecord[K, V]]
+      it.toSeq.sortBy(r => (r.eventTime, String.valueOf(r.value))).foreach { rec =>
+        val delta = graft.ops.RateLimit.refillTokens(
+          rec.eventTime - b.tstamp, capacity, ageTimeMs)
+        if (delta > 0) b = Bucket(math.min(capacity, b.tokens + delta), rec.eventTime)
+        if (b.tokens > 0) { b = b.copy(tokens = b.tokens - 1); out += rec }
       }
+      state.update(b)
+      // with GC enabled, expire the bucket one full refill period past its
+      // last refill: the watermark then guarantees every still-acceptable
+      // event has eventTime > tstamp + ageTimeMs, whose refill fills the
+      // bucket COMPLETELY — and a full bucket is byte-for-byte fresh
+      // state, so the removal is exact, not approximate (clamped past the
+      // eviction watermark, the windowedLatestByKey stance)
+      if (gcWatermarkDelay.isDefined)
+        state.setTimeoutTimestamp(math.max(b.tstamp + ageTimeMs,
+          watermarkOpt(state).map(_ + 1L).getOrElse(Long.MinValue)))
+      out.result().iterator
+    }
+    gcWatermarkDelay match {
+      // default: NO watermark, every out-of-order event is processed —
+      // but per-key Bucket state then lives for the stream's lifetime
+      // (bounded key spaces only; per-session/request keys need the GC
+      // variant)
+      case None =>
+        ds.groupByKey(_.key)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Bucket]) =>
+              admit(it, state)
+          }
+      // GC variant: a watermark (dropping events later than the delay)
+      // buys exact idle-state expiry — churning key spaces stay bounded
+      case Some(d) =>
+        watermarked(ds, d).groupByKey(_.key)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (key: K, it: Iterator[WRec[K, V]], state: GroupState[Bucket]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else admit(it.map(r => KRecord(r.key, r.value, r.eventTime)), state)
+          }
+    }
   }
 
   /** Held row for the delay operator. */
@@ -227,11 +284,17 @@ object StatefulOps {
   def delay[K, V](ds: Dataset[KRecord[K, V]], delayMs: Long,
                   watermarkDelay: String = "0 seconds")(
       implicit ek: Encoder[K], eh: Encoder[Held[K, V]], ew: Encoder[WRec[K, V]],
-      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+      er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
+    // a negative delay silently releases records BEFORE their event time —
+    // the fail-loud stance every sibling op applies to its knobs
+    require(delayMs >= 0, s"delay: delayMs must be non-negative, got $delayMs")
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, V]], state: GroupState[Held[K, V]]) =>
-          val wm = state.getCurrentWatermarkMs()
+          // batch = the stream has ended: every delay has elapsed, so the
+          // effective watermark is +inf and all records release (the file
+          // header's batch contract — getCurrentWatermarkMs throws there)
+          val wm = watermarkOpt(state).getOrElse(Long.MaxValue)
           val incoming = state.getOption.map(_.rows).getOrElse(Nil) ++
             it.map(r => KRecord(r.key, r.value, r.eventTime))
           val (ready, held) = incoming.partition(_.eventTime + delayMs <= wm)
@@ -243,6 +306,7 @@ object StatefulOps {
           }
           ready.sortBy(_.eventTime).iterator
       }
+  }
 
   // ------------------------------------------------------ changelog joins
 
@@ -265,15 +329,11 @@ object StatefulOps {
   final case class JoinEmit[K, L, R](key: K, left: Option[L], right: Option[R],
                                      eventTime: Long, tombstone: Boolean)
 
-  /** mem_store::_insert (mem_store.h:64-83): absent+tombstone → stays absent;
-    * stored strictly newer → skip; tombstone → erase; else upsert.
+  /** mem_store::_insert for the join stores — the shared [[lwwInsert]]
+    * rule, cell-only view.
     */
   private def insertCell[V](cell: Option[Cell[V]], value: Option[V], ts: Long): Option[Cell[V]] =
-    cell match {
-      case None                       => if (value.isDefined) Some(Cell(value, ts)) else None
-      case Some(c) if c.eventTime > ts => cell
-      case Some(_)                    => if (value.isDefined) Some(Cell(value, ts)) else None
-    }
+    lwwInsert(cell, value, ts)._1
 
   /** Streaming ktable×ktable join (join.h:212-508), update-mode changelog:
     * every event from either side's changelog drives an emission (the
@@ -404,7 +464,9 @@ object StatefulOps {
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, Long]], state: GroupState[Counter]) =>
-          val wm = state.getCurrentWatermarkMs()
+          // batch runs have no watermark and no timeouts: wm only feeds the
+          // defensive clamp below, where MinValue leaves deadlines raw
+          val wm = watermarkOpt(state).getOrElse(Long.MinValue)
           if (state.hasTimedOut) {
             val c = state.get
             if (c.dirty) {

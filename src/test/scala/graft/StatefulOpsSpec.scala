@@ -254,4 +254,95 @@ class StoreSemanticsSpec extends SparkSpec {
       assert(rows3.contains(KRecord.of(2, "resurrected", t0 + 500)))
     } finally q.stop()
   }
+
+  test("windowed store survives an accepted out-of-order row whose deadline trails the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KRecord[Int, String]]
+    // Spark's two-watermark split: input rows are late-filtered with the
+    // PREVIOUS batch's watermark while GroupState carries the eviction
+    // watermark. With a generous lateness allowance, an accepted
+    // out-of-order row can have eventTime + retentionMs BEHIND the
+    // eviction watermark — an unclamped setTimeoutTimestamp then throws
+    // IllegalArgumentException and KILLS the query.
+    // without this, Spark inserts a no-data batch after batch 1 that
+    // advances the LATE-EVENTS watermark too, and the staged out-of-order
+    // row is dropped before it can exercise the clamp
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = StatefulOps.windowedLatestByKey(input.toDS(), retentionMs = 100L,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("win_clamp_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(KRecord.of(1, "new", 1000000L)) // eviction wm -> ~400000
+      q.processAllAvailable()
+      // t=100: passes the (lagging) late-events filter, but
+      // 100 + 100 << the eviction watermark — must clamp, not crash
+      input.addData(KRecord.of(2, "old", 100L))
+      q.processAllAvailable()
+      assert(q.isActive, "the out-of-order deadline must clamp, not kill the query")
+      val rows = spark.table("win_clamp_out").as[KRecord[Int, String]].collect().toSeq
+      assert(rows.contains(KRecord.of(2, "old", 100L)),
+        s"the accepted out-of-order row must be emitted: $rows")
+    } finally {
+      q.stop()
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
+  test("stateful ops honor the batch contract: delay / punctuatedCount / windowed on a plain Dataset") {
+    import spark.implicits._
+    // the analyzer eliminates the watermark node for non-streaming plans,
+    // so an unguarded getCurrentWatermarkMs throws on the first group —
+    // the header's "all of these also run on a batch Dataset" promise
+    val batch = Seq(
+      KRecord.of(1, "a", 1000L), KRecord.of(1, "b", 2000L),
+      KRecord.of(2, "c", 1500L)).toDS()
+    // batch = the stream has ended: every delay has elapsed
+    val released = StatefulOps.delay(batch, delayMs = 5000L).collect().toSeq
+    assert(released.sortBy(r => (r.key, r.eventTime)) ==
+      Seq(KRecord.of(1, "a", 1000L), KRecord.of(1, "b", 2000L), KRecord.of(2, "c", 1500L)))
+    intercept[IllegalArgumentException](StatefulOps.delay(batch, delayMs = -1L))
+    val counts = Seq(KRecord.of(1, 1L, 1000L), KRecord.of(1, 1L, 2000L)).toDS()
+    // must run (not throw); emission cadence in batch follows the
+    // in-group boundary rule only
+    StatefulOps.punctuatedCount(counts, punctuateIntervalMs = 500L).collect()
+    StatefulOps.windowedLatestByKey(batch, retentionMs = 1000L).collect()
+  }
+
+  test("rate limiter GC variant expires idle buckets exactly; default keeps them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KRecord[Int, String]]
+    val q = StatefulOps.rateLimiter(input.toDS(), capacity = 1L,
+        ageTimeMs = 1000L, gcWatermarkDelay = Some("0 seconds"))
+      .writeStream.format("memory").queryName("rl_gc_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(KRecord.of(1, "a1", 1000L), KRecord.of(1, "a2", 1001L))
+      q.processAllAvailable()
+      // capacity 1: a1 admitted, a2 denied
+      assert(spark.table("rl_gc_out").as[KRecord[Int, String]].collect()
+        .map(_.value.get).toSet == Set("a1"))
+      // advance the watermark far past tstamp + ageTimeMs: the bucket
+      // times out and is REMOVED (exact: any acceptable later event gets
+      // a full refill, which equals fresh state)
+      input.addData(KRecord.of(2, "b1", 100000L))
+      q.processAllAvailable()
+      input.addData(KRecord.of(2, "b2", 200000L)) // trigger the timeout sweep
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // key 1's bucket expired; keys 2 (and nothing else) remain
+      assert(stateRows <= 1, s"idle bucket must be GC'd, state holds $stateRows rows")
+      // the re-arriving key admits with a fresh full bucket
+      input.addData(KRecord.of(1, "a3", 300000L))
+      q.processAllAvailable()
+      assert(spark.table("rl_gc_out").as[KRecord[Int, String]].collect()
+        .exists(_.value.contains("a3")))
+    } finally q.stop()
+  }
 }
