@@ -50,7 +50,9 @@ object Queries {
   private def synthImageMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] =
     docs.select(col("doc_id").as("id"),
       when(col("doc_id") % 5 < 2, SynthPngUdf(col("doc_id")))
-        .otherwise(col("text").cast("binary")).as("payload"))
+        // NULL text rides the stub branch as EMPTY bytes in both engines
+        // (the x34 lockstep stance)
+        .otherwise(coalesce(col("text"), lit("")).cast("binary")).as("payload"))
       .as(Encoders.product[Multimodal.MediaRow])
 
   /** Synthesized gray 8×8 PNGs for x63: pixel i = first md5 byte of
@@ -79,7 +81,7 @@ object Queries {
   private def synthVideoMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] =
     docs.select(col("doc_id").as("id"),
       when(col("doc_id") % 5 < 2, SynthAviUdf(col("doc_id")))
-        .otherwise(col("text").cast("binary")).as("payload"))
+        .otherwise(coalesce(col("text"), lit("")).cast("binary")).as("payload"))
       .as(Encoders.product[Multimodal.MediaRow])
 
   /** Run `body` with the named catalog tables' lifetime bound to it: the
@@ -584,7 +586,7 @@ object Queries {
         when(col("doc_id") % 5 <= 1, SynthWavUdf(col("doc_id")))
           .when(col("doc_id") % 5 === 2, SynthMp3Udf(col("doc_id")))
           .when(col("doc_id") % 5 === 3, SynthAacUdf(col("doc_id")))
-          .otherwise(col("text").cast("binary")).as("payload"))
+          .otherwise(coalesce(col("text"), lit("")).cast("binary")).as("payload"))
       Multimodal.decodeAudioMeta(Multimodal.asMedia(media, "id", "payload")).toDF()
     }),
 
@@ -669,7 +671,7 @@ object Queries {
     "x32_mm_phash_pairs" -> ((s, dir) => {
       val media = t(s, dir, "documents").select(col("doc_id").as("id"),
         when(col("doc_id") % 5 <= 1, GrayPngUdf(col("doc_id")))
-          .otherwise(col("text").cast("binary")).as("payload"))
+          .otherwise(coalesce(col("text"), lit("")).cast("binary")).as("payload"))
       Multimodal.pHashPairs(media, maxHamming = 3)
     }),
 
@@ -1232,24 +1234,31 @@ object Queries {
 
     "x34_line_dedup" ->
       // transcription of Dedup.dedupLines over the same synthesized
-      // multi-line docs: first (doc_id, pos) occurrence of each line
-      // survives (Spark decides on md5-60 line hashes, the oracle on the
-      // line strings — identical absent a 2^-60 collision), short/empty
-      // lines bypass, documents reassemble in position order
+      // multi-line docs: first (doc_id, pos, content-hash) occurrence of
+      // each line survives (Spark decides on md5-60 line hashes, the
+      // oracle on the line strings — identical absent a 2^-60 collision),
+      // short/empty lines bypass, documents reassemble in position order.
+      // Rows key by (doc_id, md5-60 of the synth text) like the operator:
+      // duplicate ids with DIFFERENT texts stay separate output rows,
+      // identical same-id twins collapse to one (the DISTINCT).
       """WITH synth AS (SELECT doc_id,
         |  'all docs share this boilerplate header line' || chr(10) || COALESCE(text, '') || chr(10) || 'group footer ' || CAST(doc_id % 7 AS VARCHAR) AS t
         |  FROM documents),
-        |lines AS (SELECT doc_id, i.i - 1 AS pos, ln[i.i] AS line
-        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM synth),
+        |keyed AS (SELECT doc_id, t,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS r FROM synth),
+        |lines AS (SELECT DISTINCT doc_id, r, i.i - 1 AS pos, ln[i.i] AS line
+        |  FROM (SELECT doc_id, r, string_split(t, chr(10)) AS ln FROM keyed),
         |  LATERAL unnest(generate_series(1, len(ln))) i(i)),
-        |elig AS (SELECT doc_id, pos, line,
-        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |elig AS (SELECT doc_id, r, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos, r) AS rn
         |  FROM lines WHERE length(line) >= 1),
-        |keep AS (SELECT doc_id, pos, line FROM elig WHERE rn = 1
-        |  UNION ALL SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
+        |keep AS (SELECT doc_id, r, pos, line FROM elig WHERE rn = 1
+        |  UNION ALL SELECT doc_id, r, pos, line FROM lines WHERE length(line) < 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
         |  COUNT(*) AS n_lines_kept
-        |FROM keep GROUP BY doc_id""".stripMargin,
+        |FROM keep GROUP BY doc_id, r""".stripMargin,
 
     "x05_ann_cosine_pairs" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -1331,12 +1340,12 @@ object Queries {
     "x11_mm_image_meta" ->
       """SELECT doc_id AS id,
         |CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 29 + 3 AS BIGINT)
-        |     ELSE CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) END AS width,
+        |     ELSE CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) % 640 + 1 AS BIGINT) END AS width,
         |CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 23 + 3 AS BIGINT)
-        |     ELSE CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS BIGINT) END AS height,
+        |     ELSE CAST((octet_length(CAST(COALESCE(text, '') AS BLOB)) * 7) % 480 + 1 AS BIGINT) END AS height,
         |CAST(3 AS BIGINT) AS channels,
         |CASE WHEN doc_id % 5 < 2 THEN 'png'
-        |     ELSE CASE octet_length(CAST(text AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END END AS format
+        |     ELSE CASE octet_length(CAST(COALESCE(text, '') AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END END AS format
         |FROM documents""".stripMargin,
 
     // AVI branch: frame k's data offset in the fixed-slot MJPEG container
@@ -1347,7 +1356,7 @@ object Queries {
         |CASE WHEN doc_id % 5 < 2 THEN 232 + i.i * 2056 ELSE i.i * 256 END AS byte_offset
         |FROM documents, LATERAL unnest(generate_series(0,
         |  CASE WHEN doc_id % 5 < 2 THEN doc_id % 4
-        |       ELSE octet_length(CAST(text AS BLOB)) // 256 END)) i(i)""".stripMargin,
+        |       ELSE octet_length(CAST(COALESCE(text, '') AS BLOB)) // 256 END)) i(i)""".stripMargin,
 
     // PNG branch: the scaled dimensions a real decode of the resized output
     // must report — same floor math as ImageCodecs.resize (`w*16 //
@@ -1355,7 +1364,7 @@ object Queries {
     // every-other-byte output size
     "x14_mm_resize" ->
       """WITH d AS (SELECT doc_id, doc_id % 29 + 3 AS w, doc_id % 23 + 3 AS h,
-        |  octet_length(CAST(text AS BLOB)) AS len FROM documents)
+        |  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS len FROM documents)
         |SELECT doc_id AS id,
         |CASE WHEN doc_id % 5 < 2 THEN
         |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w ELSE greatest(1, w * 16 // greatest(w, h)) END AS BIGINT)
@@ -1378,7 +1387,7 @@ object Queries {
       // exact, so the brute-force compare is the oracle — the x04 stance)
       """WITH raw AS (SELECT doc_id, i.i AS i,
         |  CASE WHEN doc_id % 5 <= 1 THEN md5('g' || CAST(doc_id // 5 AS VARCHAR) || ':' || CAST(i.i AS VARCHAR))
-        |       ELSE md5(substr(text, 1 + i.i * 7, 8)) END AS hx,
+        |       ELSE md5(substr(COALESCE(text, ''), 1 + i.i * 7, 8)) END AS hx,
         |  (doc_id % 5 = 1 AND i.i = 65) AS tweak
         |  FROM documents, LATERAL unnest(generate_series(0, 65)) i(i)),
         |px AS (SELECT doc_id, i,
@@ -1444,14 +1453,19 @@ object Queries {
       // mod 8 buckets, exclusive running token sum per bucket in doc_id
       // order, shard = bucket * 2^32 + offset div 2000
       """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
-        |    (a, b) -> a * 16 + b) % 8 AS bucket
+        |    (a, b) -> a * 16 + b) % 8 AS bucket,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS __th
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens, bucket,
         |  -- DuckDB SUM(BIGINT) is HUGEINT (pandas float); force BIGINT
-        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |  -- packing order ties break by (n_tokens, md5-60 text hash),
+        |  -- the operator's duplicate-id determinism rule
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, n_tokens, __th
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
@@ -1522,13 +1536,16 @@ object Queries {
       // doc spans sequences cum//512 .. (cum+n-1)//512, span bounds by the
       // same greatest/least arithmetic as the operator
       """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
-        |    (a, b) -> a * 16 + b) % 8 AS bucket
+        |    (a, b) -> a * 16 + b) % 8 AS bucket,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS __th
         |  FROM documents),
         |p AS (SELECT doc_id, n_tokens, bucket,
-        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, n_tokens, __th
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens, bucket,
@@ -1683,7 +1700,7 @@ object Queries {
     // the x16 md5 bucket < thr as a double compare
     "x41_temperature_sample" ->
       ("""WITH t AS (SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS msum FROM t GROUP BY source),
         |tot AS (SELECT CAST(SUM(msum) AS BIGINT) AS mt,
@@ -1746,9 +1763,11 @@ object Queries {
     // each match one whitespace-token containing a letter — identical in
     // RE2 and Java regex; no lookarounds.
     "x44_gopher_filter" ->
-      """WITH base AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
-        |  string_split(text, chr(10)) AS lns FROM documents),
+      // NULL text coalesces once at the top (the x36/x52 lockstep stance):
+      // the Spark side measures NULL as the empty text
+      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks,
+        |  string_split(COALESCE(text, ''), chr(10)) AS lns FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_words,
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_len,
@@ -1816,7 +1835,7 @@ object Queries {
     // Scala literals, so copy counts match to the ULP.
     "x48_temperature_resample" ->
       ("""WITH t AS (SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS msum FROM t GROUP BY source),
         |tot AS (SELECT CAST(SUM(msum) AS BIGINT) AS mt,
@@ -1873,7 +1892,7 @@ object Queries {
     // plus the ID3 wrappers; AAC rows sum 7-byte headers + body lengths
     // with 1024·(rdb+1) samples per frame; text rows are the stub
     "x52_mm_audio_meta" ->
-      """WITH base AS (SELECT doc_id, text, doc_id % 5 AS m, 200 + doc_id % 100 AS n FROM documents),
+      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS text, doc_id % 5 AS m, 200 + doc_id % 100 AS n FROM documents),
         |e AS (SELECT doc_id,
         |  (SELECT CAST(SUM((((doc_id * 31 + i.i * 17) % 256) - 128) * (((doc_id * 31 + i.i * 17) % 256) - 128)) AS BIGINT)
         |   FROM unnest(generate_series(0, n - 1)) i(i)) AS energy
@@ -1937,24 +1956,39 @@ object Queries {
     // 5-token window md5-60 hashes, global occurrence counts, per-doc
     // duplicated-window rollup; short docs carry through the LEFT JOIN
     "x54_span_dedup" ->
-      """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
-        |wins AS (SELECT doc_id,
+      // transcription of Dedup.duplicateSpanStats incl. the (doc_id,
+      // content-hash) keying: duplicate-id rows with DIFFERENT texts get
+      // independent stats; identical same-(id, text) twins share one key
+      // whose window counts divide by the key's multiplicity (the r11
+      // rule — each twin reports the document's OWN counts). NULL text
+      // tokenizes as empty (lockstep stance).
+      """WITH rws AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |  list_reduce(list_transform(generate_series(1, 15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS r FROM documents),
+        |toked AS (SELECT doc_id, r,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM rws),
+        |wins AS (SELECT doc_id, r,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS w
-        |  FROM (SELECT doc_id,
+        |  FROM (SELECT doc_id, r,
         |    unnest(list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))) AS g
         |    FROM toked WHERE len(toks) >= 5)),
         |c AS (SELECT w, COUNT(*) AS cnt FROM wins GROUP BY 1),
-        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
-        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
-        |  FROM wins JOIN c USING (w) GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(p.n_windows, 0) AS n_windows,
-        |  COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
-        |  CASE WHEN p.n_windows IS NULL THEN NULL
-        |       ELSE CAST(p.n_dup_windows AS DOUBLE) / p.n_windows END AS dup_fraction
-        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+        |mlt AS (SELECT doc_id, r, COUNT(*) AS m FROM rws GROUP BY 1, 2),
+        |per AS (SELECT doc_id, r, CAST(COUNT(*) AS BIGINT) AS nw,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ndw
+        |  FROM wins JOIN c USING (w) GROUP BY 1, 2),
+        |pd AS (SELECT p.doc_id, p.r,
+        |  CAST(p.nw // m.m AS BIGINT) AS n_windows,
+        |  CAST(p.ndw // m.m AS BIGINT) AS n_dup_windows
+        |  FROM per p JOIN mlt m USING (doc_id, r))
+        |SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows,
+        |  COALESCE(pd.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN pd.n_windows IS NULL THEN NULL
+        |       ELSE CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows END AS dup_fraction
+        |FROM rws d LEFT JOIN pd USING (doc_id, r)""".stripMargin,
 
     // transcription of Similarity.centroidClassify: floor(v·2²⁰) exact
     // fixed-point quantization, exact per-(label, dim) integer sums, ONE
@@ -2011,8 +2045,9 @@ object Queries {
     // doc·2³² + pos — lexicographic for non-negative ids), losers expand
     // to covered token indexes, survivors re-join whitespace-normalized
     "x57_span_removal" ->
+      // NULL text tokenizes as empty in both engines (lockstep stance)
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks FROM documents),
         |wins AS (SELECT doc_id, u.p AS p,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(u.g), j, 1)) - 1 AS BIGINT)),
@@ -2265,13 +2300,16 @@ object Queries {
       |  CASE WHEN sbucket < 8000 THEN 'train' WHEN sbucket < 9000 THEN 'val' ELSE 'test' END AS split
       |  FROM sp),
       |pk AS (SELECT doc_id, split,
-      |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  list_reduce(list_transform(generate_series(1, 15),
+      |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) AS __th,
       |  list_reduce(list_transform(generate_series(1, 15),
       |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
       |    (a, b) -> a * 16 + b) % 8 AS bucket
       |  FROM spl),
       |pc AS (SELECT doc_id, split, n_tokens, bucket,
-      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, n_tokens, __th
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
       |  FROM pk)
       |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard, split

@@ -195,10 +195,15 @@ object KinesisClient {
       val desc = resp.get("StreamDescription")
       val before = shards.size
       desc.get("Shards").forEach((s: JsonNode) => shards += s.get("ShardId").asText())
-      // progress-gated: HasMoreShards=true with a page that ADDED nothing
-      // would otherwise re-send the identical request forever (the old
-      // guard only checked the accumulated buffer, which never shrinks)
-      more = desc.get("HasMoreShards").asBoolean() && shards.size > before
+      more = desc.get("HasMoreShards").asBoolean()
+      // HasMoreShards=true with a page that ADDED nothing would re-send
+      // the identical request forever; exiting SILENTLY instead would
+      // plan readers for a subset of shards and never consume the rest —
+      // fail loudly, the only honest option for a contradictory API reply
+      if (more && shards.size == before) sys.error(
+        s"DescribeStream for '$stream' returned an empty page with " +
+          "HasMoreShards=true after " + before + " shards — refusing to " +
+          "continue with a possibly-partial shard list; retry the trigger")
       startAfter = shards.lastOption
     }
     shards.toSeq

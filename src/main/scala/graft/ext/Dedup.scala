@@ -906,14 +906,17 @@ object Dedup {
     // scan + split run once (the minHashLsh stance: exchange reuse is plan
     // luck, not contract). Scoped: callers release via Caching.release.
     // Rows are keyed by (id, content hash __r), NOT id alone — the
-    // duplicateSpanStats rule: duplicate ids are legal on this API family,
+    // duplicateSpanStats rule (__r is the md5-60 content hash, NOT
+    // xxhash64, so the DuckDB oracles can transcribe the winner order and
+    // the grouping for duplicate-id corpora): duplicate ids are legal on
+    // this API family,
     // and an id-only reassembly would interleave two DIFFERENT same-id
     // texts into one corrupted document. Identical same-id twins collapse
     // to one output row (they are exact duplicates — this is a dedup
     // operator), with array_distinct dropping their doubled (pos, line)
     // copies.
     val lines = graft.Caching.scoped(df.select(col(idCol).as("id"),
-      xxhash64(coalesce(col(textCol), lit(""))).as("__r"),
+      graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))).as("__r"),
       posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line"))))
     val eligible = lines.filter(length(col("line")) >= minLineLen)
       .withColumn("__lh", graft.functions.Hashing.md5Hash60Col(col("line")))
@@ -978,7 +981,7 @@ object Dedup {
     // genuinely the same span occurrences.
     val wins = graft.Caching.scoped(
       df.select(col(idCol).as("id"),
-          xxhash64(coalesce(col(textCol), lit(""))).as("__r"),
+          graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))).as("__r"),
           TextAnalysis.tokens(col(textCol)).as("__t"))
         .select(col("id"), col("__r"),
           explode(transform(TextAnalysis.wordNGrams(col("__t"), k),
@@ -993,14 +996,14 @@ object Dedup {
     // document's own window count on each twin. Divide by the key's input
     // multiplicity (exact: every window row is duplicated exactly mult
     // times); dup_fraction was already right, the absolute counts weren't.
-    val mult = df.groupBy(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("__r"))
+    val mult = df.groupBy(col(idCol), graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))).as("__r"))
       .agg(count(lit(1)).as("__m"))
     val perDoc = per.withColumnRenamed("id", idCol)
       .join(mult, Seq(idCol, "__r"))
       .select(col(idCol), col("__r"),
         (col("n_windows") / col("__m")).cast("long").as("n_windows"),
         (col("n_dup_windows") / col("__m")).cast("long").as("n_dup_windows"))
-    df.select(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("__r"))
+    df.select(col(idCol), graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))).as("__r"))
       .join(perDoc, Seq(idCol, "__r"), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
@@ -1039,7 +1042,7 @@ object Dedup {
     // corpora; same-id-same-position occurrences from identical twin rows
     // all match the winner tuple and all survive).
     val toked = df.select(col(idCol).as("id"),
-      xxhash64(coalesce(col(textCol), lit(""))).as("__r"),
+      graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))).as("__r"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
     // per-occurrence (position, hash) pairs — scoped: feeds the winner
     // aggregate and the loser probe; callers release via Caching.release

@@ -88,13 +88,16 @@ object Sharding {
     val nTokens = tokenCountCol
       .map(tokenCountOrRaise(_, idCol, "packByTokens"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
-    // ordering ties broken by (n_tokens, text hash): with DUPLICATE ids an
-    // id-only sort gives tied rows arbitrary relative order per run, so
-    // cum_before — hence shard — would differ between reruns. After the
-    // tiebreaks, remaining ties are rows identical in (id, count, text),
+    // ordering ties broken by (n_tokens, md5-60 text hash): with DUPLICATE
+    // ids an id-only sort gives tied rows arbitrary relative order per
+    // run, so cum_before — hence shard — would differ between reruns.
+    // md5-60 (not xxhash64) so the DuckDB oracles can transcribe the SAME
+    // tiebreak; text coalesces to '' (NULL would sort differently across
+    // engines). Remaining ties are rows identical in (id, count, text),
     // which are interchangeable: any order yields the same assignment.
     val w = expressions.Window.partitionBy("bucket")
-      .orderBy(col(idCol), col("n_tokens"), xxhash64(col(textCol)))
+      .orderBy(col(idCol), col("n_tokens"),
+        graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", nTokens)
       .withColumn("bucket", Sampling.hash60(col(idCol), seed) % nBuckets)
@@ -201,7 +204,8 @@ object Sharding {
     // same duplicate-id tiebreak as packByTokens, so sequence and shard
     // layouts stay mutually consistent AND deterministic under reruns
     val w = expressions.Window.partitionBy("bucket")
-      .orderBy(col(idCol), col("n_tokens"), xxhash64(col(textCol)))
+      .orderBy(col(idCol), col("n_tokens"),
+        graft.functions.Hashing.md5Hash60Col(coalesce(col(textCol), lit(""))))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", nTokens)
       .filter(col("n_tokens") > 0)

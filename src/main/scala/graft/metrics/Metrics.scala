@@ -30,7 +30,14 @@ object Metrics {
         // branches on). unix_millis on a LONG is an AnalysisException, so
         // without the branch the observability helper rejected the
         // facade's own timestamp convention at plan time.
-        val tsMillis = df.schema(ts).dataType match {
+        // resolve CASE-INSENSITIVELY like Spark's own analyzer (a strict
+        // df.schema(ts) lookup would reject "EventTime" against a column
+        // spelled "eventTime" that col(ts) resolves fine)
+        val tsType = df.schema.fields.find(_.name.equalsIgnoreCase(ts))
+          .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+            s"observe: event-time column '$ts' not found in " +
+              df.schema.fieldNames.mkString(", ")))
+        val tsMillis = tsType match {
           case org.apache.spark.sql.types.TimestampType => unix_millis(col(ts))
           case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
@@ -98,6 +105,7 @@ object Metrics {
     private[graft] def jobPath(job: String): String =
       if (job.nonEmpty && job.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
         s"job/$job"
+      else if (job.isEmpty) "job@base64/=" // the gateway's empty-value spelling
       else "job@base64/" + java.util.Base64.getUrlEncoder.withoutPadding()
         .encodeToString(job.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

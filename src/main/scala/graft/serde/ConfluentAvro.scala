@@ -25,6 +25,19 @@ object ConfluentAvro {
   trait SchemaRegistry extends Serializable {
     def register(subject: String, schema: Schema): Int
     def get(id: Int): Schema
+
+    /** Per-INSTANCE reader cache for the hot decode path: readers are pure
+      * per schema, and the schema id repeats for millions of rows within a
+      * partition. Deliberately NOT a JVM-global map — every Spark task
+      * deserializes a fresh registry from the UDF closure, so a global map
+      * keyed by registry identity would miss on every task AND pin one
+      * never-evicted entry per task for the executor's lifetime.
+      * `@transient lazy`: rebuilt empty on each deserialization.
+      */
+    @transient private lazy val readers =
+      new TrieMap[Int, GenericDatumReader[GenericRecord]]()
+    private[serde] def readerFor(id: Int): GenericDatumReader[GenericRecord] =
+      readers.getOrElseUpdate(id, new GenericDatumReader[GenericRecord](get(id)))
   }
 
   /** Offline/test registry with stable content-addressed ids. */
@@ -129,24 +142,15 @@ object ConfluentAvro {
     Framed(ByteBuffer.wrap(bytes, 1, 4).getInt, bytes.drop(5))
   }
 
-  // per-record decode is the UDF hot path: the reader is pure per schema
-  // (GenericDatumReader holds only the parsed schema) and the schema id
-  // repeats for millions of rows — cache readers like the registry caches
-  // schemas, and decode straight from the framed buffer at offset 5
-  // instead of copying the whole body per record. Keyed by (registry, id):
-  // the same numeric id in two DIFFERENT registries names two different
-  // schemas, and an id-only cache would decode one registry's records
-  // with the other's reader.
-  private val readerCache =
-    new TrieMap[(SchemaRegistry, Int), GenericDatumReader[GenericRecord]]()
-
   def decode(bytes: Array[Byte], registry: SchemaRegistry): GenericRecord = {
     require(bytes.length >= 5 && bytes(0) == MagicByte, "not Confluent-framed avro")
     val schemaId = ByteBuffer.wrap(bytes, 1, 4).getInt
-    val reader = readerCache.getOrElseUpdate((registry, schemaId),
-      new GenericDatumReader[GenericRecord](registry.get(schemaId)))
+    // per-record decode is the hot path: the registry instance caches one
+    // reader per schema id (SchemaRegistry.readerFor), and the decoder
+    // reads straight from the framed buffer at offset 5 — no per-record
+    // reader allocation, no payload copy
     val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
-    reader.read(null, dec)
+    registry.readerFor(schemaId).read(null, dec)
   }
 
   /** Column-level decoder: framed binary → JSON string, which `from_json`

@@ -29,9 +29,12 @@ object InfluxSink {
   // backslash-doubling pass would otherwise mangle — hence ordered last.
 
   private def escTag(v: Column): Column =
+    // newline-to-space FIRST, then the escape pass — the substituted space
+    // must itself be escaped, or it terminates the tag set and malforms
+    // the line (the chunk-poisoning this mapping exists to prevent)
     regexp_replace(
-      regexp_replace(v.cast("string"), "([ ,=])", "\\\\$1"),
-      "[\\n\\r]", " ")
+      regexp_replace(v.cast("string"), "[\\n\\r]", " "),
+      "([ ,=])", "\\\\$1")
 
   private def escFieldString(v: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(

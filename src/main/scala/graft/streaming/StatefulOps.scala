@@ -223,17 +223,24 @@ object StatefulOps {
     require(capacity > 0 && ageTimeMs > 0,
       s"rateLimiter: capacity and ageTimeMs must be positive, got capacity=$capacity ageTimeMs=$ageTimeMs")
     // deterministic intra-timestamp order (RateLimit.replay's tieBreakCols
-    // stance): event-time ties break on the rendered value, so a
-    // micro-batch RETRY admits the same records the first attempt emitted
-    // to a non-transactional sink. Records identical in (eventTime, value)
-    // are interchangeable.
+    // stance): event-time ties break on a CONTENT rendering of the value,
+    // so a micro-batch RETRY admits the same records the first attempt
+    // emitted to a non-transactional sink. String.valueOf would render an
+    // Array[Byte] payload (the Kafka/Kinesis/MQTT value type here) as its
+    // identity hash — different per attempt, re-introducing the
+    // nondeterminism; byte arrays render by content instead. Records
+    // identical in (eventTime, rendered value) are interchangeable.
     // (A val lambda, NOT a nested def: a def lifts to a method on this
     // non-serializable object and the stateful closure would drag
     // StatefulOps$ into the task; the lambda captures only primitives.)
+    val render: Option[V] => String = {
+      case Some(b: Array[Byte]) => java.util.Arrays.toString(b)
+      case other => String.valueOf(other)
+    }
     val admit: (Iterator[KRecord[K, V]], GroupState[Bucket]) => Iterator[KRecord[K, V]] = (it, state) => {
       var b = state.getOption.getOrElse(Bucket(capacity, 0L))
       val out = Vector.newBuilder[KRecord[K, V]]
-      it.toSeq.sortBy(r => (r.eventTime, String.valueOf(r.value))).foreach { rec =>
+      it.toSeq.sortBy(r => (r.eventTime, render(r.value))).foreach { rec =>
         val delta = graft.ops.RateLimit.refillTokens(
           rec.eventTime - b.tstamp, capacity, ageTimeMs)
         if (delta > 0) b = Bucket(math.min(capacity, b.tokens + delta), rec.eventTime)

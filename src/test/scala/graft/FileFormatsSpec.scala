@@ -253,8 +253,9 @@ class FileFormatsSpec extends SparkSpec {
     // ONE physical line: a raw newline terminates a line-protocol point,
     // so one bad value would 400 the whole <=1000-line POST
     assert(!line.contains("\n") && !line.contains("\r"), line)
-    // tags: \n/\r have no spec escape — mapped to a space (lossy, chunk-safe)
-    assert(line.startsWith("cpu,region=e u "), line)
+    // tags: \n/\r have no spec escape — mapped to an ESCAPED space
+    // (lossy, chunk-safe; an unescaped space would terminate the tag set)
+    assert(line.startsWith("cpu,region=e\\ u "), line)
     // string fields: kept losslessly as the 2-char escapes \n / \r
     assert(line.contains("msg=\"a\\nb\\rc\""), line)
     // a literal backslash-n in the INPUT stays distinguishable (doubles to

@@ -96,9 +96,12 @@ class KinesisSpec extends SparkSpec {
       ("u3", "!", 1700000002250L)))
   }
 
-  test("listShards terminates when HasMoreShards lies with an empty page") {
+  test("listShards fails loudly when HasMoreShards lies with an empty page") {
     // a page that ADDS nothing with HasMoreShards=true would re-send the
-    // identical request forever — the guard is per-page progress
+    // identical request forever; exiting SILENTLY instead would plan
+    // readers for a SUBSET of shards and never consume the rest — the
+    // only honest outcome for a contradictory API reply is a loud error
+    // the next trigger retries
     val transport: (String, String) => String = (target, body) => {
       val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
       assert(target == "Kinesis_20131202.DescribeStream")
@@ -107,7 +110,8 @@ class KinesisSpec extends SparkSpec {
       else
         """{"StreamDescription":{"Shards":[],"HasMoreShards":true}}"""
     }
-    assert(KinesisClient.listShards(transport, "events") == Seq("s0"))
+    val e = intercept[RuntimeException](KinesisClient.listShards(transport, "events"))
+    assert(e.getMessage.contains("possibly-partial shard list"), e.getMessage)
   }
 
   test("transport retries throttling and 5xx with bounded backoff, fails fast otherwise") {
