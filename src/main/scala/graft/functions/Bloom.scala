@@ -143,9 +143,21 @@ case class BloomFilterAgg(
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult = hashExpr.dataType match {
-    case LongType | IntegerType if Lsh.literalIntOpt(numBitsExpr).isDefined &&
-        Lsh.literalIntOpt(numHashesExpr).isDefined =>
-      TypeCheckResult.TypeCheckSuccess
+    case LongType | IntegerType =>
+      // validate the SHAPE here too (the TopKByScore/MinHashBandsAgg
+      // stance): a bad numBits used to pass analysis and throw per-task
+      // from the first update() — hours into a 100 TB scan instead of at
+      // plan time
+      (Lsh.literalIntOpt(numBitsExpr), Lsh.literalIntOpt(numHashesExpr)) match {
+        case (Some(b), Some(k))
+            if b >= 64 && (b & (b - 1)) == 0 && k > 0 && k <= 16 =>
+          TypeCheckResult.TypeCheckSuccess
+        case (Some(b), Some(k)) => TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom: numBits must be a power of two >= 64 (got $b) and " +
+            s"numHashes in [1, 16] (got $k)")
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "graft_bloom requires (integral hash, literal int numBits, literal int numHashes)")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_bloom requires (integral hash, literal int numBits, literal int numHashes)")
   }

@@ -250,7 +250,14 @@ object PqAdcScore {
         throw new IllegalArgumentException(
           s"graft_pq_adc: code $code at subspace $sub exceeds ksub=$ksub — " +
             "codes were encoded with a different codebook")
-      acc += l.getDouble(sub * ksub + code)
+      val idx = sub * ksub + code
+      // a NULL lut slot would read as 0.0 from the unsafe buffer — a
+      // silently deflated score that reorders top-k (the rectangle-raise
+      // failure class); isNullAt is one bitmap test per subspace
+      if (l.isNullAt(idx))
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: NULL lut entry at index $idx — the lut must be dense")
+      acc += l.getDouble(idx)
       sub += 1
     }
     acc
@@ -340,14 +347,27 @@ object Ncm {
       q(i) = Math.floor(f.toDouble * Scale).toLong.toDouble
       i += 1
     }
-    var best = labels.getInt(0)
+    // NULL slots in the model arrays would read as 0/0.0 from the unsafe
+    // buffers — a silent misclassification (the dim-raise failure class);
+    // one bitmap test per element
+    var best = 0 // always assigned on l = 0 via the `first` flag
     var bestS = Double.NegativeInfinity
     var first = true
     var l = 0
     while (l < nLabels) {
+      if (labels.isNullAt(l))
+        throw new IllegalArgumentException(
+          s"classifyCentroids: NULL label at index $l")
       var s = 0.0
       var j = 0
-      while (j < dim) { s += q(j) * cents.getDouble(l * dim + j); j += 1 }
+      while (j < dim) {
+        val idx = l * dim + j
+        if (cents.isNullAt(idx))
+          throw new IllegalArgumentException(
+            s"classifyCentroids: NULL centroid component at index $idx")
+        s += q(j) * cents.getDouble(idx)
+        j += 1
+      }
       // strict > : ties keep the EARLIER (smaller, label-sorted) label —
       // the greatest((score, -label)) rule of the literal formulation
       if (first || s > bestS) { best = labels.getInt(l); bestS = s; first = false }
@@ -437,11 +457,30 @@ object GraftFunctions {
     */
   private val registered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
+  /** Wrap a positional builder with an arity gate: without it, extra SQL
+    * arguments were SILENTLY DROPPED (graft_dot(a, b, c) computed
+    * dot(a, b) — a well-formed wrong answer) and missing ones died with a
+    * bare IndexOutOfBoundsException inside the analyzer. One wrapper over
+    * the shared list covers all sixteen functions.
+    */
+  private def checkedArity(name: String,
+                           b: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    es =>
+      def wrongArity(expected: String): Nothing = throw new IllegalArgumentException(
+        s"$name: wrong number of arguments — expected $expected, got ${es.length}")
+      val built =
+        try b(es)
+        catch { case _: IndexOutOfBoundsException => wrongArity("more") }
+      if (es.length != built.children.length)
+        wrongArity(built.children.length.toString)
+      built
+  }
+
   def register(spark: SparkSession): Unit = registered.synchronized {
     if (!registered.containsKey(spark)) {
       val reg = spark.sessionState.functionRegistry
       builders.foreach { case (name, _, b) =>
-        reg.createOrReplaceTempFunction(name, b, "built-in")
+        reg.createOrReplaceTempFunction(name, checkedArity(name, b), "built-in")
       }
       registered.put(spark, java.lang.Boolean.TRUE)
     }
@@ -458,6 +497,6 @@ object GraftFunctions {
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
-        b))
+        checkedArity(name, b)))
     }
 }

@@ -15,8 +15,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   */
 object Lsh {
 
+  /** The ±1 hyperplane patterns are a pure function of (numBits, dim) —
+    * independent of the row — so they build ONCE per executor per shape
+    * and every row does a sign lookup instead of numBits×dim mix64 chains
+    * (~49k avoidable mixes per row at numBits 64, dim 768). `true` = the
+    * mixed value was non-negative (add the component). Bounded by the
+    * distinct (numBits, dim) shapes a job uses.
+    */
+  private val signTables =
+    new scala.collection.concurrent.TrieMap[(Int, Int), Array[Boolean]]()
+
+  private def signTable(numBits: Int, dim: Int): Array[Boolean] =
+    signTables.getOrElseUpdate((numBits, dim), {
+      val t = new Array[Boolean](numBits * dim)
+      var p = 0
+      while (p < numBits) {
+        var d = 0
+        while (d < dim) {
+          t(p * dim + d) = Hashing.mix64(
+            (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)) >= 0
+          d += 1
+        }
+        p += 1
+      }
+      t
+    })
+
   /** Signed-random-projection signature: bit p = sign of Σ_d ±v(d), the ±1
-    * pattern drawn from splitmix64 mixes of (plane, dim).
+    * pattern drawn from splitmix64 mixes of (plane, dim) — precomputed per
+    * (numBits, dim) in [[signTable]], bit-identical to mixing inline.
     */
   def srpSign(v: ArrayData, numBits: Int): Long = {
     val n = v.numElements()
@@ -30,15 +57,15 @@ object Lsh {
           s"graft_srp_sig: NULL vector component at index $chk")
       chk += 1
     }
+    val signs = signTable(numBits, n)
     var sig = 0L
     var p = 0
     while (p < numBits) {
       var s = 0.0
       var d = 0
+      val off = p * n
       while (d < n) {
-        val z = Hashing.mix64(
-          (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L))
-        s += (if (z >= 0) v.getFloat(d) else -v.getFloat(d))
+        s += (if (signs(off + d)) v.getFloat(d) else -v.getFloat(d))
         d += 1
       }
       if (s >= 0) sig |= (1L << p)
@@ -81,13 +108,19 @@ object Lsh {
     keys
   }
 
-  /** Per-doc MinHash band keys — one pass over the shingle array. */
+  /** Per-doc MinHash band keys — one pass over the shingle array. NULL
+    * shingle elements are SKIPPED, matching MinHashBandsAgg's per-row null
+    * skip exactly — the two forms advertise bit-identical signatures, and
+    * an unguarded getUTF8String(i).toString NPE'd the task with no
+    * context on the exact input the aggregate silently accepted.
+    */
   def minHashBands(sh: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = sh.numElements()
     var i = 0
     while (i < n) {
-      updateSig(sig, sh.getUTF8String(i).toString)
+      val s = sh.getUTF8String(i)
+      if (s != null) updateSig(sig, s.toString)
       i += 1
     }
     new GenericArrayData(bandKeys(sig, bandSize))

@@ -83,4 +83,62 @@ class CodegenSpec extends SparkSpec {
     val filtered = df.filter(col("bloom") || col("id") > 2L)
     filtered.orderBy("id").collect().toSeq.map(_.toString)
   }
+
+  test("kernel guards: NULL model slots raise by name, never silently read as zero") {
+    // UnsafeArrayData.getDouble/getInt have NO null checks — a NULL slot
+    // reads as 0.0/0 and silently deflates an ADC score or misclassifies
+    def run(c: org.apache.spark.sql.Column): Unit = {
+      base.select(c.as("out")).collect(); ()
+    }
+    // NULL lut slot in pq_adc
+    val eAdc = intercept[Exception](run(call_function("graft_pq_adc",
+      array((0 until 511).map(i => lit(i * 0.25)) :+ lit(null).cast("double"): _*),
+      lit(Array[Byte](3, 255.toByte)))))
+    assert(eAdc.toString.contains("NULL lut entry") ||
+      Option(eAdc.getCause).exists(_.toString.contains("NULL lut entry")), eAdc.toString)
+    // NULL centroid component / NULL label in ncm_argmax
+    val eCent = intercept[Exception](run(call_function("graft_ncm_argmax", col("vec"),
+      array(lit(0), lit(1)),
+      array((0 until 5).map(i => lit(i.toDouble)) :+ lit(null).cast("double"): _*))))
+    assert(eCent.toString.contains("NULL centroid") ||
+      Option(eCent.getCause).exists(_.toString.contains("NULL centroid")), eCent.toString)
+    val eLab = intercept[Exception](run(call_function("graft_ncm_argmax", col("vec"),
+      array(lit(0), lit(null).cast("int")),
+      array((0 until 6).map(i => lit(i.toDouble)): _*))))
+    assert(eLab.toString.contains("NULL label") ||
+      Option(eLab.getCause).exists(_.toString.contains("NULL label")), eLab.toString)
+    // a NULL shingle in the SCALAR minhash matches the aggregate's skip
+    // (same document, same band keys — the forms advertise bit-identity)
+    val scalar = base.limit(1).select(call_function("graft_minhash_bands",
+      array(lit("a"), lit(null).cast("string"), lit("b")), lit(8), lit(2)).as("k"))
+      .collect().head.getSeq[Long](0)
+    val plain = base.limit(1).select(call_function("graft_minhash_bands",
+      array(lit("a"), lit("b")), lit(8), lit(2)).as("k"))
+      .collect().head.getSeq[Long](0)
+    assert(scalar == plain, "NULL shingles must be skipped like the aggregate skips them")
+  }
+
+  test("graft_bloom rejects an invalid shape at ANALYSIS time, not per task") {
+    import spark.implicits._
+    // non-power-of-two bits / out-of-range hashes used to pass analysis
+    // and throw from the first update() hours into a scan
+    val df = Seq(1L).toDF("h")
+    val e1 = intercept[Exception](
+      df.select(call_function("graft_bloom", col("h"), lit(1000), lit(7))))
+    assert(e1.toString.contains("power of two"), e1.toString)
+    val e2 = intercept[Exception](
+      df.select(call_function("graft_bloom", col("h"), lit(1024), lit(17))))
+    assert(e2.toString.contains("numHashes"), e2.toString)
+  }
+
+  test("function arity is checked: extra args raise instead of silently dropping") {
+    graft.functions.GraftFunctions.register(spark)
+    // graft_dot(a, b, c) used to silently compute dot(a, b)
+    val e = intercept[Exception](
+      base.select(call_function("graft_dot", col("vec"), col("vec"), col("id"))))
+    assert(e.toString.contains("wrong number of arguments"), e.toString)
+    val e2 = intercept[Exception](
+      base.select(call_function("graft_topk", col("id"), col("id"))))
+    assert(e2.toString.contains("wrong number of arguments"), e2.toString)
+  }
 }
