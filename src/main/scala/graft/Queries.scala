@@ -627,13 +627,19 @@ object Queries {
     // stance): every doc gets a synthesized 8×8 gray PNG whose samples the
     // oracle predicts arithmetically; the descriptor is the decoded
     // luminance grid L2-normalized — double-exact ops + one float cast,
-    // so the float32s hash-match across engines.
+    // so the float32s hash-match across engines. Declared in SCALAR form
+    // (id, i, value) — one row per vector entry — because the harness
+    // canon sorts every output column and an array<float> column is
+    // unsortable there; exploding changes nothing about what is checked
+    // (bitwise float32 equality of every entry, position included).
     "x63_mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         t(s, dir, "documents")
           .select(col("doc_id").as("id"), FeatPngUdf(col("doc_id")).as("payload"))
           .as(Encoders.product[Multimodal.MediaRow]),
-        dim = 64).toDF()),
+        dim = 64).toDF()
+        .select(col("id"), posexplode(col("embedding")))
+        .select(col("id"), col("pos").cast("long").as("i"), col("col").as("value"))),
 
     // REAL video frame sampling under oracle check (the x11/x14 pattern):
     // 2 of every 5 docs become a synthesized MJPEG AVI (doc_id%4+1 real
@@ -1409,16 +1415,17 @@ object Queries {
       // "f<doc_id>:<i>" (the REAL decode reads the grid back 1:1 at
       // matching dims), then L2-normalize in double and cast each entry
       // to float32 — both engines run the identical correctly-rounded
-      // IEEE op sequence, so the arrays hash-match bitwise.
+      // IEEE op sequence, so every (id, i, value) row hash-matches
+      // bitwise. Scalar rows, not an array: the harness canon cannot
+      // sort an array<float> column.
       """WITH raw AS (SELECT doc_id, i.i AS i,
         |  (strpos('0123456789abcdef', substr(md5('f' || CAST(doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1)) - 1) * 16
         |  + (strpos('0123456789abcdef', substr(md5('f' || CAST(doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 2, 1)) - 1) AS p
         |  FROM documents, LATERAL unnest(generate_series(0, 63)) i(i)),
         |nrm AS (SELECT doc_id, sqrt(SUM(CAST(p AS DOUBLE) * p)) AS n FROM raw GROUP BY doc_id)
-        |SELECT r.doc_id AS id,
-        |  list_transform(list(r.p ORDER BY r.i), x -> CAST(x / n AS FLOAT)) AS embedding
-        |FROM raw r JOIN nrm ON r.doc_id = nrm.doc_id
-        |GROUP BY r.doc_id, n""".stripMargin,
+        |SELECT r.doc_id AS id, CAST(r.i AS BIGINT) AS i,
+        |  CAST(r.p / nrm.n AS FLOAT) AS value
+        |FROM raw r JOIN nrm ON r.doc_id = nrm.doc_id""".stripMargin,
 
     "x15_decontaminate" ->
       // transcription of Decontaminate.ngramOverlap: distinct 13-grams per
