@@ -112,11 +112,29 @@ object Bench {
     }
     try {
       val re = "BENCH_r(\\d+)\\.json".r
+      // current-round fence: the driver writes the PREVIOUS round's verdict
+      // ("# VERDICT — round N") before this round's bench ever runs, so a
+      // BENCH_r{M}.json with M > N is THIS round's own artifact (an
+      // in-round rerun after the driver saved it) — comparing against it
+      // would make the regression gate self-compare and go quiet with no
+      // dark note. Absent/unparseable VERDICT.md (round 1, bare test dirs)
+      // leaves the fence open, preserving the plain highest-N behavior.
+      val fence: Int =
+        try {
+          val v = new java.io.File(dir, "VERDICT.md")
+          if (!v.exists()) Int.MaxValue
+          else {
+            val src = scala.io.Source.fromFile(v, "UTF-8")
+            val head = try src.getLines().take(1).mkString finally src.close()
+            "round\\s+(\\d+)".r.findFirstMatchIn(head)
+              .flatMap(_.group(1).toIntOption).getOrElse(Int.MaxValue)
+          }
+        } catch { case _: Exception => Int.MaxValue }
       // per-file name parsing: one stray huge round number must not mute
       // the gate for every query (toInt throws past 2^31)
       val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .flatMap(f => f.getName match {
-          case re(n) => n.toIntOption.map(i => (i, f))
+          case re(n) => n.toIntOption.map(i => (i, f)).filter(_._1 <= fence)
           case _ => None
         })
       if (files.isEmpty) Map.empty // no prior round: normal on round 1

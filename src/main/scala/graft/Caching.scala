@@ -107,10 +107,19 @@ object Caching {
     val set = ConcurrentHashMap.newKeySet[() => Unit]()
     val scopes = localScopes.get()
     scopes.push(set)
+    // a cleanup failure must never REPLACE the body's own exception (the
+    // unwind cause would be lost): it rides along as suppressed instead,
+    // and only surfaces as the primary failure when the body succeeded
+    var primary: Throwable = null
     try body
+    catch { case t: Throwable => primary = t; throw t }
     finally {
       scopes.pop()
-      runAll(set)
+      try { runAll(set); () }
+      catch {
+        case t: Throwable =>
+          if (primary != null) primary.addSuppressed(t) else throw t
+      }
     }
   }
 

@@ -231,7 +231,16 @@ object KinesisClient {
     * TRIM_HORIZON instead (one stderr note): re-reading from the earliest
     * retained record is at-least-once — exactly the delivery contract the
     * source already documents — while the poison offset is forever.
+    *
+    * The fallback is deliberately NARROW: only sequence-relative iterator
+    * types (AT/AFTER_SEQUENCE_NUMBER) with an InvalidArgumentException
+    * whose message is sequence-shaped qualify. A malformed request or a
+    * wrong shard id also raises InvalidArgumentException, and silently
+    * rewinding THOSE to the stream head would re-read the whole retention
+    * window behind one stderr line — they must propagate instead.
     */
+  private val SequenceIteratorTypes = Set("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER")
+
   def shardIteratorOrHorizon(transport: (String, String) => String, stream: String,
                              shardId: String, iteratorType: String,
                              startingSequenceNumber: Option[String]): String =
@@ -239,7 +248,9 @@ object KinesisClient {
     catch {
       case e: IllegalArgumentException
           if startingSequenceNumber.isDefined &&
-            e.getMessage != null && e.getMessage.contains("InvalidArgumentException") =>
+            SequenceIteratorTypes.contains(iteratorType) &&
+            e.getMessage != null && e.getMessage.contains("InvalidArgumentException") &&
+            e.getMessage.toLowerCase.contains("sequence") =>
         System.err.println(
           s"kinesis: checkpointed sequence for shard $shardId no longer in " +
             s"retention (${e.getMessage.take(200)}); re-reading from TRIM_HORIZON")

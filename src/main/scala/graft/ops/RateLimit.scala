@@ -40,6 +40,25 @@ object RateLimit {
       (BigInt(elapsed) * capacity / ageTimeMs).toLong
     else elapsed * capacity / ageTimeMs
 
+  /** Deterministic CONTENT rendering for retry-stable tiebreaks: arrays
+    * render by element content (recursively), Options and Products (tuples,
+    * case classes) recurse into their fields, everything else through
+    * String.valueOf. A top-level-only Array[Byte] special case is not
+    * enough — a value that EMBEDS a byte array (a (topic, payload) tuple, a
+    * case class with a payload field) would still render the array via its
+    * identity hashCode, different on every micro-batch retry, so the
+    * intra-timestamp admit order would silently change across attempts.
+    */
+  private[graft] def deepRender(v: Any): String = v match {
+    case null => "null"
+    case b: Array[Byte] => java.util.Arrays.toString(b)
+    case a: Array[_] => a.iterator.map(deepRender).mkString("[", ", ", "]")
+    case o: Option[_] => o.map(x => s"Some(${deepRender(x)})").getOrElse("None")
+    case p: Product => p.productIterator.map(deepRender)
+      .mkString(p.productPrefix + "(", ",", ")")
+    case other => String.valueOf(other)
+  }
+
   /** Returns `df`'s columns plus a boolean `admitted`, replaying each key's
     * events in `(eventTimeMs, tieBreak)` order through a token bucket.
     *

@@ -226,17 +226,16 @@ object StatefulOps {
     // stance): event-time ties break on a CONTENT rendering of the value,
     // so a micro-batch RETRY admits the same records the first attempt
     // emitted to a non-transactional sink. String.valueOf would render an
-    // Array[Byte] payload (the Kafka/Kinesis/MQTT value type here) as its
-    // identity hash — different per attempt, re-introducing the
-    // nondeterminism; byte arrays render by content instead. Records
-    // identical in (eventTime, rendered value) are interchangeable.
+    // Array[Byte] payload (the Kafka/Kinesis/MQTT value type here) — or a
+    // tuple/case-class value EMBEDDING one — via identity hashCode,
+    // different per attempt, re-introducing the nondeterminism;
+    // RateLimit.deepRender recurses arrays/Products/Options by content.
+    // Records identical in (eventTime, rendered value) are interchangeable.
     // (A val lambda, NOT a nested def: a def lifts to a method on this
     // non-serializable object and the stateful closure would drag
-    // StatefulOps$ into the task; the lambda captures only primitives.)
-    val render: Option[V] => String = {
-      case Some(b: Array[Byte]) => java.util.Arrays.toString(b)
-      case other => String.valueOf(other)
-    }
+    // StatefulOps$ into the task; the lambda's static call on the
+    // serializing-by-MODULE$ RateLimit object captures nothing.)
+    val render: Option[V] => String = v => graft.ops.RateLimit.deepRender(v)
     val admit: (Iterator[KRecord[K, V]], GroupState[Bucket]) => Iterator[KRecord[K, V]] = (it, state) => {
       var b = state.getOption.getOrElse(Bucket(capacity, 0L))
       val out = Vector.newBuilder[KRecord[K, V]]

@@ -200,6 +200,19 @@ class BenchSummarySpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r12.json"),
         """{"truncated""")
       assert(Bench.priorMedians(sf, dir).isEmpty)
+      java.nio.file.Files.delete(dir.toPath.resolve("BENCH_r12.json"))
+      // the VERDICT fence: a verdict for round 10 means THIS run is round
+      // 11+, so BENCH_r11.json is this round's own artifact (an in-round
+      // rerun after the driver saved it) and must be excluded — the gate
+      // falls back to the newest artifact at or below the fence (r03),
+      // never self-comparing
+      java.nio.file.Files.writeString(dir.toPath.resolve("VERDICT.md"),
+        "# VERDICT — round 10\n\nbody\n")
+      assert(Bench.priorMedians(sf, dir) == Map("q01" -> 0.5, "x39" -> 7.77),
+        "fence must exclude artifacts newer than the verdict round")
+      // an unparseable verdict leaves the fence open (old behavior)
+      java.nio.file.Files.writeString(dir.toPath.resolve("VERDICT.md"), "no round header")
+      assert(Bench.priorMedians(sf, dir) == Map("q01" -> 0.31, "x39" -> 11.51))
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete(); ()
     }

@@ -612,6 +612,22 @@ class CurationSpec extends SparkSpec {
     assert(scopedRan == Set(1, 2) && e2.getMessage == "s-1")
   }
 
+  test("a scope cleanup failure never replaces the body's own exception") {
+    // the unwind CAUSE is the diagnostic that matters; a cleanup IO failure
+    // in the finally path rides along as suppressed instead of replacing it
+    val e = intercept[RuntimeException](Caching.scope {
+      Caching.onRelease(spark)(() => throw new RuntimeException("cleanup-io"))
+      throw new RuntimeException("body-failure")
+    })
+    assert(e.getMessage == "body-failure", s"primary must be the body's: $e")
+    assert(e.getSuppressed.map(_.getMessage).toSeq == Seq("cleanup-io"))
+    // body succeeded → the cleanup failure IS the primary (unchanged)
+    val e2 = intercept[RuntimeException](Caching.scope {
+      Caching.onRelease(spark)(() => throw new RuntimeException("cleanup-only"))
+    })
+    assert(e2.getMessage == "cleanup-only")
+  }
+
   test("shuffleOrder is a deterministic permutation, dense per bucket, partition-invariant") {
     val out = Sampling.shuffleOrder(docs, "doc_id", "graft", nBuckets = 4)
       .select("doc_id", "shuffle_bucket", "shuffle_pos").collect()

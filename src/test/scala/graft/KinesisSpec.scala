@@ -172,6 +172,16 @@ class KinesisSpec extends SparkSpec {
       throw new IllegalArgumentException("""{"__type":"InvalidArgumentException"}""")
     intercept[IllegalArgumentException](
       KinesisClient.shardIteratorOrHorizon(failAll, "events", "s0", "LATEST", None))
+    // an InvalidArgumentException that is NOT sequence-shaped (malformed
+    // request, wrong shard id) must also propagate, even on a
+    // sequence-relative request — rewinding THOSE to TRIM_HORIZON would
+    // silently re-read the whole retention window
+    val wrongShard: (String, String) => String = (_, _) =>
+      throw new IllegalArgumentException(
+        """Kinesis GetShardIterator failed: 400 {"__type":"InvalidArgumentException","message":"Invalid ShardId bogus"}""")
+    intercept[IllegalArgumentException](
+      KinesisClient.shardIteratorOrHorizon(wrongShard, "events", "bogus",
+        "AFTER_SEQUENCE_NUMBER", Some("49590000000000000000000000")))
   }
 
   test("getRecords clamps Limit to the API maximum of 10000") {
