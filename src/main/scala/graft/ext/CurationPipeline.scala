@@ -627,17 +627,27 @@ object CurationPipeline {
       else inBatch
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every batch-lifetime persist lands here and unpersists in the finally
-    // (a failed ledger/index write must not leak a cached subtree per retry)
+    // (a failed ledger/index write must not leak a cached subtree per retry);
+    // the deferred LSH increment's own caches release through its cleanup
     var caches: List[DataFrame] = List(exactKept, hashed)
+    var lshCleanup: () => Unit = () => ()
     try {
 
-    // 3: near-dup — the increment writes this batch's verified pairs and
-    // appends the batch's signatures (survivors AND dropped docs: both
-    // remain detectors for future arrivals, as in the batch path)
-    graft.ProbeTiming("lsh_increment")(
-      Dedup.minHashLshIncrement(exactKept.drop("__h"), idCol, textCol,
-        cfg.nearDupThreshold, state.lshIndex, state.pairsDir, batchId,
-        cfg.shingleN, checks = checks))
+    // 3: near-dup — the increment writes this batch's verified pairs here;
+    // the batch's signature appends (survivors AND dropped docs: both
+    // remain detectors for future arrivals, as in the batch path) come
+    // back DEFERRED and run inside the end-of-batch concurrent action set
+    // below — they are read by nothing until the next batch, so their
+    // ~0.5 s fixed cost hides under the curated/offsets writes instead of
+    // serializing in front of them
+    val lshAppends = {
+      val (appends, cleanup) = graft.ProbeTiming("lsh_increment")(
+        Dedup.minHashLshIncrementDeferred(exactKept.drop("__h"), idCol, textCol,
+          cfg.nearDupThreshold, state.lshIndex, state.pairsDir, batchId,
+          cfg.shingleN, checks = checks))
+      lshCleanup = cleanup
+      appends
+    }
     // a batch with zero verified pairs writes no partition — the dir can be
     // missing OR exist with no data files (an empty dynamic-overwrite still
     // creates the base dir), so reads declare their schemas instead of
@@ -760,11 +770,20 @@ object CurationPipeline {
     // record [[collapsedOutput]] can read).
     val curatedOut = packed.withColumn("batch_id", lit(batchId))
     writeOutSchemaOnce(spark, state, curatedOut.schema)
-    // curated output and the offsets ledger both consume the persisted
-    // withBucket subtree and write to distinct dirs — concurrent (two
-    // fixed per-action costs become one max); the hash append stays LAST
-    // and alone, the replay-recompute invariant above
-    graft.ProbeTiming("curated+offsets")(ConcurrentActions.run(Seq(
+    // ONE concurrent end-of-batch action set (five fixed per-action costs
+    // become one max): the curated output and the offsets ledger consume
+    // the persisted withBucket subtree and write to distinct dirs; the
+    // deferred LSH index appends read only their own persisted batch
+    // caches and are read by nothing until the next batch; and the hash
+    // append is recompute-safe AT ANY POINT of this batch — every plan
+    // that reads the hash table filters `batch_id < batchId`, so an
+    // eviction-driven recompute racing the append still sees exactly the
+    // prior batches (the first batch reads no table at all: its plan was
+    // built on the inBatch branch and a recompute re-executes that same
+    // plan). A replayed batch re-runs everything; dynamic partition
+    // overwrite and the `batch_id <` reads absorb the duplicates.
+    val mode = if (checks.exists(spark, state.hashTable)) "append" else "overwrite"
+    graft.ProbeTiming("curated+offsets")(ConcurrentActions.run(Seq[() => Unit](
       () => curatedOut
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(state.outDir),
@@ -774,14 +793,17 @@ object CurationPipeline {
           (coalesce(col("__base"), lit(0L)) + col("__batch_tokens")).as("cum"))
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(state.offsetsDir))))
-    val mode = if (checks.exists(spark, state.hashTable)) "append" else "overwrite"
-    graft.ProbeTiming("hash_append")(
+        .partitionBy("batch_id").parquet(state.offsetsDir)) ++ lshAppends))
+    graft.ProbeTiming("hash_append")(locally {
       exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
         .write.mode(mode).format("parquet")
-        .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable))
-    checks.markExists(state.hashTable)
-    } finally caches.foreach(_.unpersist(blocking = false))
+        .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
+      checks.markExists(state.hashTable)
+    })
+    } finally {
+      lshCleanup()
+      caches.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Continuous curation: [[streamIncrement]] wired into `foreachBatch`.
@@ -800,8 +822,9 @@ object CurationPipeline {
                 compactEvery: Int = 0, maintainClusters: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hg = holdout.map(h => holdoutGramSet(h, idCol, textCol, cfg))
-    // one maintenance-check memo per stream ([[TableChecks]])
-    val checks = new TableChecks
+    // one maintenance-check memo per stream ([[TableChecks]]); sequential
+    // batch ids on one instance make the registry mapping cache valid
+    val checks = new TableChecks(cacheRegistryMapping = maintainClusters)
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id,
@@ -811,9 +834,12 @@ object CurationPipeline {
           // id - 1: a replay of the in-flight batch id reads batch_id < id
           // and must still see every folded row (the clusterCompact rule)
           compactOffsets(batch.sparkSession, state, uptoBatch = id - 1)
-          if (maintainClusters)
+          if (maintainClusters) {
             Dedup.clusterCompact(batch.sparkSession, state.clusterState,
               uptoBatch = id - 1)
+            // cached-mapping lineage read the pre-compaction files
+            checks.invalidateRegistryMapping()
+          }
         }
     }
   }

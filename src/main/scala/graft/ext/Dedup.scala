@@ -287,6 +287,28 @@ object Dedup {
                           batchId: Long, shingleN: Int = 3,
                           numHashes: Int = 64, bandSize: Int = 2,
                           checks: TableChecks = new TableChecks): Unit = {
+    val (appends, cleanup) = minHashLshIncrementDeferred(batch, idCol, textCol,
+      threshold, index, pairsDir, batchId, shingleN, numHashes, bandSize, checks)
+    try graft.ProbeTiming("lsh_appends")(ConcurrentActions.run(appends))
+    finally cleanup()
+  }
+
+  /** [[minHashLshIncrement]] with the step-4 index appends DEFERRED: the
+    * verify+pairs write runs here (steps 1-3, exactly-once semantics
+    * unchanged — the appends still cannot precede it), but the two
+    * append thunks are returned for the caller to run — alone, or folded
+    * into the caller's own concurrent end-of-batch action set
+    * ([[graft.ext.CurationPipeline.streamIncrement]]). The caller MUST
+    * run every thunk (or fail the batch: a replay re-runs all steps) and
+    * MUST invoke the returned cleanup after they finish — it releases the
+    * batch-lifetime persisted subtrees the thunks read.
+    */
+  private[ext] def minHashLshIncrementDeferred(
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, index: LshIndex, pairsDir: String,
+      batchId: Long, shingleN: Int = 3,
+      numHashes: Int = 64, bandSize: Int = 2,
+      checks: TableChecks = new TableChecks): (Seq[() => Unit], () => Unit) = {
     val spark = batch.sparkSession
     // single-writer contract: fail loudly if a compaction is rewriting the
     // index right now (appends to the pre-snapshot table would be dropped
@@ -374,16 +396,29 @@ object Dedup {
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(pairsDir))
       val mode = if (exists) "append" else "overwrite"
-      // the two index appends are independent of each other and read only
-      // the persisted batch caches — run them concurrently (on a
-      // micro-batch, two actions' fixed costs become one max)
-      graft.ProbeTiming("lsh_appends")(ConcurrentActions.run(Seq(
-        () => batchBands.write.mode(mode).format("parquet")
-          .bucketBy(index.numBuckets, "band", "band_key").saveAsTable(index.bandsTable),
-        () => batchDocs.select("id", "ss").write.mode(mode).format("parquet")
-          .bucketBy(index.numBuckets, "id").saveAsTable(index.shinglesTable))))
-      checks.markExists(index.bandsTable)
-      checks.markExists(index.shinglesTable)
+      // the two index appends are independent of each other, read only the
+      // persisted batch caches, and are read by NOTHING until the next
+      // batch — so they can run concurrently with each other AND with any
+      // later same-batch writes the caller wants to overlap them with
+      // ([[graft.ext.CurationPipeline.streamIncrement]] folds them into
+      // its curated+offsets action set: four fixed per-action costs become
+      // one max). Each thunk marks its table existent on success; the
+      // persisted caches they read release only after they ran (the
+      // returned cleanup).
+      val appends = Seq[() => Unit](
+        () => {
+          batchBands.write.mode(mode).format("parquet")
+            .bucketBy(index.numBuckets, "band", "band_key").saveAsTable(index.bandsTable)
+          checks.markExists(index.bandsTable)
+        },
+        () => {
+          batchDocs.select("id", "ss").write.mode(mode).format("parquet")
+            .bucketBy(index.numBuckets, "id").saveAsTable(index.shinglesTable)
+          checks.markExists(index.shinglesTable)
+        })
+      val held = caches
+      caches = Nil // success: the caller's cleanup owns the releases now
+      (appends, () => held.foreach(_.unpersist(blocking = false)))
     } finally caches.foreach(_.unpersist(blocking = false))
   }
 
@@ -545,6 +580,40 @@ object Dedup {
     * corpus); hitting the bound raises rather than returning a
     * partially-collapsed mapping.
     */
+  /** Workaround for a Spark 4.1 LogicalRDD hazard: `Dataset.checkpoint` /
+    * `localCheckpoint` snapshot the origin plan's CONSTRAINTS onto the
+    * LogicalRDD (`originConstraints`), and inside a streaming
+    * `foreachBatch`, re-instancing of a checkpointed frame that appears
+    * several times in one plan (e.g. [[connectedComponents]]' star
+    * self-unions) can produce copies whose OUTPUT got fresh attribute ids
+    * while `originConstraints` kept the original ids. The first Union
+    * above such a copy dies in `Union.rewriteConstraints` with
+    * `key not found: a#N`. Reproduced deterministically by CurationSpec's
+    * "semantic stage" streaming test (cluster registry increments inside
+    * foreachBatch) and MUTATION-VERIFIED: with this strip disabled that
+    * test crashes exactly so. Outside foreachBatch the plain
+    * `newInstance()` path remaps the snapshot correctly — the hazard needs
+    * the streaming batch-plan cloning. Dropping the snapshot costs only
+    * optimizer hints (inferred IsNotNull filters on the checkpointed
+    * subtree); correctness is untouched. In-place best effort: if the
+    * field moves in a future Spark, the strip no-ops — SparkPremiseSpec
+    * fails the day the snapshot itself disappears, flagging this as dead
+    * code to delete.
+    */
+  private[graft] def stripOriginConstraints(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try {
+          val f = classOf[org.apache.spark.sql.execution.LogicalRDD]
+            .getDeclaredField("originConstraints")
+          f.setAccessible(true)
+          f.set(lr, None)
+        } catch { case _: Throwable => () }
+      case _ => ()
+    }
+    df
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // The iteration labels nodes with long ids. A silent cast would turn
     // string/UUID ids into nulls (every edge then dropped ⇒ an EMPTY mapping
@@ -564,7 +633,8 @@ object Dedup {
     // materialize AND truncate lineage (see scaladoc — without this the
     // round-k plan embeds ~5^k copies of the upstream subtree)
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+      Dedup.stripOriginConstraints(
+        if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true))
 
     // Eagerly free a RETIRED round (nothing reads it again once the next
     // round is checkpoint-materialized): drop its blocks and, on the
@@ -796,21 +866,38 @@ object Dedup {
     // crash between the two first writes must read as a fresh registry
     val exists = checks.exists(spark, state.byDocTable) &&
       checks.exists(spark, state.byClusterTable)
+    // the cross-increment mapping cache ([[TableChecks]], streams only):
+    // when the previous increment left the full latest mapping behind, the
+    // registry subtree below is served from materialized blocks instead of
+    // a per-batch table re-read (cc_init was 1.4-1.5 s/increment of pure
+    // re-reading at r12's sf0.1 probe)
+    val cachedMapping = if (exists) checks.registryMapping(batchId) else None
     val edges =
       if (!exists) pairs
       else {
         val docs = pairs.select(col("d1").as("doc_id"))
           .union(pairs.select(col("d2").as("doc_id"))).distinct()
-        val current = spark.table(state.byDocTable)
-          .filter(col("batch_id") < batchId)
-          .join(docs, Seq("doc_id"), "left_semi")
-          .groupBy("doc_id")
-          .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
-        val members = spark.table(state.byClusterTable)
-          .filter(col("batch_id") < batchId)
-          .join(current.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
-          .select(col("doc_id").as("d1"), col("cluster_id").as("d2")).distinct()
-        members.union(pairs)
+        cachedMapping match {
+          case Some(latest) =>
+            // latest already IS the per-doc current assignment: restrict to
+            // the touched docs' clusters and emit membership edges
+            val current = latest.join(docs, Seq("doc_id"), "left_semi")
+            val members = latest
+              .join(current.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
+              .select(col("doc_id").as("d1"), col("cluster_id").as("d2"))
+            members.union(pairs)
+          case None =>
+            val current = spark.table(state.byDocTable)
+              .filter(col("batch_id") < batchId)
+              .join(docs, Seq("doc_id"), "left_semi")
+              .groupBy("doc_id")
+              .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
+            val members = spark.table(state.byClusterTable)
+              .filter(col("batch_id") < batchId)
+              .join(current.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
+              .select(col("doc_id").as("d1"), col("cluster_id").as("d2")).distinct()
+            members.union(pairs)
+        }
       }
     // the mapping feeds BOTH registry tables: persist it, or the second
     // save re-runs the whole log-round component iteration; the two saves
@@ -827,7 +914,62 @@ object Dedup {
           .bucketBy(state.numBuckets, "cluster_id").saveAsTable(state.byClusterTable))))
       checks.markExists(state.byDocTable)
       checks.markExists(state.byClusterTable)
+      if (checks.cacheRegistryMapping)
+        graft.ProbeTiming("cluster_cache")(
+          refreshMappingCache(spark, state, checks, batchId, exists, cachedMapping, cc))
     } finally cc.unpersist(blocking = false)
+  }
+
+  /** Maintain [[TableChecks]]' cross-increment mapping cache after a
+    * successful increment save: the next batch's full latest mapping is
+    * this batch's mapping with the just-computed assignments swapped in —
+    * no table read when a base mapping is at hand (first batch: `cc` IS
+    * the full mapping; later batches: anti-join + union over in-memory
+    * blocks). Only a stream RESTART on an existing registry pays one full
+    * latest-per-doc aggregate to seed.
+    *
+    * The snapshot is a persisted `RDD[Row]` re-wrapped through
+    * `createDataFrame` — NOT `localCheckpoint`, deliberately: a
+    * checkpoint's LogicalRDD carries the origin plan's CONSTRAINTS, and
+    * this plan's constraint set can reference attribute ids internal to
+    * THIS batch's CC rounds; a later batch unioning over the cached frame
+    * then dies in Union.rewriteConstraints with `key not found: a#N`
+    * (reproduced in the curation streaming spec). `createDataFrame` builds
+    * a constraint-free LogicalRDD with fresh attribute ids, which also
+    * truncates lineage (a compaction rewriting the table files is not
+    * reachable from the cached plan — [[clusterStream]] still invalidates
+    * on compaction, since a lost executor can drop persisted blocks that
+    * have no lineage to rebuild from; the fallback is always the table
+    * read). Materialized eagerly: it must survive `cc.unpersist`, whose
+    * lineage reaches checkpoint blocks the ContextCleaner may reclaim.
+    * Any failure here only loses the CACHE, never the committed
+    * increment: the entry stays invalid and the next batch reads the
+    * table.
+    */
+  private def refreshMappingCache(spark: org.apache.spark.sql.SparkSession, state: ClusterState,
+                                  checks: TableChecks, batchId: Long, exists: Boolean,
+                                  base: Option[DataFrame], cc: DataFrame): Unit = {
+    val assignments = cc.select("doc_id", "cluster_id")
+    val next = base match {
+      case Some(m) => m.join(assignments.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(assignments)
+      case None if !exists => assignments
+      case None => // restart on an existing registry: seed once from the table
+        spark.table(state.byDocTable)
+          .filter(col("batch_id") <= batchId)
+          .groupBy("doc_id")
+          .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
+    }
+    val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize while cc's blocks still exist
+    val materialized = spark.createDataFrame(rdd, next.schema)
+    checks.setRegistryMapping(batchId + 1, materialized,
+      () => { rdd.unpersist(blocking = false); () })
+    // session-level cleanup (the bench/Verify release path) must reclaim
+    // the blocks when the stream's query ends without its own shutdown —
+    // registered ONCE per stream, not once per batch
+    if (checks.markReleaseHooked())
+      graft.Caching.onRelease(spark)(() => checks.invalidateRegistryMapping())
   }
 
   /** Streaming cluster maintenance: [[clusterIncrement]] per micro-batch
@@ -838,11 +980,18 @@ object Dedup {
     */
   def clusterStream(pairs: DataFrame, state: ClusterState,
                     compactEvery: Int = 0, maxIters: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val checks = new TableChecks
+    // one instance per stream = sequential batch ids, so the registry
+    // mapping cache is maintainable (see TableChecks)
+    val checks = new TableChecks(cacheRegistryMapping = true)
     pairs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
       clusterIncrement(batch.toDF(), state, id, maxIters, checks)
-      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
         clusterCompact(batch.sparkSession, state, uptoBatch = id - 1)
+        // the cached mapping's content survives a fold, but its blocks are
+        // eviction-rebuilt from a lineage that read the PRE-compaction
+        // files — rebuild from the rewritten table next batch instead
+        checks.invalidateRegistryMapping()
+      }
     }
   }
 

@@ -32,12 +32,58 @@ import org.apache.spark.sql.SparkSession
   * The default argument on every increment entry point is a FRESH instance,
   * so a standalone (non-stream) increment call behaves exactly as before.
   */
-final class TableChecks(revalidateEvery: Int = TableChecks.DefaultRevalidateEvery) {
+final class TableChecks(revalidateEvery: Int = TableChecks.DefaultRevalidateEvery,
+                        val cacheRegistryMapping: Boolean = false) {
   require(revalidateEvery > 0, s"revalidateEvery must be positive: $revalidateEvery")
   // batches since the last lease check, per table; absent = never checked
   private val sinceLeaseCheck =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val known = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // ---- cross-increment registry-mapping cache (opt-in, streams only) ----
+  //
+  // [[Dedup.clusterIncrement]]'s per-batch cc_init re-read of the registry
+  // latest-per-doc subtree was 1.4-1.5 s of every increment's wall time (r12
+  // probe) that re-answers what the previous increment already knew. With
+  // `cacheRegistryMapping = true` (set by the STREAM entry points, which
+  // guarantee sequential batch ids on one instance), the increment keeps the
+  // full latest (doc_id, cluster_id) mapping as materialized, lineage-
+  // truncated blocks and maintains it incrementally from each batch's own
+  // new assignments — no table read after the first batch. `validFor` is the
+  // ONE batch id allowed to consume the entry: a replayed or skipped batch
+  // misses and falls back to the table read (which is always correct), so
+  // the cache can never serve a mapping containing the replaying batch's
+  // own half-committed rows.
+  private var regMapping: Option[(Long, org.apache.spark.sql.DataFrame, () => Unit)] = None
+
+  /** The cached full latest mapping, iff valid for exactly `batchId`. */
+  def registryMapping(batchId: Long): Option[org.apache.spark.sql.DataFrame] =
+    synchronized { regMapping.collect { case (v, df, _) if v == batchId => df } }
+
+  /** Swap in a new mapping valid for batch `validFor` with its block
+    * releaser, freeing the old entry.
+    */
+  def setRegistryMapping(validFor: Long, df: org.apache.spark.sql.DataFrame,
+                         free: () => Unit): Unit =
+    synchronized {
+      regMapping.foreach(_._3())
+      regMapping = Some((validFor, df, free))
+    }
+
+  /** Drop the cache (compaction rewrote the tables the lineage reads; or
+    * session-level cleanup via [[graft.Caching]]). Idempotent.
+    */
+  def invalidateRegistryMapping(): Unit = synchronized {
+    regMapping.foreach(_._3())
+    regMapping = None
+  }
+
+  private val releaseHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** True exactly once per instance — gates the session-release cleanup
+    * registration so a long stream registers ONE hook, not one per batch.
+    */
+  def markReleaseHooked(): Boolean = releaseHooked.compareAndSet(false, true)
 
   /** Full check (lease free + crashed swap finished) on first call per
     * table; lease-only revalidation every `revalidateEvery` calls after.

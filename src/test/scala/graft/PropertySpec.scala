@@ -70,6 +70,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deepRender is content-stable for values embedding byte arrays") {
+    // the rateLimiter retry-determinism tiebreak: two structurally equal
+    // values must render identically across JVM object identities — a
+    // fresh Array[Byte] per attempt must NOT change the rendering
+    def bytes() = Array[Byte](1, -2, 3)
+    assert(RateLimit.deepRender(bytes()) == RateLimit.deepRender(bytes()))
+    assert(RateLimit.deepRender(("topic", bytes(), 7L)) ==
+      RateLimit.deepRender(("topic", bytes(), 7L)))
+    case class Payload(name: String, data: Array[Byte], tags: Array[String])
+    assert(RateLimit.deepRender(Payload("a", bytes(), Array("x", "y"))) ==
+      RateLimit.deepRender(Payload("a", bytes(), Array("x", "y"))))
+    assert(RateLimit.deepRender(Some(bytes())) == RateLimit.deepRender(Some(bytes())))
+    assert(RateLimit.deepRender(Option.empty[Array[Byte]]) == "None")
+    assert(RateLimit.deepRender(null) == "null")
+    // and DIFFERENT content renders differently (it is a tiebreak, not a hash)
+    assert(RateLimit.deepRender(("t", Array[Byte](1))) !=
+      RateLimit.deepRender(("t", Array[Byte](2))))
+    // nested arrays (array<binary> payloads) recurse too
+    assert(RateLimit.deepRender(Array(bytes(), bytes())) ==
+      RateLimit.deepRender(Array(bytes(), bytes())))
+  }
+
   test("latestByKey snapshot matches the sequential LWW model on random workloads") {
     import spark.implicits._
     for (seed <- 10L to 13L) {
@@ -351,6 +373,37 @@ class PropertySpec extends SparkSpec {
       graft.Caching.release(spark)
       state.dropTables(spark)
       assert(got == want, s"seed $seed (cuts $cuts): incremental $got != batch $want")
+
+      // the streaming path: ONE shared TableChecks with the registry
+      // mapping cache on (what clusterStream/runStream create) — cache
+      // hits, the mid-stream compaction invalidation, AND a deliberate
+      // cache-miss restart (fresh caching instance on an existing
+      // registry, the seed-from-table path) must all reproduce the same
+      // mapping as batch CC
+      val state2 = Dedup.ClusterState(s"pclusc_$seed", numBuckets = 4)
+      state2.dropTables(spark)
+      val shared = new graft.ext.TableChecks(cacheRegistryMapping = true)
+      chunks.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        Dedup.clusterIncrement(edges.slice(lo, hi).toDF("d1", "d2"), state2,
+          i.toLong, checks = shared)
+        if (i == 0) {
+          Dedup.clusterCompact(spark, state2, uptoBatch = 0L)
+          shared.invalidateRegistryMapping() // the clusterStream rule
+          // chunk 1 then misses (table re-seed); chunks >= 2 hit the cache
+        }
+      }
+      // restart on an existing registry: a FRESH caching instance misses,
+      // serves the increment off the table, and seeds from it — replaying
+      // the last chunk's (idempotent) edges must not move the mapping
+      val (rlo, rhi) = (chunks.last.head, chunks.last.last)
+      Dedup.clusterIncrement(edges.slice(rlo, rhi).toDF("d1", "d2"), state2,
+        chunks.length.toLong,
+        checks = new graft.ext.TableChecks(cacheRegistryMapping = true))
+      val got2 = Dedup.clusterMapping(spark, state2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release(spark)
+      state2.dropTables(spark)
+      assert(got2 == want, s"seed $seed (cuts $cuts): cached-path $got2 != batch $want")
     }
   }
 
