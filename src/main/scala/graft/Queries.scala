@@ -445,7 +445,10 @@ object Queries {
         val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          val checks = new graft.ext.TableChecks
+          // cacheRegistryMapping: increment 1 reads increment 0's mapping
+          // from blocks instead of re-reading the registry (cc_init was
+          // 1.4-1.5 s of the r12 official 9.9 s median)
+          val checks = new graft.ext.TableChecks(cacheRegistryMapping = true)
           Seq(0L, 1L).foreach { i =>
             Dedup.clusterIncrement(
               pairs.filter(pmod(col("d1") + col("d2"), lit(2)) === i), state,
@@ -638,6 +641,21 @@ object Queries {
           .select(col("doc_id").as("id"), FeatPngUdf(col("doc_id")).as("payload"))
           .as(Encoders.product[Multimodal.MediaRow]),
         dim = 64).toDF()
+        .select(col("id"), posexplode(col("embedding")))
+        .select(col("id"), col("pos").cast("long").as("i"), col("col").as("value"))),
+
+    // REAL audio-feature extraction under oracle check (the x63 stance,
+    // audio twin): every doc gets the x52 synthesized 8-bit mono WAV whose
+    // samples the oracle predicts arithmetically; the descriptor is the
+    // 16-bin energy envelope of the REAL AudioSystem decode, L2-normalized
+    // — integer-exact ops + one float cast, so the float32s hash-match
+    // across engines. Scalar rows for the same canon-sortability reason.
+    "x64_mm_audio_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), SynthWavUdf(col("doc_id")).as("payload"))
+          .as(Encoders.product[Multimodal.MediaRow]),
+        dim = 16).toDF()
         .select(col("id"), posexplode(col("embedding")))
         .select(col("id"), col("pos").cast("long").as("i"), col("col").as("value"))),
 
@@ -1426,6 +1444,26 @@ object Queries {
         |SELECT r.doc_id AS id, CAST(r.i AS BIGINT) AS i,
         |  CAST(r.p / nrm.n AS FLOAT) AS value
         |FROM raw r JOIN nrm ON r.doc_id = nrm.doc_id""".stripMargin,
+
+    "x64_mm_audio_features" ->
+      // transcription of AudioCodecs.waveformFeatures over the x52
+      // synthesized WAVs: n = 200 + id%100 centered samples
+      // c_i = ((id·31 + i·17) mod 256) − 128 (the REAL decode reads them
+      // back 1:1), sample i lands in bin ⌊i·16/n⌋, bin energy e = Σ c²,
+      // then L2-normalize: every e is integer-exact, Σ e² stays
+      // integer-valued in double, sqrt/divide correctly rounded, one
+      // float cast — bitwise-identical float32s across engines.
+      """WITH base AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents),
+        |samp AS (SELECT doc_id, n, i.i AS i,
+        |  ((doc_id * 31 + i.i * 17) % 256) - 128 AS c
+        |  FROM base, LATERAL unnest(generate_series(0, n - 1)) i(i)),
+        |bins AS (SELECT doc_id, (i * 16) // n AS b, SUM(c * c) AS e
+        |  FROM samp GROUP BY doc_id, (i * 16) // n),
+        |nrm AS (SELECT doc_id, sqrt(SUM(CAST(e AS DOUBLE) * e)) AS nn
+        |  FROM bins GROUP BY doc_id)
+        |SELECT b.doc_id AS id, CAST(b.b AS BIGINT) AS i,
+        |  CAST(b.e / nrm.nn AS FLOAT) AS value
+        |FROM bins b JOIN nrm ON b.doc_id = nrm.doc_id""".stripMargin,
 
     "x15_decontaminate" ->
       // transcription of Decontaminate.ngramOverlap: distinct 13-grams per

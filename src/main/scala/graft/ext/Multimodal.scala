@@ -403,6 +403,41 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** REAL waveform descriptor — the audio twin of
+      * [[ImageCodecs.features]]: decode WAV/PCM, split the (interleaved)
+      * sample stream into `bins` fixed-position bins (sample i lands in
+      * bin ⌊i·bins/n⌋), accumulate each bin's ENERGY Σ s_i² over centered
+      * samples, L2-normalize the bin vector. Every intermediate is
+      * integer-exact until one float cast: centered samples are ints, the
+      * per-bin energies are exact longs, the norm's Σ e_j² terms and
+      * running sum stay integer-valued in double (exact below 2⁵³, which
+      * at 16-bit full scale holds through ~2²³ samples per bin), sqrt and
+      * divide are correctly rounded — so an oracle computing the same
+      * samples in SQL doubles produces bit-identical float32s (x64). An
+      * all-silence payload has no direction and stays the zero vector
+      * (the [[graft.ext.Similarity]] never-pairs convention). `None` when
+      * the payload is not decodable PCM — callers choose the fallback.
+      */
+    private[graft] def waveformFeatures(payload: Array[Byte], bins: Int): Option[Array[Float]] = {
+      require(bins > 0, s"feature bins must be positive, got $bins")
+      decodePcm(payload).map { case (f, data) =>
+        val bits = f.getSampleSizeInBits
+        val n = data.length / (bits / 8)
+        val acc = new Array[Long](bins)
+        var i = 0
+        while (i < n) {
+          val c =
+            if (bits == 8) (data(i) & 0xff) - 128
+            else ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          acc((i.toLong * bins / n).toInt) += c.toLong * c
+          i += 1
+        }
+        val norm = math.sqrt(acc.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+        if (norm == 0.0) new Array[Float](bins)
+        else acc.map(v => (v.toDouble / norm).toFloat)
+      }
+    }
+
     // ------------------------------------------------- MP3 (metadata only)
 
     /** Layer III bitrate tables, kbps, indexed by the header's 4-bit
@@ -853,14 +888,19 @@ object Multimodal {
 
   final case class MediaEmbedding(id: Long, embedding: Array[Float])
 
-  /** Visual-embedding extraction: binary payload → `array<float>` column,
+  /** Media-embedding extraction: binary payload → `array<float>` column,
     * ready for [[Similarity]]'s ANN operators — the multimodal→embedding→
     * near-dup pipeline in one narrow stage. Image payloads get the REAL
     * [[ImageCodecs.features]] descriptor (a near-square luminance grid of
     * `dim` cells over the actual ImageIO decode, L2-normalized —
-    * oracle-checked by x63); anything the decoder rejects rides the
+    * oracle-checked by x63); WAV/PCM payloads the image decoder rejects
+    * get the REAL [[AudioCodecs.waveformFeatures]] energy envelope (`dim`
+    * fixed-position bins over the actual AudioSystem decode, L2-normalized
+    * — oracle-checked by x64); anything both decoders reject rides the
     * deterministic [[StubCodecs.features]] fallback, the imageMeta/resize
-    * convention, so arbitrary bytes flow through the same schema. `dim`
+    * convention, so arbitrary bytes flow through the same schema. The two
+    * real paths cannot steal each other's rows: ImageIO only claims
+    * magic-byte-verified still images, decodePcm only RIFF/WAVE PCM. `dim`
     * is validated at plan time, before any task launches.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
@@ -868,6 +908,7 @@ object Multimodal {
     media.mapPartitions(_.map { r =>
       val payload = if (r.payload == null) Array.emptyByteArray else r.payload
       MediaEmbedding(r.id, ImageCodecs.features(payload, dim)
+        .orElse(AudioCodecs.waveformFeatures(payload, dim))
         .getOrElse(StubCodecs.features(payload, dim)))
     })(Encoders.product[MediaEmbedding])
   }

@@ -1656,6 +1656,58 @@ class ExtensionsSpec extends SparkSpec {
       "non-image row must take the stub path")
   }
 
+  test("REAL audio features: PCM energy envelope L2-normalized exactly, stub only off the audio path") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{AudioCodecs, MediaRow, StubCodecs}
+    // 8-bit mono: descriptor is EXACTLY the per-bin Σ(s−128)² envelope
+    // L2-normalized in double then cast to float (the x64 oracle contract)
+    val n = 237
+    val samples = Array.tabulate(n)(i => ((i * 31 + 17) % 256).toByte)
+    val wav = AudioCodecs.pcmWav(8000, 1, 8, samples)
+    val bins = 16
+    val acc = new Array[Long](bins)
+    samples.zipWithIndex.foreach { case (b, i) =>
+      val c = (b & 0xff) - 128
+      acc((i.toLong * bins / n).toInt) += c.toLong * c
+    }
+    val norm = math.sqrt(acc.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+    val expected = acc.map(v => (v.toDouble / norm).toFloat)
+    assert(AudioCodecs.waveformFeatures(wav, bins).get.sameElements(expected),
+      "8-bit decode must hand back the normalized bin energies bitwise")
+    // 16-bit signed LE path: negative samples square positive, exact
+    val pcm16 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq[Short](1000, -2000, 3000, -32768).foreach(s => { pcm16.putShort(s); () })
+    val wav16 = AudioCodecs.pcmWav(16000, 1, 16, pcm16.array())
+    val f16 = AudioCodecs.waveformFeatures(wav16, 4).get
+    val e16 = Array(1000L * 1000, 2000L * 2000, 3000L * 3000, 32768L * 32768)
+    val n16 = math.sqrt(e16.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+    assert(f16.sameElements(e16.map(v => (v.toDouble / n16).toFloat)))
+    // all-silence (centered zeros) has no direction: zero vector, never NaN
+    val silent = AudioCodecs.pcmWav(8000, 1, 8, Array.fill(100)(128.toByte))
+    assert(AudioCodecs.waveformFeatures(silent, 8).get.forall(_ == 0.0f))
+    // an empty data chunk must not divide by zero
+    assert(AudioCodecs.waveformFeatures(AudioCodecs.pcmWav(8000, 1, 8,
+      Array.emptyByteArray), 8).get.forall(_ == 0.0f))
+    // non-audio bytes: None from the real kernel (callers choose the stub)
+    assert(AudioCodecs.waveformFeatures("just text".getBytes, 16).isEmpty)
+    intercept[IllegalArgumentException](AudioCodecs.waveformFeatures(wav, 0))
+    // extractFeatures routes per row: WAV rows real-audio, image rows
+    // real-visual, text rows stub — no path steals another's rows
+    val px = Array.tabulate(16)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.ImageCodecs.grayPng(px, 4, 4)
+    val pnorm = math.sqrt(px.foldLeft(0.0)((a, v) => a + v.toDouble * v))
+    val mixed = spark.createDataset(Seq(
+      MediaRow(1L, wav), MediaRow(2L, png), MediaRow(3L, "just text".getBytes)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val byId = Multimodal.extractFeatures(mixed, dim = 16).collect()
+      .map(r => r.id -> r.embedding).toMap
+    assert(byId(1L).sameElements(expected), "WAV row must take the audio path")
+    assert(byId(2L).sameElements(px.map(v => (v / pnorm).toFloat)),
+      "image row must take the visual path")
+    assert(byId(3L).sameElements(StubCodecs.features("just text".getBytes, 16)),
+      "text row must take the stub path")
+  }
+
   test("multimodal feature extraction feeds the ANN operators end to end") {
     import graft.ext.Multimodal
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
