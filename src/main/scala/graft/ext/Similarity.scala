@@ -23,16 +23,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** A vector participates in cosine similarity only with a positive
+    * FINITE norm. Zero norm has no direction (0/0 — the long-documented
+    * drop). An Inf or NaN norm — ONE corrupt float32-overflow component
+    * upstream — is worse than undefined: every cosine against it is NaN,
+    * and `graft_topk`'s NaN-greatest ordering would rank the corrupt
+    * vector the #1 neighbor of EVERY query (and the `dot >= t·na·nb`
+    * threshold form would admit Inf pairs). Under Spark's NaN-greatest
+    * comparison semantics `nrm < Infinity` excludes both Inf and NaN.
+    * Dropping (not raising) is deliberate, matching the zero-norm stance:
+    * one corrupt vector must not kill a 100 TB job; the kernels that
+    * RAISE (Ncm, graft_dot's dim check) guard MODEL inputs, not corpus
+    * rows.
+    */
+  private def definedCosine(nrm: Column): Column =
+    nrm > 0 && nrm < lit(Double.PositiveInfinity)
+
   /** All pairs with cosine >= threshold (ids only — float-free output so the
     * DuckDB oracle hash-matches bit-for-bit). Norms are precomputed once per
     * row before the join. O(n²/2) compare — baseline path.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // zero-norm vectors have no defined cosine: `dot >= t*na*nb` would pass
     // them (0 >= 0) while a cosine division yields NaN and excludes them —
-    // drop them so both formulations (and the DuckDB oracle) agree
+    // drop them (and Inf/NaN norms, [[definedCosine]]) so both
+    // formulations (and the DuckDB oracle) agree
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .filter(col("nrm") > 0)
+      .filter(definedCosine(col("nrm")))
     val a = withNorm.toDF("id_a", "va", "na")
     val b = withNorm.toDF("id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
@@ -57,19 +75,25 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k neighbors for each query row. Zero-norm (and
-    * null) vectors are excluded on both sides — their cosine is undefined
-    * (0/0), the same stance [[cosinePairs]] documents — so no NaN/null
-    * score ever reaches the top-k aggregate.
+    * null, Inf/NaN-norm) vectors are excluded on both sides — their cosine
+    * is undefined or NaN-poisoning ([[definedCosine]]) — so no NaN/null
+    * score ever reaches the top-k aggregate. Norms are computed ONCE PER
+    * ROW below the join (the [[cosinePairs]] pattern): the previous
+    * per-pair `norm(qv)·norm(cv)` ran three O(dim) kernels per candidate
+    * on this O(n²) path instead of one.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(norm(col("cv")) > 0)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .filter(norm(col("qv")) > 0)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .filter(definedCosine(col("cn")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .filter(definedCosine(col("qn")))
     val scored = q.join(c, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     topKRank(scored, k)
   }
 
@@ -187,6 +211,35 @@ object Similarity {
     cents
   }
 
+  /** [[nearest]] with the loud per-row dimension gate every ASSIGNMENT
+    * path needs: a shorter vector would silently compute prefix distances
+    * (wrong cluster, recall hole), a longer one would AIOOBE bare-named.
+    * pqTrain's sample-side raise cannot cover rows outside the sample.
+    */
+  private def nearestChecked(c: Array[Array[Double]], id: Long, v: Array[Float],
+                             context: String): Int = {
+    if (v.length != c(0).length) throw new IllegalArgumentException(
+      s"$context: vector id=$id has dimension ${v.length}, expected ${c(0).length}")
+    nearest(c, v)
+  }
+
+  /** The `nProbe` nearest centroids by squared distance — ONE definition of
+    * the probe-selection rule (ties: (distance, cluster index), exactly the
+    * `dists.sorted` tuple order every probe path used), with the
+    * [[nearestChecked]] dimension gate.
+    */
+  private def nearestProbes(c: Array[Array[Double]], id: Long, v: Array[Float],
+                            nProbe: Int, context: String): Seq[Int] = {
+    if (v.length != c(0).length) throw new IllegalArgumentException(
+      s"$context: vector id=$id has dimension ${v.length}, expected ${c(0).length}")
+    val dists = c.indices.map { ci =>
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
+      (d, ci)
+    }
+    dists.sorted.take(nProbe).map(_._2)
+  }
+
   /** [[nearest]] on the `off ..< off + c(0).length` slice of `v` without
     * materializing the sub-vector — same arithmetic, same tie rule.
     */
@@ -207,12 +260,13 @@ object Similarity {
               nClusters: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     requireIntegralId(df, idCol, "ivfTopK")
-    // zero-norm/null vectors out up front (undefined cosine — the
-    // bruteForceTopK/cosinePairs stance), so the exact re-rank's top-k
+    // zero/Inf/NaN-norm and null vectors out up front ([[definedCosine]] —
+    // the bruteForceTopK/cosinePairs stance), so the exact re-rank's top-k
     // aggregate never sees a NaN or null score
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
     // The training loop and the assignment/probe stages each rescan the
     // vectors; cache once instead of re-reading the source per Lloyd
     // iteration.
@@ -221,22 +275,20 @@ object Similarity {
     val cents = trainCodebook(vecs, nClusters, iters)
 
     val bc = spark.sparkContext.broadcast(cents)
-    val assigned = vecs.map { case (id, v) => (id, v, nearest(bc.value, v)) }
+    val assigned = vecs
+      .map { case (id, v) => (id, v, nearestChecked(bc.value, id, v, "ivfTopK")) }
       .toDF("id", "v", "cluster")
+      // norm once per corpus row, BELOW the probe join — not per candidate
+      .withColumn("vn", norm(col("v")))
     val probes = vecs.flatMap { case (id, v) =>
-      val c = bc.value
-      val dists = c.indices.map { ci =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
-        (d, ci)
-      }
-      dists.sorted.take(nProbe).map { case (_, ci) => (id, v, ci) }
+      nearestProbes(bc.value, id, v, nProbe, "ivfTopK").map(ci => (id, v, ci))
     }.toDF("query_id", "qv", "cluster")
+      .withColumn("qn", norm(col("qv")))
 
     val scored = probes.join(assigned, "cluster")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("nbr_id"),
-        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
     // vecs stays cached for the returned (lazy) plan, which scans it twice
     // more (assignment + probes); release via graft.Caching.release once the
     // caller has materialized the result.
@@ -269,16 +321,17 @@ object Similarity {
     // would unpersist caches the CALLER still has in flight
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     requireIntegralId(df, idCol, "ivfBuild")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
     val cents = trainCodebook(vecs, nClusters, iters)
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cluster", "centroid")
       .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable)
     val bc = spark.sparkContext.broadcast(cents)
-    vecs.map { case (id, v) => (id, v, nearest(bc.value, v)) }
+    vecs.map { case (id, v) => (id, v, nearestChecked(bc.value, id, v, "ivfBuild")) }
       .toDF("id", "v", "cluster")
       .write.mode("overwrite").format("parquet")
       .bucketBy(index.numBuckets, "cluster")
@@ -297,27 +350,26 @@ object Similarity {
     // an ivfCompact swap that crashed between DROP and RENAME leaves the
     // corpus only under __compact — finish it rather than failing the read
     Dedup.finishCrashedSwap(spark, index.assignmentsTable)
+    graft.functions.GraftFunctions.register(spark)
     val cents: Array[Array[Double]] = spark.table(index.codebookTable)
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(cents)
     requireIntegralId(queries, idCol, "ivfProbeScores")
     val probes = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("qv"))
-      .filter(norm(col("qv")) > 0)
+      .filter(definedCosine(norm(col("qv"))))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        val c = bc.value
-        val dists = c.indices.map { ci =>
-          var d = 0.0; var j = 0
-          while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
-          (d, ci)
-        }
-        dists.sorted.take(nProbe).map { case (_, ci) => (id, v, ci) }
+        nearestProbes(bc.value, id, v, nProbe, "ivfProbeScores").map(ci => (id, v, ci))
       }.toDF("query_id", "qv", "cluster")
-    probes.join(spark.table(index.assignmentsTable), "cluster")
+      .withColumn("qn", norm(col("qv")))
+    // norm once per assignment row, BELOW the probe join — not per candidate
+    val assigned = spark.table(index.assignmentsTable)
+      .withColumn("vn", norm(col("v")))
+    probes.join(assigned, "cluster")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("nbr_id"),
-        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cos"))
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
   }
 
   /** Approximate top-k against a built [[IvfIndex]] — precision 1 (exact
@@ -347,6 +399,7 @@ object Similarity {
   def ivfAppend(batch: DataFrame, idCol: String, vecCol: String, index: IvfIndex): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     requireIntegralId(batch, idCol, "ivfAppend")
     // single-writer contract: no append while ivfCompact rewrites the
     // assignments ([[StateLease]])
@@ -360,9 +413,9 @@ object Similarity {
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(cents)
     batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .map { case (id, v) => (id, v, nearestChecked(bc.value, id, v, "ivfAppend")) }
       .toDF("id", "v", "cluster")
       .write.mode("append").format("parquet")
       .bucketBy(index.numBuckets, "cluster")
@@ -416,8 +469,9 @@ object Similarity {
     requireIntegralId(df, idCol, "pqTrain")
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
     // training rescans the sample m × iters times: cache once (scope-local —
     // fully consumed before return)
     pqTrainVecs(graft.Caching.scoped(base.as[(Long, Array[Float])]), m, ksub, iters)
@@ -502,8 +556,16 @@ object Similarity {
     PqModel(dim, m, kEff, books)
   }
 
-  /** One vector's m nearest-subspace-centroid codes. */
-  private def encodeOne(model: PqModel, v: Array[Float]): Array[Byte] = {
+  /** One vector's m nearest-subspace-centroid codes. Loud per-row
+    * dimension gate (the pqLuts query-side rule, applied to the CORPUS
+    * side): `copyOfRange` would silently zero-pad a shorter vector and
+    * truncate a longer one into well-formed WRONG codes — and pqTrain's
+    * raise only scans the training SAMPLE, so out-of-sample rows need
+    * their own check.
+    */
+  private def encodeOne(model: PqModel, id: Long, v: Array[Float]): Array[Byte] = {
+    if (v.length != model.dim) throw new IllegalArgumentException(
+      s"pq encode: vector id=$id has dimension ${v.length}, expected model dim=${model.dim}")
     val codes = new Array[Byte](model.m)
     var sub = 0
     while (sub < model.m) {
@@ -512,6 +574,35 @@ object Similarity {
       sub += 1
     }
     codes
+  }
+
+  /** One query's flattened m×ksub inner-product ADC lookup table — ONE
+    * definition shared by [[pqLuts]] and [[ivfPqQuery]] (the two inline
+    * copies had already started to drift only in variable names; the
+    * pqTrainVecs comment names this divergence class). Loud per-row raise
+    * on a wrong-dimension query: a longer one would build the LUT from
+    * its PREFIX (plausible wrong ADC shortlist), a shorter one crashes
+    * opaquely mid-loop.
+    */
+  private def buildLut(mm: PqModel, id: Long, v: Array[Float]): Array[Double] = {
+    if (v.length != mm.dim) throw new IllegalArgumentException(
+      s"pq query id=$id has dimension ${v.length}, expected model dim=${mm.dim}")
+    val lut = new Array[Double](mm.m * mm.ksub)
+    var sub = 0
+    while (sub < mm.m) {
+      val book = mm.codebooks(sub)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < cent.length) { acc += v(sub * mm.dsub + j).toDouble * cent(j); j += 1 }
+        lut(sub * mm.ksub + c) = acc
+        c += 1
+      }
+      sub += 1
+    }
+    lut
   }
 
   /** Same double left-to-right order as norm(col) = sqrt(graft_dot(v,v)). */
@@ -530,12 +621,13 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     requireIntegralId(df, idCol, "pqEncode")
     val bc = spark.sparkContext.broadcast(model)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, encodeOne(bc.value, v), normOf(v)) }
+      .map { case (id, v) => (id, encodeOne(bc.value, id, v), normOf(v)) }
       .toDF("id", "codes", "nrm")
   }
 
@@ -550,35 +642,10 @@ object Similarity {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
     queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val mm = bc.value
-        // loud per-row raise: a longer query would build the LUT from its
-        // PREFIX (the math.min-truncation class — plausible wrong ADC
-        // shortlist), a shorter one crashes opaquely mid-loop
-        if (v.length != mm.dim) throw new IllegalArgumentException(
-          s"pq query id=$id has dimension ${v.length}, expected model dim=${mm.dim}")
-        val lut = new Array[Double](mm.m * mm.ksub)
-        var sub = 0
-        while (sub < mm.m) {
-          val book = mm.codebooks(sub)
-          var c = 0
-          while (c < book.length) {
-            val cent = book(c)
-            var acc = 0.0
-            var j = 0
-            while (j < cent.length) { acc += v(sub * mm.dsub + j).toDouble * cent(j); j += 1 }
-            lut(sub * mm.ksub + c) = acc
-            c += 1
-          }
-          sub += 1
-        }
-        var nn = 0.0
-        var j = 0
-        while (j < v.length) { nn += v(j).toDouble * v(j).toDouble; j += 1 }
-        (id, lut, math.sqrt(nn))
-      }.toDF("query_id", "lut", "qnrm")
+      .map { case (id, v) => (id, buildLut(bc.value, id, v), normOf(v)) }
+      .toDF("query_id", "lut", "qnrm")
   }
 
   /** PQ-ADC approximate top-k with exact re-rank: corpus vectors compress
@@ -618,12 +685,15 @@ object Similarity {
       .agg(call_function("graft_topk", col("adc_cos"), col("nbr_id"), lit(overfetch)).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("s"))
       .select(col("query_id"), col("s.nbr_id").as("nbr_id"))
-    val cv = corpus.select(col(idCol).cast("long").as("nbr_id"), col(vecCol).as("cv"))
-    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .filter(norm(col("qv")) > 0)
+    // norms once per row below the re-rank joins (the bruteForceTopK rule)
+    val cv = corpus.select(col(idCol).cast("long").as("nbr_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .filter(definedCosine(col("qn")))
     val scored = cands.join(cv, Seq("nbr_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
-        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     topKRank(scored, k)
   }
 
@@ -650,9 +720,10 @@ object Similarity {
                  iters: Int = 5): Unit = graft.Caching.scope {
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     requireIntegralId(df, idCol, "ivfPqBuild")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
     // the IVF and PQ trainers are independent consumers of the same cached
     // base: run them from concurrent driver threads so their fixed per-job
@@ -679,7 +750,8 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(cents)
     val bcP = spark.sparkContext.broadcast(pq)
     vecs.map { case (id, v) =>
-      (id, v, nearest(bcC.value, v), encodeOne(bcP.value, v), normOf(v))
+      (id, v, nearestChecked(bcC.value, id, v, "ivfPqBuild"),
+        encodeOne(bcP.value, id, v), normOf(v))
     }.toDF("id", "v", "cluster", "codes", "nrm")
       .write.mode("overwrite").format("parquet")
       .bucketBy(index.numBuckets, "cluster")
@@ -732,34 +804,15 @@ object Similarity {
     requireIntegralId(queries, idCol, "ivfPqQuery")
     val probes = queries
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
-      .filter(norm(col("qv")) > 0)
+      .filter(definedCosine(norm(col("qv"))))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        val c = bcC.value
-        val mm = bcP.value
-        if (v.length != mm.dim) throw new IllegalArgumentException(
-          s"pq query id=$id has dimension ${v.length}, expected model dim=${mm.dim}")
-        val lut = new Array[Double](mm.m * mm.ksub)
-        var sub = 0
-        while (sub < mm.m) {
-          val book = mm.codebooks(sub)
-          var ci = 0
-          while (ci < book.length) {
-            val cent = book(ci)
-            var acc = 0.0
-            var j = 0
-            while (j < cent.length) { acc += v(sub * mm.dsub + j).toDouble * cent(j); j += 1 }
-            lut(sub * mm.ksub + ci) = acc
-            ci += 1
-          }
-          sub += 1
-        }
-        val dists = c.indices.map { ci =>
-          var d = 0.0; var j = 0
-          while (j < v.length) { val t = c(ci)(j) - v(j); d += t * t; j += 1 }
-          (d, ci)
-        }
-        dists.sorted.take(nProbe).map { case (_, ci) => (id, ci, lut, normOf(v)) }
+        // LUT, probe rule, and norm each built ONCE per query (the norm
+        // was previously recomputed per probe row), through the shared
+        // helpers so this path cannot drift from pqLuts/ivfProbeScores
+        val lut = buildLut(bcP.value, id, v)
+        val qn = normOf(v)
+        nearestProbes(bcC.value, id, v, nProbe, "ivfPqQuery").map(ci => (id, ci, lut, qn))
       }.toDF("query_id", "cluster", "lut", "qnrm")
     // ADC scan: column pruning keeps v out of this read entirely
     val codes = spark.table(index.assignmentsTable)
@@ -773,12 +826,18 @@ object Similarity {
       .agg(call_function("graft_topk", col("adc_cos"), col("nbr_id"), lit(overfetch)).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("s"))
       .select(col("query_id"), col("s.nbr_id").as("nbr_id"))
-    val cv = spark.table(index.assignmentsTable).select(col("id").as("nbr_id"), col("v").as("cv"))
-    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .filter(norm(col("qv")) > 0)
+    // the stored nrm IS normOf(v) (same left-to-right double fold as
+    // norm(col) — pinned in normOf's doc), so the re-rank reuses it
+    // instead of recomputing norm(cv) per shortlist row; the query norm
+    // computes once per query row below the joins
+    val cv = spark.table(index.assignmentsTable)
+      .select(col("id").as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .filter(definedCosine(col("qn")))
     val scored = shortlist.join(cv, Seq("nbr_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
-        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     topKRank(scored, k)
   }
 
@@ -794,6 +853,7 @@ object Similarity {
                   index: IvfPqIndex): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     requireIntegralId(batch, idCol, "ivfPqAppend")
     StateLease.assertFree(spark, index.assignmentsTable)
     Dedup.finishCrashedSwap(spark, index.assignmentsTable)
@@ -808,10 +868,11 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(cents)
     val bcP = spark.sparkContext.broadcast(pq)
     batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(norm(col("v")) > 0)
+      .filter(definedCosine(norm(col("v"))))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        (id, v, nearest(bcC.value, v), encodeOne(bcP.value, v), normOf(v))
+        (id, v, nearestChecked(bcC.value, id, v, "ivfPqAppend"),
+          encodeOne(bcP.value, id, v), normOf(v))
       }.toDF("id", "v", "cluster", "codes", "nrm")
       .write.mode("append").format("parquet")
       .bucketBy(index.numBuckets, "cluster")
@@ -913,7 +974,7 @@ object Similarity {
   private[ext] def srpBase(df: DataFrame, idCol: String, vecCol: String,
                            numBits: Int): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .filter(col("nrm") > 0)
+      .filter(definedCosine(col("nrm")))
       .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
 
   private[ext] def srpBands(base: DataFrame, numBits: Int, bandSize: Int,
@@ -993,7 +1054,7 @@ object Similarity {
     val base = batch
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-      .filter(col("nrm") > 0)
+      .filter(definedCosine(col("nrm")))
       .withColumn("sig", call_function("graft_srp_sig", col("v"), lit(numBits)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var caches: List[DataFrame] = List(base)
@@ -1138,7 +1199,19 @@ object Similarity {
     val chk = df.agg(count(lit(1)).as("n"),
       sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
       min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
-      sum(when(col(labelCol).isNull, 1L).otherwise(0L)).as("lnulls")).head()
+      sum(when(col(labelCol).isNull, 1L).otherwise(0L)).as("lnulls"),
+      // NULL/NaN/Inf vector COMPONENTS would train silently-wrong
+      // centroids: a NULL element quantizes to null — sum() skips it
+      // while count() still counts the row, deflating that component
+      // toward 0 — and floor(NaN·2²⁰)/floor(Inf·2²⁰) cast to long is 0
+      // under non-ANSI SQL, silently trained as 0. Ncm.argmax RAISES on
+      // the same inputs at scoring time, so training must too (the
+      // train/score consistency rule); exists() over a NULL array is
+      // null, which `when` treats as false — the whole-NULL rows are the
+      // `nulls` counter's job above.
+      sum(when(exists(col(vecCol), x => x.isNull || isnan(x) ||
+        x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity)),
+        1L).otherwise(0L)).as("badcomp")).head()
     require(chk.getLong(0) > 0, "trainCentroids requires a non-empty input")
     require(chk.getLong(1) == 0,
       s"trainCentroids: ${chk.getLong(1)} NULL ${vecCol} vectors — drop or impute them first")
@@ -1147,6 +1220,9 @@ object Similarity {
     // the third input corruption, named like the other two
     require(chk.getLong(4) == 0,
       s"trainCentroids: ${chk.getLong(4)} NULL ${labelCol} labels — drop or impute them first")
+    require(chk.getLong(5) == 0,
+      s"trainCentroids: ${chk.getLong(5)} vectors carry NULL/NaN/Inf components " +
+        "— drop or impute them first (they would silently skew the centroids)")
     require(chk.getInt(2) == chk.getInt(3) && chk.getInt(2) > 0,
       s"trainCentroids requires one fixed positive dimension, got ${chk.getInt(2)}..${chk.getInt(3)}")
     val dim = chk.getInt(2)

@@ -1745,6 +1745,116 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == trainIds -- leaked)
   }
 
+  test("corrupt vectors (Inf/NaN components) are dropped, never NaN-ranked as top neighbors") {
+    import spark.implicits._
+    val good = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0.9f, 0.1f)))
+    // an Inf component (float32 overflow upstream) makes EVERY cosine
+    // against the vector NaN; graft_topk is NaN-greatest, so without the
+    // finite-norm gate id 9 would be the #1 neighbor of every query
+    val corrupt = Seq(
+      (9L, Array(Float.PositiveInfinity, 0f, 0f)),
+      (10L, Array(Float.NaN, 1f, 0f)),
+      (11L, Array(0f, 0f, 0f))) // zero-norm, the long-standing drop
+    val df = (good ++ corrupt).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 2).collect()
+    assert(topk.nonEmpty)
+    val nbrs = topk.map(_.getLong(2)).toSet
+    assert(!nbrs.exists(_ >= 9L), s"corrupt/zero vectors must never be neighbors: $nbrs")
+    assert(!topk.map(_.getLong(0)).exists(_ >= 9L), "corrupt queries must drop too")
+    assert(topk.forall(r => !r.getDouble(3).isNaN), "no NaN score may survive")
+    // the pair path shares the gate: only the two genuine near-pairs emit
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+    // and the SRP path (its srpBase feeds cosineLshPairs): corrupt rows drop
+    val lsh = Similarity.cosineLshPairs(df, "vec_id", "embedding", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    assert(lsh.subsetOf(Set((1L, 2L), (3L, 4L))), s"got $lsh")
+  }
+
+  test("PQ/IVF corpus-side dimension gates raise loudly per row (no silent truncation)") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null) cur = cur.getCause
+      String.valueOf(cur.getMessage)
+    }
+    val base = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 7 + j) % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(base, "vec_id", "embedding", m = 4, ksub = 4, iters = 2)
+    graft.Caching.release(spark)
+    // a 4-dim row among 8-dim: copyOfRange would zero-pad it into
+    // well-formed WRONG codes; pqTrain's raise only covers the sample
+    val mixed = base.union(Seq((99L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"))
+    val e1 = intercept[Throwable](
+      Similarity.pqEncode(mixed, "vec_id", "embedding", model).collect())
+    assert(rootMsg(e1).contains("pq encode") && rootMsg(e1).contains("id=99"), rootMsg(e1))
+    // IVF assignment: nearest() would silently compute prefix distances
+    val idx = Similarity.IvfIndex("tdimgate_assign", "tdimgate_code", numBuckets = 2)
+    dropTableHard(idx.assignmentsTable); dropTableHard(idx.codebookTable)
+    try {
+      Similarity.ivfBuild(base, "vec_id", "embedding", idx, nClusters = 4, iters = 1)
+      val e2 = intercept[Throwable](Similarity.ivfAppend(
+        Seq((99L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx))
+      assert(rootMsg(e2).contains("ivfAppend") && rootMsg(e2).contains("id=99"), rootMsg(e2))
+    } finally {
+      dropTableHard(idx.assignmentsTable); dropTableHard(idx.codebookTable)
+    }
+  }
+
+  test("trainCentroids raises on NULL/NaN/Inf vector components (train/score consistency)") {
+    import spark.implicits._
+    // Ncm.argmax raises on these at SCORING; a model trained over them
+    // would be silently skewed (null quantized components deflate sums
+    // while the count still ticks; NaN/Inf floor-cast to 0 long)
+    val nan = Seq((1L, Array(1f, Float.NaN), 0), (2L, Array(1f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.trainCentroids(nan, "embedding", "label"))
+    assert(e1.getMessage.contains("NULL/NaN/Inf components"), e1.getMessage)
+    val inf = Seq((1L, Array(1f, Float.NegativeInfinity), 0), (2L, Array(1f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException](
+      Similarity.trainCentroids(inf, "embedding", "label"))
+    val withNullElem = Seq((1L, 0), (2L, 1)).toDF("vec_id", "label")
+      .withColumn("embedding",
+        when(col("vec_id") === 1L, array(lit(1f), lit(null).cast("float")))
+          .otherwise(array(lit(1f), lit(2f))))
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.trainCentroids(withNullElem, "embedding", "label"))
+    assert(e3.getMessage.contains("NULL/NaN/Inf components"), e3.getMessage)
+    // clean input still trains (the guard must not false-positive)
+    val ok = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.trainCentroids(ok, "embedding", "label").centroids.size == 2)
+  }
+
+  test("eager Similarity entry points self-register graft functions on a bare session") {
+    // a fresh session has no graft temp functions (GraftSession.tune never
+    // ran on it); ivfBuild/pqTrain previously died with UNRESOLVED_ROUTINE
+    // 'graft_dot' deep inside the training loop
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val df = (0L until 24L)
+      .map(i => (i, Array.tabulate(4)(j => ((i + j) % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    assert(Similarity.pqEncode(df, "vec_id", "embedding", model).count() == 24)
+    val idx = Similarity.IvfIndex("tselfreg_assign", "tselfreg_code", numBuckets = 2)
+    dropTableHard(idx.assignmentsTable); dropTableHard(idx.codebookTable)
+    try {
+      Similarity.ivfBuild(df, "vec_id", "embedding", idx, nClusters = 2, iters = 1)
+      assert(s2.table(idx.assignmentsTable).count() == 24)
+    } finally {
+      dropTableHard(idx.assignmentsTable); dropTableHard(idx.codebookTable)
+    }
+  }
+
   test("pqTopK at full overfetch equals bruteForceTopK bit-for-bit (x47)") {
     val queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
