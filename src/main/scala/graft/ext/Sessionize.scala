@@ -30,20 +30,42 @@ object Sessionize {
     // loudly (the reserved-column stance)
     require(!df.columns.contains("session_idx"),
       "sessionize writes column 'session_idx' — rename the input column first")
+    // a negative gap makes every event a singleton session — nonsense
+    // output from an invalid argument (the IntervalJoin grainMs rule);
+    // gapMs = 0 is legal: split on any strictly positive gap
+    require(gapMs >= 0, s"sessionize: gapMs must be >= 0, got $gapMs")
+    // the ts column must be TIMESTAMP or LONG epoch-millis (the
+    // IntervalJoin contract). An implicit-cast type like STRING would be
+    // worse than an error: unix_millis(cast(string)) yields NULL on any
+    // malformed value under non-ANSI SQL, the NULL gap falls to
+    // otherwise(0), and the corrupt event silently GLUES onto the prior
+    // session — bypassing the NULL raise below — while the ordering would
+    // compare lexicographically ('9:00' after '10:00').
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val msOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      df.schema(tsCol).dataType match {
+        case TimestampType => unix_millis(_)
+        case LongType => identity
+        case t => throw new IllegalArgumentException(
+          s"sessionize: '$tsCol' must be TIMESTAMP or LONG epoch-millis, got $t")
+      }
+    // user column names are backtick-quoted (the IntervalJoin q() rule)
+    def q(c: String): org.apache.spark.sql.Column =
+      col(s"`${c.replace("`", "``")}`")
     // a NULL timestamp would silently start its own session (nulls sort
     // first, lag() hands the next row a NULL prev, isNew fires) — k null
     // events inflate the count by k singleton sessions with NULL bounds.
     // Raise per row, naming the key (the tokenCountOrRaise stance).
-    val ts = when(col(tsCol).isNull, raise_error(concat(
+    val ts = when(q(tsCol).isNull, raise_error(concat(
       lit(s"sessionize: NULL $tsCol at ${keyCols.mkString(",")}="),
-      concat_ws(",", keyCols.map(col(_).cast("string")): _*)))
+      concat_ws(",", keyCols.map(q(_).cast("string")): _*)))
       .cast(df.schema(tsCol).dataType))
-      .otherwise(col(tsCol))
-    val order = ts.asc +: tieBreakCols.map(col(_).asc)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .otherwise(q(tsCol))
+    val order = ts.asc +: tieBreakCols.map(q(_).asc)
+    val w = Window.partitionBy(keyCols.map(q): _*).orderBy(order: _*)
     val prev = lag(ts, 1).over(w)
     val isNew = when(prev.isNull ||
-      unix_millis(ts) - unix_millis(prev) > gapMs, 1).otherwise(0)
+      msOf(ts) - msOf(prev) > gapMs, 1).otherwise(0)
     df.withColumn("session_idx",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
@@ -59,10 +81,12 @@ object Sessionize {
     Seq("n_events", "session_start", "session_end").foreach(c =>
       require(!keyCols.contains(c),
         s"sessions writes stat column '$c' — rename the key column first"))
+    def q(c: String): org.apache.spark.sql.Column =
+      col(s"`${c.replace("`", "``")}`")
     assign(df, keyCols, tsCol, gapMs, tieBreakCols)
-      .groupBy((keyCols :+ "session_idx").map(col): _*)
+      .groupBy(keyCols.map(q) :+ col("session_idx"): _*)
       .agg(count(lit(1)).as("n_events"),
-        min(col(tsCol)).as("session_start"),
-        max(col(tsCol)).as("session_end"))
+        min(q(tsCol)).as("session_start"),
+        max(q(tsCol)).as("session_end"))
   }
 }

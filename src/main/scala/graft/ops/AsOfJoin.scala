@@ -56,47 +56,68 @@ object AsOfJoin {
       s"asOf: column names starting with '__' are reserved: ${reserved.mkString(", ")}")
     require(left.schema(leftTsCol).dataType == right.schema(rightTsCol).dataType,
       s"asOf: ts type mismatch ${left.schema(leftTsCol).dataType} vs ${right.schema(rightTsCol).dataType}")
+    // a misspelled key would otherwise surface as an opaque
+    // AnalysisException against the internal __-columns plan (the
+    // IntervalJoin per-key require)
+    keyCols.foreach { k =>
+      require(leftCols.contains(k) && right.columns.contains(k),
+        s"asOf: key column '$k' must exist on both sides")
+      // keys are as load-bearing as the ts columns: unionByName would
+      // silently WIDEN mismatched key types (LONG + DOUBLE → DOUBLE, where
+      // adjacent longs above 2^53 collapse to one value) and distinct keys
+      // would then share a window partition — payloads attached to the
+      // wrong rows with no error
+      require(left.schema(k).dataType == right.schema(k).dataType,
+        s"asOf: key '$k' type mismatch ${left.schema(k).dataType} vs " +
+          s"${right.schema(k).dataType} — cast one side explicitly first")
+    }
 
     // inclusive: a right row at the left row's exact ts is visible ⇒ sort
     // right (0) before left (1) at equal ts; strict flips the side order
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
 
-    val payload = struct(rightValueCols.map(col): _*)
+    // user column names are backtick-quoted everywhere they meet col():
+    // a bare dot would parse as a nested-field path (and could silently
+    // resolve to a struct field) — the IntervalJoin q() rule
+    def q(c: String): org.apache.spark.sql.Column =
+      col(s"`${c.replace("`", "``")}`")
+
+    val payload = struct(rightValueCols.map(q): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val tieNull = rightTieBreak.map(c =>
       lit(null).cast(right.schema(c).dataType).as(s"__tb_$c"))
-    val tieVals = rightTieBreak.map(c => col(c).as(s"__tb_$c"))
+    val tieVals = rightTieBreak.map(c => q(c).as(s"__tb_$c"))
 
     // keys ride along inside leftCols on the left; the right side aliases
     // its key columns to the left's names and nulls the rest of leftCols
     val l = left.select(
-      Seq(col(leftTsCol).as("__ts"), lit(leftSide).as("__side"),
+      Seq(q(leftTsCol).as("__ts"), lit(leftSide).as("__side"),
         lit(null).cast(payloadType).as("__r")) ++
-        tieNull ++ leftCols.map(col): _*)
+        tieNull ++ leftCols.map(q): _*)
     // null rightTs can never satisfy `rightTs <= leftTs`, and a null KEY
     // never equi-joins (NULL = NULL is not true) — but the window
     // PARTITION BY groups nulls together, so unfiltered null-keyed right
     // rows would silently carry their payload onto null-keyed left rows.
     // Drop both before the union; null-keyed left rows then sit in a
     // partition with no right rows and come out unmatched, as ASOF demands
-    val r = right.filter(keyCols.foldLeft(col(rightTsCol).isNotNull)(
-      (acc, c) => acc && col(c).isNotNull)).select(
-      Seq(col(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
+    val r = right.filter(keyCols.foldLeft(q(rightTsCol).isNotNull)(
+      (acc, c) => acc && q(c).isNotNull)).select(
+      Seq(q(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
         payload.as("__r")) ++
         tieVals ++
         leftCols.map(c =>
-          if (keyCols.contains(c)) col(c)
+          if (keyCols.contains(c)) q(c)
           else lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val order = col("__ts").asc +: col("__side").asc +:
       rightTieBreak.map(c => col(s"__tb_$c").asc)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val w = Window.partitionBy(keyCols.map(q): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide)
-      .select(leftCols.map(col) ++
+      .select(leftCols.map(q) ++
         rightValueCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 

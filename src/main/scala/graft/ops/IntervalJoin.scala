@@ -35,6 +35,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * 0 while an interval covering it maps to grain -1 — a silent drop, the
   * opposite of this repo's fail-loud stance.
   *
+  * NULL contract (standard SQL join semantics, the [[AsOfJoin]] NULL-doc
+  * rule): a NULL fact timestamp matches no interval — the fact drops on
+  * "inner" and survives with null interval payload on "left" (exactly how
+  * the equivalent theta join treats it); an interval with a NULL start,
+  * end, or key column contains nothing and is ignored. NULLs are NOT
+  * errors here because they carry the conventional "unknown" meaning the
+  * containment predicate already defines — unlike a NEGATIVE epoch, which
+  * looks valid, buckets wrong, and only raises because it would otherwise
+  * corrupt silently.
+  *
   * Output: the fact columns + the interval's non-key columns (non-key
   * column names must be disjoint across the two sides — enforced).
   * `joinType` "inner" (default): facts covered by no interval drop out.
@@ -98,9 +108,14 @@ object IntervalJoin {
     val iv = intervals
       .withColumn("__s", nonNeg(ms(intervals, startCol), startCol))
       .withColumn("__e", ms(intervals, endCol))
-      // an empty/inverted interval contains nothing — dropping it here is
-      // result-invisible and saves its explode
-      .filter(col("__e") > col("__s"))
+      // an empty/inverted/NULL-bounded interval contains nothing — dropping
+      // it here is result-invisible and saves its explode; likewise a
+      // NULL-keyed interval can never satisfy the equi-condition, and
+      // filtering it BEFORE the explode saves ⌈length/grain⌉ wasted rows
+      // per such interval (a month-long NULL-keyed interval at 1h grain is
+      // ~720 shuffled rows the join discards)
+      .filter(keyCols.foldLeft(col("__e") > col("__s"))(
+        (acc, k) => acc && col(s"`${k.replace("`", "``")}`").isNotNull))
       .withColumn("__g", explode(sequence(expr(s"__s div $grainMs"), lastGrain)))
     val fa = f.alias("__fj")
     val ia = iv.alias("__ij")

@@ -108,6 +108,57 @@ class TemporalOpsSpec extends SparkSpec {
       s"null-keyed left rows must stay unmatched: $out")
   }
 
+  test("asOf rejects missing keys and key-type mismatches (unionByName widening hazard)") {
+    import spark.implicits._
+    val (left, right) = asOfFixture
+    val e1 = intercept[IllegalArgumentException](
+      AsOfJoin.asOf(left, right, Seq("keyy"), "t", "rt", Seq("rv")))
+    assert(e1.getMessage.contains("key column 'keyy'"), e1.getMessage)
+    // a LONG/DOUBLE key mismatch would silently widen through unionByName
+    // and collapse adjacent longs above 2^53 into one window partition
+    val leftLong = Seq((1L, 7L, ts(1000))).toDF("event_id", "key", "t")
+    val rightDouble = Seq((7.0, ts(500), 5L)).toDF("key", "rt", "rv")
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.asOf(leftLong, rightDouble, Seq("key"), "t", "rt", Seq("rv")))
+    assert(e2.getMessage.contains("type mismatch"), e2.getMessage)
+  }
+
+  test("asOf and sessionize quote user column names (dots are not field paths)") {
+    import spark.implicits._
+    // a flat column literally named "a.b" is legal; bare col("a.b") would
+    // parse it as a nested-field path and fail (or silently resolve into
+    // a struct field) — the IntervalJoin q() rule, now shared
+    val left = Seq((1L, "u", ts(2000))).toDF("event.id", "the.key", "t.s")
+    val right = Seq(("u", ts(1000), 10L)).toDF("the.key", "r.t", "r.v")
+    val out = AsOfJoin.asOf(left, right, Seq("the.key"), "t.s", "r.t", Seq("r.v"))
+      .select(col("`event.id`"), col("`r.v`")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+    val sess = Sessionize.sessions(
+      Seq(("u", ts(0)), ("u", ts(100)), ("u", ts(5000))).toDF("k.ey", "t.s"),
+      Seq("k.ey"), "t.s", gapMs = 1000L)
+      .select("n_events").collect().map(_.getLong(0)).sorted
+    assert(sess.toSeq == Seq(1L, 2L))
+  }
+
+  test("sessionize validates the ts type and gap, and accepts LONG epoch-millis") {
+    import spark.implicits._
+    // a STRING ts would implicit-cast: malformed values become NULL gaps
+    // that silently glue events onto the previous session, and ordering
+    // would be lexicographic — reject the type instead
+    val str = Seq(("u", "2024-01-01 00:00:00")).toDF("k", "t")
+    val e1 = intercept[IllegalArgumentException](
+      Sessionize.assign(str, Seq("k"), "t", 1000L))
+    assert(e1.getMessage.contains("TIMESTAMP or LONG"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Sessionize.assign(Seq(("u", ts(0))).toDF("k", "t"), Seq("k"), "t", -1L))
+    assert(e2.getMessage.contains("gapMs"), e2.getMessage)
+    // LONG epoch-millis sessions identically to the timestamp form
+    val longTs = Seq(("u", 0L), ("u", 100L), ("u", 5000L)).toDF("k", "t")
+    val idx = Sessionize.assign(longTs, Seq("k"), "t", 1000L)
+      .select("t", "session_idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == Map(0L -> 1L, 100L -> 1L, 5000L -> 2L))
+  }
+
   test("asOf rejects reserved __-prefixed input columns") {
     val (left, right) = asOfFixture
     val e = intercept[IllegalArgumentException] {
@@ -588,5 +639,29 @@ class TemporalOpsSpec extends SparkSpec {
         "t", "s", "e", grainMs = 1L, maxGrainsPerInterval = 1000L).count()
     }
     assert(e.getMessage != null && e.getMessage.contains("IntervalJoin"), e.getMessage)
+  }
+
+  test("intervalJoin NULL contract: null fact ts drops/survives by join type, null intervals are ignored pre-explode") {
+    import spark.implicits._
+    val facts = Seq((1L, Some(500L)), (2L, None))
+      .toDF("fact_id", "t")
+    val ivs = Seq(
+      (10L, Some("a"), Some(0L), Some(1000L)), // genuine cover of fact 1... key "a"
+      (11L, None, Some(0L), Some(1000L)),      // NULL key: contains nothing
+      (12L, Some("a"), None, Some(1000L)),     // NULL start: ignored
+      (13L, Some("a"), Some(0L), None))        // NULL end: ignored
+      .toDF("iv_id", "k", "s", "e")
+    val factsK = facts.withColumn("k", lit("a"))
+    val inner = graft.ops.IntervalJoin.join(factsK, ivs, "t", "s", "e",
+      keyCols = Seq("k"), grainMs = 100L)
+      .select("fact_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fact 2 (NULL ts) drops on inner; only the genuine interval matches
+    assert(inner.toSeq == Seq((1L, 10L)), inner.toSeq.toString)
+    val left = graft.ops.IntervalJoin.join(factsK, ivs, "t", "s", "e",
+      keyCols = Seq("k"), grainMs = 100L, joinType = "left")
+      .select("fact_id", "iv_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // fact 2 survives the LEFT variant with a null payload
+    assert(left.toSet == Set((1L, Some(10L)), (2L, None)), left.toSeq.toString)
   }
 }
