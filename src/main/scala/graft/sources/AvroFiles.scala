@@ -39,6 +39,9 @@ object AvroFiles {
       val (dt, _) = toSparkType(nonNull.head)
       (dt, true)
     case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT
+        if s.getLogicalType != null && s.getLogicalType.getName == "date" =>
+      (DateType, false)
     case Schema.Type.INT     => (IntegerType, false)
     case Schema.Type.LONG =>
       if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-micros")
@@ -74,6 +77,11 @@ object AvroFiles {
       case BinaryType  => Schema.create(Schema.Type.BYTES)
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case DateType =>
+        // CSV inference (tools/Pipelines.csv2avro) produces DateType for
+        // date-like columns; without this mapping the whole tool crashed
+        // on any such column
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
       case st: StructType => toAvroRecord(st, name)
       case ArrayType(et, elemNullable) =>
         Schema.createArray(toAvroSchema(et, name + "_item", elemNullable))
@@ -100,6 +108,8 @@ object AvroFiles {
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (l: java.lang.Long, TimestampType) => java.sql.Timestamp.from(
       java.time.Instant.ofEpochSecond(l / 1000000L, (l % 1000000L) * 1000L))
+    case (d: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.longValue()))
     case (r: GenericRecord, st: StructType) =>
       Row.fromSeq(st.fields.map(f => fromAvroValue(r.get(f.name), f.dataType)).toSeq)
     case (a: java.util.Collection[_], ArrayType(et, _)) =>
@@ -117,6 +127,13 @@ object AvroFiles {
       case (null, _)                       => null
       case (t: java.sql.Timestamp, TimestampType) =>
         t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      // with spark.sql.datetime.java8API.enabled=true, df.rdd hands back
+      // java.time values — without these cases they fell through the
+      // catch-all into the avro writer's ClassCastException at task runtime
+      case (i: java.time.Instant, TimestampType) =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case (d: java.sql.Date, DateType)    => d.toLocalDate.toEpochDay.toInt
+      case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
       case (b: Array[Byte], BinaryType)    => ByteBuffer.wrap(b)
       case (r: Row, st: StructType)        => rowToRecord(r, st, s)
       case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
@@ -137,30 +154,42 @@ object AvroFiles {
 
   // ----------------------------------------------------------------- read
 
-  /** Read the avro schema from the first container file under `path`. */
+  /** Read the avro schema from the first container file under `path` —
+    * which may be a plain file, a directory (searched two levels deep, so
+    * the windowed sink's `window_start=<ms>/part-*.avro` layout reads
+    * back), or a GLOB (`path/batch=*` etc. — the layout kafka2avro
+    * documents for readers; `getFileStatus` would take the `*` literally
+    * and throw FileNotFoundException).
+    */
   def readSchema(spark: SparkSession, path: String): Schema = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val file = {
-      val st = fs.getFileStatus(hPath)
-      if (st.isDirectory) {
-        // one level of partition subdirectories is searched too — the
-        // windowed sink's own window_start=<ms>/part-*.avro layout must be
-        // readable by the library's own read path (previously: a bare
-        // "empty.minBy" UnsupportedOperationException)
-        val direct = fs.listStatus(hPath).filter(!_.isDirectory).map(_.getPath)
-          .filter(_.getName.endsWith(".avro"))
-        val nested =
-          if (direct.nonEmpty) direct
-          else fs.listStatus(hPath).filter(_.isDirectory)
-            .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath)
-            .filter(_.getName.endsWith(".avro"))
-        require(nested.nonEmpty,
-          s"no .avro container files under $path (searched the directory " +
-            "and one level of partition subdirectories)")
-        nested.minBy(_.toString)
-      } else hPath
+    // up to `depth` levels under a directory; subdirectories NAMED
+    // '*.avro' are never candidates (fs.open on one would fail with an
+    // unintelligible error instead of the crafted message below)
+    def avroFiles(st: org.apache.hadoop.fs.FileStatus, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (!st.isDirectory) {
+        if (st.getPath.getName.endsWith(".avro")) Seq(st.getPath) else Seq.empty
+      } else if (depth == 0) Seq.empty
+      else {
+        val listed = fs.listStatus(st.getPath) // ONE list per directory
+        val direct = listed.filter(s => !s.isDirectory &&
+          s.getPath.getName.endsWith(".avro")).map(_.getPath)
+        if (direct.nonEmpty) direct.toSeq
+        else listed.filter(_.isDirectory).toSeq.flatMap(avroFiles(_, depth - 1))
+      }
+    val matched: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (path.exists("*?[{".contains(_)))
+        Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+      else Seq(fs.getFileStatus(hPath))
+    val candidates = matched.flatMap {
+      case st if st.isDirectory => avroFiles(st, depth = 2)
+      case st => Seq(st.getPath)
     }
+    require(candidates.nonEmpty,
+      s"no .avro container files under $path (searched matched paths " +
+        "and two levels of partition subdirectories)")
+    val file = candidates.minBy(_.toString)
     val in = fs.open(file)
     try {
       val reader = new org.apache.avro.file.DataFileStream(
@@ -169,14 +198,24 @@ object AvroFiles {
     } finally in.close()
   }
 
-  /** Batch read of avro container files → DataFrame (schema from the files). */
+  /** Batch read of avro container files → DataFrame (schema from the
+    * files). Recursive listing is enabled for the input format: the
+    * windowed sink's own `window_start=<ms>/` layout (and kafka2avro's
+    * `batch=<n>/window_start=<ms>/`) must be readable by the library's
+    * own read path — with the Hadoop default (non-recursive), first-level
+    * subdirectories are listed as zero-length inputs and the avro record
+    * reader dies opening a directory.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val schema = readSchema(spark, path)
     val (dt, _) = toSparkType(schema)
     val st = dt.asInstanceOf[StructType]
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setBoolean("mapreduce.input.fileinputformat.input.dir.recursive", true)
     val rdd = spark.sparkContext
       .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
-        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
       .mapPartitions(_.map { case (k, _) =>
         fromAvroValue(k.datum(), st).asInstanceOf[Row]
       })
@@ -226,6 +265,11 @@ object AvroFiles {
     */
   def writeWindowed(df: DataFrame, eventTimeCol: String, windowMs: Long, path: String,
                     filesPerWindow: Int = 1): Unit = {
+    // withColumn would silently REPLACE a user '__w' in place (keeping the
+    // row width), and the positional null-check/getLong below would then
+    // index past the end — and the user's data would have been overwritten
+    require(!df.columns.contains("__w"),
+      "writeWindowed uses internal column '__w' — rename the input column first")
     val st = df.schema
     val schema = toAvroRecord(st, "row")
     val schemaJson = schema.toString
@@ -235,11 +279,24 @@ object AvroFiles {
       graft.sinks.Sinks.windowStartMs(col(eventTimeCol), windowMs))
     // salt must be deterministic in the row (not partition-id/random): a
     // shuffle-fetch retry recomputes the map side, and nondeterministic
-    // routing would duplicate or drop rows
+    // routing would duplicate or drop rows. xxhash64 rejects MapType
+    // columns (a supported column type here), so the salt hashes only the
+    // hashable columns — never empty, since the event-time column itself
+    // is always hashable (the belt-and-braces fallback salts on the
+    // window, degenerating to filesPerWindow = 1 rather than failing).
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = st.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val salt =
+      if (saltCols.nonEmpty) xxhash64(saltCols.toSeq: _*)
+      else xxhash64(col("__w"))
     val parts =
       (if (filesPerWindow <= 1) withWin.repartition(col("__w"))
-       else withWin.repartition(col("__w"),
-         pmod(xxhash64(df.columns.map(col): _*), lit(filesPerWindow))))
+       else withWin.repartition(col("__w"), pmod(salt, lit(filesPerWindow))))
         .sortWithinPartitions(col("__w"))
     val nFields = st.fields.length
     parts.rdd.mapPartitions { it =>
@@ -280,10 +337,18 @@ class WindowedAvroKeyOutputFormat
   /** The default check rejects an existing output root, which would forbid
     * appending a new day's windows to an existing dataset — the per-window
     * append the old per-window writer supported. Files can't collide:
-    * names carry the job id (unique per Spark job) and the task id.
+    * names carry the job id (unique per Spark job) and the task id. ONLY
+    * the exists-check is dropped: the stock implementation also acquires
+    * HDFS delegation tokens at submit time, and skipping that would break
+    * this sink on a kerberized cluster (executor tasks would fail creating
+    * window files with no token) — kept explicitly.
     */
-  override def checkOutputSpecs(ctx: JobContext): Unit =
-    require(FileOutputFormat.getOutputPath(ctx) != null, "output path not set")
+  override def checkOutputSpecs(ctx: JobContext): Unit = {
+    val out = FileOutputFormat.getOutputPath(ctx)
+    require(out != null, "output path not set")
+    org.apache.hadoop.mapreduce.security.TokenCache.obtainTokensForNamenodes(
+      ctx.getCredentials, Array(out), ctx.getConfiguration)
+  }
 
   override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[LongWritable, AvroKey[GenericRecord]] = {
     val conf = ctx.getConfiguration

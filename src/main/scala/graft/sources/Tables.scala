@@ -32,7 +32,12 @@ object Tables {
     *    TIMESTAMP reads the same microseconds).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // SESSION-WIDE by design: the engine's contract for TIMESTAMP(NANOS)
+    // parquet (GraftSession.tune sets the same; this covers driver-created
+    // sessions the library doesn't construct). Guarded so repeated loads
+    // don't re-mutate the conf; register() is memoized per session.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {

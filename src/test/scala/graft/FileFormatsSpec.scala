@@ -107,6 +107,66 @@ class FileFormatsSpec extends SparkSpec {
       s"expected the named error, got: $err")
   }
 
+  test("read() consumes the windowed sink's nested layout and glob paths whole") {
+    val events = Tables.load(spark, sf(), "events").limit(50)
+    val root = tmpDir("avro_win_read") + "/out"
+    AvroFiles.writeWindowed(events, "ts", 86400000L, root)
+    // whole-root read: window_start=* subdirectories are recursed, not
+    // listed as zero-length inputs the record reader dies opening
+    assert(AvroFiles.read(spark, root).count() == 50)
+    // the glob form kafka2avro documents for readers: readSchema must
+    // glob-expand instead of getFileStatus-ing the literal '*'
+    assert(AvroFiles.readSchema(spark, s"$root/window_start=*")
+      .getFields.size() == events.schema.size)
+    assert(AvroFiles.read(spark, s"$root/window_start=*").count() == 50)
+  }
+
+  test("writeWindowed guards __w, salts map-typed rows, and round-trips dates") {
+    import spark.implicits._
+    // a user '__w' column would be silently overwritten and the positional
+    // window lookup would read past the row end
+    val clash = Seq((1L, 2L)).toDF("__w", "ts")
+    val e = intercept[IllegalArgumentException](
+      AvroFiles.writeWindowed(clash, "ts", 1000L, tmpDir("avro_wclash") + "/o"))
+    assert(e.getMessage.contains("__w"), e.getMessage)
+    // a map column (supported by the writer) must not break the
+    // filesPerWindow > 1 salt: xxhash64 rejects MapType
+    val withMap = Seq(
+      (new java.sql.Timestamp(1000L), Map("a" -> 1L)),
+      (new java.sql.Timestamp(2000L), Map("b" -> 2L)))
+      .toDF("ts", "m")
+    val mroot = tmpDir("avro_wmap") + "/out"
+    AvroFiles.writeWindowed(withMap, "ts", 86400000L, mroot, filesPerWindow = 2)
+    val back = AvroFiles.read(spark, mroot)
+    assert(back.count() == 2)
+    assert(back.selectExpr("m['a']", "m['b']").collect()
+      .flatMap(r => Seq(Option(r.get(0)), Option(r.get(1)))).flatten.toSet == Set(1L, 2L))
+    // DateType round-trips: avro logical date <-> java.sql.Date
+    val d = java.sql.Date.valueOf("2024-02-29")
+    val dates = Seq((1L, d)).toDF("id", "day")
+    val droot = tmpDir("avro_dates") + "/out"
+    AvroFiles.write(dates, droot)
+    val dback = AvroFiles.read(spark, droot).collect()
+    assert(dback.head.getDate(1) == d, dback.toSeq.toString)
+  }
+
+  test("csv2avro survives inferred date columns") {
+    val dir = java.nio.file.Files.createTempDirectory("csv2avro_date").toString
+    val csv = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("d,n")
+    w.println("2024-01-01,1")
+    w.println("2024-01-02,2")
+    w.close()
+    // CSV inference yields DateType — previously an
+    // UnsupportedOperationException out of toAvroSchema
+    graft.tools.Pipelines.csv2avro(spark, csv.getAbsolutePath, s"$dir/out")
+    val back = graft.sources.AvroFiles.read(spark, s"$dir/out")
+    assert(back.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(back.select("d").collect().map(_.getDate(0).toString).sorted.toSeq ==
+      Seq("2024-01-01", "2024-01-02"))
+  }
+
   test("paceBatches rejects a non-positive rate instead of sleeping ~forever") {
     // messagesPerSec = 0 used to coerce to 1 msg/s: a 10k-row batch would
     // park the driver for ~10,000 s with no error
