@@ -45,28 +45,45 @@ final class GStream(val df: DataFrame) {
     * a column; the streaming variant holds rows on a state timeout.
     */
   def delay(eventTimeCol: String, delayMs: Long, releaseCol: String = "release_time"): GStream = {
+    // the streaming twin's stance (StatefulOps.delay): a negative delay is
+    // an invalid knob, not a time machine
+    require(delayMs >= 0, s"delay: delayMs must be >= 0, got $delayMs")
     // the library's event-time convention is epoch MILLIS (bigint) —
     // KRecord.eventTime, rateLimit's eventTimeMsCol — where an INTERVAL add
-    // is a Catalyst type error; timestamps get the interval form
-    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    // is a Catalyst type error; timestamps get the interval form. Anything
+    // else is rejected: `+ lit(ms)` on a DATE column would add DAYS, and on
+    // a STRING it would null-coerce — both silent wrong release times
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, TimestampNTZType, TimestampType}
     val release = df.schema(eventTimeCol).dataType match {
       case TimestampType | TimestampNTZType =>
         col(eventTimeCol) + expr(s"INTERVAL $delayMs MILLISECONDS")
-      case _ => col(eventTimeCol) + lit(delayMs)
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(eventTimeCol) + lit(delayMs)
+      case t => throw new IllegalArgumentException(
+        s"delay: '$eventTimeCol' must be TIMESTAMP or integral epoch-millis, got $t")
     }
     new GStream(df.withColumn(releaseCol, release))
   }
 
   /** count_by_key (processors/count.h:9-123): keyed occurrence count. */
-  def countByKey(keys: Seq[String], countCol: String = "cnt"): GStream =
+  def countByKey(keys: Seq[String], countCol: String = "cnt"): GStream = {
+    // an input column with the count's name would yield a duplicate-named
+    // output and an ambiguous-reference error far from this call
+    require(!keys.contains(countCol),
+      s"countByKey: count column '$countCol' collides with a key — pass countCol")
     new GStream(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(countCol)))
+  }
 
   /** count_by_value (processors/count_by_value.h:10-126): occurrence count
     * keyed by the entire record — every column participates in the group key,
     * the Spark analog of the reference's record-equality counter store.
     */
-  def countByValue(countCol: String = "cnt"): GStream =
+  def countByValue(countCol: String = "cnt"): GStream = {
+    require(!df.columns.contains(countCol),
+      s"countByValue: count column '$countCol' collides with an input column — pass countCol")
     new GStream(df.groupBy(df.columns.map(col).toSeq: _*).agg(count(lit(1)).as(countCol)))
+  }
 
   /** counter-store additive aggregation (state_stores/mem_counter_store.h:74-81):
     * keyed sums; Spark's hash aggregate supplies the partial (map-side) merge
@@ -80,9 +97,17 @@ final class GStream(val df: DataFrame) {
 
   /** ktable: changelog → latest-surviving-row-per-key snapshot
     * (processors/ktable.h, mem_store LWW + tombstone rules).
+    *
+    * `tombstoneCol` is DELIBERATELY not defaulted: in the reference a NULL
+    * value always deletes the key, but a DataFrame has no single "value"
+    * column, so the caller must name which column's NULL means delete
+    * (`Some(col)` — kspp parity) or state that the changelog is append-only
+    * (`None` — upserts only, nothing ever deletes). A silent None default
+    * here would keep tombstoned keys LIVE in the snapshot and every
+    * downstream join would emit matches the reference suppresses.
     */
   def toTable(keys: Seq[String], eventTimeCol: String, tieBreakCols: Seq[String],
-              tombstoneCol: Option[String] = None): GTable =
+              tombstoneCol: Option[String]): GTable =
     new GTable(Changelog.latestByKey(df, keys, eventTimeCol, tieBreakCols, tombstoneCol), keys)
 
   /** kstream_left_join (join.h:28-118). */
@@ -102,7 +127,18 @@ final class GStream(val df: DataFrame) {
   def repartitionByForeignKey(routing: GTable, on: Column, fkCol: String,
                               broadcastRouting: Boolean = true): GStream = {
     val routed = Joins.streamTableInner(df, routing.df, on, broadcastRouting)
-    new GStream(routed.repartition(col(fkCol)))
+    // the reference forwards the RECORD unchanged and only re-keys the
+    // partitioning (repartition.h:64-73): keep the stream's own columns
+    // plus the resolved foreign key; leaking the rest of the routing table
+    // into the schema would change whole-record ops downstream
+    // (countByValue groups by every column). Dataframe-qualified refs, not
+    // names: the equi-key commonly exists on BOTH sides under one name
+    // (stream.user_id = routing.user_id), where a bare col() is ambiguous
+    val streamCols = df.columns.toSeq.map(c => df(c))
+    val cols =
+      if (df.columns.contains(fkCol)) streamCols else streamCols :+ routing.df(fkCol)
+    new GStream(routed.select(cols: _*)
+      .repartition(col(s"`${fkCol.replace("`", "``")}`")))
   }
 
   /** rate_limiter (processors/rate_limiter.h:12-87): per-key token bucket on
@@ -129,14 +165,35 @@ final class GStream(val df: DataFrame) {
 
 /** A materialized table snapshot (the reference's `materialized_source`):
   * the result of `toTable`, joinable from streams and other tables.
+  *
+  * All table-table joins require DISTINCT column names across the two
+  * sides: a shared name (key or payload) would survive the join twice and
+  * every later reference to it dies with an ambiguous-reference
+  * AnalysisException far from the join — rename one side first (the
+  * IntervalJoin disjointness rule). After [[outerJoin]] specifically, a
+  * row's identity is `COALESCE(left key, right key)` — right-only rows
+  * carry NULL left keys (full-outer semantics), so chain further joins on
+  * the coalesced form, never on one side's key alone.
   */
 final class GTable(val df: DataFrame, val keys: Seq[String]) {
-  def leftJoin(right: GTable, on: Column): GTable =
+  private def requireDisjoint(right: GTable, what: String): Unit = {
+    val dup = df.columns.toSet.intersect(right.df.columns.toSet)
+    require(dup.isEmpty,
+      s"$what: column names must be distinct across the two tables; " +
+        s"shared: ${dup.toSeq.sorted.mkString(", ")} — rename one side first")
+  }
+  def leftJoin(right: GTable, on: Column): GTable = {
+    requireDisjoint(right, "GTable.leftJoin")
     new GTable(Joins.tableTableLeft(df, right.df, on), keys)
-  def innerJoin(right: GTable, on: Column): GTable =
+  }
+  def innerJoin(right: GTable, on: Column): GTable = {
+    requireDisjoint(right, "GTable.innerJoin")
     new GTable(Joins.tableTableInner(df, right.df, on), keys)
-  def outerJoin(right: GTable, on: Column): GTable =
+  }
+  def outerJoin(right: GTable, on: Column): GTable = {
+    requireDisjoint(right, "GTable.outerJoin")
     new GTable(Joins.tableTableOuter(df, right.df, on), keys ++ right.keys)
+  }
   def toStream: GStream = new GStream(df)
 }
 

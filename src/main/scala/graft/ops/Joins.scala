@@ -10,8 +10,15 @@ import org.apache.spark.sql.functions.broadcast
   * All reference joins are equi-joins on the record key over co-partitioned
   * inputs; Spark's shuffle supplies the co-partitioning. For stream×table
   * joins the table side is typically a dimension snapshot orders of magnitude
-  * smaller than the stream — `broadcastTable = true` pins a broadcast-hash
-  * join so the 100 TB stream side never shuffles.
+  * smaller than the stream — `broadcastTable = true` (the default) pins a
+  * broadcast-hash join so the 100 TB stream side never shuffles, INCLUDING
+  * when the snapshot sits above Catalyst's conservative size estimate for
+  * aggregated subtrees (a ktable is a groupBy output, whose stats would
+  * often miss the auto-broadcast threshold and silently shuffle the
+  * stream). The contract is the reference's own: the table side is
+  * per-partition state assumed to fit in memory. A FACT-sized table fails
+  * loudly ("Cannot broadcast a table larger than 8GB") — pass
+  * `broadcastTable = false` there and Catalyst plans a shuffle join.
   */
 object Joins {
 

@@ -18,8 +18,19 @@ object Throttle {
 
   /** Source options capping rows per trigger for a target msgs/sec at a
     * given trigger interval.
+    *
+    * KAFKA-SHAPED SOURCES ONLY by default: `maxOffsetsPerTrigger` is a
+    * Kafka (and rate-source) option, and Spark IGNORES unknown source
+    * options without error — applied to a FILE source the stream would run
+    * completely unthrottled while the caller believes admission control is
+    * active (the silent no-op this object's own scaladoc warns against,
+    * which is also why there is no file-source default here: a file
+    * source's knob is `maxFilesPerTrigger`, a FILE count this row-rate
+    * arithmetic cannot derive — pass it explicitly via `optionKey` with
+    * your own files-per-trigger math).
     */
-  def sourceOptions(messagesPerSec: Long, triggerIntervalMs: Long): Map[String, String] = {
+  def sourceOptions(messagesPerSec: Long, triggerIntervalMs: Long,
+                    optionKey: String = "maxOffsetsPerTrigger"): Map[String, String] = {
     require(messagesPerSec > 0 && triggerIntervalMs > 0,
       s"Throttle.sourceOptions: rates must be positive, got " +
         s"messagesPerSec=$messagesPerSec triggerIntervalMs=$triggerIntervalMs")
@@ -30,7 +41,7 @@ object Throttle {
       s"Throttle.sourceOptions: $messagesPerSec msg/s over a " +
         s"$triggerIntervalMs ms trigger rounds to 0 rows per trigger — " +
         "increase the trigger interval")
-    Map("maxOffsetsPerTrigger" -> rows.toString)
+    Map(optionKey -> rows.toString)
   }
 
   /** foreachBatch wrapper: if a micro-batch finished faster than its row

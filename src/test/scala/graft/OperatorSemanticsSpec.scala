@@ -133,11 +133,44 @@ class OperatorSemanticsSpec extends SparkSpec {
   test("repartition_by_foreign_key drops unroutable keys (repartition.h:64-73)") {
     import spark.implicits._
     val usernames = (1 to 10).map(i => (i, s"user_$i")).toDF("user_id", "name")
-    val routing = Seq((1, 100), (2, 100), (3, 200)).toDF("user_id", "channel_id")
+    // the routing table carries an extra payload column the reference's
+    // repartition would never forward — the output must be the stream's
+    // own record plus the resolved foreign key, nothing else
+    val routing = Seq((1, 100, "x"), (2, 100, "y"), (3, 200, "z"))
+      .toDF("user_id", "channel_id", "extra")
     val g = api.GStream(usernames)
       .repartitionByForeignKey(new api.GTable(routing, Seq("user_id")),
         usernames("user_id") === routing("user_id"), "channel_id")
     assert(g.df.count() == 3) // users 4..10 have no route
+    assert(g.df.columns.toSeq == Seq("user_id", "name", "channel_id"),
+      s"routing payload must not leak: ${g.df.columns.toSeq}")
+    // whole-record ops downstream see the forwarded record, so the count
+    // keys stay the stream's own (+fk), not the routing payload
+    assert(g.countByValue().df.columns.count(_ == "extra") == 0)
+  }
+
+  test("facade guards: count-column collisions, delay knob/type, table-join disjointness") {
+    import spark.implicits._
+    val df = Seq((1, "a", 5L)).toDF("k", "cnt", "ts")
+    intercept[IllegalArgumentException](
+      api.GStream(df).countByKey(Seq("cnt"))) // count name collides with a key
+    intercept[IllegalArgumentException](
+      api.GStream(df).countByValue()) // 'cnt' already an input column
+    assert(api.GStream(df).countByValue("n").df.columns.count(_ == "n") == 1)
+    // delay: negative knob and non-time types fail loudly — `+ lit(ms)` on
+    // a DATE would add DAYS, on a STRING it would null-coerce
+    intercept[IllegalArgumentException](api.GStream(df).delay("ts", -1L))
+    intercept[IllegalArgumentException](api.GStream(df).delay("cnt", 100L))
+    val dated = df.withColumn("d", to_date(lit("2024-01-01")))
+    intercept[IllegalArgumentException](api.GStream(dated).delay("d", 5000L))
+    // table-table joins reject shared column names up front instead of an
+    // ambiguous-reference AnalysisException far from the join
+    val a = new api.GTable(Seq((1, "x")).toDF("k", "v"), Seq("k"))
+    val b = new api.GTable(Seq((1, "y")).toDF("k", "w"), Seq("k"))
+    val e = intercept[IllegalArgumentException](a.innerJoin(b, col("k") === col("k")))
+    assert(e.getMessage.contains("shared: k"), e.getMessage)
+    val b2 = new api.GTable(Seq((1, "y")).toDF("k2", "w"), Seq("k2"))
+    assert(a.outerJoin(b2, a.df("k") === b2.df("k2")).df.count() == 1)
   }
 
   test("GStream.delay works on the epoch-millis convention and on timestamps") {
