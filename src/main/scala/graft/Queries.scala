@@ -1812,7 +1812,7 @@ object Queries {
       // the Spark side measures NULL as the empty text
       """WITH base AS (SELECT doc_id, COALESCE(text, '') AS text,
         |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks,
-        |  string_split(COALESCE(text, ''), chr(10)) AS lns FROM documents),
+        |  string_split(regexp_replace(COALESCE(text, ''), '\n+$', ''), chr(10)) AS lns FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_words,
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_len,

@@ -40,7 +40,12 @@ object Decontaminate {
     // zero columns), joining every train doc to every holdout doc and
     // then emptying the train set with no error — quadratic AND wrong
     require(n > 0, s"docGrams: n must be positive, got $n")
-    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+    // a NULL-id train doc would SURVIVE decontamination: its overlap rows
+    // carry train_id NULL, which cleanTrainSet's anti-join can never match
+    // (NULL = NULL) — a contaminated document shipping as clean. Raise per
+    // row instead (Guards.idOrRaise, the Sampling stance).
+    df.select(Guards.idOrRaise(df, idCol, "decontaminate").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("id"),
         explode(array_distinct(transform(TextAnalysis.wordNGrams(col("__t"), n),
@@ -64,6 +69,12 @@ object Decontaminate {
       maxGramDf)
 
   private def overlapOf(tg: DataFrame, eg: DataFrame, maxGramDf: Option[Long]): DataFrame = {
+    // any gram that can EVER produce a (train, eval) pair has union df >= 2,
+    // so a cap below 2 marks every joinable gram hot: the sweep returns an
+    // empty pair set and a fully contaminated corpus passes as clean — the
+    // docGrams n > 0 silent-no-op class
+    maxGramDf.foreach(cap => require(cap >= 2,
+      s"maxGramDf must be >= 2 (the union df of any joinable gram), got $cap"))
     val (tf, ef) = maxGramDf match {
       case Some(cap) =>
         // each side feeds the df aggregate AND the anti-join probe: persist
@@ -173,9 +184,14 @@ object Decontaminate {
                             numBits: Int = 48, bandSize: Int = 2): DataFrame = {
     require(numBits % bandSize == 0, s"numBits $numBits not a multiple of bandSize $bandSize")
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // NULL-id train docs would escape the closing anti-join (and NULL-id
+    // candidates silently vanish in the verification join) — raise per row
+    // (the docGrams rule)
+    val trainChecked = train.withColumn(idCol,
+      Guards.idOrRaise(train, idCol, "semanticDecontaminate"))
     // each base feeds its band explosion plus the verification re-join:
     // scoped persists, released by the caller via graft.Caching.release
-    val tb = graft.Caching.scoped(Similarity.srpBase(train, idCol, vecCol, numBits))
+    val tb = graft.Caching.scoped(Similarity.srpBase(trainChecked, idCol, vecCol, numBits))
     val hb = graft.Caching.scoped(Similarity.srpBase(holdout, idCol, vecCol, numBits))
     val cand = Similarity.srpBands(tb, numBits, bandSize, keepSig = true)
       .toDF("id", "band", "bv", "tsig")
@@ -189,7 +205,7 @@ object Decontaminate {
       .join(hb.select(col("id").as("hid"), col("v").as("hv"), col("nrm").as("hn")), "hid")
       .filter(Similarity.dot(col("tv"), col("hv")) >= lit(threshold) * col("tn") * col("hn"))
       .select(col("id").as(idCol)).distinct()
-    train.join(leaked, Seq(idCol), "left_anti")
+    trainChecked.join(leaked, Seq(idCol), "left_anti")
   }
 
   /** Streaming decontamination for continuous ingest: matches each arriving

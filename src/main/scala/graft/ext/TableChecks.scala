@@ -139,6 +139,22 @@ private[graft] object Guards {
       s"$context needs integral ids; '$idCol' is $dt — map ids to longs " +
         "(dictionary join / dense rank) first")
   }
+
+  /** A NULL id is poison for every groupBy-then-join-back and anti-join
+    * operator: NULL groups aggregate fine but NULL = NULL never matches, so
+    * the row's true result is silently discarded (mis-scored docs) or the
+    * row silently ESCAPES a drop decision (a contaminated NULL-id train doc
+    * passing decontamination). Raise per row instead (the Sampling/Sketches
+    * round-12 stance) — use as the id projection inside the operator.
+    */
+  def idOrRaise(df: org.apache.spark.sql.DataFrame, idCol: String,
+                context: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    when(col(idCol).isNull, raise_error(lit(
+      s"$context: NULL $idCol — null ids cannot be matched back through " +
+        "joins; drop or re-key null-id rows first")).cast(df.schema(idCol).dataType))
+      .otherwise(col(idCol))
+  }
 }
 
 /** Driver-side fan-out of independent actions (writes to DISTINCT targets

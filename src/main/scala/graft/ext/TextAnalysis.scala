@@ -259,11 +259,16 @@ object TextAnalysis {
     */
   def unigramQuality(df: DataFrame, idCol: String, textCol: String,
                      vocabSize: Option[Int] = None): DataFrame = {
-    // Scoped (the minHashLsh stance): dtc backs the N action, the frequency
-    // aggregation AND the join probe; callers release via Caching.release
-    // after materializing.
+    // Some(0) would silently floor EVERY token to count 1 — nll_bits the
+    // same constant for every doc, a useless signal with no error
+    vocabSize.foreach(v => require(v > 0,
+      s"unigramQuality: vocabSize must be positive, got $v"))
+    // a NULL id aggregates as a real group but the closing left join can
+    // never match it back — the doc would come out (0, NULL) with its true
+    // score silently discarded (Guards.idOrRaise)
     val dtc = graft.Caching.scoped(
-      df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__tok"))
+      df.select(Guards.idOrRaise(df, idCol, "unigramQuality").as(idCol),
+          explode(tokens(lower(col(textCol)))).as("__tok"))
         .groupBy(col(idCol), col("__tok"))
         .agg(count(lit(1)).as("__cnt")))
     val nTotal: Long = dtc.agg(coalesce(sum("__cnt"), lit(0L))).head.getLong(0)
@@ -314,7 +319,9 @@ object TextAnalysis {
     */
   def bigramQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = tokens(lower(col(textCol)))
-    val pairsOfDoc = df.select(col(idCol), t.as("__t"))
+    // NULL ids raise (the unigramQuality rule): the closing left join
+    // could never match them back
+    val pairsOfDoc = df.select(Guards.idOrRaise(df, idCol, "bigramQuality").as(idCol), t.as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(transform(sequence(lit(0), size(col("__t")) - 2),
         i => struct(element_at(col("__t"), i + 1).as("w1"),
@@ -384,12 +391,21 @@ object TextAnalysis {
     // docs where both symbols co-occur below threshold
     val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
     val nEllipsisCh = regexp_count(text, lit("\\.\\.\\.|…")).cast("long")
-    val lines = split(text, "\n")
+    // a trailing newline is an encoding artifact, not a line: split() keeps
+    // the trailing empty string, which diluted bullet/ellipsis denominators
+    // (9 bullet lines + trailing \n read 9/10 and slipped under Rae et
+    // al.'s 0.9 removal threshold) — strip trailing newlines first (the
+    // oracle transcription mirrors this)
+    val lines = split(regexp_replace(text, "\\n+$", ""), "\n")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long")
     val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
     val stopArr = array(GopherStopwords.map(lit): _*)
-    val nStop = size(filter(tokens(lower(text)), w => array_contains(stopArr, w))).cast("long")
+    // lowercase the EXISTING token array instead of re-splitting the text
+    // (the withQualityMetrics rule; the x44 oracle already does
+    // list_transform(toks, lower))
+    val nStop = size(filter(transform(toks, w => lower(w)),
+      w => array_contains(stopArr, w))).cast("long")
     val nullD = lit(null).cast("double")
     val meanWordLen = when(nWords === 0, nullD).otherwise(sumLen.cast("double") / nWords)
     val symbolRatio = when(nWords === 0, nullD).otherwise(
@@ -513,7 +529,10 @@ object TextAnalysis {
         (lit(10L * avgdlMilli) * tf(t) + lit(3L * avgdlMilli) +
           lit(9000L) * col("__dl")).cast("double")
     }
-    val matched = qterms.map(t => tf(t)).reduceLeft(_ + _) > 0
+    // ONE array pass decides matching (arrays_overlap) instead of Q
+    // per-term tf() scans that the pushed-down filter would recompute in
+    // full — result-identical: any tf > 0 iff the arrays overlap
+    val matched = arrays_overlap(col("__t"), lit(qterms.toArray))
     toked.filter(matched)
       .withColumn("__score", scoreTerms.reduceLeft(_ + _))
       .agg(call_function("graft_topk", col("__score"), col(idCol), lit(k)).as("tk"))
@@ -555,6 +574,11 @@ object TextAnalysis {
                queryIdCol: String, queryTextCol: String,
                k: Int, maxTermDf: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // a cap below 1 keeps no term (every present term has df >= 1): the
+    // join would return zero rows for every query, indistinguishable from
+    // "no matches", with no error
+    maxTermDf.foreach(cap => require(cap >= 1,
+      s"bm25Join: maxTermDf must be >= 1, got $cap"))
     requireIntegralId(corpus, idCol, "bm25Join")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val toked = corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
@@ -702,7 +726,7 @@ object TextAnalysis {
     // feeds the weight aggregation, the totals collect AND the probe join —
     // scoped (the unigramQuality stance); callers release via Caching.release
     val dtb = graft.Caching.scoped(
-      df.select(col(idCol), positive.as("__pos"),
+      df.select(Guards.idOrRaise(df, idCol, "hashedLogOdds").as(idCol), positive.as("__pos"),
           explode(tokens(lower(col(textCol)))).as("__tok"))
         .withColumn("__b", graft.functions.Hashing.md5Hash60Col(col("__tok")) % dim)
         .groupBy(col(idCol), col("__pos"), col("__b"))

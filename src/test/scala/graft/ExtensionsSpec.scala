@@ -248,6 +248,14 @@ class ExtensionsSpec extends SparkSpec {
       rows(6L).getAs[Double]("alpha_ratio") === 0.7, "rule 6: alpha words")
     assert(!rows(7L).getAs[Boolean]("keep") &&
       rows(7L).getAs[Long]("n_stop") === 0L, "rule 7: stopwords")
+    // a trailing newline is an artifact, not a line: 9 all-bullet lines +
+    // trailing \n must read bullet_ratio 1.0 (9/9), not 9/10 = 0.9 slipping
+    // UNDER Rae et al.'s 0.9 removal threshold
+    val trailing = (1 to 9).map(_ => "- the and that have with words").mkString("\n") + "\n"
+    val trow = TextAnalysis.gopherFilter(
+      Seq(10L -> trailing).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(trow.getAs[Double]("bullet_ratio") === 1.0,
+      s"trailing newline must not dilute the line count: $trow")
     // token-less doc: NULL ratios, keep = false (never NULL)
     val empty = TextAnalysis.gopherFilter(Seq(8L -> "  ").toDF("doc_id", "text"), "doc_id", "text")
       .collect().head
@@ -1724,6 +1732,58 @@ class ExtensionsSpec extends SparkSpec {
     val df = emb.toDF()
     val topk = Similarity.bruteForceTopK(df, df.filter(col("id") < 5), "id", "embedding", 3)
     assert(topk.count() == df.filter(col("id") < 5).count() * 3)
+  }
+
+  test("NULL ids raise in the score-and-join-back and decontamination operators") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null) cur = cur.getCause
+      String.valueOf(cur.getMessage)
+    }
+    // groupBy aggregates a NULL id as a real group, but the closing
+    // null-unsafe join can never match it back: a 1000-token NULL-id doc
+    // would come out (0, NULL) with its true score silently discarded —
+    // and a contaminated NULL-id train doc would ESCAPE the anti-join
+    val docs = Seq((Some(1L), "the quick brown fox jumps the lazy dog again"),
+      (Option.empty[Long], "the quick brown fox jumps the lazy dog again"))
+      .toDF("doc_id", "text")
+    for ((name, run) <- Seq[(String, () => Unit)](
+      ("unigramQuality", () => { TextAnalysis.unigramQuality(docs, "doc_id", "text").collect(); () }),
+      ("bigramQuality", () => { TextAnalysis.bigramQuality(docs, "doc_id", "text").collect(); () }),
+      ("hashedLogOdds", () => { TextAnalysis.hashedLogOdds(docs, "doc_id", "text",
+        col("doc_id") === 1L, dim = 64).collect(); () }),
+      ("decontaminate", () => { graft.ext.Decontaminate.docGrams(docs, "doc_id", "text", 3)
+        .collect(); () }))) {
+      val e = intercept[Throwable](run())
+      assert(rootMsg(e).contains("NULL doc_id"), s"$name: ${rootMsg(e)}")
+      graft.Caching.release(spark)
+    }
+    val vecs = Seq((Some(1L), Array(1f, 0f)), (Option.empty[Long], Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Throwable](graft.ext.Decontaminate.semanticDecontaminate(
+      vecs, vecs.filter(col("vec_id").isNotNull), "vec_id", "embedding", 0.9).collect())
+    assert(rootMsg(e).contains("NULL vec_id"), rootMsg(e))
+    graft.Caching.release(spark)
+  }
+
+  test("silent-no-op knobs fail loudly: maxGramDf < 2, vocabSize <= 0, maxTermDf < 1") {
+    import spark.implicits._
+    val docs2 = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // union df of any JOINABLE gram is >= 2: a cap of 1 empties every sweep
+    // and a contaminated corpus passes as clean
+    val e1 = intercept[IllegalArgumentException](graft.ext.Decontaminate.ngramOverlap(
+      docs2, docs2, "doc_id", "text", n = 2, maxGramDf = Some(1L)))
+    assert(e1.getMessage.contains("maxGramDf"), e1.getMessage)
+    // vocabSize 0 floors every token to count 1: nll_bits the same constant
+    // for every doc
+    val e2 = intercept[IllegalArgumentException](
+      TextAnalysis.unigramQuality(docs2, "doc_id", "text", vocabSize = Some(0)))
+    assert(e2.getMessage.contains("vocabSize"), e2.getMessage)
+    // maxTermDf 0 keeps no term: every query silently gets zero results
+    val e3 = intercept[IllegalArgumentException](TextAnalysis.bm25Join(
+      docs2, docs2, "doc_id", "text", "doc_id", "text", k = 5, maxTermDf = Some(0L)))
+    assert(e3.getMessage.contains("maxTermDf"), e3.getMessage)
   }
 
   test("semanticDecontaminate drops exactly the brute-force cosine leaks (x40)") {
