@@ -70,7 +70,13 @@ object Profile {
       docs.select(col(idCol).as("id"),
         // NULL text counts as the EMPTY text (the byLanguage rule)
         coalesce(col(textCol), lit("")).as("text"),
-        coalesce(col(sliceCol).cast("string"), lit("<null>")).as("__slice"),
+        // a GENUINE slice value equal to the sentinel would silently merge
+        // with the NULL population — fail loudly on the collision instead
+        // (fixture slices never carry it, so the oracle is unaffected)
+        when(col(sliceCol).cast("string") === "<null>", raise_error(lit(
+          "bySlice: slice value collides with the '<null>' sentinel — " +
+            "rename the value or pre-map NULLs yourself")).cast("string"))
+          .otherwise(coalesce(col(sliceCol).cast("string"), lit("<null>"))).as("__slice"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")))
     profile(base, "__slice", quantileK, distinctK)
       .withColumnRenamed("__slice", sliceCol)

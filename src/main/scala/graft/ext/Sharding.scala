@@ -41,23 +41,35 @@ object Sharding {
     */
   private[ext] def tokenCountOrRaise(c: String, idCol: String,
                                      context: String): org.apache.spark.sql.Column = {
-    val d = col(c).cast("double")
+    // try_cast, not cast: a NON-CASTABLE value ("N/A" in a string-typed
+    // count column) must reach THIS guard's document-naming raise — a
+    // plain cast throws a generic CAST_INVALID_INPUT under ANSI, and under
+    // non-ANSI it yields NULL on which every other predicate evaluates
+    // NULL, dropping the row into otherwise() as a silent NULL count
+    val d = expr(s"try_cast(`${c.replace("`", "``")}` AS DOUBLE)")
     // isnan first: Spark's NaN = NaN is TRUE, so the floor comparison
     // alone would pass NaN through; the 9.2e18 bound rejects +Infinity
     // and anything the long cast would overflow on
-    when(col(c).isNull || isnan(d) || d < 0 || d =!= floor(d) || d > 9.2e18,
+    when(col(c).isNull || d.isNull || isnan(d) || d < 0 || d =!= floor(d) || d > 9.2e18,
       raise_error(concat(
         lit(s"$context: null/negative/non-integral token count in '$c' at $idCol="),
         col(idCol).cast("string"))).cast("long"))
-      .otherwise(col(c).cast("long"))
+      // cast from the verified DOUBLE: a string "9.0" passes the guard but
+      // string→long would be malformed under ANSI
+      .otherwise(d.cast("long"))
   }
 
   /** Appends (n_tokens, bucket, shard) to every document's row — payload
     * columns pass through for pipeline use. Deterministic: a pure function
     * of (seed, ids, token counts, texts) — reruns and repartitioning
     * cannot move a doc, including under duplicate ids (ties order by
-    * token count then text hash; rows identical in all three are
-    * interchangeable).
+    * token count then text hash). PRECISION of that guarantee: rows
+    * identical in (id, count, text) but differing in PAYLOAD columns are
+    * mutually interchangeable — the multiset of assigned (shard, offsets)
+    * is rerun-stable, but which payload lands on which of those slots may
+    * swap between reruns (the tiebreak deliberately orders by the
+    * oracle-transcribable triple only; give such twins distinct ids if
+    * payload placement must be stable).
     * Packing is by start offset: a doc belongs to the shard its
     * within-bucket cumulative token offset falls in, so every shard spans
     * exactly `tokensPerShard` offset units and can overflow by at most the
@@ -195,7 +207,7 @@ object Sharding {
     // declared token-count input — a tokenCountCol named after any OTHER
     // reserved column (e.g. "bucket") would be silently overwritten by the
     // packing bookkeeping, so it gets no exemption
-    Seq("n_tokens", "bucket", "seq", "tok_start", "tok_end", "cum_before").foreach(c =>
+    Seq("n_tokens", "bucket", "seq", "tok_start", "tok_end", "cum_before", "__s").foreach(c =>
       require(!df.columns.contains(c) || (c == "n_tokens" && tokenCountCol.contains(c)),
         s"packSequences writes column '$c' — input already has one; rename or drop it first"))
     val nTokens = tokenCountCol

@@ -141,7 +141,16 @@ object Lsh {
     */
   private[functions] def literalIntOpt(e: Expression): Option[Int] =
     if (!e.foldable) None
-    else e.eval() match { case n: Number => Some(n.intValue()); case _ => None }
+    else e.eval() match {
+      // only values an Int represents EXACTLY: Number.intValue() would
+      // silently truncate a 2.5 or 4294967301L literal into a well-formed
+      // wrong k/numBits — reject at analysis like every other shape gate
+      case n: java.lang.Integer => Some(n.intValue())
+      case n: java.lang.Short => Some(n.intValue())
+      case n: java.lang.Byte => Some(n.intValue())
+      case n: java.lang.Long if n.longValue() == n.intValue().toLong => Some(n.intValue())
+      case _ => None
+    }
 }
 
 /** `graft_srp_sig(vec array<float>, numBits int-literal) → long`. */

@@ -746,6 +746,48 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     graft.Caching.release(spark)
     assert(nulled == Map("s1" -> 1L, "<null>" -> 1L), s"got $nulled")
+    // a GENUINE '<null>' slice value would silently merge with the NULL
+    // population — the sentinel collision raises instead
+    import spark.implicits._
+    val collide = Seq((1L, "a b", "<null>")).toDF("doc_id", "text", "src")
+    val ce = intercept[Throwable] {
+      try graft.ext.Profile.bySlice(collide, "doc_id", "text", "src").collect()
+      finally graft.Caching.release(spark)
+    }
+    def rootMsg(t: Throwable): String = {
+      var cur = t; while (cur.getCause != null) cur = cur.getCause
+      String.valueOf(cur.getMessage)
+    }
+    assert(rootMsg(ce).contains("sentinel"), rootMsg(ce))
+  }
+
+  test("sharding guards: non-castable counts raise by doc, __s is reserved, k literals are exact ints") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var cur = t; while (cur.getCause != null) cur = cur.getCause
+      String.valueOf(cur.getMessage)
+    }
+    // a STRING count column with a non-castable value: every guard
+    // predicate evaluates NULL under non-ANSI SQL, so without the
+    // cast-null check the row packed with a silent NULL count
+    val bad = Seq((1L, "a b c", "3"), (2L, "d e", "N/A")).toDF("doc_id", "text", "bpe")
+    val e1 = intercept[Throwable](Sharding.packByTokens(bad, "doc_id", "text",
+      tokensPerShard = 10L, nBuckets = 2, tokenCountCol = Some("bpe")).collect())
+    assert(rootMsg(e1).contains("doc_id=2"), rootMsg(e1))
+    // packSequences' own intermediate '__s' is reserved like its siblings
+    val clash = Seq((1L, "a b c", 9L)).toDF("doc_id", "text", "__s")
+    val e2 = intercept[IllegalArgumentException](Sharding.packSequences(
+      clash, "doc_id", "text", seqLen = 4L))
+    assert(e2.getMessage.contains("__s"), e2.getMessage)
+    // k literals must be EXACT ints: Number.intValue() would silently
+    // truncate 2.5 to top-2 / a >2^31 long to its low bits
+    val scored = Seq((0.9, 1L), (0.8, 2L)).toDF("s", "id")
+    intercept[org.apache.spark.sql.AnalysisException](
+      scored.selectExpr("graft_topk(s, id, 2.5)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      scored.selectExpr("graft_topk(s, id, 4294967301)").collect())
+    // and a plain int literal still works
+    assert(scored.agg(expr("graft_topk(s, id, 1)")).collect().head.getSeq[Any](0).size == 1)
   }
 
   test("pipeline rejects spanRemovalK combined with a precomputed token count") {
