@@ -129,15 +129,19 @@ final class GStream(val df: DataFrame) {
     val routed = Joins.streamTableInner(df, routing.df, on, broadcastRouting)
     // the reference forwards the RECORD unchanged and only re-keys the
     // partitioning (repartition.h:64-73): keep the stream's own columns
-    // plus the resolved foreign key; leaking the rest of the routing table
-    // into the schema would change whole-record ops downstream
-    // (countByValue groups by every column). Dataframe-qualified refs, not
+    // plus the ROUTING-RESOLVED foreign key; leaking the rest of the
+    // routing table into the schema would change whole-record ops
+    // downstream (countByValue groups by every column). A stream column
+    // named like the foreign key is rejected: silently preferring either
+    // side would route by a stale value (stream side) or shadow a payload
+    // column (routing side) with no error. Dataframe-qualified refs, not
     // names: the equi-key commonly exists on BOTH sides under one name
     // (stream.user_id = routing.user_id), where a bare col() is ambiguous
-    val streamCols = df.columns.toSeq.map(c => df(c))
-    val cols =
-      if (df.columns.contains(fkCol)) streamCols else streamCols :+ routing.df(fkCol)
-    new GStream(routed.select(cols: _*)
+    require(!df.columns.contains(fkCol),
+      s"repartitionByForeignKey: the stream already carries a column named " +
+        s"'$fkCol'; the foreign key must resolve from the ROUTING table — " +
+        "rename the stream column first")
+    new GStream(routed.select(df.columns.toSeq.map(c => df(c)) :+ routing.df(fkCol): _*)
       .repartition(col(s"`${fkCol.replace("`", "``")}`")))
   }
 

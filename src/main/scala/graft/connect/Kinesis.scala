@@ -255,6 +255,23 @@ object KinesisClient {
           s"kinesis: checkpointed sequence for shard $shardId no longer in " +
             s"retention (${e.getMessage.take(200)}); re-reading from TRIM_HORIZON")
         shardIterator(transport, stream, shardId, "TRIM_HORIZON", None)
+      case e: IllegalArgumentException
+          if startingSequenceNumber.isDefined &&
+            SequenceIteratorTypes.contains(iteratorType) &&
+            e.getMessage != null && e.getMessage.contains("InvalidArgumentException") =>
+        // the DELIBERATE trade of the narrow fallback: a transport that
+        // strips the retention message (proxies/emulators returning only
+        // the bare __type) will NOT auto-rewind — that error could equally
+        // be a malformed request, and rewinding those silently re-reads
+        // the whole retention window. Name the way out before propagating,
+        // so the poison-offset stall is diagnosable from one log line.
+        System.err.println(
+          s"kinesis: InvalidArgumentException for a sequence-relative read " +
+            s"on shard $shardId without retention-specific text " +
+            s"(${e.getMessage.take(200)}); NOT auto-falling back — if this " +
+            "checkpoint is out of retention, clear it (or start the query " +
+            "from TRIM_HORIZON) to recover")
+        throw e
     }
 
   /** One GetRecords page → decoded records + next iterator

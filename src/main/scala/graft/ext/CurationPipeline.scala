@@ -160,7 +160,7 @@ object CurationPipeline {
     // raises, naming the document, instead of letting the null gate
     // silently delete it
     val gateTokens = cfg.tokenCountCol
-      .map(Sharding.tokenCountOrRaise(_, idCol, "CurationPipeline"))
+      .map(Sharding.tokenCountOrRaise(docs, _, idCol, "CurationPipeline"))
       .getOrElse(col("n_tokens"))
     scored
       .filter(gateTokens.between(cfg.minTokens, cfg.maxTokens) &&
@@ -727,7 +727,7 @@ object CurationPipeline {
     // [[Sharding.tokenCountOrRaise]] gate, same error surface as the
     // batch path
     val nTokens = cfg.tokenCountCol
-      .map(Sharding.tokenCountOrRaise(_, idCol, "streamIncrement"))
+      .map(Sharding.tokenCountOrRaise(batch, _, idCol, "streamIncrement"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     val w = expressions.Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(expressions.Window.unboundedPreceding, -1)

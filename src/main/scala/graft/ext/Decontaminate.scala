@@ -184,15 +184,18 @@ object Decontaminate {
                             numBits: Int = 48, bandSize: Int = 2): DataFrame = {
     require(numBits % bandSize == 0, s"numBits $numBits not a multiple of bandSize $bandSize")
     graft.functions.GraftFunctions.register(train.sparkSession)
-    // NULL-id train docs would escape the closing anti-join (and NULL-id
-    // candidates silently vanish in the verification join) — raise per row
-    // (the docGrams rule)
+    // NULL ids raise on BOTH sides (the docGrams rule): a NULL-id train
+    // doc would escape the closing anti-join, and a NULL-id HOLDOUT row
+    // would silently stop detecting leaks — its candidates carry hid=NULL
+    // and vanish in the verification equi-join
     val trainChecked = train.withColumn(idCol,
       Guards.idOrRaise(train, idCol, "semanticDecontaminate"))
+    val holdoutChecked = holdout.withColumn(idCol,
+      Guards.idOrRaise(holdout, idCol, "semanticDecontaminate holdout"))
     // each base feeds its band explosion plus the verification re-join:
     // scoped persists, released by the caller via graft.Caching.release
     val tb = graft.Caching.scoped(Similarity.srpBase(trainChecked, idCol, vecCol, numBits))
-    val hb = graft.Caching.scoped(Similarity.srpBase(holdout, idCol, vecCol, numBits))
+    val hb = graft.Caching.scoped(Similarity.srpBase(holdoutChecked, idCol, vecCol, numBits))
     val cand = Similarity.srpBands(tb, numBits, bandSize, keepSig = true)
       .toDF("id", "band", "bv", "tsig")
       .join(Similarity.srpBands(hb, numBits, bandSize, keepSig = true)

@@ -928,23 +928,23 @@ object Dedup {
     * blocks). Only a stream RESTART on an existing registry pays one full
     * latest-per-doc aggregate to seed.
     *
-    * The snapshot is a persisted `RDD[Row]` re-wrapped through
-    * `createDataFrame` — NOT `localCheckpoint`, deliberately: a
-    * checkpoint's LogicalRDD carries the origin plan's CONSTRAINTS, and
-    * this plan's constraint set can reference attribute ids internal to
-    * THIS batch's CC rounds; a later batch unioning over the cached frame
-    * then dies in Union.rewriteConstraints with `key not found: a#N`
-    * (reproduced in the curation streaming spec). `createDataFrame` builds
-    * a constraint-free LogicalRDD with fresh attribute ids, which also
-    * truncates lineage (a compaction rewriting the table files is not
-    * reachable from the cached plan — [[clusterStream]] still invalidates
-    * on compaction, since a lost executor can drop persisted blocks that
-    * have no lineage to rebuild from; the fallback is always the table
-    * read). Materialized eagerly: it must survive `cc.unpersist`, whose
-    * lineage reaches checkpoint blocks the ContextCleaner may reclaim.
-    * Any failure here only loses the CACHE, never the committed
-    * increment: the entry stays invalid and the next batch reads the
-    * table.
+    * The snapshot is an eager `localCheckpoint` with its constraint
+    * snapshot STRIPPED ([[stripOriginConstraints]] — without the strip, a
+    * later batch unioning over the cached frame dies in
+    * Union.rewriteConstraints with `key not found: a#N`, reproduced in the
+    * curation streaming spec). localCheckpoint both materializes the
+    * blocks (they must survive `cc.unpersist`, whose lineage reaches
+    * checkpoint blocks the ContextCleaner may reclaim) and TRUNCATES
+    * PHYSICAL LINEAGE — load-bearing across batches: a plain persisted
+    * RDD would chain each batch's mapping onto the previous batch's
+    * then-unpersisted RDD, growing the dependency graph per batch and
+    * making block loss unrecoverable THROUGH THE CHAIN anyway. With
+    * truncation, a lost executor fails the batch cleanly; the stream
+    * restarts with a fresh TableChecks and the always-correct table read
+    * (same recovery as any stateful operator losing an executor).
+    * Compaction still invalidates ([[clusterStream]]). Any failure here
+    * only loses the CACHE, never the committed increment: the entry stays
+    * invalid and the next batch reads the table.
     */
   private def refreshMappingCache(spark: org.apache.spark.sql.SparkSession, state: ClusterState,
                                   checks: TableChecks, batchId: Long, exists: Boolean,
@@ -960,16 +960,22 @@ object Dedup {
           .groupBy("doc_id")
           .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
     }
-    val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // materialize while cc's blocks still exist
-    val materialized = spark.createDataFrame(rdd, next.schema)
-    checks.setRegistryMapping(batchId + 1, materialized,
-      () => { rdd.unpersist(blocking = false); () })
+    val materialized = stripOriginConstraints(next.localCheckpoint(eager = true))
+    val free: () => Unit = () => materialized.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    checks.setRegistryMapping(batchId + 1, materialized, free)
     // session-level cleanup (the bench/Verify release path) must reclaim
     // the blocks when the stream's query ends without its own shutdown —
-    // registered ONCE per stream, not once per batch
+    // AT MOST ONE LIVE hook per stream (not one per batch), re-armed when
+    // it fires because Caching.release CONSUMES registered cleanups
     if (checks.markReleaseHooked())
-      graft.Caching.onRelease(spark)(() => checks.invalidateRegistryMapping())
+      graft.Caching.onRelease(spark) { () =>
+        checks.invalidateRegistryMapping()
+        checks.rearmReleaseHook()
+      }
   }
 
   /** Streaming cluster maintenance: [[clusterIncrement]] per micro-batch

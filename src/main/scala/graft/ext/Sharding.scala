@@ -39,8 +39,11 @@ object Sharding {
     * drift apart (the batch ≡ stream equivalence contract includes the
     * error surface).
     */
-  private[ext] def tokenCountOrRaise(c: String, idCol: String,
+  private[ext] def tokenCountOrRaise(df: DataFrame, c: String, idCol: String,
                                      context: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val isIntegral =
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(c).dataType)
     // try_cast, not cast: a NON-CASTABLE value ("N/A" in a string-typed
     // count column) must reach THIS guard's document-naming raise — a
     // plain cast throws a generic CAST_INVALID_INPUT under ANSI, and under
@@ -54,9 +57,12 @@ object Sharding {
       raise_error(concat(
         lit(s"$context: null/negative/non-integral token count in '$c' at $idCol="),
         col(idCol).cast("string"))).cast("long"))
-      // cast from the verified DOUBLE: a string "9.0" passes the guard but
-      // string→long would be malformed under ANSI
-      .otherwise(d.cast("long"))
+      // emit the EXACT original value for integral input types (the double
+      // is only the guard's lens — above 2^53 it rounds, and an off-by-one
+      // count is the silent corruption this guard rejects); string/floating
+      // inputs cast from the verified double ("9.0" as a string would be a
+      // malformed long cast under ANSI)
+      .otherwise(if (isIntegral) col(c).cast("long") else d.cast("long"))
   }
 
   /** Appends (n_tokens, bucket, shard) to every document's row — payload
@@ -98,7 +104,7 @@ object Sharding {
       !df.columns.contains(c) || (c == "n_tokens" && tokenCountCol.contains(c)),
       s"packByTokens writes column '$c' — input already has one; rename or drop it first"))
     val nTokens = tokenCountCol
-      .map(tokenCountOrRaise(_, idCol, "packByTokens"))
+      .map(tokenCountOrRaise(df, _, idCol, "packByTokens"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     // ordering ties broken by (n_tokens, md5-60 text hash): with DUPLICATE
     // ids an id-only sort gives tied rows arbitrary relative order per
@@ -211,7 +217,7 @@ object Sharding {
       require(!df.columns.contains(c) || (c == "n_tokens" && tokenCountCol.contains(c)),
         s"packSequences writes column '$c' — input already has one; rename or drop it first"))
     val nTokens = tokenCountCol
-      .map(tokenCountOrRaise(_, idCol, "packSequences"))
+      .map(tokenCountOrRaise(df, _, idCol, "packSequences"))
       .getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long"))
     // same duplicate-id tiebreak as packByTokens, so sequence and shard
     // layouts stay mutually consistent AND deterministic under reruns

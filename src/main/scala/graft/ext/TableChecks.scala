@@ -80,10 +80,19 @@ final class TableChecks(revalidateEvery: Int = TableChecks.DefaultRevalidateEver
 
   private val releaseHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** True exactly once per instance — gates the session-release cleanup
-    * registration so a long stream registers ONE hook, not one per batch.
+  /** True when no hook is currently armed — gates the session-release
+    * cleanup registration so a long stream keeps AT MOST ONE live hook,
+    * not one per batch. The hook must call [[rearmReleaseHook]] when it
+    * fires: `Caching.release` CONSUMES registered cleanups, so without
+    * re-arming, every mapping cached after a mid-stream release would
+    * leak its blocks for the session's lifetime.
     */
   def markReleaseHooked(): Boolean = releaseHooked.compareAndSet(false, true)
+
+  /** The armed hook ran (and was consumed by the release) — allow the next
+    * [[setRegistryMapping]] to register a fresh one.
+    */
+  def rearmReleaseHook(): Unit = releaseHooked.set(false)
 
   /** Full check (lease free + crashed swap finished) on first call per
     * table; lease-only revalidation every `revalidateEvery` calls after.

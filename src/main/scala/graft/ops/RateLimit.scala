@@ -54,6 +54,11 @@ object RateLimit {
     case b: Array[Byte] => java.util.Arrays.toString(b)
     case a: Array[_] => a.iterator.map(deepRender).mkString("[", ", ", "]")
     case o: Option[_] => o.map(x => s"Some(${deepRender(x)})").getOrElse("None")
+    // collections render ITERATIVELY before the Product case: a scala List
+    // is a Product of cons cells, so the Product branch would recurse one
+    // frame pair per ELEMENT — StackOverflowError on a long list value;
+    // here recursion depth = nesting depth only
+    case it: Iterable[_] => it.iterator.map(deepRender).mkString("Iterable(", ",", ")")
     case p: Product => p.productIterator.map(deepRender)
       .mkString(p.productPrefix + "(", ",", ")")
     case other => String.valueOf(other)

@@ -178,10 +178,19 @@ object AvroFiles {
         if (direct.nonEmpty) direct.toSeq
         else listed.filter(_.isDirectory).toSeq.flatMap(avroFiles(_, depth - 1))
       }
+    // LITERAL resolution first: '[' and '{' are legal filename characters,
+    // and routing such a path straight to globStatus would parse them as
+    // pattern syntax and match nothing — a file the old code read fine.
+    // Only when no literal path exists AND the string carries glob
+    // metacharacters is it treated as a pattern.
     val matched: Seq[org.apache.hadoop.fs.FileStatus] =
-      if (path.exists("*?[{".contains(_)))
-        Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
-      else Seq(fs.getFileStatus(hPath))
+      try Seq(fs.getFileStatus(hPath))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (path.exists("*?[{".contains(_)))
+            Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+          else throw e
+      }
     val candidates = matched.flatMap {
       case st if st.isDirectory => avroFiles(st, depth = 2)
       case st => Seq(st.getPath)

@@ -774,6 +774,13 @@ class CurationSpec extends SparkSpec {
     val e1 = intercept[Throwable](Sharding.packByTokens(bad, "doc_id", "text",
       tokensPerShard = 10L, nBuckets = 2, tokenCountCol = Some("bpe")).collect())
     assert(rootMsg(e1).contains("doc_id=2"), rootMsg(e1))
+    // integral counts above 2^53 pass EXACTLY (the guard's double lens
+    // rounds, but the emitted value must be the original long)
+    val big = Seq((1L, "a", 9007199254740993L)).toDF("doc_id", "text", "bpe")
+    val got = Sharding.packByTokens(big, "doc_id", "text",
+      tokensPerShard = Long.MaxValue, nBuckets = 1, tokenCountCol = Some("bpe"))
+      .select("n_tokens").collect().head.getLong(0)
+    assert(got == 9007199254740993L, s"got $got")
     // packSequences' own intermediate '__s' is reserved like its siblings
     val clash = Seq((1L, "a b c", 9L)).toDF("doc_id", "text", "__s")
     val e2 = intercept[IllegalArgumentException](Sharding.packSequences(

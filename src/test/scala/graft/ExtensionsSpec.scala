@@ -1765,6 +1765,12 @@ class ExtensionsSpec extends SparkSpec {
       vecs, vecs.filter(col("vec_id").isNotNull), "vec_id", "embedding", 0.9).collect())
     assert(rootMsg(e).contains("NULL vec_id"), rootMsg(e))
     graft.Caching.release(spark)
+    // the HOLDOUT side raises too: a NULL-id holdout row would silently
+    // stop detecting leaks (its candidates vanish in the hid equi-join)
+    val eh = intercept[Throwable](graft.ext.Decontaminate.semanticDecontaminate(
+      vecs.filter(col("vec_id").isNotNull), vecs, "vec_id", "embedding", 0.9).collect())
+    assert(rootMsg(eh).contains("NULL vec_id"), rootMsg(eh))
+    graft.Caching.release(spark)
   }
 
   test("silent-no-op knobs fail loudly: maxGramDf < 2, vocabSize <= 0, maxTermDf < 1") {

@@ -119,6 +119,11 @@ class FileFormatsSpec extends SparkSpec {
     assert(AvroFiles.readSchema(spark, s"$root/window_start=*")
       .getFields.size() == events.schema.size)
     assert(AvroFiles.read(spark, s"$root/window_start=*").count() == 50)
+    // a LITERAL path containing glob metacharacters still resolves (the
+    // '[' would otherwise be parsed as a character class matching nothing)
+    val lit = tmpDir("avro_lit") + "/run[2024]"
+    AvroFiles.write(Tables.load(spark, sf(), "nation").limit(3), lit)
+    assert(AvroFiles.readSchema(spark, lit).getFields.size() > 0)
   }
 
   test("writeWindowed guards __w, salts map-typed rows, and round-trips dates") {

@@ -147,6 +147,14 @@ class OperatorSemanticsSpec extends SparkSpec {
     // whole-record ops downstream see the forwarded record, so the count
     // keys stay the stream's own (+fk), not the routing payload
     assert(g.countByValue().df.columns.count(_ == "extra") == 0)
+    // a stream column named like the foreign key is rejected: silently
+    // preferring either side would route by a stale value with no error
+    val staleFk = usernames.withColumn("channel_id", lit(999))
+    val e = intercept[IllegalArgumentException](
+      api.GStream(staleFk).repartitionByForeignKey(
+        new api.GTable(routing, Seq("user_id")),
+        staleFk("user_id") === routing("user_id"), "channel_id"))
+    assert(e.getMessage.contains("ROUTING"), e.getMessage)
   }
 
   test("facade guards: count-column collisions, delay knob/type, table-join disjointness") {

@@ -87,6 +87,10 @@ class PropertySpec extends SparkSpec {
     // and DIFFERENT content renders differently (it is a tiebreak, not a hash)
     assert(RateLimit.deepRender(("t", Array[Byte](1))) !=
       RateLimit.deepRender(("t", Array[Byte](2))))
+    // a long List value renders ITERATIVELY: the Product branch would
+    // recurse one frame pair per cons cell and blow the stack
+    val longList = List.fill(200000)(7)
+    assert(RateLimit.deepRender(longList) == RateLimit.deepRender(List.fill(200000)(7)))
     // nested arrays (array<binary> payloads) recurse too
     assert(RateLimit.deepRender(Array(bytes(), bytes())) ==
       RateLimit.deepRender(Array(bytes(), bytes())))
