@@ -137,7 +137,17 @@ object Bench {
           case re(n) => n.toIntOption.map(i => (i, f)).filter(_._1 <= fence)
           case _ => None
         })
-      if (files.isEmpty) Map.empty // no prior round: normal on round 1
+      if (files.isEmpty) {
+        // distinguish "no artifacts at all" (round 1 — silent) from "every
+        // artifact fenced out" (stale VERDICT round number — the gate goes
+        // dark and must SAY so, the same policy as every other unusable-
+        // artifact path)
+        val unfenced = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .exists(f => re.findFirstIn(f.getName).isDefined)
+        if (unfenced)
+          dark(s"every BENCH artifact is above the VERDICT round fence ($fence)")
+        else Map.empty // no prior round: normal on round 1
+      }
       else {
         val (round, file) = files.maxBy(_._1)
         val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -522,7 +532,9 @@ object Bench {
         val cfg = Queries.X18Config.copy(maxGramDf = None)
         val state = graft.ext.CurationPipeline.StreamState(
           s"bench_x33_${java.lang.Long.toHexString(System.nanoTime())}",
-          java.nio.file.Files.createTempDirectory("graft_bench_x33").toString,
+          Queries.scratchDir("graft_bench_x33").toString, // registered for
+          // shutdown deletion — a raw temp dir leaked one checkpoint tree
+          // per bench invocation
           numBuckets = 8)
         val hg = graft.ext.CurationPipeline.holdoutGramSet(
           docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", cfg)
@@ -560,15 +572,6 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def f3(v: Double): String = fp(v, 3)
-    // the driver keeps only the last ~2000 chars of stdout, truncating the
-    // FRONT of what remains — so an anomaly list must never balloon the
-    // summary line past the window (56 error names would): cap at 3 entries
-    // plus an honest overflow count
-    def strArr(xs: Iterable[String]): String = {
-      val s = xs.toSeq
-      val shown = s.take(3) ++ (if (s.length > 3) Seq(s"+${s.length - 3} more") else Nil)
-      shown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    }
     val runsJ = runTimes.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")

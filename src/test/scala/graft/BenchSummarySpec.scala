@@ -213,6 +213,13 @@ class BenchSummarySpec extends AnyFunSuite {
       // an unparseable verdict leaves the fence open (old behavior)
       java.nio.file.Files.writeString(dir.toPath.resolve("VERDICT.md"), "no round header")
       assert(Bench.priorMedians(sf, dir) == Map("q01" -> 0.31, "x39" -> 11.51))
+      // a fence that excludes EVERY artifact (stale verdict round) must go
+      // dark — and return empty rather than lying — not silently pretend
+      // round 1; the silent branch is only for no-artifacts-at-all
+      java.nio.file.Files.writeString(dir.toPath.resolve("VERDICT.md"),
+        "# VERDICT — round 1\n")
+      assert(Bench.priorMedians(sf, dir).isEmpty,
+        "all artifacts above the fence must yield no priors")
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete(); ()
     }
