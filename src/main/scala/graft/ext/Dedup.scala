@@ -608,7 +608,7 @@ object Dedup {
             .getDeclaredField("originConstraints")
           f.setAccessible(true)
           f.set(lr, None)
-        } catch { case _: Throwable => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
       case _ => ()
     }
     df

@@ -41,9 +41,17 @@ object Sharding {
     */
   private[ext] def tokenCountOrRaise(df: DataFrame, c: String, idCol: String,
                                      context: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    // scale-0 decimals are integral by TYPE: their exact value survives the
+    // long cast below, so they take the exact-emit path like the long
+    // family. Any other type (string, float, scaled decimal) is read
+    // through the double LENS — exact only up to 2^53, so values above
+    // that raise instead of emitting a silently-rounded count (the
+    // off-by-one corruption this guard exists to reject).
+    val dt = df.schema(c).dataType
     val isIntegral =
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(c).dataType)
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(dt) ||
+        (dt match { case d: DecimalType => d.scale == 0; case _ => false })
     // try_cast, not cast: a NON-CASTABLE value ("N/A" in a string-typed
     // count column) must reach THIS guard's document-naming raise — a
     // plain cast throws a generic CAST_INVALID_INPUT under ANSI, and under
@@ -51,9 +59,13 @@ object Sharding {
     // NULL, dropping the row into otherwise() as a silent NULL count
     val d = expr(s"try_cast(`${c.replace("`", "``")}` AS DOUBLE)")
     // isnan first: Spark's NaN = NaN is TRUE, so the floor comparison
-    // alone would pass NaN through; the 9.2e18 bound rejects +Infinity
-    // and anything the long cast would overflow on
-    when(col(c).isNull || d.isNull || isnan(d) || d < 0 || d =!= floor(d) || d > 9.2e18,
+    // alone would pass NaN through; the bound rejects +Infinity and
+    // anything the emit path below cannot represent EXACTLY — the full
+    // long range for integral-typed input, but only 2^53 for input read
+    // through the double lens (a double-typed count of 2^53 + 1 passes a
+    // 9.2e18 bound and then silently rounds through the cast)
+    val exactBound = if (isIntegral) 9.2e18 else 9007199254740992.0
+    when(col(c).isNull || d.isNull || isnan(d) || d < 0 || d =!= floor(d) || d > exactBound,
       raise_error(concat(
         lit(s"$context: null/negative/non-integral token count in '$c' at $idCol="),
         col(idCol).cast("string"))).cast("long"))

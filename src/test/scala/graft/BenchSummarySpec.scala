@@ -220,6 +220,21 @@ class BenchSummarySpec extends AnyFunSuite {
         "# VERDICT — round 1\n")
       assert(Bench.priorMedians(sf, dir).isEmpty,
         "all artifacts above the fence must yield no priors")
+      // the mtime fence (the round-number fence's boundary hole): VERDICT
+      // round 11 ADMITS BENCH_r11 by round number, but an r11 artifact
+      // written well AFTER the verdict is an in-round-11 rerun of this
+      // same round — it must be fenced out (falling back to r03), while
+      // an artifact written together with the verdict (≤ the 10-min skew
+      // tolerance) stays admitted
+      java.nio.file.Files.writeString(dir.toPath.resolve("VERDICT.md"),
+        "# VERDICT — round 11\n")
+      assert(Bench.priorMedians(sf, dir) == Map("q01" -> 0.31, "x39" -> 11.51),
+        "same-commit artifact at the fence round must stay admitted")
+      val verdictMtime = new java.io.File(dir, "VERDICT.md").lastModified()
+      java.nio.file.Files.setLastModifiedTime(dir.toPath.resolve("BENCH_r11.json"),
+        java.nio.file.attribute.FileTime.fromMillis(verdictMtime + 11 * 60 * 1000L))
+      assert(Bench.priorMedians(sf, dir) == Map("q01" -> 0.5, "x39" -> 7.77),
+        "an artifact written after the verdict must be fenced out by mtime")
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete(); ()
     }

@@ -781,6 +781,22 @@ class CurationSpec extends SparkSpec {
       tokensPerShard = Long.MaxValue, nBuckets = 1, tokenCountCol = Some("bpe"))
       .select("n_tokens").collect().head.getLong(0)
     assert(got == 9007199254740993L, s"got $got")
+    // a scale-0 DECIMAL is integral by type: the same >2^53 value must
+    // survive exactly (it used to fall to the double lens and silently
+    // round to ...992 — the off-by-one the guard's own comment rejects)
+    val bigDec = big.withColumn("bpe",
+      col("bpe").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+    val gotDec = Sharding.packByTokens(bigDec, "doc_id", "text",
+      tokensPerShard = Long.MaxValue, nBuckets = 1, tokenCountCol = Some("bpe"))
+      .select("n_tokens").collect().head.getLong(0)
+    assert(gotDec == 9007199254740993L, s"decimal(20,0) must emit exactly, got $gotDec")
+    // a non-integral-TYPED count above 2^53 must RAISE, not emit the
+    // rounded double (the lens cannot represent it exactly); 2^53 + 2 is
+    // the smallest representable double strictly above the bound
+    val bigDouble = Seq((7L, "a", 9007199254740994.0)).toDF("doc_id", "text", "bpe")
+    val e3 = intercept[Throwable](Sharding.packByTokens(bigDouble, "doc_id", "text",
+      tokensPerShard = Long.MaxValue, nBuckets = 1, tokenCountCol = Some("bpe")).collect())
+    assert(rootMsg(e3).contains("doc_id=7"), rootMsg(e3))
     // packSequences' own intermediate '__s' is reserved like its siblings
     val clash = Seq((1L, "a b c", 9L)).toDF("doc_id", "text", "__s")
     val e2 = intercept[IllegalArgumentException](Sharding.packSequences(
