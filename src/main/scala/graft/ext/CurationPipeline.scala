@@ -618,19 +618,57 @@ object CurationPipeline {
     // registration per micro-batch until the caller's next release);
     // eviction costs a recompute only: the hash table is appended last, so
     // a recompute still sees the pre-append snapshot
-    val exactKept = (
+    // materialize exactKept WITH TRUNCATED LINEAGE (eager localCheckpoint,
+    // constraint snapshot stripped — the refreshMappingCache pattern), not
+    // a plain persist: the hash append below commits into the hash table's
+    // path, and Spark's cache manager invalidates every CACHED plan that
+    // reads a refreshed path — a persisted exactKept (whose plan reads the
+    // hash table) was thrown away by its own append's commit and silently
+    // recomputed by every downstream consumer (measured: batch wall 3×
+    // when the append moved off the batch tail). Truncated, the blocks
+    // carry no path reference and survive the commit; a lost executor
+    // fails the batch cleanly and the stream replays it (the stateful-
+    // operator recovery story, as for the registry mapping cache).
+    val exactKept = graft.ProbeTiming("exact_ckpt")(Dedup.stripOriginConstraints((
       if (checks.exists(spark, state.hashTable))
         inBatch.join(
           spark.table(state.hashTable).filter(col("batch_id") < batchId)
             .select("text_hash"),
           col("__h") === col("text_hash"), "left_anti")
       else inBatch
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager = true)))
+    val freeExactKept: () => Unit = () => exactKept.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
     // every batch-lifetime persist lands here and unpersists in the finally
     // (a failed ledger/index write must not leak a cached subtree per retry);
     // the deferred LSH increment's own caches release through its cleanup
-    var caches: List[DataFrame] = List(exactKept, hashed)
+    var caches: List[DataFrame] = List(hashed)
     var lshCleanup: () => Unit = () => ()
+    // the hash-index append OVERLAPS the MinHash verify below on its own
+    // driver thread: it reads only the persisted exactKept subtree and
+    // writes a table NOTHING in this batch reads — every hash-table read
+    // filters `batch_id < batchId`, so even an eviction-driven recompute
+    // of exactKept racing the append sees exactly the prior batches (the
+    // first batch's plan was built on the inBatch branch and reads no
+    // table at all), and a replay re-runs it against duplicate-tolerant
+    // reads. It must NOT run concurrently with any OTHER saveAsTable (a
+    // third concurrent saveAsTable corrupted exact-dedup state in the
+    // r13 ordered-micro-batch spec — only proven concurrency ships), so
+    // the join lands right after the LSH increment's eager verify,
+    // BEFORE the semantic/cluster increments and the end-of-batch
+    // concurrent action set, all of which saveAsTable.
+    val hashMode = if (checks.exists(spark, state.hashTable)) "append" else "overwrite"
+    var hashJoined = false
+    val joinHashAppend = ConcurrentActions.startOne { () =>
+      graft.ProbeTiming("hash_append")(locally {
+        exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
+          .write.mode(hashMode).format("parquet")
+          .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
+      })
+    }
     try {
 
     // 3: near-dup — the increment writes this batch's verified pairs here;
@@ -648,6 +686,12 @@ object CurationPipeline {
       lshCleanup = cleanup
       appends
     }
+    // join the overlapped hash append HERE (see the start-site comment):
+    // its ~0.3-0.7 s fixed cost hid under the verify compute, and
+    // everything from this point on may saveAsTable
+    graft.ProbeTiming("hash_append_join")(joinHashAppend())
+    hashJoined = true
+    checks.markExists(state.hashTable)
     // a batch with zero verified pairs writes no partition — the dir can be
     // missing OR exist with no data files (an empty dynamic-overwrite still
     // creates the base dir), so reads declare their schemas instead of
@@ -764,25 +808,20 @@ object CurationPipeline {
         col("bucket") * Sharding.ShardsPerBucket + expr(s"cum_before div ${cfg.tokensPerShard}"))
       .drop("__local", "__base", "cum_before")
 
-    // curated output, then the updated ledger, then (last) the hash index.
-    // The schema snapshot must land even for an all-filtered batch (zero
-    // rows write no parquet files — the snapshot is then the ONLY schema
-    // record [[collapsedOutput]] can read).
+    // curated output + the updated ledger (the hash index already landed,
+    // overlapped with the verify above). The schema snapshot must land
+    // even for an all-filtered batch (zero rows write no parquet files —
+    // the snapshot is then the ONLY schema record [[collapsedOutput]] can
+    // read).
     val curatedOut = packed.withColumn("batch_id", lit(batchId))
     writeOutSchemaOnce(spark, state, curatedOut.schema)
-    // ONE concurrent end-of-batch action set (five fixed per-action costs
-    // become one max): the curated output and the offsets ledger consume
-    // the persisted withBucket subtree and write to distinct dirs; the
-    // deferred LSH index appends read only their own persisted batch
-    // caches and are read by nothing until the next batch; and the hash
-    // append is recompute-safe AT ANY POINT of this batch — every plan
-    // that reads the hash table filters `batch_id < batchId`, so an
-    // eviction-driven recompute racing the append still sees exactly the
-    // prior batches (the first batch reads no table at all: its plan was
-    // built on the inBatch branch and a recompute re-executes that same
-    // plan). A replayed batch re-runs everything; dynamic partition
+    // ONE concurrent end-of-batch action set of FOUR actions (four fixed
+    // per-action costs become one max): the curated output and the
+    // offsets ledger consume the persisted withBucket subtree and write
+    // to distinct dirs; the deferred LSH index appends read only their
+    // own persisted batch caches and are read by nothing until the next
+    // batch. A replayed batch re-runs everything; dynamic partition
     // overwrite and the `batch_id <` reads absorb the duplicates.
-    val mode = if (checks.exists(spark, state.hashTable)) "append" else "overwrite"
     graft.ProbeTiming("curated+offsets")(ConcurrentActions.run(Seq[() => Unit](
       () => curatedOut
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -794,14 +833,13 @@ object CurationPipeline {
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(state.offsetsDir)) ++ lshAppends))
-    graft.ProbeTiming("hash_append")(locally {
-      exactKept.select(col("__h").as("text_hash"), lit(batchId).as("batch_id"))
-        .write.mode(mode).format("parquet")
-        .bucketBy(state.numBuckets, "text_hash").saveAsTable(state.hashTable)
-      checks.markExists(state.hashTable)
-    })
     } finally {
+      // a batch failing BEFORE the hash join must still wait for the
+      // in-flight append (its replay would otherwise race the thread's
+      // write to the same table); the batch's own failure stays primary
+      if (!hashJoined) { try joinHashAppend() catch { case _: Throwable => () } }
       lshCleanup()
+      freeExactKept()
       caches.foreach(_.unpersist(blocking = false))
     }
   }

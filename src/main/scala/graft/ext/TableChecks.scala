@@ -175,6 +175,33 @@ private[graft] object Guards {
   * that a swallowed error hid).
   */
 private[graft] object ConcurrentActions {
+
+  /** Start ONE action on its own daemon thread and return its join: the
+    * join blocks until the action finished and rethrows its failure. For
+    * overlapping a single independent write with driver-side compute that
+    * runs BETWEEN two points (start where its inputs are defined, join
+    * before anything it must not run concurrently with — e.g. another
+    * saveAsTable). The caller owns calling the join on EVERY path,
+    * including failure paths: an unjoined thread writing a state table
+    * could still be running when a failed batch replays, racing the
+    * replay's own write to the same table.
+    */
+  def startOne(action: () => Unit): () => Unit = {
+    val active = SparkSession.getActiveSession
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() => {
+      active.foreach(SparkSession.setActiveSession)
+      try action() catch { case e: Throwable => err.set(e) }
+    })
+    t.setDaemon(true)
+    t.start()
+    () => {
+      t.join()
+      val e = err.get()
+      if (e != null) throw e
+    }
+  }
+
   def run(actions: Seq[() => Unit]): Unit = {
     // a fresh thread has no thread-local active session; propagate the
     // caller's so any code consulting SparkSession.getActiveSession (conf
