@@ -689,15 +689,35 @@ object Dedup {
     var prevCount = edges.count()
     var converged = prevCount == 0L
     var it = 0
-    while (!converged && it < maxIters) {
-      val next = graft.ProbeTiming(s"cc_round_$it")(truncate(smallStar(largeStar(edges))))
-      val n = next.count()
-      converged = n == prevCount &&
-        graft.ProbeTiming(s"cc_except_$it")(next.except(edges).isEmpty)
-      freeRetired(edges)
-      edges = next
-      prevCount = n
-      it += 1
+    // adaptive loop parallelism: each round is ~5 equi-join/distinct
+    // exchanges whose per-partition scheduling latency dwarfs the data on
+    // SMALL edge sets (an incremental-registry batch touches only the
+    // affected components — measured: 8-partition exchanges × ~5 joins ×
+    // 2 rounds of pure latency at sf0.1). Size the LOOP's shuffle
+    // partitions from the just-materialized edge count (~64k two-long
+    // edge rows per partition), never above the session setting — a
+    // 100 TB pair graph keeps its full width, only the tiny-subgraph case
+    // narrows. Restored in the finally (conf is session-global; CC runs
+    // driver-sequentially inside its callers, and the loop's plans read
+    // only checkpointed blocks).
+    val ccSpark = pairs.sparkSession
+    val sessionShuffle = ccSpark.conf.get("spark.sql.shuffle.partitions").toInt
+    val adapted = math.max(1L, math.min(sessionShuffle.toLong, prevCount / 65536 + 1)).toInt
+    val doAdapt = adapted < sessionShuffle
+    try {
+      if (doAdapt) ccSpark.conf.set("spark.sql.shuffle.partitions", adapted.toString)
+      while (!converged && it < maxIters) {
+        val next = graft.ProbeTiming(s"cc_round_$it")(truncate(smallStar(largeStar(edges))))
+        val n = next.count()
+        converged = n == prevCount &&
+          graft.ProbeTiming(s"cc_except_$it")(next.except(edges).isEmpty)
+        freeRetired(edges)
+        edges = next
+        prevCount = n
+        it += 1
+      }
+    } finally {
+      if (doAdapt) ccSpark.conf.set("spark.sql.shuffle.partitions", sessionShuffle.toString)
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     // the fixpoint is a forest of stars; read each node's component min off
