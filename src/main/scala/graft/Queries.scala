@@ -78,6 +78,28 @@ object Queries {
   private val SynthAviUdf = udf((id: Long) =>
     Multimodal.VideoCodecs.syntheticMjpegAvi(((id % 4) + 1).toInt, id))
 
+  /** Synthesized AVI-of-gray-PNG-frames for x65: doc_id%4+1 frames, frame
+    * j's pixel i = first md5 byte of "v<doc_id>:<j>:<i>" (8×8, so the REAL
+    * per-frame decode reads each grid back 1:1 — the x63 gray-PNG stance);
+    * the container is the real [[Multimodal.VideoCodecs.mjpegAvi]] writer
+    * with each chunk exactly its PNG bytes. PNG frames, not JPEG: the
+    * per-frame decoder probes the CHUNK bytes' own magic, so PNG-in-AVI
+    * exercises the identical walk+decode path losslessly — JPEG's DC
+    * quantization would make the pooled sums encoder-dependent and
+    * unpredictable to a SQL oracle.
+    */
+  private val FeatAviUdf = udf { (id: Long) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val frames = (0 to (id % 4).toInt).map { j =>
+      val px = Array.tabulate(64) { i =>
+        md.reset()
+        md.digest(s"v$id:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+      }
+      Multimodal.ImageCodecs.grayPng(px, 8, 8)
+    }
+    Multimodal.VideoCodecs.mjpegAvi(frames, 8, 8)
+  }
+
   private def synthVideoMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] =
     docs.select(col("doc_id").as("id"),
       when(col("doc_id") % 5 < 2, SynthAviUdf(col("doc_id")))
@@ -656,6 +678,24 @@ object Queries {
           .select(col("doc_id").as("id"), SynthWavUdf(col("doc_id")).as("payload"))
           .as(Encoders.product[Multimodal.MediaRow]),
         dim = 16).toDF()
+        .select(col("id"), posexplode(col("embedding")))
+        .select(col("id"), col("pos").cast("long").as("i"), col("col").as("value"))),
+
+    // REAL pooled video-feature extraction under oracle check (the x63
+    // stance, video twin): every doc gets a synthesized AVI of doc_id%4+1
+    // gray 8×8 PNG frames whose samples the oracle predicts
+    // arithmetically; the descriptor is the per-frame luminance grids of
+    // the REAL strict walk + ImageIO decodes, MEAN-pooled and
+    // L2-normalized — the mean's 1/frameCount cancels in the
+    // normalization, so both engines normalize the exact integer
+    // pixel-SUM grid (double ops + one float cast, bitwise-identical
+    // float32s). Scalar rows for the canon-sortability reason.
+    "x65_mm_video_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), FeatAviUdf(col("doc_id")).as("payload"))
+          .as(Encoders.product[Multimodal.MediaRow]),
+        dim = 64).toDF()
         .select(col("id"), posexplode(col("embedding")))
         .select(col("id"), col("pos").cast("long").as("i"), col("col").as("value"))),
 
@@ -1464,6 +1504,27 @@ object Queries {
         |SELECT b.doc_id AS id, CAST(b.b AS BIGINT) AS i,
         |  CAST(b.e / nrm.nn AS FLOAT) AS value
         |FROM bins b JOIN nrm ON b.doc_id = nrm.doc_id""".stripMargin,
+
+    "x65_mm_video_features" ->
+      // transcription of Multimodal.extractFeatures' VIDEO path over the
+      // same synthesized AVI-of-gray-PNGs: frame j's pixel i = first md5
+      // byte of "v<doc_id>:<j>:<i>" (the REAL per-frame decode reads each
+      // 8×8 grid back 1:1), per-cell pixel sums across the doc_id%4+1
+      // frames are exact integers, then L2-normalize the sum grid in
+      // double (the mean's 1/frameCount cancels) and cast each entry to
+      // float32 — both engines run the identical correctly-rounded IEEE
+      // op sequence, so every (id, i, value) row hash-matches bitwise.
+      """WITH raw AS (SELECT doc_id, i.i AS i,
+        |  (strpos('0123456789abcdef', substr(md5('v' || CAST(doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5('v' || CAST(doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 2, 1)) - 1) AS p
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(0, doc_id % 4)) j(j),
+        |    LATERAL unnest(generate_series(0, 63)) i(i)),
+        |sums AS (SELECT doc_id, i, SUM(p) AS s FROM raw GROUP BY doc_id, i),
+        |nrm AS (SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS n FROM sums GROUP BY doc_id)
+        |SELECT s2.doc_id AS id, CAST(s2.i AS BIGINT) AS i,
+        |  CAST(s2.s / nrm.n AS FLOAT) AS value
+        |FROM sums s2 JOIN nrm ON s2.doc_id = nrm.doc_id""".stripMargin,
 
     "x15_decontaminate" ->
       // transcription of Decontaminate.ngramOverlap: distinct 13-grams per

@@ -727,14 +727,24 @@ object Multimodal {
     /** Strict parse: Some(frames at their real byte offsets) iff the whole
       * payload walks as a RIFF/AVI with a movi list; None = not an AVI.
       */
-    def aviFrames(id: Long, payload: Array[Byte]): Option[Seq[Frame]] = {
+    def aviFrames(id: Long, payload: Array[Byte]): Option[Seq[Frame]] =
+      aviFrameSlices(payload).map(_.zipWithIndex.map {
+        case ((off, _), idx) => Frame(id, idx.toLong, off)
+      })
+
+    /** The walk behind [[aviFrames]], with chunk SIZES: Some((data offset,
+      * data size) per frame chunk, in container order) iff the whole
+      * payload walks as a RIFF/AVI with a movi list. The sizes let
+      * [[videoFeatures]] decode each frame from exactly its own bytes
+      * instead of an offset-to-end tail slice.
+      */
+    private[ext] def aviFrameSlices(payload: Array[Byte]): Option[Seq[(Long, Long)]] = {
       if (payload == null || payload.length < 12 ||
         fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
         return None
       val riffEnd = 8L + u32(payload, 4)
       if (riffEnd > payload.length) return None
-      val out = Seq.newBuilder[Frame]
-      var idx = 0L
+      val out = Seq.newBuilder[(Long, Long)]
       var foundMovi = false
       var off = 12L
       while (off + 8 <= riffEnd) {
@@ -751,8 +761,7 @@ object Multimodal {
             if (o + 8 + s2 > end) return None
             if (c2(0).isDigit && c2(1).isDigit &&
               (c2.endsWith("dc") || c2.endsWith("db"))) {
-              out += Frame(id, idx, o + 8)
-              idx += 1
+              out += ((o + 8, s2))
             } else if (c2 == "LIST" && s2 >= 4 &&
               fourcc(payload, o.toInt + 8) == "rec ") {
               // interleaved (CD-ROM-style) AVIs group each frame's chunks
@@ -766,8 +775,7 @@ object Multimodal {
                 if (r + 8 + s3 > rend) return None
                 if (c3(0).isDigit && c3(1).isDigit &&
                   (c3.endsWith("dc") || c3.endsWith("db"))) {
-                  out += Frame(id, idx, r + 8)
-                  idx += 1
+                  out += ((r + 8, s3))
                 }
                 r += 8 + s3 + (s3 & 1)
               }
@@ -778,6 +786,50 @@ object Multimodal {
         off += 8 + sz + (sz & 1)
       }
       if (foundMovi) Some(out.result()) else None
+    }
+
+    /** REAL pooled video descriptor (the x63/x64 stance, video twin):
+      * strict AVI walk → per-frame REAL ImageIO decode → each frame's
+      * [[ImageCodecs.luminanceGrid]] (near-square `dim`-cell grid, exact
+      * integer pooling) → MEAN-pool across frames → L2-normalize. The
+      * 1/frameCount of the mean cancels in the normalization, so the
+      * descriptor is the exact INTEGER per-cell sum grid normalized
+      * directly: sums are exact longs (≤ 255·frames per cell,
+      * double-exact far past any real frame count), sqrt and divide are
+      * correctly rounded doubles, one float cast at the end — an oracle
+      * computing the same pixel sums in SQL doubles produces
+      * bit-identical float32s (x65). `Some` only when the container
+      * walks, has ≥ 1 frame, and EVERY frame decodes as an image — a
+      * half-decodable container is not silently half-pooled; it rides
+      * the caller's fallback like any other undecodable payload. An
+      * all-black video stays the zero vector (the [[ImageCodecs
+      * .features]] convention).
+      */
+    def videoFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val (cols, rows) = ImageCodecs.gridDims(dim)
+      aviFrameSlices(payload).flatMap { slices =>
+        if (slices.isEmpty) None
+        else {
+          val sums = new Array[Long](dim)
+          val allDecoded = slices.forall { case (off, len) =>
+            ImageCodecs.decode(java.util.Arrays.copyOfRange(
+              payload, off.toInt, (off + len).toInt)) match {
+              case Some(img) =>
+                val g = ImageCodecs.luminanceGrid(img, cols, rows)
+                var i = 0
+                while (i < dim) { sums(i) += g(i); i += 1 }
+                true
+              case None => false
+            }
+          }
+          if (!allDecoded) None
+          else {
+            val norm = math.sqrt(sums.foldLeft(0.0)((a, v) => a + v.toDouble * v))
+            if (norm == 0.0) Some(new Array[Float](dim))
+            else Some(sums.map(v => (v / norm).toFloat))
+          }
+        }
+      }
     }
 
     /** Assemble an MJPEG AVI from already-encoded JPEG frames — the
@@ -896,12 +948,16 @@ object Multimodal {
     * oracle-checked by x63); WAV/PCM payloads the image decoder rejects
     * get the REAL [[AudioCodecs.waveformFeatures]] energy envelope (`dim`
     * fixed-position bins over the actual AudioSystem decode, L2-normalized
-    * — oracle-checked by x64); anything both decoders reject rides the
-    * deterministic [[StubCodecs.features]] fallback, the imageMeta/resize
-    * convention, so arbitrary bytes flow through the same schema. The two
-    * real paths cannot steal each other's rows: ImageIO only claims
-    * magic-byte-verified still images, decodePcm only RIFF/WAVE PCM. `dim`
-    * is validated at plan time, before any task launches.
+    * — oracle-checked by x64); AVI payloads both reject get the REAL
+    * [[VideoCodecs.videoFeatures]] pooled descriptor (per-frame luminance
+    * grids over the actual strict-walk + ImageIO decodes, mean-pooled,
+    * L2-normalized — oracle-checked by x65); anything every decoder
+    * rejects rides the deterministic [[StubCodecs.features]] fallback,
+    * the imageMeta/resize convention, so arbitrary bytes flow through the
+    * same schema. The three real paths cannot steal each other's rows:
+    * ImageIO only claims magic-byte-verified still images, decodePcm only
+    * RIFF/WAVE PCM, the AVI walk only RIFF/AVI containers. `dim` is
+    * validated at plan time, before any task launches.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
     ImageCodecs.gridDims(dim)
@@ -909,6 +965,7 @@ object Multimodal {
       val payload = if (r.payload == null) Array.emptyByteArray else r.payload
       MediaEmbedding(r.id, ImageCodecs.features(payload, dim)
         .orElse(AudioCodecs.waveformFeatures(payload, dim))
+        .orElse(VideoCodecs.videoFeatures(payload, dim))
         .getOrElse(StubCodecs.features(payload, dim)))
     })(Encoders.product[MediaEmbedding])
   }

@@ -1716,6 +1716,52 @@ class ExtensionsSpec extends SparkSpec {
       "text row must take the stub path")
   }
 
+  test("REAL video features: per-frame grids mean-pooled and L2-normalized exactly, stub only off the video path") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{ImageCodecs, MediaRow, StubCodecs, VideoCodecs}
+    // three 8×8 gray PNG frames with known pixels: the pooled descriptor
+    // is EXACTLY the per-cell integer pixel sums L2-normalized in double
+    // then cast to float (the x65 oracle contract — the mean's 1/n
+    // cancels in the normalization)
+    val frames = (0 until 3).map(j => Array.tabulate(64)(i => (i * 37 + j * 101 + 11) % 256))
+    val avi = VideoCodecs.mjpegAvi(frames.map(ImageCodecs.grayPng(_, 8, 8)), 8, 8)
+    val sums = Array.tabulate(64)(i => frames.map(_(i).toLong).sum)
+    val norm = math.sqrt(sums.foldLeft(0.0)((a, v) => a + v.toDouble * v))
+    val expected = sums.map(v => (v / norm).toFloat)
+    assert(VideoCodecs.videoFeatures(avi, 64).get.sameElements(expected),
+      "pooled decode must hand back the normalized pixel sums bitwise")
+    // an all-black video has no direction: zero vector, never NaN
+    val black = VideoCodecs.mjpegAvi(
+      Seq(ImageCodecs.grayPng(new Array[Int](64), 8, 8)), 8, 8)
+    assert(VideoCodecs.videoFeatures(black, 64).get.forall(_ == 0.0f))
+    // non-AVI bytes and a truncated container: None (callers choose the stub)
+    assert(VideoCodecs.videoFeatures("just text".getBytes, 64).isEmpty)
+    assert(VideoCodecs.videoFeatures(avi.take(avi.length - 10), 64).isEmpty)
+    // a container whose frames are NOT decodable images must not be
+    // silently half-pooled: the whole payload falls back
+    val junkFrames = VideoCodecs.mjpegAvi(Seq(Array.fill[Byte](32)(0x7f)), 8, 8)
+    assert(VideoCodecs.videoFeatures(junkFrames, 64).isEmpty,
+      "undecodable frames must reject the container, not pool a subset")
+    intercept[IllegalArgumentException](VideoCodecs.videoFeatures(avi, 0))
+    // extractFeatures routes per row: AVI rows real-video, image rows
+    // real-visual, text rows stub — no path steals another's rows (and
+    // the strict walk keeps "RIFF"-prefixed text on the stub)
+    val px = Array.tabulate(64)(i => (i * 53 + 7) % 256)
+    val png = ImageCodecs.grayPng(px, 8, 8)
+    val pnorm = math.sqrt(px.foldLeft(0.0)((a, v) => a + v.toDouble * v))
+    val riffText = "RIFFxxxxAVI not actually a container, just text".getBytes("UTF-8")
+    val mixed = spark.createDataset(Seq(
+      MediaRow(1L, avi), MediaRow(2L, png), MediaRow(3L, riffText)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val byVid = Multimodal.extractFeatures(mixed, dim = 64).collect()
+      .map(r => r.id -> r.embedding).toMap
+    assert(byVid(1L).sameElements(expected), "AVI row must take the video path")
+    assert(byVid(2L).sameElements(px.map(v => (v / pnorm).toFloat)),
+      "image row must take the visual path")
+    assert(byVid(3L).sameElements(StubCodecs.features(riffText, 64)),
+      "RIFF-prefixed text must take the stub path")
+  }
+
   test("multimodal feature extraction feeds the ANN operators end to end") {
     import graft.ext.Multimodal
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
