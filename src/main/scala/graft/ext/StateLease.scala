@@ -34,13 +34,32 @@ object StateLease {
   private def fs(spark: SparkSession) =
     leaseDir(spark).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The lease directory lives ON THE WAREHOUSE'S OWN FILESYSTEM: the
+    * warehouse URI's scheme and authority must survive into the Path, or
+    * on `s3a://bucket/wh` / `hdfs://nn/wh` the lease would silently land
+    * on the DEFAULT filesystem — two drivers with different defaults would
+    * then both "acquire", which is no mutual exclusion at all (the
+    * previous `URI.getPath` construction stripped exactly those parts).
+    */
   private def leaseDir(spark: SparkSession) =
-    new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      ".graft_leases")
+    leaseDirFor(spark.conf.get("spark.sql.warehouse.dir"))
+
+  private[graft] def leaseDirFor(warehouse: String): org.apache.hadoop.fs.Path = {
+    val uri =
+      try new java.net.URI(warehouse)
+      catch { case _: java.net.URISyntaxException => null }
+    val base =
+      if (uri != null && uri.getScheme != null) new org.apache.hadoop.fs.Path(uri)
+      else new org.apache.hadoop.fs.Path(warehouse)
+    new org.apache.hadoop.fs.Path(base, ".graft_leases")
+  }
 
   private def leasePath(spark: SparkSession, table: String) =
-    new org.apache.hadoop.fs.Path(leaseDir(spark), table.toLowerCase + ".lease")
+    // Locale.ROOT: a Turkish-locale JVM lowercases "INDEX" to "ındex" —
+    // acquire and assertFree running under different default locales
+    // would then guard DIFFERENT lease files for the same table
+    new org.apache.hadoop.fs.Path(leaseDir(spark),
+      table.toLowerCase(java.util.Locale.ROOT) + ".lease")
 
   /** Take the maintenance lease on `table`, failing loudly if another
     * writer holds it (two concurrent compactions are as unsafe as an

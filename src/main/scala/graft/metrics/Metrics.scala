@@ -86,14 +86,39 @@ object Metrics {
     private def escLabel(v: String): String =
       v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
+    // the exposition grammar's identifier sets: metric names allow ':',
+    // label names do not; neither may start with a digit. An invalid name
+    // 400s the WHOLE push at the gateway (every metric in the body lost),
+    // so reject it loudly at render time, naming the offender — label
+    // VALUES are free-form and travel escaped, only names are constrained.
+    private def requireName(kind: String, s: String, colonOk: Boolean): String = {
+      val ok = s.nonEmpty && !s.head.isDigit && s.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+          c == '_' || (colonOk && c == ':'))
+      require(ok, s"Pushgateway.render: invalid $kind '$s' — exposition-format " +
+        "names are [a-zA-Z_" + (if (colonOk) ":" else "") + "][a-zA-Z0-9_" +
+        (if (colonOk) ":" else "") + "]*; the gateway rejects the whole push otherwise")
+      s
+    }
+
     /** One exposition line per metric, reference naming: `kspp_` prefix,
-      * mtype/unit as labels ahead of the processor tags.
+      * mtype/unit as labels ahead of the processor tags. Non-finite values
+      * render in the format's own spellings (`+Inf`/`-Inf`/`NaN`) — Java's
+      * `Infinity` fails the gateway's float parser and voids the push.
       */
     def render(metrics: Seq[Metric]): String =
       metrics.map { m =>
+        requireName("metric name", m.what, colonOk = true)
         val labels = (Seq("mtype" -> m.mtype, "unit" -> m.unit) ++ m.labels.toSeq.sortBy(_._1))
-          .map { case (k, v) => s"""$k="${escLabel(v)}"""" }.mkString(",")
-        val v = if (m.value == m.value.toLong.toDouble) m.value.toLong.toString else m.value.toString
+          .map { case (k, v) =>
+            s"""${requireName("label name", k, colonOk = false)}="${escLabel(v)}""""
+          }.mkString(",")
+        val v =
+          if (m.value.isNaN) "NaN"
+          else if (m.value == Double.PositiveInfinity) "+Inf"
+          else if (m.value == Double.NegativeInfinity) "-Inf"
+          else if (m.value == m.value.toLong.toDouble) m.value.toLong.toString
+          else m.value.toString
         s"kspp_${m.what}{$labels} $v"
       }.mkString("", "\n", "\n")
 

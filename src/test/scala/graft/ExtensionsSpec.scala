@@ -1137,6 +1137,36 @@ class ExtensionsSpec extends SparkSpec {
     } finally state.dropTables(spark)
   }
 
+  test("lease paths live on the warehouse's own filesystem and are locale-stable") {
+    import graft.ext.StateLease
+    // scheme + authority must survive into the lease dir: stripped (the
+    // old URI.getPath construction), an s3a/hdfs warehouse's lease lands
+    // on the DEFAULT filesystem — two drivers with different defaults
+    // would both "acquire", which is no mutual exclusion at all
+    assert(StateLease.leaseDirFor("s3a://bucket/wh").toString ==
+      "s3a://bucket/wh/.graft_leases")
+    assert(StateLease.leaseDirFor("hdfs://nn:8020/warehouse").toString ==
+      "hdfs://nn:8020/warehouse/.graft_leases")
+    assert(StateLease.leaseDirFor("file:/tmp/wh").toString ==
+      "file:/tmp/wh/.graft_leases")
+    // schemeless local paths keep working (the test-session default)
+    assert(StateLease.leaseDirFor("/tmp/wh").toString == "/tmp/wh/.graft_leases")
+    // Locale stability: a Turkish-locale JVM lowercases "INDEX" → "ındex",
+    // so acquire/assertFree across differently-configured JVMs would guard
+    // different files — the lease name must use the root locale
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      StateLease.acquire(spark, "TLEASE_INDEX", "locale-test")
+      val boom = intercept[IllegalStateException](
+        StateLease.assertFree(spark, "tlease_index"))
+      assert(boom.getMessage.contains("locale-test"), boom.getMessage)
+    } finally {
+      java.util.Locale.setDefault(prev)
+      StateLease.releaseQuiet(spark, "TLEASE_INDEX")
+    }
+  }
+
   test("a mid-stream failure cannot strand x30-style state tables in the warehouse") {
     // the x30 shape: a file stream feeds minHashLshStream, whose index
     // tables live only for the run — Queries wraps the run in

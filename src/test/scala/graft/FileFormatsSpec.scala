@@ -564,6 +564,33 @@ class PushgatewaySpec extends org.scalatest.funsuite.AnyFunSuite {
       "kspp_lag{mtype=\"gauge\",unit=\"ms\",partition=\"0\"} 12.5\n")
   }
 
+  test("render speaks the exposition grammar: Inf/NaN spellings, invalid names raise") {
+    // Java's Double.toString(∞) is "Infinity" — the gateway's float parser
+    // rejects it and 400s the WHOLE push; the format's own spellings work
+    val text = Pushgateway.render(Seq(
+      Pushgateway.Metric("lag", "gauge", "ms", Map.empty, Double.PositiveInfinity),
+      Pushgateway.Metric("skew", "gauge", "ms", Map.empty, Double.NegativeInfinity),
+      Pushgateway.Metric("ratio", "gauge", "x", Map.empty, Double.NaN)))
+    assert(text ==
+      "kspp_lag{mtype=\"gauge\",unit=\"ms\"} +Inf\n" +
+      "kspp_skew{mtype=\"gauge\",unit=\"ms\"} -Inf\n" +
+      "kspp_ratio{mtype=\"gauge\",unit=\"x\"} NaN\n")
+    // invalid metric/label NAMES 400 the whole push at the gateway — raise
+    // at render time naming the offender (label VALUES stay free-form)
+    val e1 = intercept[IllegalArgumentException](Pushgateway.render(Seq(
+      Pushgateway.Metric("bad name", "counter", "msg", Map.empty, 1.0))))
+    assert(e1.getMessage.contains("bad name"))
+    val e2 = intercept[IllegalArgumentException](Pushgateway.render(Seq(
+      Pushgateway.Metric("ok", "counter", "msg", Map("bad-key" -> "v"), 1.0))))
+    assert(e2.getMessage.contains("bad-key"))
+    // recording-rule colons are legal in METRIC names, not label names;
+    // free-form label values pass untouched
+    val ok = Pushgateway.render(Seq(
+      Pushgateway.Metric("job:rate", "gauge", "x", Map("q" -> "has spaces/and:colons"), 1.0)))
+    assert(ok.contains("kspp_job:rate{"))
+    assert(ok.contains("q=\"has spaces/and:colons\""))
+  }
+
   test("httpTransport posts to /metrics/job/<job> with the exposition payload") {
     val received = new java.util.concurrent.atomic.AtomicReference[(String, String)]()
     val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
