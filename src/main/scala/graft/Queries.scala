@@ -582,10 +582,13 @@ object Queries {
           "vec_id", "embedding", idx, nClusters = 16, iters = 5)
         val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
         val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
-        Similarity.ivfAppend(b1, "vec_id", "embedding", idx)
+        // one maintenance-check memo across the appends, as the ivfStream
+        // wiring would hold (the x33 convention)
+        val checks = new graft.ext.TableChecks
+        Similarity.ivfAppend(b1, "vec_id", "embedding", idx, checks)
         Similarity.ivfCompact(s, idx)
-        Similarity.ivfAppend(b2, "vec_id", "embedding", idx)
-        Similarity.ivfAppend(b2, "vec_id", "embedding", idx) // at-least-once replay
+        Similarity.ivfAppend(b2, "vec_id", "embedding", idx, checks)
+        Similarity.ivfAppend(b2, "vec_id", "embedding", idx, checks) // at-least-once replay
         Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
           .select("query_id", "rank", "nbr_id")
           .write.parquet(tmp.resolve("out").toString)
@@ -1035,10 +1038,12 @@ object Queries {
           "vec_id", "embedding", idx, nClusters = 16, m = 8, ksub = 16, iters = 5)
         val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
         val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
-        Similarity.ivfPqAppend(b1, "vec_id", "embedding", idx)
+        // one maintenance-check memo across the appends (the x38 stance)
+        val checks = new graft.ext.TableChecks
+        Similarity.ivfPqAppend(b1, "vec_id", "embedding", idx, checks)
         Similarity.ivfPqCompact(s, idx)
-        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx)
-        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx) // at-least-once replay
+        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx, checks)
+        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx, checks) // at-least-once replay
         Similarity.ivfPqQuery(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
             "vec_id", "embedding", idx, k = 10, nProbe = 16, overfetch = 4096)
           .select("query_id", "rank", "nbr_id")

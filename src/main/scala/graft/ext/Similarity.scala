@@ -396,22 +396,50 @@ object Similarity {
     * (score, id) duplicates, so query results are unaffected until
     * [[ivfCompact]] sheds the duplicated rows durably.
     */
-  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String, index: IvfIndex): Unit = {
+  /** Per-stream cache of a built index's FROZEN routing model (the
+    * centroid/PQ broadcasts) plus the maintenance-check memo: appends
+    * never modify the codebook/PQ tables (the documented frozen-codebook
+    * contract — a rebuild is a new stream), so re-collecting and
+    * re-broadcasting them per micro-batch only re-answers what the first
+    * batch already knew. One instance per STREAM ([[ivfStream]]/
+    * [[ivfPqStream]]); standalone append calls keep per-call loading via
+    * the default.
+    */
+  private final class IvfRouteCache {
+    @volatile var cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = null
+    @volatile var pq: org.apache.spark.broadcast.Broadcast[PqModel] = null
+  }
+
+  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
+                checks: TableChecks = new TableChecks): Unit =
+    ivfAppendWith(batch, idCol, vecCol, index, checks, cache = null)
+
+  private def ivfAppendWith(batch: DataFrame, idCol: String, vecCol: String,
+                            index: IvfIndex, checks: TableChecks,
+                            cache: IvfRouteCache): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     requireIntegralId(batch, idCol, "ivfAppend")
     // single-writer contract: no append while ivfCompact rewrites the
-    // assignments ([[StateLease]])
-    StateLease.assertFree(spark, index.assignmentsTable)
-    Dedup.finishCrashedSwap(spark, index.assignmentsTable)
-    require(spark.catalog.tableExists(index.codebookTable) &&
-      spark.catalog.tableExists(index.assignmentsTable),
+    // assignments ([[StateLease]]; memoized per stream via [[TableChecks]],
+    // which also finishes a swap that crashed before this stream started)
+    checks.ensureWritable(spark, index.assignmentsTable)
+    require(checks.exists(spark, index.codebookTable) &&
+      checks.exists(spark, index.assignmentsTable),
       s"ivfAppend: build the index first (ivfBuild) - missing " +
         s"${index.codebookTable} and/or ${index.assignmentsTable}")
-    val cents: Array[Array[Double]] = spark.table(index.codebookTable)
-      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = {
+      val cached = if (cache != null) cache.cents else null
+      if (cached != null) cached
+      else {
+        val cents: Array[Array[Double]] = spark.table(index.codebookTable)
+          .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+        val b = spark.sparkContext.broadcast(cents)
+        if (cache != null) cache.cents = b
+        b
+      }
+    }
     batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(definedCosine(norm(col("v"))))
       .as[(Long, Array[Float])]
@@ -437,12 +465,20 @@ object Similarity {
     * trigger/checkpoint and starts.
     */
   def ivfStream(vecs: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
-                compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // one maintenance-check memo + one frozen-codebook broadcast per
+    // stream: the per-batch collect/broadcast/lease/exists round-trips
+    // re-answer what batch 0 already knew (the TableChecks rationale);
+    // compaction only rewrites the assignments table, never the codebook,
+    // so the cached broadcast stays valid across compactEvery folds
+    val checks = new TableChecks
+    val cache = new IvfRouteCache
     vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-      ivfAppend(batch.toDF(), idCol, vecCol, index)
+      ivfAppendWith(batch.toDF(), idCol, vecCol, index, checks, cache)
       if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
         ivfCompact(batch.sparkSession, index)
     }
+  }
 
   // ------------------------------------------------------------------
   // Product quantization (Jégou et al., PAMI 2011)
@@ -850,23 +886,45 @@ object Similarity {
     * comparable across the whole table.
     */
   def ivfPqAppend(batch: DataFrame, idCol: String, vecCol: String,
-                  index: IvfPqIndex): Unit = {
+                  index: IvfPqIndex, checks: TableChecks = new TableChecks): Unit =
+    ivfPqAppendWith(batch, idCol, vecCol, index, checks, cache = null)
+
+  private def ivfPqAppendWith(batch: DataFrame, idCol: String, vecCol: String,
+                              index: IvfPqIndex, checks: TableChecks,
+                              cache: IvfRouteCache): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     requireIntegralId(batch, idCol, "ivfPqAppend")
-    StateLease.assertFree(spark, index.assignmentsTable)
-    Dedup.finishCrashedSwap(spark, index.assignmentsTable)
-    require(spark.catalog.tableExists(index.codebookTable) &&
-      spark.catalog.tableExists(index.pqTable) &&
-      spark.catalog.tableExists(index.assignmentsTable),
+    // memoized per stream ([[TableChecks]] + [[IvfRouteCache]] — the
+    // ivfAppend rationale; the PQ subspace codebooks are as frozen as the
+    // coarse centroids)
+    checks.ensureWritable(spark, index.assignmentsTable)
+    require(checks.exists(spark, index.codebookTable) &&
+      checks.exists(spark, index.pqTable) &&
+      checks.exists(spark, index.assignmentsTable),
       s"ivfPqAppend: build the index first (ivfPqBuild) - missing one of " +
         s"${index.codebookTable}/${index.pqTable}/${index.assignmentsTable}")
-    val cents: Array[Array[Double]] = spark.table(index.codebookTable)
-      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
-    val pq = loadPqModel(spark, index.pqTable)
-    val bcC = spark.sparkContext.broadcast(cents)
-    val bcP = spark.sparkContext.broadcast(pq)
+    val bcC = {
+      val cached = if (cache != null) cache.cents else null
+      if (cached != null) cached
+      else {
+        val cents: Array[Array[Double]] = spark.table(index.codebookTable)
+          .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+        val b = spark.sparkContext.broadcast(cents)
+        if (cache != null) cache.cents = b
+        b
+      }
+    }
+    val bcP = {
+      val cached = if (cache != null) cache.pq else null
+      if (cached != null) cached
+      else {
+        val b = spark.sparkContext.broadcast(loadPqModel(spark, index.pqTable))
+        if (cache != null) cache.pq = b
+        b
+      }
+    }
     batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(definedCosine(norm(col("v"))))
       .as[(Long, Array[Float])]
@@ -891,12 +949,17 @@ object Similarity {
     * and starts.
     */
   def ivfPqStream(vecs: DataFrame, idCol: String, vecCol: String, index: IvfPqIndex,
-                  compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                  compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // one check memo + one frozen-model broadcast pair per stream (the
+    // ivfStream rationale)
+    val checks = new TableChecks
+    val cache = new IvfRouteCache
     vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-      ivfPqAppend(batch.toDF(), idCol, vecCol, index)
+      ivfPqAppendWith(batch.toDF(), idCol, vecCol, index, checks, cache)
       if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
         ivfPqCompact(batch.sparkSession, index)
     }
+  }
 
   /** Signed-random-projection LSH candidate pairs, verified with exact
     * cosine — the equi-join ANN path. `numBits` hyperplane signs per
