@@ -602,9 +602,10 @@ object CurationPipeline {
         "rename or drop it first"))
     val filtered = qualityLanguageFilter(batch, idCol, textCol, cfg)
 
-    // 2: exact dedup. The hash-index append happens LAST in this increment
-    // (see the tail): every materialization below re-reads the table and
-    // must see only prior batches, eviction or not.
+    // 2: exact dedup. The hash-index append runs on its own driver thread
+    // overlapped with the MinHash verify (below): every read of the table
+    // filters `batch_id < batchId`, so materializations racing the append
+    // still see only prior batches, eviction or not.
     // `hashed` carries the batch's quality/language regex subtree and
     // feeds the winners aggregate AND the semi-join probe — persist for
     // the batch lifetime (joins the caches list below), or the most
@@ -613,11 +614,9 @@ object CurationPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
     val inBatch = hashed.join(winners, Seq("__h", idCol), "left_semi")
-    // batch-lifetime persist (unpersisted in the finally below, NOT
+    // batch-lifetime blocks (released in the finally below, NOT
     // Caching.scoped — a long-running stream would otherwise accumulate one
-    // registration per micro-batch until the caller's next release);
-    // eviction costs a recompute only: the hash table is appended last, so
-    // a recompute still sees the pre-append snapshot
+    // registration per micro-batch until the caller's next release).
     // materialize exactKept WITH TRUNCATED LINEAGE (eager localCheckpoint,
     // constraint snapshot stripped — the refreshMappingCache pattern), not
     // a plain persist: the hash append below commits into the hash table's
