@@ -193,6 +193,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("x63/x64/x65 feature extraction is a fully narrow scan: zero shuffle") {
+    // decode → grid/envelope/pool → L2-normalize → posexplode is per-row
+    // end to end (the fixture-synthesis UDF is the one allowed ScalaUDF);
+    // an Exchange here would mean the multimodal stage started shuffling
+    // payload bytes — the scale bug for a 100 TB binary-column corpus
+    Seq("x63_mm_features", "x64_mm_audio_features", "x65_mm_video_features").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must stay narrow: " + p.take(2000))
+    }
+  }
+
   test("x45 quality-ranked collapse: argmax via hash aggregate, no window sort, no cartesian/NLJ") {
     val p = plan("x45_collapse_best")
     graft.Caching.release(spark)
