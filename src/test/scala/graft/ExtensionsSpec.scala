@@ -26,9 +26,19 @@ class ExtensionsSpec extends SparkSpec {
     // two components: the chain 1-2-3-4 (transitive only — (1,4) is not a
     // pair) and the island 10-11; doc 20 is unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val comp = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the adaptive loop-parallelism override must restore the session
+    // setting on the way out — success path here, failure path below
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shuffleBefore,
+      "CC must restore the session shuffle partitions after adapting")
+    // non-convergence (maxIters too small) raises AFTER the restore
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(pairs, maxIters = 1).collect())
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shuffleBefore,
+      "CC must restore the session shuffle partitions on the failure path too")
     graft.Caching.release(spark)
 
     val all = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
