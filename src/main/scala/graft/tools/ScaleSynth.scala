@@ -87,7 +87,27 @@ object ScaleSynth {
       }.reduce(_ unionByName _)
       allEmb.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"ScaleSynth: wrote ${allDocs.count()} docs, ${allEmb.count()} vectors to $out")
+
+      // events: clone k shifts user_id/event_id by multiples of 20 and 10^9
+      // — per-user event sequences (sessions, as-of lookups, token-bucket
+      // replays) are IDENTICAL inside each clone, and the id-derived
+      // slices (user_id % 4 segments, event_type groups) keep their
+      // original densities, so per-user operators scale by user count and
+      // keyed aggregates scale rows-per-group ×clones into the same groups
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val userOffset = 1000000L // multiple of 4 (x61 segments) and 10
+      val eventOffset = 1000000000L
+      val allEv = (0 until clones).map { k =>
+        ev.select(
+          (col("event_id") + lit(k.toLong * eventOffset)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k.toLong * userOffset)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      allEv.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"ScaleSynth: wrote ${allDocs.count()} docs, ${allEmb.count()} vectors, " +
+        s"${allEv.count()} events to $out")
     } finally spark.stop()
   }
 }
