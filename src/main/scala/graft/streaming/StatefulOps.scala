@@ -25,6 +25,14 @@ import graft.model.KRecord
   * All of these also run on a *batch* Dataset (Spark executes
   * flatMapGroupsWithState in batch mode with per-group iterators), which is
   * how the golden tests drive them deterministically.
+  *
+  * Memory contract at scale: each operator sorts ONE KEY's slice of ONE
+  * micro-batch by event time (`it.toSeq.sortBy`), so a key's per-trigger
+  * arrivals must fit in executor memory — bounded by trigger sizing, never
+  * by the stream's lifetime (cross-batch state is one Cell/Bucket/Counter
+  * per key). The reference holds the same slice in its per-partition event
+  * queue (event_consumer.h); a pathologically hot key is capacity-planned
+  * the same way there.
   */
 object StatefulOps {
 
