@@ -44,14 +44,20 @@ object StateLease {
   private def leaseDir(spark: SparkSession) =
     leaseDirFor(spark.conf.get("spark.sql.warehouse.dir"))
 
-  private[graft] def leaseDirFor(warehouse: String): org.apache.hadoop.fs.Path = {
+  private[graft] def leaseDirFor(warehouse: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(warehouseBase(warehouse), ".graft_leases")
+
+  /** The warehouse URI as a Path WITH its scheme and authority intact —
+    * shared by the lease dir and [[graft.sinks.Sinks.dropTableAndLocation]]'s
+    * orphan fallback (both previously went through `URI.getPath`, which
+    * silently re-rooted s3a/hdfs warehouses onto the default filesystem).
+    */
+  private[graft] def warehouseBase(warehouse: String): org.apache.hadoop.fs.Path = {
     val uri =
       try new java.net.URI(warehouse)
       catch { case _: java.net.URISyntaxException => null }
-    val base =
-      if (uri != null && uri.getScheme != null) new org.apache.hadoop.fs.Path(uri)
-      else new org.apache.hadoop.fs.Path(warehouse)
-    new org.apache.hadoop.fs.Path(base, ".graft_leases")
+    if (uri != null && uri.getScheme != null) new org.apache.hadoop.fs.Path(uri)
+    else new org.apache.hadoop.fs.Path(warehouse)
   }
 
   private def leasePath(spark: SparkSession, table: String) =

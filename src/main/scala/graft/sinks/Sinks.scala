@@ -101,8 +101,12 @@ object Sinks {
       } catch { case _: Exception => None }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     try {
+      // scheme/authority-preserving base (the StateLease.leaseDirFor fix):
+      // URI.getPath re-rooted an s3a/hdfs warehouse's orphan fallback onto
+      // the DEFAULT filesystem — deleting the wrong path (or none)
       val loc = resolved.getOrElse(new org.apache.hadoop.fs.Path(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table))
+        graft.ext.StateLease.warehouseBase(spark.conf.get("spark.sql.warehouse.dir")),
+        table))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     } catch { case _: Exception => () }
     // dropping the table supersedes any maintenance lease on it — a lease
