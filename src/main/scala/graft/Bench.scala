@@ -138,7 +138,11 @@ object Bench {
       // self-compare through the round fence. An artifact written well
       // AFTER the verdict (10-min tolerance absorbs the same-commit
       // write skew) is this round's own work: fence it out and fall back
-      // to the next-highest round.
+      // to the next-highest round. The mtime test applies ONLY to
+      // round == fence — that is the one round the boundary hole
+      // affects, and git does not preserve mtimes, so a checkout that
+      // freshens an OLDER artifact's timestamp must not silently drop a
+      // legitimate prior from the regression baseline.
       val mtimeFence: Long =
         if (verdictFile.exists() && verdictFile.lastModified() > 0)
           verdictFile.lastModified() + 10 * 60 * 1000L
@@ -148,7 +152,8 @@ object Bench {
       val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .flatMap(f => f.getName match {
           case re(n) => n.toIntOption.map(i => (i, f))
-            .filter { case (i, file) => i <= fence && file.lastModified() <= mtimeFence }
+            .filter { case (i, file) =>
+              i <= fence && (i != fence || file.lastModified() <= mtimeFence) }
           case _ => None
         })
       if (files.isEmpty) {

@@ -660,27 +660,54 @@ object Dedup {
       case _ => ()
     }
 
+    // Adaptive loop parallelism, expressed PER-PLAN: each star round is ~5
+    // equi-join/distinct exchanges whose per-partition scheduling latency
+    // dwarfs the data on SMALL edge sets (an incremental-registry batch
+    // touches only the affected components — measured: 8-partition
+    // exchanges × ~5 joins × 2 rounds of pure latency at sf0.1). When the
+    // just-materialized edge count is small, an explicit repartition(w, keys)
+    // ahead of each groupBy/join/distinct satisfies the operator's
+    // distribution requirement at width w (~64k two-long edge rows per
+    // partition), so no extra exchange is planned — and the session-global
+    // spark.sql.shuffle.partitions is never touched (a concurrent query on
+    // the same session must not silently plan at the narrowed width). A
+    // 100 TB pair graph keeps its full width: width = None ⇒ the plain
+    // un-repartitioned plan.
+    def loopWidth(edgeCount: Long): Option[Int] = {
+      val spark = pairs.sparkSession
+      val sessionShuffle = scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").trim.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val adapted = math.max(1L,
+        math.min(sessionShuffle.toLong, edgeCount / 65536 + 1)).toInt
+      if (adapted < sessionShuffle) Some(adapted) else None
+    }
+    def shaped(width: Option[Int])(df: DataFrame, cols: Column*): DataFrame =
+      width.fold(df)(w => df.repartition(w, cols: _*))
+
     // large-star: every node u connects its LARGER neighbors to the minimum
     // of its neighborhood (including u itself)
-    def largeStar(edges: DataFrame): DataFrame = {
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    def largeStar(edges: DataFrame, width: Option[Int]): DataFrame = {
+      def s(df: DataFrame, cols: Column*): DataFrame = shaped(width)(df, cols: _*)
+      val sym = s(edges.union(edges.select(col("b").as("a"), col("a").as("b"))), col("a"))
       val mins = sym.groupBy("a").agg(min("b").as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
-      sym.join(mins, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")).distinct()
+      s(sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")), col("a"), col("b")).distinct()
     }
 
     // small-star: every node u connects its smaller neighbors (and itself)
     // to its minimum smaller neighbor
-    def smallStar(edges: DataFrame): DataFrame = {
-      val dir = edges.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
+    def smallStar(edges: DataFrame, width: Option[Int]): DataFrame = {
+      def s(df: DataFrame, cols: Column*): DataFrame = shaped(width)(df, cols: _*)
+      val dir = s(edges.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")), col("a"))
       val mins = dir.groupBy("a").agg(min("b").as("m"))
-      dir.join(mins, "a")
+      s(dir.join(mins, "a")
         .select(col("b").as("v"), col("m"))
         .union(mins.select(col("a").as("v"), col("m")))
         .filter(col("v") =!= col("m"))
-        .select(col("v").as("a"), col("m").as("b")).distinct()
+        .select(col("v").as("a"), col("m").as("b")), col("a"), col("b")).distinct()
     }
 
     var edges = graft.ProbeTiming("cc_init")(truncate(pairs
@@ -689,35 +716,17 @@ object Dedup {
     var prevCount = edges.count()
     var converged = prevCount == 0L
     var it = 0
-    // adaptive loop parallelism: each round is ~5 equi-join/distinct
-    // exchanges whose per-partition scheduling latency dwarfs the data on
-    // SMALL edge sets (an incremental-registry batch touches only the
-    // affected components — measured: 8-partition exchanges × ~5 joins ×
-    // 2 rounds of pure latency at sf0.1). Size the LOOP's shuffle
-    // partitions from the just-materialized edge count (~64k two-long
-    // edge rows per partition), never above the session setting — a
-    // 100 TB pair graph keeps its full width, only the tiny-subgraph case
-    // narrows. Restored in the finally (conf is session-global; CC runs
-    // driver-sequentially inside its callers, and the loop's plans read
-    // only checkpointed blocks).
-    val ccSpark = pairs.sparkSession
-    val sessionShuffle = ccSpark.conf.get("spark.sql.shuffle.partitions").toInt
-    val adapted = math.max(1L, math.min(sessionShuffle.toLong, prevCount / 65536 + 1)).toInt
-    val doAdapt = adapted < sessionShuffle
-    try {
-      if (doAdapt) ccSpark.conf.set("spark.sql.shuffle.partitions", adapted.toString)
-      while (!converged && it < maxIters) {
-        val next = graft.ProbeTiming(s"cc_round_$it")(truncate(smallStar(largeStar(edges))))
-        val n = next.count()
-        converged = n == prevCount &&
-          graft.ProbeTiming(s"cc_except_$it")(next.except(edges).isEmpty)
-        freeRetired(edges)
-        edges = next
-        prevCount = n
-        it += 1
-      }
-    } finally {
-      if (doAdapt) ccSpark.conf.set("spark.sql.shuffle.partitions", sessionShuffle.toString)
+    while (!converged && it < maxIters) {
+      val width = loopWidth(prevCount)
+      val next = graft.ProbeTiming(s"cc_round_$it")(
+        truncate(smallStar(largeStar(edges, width), width)))
+      val n = next.count()
+      converged = n == prevCount &&
+        graft.ProbeTiming(s"cc_except_$it")(next.except(edges).isEmpty)
+      freeRetired(edges)
+      edges = next
+      prevCount = n
+      it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     // the fixpoint is a forest of stars; read each node's component min off

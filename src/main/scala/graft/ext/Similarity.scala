@@ -470,8 +470,12 @@ object Similarity {
     // stream: the per-batch collect/broadcast/lease/exists round-trips
     // re-answer what batch 0 already knew (the TableChecks rationale);
     // compaction only rewrites the assignments table, never the codebook,
-    // so the cached broadcast stays valid across compactEvery folds
-    val checks = new TableChecks
+    // so the cached broadcast stays valid across compactEvery folds.
+    // revalidateEvery = 1: these appends ARE the data (not derivable from
+    // any upstream table), so the single-writer lease is asserted every
+    // batch — an out-of-process compaction grabbing the lease mid-stream
+    // must never find even one unleased append to drop in its swap
+    val checks = new TableChecks(revalidateEvery = 1)
     val cache = new IvfRouteCache
     vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
       ivfAppendWith(batch.toDF(), idCol, vecCol, index, checks, cache)
@@ -951,8 +955,9 @@ object Similarity {
   def ivfPqStream(vecs: DataFrame, idCol: String, vecCol: String, index: IvfPqIndex,
                   compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // one check memo + one frozen-model broadcast pair per stream (the
-    // ivfStream rationale)
-    val checks = new TableChecks
+    // ivfStream rationale, incl. its per-batch lease revalidation — the
+    // appends are the data)
+    val checks = new TableChecks(revalidateEvery = 1)
     val cache = new IvfRouteCache
     vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
       ivfPqAppendWith(batch.toDF(), idCol, vecCol, index, checks, cache)
@@ -1198,7 +1203,9 @@ object Similarity {
                       threshold: Double, pairsDir: String, index: CosineLshIndex,
                       numBits: Int = 48, bandSize: Int = 2,
                       compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val checks = new graft.ext.TableChecks
+    // per-batch lease revalidation (the ivfStream rationale — appends are
+    // the data); the crashed-swap scan alone stays memoized
+    val checks = new graft.ext.TableChecks(revalidateEvery = 1)
     vecs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
       cosineLshIncrement(batch.toDF(), idCol, vecCol, threshold, index,
         pairsDir, id, numBits, bandSize, checks)

@@ -91,8 +91,13 @@ object Metrics {
     // 400s the WHOLE push at the gateway (every metric in the body lost),
     // so reject it loudly at render time, naming the offender — label
     // VALUES are free-form and travel escaped, only names are constrained.
-    private def requireName(kind: String, s: String, colonOk: Boolean): String = {
-      val ok = s.nonEmpty && !s.head.isDigit && s.forall(c =>
+    // `prefixed`: metric names render behind the constant `kspp_` prefix,
+    // so the grammar's no-leading-digit rule is checked against the
+    // RENDERED name — `what = "404s"` renders as the valid `kspp_404s`
+    // and must pass. Label names render unprefixed and keep the full rule.
+    private def requireName(kind: String, s: String, colonOk: Boolean,
+                            prefixed: Boolean = false): String = {
+      val ok = s.nonEmpty && (prefixed || !s.head.isDigit) && s.forall(c =>
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
           c == '_' || (colonOk && c == ':'))
       require(ok, s"Pushgateway.render: invalid $kind '$s' — exposition-format " +
@@ -108,7 +113,7 @@ object Metrics {
       */
     def render(metrics: Seq[Metric]): String =
       metrics.map { m =>
-        requireName("metric name", m.what, colonOk = true)
+        requireName("metric name", m.what, colonOk = true, prefixed = true)
         val labels = (Seq("mtype" -> m.mtype, "unit" -> m.unit) ++ m.labels.toSeq.sortBy(_._1))
           .map { case (k, v) =>
             s"""${requireName("label name", k, colonOk = false)}="${escLabel(v)}""""

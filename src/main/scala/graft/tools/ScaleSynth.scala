@@ -47,12 +47,27 @@ object ScaleSynth {
       val v = vocab.length
       val wordIdx = vocab.zipWithIndex.toMap
       println(s"ScaleSynth: vocab $v words, clones $clones")
+      // Per-clone rotation step k·g with g coprime to the vocab size: g
+      // invertible mod v makes k·g mod v injective over k ∈ [0, v), so no
+      // clone's rotation is the identity and no two clones share one —
+      // the fixed k·7 step degenerated to the identity whenever v | 7k
+      // (any vocab of ≤ 63 words at the default 10 clones), silently
+      // recreating the cross-clone exact/near-dup cliques this tool
+      // exists to avoid. v ≤ clones can't admit distinct rotations at
+      // all: fail fast rather than synthesize a poisoned probe corpus.
+      require(v > clones, s"ScaleSynth: vocab has $v distinct words but " +
+        s"$clones clones need $clones distinct non-identity rotations — " +
+        "use a larger source corpus or fewer clones")
+      val step: Int = {
+        def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+        Iterator.from(7).find(g => gcd(g, v) == 1).get % v
+      }
       val rotate = udf { (text: String, k: Int) =>
         if (text == null) null
         else if (k == 0) text
         else text.split("\\s+").filter(_.nonEmpty).map { w =>
           wordIdx.get(w) match {
-            case Some(i) => vocab((i + k * 7) % v)
+            case Some(i) => vocab((i + k * step) % v)
             case None => w
           }
         }.mkString(" ")

@@ -33,6 +33,9 @@ class KafkaPremiseSpec extends AnyFunSuite {
       "org.apache.kafka.clients.consumer.KafkaConsumer",
       "kafka.server.KafkaServer", // broker (embedded-broker tests)
       "kafka.testkit.KafkaClusterTestKit",
+      "org.apache.kafka.common.test.KafkaClusterTestKit", // post-3.8 testkit home
+      "io.github.embeddedkafka.EmbeddedKafka", // test-scope embedded brokers
+      "org.springframework.kafka.test.EmbeddedKafkaBroker",
       "org.apache.spark.sql.kafka010.KafkaSourceProvider") // spark-sql-kafka
     val present = knownEntryPoints.filter { cls =>
       try { Class.forName(cls); true }
