@@ -140,6 +140,54 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(!Bench.isUnstable(Nil))
   }
 
+  test("officialStat publishes the converged floor cluster's median, else the plain median") {
+    // the r14 headline shape: convergence reruns FOUND the floor twice
+    // ([3.47, 3.55] within 15%), yet the even-count conservative median of
+    // all four runs reads 11.25 — officialStat must publish 3.55
+    assert(Bench.officialStat(Seq(15.62, 3.47, 11.25, 3.55)) == (3.55, "floor_cluster"))
+    // a LONE fast outlier never wins: unstable but cluster of 1 ⇒ median
+    assert(Bench.officialStat(Seq(15.62, 3.47, 11.25)) == (11.25, "median"))
+    // stable runs: plain median, rule says so
+    assert(Bench.officialStat(Seq(5.0, 5.1, 4.9)) == (5.0, "median"))
+    // sub-second jitter is not unstable (absolute floor) ⇒ median
+    assert(Bench.officialStat(Seq(0.30, 0.18, 0.30)) == (0.30, "median"))
+    // all runs agreeing IS a cluster, but a stable set never needs the rule
+    assert(Bench.officialStat(Seq(3.5, 3.6, 3.55))._2 == "median")
+    assert(Bench.officialStat(Nil) == (-1.0, "none"))
+  }
+
+  test("a floor-published query tags +floor in the anomalies block and its summary value is the cluster median") {
+    val runTimes: Seq[(String, Seq[Double])] = Seq(
+      "x01_floored" -> Seq(15.62, 3.47, 11.25, 3.55), // converged floor
+      "x02_fast" -> Seq(0.30, 0.31, 0.29))
+    val results = runTimes.map { case (k, ts) => k -> Bench.officialStat(ts)._1 }
+    val sysStats = results.map(_._1 -> ((1.0, 10L, 5.0))).toMap
+    val s = Bench.buildSummary(results, runTimes, sysStats, Nil, Nil, Nil,
+      3.85, "{}", "{}", "/sf")
+    val j = mapper.readTree(s)
+    assert(j.get("queries").get("x01_floored").asDouble == 3.55, s)
+    assert(j.get("anomalies").get("x01").get(2).asText == "inflated+floor", s)
+  }
+
+  test("a distressed preflight stamps env in the summary at every rung; a quiet one stays silent") {
+    val quiet = synth(5, nAnom = 0, suffixLen = 12, nErr = 0, nLeak = 0)
+    assert(!mapper.readTree(quiet).has("env"), quiet)
+    // force the deepest rungs with many long-named queries + the note
+    for (n <- Seq(5, 200)) {
+      val names = (0 until n).map(i => f"x$i%02d_" + ("a" * 40))
+      val runTimes: Seq[(String, Seq[Double])] =
+        names.map(_ -> Seq(1.0, 1.01, 0.99))
+      val results = runTimes.map { case (k, ts) => k -> ts.sorted.apply(1) }
+      val sysStats = names.map(_ -> ((6.9, 1450L, 540.8))).toMap
+      val s = Bench.buildSummary(results, runTimes, sysStats,
+        (0 until 6).map(i => s"err_$i"), Nil, Nil, n * 1.0, "{}", "{}", "/sf",
+        Map.empty, envNote = Some("distressed(load=12.4,gc=0.41,waited=92s)"))
+      assert(s.length <= 1960, s"n=$n: ${s.length}")
+      val j = mapper.readTree(s)
+      assert(j.get("env").asText == "distressed(load=12.4,gc=0.41,waited=92s)", s)
+    }
+  }
+
   test("isRegressed flags a moved floor against the prior median, not jitter or missing priors") {
     // r11's x39: stable runs whose FLOOR exceeds the prior official median
     // — isUnstable stays silent (median within 1.5x of the set's own min),
