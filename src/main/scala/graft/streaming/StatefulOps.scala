@@ -32,9 +32,53 @@ import graft.model.KRecord
   * by the stream's lifetime (cross-batch state is one Cell/Bucket/Counter
   * per key). The reference holds the same slice in its per-partition event
   * queue (event_consumer.h); a pathologically hot key is capacity-planned
-  * the same way there.
+  * the same way there. The contract is ENFORCEABLE (round 15): arm the
+  * opt-in session conf `spark.graft.streaming.maxSliceRows` and a key
+  * whose single-trigger slice exceeds it raises a named error instead of
+  * driving the executor into an opaque OOM — see [[sliceCapOf]].
   */
 object StatefulOps {
+
+  /** Session conf arming the per-(key, trigger) buffered-row guard. */
+  val MaxSliceRowsConf = "spark.graft.streaming.maxSliceRows"
+
+  /** OPT-IN guard on the per-(key, trigger) buffer the header's memory
+    * contract describes. Read once at operator CONSTRUCTION (driver side —
+    * executors cannot consult the session) and captured in the state
+    * function's closure; absent conf = unarmed (Int.MaxValue). A
+    * malformed or non-positive value raises at construction — a guard
+    * that silently disarmed is worse than none.
+    */
+  private def sliceCapOf(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.getOption(MaxSliceRowsConf) match {
+      case None => Int.MaxValue
+      case Some(v) =>
+        val n = v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"$MaxSliceRowsConf must be a positive int, got '$v'"))
+        require(n > 0, s"$MaxSliceRowsConf must be positive, got $n")
+        n
+    }
+
+  /** Buffer one key's trigger slice under the opt-in cap: the 100x-keys
+    * surge degrades to a stream failure NAMING the key, the cap, and the
+    * remediations, at the moment the cap is crossed (nothing larger is
+    * ever materialized).
+    */
+  private def bufferSlice[T](key: Any, it: Iterator[T], cap: Int): Seq[T] =
+    if (cap == Int.MaxValue) it.toSeq
+    else {
+      val buf = new scala.collection.mutable.ArrayBuffer[T]()
+      while (it.hasNext) {
+        buf += it.next()
+        if (buf.length > cap)
+          throw new IllegalStateException(
+            s"graft.streaming: key '$key' received more than $cap rows in one " +
+              s"trigger ($MaxSliceRowsConf) — the per-key slice sorts in " +
+              "executor memory (StatefulOps memory contract); shrink the " +
+              "trigger (interval / maxOffsetsPerTrigger) or raise the cap")
+      }
+      buf.toSeq
+    }
 
   /** Stored cell of the LWW table. */
   final case class Cell[V](value: Option[V], eventTime: Long)
@@ -77,13 +121,14 @@ object StatefulOps {
     * reference has the same constraint via its 1 ms event clock).
     */
   def latestByKey[K, V](ds: Dataset[KRecord[K, V]])(
-      implicit ek: Encoder[K], ec: Encoder[Cell[V]], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] =
+      implicit ek: Encoder[K], ec: Encoder[Cell[V]], er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
+    val cap = sliceCapOf(ds)
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Cell[V]]) =>
           var cell = state.getOption
           val out = Vector.newBuilder[KRecord[K, V]]
-          it.toSeq.sortBy(_.eventTime).foreach { rec =>
+          bufferSlice(key, it, cap).sortBy(_.eventTime).foreach { rec =>
             // the shared mem_store insert rule: an accepted delete ERASES
             // the entry (no tombstone kept, so a later out-of-order upsert
             // is accepted again); accepted changes forward downstream
@@ -98,6 +143,7 @@ object StatefulOps {
           }
           out.result().iterator
       }
+  }
 
   /** A KRecord plus the TimestampType view of its event time; the `wm`
     * column must stay in the grouped Dataset's output for Spark's
@@ -129,6 +175,7 @@ object StatefulOps {
       er: Encoder[KRecord[K, V]]): Dataset[KRecord[K, V]] = {
     require(retentionMs > 0,
       s"windowedLatestByKey: retentionMs must be positive, got $retentionMs")
+    val cap = sliceCapOf(ds)
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, V]], state: GroupState[Cell[V]]) =>
@@ -139,7 +186,7 @@ object StatefulOps {
           } else {
             var cell = state.getOption
             val out = Vector.newBuilder[KRecord[K, V]]
-            it.toSeq.sortBy(_.eventTime).foreach { rec =>
+            bufferSlice(key, it, cap).sortBy(_.eventTime).foreach { rec =>
               // the shared mem_store rule (an accepted delete erases the
               // slot entry, mem_windowed_store.h:159-164 bucket erase)
               val (next, accepted) = lwwInsert(cell, rec.value, rec.eventTime)
@@ -181,13 +228,14 @@ object StatefulOps {
     */
   def counterByKey[K](ds: Dataset[KRecord[K, Long]])(
       implicit ek: Encoder[K], ec: Encoder[CounterCell],
-      er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] =
+      er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] = {
+    val cap = sliceCapOf(ds)
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[KRecord[K, Long]], state: GroupState[CounterCell]) =>
           var cur = state.getOption
           val out = Vector.newBuilder[KRecord[K, Long]]
-          it.toSeq.sortBy(_.eventTime).foreach { rec =>
+          bufferSlice(key, it, cap).sortBy(_.eventTime).foreach { rec =>
             (cur, rec.value) match {
               case (None, Some(v)) =>
                 cur = Some(CounterCell(v, rec.eventTime))
@@ -211,6 +259,7 @@ object StatefulOps {
           }
           out.result().iterator
       }
+  }
 
   /** Per-key token bucket state. */
   final case class Bucket(tokens: Long, tstamp: Long)
@@ -244,10 +293,11 @@ object StatefulOps {
     // StatefulOps$ into the task; the lambda's static call on the
     // serializing-by-MODULE$ RateLimit object captures nothing.)
     val render: Option[V] => String = v => graft.ops.RateLimit.deepRender(v)
-    val admit: (Iterator[KRecord[K, V]], GroupState[Bucket]) => Iterator[KRecord[K, V]] = (it, state) => {
+    val cap = sliceCapOf(ds)
+    val admit: (K, Iterator[KRecord[K, V]], GroupState[Bucket]) => Iterator[KRecord[K, V]] = (key, it, state) => {
       var b = state.getOption.getOrElse(Bucket(capacity, 0L))
       val out = Vector.newBuilder[KRecord[K, V]]
-      it.toSeq.sortBy(r => (r.eventTime, render(r.value))).foreach { rec =>
+      bufferSlice(key, it, cap).sortBy(r => (r.eventTime, render(r.value))).foreach { rec =>
         val delta = graft.ops.RateLimit.refillTokens(
           rec.eventTime - b.tstamp, capacity, ageTimeMs)
         if (delta > 0) b = Bucket(math.min(capacity, b.tokens + delta), rec.eventTime)
@@ -274,7 +324,7 @@ object StatefulOps {
         ds.groupByKey(_.key)
           .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
             (key: K, it: Iterator[KRecord[K, V]], state: GroupState[Bucket]) =>
-              admit(it, state)
+              admit(key, it, state)
           }
       // GC variant: a watermark (dropping events later than the delay)
       // buys exact idle-state expiry — churning key spaces stay bounded
@@ -283,7 +333,7 @@ object StatefulOps {
           .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
             (key: K, it: Iterator[WRec[K, V]], state: GroupState[Bucket]) =>
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
-              else admit(it.map(r => KRecord(r.key, r.value, r.eventTime)), state)
+              else admit(key, it.map(r => KRecord(r.key, r.value, r.eventTime)), state)
           }
     }
   }
@@ -302,6 +352,7 @@ object StatefulOps {
     // a negative delay silently releases records BEFORE their event time —
     // the fail-loud stance every sibling op applies to its knobs
     require(delayMs >= 0, s"delay: delayMs must be non-negative, got $delayMs")
+    val cap = sliceCapOf(ds)
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, V]], state: GroupState[Held[K, V]]) =>
@@ -310,7 +361,7 @@ object StatefulOps {
           // header's batch contract — getCurrentWatermarkMs throws there)
           val wm = watermarkOpt(state).getOrElse(Long.MaxValue)
           val incoming = state.getOption.map(_.rows).getOrElse(Nil) ++
-            it.map(r => KRecord(r.key, r.value, r.eventTime))
+            bufferSlice(key, it, cap).map(r => KRecord(r.key, r.value, r.eventTime))
           val (ready, held) = incoming.partition(_.eventTime + delayMs <= wm)
           if (held.nonEmpty) {
             state.update(Held(held))
@@ -374,12 +425,13 @@ object StatefulOps {
       .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.eventTime))
       .union(rightLog
         .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.eventTime)))
+    val cap = sliceCapOf(tagged)
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[SideRec[K, L, R]], state: GroupState[JoinState[L, R]]) =>
           var s = state.getOption.getOrElse(JoinState[L, R](None, None))
           val out = Vector.newBuilder[JoinEmit[K, L, R]]
-          it.toSeq.sortBy(_.eventTime).foreach { ev =>
+          bufferSlice(key, it, cap).sortBy(_.eventTime).foreach { ev =>
             s =
               if (ev.isLeft) s.copy(left = insertCell(s.left, ev.leftValue, ev.eventTime))
               else s.copy(right = insertCell(s.right, ev.rightValue, ev.eventTime))
@@ -425,12 +477,13 @@ object StatefulOps {
       .map(r => SideRec[K, L, R](r.key, r.value, None, isLeft = true, r.eventTime))
       .union(rightLog
         .map(r => SideRec[K, L, R](r.key, None, r.value, isLeft = false, r.eventTime)))
+    val cap = sliceCapOf(tagged)
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[SideRec[K, L, R]], state: GroupState[JoinState[L, R]]) =>
           var s = state.getOption.getOrElse(JoinState[L, R](None, None))
           val out = Vector.newBuilder[JoinEmit[K, L, R]]
-          it.toSeq.sortBy(_.eventTime).foreach { ev =>
+          bufferSlice(key, it, cap).sortBy(_.eventTime).foreach { ev =>
             if (!ev.isLeft) {
               s = s.copy(right = insertCell(s.right, ev.rightValue, ev.eventTime))
             } else if (ev.leftValue.isDefined) { // null left events are skipped
@@ -475,6 +528,7 @@ object StatefulOps {
       er: Encoder[KRecord[K, Long]]): Dataset[KRecord[K, Long]] = {
     require(punctuateIntervalMs > 0,
       s"punctuatedCount: punctuateIntervalMs must be positive, got $punctuateIntervalMs")
+    val cap = sliceCapOf(ds)
     watermarked(ds, watermarkDelay).groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[WRec[K, Long]], state: GroupState[Counter]) =>
@@ -498,7 +552,7 @@ object StatefulOps {
             // next_punctuate_ on the first event
             var c = state.getOption.getOrElse(Counter(0L, Long.MinValue, dirty = false))
             val out = Vector.newBuilder[KRecord[K, Long]]
-            it.toSeq.sortBy(_.eventTime).foreach { rec =>
+            bufferSlice(key, it, cap).sortBy(_.eventTime).foreach { rec =>
               if (c.nextPunctuate < rec.eventTime) {
                 if (c.dirty) out += KRecord.of(key, c.count, c.nextPunctuate)
                 c = Counter(c.count, rec.eventTime + punctuateIntervalMs, dirty = false)

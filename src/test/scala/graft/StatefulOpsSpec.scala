@@ -123,6 +123,58 @@ class StatefulOpsSpec extends SparkSpec {
       5L -> Some((Some("B"), Some("a"))), 15L -> Some((Some("D"), Some("d")))))
   }
 
+  test("the opt-in maxSliceRows guard turns a hot-key trigger surge into a named error, not an OOM") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def withCap[A](v: Option[String])(f: => A): A = {
+      val k = StatefulOps.MaxSliceRowsConf
+      val saved = spark.conf.getOption(k)
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      try f finally { spark.conf.unset(k); saved.foreach(spark.conf.set(k, _)) }
+    }
+    // a key-churn STREAM into the guard: one hot key floods a single
+    // micro-batch past the cap — the query fails with the conf name and
+    // the key, never an executor OOM
+    withCap(Some("8")) {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Int, String]]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_guard").toFile.getAbsolutePath
+      src.addData((1 to 9).map(i => KRecord.of(7, s"v$i", i.toLong)): _*)
+      val q = StatefulOps.latestByKey(src.toDS())
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q.awaitTermination())
+      val msg = e.getCause.getMessage + e.getMessage
+      assert(msg.contains(StatefulOps.MaxSliceRowsConf) && msg.contains("'7'"), msg)
+    }
+    // at the cap (not past it): the stream completes
+    withCap(Some("8")) {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KRecord[Int, String]]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_guard2").toFile.getAbsolutePath
+      src.addData((1 to 8).map(i => KRecord.of(7, s"v$i", i.toLong)): _*)
+      val q = StatefulOps.latestByKey(src.toDS())
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // unarmed (default): the same surge just processes
+    val out = StatefulOps.latestByKey(
+      (1 to 100).map(i => KRecord.of(7, s"v$i", i.toLong)).toDS()).collect()
+    assert(out.length == 100)
+    // malformed / non-positive values fail at CONSTRUCTION, loudly
+    withCap(Some("0")) {
+      val e = intercept[IllegalArgumentException](
+        StatefulOps.latestByKey(Seq(KRecord.of(1, "v", 1L)).toDS()))
+      assert(e.getMessage.contains("positive"))
+    }
+    withCap(Some("many")) {
+      val e = intercept[IllegalArgumentException](
+        StatefulOps.latestByKey(Seq(KRecord.of(1, "v", 1L)).toDS()))
+      assert(e.getMessage.contains("many"))
+    }
+  }
+
   test("changelog join state persists across micro-batches (MemoryStream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
