@@ -327,15 +327,22 @@ object Similarity {
       .filter(definedCosine(norm(col("v"))))
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
     val cents = trainCodebook(vecs, nClusters, iters)
-    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cluster", "centroid")
-      .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable)
     val bc = spark.sparkContext.broadcast(cents)
-    vecs.map { case (id, v) => (id, v, nearestChecked(bc.value, id, v, "ivfBuild")) }
-      .toDF("id", "v", "cluster")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(index.numBuckets, "cluster")
-      .saveAsTable(index.assignmentsTable)
+    // the two index tables are independent consumers of driver-resident
+    // `cents` + the cached vectors, writing to DISTINCT table paths — one
+    // concurrent action set, so the tiny codebook write's fixed job+commit
+    // latency rides inside the assignments pass (the ivfPqBuild/x33
+    // convention; same-table APPENDS must never fold this way — two jobs
+    // share one _temporary staging root and the first commit deletes it)
+    ConcurrentActions.run(Seq(
+      () => cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cluster", "centroid")
+        .write.mode("overwrite").format("parquet").saveAsTable(index.codebookTable),
+      () => vecs.map { case (id, v) => (id, v, nearestChecked(bc.value, id, v, "ivfBuild")) }
+        .toDF("id", "v", "cluster")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(index.numBuckets, "cluster")
+        .saveAsTable(index.assignmentsTable)))
   }
 
   /** The probe join against the persisted index: each query fans out to its
@@ -779,6 +786,13 @@ object Similarity {
       () => { pqV = pqTrainVecs(vecs, m, ksub, iters); () }))
     val cents = centsV
     val pq = pqV
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcP = spark.sparkContext.broadcast(pq)
+    // all THREE index tables are independent consumers of the trained
+    // driver-resident models + the one cached vector set, each writing to
+    // its own table path — one concurrent action set folds the two tiny
+    // codebook commits' fixed job latencies inside the encoding pass
+    // (round 15; previously the assignments write ran sequentially after)
     ConcurrentActions.run(Seq(
       () => cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("cluster", "centroid")
@@ -786,16 +800,14 @@ object Similarity {
       () => pq.codebooks.zipWithIndex.flatMap { case (book, sub) =>
           book.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
         }.toSeq.toDF("sub", "code", "centroid")
-        .write.mode("overwrite").format("parquet").saveAsTable(index.pqTable)))
-    val bcC = spark.sparkContext.broadcast(cents)
-    val bcP = spark.sparkContext.broadcast(pq)
-    vecs.map { case (id, v) =>
-      (id, v, nearestChecked(bcC.value, id, v, "ivfPqBuild"),
-        encodeOne(bcP.value, id, v), normOf(v))
-    }.toDF("id", "v", "cluster", "codes", "nrm")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(index.numBuckets, "cluster")
-      .saveAsTable(index.assignmentsTable)
+        .write.mode("overwrite").format("parquet").saveAsTable(index.pqTable),
+      () => vecs.map { case (id, v) =>
+          (id, v, nearestChecked(bcC.value, id, v, "ivfPqBuild"),
+            encodeOne(bcP.value, id, v), normOf(v))
+        }.toDF("id", "v", "cluster", "codes", "nrm")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(index.numBuckets, "cluster")
+        .saveAsTable(index.assignmentsTable)))
   }
 
   /** Rehydrate the PQ model from its table — bounded (m×ksub rows), the
