@@ -241,6 +241,95 @@ object Queries {
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events) WHERE rn = 1""".stripMargin
 
+  /** The x38/x67 streaming-ingest protocol, shared so the declared oracle
+    * shape and its production-shape bench rider cannot drift: build the IVF
+    * index on a 60% prefix, append + compact + append + at-least-once
+    * replayed append (one maintenance-check memo across the appends — the
+    * ivfStream wiring), then probe. `tag` prefixes the index tables and the
+    * GRAFT_PROBE_TIMING stage labels; `queries` slices the probe batch
+    * (identity = the declared whole-corpus oracle shape, a bounded filter =
+    * the production shape).
+    */
+  private def ivfAppendProtocol(s: SparkSession, dir: String, tag: String,
+                                nProbe: Int,
+                                queries: DataFrame => DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val idx = Similarity.IvfIndex(s"${tag}_assign_$suffix", s"${tag}_codebook_$suffix", numBuckets = 8)
+    val tmp = scratchDir(s"graft_$tag")
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    // index tables dropped in a finally — a compaction or append crash
+    // must not strand them (incl. a mid-swap __compact sibling)
+    withStateTables(s, idx.assignmentsTable, idx.codebookTable,
+        idx.assignmentsTable + "__compact") {
+      graft.ProbeTiming(s"${tag}_build")(
+        Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+          "vec_id", "embedding", idx, nClusters = 16, iters = 5))
+      val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
+      val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
+      // one maintenance-check memo across the appends, as the ivfStream
+      // wiring would hold (the x33 convention)
+      val checks = new graft.ext.TableChecks
+      graft.ProbeTiming(s"${tag}_append_b1")(
+        Similarity.ivfAppend(b1, "vec_id", "embedding", idx, checks))
+      graft.ProbeTiming(s"${tag}_compact")(Similarity.ivfCompact(s, idx))
+      graft.ProbeTiming(s"${tag}_append_b2")(
+        Similarity.ivfAppend(b2, "vec_id", "embedding", idx, checks))
+      graft.ProbeTiming(s"${tag}_append_replay")(
+        Similarity.ivfAppend(b2, "vec_id", "embedding", idx, checks)) // at-least-once replay
+      graft.ProbeTiming(s"${tag}_query")(
+        Similarity.ivfQuery(queries(emb), "vec_id", "embedding", idx, k = 10, nProbe = nProbe)
+          .select("query_id", "rank", "nbr_id")
+          .write.parquet(tmp.resolve("out").toString))
+    }
+    s.read.parquet(tmp.resolve("out").toString)
+  }
+
+  /** The BPE pre-tokenizer's regex ([[graft.functions.Bpe]]), spelled once
+    * for the oracle transcriptions.
+    */
+  private val BpePreTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-word (count, ids-csv) lexicon of the COMMITTED BPE fixture, read
+    * from the same classpath resource the engine loads — the DuckDB side
+    * of the exact-tokenizer oracles derives from it at run time, so a
+    * retrained fixture can never drift out of lockstep with the SQL. The
+    * inline-CASE transcription is bounded: a fixture whose lexicon
+    * outgrows it must switch the oracle to a parquet join (loud raise).
+    */
+  private lazy val bpeLexicon: Seq[(String, Int, String)] = {
+    val in = Thread.currentThread().getContextClassLoader
+      .getResourceAsStream("graft/bpe/lexicon.tsv")
+    require(in != null, "graft/bpe/lexicon.tsv missing from the classpath — " +
+      "regenerate the fixture with graft.tools.BpeTrain")
+    val rows = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lex = rows.linesIterator.filter(_.nonEmpty).map { l =>
+      val p = l.split("\t", -1)
+      require(p.length == 4, s"malformed lexicon.tsv line: '$l'")
+      (p(0), p(2).toInt, p(3))
+    }.toSeq
+    require(lex.length <= 1000, s"BPE lexicon has ${lex.length} words — too " +
+      "large for the inline-CASE oracle; switch the transcription to a " +
+      "parquet join over lexicon.tsv")
+    lex
+  }
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+  private lazy val bpeCountCase: String = "CASE w " +
+    bpeLexicon.map { case (w, n, _) => s"WHEN ${sqlQuote(w)} THEN $n" }.mkString(" ") +
+    " ELSE NULL END"
+  private lazy val bpeIdsCase: String = "CASE w " +
+    bpeLexicon.map { case (w, _, ids) => s"WHEN ${sqlQuote(w)} THEN ${sqlQuote(ids)}" }.mkString(" ") +
+    " ELSE NULL END"
+
+  /** DuckDB expression for the exact BPE token count of `textExpr` — the
+    * transcription of [[graft.ext.TextAnalysis.bpeTokenCount]] through the
+    * committed lexicon (tokenization is per-pre-token, so a per-word count
+    * join IS the tokenizer to SQL).
+    */
+  private def bpeCountSql(textExpr: String): String =
+    s"CAST(COALESCE(list_sum(list_transform(regexp_extract_all(COALESCE($textExpr, ''), " +
+      s"'$BpePreTokenRe'), w -> $bpeCountCase)), 0) AS BIGINT)"
+
   // ---------------------------------------------------------------- core ops
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,33 +657,23 @@ object Queries {
     // must absorb are live in the probe join. Declared full-probe, so the
     // result must equal brute force over the WHOLE corpus — one oracle
     // proves append routing, the compaction rewrite, and replay absorption
-    "x38_ann_ivf_append" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val suffix = java.lang.Long.toHexString(System.nanoTime())
-      val idx = Similarity.IvfIndex(s"x38_assign_$suffix", s"x38_codebook_$suffix", numBuckets = 8)
-      val tmp = scratchDir("graft_x38")
-      val mx = emb.agg(max("vec_id")).head().getLong(0)
-      // index tables dropped in a finally — a compaction or append crash
-      // must not strand them (incl. a mid-swap __compact sibling)
-      withStateTables(s, idx.assignmentsTable, idx.codebookTable,
-          idx.assignmentsTable + "__compact") {
-        Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
-          "vec_id", "embedding", idx, nClusters = 16, iters = 5)
-        val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
-        val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
-        // one maintenance-check memo across the appends, as the ivfStream
-        // wiring would hold (the x33 convention)
-        val checks = new graft.ext.TableChecks
-        Similarity.ivfAppend(b1, "vec_id", "embedding", idx, checks)
-        Similarity.ivfCompact(s, idx)
-        Similarity.ivfAppend(b2, "vec_id", "embedding", idx, checks)
-        Similarity.ivfAppend(b2, "vec_id", "embedding", idx, checks) // at-least-once replay
-        Similarity.ivfQuery(emb, "vec_id", "embedding", idx, k = 10, nProbe = 16)
-          .select("query_id", "rank", "nbr_id")
-          .write.parquet(tmp.resolve("out").toString)
-      }
-      s.read.parquet(tmp.resolve("out").toString)
-    }),
+    "x38_ann_ivf_append" -> ((s, dir) =>
+      ivfAppendProtocol(s, dir, tag = "x38", nProbe = 16, identity)),
+
+    // PRODUCTION-SHAPE bench rider for x38 (round 15): the declared x38
+    // keeps nProbe = nClusters AND queries with the whole corpus so DuckDB
+    // can verify it against brute force — an intentionally quadratic-
+    // equivalent ORACLE shape (SCALEPROBE 37.7x at x10 by design). This
+    // rider runs the same build/append/compact/replay protocol at the
+    // configuration a production index serves: a BOUNDED query batch (a
+    // growing corpus answers a fixed stream of queries, not itself) and
+    // nProbe << nClusters, so candidate volume scales with
+    // queries x corpus/nClusters x nProbe — linear in the corpus. No
+    // oracle: the approximate path's correctness is covered by the recall
+    // specs; the driver records a rows-only check.
+    "x67_ann_ivf_probe" -> ((s, dir) =>
+      ivfAppendProtocol(s, dir, tag = "x67", nProbe = 2,
+        queries = _.filter(col("vec_id") < 200))),
 
     // corpus-trained bigram conditional quality: mean -log2 p(w2|w1) per
     // doc, integer-quantized like x43 so the score hash-matches — ranks
@@ -763,9 +842,26 @@ object Queries {
     // token-budget sharding: two-level (bucket ‖ within-bucket window)
     // packing — parallel by construction, no global sort/window
     "x17_token_shards" -> ((s, dir) =>
-      Sharding.packByTokens(t(s, dir, "documents"), "doc_id", "text",
-          tokensPerShard = 2000L, nBuckets = 8)
+      // budgets measure EXACT model tokens (round 15): the frozen-BPE
+      // count column feeds packByTokens' tokenCountCol, the production
+      // wiring (whitespace counts remain the operator default)
+      Sharding.packByTokens(
+          t(s, dir, "documents")
+            .withColumn("n_tokens", TextAnalysis.bpeTokenCount(col("text"))),
+          "doc_id", "text", tokensPerShard = 2000L, nBuckets = 8,
+          tokenCountCol = Some("n_tokens"))
         .select("doc_id", "n_tokens", "bucket", "shard")),
+
+    // exact subword tokenization under the committed frozen BPE fixture
+    // (graft.tools.BpeTrain — public GPT-2 merges/vocab format): per-doc
+    // token count + the full id sequence, both hash-matched through the
+    // lexicon transcription. Pure codegen scan — the model rides as a
+    // plan literal, zero shuffle.
+    "x66_bpe_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        array_join(transform(TextAnalysis.bpeTokenIds(col("text")),
+          _.cast("string")), ",").as("ids_csv"))),
 
     // deterministic corpus shuffle: rank by (hash bucket, md5-60, id) — a
     // reproducible training interleave with no global sort (two-level
@@ -785,8 +881,12 @@ object Queries {
     // training layout) — one row per (doc, sequence) overlap with the
     // covered token span
     "x35_sequence_pack" -> ((s, dir) =>
-      Sharding.packSequences(t(s, dir, "documents"), "doc_id", "text",
-          seqLen = 512L, nBuckets = 8)
+      // exact-BPE sequence budgets (round 15) — the x17 wiring
+      Sharding.packSequences(
+          t(s, dir, "documents")
+            .withColumn("n_tokens", TextAnalysis.bpeTokenCount(col("text"))),
+          "doc_id", "text", seqLen = 512L, nBuckets = 8,
+          tokenCountCol = Some("n_tokens"))
         .select("doc_id", "n_tokens", "bucket", "seq", "tok_start", "tok_end")),
 
     // the full curation pipeline end-to-end: quality → language → exact
@@ -1034,20 +1134,25 @@ object Queries {
       val mx = emb.agg(max("vec_id")).head().getLong(0)
       withStateTables(s, idx.assignmentsTable, idx.codebookTable, idx.pqTable,
           idx.assignmentsTable + "__compact") {
-        Similarity.ivfPqBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
-          "vec_id", "embedding", idx, nClusters = 16, m = 8, ksub = 16, iters = 5)
+        graft.ProbeTiming("x50_build")(
+          Similarity.ivfPqBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+            "vec_id", "embedding", idx, nClusters = 16, m = 8, ksub = 16, iters = 5))
         val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
         val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
         // one maintenance-check memo across the appends (the x38 stance)
         val checks = new graft.ext.TableChecks
-        Similarity.ivfPqAppend(b1, "vec_id", "embedding", idx, checks)
-        Similarity.ivfPqCompact(s, idx)
-        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx, checks)
-        Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx, checks) // at-least-once replay
-        Similarity.ivfPqQuery(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
-            "vec_id", "embedding", idx, k = 10, nProbe = 16, overfetch = 4096)
-          .select("query_id", "rank", "nbr_id")
-          .write.parquet(tmp.resolve("out").toString)
+        graft.ProbeTiming("x50_append_b1")(
+          Similarity.ivfPqAppend(b1, "vec_id", "embedding", idx, checks))
+        graft.ProbeTiming("x50_compact")(Similarity.ivfPqCompact(s, idx))
+        graft.ProbeTiming("x50_append_b2")(
+          Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx, checks))
+        graft.ProbeTiming("x50_append_replay")(
+          Similarity.ivfPqAppend(b2, "vec_id", "embedding", idx, checks)) // at-least-once replay
+        graft.ProbeTiming("x50_query")(
+          Similarity.ivfPqQuery(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
+              "vec_id", "embedding", idx, k = 10, nProbe = 16, overfetch = 4096)
+            .select("query_id", "rank", "nbr_id")
+            .write.parquet(tmp.resolve("out").toString))
       }
       s.read.parquet(tmp.resolve("out").toString)
     }),
@@ -1105,6 +1210,32 @@ object Queries {
       val docs = t(s, dir, "documents")
       TextAnalysis.bm25Join(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", "doc_id", "text", k = 10)
+    }),
+
+    // PRODUCTION-SHAPE bench rider for x59 (round 15): the declared corpus
+    // carries a 31-word vocabulary, so every posting list spans ~the whole
+    // corpus and querying with a corpus FRACTION makes the retrieval join
+    // quadratic BY ORACLE DESIGN (SCALEPROBE 20.8x at x10). This rider
+    // (a) deterministically expands the vocabulary ~24x — each token
+    // suffixed with xxhash64(doc_id, position) % 24, a pure narrow column
+    // pass that keeps the Zipf shape while cutting every df to ~1/24th;
+    // (b) bounds the query batch to base-corpus ids (a production engine
+    // serves a fixed query stream against a growing corpus); and
+    // (c) applies the documented maxTermDf stop-list guard. Candidate
+    // volume then scales with queries x df — linear in the corpus. No
+    // oracle (the rider exists to track the scale path; bm25Join's
+    // correctness is x59's hash-matched job): rows-only check.
+    "x68_bm25_bounded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val expanded = docs.select(col("doc_id"), concat_ws(" ",
+        transform(TextAnalysis.tokens(col("text")),
+          (w, i) => concat(w, lit("_"),
+            pmod(xxhash64(col("doc_id"), i), lit(24)).cast("string")))).as("text"))
+      val n = docs.count()
+      TextAnalysis.bm25Join(expanded,
+        expanded.filter(col("doc_id") % 97 === 0 && col("doc_id") < 100000),
+        "doc_id", "text", "doc_id", "text", k = 10,
+        maxTermDf = Some(math.max(1L, n / 10)))
     }),
 
     // per-source corpus profile: the x36 report sliced by the existing
@@ -1562,9 +1693,10 @@ object Queries {
     "x17_token_shards" ->
       // transcription of Sharding.packByTokens: md5Hash60("shard:" || id)
       // mod 8 buckets, exclusive running token sum per bucket in doc_id
-      // order, shard = bucket * 2^32 + offset div 2000
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      // order, shard = bucket * 2^32 + offset div 2000; n_tokens is the
+      // EXACT frozen-BPE count via the committed lexicon (round 15)
+      s"""WITH t AS (SELECT doc_id,
+        |  ${bpeCountSql("text")} AS n_tokens,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) % 8 AS bucket,
@@ -1581,6 +1713,17 @@ object Queries {
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, bucket * 4294967296 + cum_before // 2000 AS shard
         |FROM c""".stripMargin,
+
+    "x66_bpe_token_count" ->
+      // transcription of the frozen-BPE tokenizer through the committed
+      // per-word lexicon (tokenization is per-pre-token, so a word-level
+      // count/ids lookup IS the tokenizer to SQL); empty docs read 0 / ''
+      s"""WITH tk AS (SELECT doc_id,
+        |  regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(toks, w -> $bpeCountCase)), 0) AS BIGINT) AS n_bpe,
+        |  COALESCE(array_to_string(list_transform(toks, w -> $bpeIdsCase), ','), '') AS ids_csv
+        |FROM tk""".stripMargin,
 
     "x37_shuffle_order" ->
       // transcription of Sampling.shuffleOrder: bucket = md5Hash60('graft:'
@@ -1645,9 +1788,10 @@ object Queries {
     "x35_sequence_pack" ->
       // x17's bucket/offset transcription plus the per-sequence explode:
       // doc spans sequences cum//512 .. (cum+n-1)//512, span bounds by the
-      // same greatest/least arithmetic as the operator
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      // same greatest/least arithmetic as the operator; n_tokens is the
+      // EXACT frozen-BPE count via the committed lexicon (round 15)
+      s"""WITH t AS (SELECT doc_id,
+        |  ${bpeCountSql("text")} AS n_tokens,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) % 8 AS bucket,

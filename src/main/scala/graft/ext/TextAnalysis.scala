@@ -45,6 +45,22 @@ object TextAnalysis {
     size(regexp_extract_all(coalesce(text, lit("")),
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** EXACT subword token count under a frozen BPE model
+    * ([[graft.functions.Bpe]] — default: the committed fixture trained by
+    * graft.tools.BpeTrain). NULL text counts 0 (the bpeishCount rule).
+    * Invariant: bpeishCount counts the PRE-tokens this starts from, so
+    * bpeTokenCount >= bpeishCount on every row (equality iff every
+    * pre-token fully merged to one subword).
+    */
+  def bpeTokenCount(text: Column, resource: String = graft.functions.Bpe.DefaultResource): Column =
+    call_function("graft_bpe_count", coalesce(text, lit("")), lit(resource))
+
+  /** Exact subword token ids (text order) under the same frozen model —
+    * unknown symbols encode -1, never raise (the Bpe scaladoc contract).
+    */
+  def bpeTokenIds(text: Column, resource: String = graft.functions.Bpe.DefaultResource): Column =
+    call_function("graft_bpe_ids", coalesce(text, lit("")), lit(resource))
+
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "on", "for", "with", "as", "by", "at")
 

@@ -448,7 +448,9 @@ object GraftFunctions {
     ("graft_bloom", classOf[BloomFilterAgg], es => BloomFilterAgg(es(0), es(1), es(2))),
     ("graft_bloom_contains", classOf[BloomMightContain], es => BloomMightContain(es(0), es(1))),
     ("graft_pq_adc", classOf[PqAdcScore], es => PqAdcScore(es(0), es(1))),
-    ("graft_ncm_argmax", classOf[NcmArgmax], es => NcmArgmax(es(0), es(1), es(2))))
+    ("graft_ncm_argmax", classOf[NcmArgmax], es => NcmArgmax(es(0), es(1), es(2))),
+    ("graft_bpe_count", classOf[BpeTokenCount], es => BpeTokenCount(es(0), es(1))),
+    ("graft_bpe_ids", classOf[BpeTokenIds], es => BpeTokenIds(es(0), es(1))))
 
   /** Sessions already registered — weak keys so a dropped session can GC.
     * Operator entry points call [[register]] defensively on every

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bpe, BpeModel}
+
+/** The exact BPE tokenizer ([[graft.functions.Bpe]]). The ALGORITHM is
+  * verified against hand-computed vectors on a hand-written tiny model —
+  * independent of [[graft.tools.BpeTrain]], so the committed fixture can
+  * never vouch for the code that generated it — and the FIXTURE is pinned
+  * by a lockstep check (every lexicon.tsv row must re-derive through the
+  * live encoder), which is also what keeps the DuckDB oracle transcription
+  * honest.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Hand model: merges (a,b) < (ab,c) < (b,c); vocab covers the merge
+    * products but deliberately NOT "aa" (unknown-symbol coverage).
+    */
+  private val m = BpeModel(
+    vocab = Map("a" -> 0, "b" -> 1, "c" -> 2, "ab" -> 3, "abc" -> 4, "bc" -> 5),
+    ranks = Map(("a", "b") -> 0, ("ab", "c") -> 1, ("b", "c") -> 2))
+
+  test("encodeWord replays the published merge loop: lowest rank first, all occurrences, stop when rankless") {
+    // (a,b) fires first even though (b,c) is also present; then (ab,c)
+    assert(Bpe.encodeWord(m, "abc").toSeq == Seq("abc"))
+    // (b,c) fires only when no lower-rank pair is present
+    assert(Bpe.encodeWord(m, "bc").toSeq == Seq("bc"))
+    assert(Bpe.encodeWord(m, "cab").toSeq == Seq("c", "ab"))
+    // ALL occurrences of the chosen pair merge in one pass
+    assert(Bpe.encodeWord(m, "abab").toSeq == Seq("ab", "ab"))
+    // merging never resurrects: "aabb" -> a [ab] b, then nothing applies
+    assert(Bpe.encodeWord(m, "aabb").toSeq == Seq("a", "ab", "b"))
+    // no applicable merge at all
+    assert(Bpe.encodeWord(m, "cc").toSeq == Seq("c", "c"))
+    assert(Bpe.encodeWord(m, "").isEmpty)
+  }
+
+  test("idsOf maps through vocab with -1 for unknown symbols, memoized") {
+    assert(Bpe.idsOf(m, "abc").toSeq == Seq(4))
+    assert(Bpe.idsOf(m, "cab").toSeq == Seq(2, 3))
+    // 'd' is not in vocab: encodes as itself, id -1 (count still 1)
+    assert(Bpe.idsOf(m, "d").toSeq == Seq(-1))
+    // memo returns the same ids on the second call
+    assert(Bpe.idsOf(m, "abc").toSeq == Seq(4))
+  }
+
+  test("kernels pre-tokenize with bpeishCount's classes and sum/concat per pre-token") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // pre-tokens: "abc", "bc", "," (unknown single char), "cab"
+    val t = UTF8String.fromString("abc bc, cab")
+    assert(Bpe.tokenCount(m, t) == 5L) // 1 + 1 + 1 + 2
+    assert(Bpe.tokenIds(m, t).toIntArray().toSeq == Seq(4, 5, -1, 2, 3))
+    assert(Bpe.tokenCount(m, UTF8String.fromString("")) == 0L)
+    assert(Bpe.tokenIds(m, UTF8String.fromString("  ")).numElements() == 0)
+  }
+
+  test("surrogate pairs split at code points, not UTF-16 units") {
+    // U+1F600 is one symbol; an unpaired-half split could never match a
+    // trained vocab and would double-count
+    val w = new String(Character.toChars(0x1F600)) + "a"
+    assert(Bpe.encodeWord(m, w).toSeq == Seq(new String(Character.toChars(0x1F600)), "a"))
+  }
+
+  test("parseMerges: rank = line order, header/blank skipped, malformed raises") {
+    val r = Bpe.parseMerges(Iterator("#version: 0.2", "", "a b", "ab c"))
+    assert(r == Map(("a", "b") -> 0, ("ab", "c") -> 1))
+    val e = intercept[IllegalArgumentException](
+      Bpe.parseMerges(Iterator("a b c")))
+    assert(e.getMessage.contains("a b c"))
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.parseVocab("""["not", "an", "object"]"""))
+    assert(e2.getMessage.contains("not a JSON object"))
+  }
+
+  test("the committed fixture loads and every lexicon row re-derives through the live encoder") {
+    val model = Bpe.model(Bpe.DefaultResource)
+    assert(model.ranks.nonEmpty && model.vocab.nonEmpty)
+    val in = Thread.currentThread().getContextClassLoader
+      .getResourceAsStream("graft/bpe/lexicon.tsv")
+    assert(in != null, "lexicon.tsv missing")
+    val rows = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lex = rows.linesIterator.filter(_.nonEmpty).map(_.split("\t", -1)).toSeq
+    assert(lex.nonEmpty)
+    lex.foreach { p =>
+      val ids = Bpe.idsOf(model, p(0))
+      assert(ids.length == p(2).toInt && ids.mkString(",") == p(3),
+        s"lexicon drift on '${p(0)}': fixture says (${p(2)}, ${p(3)}), " +
+          s"encoder says (${ids.length}, ${ids.mkString(",")}) — retrain " +
+          "the fixture (graft.tools.BpeTrain) and regenerate in lockstep")
+      // the fixture's own corpus never encodes an unknown symbol
+      assert(!ids.contains(-1), s"'${p(0)}' encodes an out-of-vocab symbol")
+    }
+  }
+
+  test("column API: exact count >= pre-token count (bpeish), NULL text reads 0/empty") {
+    import graft.ext.TextAnalysis
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .union(spark.sql("SELECT -1L AS doc_id, CAST(NULL AS STRING) AS text"))
+    val r = docs.select(
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      TextAnalysis.bpeishCount(col("text")).cast("long").as("n_pre"),
+      TextAnalysis.bpeTokenIds(col("text")).as("ids")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nBpe, nPre) = (row.getLong(0), row.getLong(1))
+      assert(nBpe >= nPre, s"exact count $nBpe < pre-token count $nPre")
+      assert(row.getSeq[Int](2).length == nBpe)
+    }
+    // the NULL-text row measured 0, not -1/NULL
+    val nulls = docs.filter(col("doc_id") === -1L)
+      .select(TextAnalysis.bpeTokenCount(col("text"))).head().getLong(0)
+    assert(nulls == 0L)
+  }
+
+  test("a non-literal model resource is rejected at analysis time") {
+    val e = intercept[Exception] {
+      spark.range(1).select(call_function("graft_bpe_count",
+        lit("abc"), concat(lit("graft"), col("id").cast("string")))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}

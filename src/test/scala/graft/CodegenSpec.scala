@@ -58,7 +58,9 @@ class CodegenSpec extends SparkSpec {
         lit(Array[Byte](3, 7))).as("adc"),
       call_function("graft_ncm_argmax", col("vec"),
         array(lit(0), lit(1)),
-        array((0 until 6).map(i => lit(i.toDouble)): _*)).as("ncm"))
+        array((0 until 6).map(i => lit(i.toDouble)): _*)).as("ncm"),
+      call_function("graft_bpe_count", col("text"), lit("graft/bpe")).as("bpec"),
+      call_function("graft_bpe_ids", col("text"), lit("graft/bpe")).as("bpei"))
   }
 
   private def withCodegenConf[A](factoryMode: String, wholeStage: Boolean)(f: => A): A = {
