@@ -395,10 +395,32 @@ object Multimodal {
         try {
           val f = in.getFormat
           val ok =
-            (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && f.getSampleSizeInBits == 8) ||
+            // channels in [1, 64]: a malformed header the JRE reader
+            // tolerates with 0 channels would make audioMeta's blockAlign
+            // 0 — a divide-by-zero — and an absurd channel count a huge
+            // frame size (round-15 fuzz sweep)
+            f.getChannels >= 1 && f.getChannels <= 64 &&
+            ((f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && f.getSampleSizeInBits == 8) ||
               (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && f.getSampleSizeInBits == 16 &&
-                !f.isBigEndian)
-          if (!ok) None else Some((f, in.readAllBytes()))
+                !f.isBigEndian))
+          if (!ok) None
+          else {
+            // NOT readAllBytes: AudioInputStream.read returns 0 (not -1)
+            // whenever the requested length is below one frame, and
+            // InputStream.readAllBytes treats 0 as "keep going" — on a
+            // fuzzed blockAlign that is an infinite 100%-CPU loop (caught
+            // by the round-15 MultimodalFuzzSpec sweep). Read explicit
+            // frame-multiple chunks, treat 0 as EOF, and bound the total
+            // by the container length — PCM data is stored verbatim, so
+            // decoded bytes exceeding the payload mean the header lies.
+            val fs = math.max(1, f.getFrameSize)
+            val cap = payload.length
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](math.max(fs, 8192 / fs * fs))
+            var n = in.read(buf)
+            while (n > 0 && out.size <= cap) { out.write(buf, 0, n); n = in.read(buf) }
+            if (out.size > cap) None else Some((f, out.toByteArray))
+          }
         } finally in.close()
       } catch { case _: Exception => None }
     }

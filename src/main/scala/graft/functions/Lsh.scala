@@ -19,27 +19,41 @@ object Lsh {
     * independent of the row — so they build ONCE per executor per shape
     * and every row does a sign lookup instead of numBits×dim mix64 chains
     * (~49k avoidable mixes per row at numBits 64, dim 768). `true` = the
-    * mixed value was non-negative (add the component). Bounded by the
-    * distinct (numBits, dim) shapes a job uses.
+    * mixed value was non-negative (add the component). A healthy embedding
+    * corpus has ONE dim, so the cache holds one table; the shape count is
+    * CAPPED ([[MaxSignTableShapes]]) because a ragged corpus — every row a
+    * different length, each table numBits×dim booleans — would otherwise
+    * grow it into an executor OOM (round-15 review). Past the cap, rows
+    * fall back to the inline mix64 chain, which is bit-identical (the
+    * table is a memo of exactly that computation), just slower.
     */
   private val signTables =
     new scala.collection.concurrent.TrieMap[(Int, Int), Array[Boolean]]()
 
-  private def signTable(numBits: Int, dim: Int): Array[Boolean] =
-    signTables.getOrElseUpdate((numBits, dim), {
+  private[functions] val MaxSignTableShapes = 64
+
+  private def signTable(numBits: Int, dim: Int): Array[Boolean] = {
+    val key = (numBits, dim)
+    val cached = signTables.get(key)
+    if (cached.isDefined) cached.get
+    else if (signTables.size >= MaxSignTableShapes) null
+    else signTables.getOrElseUpdate(key, {
       val t = new Array[Boolean](numBits * dim)
       var p = 0
       while (p < numBits) {
         var d = 0
         while (d < dim) {
-          t(p * dim + d) = Hashing.mix64(
-            (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)) >= 0
+          t(p * dim + d) = signAt(p, d)
           d += 1
         }
         p += 1
       }
       t
     })
+  }
+
+  private def signAt(p: Int, d: Int): Boolean = Hashing.mix64(
+    (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L)) >= 0
 
   /** Signed-random-projection signature: bit p = sign of Σ_d ±v(d), the ±1
     * pattern drawn from splitmix64 mixes of (plane, dim) — precomputed per
@@ -57,7 +71,7 @@ object Lsh {
           s"graft_srp_sig: NULL vector component at index $chk")
       chk += 1
     }
-    val signs = signTable(numBits, n)
+    val signs = signTable(numBits, n) // null past the shape cap
     var sig = 0L
     var p = 0
     while (p < numBits) {
@@ -65,7 +79,8 @@ object Lsh {
       var d = 0
       val off = p * n
       while (d < n) {
-        s += (if (signs(off + d)) v.getFloat(d) else -v.getFloat(d))
+        val pos = if (signs != null) signs(off + d) else signAt(p, d)
+        s += (if (pos) v.getFloat(d) else -v.getFloat(d))
         d += 1
       }
       if (s >= 0) sig |= (1L << p)

@@ -121,8 +121,13 @@ object ScaleSynth {
       }.reduce(_ unionByName _)
       allEv.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
-      println(s"ScaleSynth: wrote ${allDocs.count()} docs, ${allEmb.count()} vectors, " +
-        s"${allEv.count()} events to $out")
+      // count the WRITTEN parquet, not the build plans — re-counting the
+      // unions would re-run every clone transform just for the log line,
+      // and what lands on disk is the number that matters
+      def written(name: String): Long = spark.read.parquet(s"$out/$name").count()
+      println(s"ScaleSynth: wrote ${written("documents.parquet")} docs, " +
+        s"${written("embeddings.parquet")} vectors, " +
+        s"${written("events.parquet")} events to $out")
     } finally spark.stop()
   }
 }
