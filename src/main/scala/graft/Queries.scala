@@ -1175,6 +1175,16 @@ object Queries {
       Sharding.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 16)),
 
+    // exact-token chunking (round 15): x53's RAG-prep windows measured in
+    // MODEL tokens — the frozen-BPE id sequence chunked at window 32 /
+    // stride 16, boundaries at subword positions (what an embedding
+    // model's context window actually counts). Fully narrow, zero shuffle.
+    "x69_bpe_chunks" -> ((s, dir) =>
+      Sharding.chunkByTokenIds(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.bpeTokenIds(col("text")).as("ids")),
+        "doc_id", "ids", window = 32, stride = 16)),
+
     // duplicated-span stats: every 5-token rolling window hashed, global
     // occurrence counts, per-doc duplicated fraction (ExactSubstr signal)
     "x54_span_dedup" -> ((s, dir) =>
@@ -1724,6 +1734,24 @@ object Queries {
         |  CAST(COALESCE(list_sum(list_transform(toks, w -> $bpeCountCase)), 0) AS BIGINT) AS n_bpe,
         |  COALESCE(array_to_string(list_transform(toks, w -> $bpeIdsCase), ','), '') AS ids_csv
         |FROM tk""".stripMargin,
+
+    "x69_bpe_chunks" ->
+      // the x66 lexicon transcription flattened to the per-doc id list,
+      // then the chunkByTokens window arithmetic (starts 0, 16, …; kept
+      // while s = 0 or s + (window - stride) < n; kept starts are a
+      // prefix, so chunk_id = s / stride); 1-based inclusive list slices
+      s"""WITH d AS (SELECT doc_id,
+        |  flatten(list_transform(regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe'),
+        |    w -> string_split($bpeIdsCase, ','))) AS ids
+        |  FROM documents),
+        |n AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM d WHERE len(ids) >= 1)
+        |SELECT doc_id,
+        |  CAST(s.s // 16 AS BIGINT) AS chunk_id,
+        |  CAST(s.s AS BIGINT) AS start_token,
+        |  CAST(LEAST(32, n - s.s) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ids[CAST(s.s + 1 AS BIGINT):CAST(LEAST(s.s + 32, n) AS BIGINT)], ',') AS chunk_ids
+        |FROM n, LATERAL unnest(generate_series(0, n - 1, 16)) s(s)
+        |WHERE s.s = 0 OR s.s + 16 < n""".stripMargin,
 
     "x37_shuffle_order" ->
       // transcription of Sampling.shuffleOrder: bucket = md5Hash60('graft:'

@@ -190,6 +190,54 @@ object Sharding {
         col("__c.chunk_text").as("chunk_text"))
   }
 
+  /** [[chunkByTokens]] over a PRECOMPUTED token-id array — the exact-
+    * tokenizer RAG-prep chunker (round 15): boundaries land at MODEL-token
+    * positions (what an embedding model's context window actually counts),
+    * where [[chunkByTokens]] windows whitespace words. Tokenizer-agnostic:
+    * any `array<int>` column works; the committed frozen-BPE ids
+    * ([[graft.ext.TextAnalysis.bpeTokenIds]]) are the intended producer.
+    *
+    * Same window-placement contract as [[chunkByTokens]] (starts at
+    * 0, stride, …; kept while contributing past the previous chunk's end —
+    * so kept starts are a PREFIX of the grid and `chunk_id = start/stride`;
+    * zero-token docs emit nothing), same scale shape (fully NARROW — kept
+    * starts and chunk slices build inside the document's own row, only the
+    * per-chunk structs explode; ZERO shuffle at any corpus size).
+    *
+    * Output: (idCol, chunk_id LONG, start_token LONG, n_chunk_tokens LONG
+    * ≤ window, chunk_ids STRING — comma-joined token ids, the x66 csv
+    * convention so the result is canon-hashable).
+    */
+  def chunkByTokenIds(df: DataFrame, idCol: String, idsCol: String,
+                      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window, s"stride must be in [1, window]: $stride")
+    // the chunkByTokens reserved-column stance
+    Seq("__t", "__n", "__c", "chunk_id", "start_token", "n_chunk_tokens", "chunk_ids")
+      .foreach { c =>
+        require(idCol != c && idsCol != c,
+          s"chunkByTokenIds writes column '$c' — rename the id/ids column first")
+      }
+    val toked = df.select(col(idCol), coalesce(col(idsCol), array().cast("array<int>")).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") >= 1)
+    val keptStarts = filter(
+      sequence(lit(0L), col("__n") - 1, lit(stride.toLong)),
+      s => (s === 0L) || (s + lit((window - stride).toLong) < col("__n")))
+    val chunks = transform(keptStarts, s => struct(
+      s.as("start_token"),
+      concat_ws(",", transform(
+        slice(col("__t"), (s + 1).cast("int"), lit(window)),
+        _.cast("string"))).as("chunk_ids")))
+    toked
+      .select(col(idCol), col("__n"), posexplode(chunks).as(Seq("chunk_id", "__c")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.start_token").as("start_token"),
+        least(lit(window.toLong), col("__n") - col("__c.start_token")).as("n_chunk_tokens"),
+        col("__c.chunk_ids").as("chunk_ids"))
+  }
+
   /** Sequence-packing layout — the step AFTER sharding that decides how
     * documents concatenate into fixed-length training sequences (the
     * standard causal-LM data layout: docs packed back-to-back, split at

@@ -193,6 +193,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokenIds windows exact token ids with the chunkByTokens placement contract") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, (1 to 40).toArray),           // 40 tokens: starts 0, 16 kept; 32 dropped (32+16 !< 40)
+      (2L, (1 to 10).toArray),           // shorter than the window: one chunk
+      (3L, Array.empty[Int]),            // zero tokens: no rows
+      (4L, null.asInstanceOf[Array[Int]])) // NULL ids ≡ empty
+      .toDF("doc_id", "ids")
+    val out = Sharding.chunkByTokenIds(rows, "doc_id", "ids", window = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 32L, (1 to 32).mkString(",")),
+      (1L, 1L, 16L, 24L, (17 to 40).mkString(",")),
+      (2L, 0L, 0L, 10L, (1 to 10).mkString(","))), out.toString)
+    // reserved-name stance (the chunkByTokens rule)
+    for (bad <- Seq("__n", "__t", "chunk_id", "chunk_ids")) {
+      val e = intercept[IllegalArgumentException](
+        Sharding.chunkByTokenIds(rows.withColumnRenamed("doc_id", bad), bad, "ids", 10, 5))
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+    // knob guards
+    intercept[IllegalArgumentException](Sharding.chunkByTokenIds(rows, "doc_id", "ids", 0, 1))
+    intercept[IllegalArgumentException](Sharding.chunkByTokenIds(rows, "doc_id", "ids", 8, 9))
+  }
+
   test("packByTokens accepts a precomputed token-count column (BPE budgets)") {
     // pretend a tokenizer pass materialized real model-token counts: 3x the
     // whitespace count — shard budgets must follow the provided column
