@@ -204,6 +204,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x66/x69 exact-BPE tokenize + chunk are fully narrow codegen scans: zero shuffle, no UDF") {
+    // the tokenizer rides as a native expression (graft_bpe_count/_ids with
+    // the frozen model as a plan literal); an Exchange or ScalaUDF here
+    // means a 100 TB tokenize pass started shuffling text or boxing rows
+    Seq("x66_bpe_token_count", "x69_bpe_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must stay narrow: " + p.take(2000))
+      assert(!p.contains("ScalaUDF"), s"$q must stay native: " + p.take(2000))
+      assert(p.contains("graft_bpe_"), s"$q must tokenize via the native expression: " + p.take(2000))
+    }
+  }
+
+  test("x68 bounded BM25 rider: posting-list equi-join with the df cap, never a cartesian/NLJ") {
+    val p = plan("x68_bm25_bounded")
+    graft.Caching.release(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "retrieval must not global-sort the candidate set: " + p.take(2000))
+  }
+
   test("x45 quality-ranked collapse: argmax via hash aggregate, no window sort, no cartesian/NLJ") {
     val p = plan("x45_collapse_best")
     graft.Caching.release(spark)
