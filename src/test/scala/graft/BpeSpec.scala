@@ -93,6 +93,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: encoding is lossless and bounded under a large generated merge table") {
+    // a GPT-2-shaped model (hundreds of merges, multi-char alphabet) built
+    // deterministically; for EVERY word: (a) the tokens concatenate back
+    // to the word exactly — the merge loop can never lose, duplicate, or
+    // reorder a character; (b) 1 <= tokens <= codepoints; (c) encoding is
+    // deterministic (memo and non-memo paths agree)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefgh"
+    def word(len: Int): String = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    // grow merges the way training does: each merge's parts are tokens the
+    // previous merges can actually produce, so deep merge chains exercise
+    val tokens = scala.collection.mutable.ArrayBuffer[String](alphabet.map(_.toString): _*)
+    val merges = scala.collection.mutable.LinkedHashMap[(String, String), Int]()
+    while (merges.size < 500) {
+      val p = (tokens(rnd.nextInt(tokens.length)), tokens(rnd.nextInt(tokens.length)))
+      if (!merges.contains(p) && (p._1 + p._2).length <= 12) {
+        merges(p) = merges.size
+        tokens += (p._1 + p._2)
+      }
+    }
+    val m = BpeModel(tokens.zipWithIndex.toMap, merges.toMap)
+    (1 to 500).foreach { i =>
+      val w = word(1 + rnd.nextInt(24))
+      val enc = Bpe.encodeWord(m, w)
+      assert(enc.mkString == w, s"lossy encode of '$w': ${enc.mkString(" ")}")
+      assert(enc.length >= 1 && enc.length <= w.length, s"'$w' -> ${enc.length} tokens")
+      assert(Bpe.idsOf(m, w).toSeq == enc.map(t => m.vocab.getOrElse(t, -1)).toSeq,
+        s"memoized ids diverge for '$w'")
+    }
+  }
+
   test("column API: exact count >= pre-token count (bpeish), NULL text reads 0/empty") {
     import graft.ext.TextAnalysis
     val docs = graft.sources.Tables.load(spark, sf(), "documents")
