@@ -60,13 +60,15 @@ object Sampling {
     df.filter(bucketOf(col(idCol), seed) < math.round(frac * Buckets))
   }
 
-  /** Keeps at most `k` rows per group, chosen deterministically by hash
-    * rank (h(seed, id) asc, id asc tiebreak) — the over-represented-source
-    * guard (cap docs per domain/site) that doesn't bias toward any
-    * particular ordering of the input. `idCol` must be a unique, non-null
-    * INTEGRAL column (it is the survivor identity and the aggregate's
-    * ranking id; null-id rows are dropped, non-integral ids fail at
-    * analysis time).
+  /** Keeps at most `k` row IDENTITIES per group, chosen deterministically
+    * by hash rank (h(seed, id) asc, id asc tiebreak) — the
+    * over-represented-source guard (cap docs per domain/site) that doesn't
+    * bias toward any particular ordering of the input. `idCol` is the
+    * survivor identity: a non-null INTEGRAL column (null-id rows are
+    * dropped, non-integral ids fail at analysis time). Duplicate-id rows
+    * count as ONE identity toward the cap (the aggregate collapses equal
+    * (hash, id) pairs — a duplicate must not displace a distinct
+    * survivor) and every row of a surviving id passes the semi join.
     *
     * Scale shape: selection runs as the bounded
     * [[graft.functions.BottomKIdsByLong]] aggregate over a skinny

@@ -223,8 +223,15 @@ case class BottomKIdsByLong(
         "graft_bottomk_long requires (integral score, integral id, literal int k > 0)")
     }
 
+  // dedup: ord-equal means the same (score, id) pair — at the capPerGroup
+  // call site the score is a pure hash of the id, so equal pairs are the
+  // SAME identity seen twice (duplicate-id rows). Without the collapse a
+  // duplicated id occupied TWO of the k slots and silently displaced a
+  // distinct survivor (round-15 review); with it the aggregate selects k
+  // DISTINCT identities — bit-identical on unique-id inputs, where no
+  // ord-equal pair can exist.
   override def createAggregationBuffer(): BoundedKBuffer[(Long, Long)] =
-    new BoundedKBuffer(k, Ordering.Tuple2(Ordering.Long, Ordering.Long))
+    new BoundedKBuffer(k, Ordering.Tuple2(Ordering.Long, Ordering.Long), dedup = true)
 
   override def update(buffer: BoundedKBuffer[(Long, Long)], input: InternalRow): BoundedKBuffer[(Long, Long)] = {
     val s = scoreExpr.eval(input)

@@ -121,6 +121,14 @@ class CurationSpec extends SparkSpec {
     val c5 = Sampling.capPerGroup(grouped, "doc_id", "domain", 5, "s")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(c5.subsetOf(c10.map(_._1).toSet))
+    // duplicate-id rows count as ONE identity toward the cap: without the
+    // aggregate's equal-pair collapse a duplicated id occupied two of the
+    // k slots and silently displaced a distinct survivor
+    val withDups = grouped.union(grouped) // every id twice
+    val d5 = Sampling.capPerGroup(withDups, "doc_id", "domain", 5, "s")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(d5.toSet == c5, "duplicated ids changed the surviving identity set")
+    assert(d5.length == c5.size * 2, "every row of a surviving id passes the semi join")
   }
 
   test("stratifiedSampleByHash keeps per-stratum fractions and drops unlisted strata") {
