@@ -710,19 +710,63 @@ object Dedup {
         .select(col("v").as("a"), col("m").as("b")), col("a"), col("b")).distinct()
     }
 
+    // Convergence certificate: ONE narrow aggregate job per round instead
+    // of the former count() + stable-round `next.except(edges).isEmpty`
+    // (a two-sided shuffle). An edge set E is a fixpoint of
+    // smallStar∘largeStar — and its sym-groupBy-min labels are the exact
+    // component minima — iff E is a MIN-STAR FOREST:
+    //   (1) every edge points DOWN (b < a);
+    //   (2) every source a appears exactly once (one parent per child);
+    //   (3) no parent is itself a source (stars, not chains).
+    // Proof. (⇐) Under (1)-(3) components are stars rooted at their parent
+    // r with r < every child, so r IS the component min; tracing largeStar
+    // (each child's neighborhood min is r; r's larger neighbors already
+    // point at r) and smallStar (each child's unique smaller neighbor is
+    // r) reproduces E edge-for-edge, and the final sym groupBy min reads
+    // label r for r (least(r, min child) = r) and for each child
+    // (least(child, r) = r). (⇒) smallStar's output rows are (v, m) with
+    // m strictly below v's group minimum chain, so any fixpoint satisfies
+    // (1); a source with two parents or a parent that is also a source is
+    // rewritten by the next smallStar (traced in CcCertificateSpec), so
+    // neither survives a fixpoint. The certificate therefore stops on the
+    // FIRST round that produces the forest — one full ~5-exchange round
+    // earlier than set-equality, which needed a second identical round to
+    // observe it — and its single partial-aggregated exchange (2|E| rows
+    // folding to distinct nodes map-side) replaces except's two full-row
+    // shuffles at any scale. The same job returns the edge count (each
+    // edge contributes exactly one source row), so the per-round count()
+    // job folds in too.
+    def certify(e: DataFrame, width: Option[Int]): (Long, Boolean) = {
+      val nodes = shaped(width)(e.select(explode(array(
+        struct(col("a").as("n"), lit(1L).as("src"),
+          when(col("b") < col("a"), lit(0L)).otherwise(lit(1L)).as("up")),
+        struct(col("b").as("n"), lit(0L).as("src"), lit(0L).as("up")))).as("x"))
+        .select(col("x.n").as("n"), col("x.src").as("src"), col("x.up").as("up")),
+        col("n"))
+      val r = nodes.groupBy("n")
+        .agg(sum("src").as("srcCnt"), count(lit(1)).as("tot"), sum("up").as("up"))
+        .agg(coalesce(sum("srcCnt"), lit(0L)),
+          coalesce(sum(when(col("srcCnt") > 1, 1L)), lit(0L)),
+          coalesce(sum(when(col("srcCnt") > 0 && col("tot") > col("srcCnt"), 1L)),
+            lit(0L)),
+          coalesce(sum("up"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    }
+
     var edges = graft.ProbeTiming("cc_init")(truncate(pairs
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()))
-    var prevCount = edges.count()
-    var converged = prevCount == 0L
+    var (prevCount, converged) = graft.ProbeTiming("cc_cert_init")(
+      certify(edges, None))
+    converged ||= prevCount == 0L
     var it = 0
     while (!converged && it < maxIters) {
       val width = loopWidth(prevCount)
       val next = graft.ProbeTiming(s"cc_round_$it")(
         truncate(smallStar(largeStar(edges, width), width)))
-      val n = next.count()
-      converged = n == prevCount &&
-        graft.ProbeTiming(s"cc_except_$it")(next.except(edges).isEmpty)
+      val (n, forest) = graft.ProbeTiming(s"cc_cert_$it")(certify(next, width))
+      converged = forest || n == 0L
       freeRetired(edges)
       edges = next
       prevCount = n
