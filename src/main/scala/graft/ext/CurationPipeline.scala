@@ -670,20 +670,22 @@ object CurationPipeline {
     }
     try {
 
-    // 3: near-dup — the increment writes this batch's verified pairs here;
-    // the batch's signature appends (survivors AND dropped docs: both
-    // remain detectors for future arrivals, as in the batch path) come
-    // back DEFERRED and run inside the end-of-batch concurrent action set
-    // below — they are read by nothing until the next batch, so their
-    // ~0.5 s fixed cost hides under the curated/offsets writes instead of
-    // serializing in front of them
-    val lshAppends = {
-      val (appends, cleanup) = graft.ProbeTiming("lsh_increment")(
+    // 3: near-dup — the increment verifies this batch's pairs here
+    // (checkpoint-materialized against the pre-append index) and returns
+    // EVERY write deferred: the pairs dump plus the signature appends
+    // (survivors AND dropped docs: both remain detectors for future
+    // arrivals, as in the batch path) run inside the end-of-batch
+    // concurrent action set below — they are read by nothing else this
+    // batch (the drop set below reads the returned checkpointed frame
+    // directly), so their fixed costs hide under the curated/offsets
+    // writes instead of serializing in front of them
+    val (verifiedLexPairs, lshAppends) = {
+      val (verified, appends, cleanup) = graft.ProbeTiming("lsh_increment")(
         Dedup.minHashLshIncrementDeferred(exactKept.drop("__h"), idCol, textCol,
           cfg.nearDupThreshold, state.lshIndex, state.pairsDir, batchId,
           cfg.shingleN, checks = checks))
       lshCleanup = cleanup
-      appends
+      (verified, appends)
     }
     // join the overlapped hash append HERE (see the start-site comment):
     // its ~0.3-0.7 s fixed cost hid under the verify compute, and
@@ -713,7 +715,13 @@ object CurationPipeline {
           .select(col(aCol).as("d1"), col(bCol).as("d2"))
       else spark.range(0).select(col("id").cast(t).as("d1"), col("id").cast(t).as("d2"))
     }
-    val lexPairs = pairsOf(state.pairsDir, "d1", "d2", idType)
+    // lexical pairs come straight off the increment's checkpointed frame —
+    // the parquet dump is one of the deferred end-of-batch writes, so a
+    // read-back here would race it (and re-list the partition for rows
+    // already sitting in local blocks). The SEMANTIC pairs below still
+    // read their batch partition: cosineLshIncrement writes before
+    // returning.
+    val lexPairs = verifiedLexPairs.select(col("d1"), col("d2"))
     val batchDrops = lexPairs.select(col("d2").as(idCol)).distinct()
     val lexKept = exactKept.drop("__h").join(batchDrops, Seq(idCol), "left_anti")
 
@@ -814,13 +822,16 @@ object CurationPipeline {
     // read).
     val curatedOut = packed.withColumn("batch_id", lit(batchId))
     writeOutSchemaOnce(spark, state, curatedOut.schema)
-    // ONE concurrent end-of-batch action set of FOUR actions (four fixed
+    // ONE concurrent end-of-batch action set of FIVE actions (five fixed
     // per-action costs become one max): the curated output and the
     // offsets ledger consume the persisted withBucket subtree and write
-    // to distinct dirs; the deferred LSH index appends read only their
-    // own persisted batch caches and are read by nothing until the next
-    // batch. A replayed batch re-runs everything; dynamic partition
-    // overwrite and the `batch_id <` reads absorb the duplicates.
+    // to distinct dirs; the deferred LSH writes (pairs dump + two index
+    // appends) read only their own persisted/checkpointed batch state
+    // and are read by nothing until the next batch. Never more than two
+    // concurrent saveAsTable (the r13 proven-concurrency bound — the
+    // other three are path writes). A replayed batch re-runs everything;
+    // dynamic partition overwrite and the `batch_id <` reads absorb the
+    // duplicates.
     graft.ProbeTiming("curated+offsets")(ConcurrentActions.run(Seq[() => Unit](
       () => curatedOut
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -287,28 +287,33 @@ object Dedup {
                           batchId: Long, shingleN: Int = 3,
                           numHashes: Int = 64, bandSize: Int = 2,
                           checks: TableChecks = new TableChecks): Unit = {
-    val (appends, cleanup) = minHashLshIncrementDeferred(batch, idCol, textCol,
-      threshold, index, pairsDir, batchId, shingleN, numHashes, bandSize, checks)
+    val (_, appends, cleanup) = minHashLshIncrementDeferred(batch, idCol,
+      textCol, threshold, index, pairsDir, batchId, shingleN, numHashes,
+      bandSize, checks)
     try graft.ProbeTiming("lsh_appends")(ConcurrentActions.run(appends))
     finally cleanup()
   }
 
-  /** [[minHashLshIncrement]] with the step-4 index appends DEFERRED: the
-    * verify+pairs write runs here (steps 1-3, exactly-once semantics
-    * unchanged — the appends still cannot precede it), but the two
-    * append thunks are returned for the caller to run — alone, or folded
-    * into the caller's own concurrent end-of-batch action set
-    * ([[graft.ext.CurationPipeline.streamIncrement]]). The caller MUST
-    * run every thunk (or fail the batch: a replay re-runs all steps) and
-    * MUST invoke the returned cleanup after they finish — it releases the
-    * batch-lifetime persisted subtrees the thunks read.
+  /** [[minHashLshIncrement]] with every write DEFERRED: the candidate
+    * build + exact verify runs here (steps 1-3, materialized via an eager
+    * local checkpoint while the index still holds only prior batches —
+    * exactly-once semantics unchanged), and the three write thunks
+    * (pairs dump + two index appends) are returned for the caller to run
+    * — alone, or folded into its own concurrent end-of-batch action set
+    * ([[graft.ext.CurationPipeline.streamIncrement]]). The first element
+    * is this batch's verified-pairs frame (checkpointed — downstream
+    * reads cost no recompute and no partition re-listing). The caller
+    * MUST run every thunk (or fail the batch: a replay re-runs all
+    * steps) and MUST invoke the returned cleanup after they finish — it
+    * releases the batch-lifetime persisted subtrees the thunks read.
     */
   private[ext] def minHashLshIncrementDeferred(
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, index: LshIndex, pairsDir: String,
       batchId: Long, shingleN: Int = 3,
       numHashes: Int = 64, bandSize: Int = 2,
-      checks: TableChecks = new TableChecks): (Seq[() => Unit], () => Unit) = {
+      checks: TableChecks = new TableChecks)
+      : (DataFrame, Seq[() => Unit], () => Unit) = {
     val spark = batch.sparkSession
     // single-writer contract: fail loudly if a compaction is rewriting the
     // index right now (appends to the pre-snapshot table would be dropped
@@ -387,25 +392,45 @@ object Dedup {
         .agg(array_distinct(flatten(collect_list(col("ss")))).as("ss"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       caches ::= arr
-      // the pairs write MATERIALIZES the candidates/verification plan while
-      // the index still holds only PRIOR batches — appending first would
-      // double-count in-batch pairs through the cross join
-      graft.ProbeTiming("lsh_verify+pairs")(
-        verifyStreamCandidates(cand, arr, threshold)
+      // MATERIALIZE the candidates/verification plan while the index still
+      // holds only PRIOR batches (an eager local checkpoint — executing the
+      // verify after an append started could list a table mid-commit). The
+      // parquet DUMP of the already-materialized rows reads only local
+      // blocks, so it defers into the same concurrent action set as the
+      // index appends instead of serializing in front of them — one fewer
+      // blocking write on the micro-batch critical path, and the caller
+      // reads this batch's pairs straight from the returned frame instead
+      // of re-listing the partition it just wrote. A replay that finds the
+      // appends committed but the pairs dump missing recomputes IDENTICAL
+      // pairs: crossCandidates orders with least/greatest and `cand` is
+      // distinct'd, so the batch meeting itself in the index folds into
+      // the in-batch pairs, and the set-merge above absorbs the
+      // duplicated index rows (the documented at-least-once stance).
+      val verified = graft.ProbeTiming("lsh_verify_ckpt")(
+        Dedup.stripOriginConstraints(
+          verifyStreamCandidates(cand, arr, threshold)
+            .localCheckpoint(eager = true)))
+      val freeVerified: () => Unit = () => verified.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+      val mode = if (exists) "append" else "overwrite"
+      // the three writes are independent of each other, read only the
+      // persisted/checkpointed batch state, and are read by NOTHING else
+      // this batch — so they can run concurrently with each other AND with
+      // any later same-batch writes the caller wants to overlap them with
+      // ([[graft.ext.CurationPipeline.streamIncrement]] folds them into
+      // its curated+offsets action set: five fixed per-action costs become
+      // one max). Never more than TWO of them are saveAsTable (the r13
+      // proven-concurrency bound — the pairs dump is a path write). Each
+      // append marks its table existent on success; the persisted caches
+      // they read release only after they ran (the returned cleanup).
+      val appends = Seq[() => Unit](
+        () => verified
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(pairsDir))
-      val mode = if (exists) "append" else "overwrite"
-      // the two index appends are independent of each other, read only the
-      // persisted batch caches, and are read by NOTHING until the next
-      // batch — so they can run concurrently with each other AND with any
-      // later same-batch writes the caller wants to overlap them with
-      // ([[graft.ext.CurationPipeline.streamIncrement]] folds them into
-      // its curated+offsets action set: four fixed per-action costs become
-      // one max). Each thunk marks its table existent on success; the
-      // persisted caches they read release only after they ran (the
-      // returned cleanup).
-      val appends = Seq[() => Unit](
+          .partitionBy("batch_id").parquet(pairsDir),
         () => {
           batchBands.write.mode(mode).format("parquet")
             .bucketBy(index.numBuckets, "band", "band_key").saveAsTable(index.bandsTable)
@@ -418,7 +443,8 @@ object Dedup {
         })
       val held = caches
       caches = Nil // success: the caller's cleanup owns the releases now
-      (appends, () => held.foreach(_.unpersist(blocking = false)))
+      (verified, appends,
+        () => { held.foreach(_.unpersist(blocking = false)); freeVerified() })
     } finally caches.foreach(_.unpersist(blocking = false))
   }
 
