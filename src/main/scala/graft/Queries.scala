@@ -252,7 +252,9 @@ object Queries {
     */
   private def ivfAppendProtocol(s: SparkSession, dir: String, tag: String,
                                 nProbe: Int,
-                                queries: DataFrame => DataFrame): DataFrame = {
+                                queries: DataFrame => DataFrame,
+                                frozenCents: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     val emb = t(s, dir, "embeddings")
     val suffix = java.lang.Long.toHexString(System.nanoTime())
     val idx = Similarity.IvfIndex(s"${tag}_assign_$suffix", s"${tag}_codebook_$suffix", numBuckets = 8)
@@ -262,9 +264,14 @@ object Queries {
     // must not strand them (incl. a mid-swap __compact sibling)
     withStateTables(s, idx.assignmentsTable, idx.codebookTable,
         idx.assignmentsTable + "__compact") {
-      graft.ProbeTiming(s"${tag}_build")(
-        Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
-          "vec_id", "embedding", idx, nClusters = 16, iters = 5))
+      graft.ProbeTiming(s"${tag}_build")(frozenCents match {
+        case Some(cents) =>
+          Similarity.ivfBuildFrozen(emb.filter(col("vec_id") <= mx * 3 / 5),
+            "vec_id", "embedding", idx, cents)
+        case None =>
+          Similarity.ivfBuild(emb.filter(col("vec_id") <= mx * 3 / 5),
+            "vec_id", "embedding", idx, nClusters = 16, iters = 5)
+      })
       val b1 = emb.filter(col("vec_id") > mx * 3 / 5 && col("vec_id") <= mx * 4 / 5)
       val b2 = emb.filter(col("vec_id") > mx * 4 / 5)
       // one maintenance-check memo across the appends, as the ivfStream
@@ -289,6 +296,15 @@ object Queries {
     * for the oracle transcriptions.
     */
   private val BpePreTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** The committed frozen-IVF codebook ([[graft.tools.IvfCentroidsTrain]]
+    * output) — the engine ([[Similarity.ivfBuildFrozen]] in x67) and
+    * [[ivfProbeOracle]] load the SAME resource, so the two sides cannot
+    * drift (the x66 BPE-fixture rule). Declared BEFORE the query/oracle
+    * maps: `ivfProbeOracle` runs during `oracleSql`'s initialization, and
+    * a later-declared val would still be null at that point.
+    */
+  private val IvfCentroidsResource = "/graft/ivf/centroids_k16_sf001.tsv"
 
   /** Per-word (count, ids-csv) lexicon of the COMMITTED BPE fixture, read
     * from the same classpath resource the engine loads — the DuckDB side
@@ -660,20 +676,26 @@ object Queries {
     "x38_ann_ivf_append" -> ((s, dir) =>
       ivfAppendProtocol(s, dir, tag = "x38", nProbe = 16, identity)),
 
-    // PRODUCTION-SHAPE bench rider for x38 (round 15): the declared x38
-    // keeps nProbe = nClusters AND queries with the whole corpus so DuckDB
-    // can verify it against brute force — an intentionally quadratic-
-    // equivalent ORACLE shape (SCALEPROBE 37.7x at x10 by design). This
-    // rider runs the same build/append/compact/replay protocol at the
-    // configuration a production index serves: a BOUNDED query batch (a
-    // growing corpus answers a fixed stream of queries, not itself) and
-    // nProbe << nClusters, so candidate volume scales with
-    // queries x corpus/nClusters x nProbe — linear in the corpus. No
-    // oracle: the approximate path's correctness is covered by the recall
-    // specs; the driver records a rows-only check.
+    // PRODUCTION-SHAPE rider for x38 (round 15; oracle round 16): the
+    // declared x38 keeps nProbe = nClusters AND queries with the whole
+    // corpus so DuckDB can verify it against brute force — an
+    // intentionally quadratic-equivalent ORACLE shape (SCALEPROBE 37.7x
+    // at x10 by design). This rider runs the same build/append/compact/
+    // replay protocol at the configuration a production index serves: a
+    // FROZEN codebook (trained once offline by IvfCentroidsTrain and
+    // committed — appends never retrain, the documented contract), a
+    // BOUNDED query batch (a growing corpus answers a fixed stream of
+    // queries, not itself) and nProbe << nClusters, so candidate volume
+    // scales with queries x corpus/nClusters x nProbe — linear in the
+    // corpus. With centroid LITERALS every stage is deterministic
+    // arithmetic, so the PARTIAL-probe result has an exact DuckDB oracle
+    // (generated from the same committed fixture — the x66 pattern): the
+    // approximate path's probe routing is hash-matched, not just
+    // recall-spec-covered.
     "x67_ann_ivf_probe" -> ((s, dir) =>
       ivfAppendProtocol(s, dir, tag = "x67", nProbe = 2,
-        queries = _.filter(col("vec_id") < 200))),
+        queries = _.filter(col("vec_id") < 200),
+        frozenCents = Some(Similarity.frozenCentroids(IvfCentroidsResource)))),
 
     // corpus-trained bigram conditional quality: mean -log2 p(w2|w1) per
     // doc, integer-quantized like x43 so the score hash-matches — ranks
@@ -1222,25 +1244,28 @@ object Queries {
         "doc_id", "text", "doc_id", "text", k = 10)
     }),
 
-    // PRODUCTION-SHAPE bench rider for x59 (round 15): the declared corpus
-    // carries a 31-word vocabulary, so every posting list spans ~the whole
-    // corpus and querying with a corpus FRACTION makes the retrieval join
-    // quadratic BY ORACLE DESIGN (SCALEPROBE 20.8x at x10). This rider
-    // (a) deterministically expands the vocabulary ~24x — each token
-    // suffixed with xxhash64(doc_id, position) % 24, a pure narrow column
-    // pass that keeps the Zipf shape while cutting every df to ~1/24th;
-    // (b) bounds the query batch to base-corpus ids (a production engine
-    // serves a fixed query stream against a growing corpus); and
-    // (c) applies the documented maxTermDf stop-list guard. Candidate
-    // volume then scales with queries x df — linear in the corpus. No
-    // oracle (the rider exists to track the scale path; bm25Join's
-    // correctness is x59's hash-matched job): rows-only check.
+    // PRODUCTION-SHAPE rider for x59 (round 15; oracle round 16): the
+    // declared corpus carries a 31-word vocabulary, so every posting list
+    // spans ~the whole corpus and querying with a corpus FRACTION makes
+    // the retrieval join quadratic BY ORACLE DESIGN (SCALEPROBE 20.8x at
+    // x10). This rider (a) deterministically expands the vocabulary ~24x —
+    // each token suffixed with a multiplicative hash of (doc_id, position)
+    // mod 24, a pure narrow column pass that keeps the Zipf shape while
+    // cutting every df to ~1/24th (arithmetic, not xxhash64, exactly so
+    // DuckDB can transcribe it — doc_id·2654435761 stays well under 2^63
+    // at every probed synth scale); (b) bounds the query batch to
+    // base-corpus ids (a production engine serves a fixed query stream
+    // against a growing corpus); and (c) applies the documented maxTermDf
+    // stop-list guard. Candidate volume then scales with queries x df —
+    // linear in the corpus — and the whole pipeline hash-matches the x59
+    // transcription extended with the same three twists.
     "x68_bm25_bounded" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val expanded = docs.select(col("doc_id"), concat_ws(" ",
         transform(TextAnalysis.tokens(col("text")),
           (w, i) => concat(w, lit("_"),
-            pmod(xxhash64(col("doc_id"), i), lit(24)).cast("string")))).as("text"))
+            pmod(col("doc_id") * lit(2654435761L) + i * lit(40503L),
+              lit(24)).cast("string")))).as("text"))
       val n = docs.count()
       TextAnalysis.bm25Join(expanded,
         expanded.filter(col("doc_id") % 97 === 0 && col("doc_id") < 100000),
@@ -2412,6 +2437,45 @@ object Queries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rn FROM sc)
         |WHERE rn <= 10""".stripMargin,
 
+    // the x59 transcription with the rider's three twists: the 24x
+    // multiplicative-hash vocabulary expansion (position is 0-based in
+    // Spark's transform, so the 1-based generate_series index shifts by
+    // one), the bounded query batch, and the df stop-list cap (kept =
+    // Spark's dfs.filter(df <= max(1, n/10)); the CROSS JOIN to cst is a
+    // 1-row broadcast)
+    "x68_bm25_bounded" ->
+      """WITH raw AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS w FROM documents),
+        |toked AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(w)),
+        |    i -> lower(w[i]) || '_' || CAST((doc_id * 2654435761 + (i - 1) * 40503) % 24 AS VARCHAR)) AS toks
+        |  FROM raw),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM d),
+        |cst AS (SELECT n, (1000 * l) // n AS av FROM st),
+        |p AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM p GROUP BY 1),
+        |kept AS (SELECT term, dfc FROM dfs CROSS JOIN cst WHERE dfc <= greatest(1, n // 10)),
+        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term FROM d
+        |  WHERE doc_id % 97 = 0 AND doc_id < 100000),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |  CAST(SUM((22000 * cst.av * ((length(ltrim(bin(cst.n + 1), '0')) - 1)
+        |                            - (length(ltrim(bin(kept.dfc + 1), '0')) - 1)) * p.tf)
+        |    // (10 * cst.av * p.tf + 3 * cst.av + 9000 * p.dl)) AS BIGINT) AS s
+        |  FROM p JOIN kept USING (term) JOIN q USING (term) CROSS JOIN cst
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rn FROM sc)
+        |WHERE rn <= 10""".stripMargin,
+
+    // the partial-probe IVF transcription, generated from the committed
+    // frozen-centroid fixture (see ivfProbeOracle) — x67's bounded query
+    // batch and nProbe = 2
+    "x67_ann_ivf_probe" ->
+      ivfProbeOracle(nProbe = 2, k = 10, querySlice = "vec_id < 200"),
+
     // the x36 profile transcription with the language-ID CTEs replaced by
     // the existing source column; the COALESCE mirrors bySlice's NULL-slice
     // fold (USING-joins on a raw NULL key would silently drop that slice)
@@ -2511,6 +2575,53 @@ object Queries {
     * columns, so it hash-matches). `querySlice` narrows the query side
     * ("" = every vector queries). Previously seven drift-prone copies.
     */
+  /** GENERATED partial-probe IVF oracle: the frozen centroids become SQL
+    * literals (`Double.toString` round-trips exactly), and the three IVF
+    * stages are transcribed with the engine's exact tie rules —
+    * assignment = argmin squared L2 with lowest-cluster tie-break
+    * (Similarity.nearest's strict `<`), probe selection = the (distance,
+    * cluster) tuple sort (nearestProbes), re-rank = cosine DESC then
+    * nbr_id ASC (graft_topk). Zero/Inf/NaN-norm vectors drop on both the
+    * corpus and query sides (definedCosine). The append/compact/replay
+    * protocol on the Spark side must be INVISIBLE here: replay-duplicated
+    * assignment rows score as exactly-equal (cos, nbr) pairs that
+    * graft_topk collapses, so the oracle computes over the corpus as a
+    * set.
+    */
+  private def ivfProbeOracle(nProbe: Int, k: Int, querySlice: String): String = {
+    val cents = graft.ext.Similarity.frozenCentroids(IvfCentroidsResource)
+    val dim = cents(0).length
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH cents(cid, cv) AS (VALUES
+      |  $values),
+      |e AS (SELECT vec_id, v FROM (
+      |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |      list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sq
+      |    FROM embeddings)
+      |  WHERE sq > 0 AND isfinite(sq)),
+      |ad AS (SELECT vec_id, v, cid,
+      |    list_sum(list_transform(generate_series(1, $dim),
+      |      j -> (cv[j] - v[j]) * (cv[j] - v[j]))) AS d
+      |  FROM e CROSS JOIN cents),
+      |assign AS (SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+      |    FROM ad) WHERE rn = 1),
+      |probes AS (SELECT query_id, qv, cid FROM (
+      |    SELECT vec_id AS query_id, v AS qv, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+      |    FROM ad WHERE $querySlice) WHERE rn <= $nProbe),
+      |scored AS (SELECT query_id, a.vec_id AS nbr_id,
+      |    list_cosine_similarity(qv, a.v) AS cos
+      |  FROM probes p JOIN assign a USING (cid) WHERE a.vec_id <> p.query_id)
+      |SELECT query_id, rank, nbr_id FROM (
+      |  SELECT query_id, nbr_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+      |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
   private def bruteForceTopKOracle(querySlice: String = ""): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings$querySlice),
       |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),

@@ -315,7 +315,66 @@ object Similarity {
     * drifts from the codebook, never correctness of the re-rank.
     */
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
-               nClusters: Int = 16, iters: Int = 5): Unit = graft.Caching.scope {
+               nClusters: Int = 16, iters: Int = 5): Unit =
+    ivfBuildWith(df, idCol, vecCol, index, None, nClusters, iters)
+
+  /** [[ivfBuild]] with a FROZEN pre-trained codebook instead of in-line
+    * k-means — the production deployment shape (a codebook is trained
+    * once offline and served frozen; [[ivfAppend]] already documents that
+    * appends never retrain). Because every downstream step (assignment,
+    * probe selection, exact re-rank) is then deterministic arithmetic
+    * over the centroid LITERALS, a partial-probe query becomes exactly
+    * DuckDB-transcribable — the x67 oracle, where trained-codebook
+    * configurations are only verifiable in the full-probe ≡ brute-force
+    * configuration (x31/x38).
+    */
+  def ivfBuildFrozen(df: DataFrame, idCol: String, vecCol: String,
+                     index: IvfIndex, centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty && centroids.forall(_.length == centroids(0).length),
+      "ivfBuildFrozen: centroids must be non-empty and rectangular")
+    ivfBuildWith(df, idCol, vecCol, index, Some(centroids))
+  }
+
+  /** Loads a frozen codebook from a classpath resource (TSV: `cluster
+    * <TAB> space-separated components`, one line per centroid, cluster
+    * ids 0..k-1 in order) — committed fixtures trained once by
+    * [[graft.tools.IvfCentroidsTrain]]. The BPE-fixture pattern: the
+    * engine and the GENERATED oracle SQL read the same resource, so the
+    * two sides cannot drift. Components are parsed with
+    * `java.lang.Double.parseDouble` of the trainer's `Double.toString`
+    * output — an exact round trip, so the served centroids are
+    * bit-identical to the trained ones.
+    */
+  def frozenCentroids(resource: String): Array[Array[Double]] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"frozenCentroids: classpath resource '$resource' not found")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toArray
+      finally in.close()
+    require(lines.nonEmpty, s"frozenCentroids: '$resource' is empty")
+    val cents = lines.map { ln =>
+      val parts = ln.split("\t", 2)
+      require(parts.length == 2,
+        s"frozenCentroids: malformed line (want id<TAB>components): '$ln'")
+      (parts(0).toInt, parts(1).split(" ").map(java.lang.Double.parseDouble))
+    }
+    cents.map(_._1).zipWithIndex.foreach { case (id, i) =>
+      require(id == i, s"frozenCentroids: cluster ids must be 0..k-1 in " +
+        s"order; line $i has id $id")
+    }
+    val out = cents.map(_._2)
+    require(out.forall(_.length == out(0).length),
+      s"frozenCentroids: ragged centroid dimensions in '$resource'")
+    require(out.forall(_.forall(d => !d.isNaN && !d.isInfinite)),
+      s"frozenCentroids: non-finite component in '$resource'")
+    out
+  }
+
+  private def ivfBuildWith(df: DataFrame, idCol: String, vecCol: String,
+                           index: IvfIndex, frozen: Option[Array[Array[Double]]],
+                           nClusters: Int = 16, iters: Int = 5): Unit =
+      graft.Caching.scope {
     // Caching.scope, not session-global release: the build materializes
     // everything it persists before returning, and a global release here
     // would unpersist caches the CALLER still has in flight
@@ -326,7 +385,7 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(definedCosine(norm(col("v"))))
     val vecs = graft.Caching.scoped(base.as[(Long, Array[Float])])
-    val cents = trainCodebook(vecs, nClusters, iters)
+    val cents = frozen.getOrElse(trainCodebook(vecs, nClusters, iters))
     val bc = spark.sparkContext.broadcast(cents)
     // the two index tables are independent consumers of driver-resident
     // `cents` + the cached vectors, writing to DISTINCT table paths — one
