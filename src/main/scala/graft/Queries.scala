@@ -309,9 +309,12 @@ object Queries {
   /** Per-word (count, ids-csv) lexicon of the COMMITTED BPE fixture, read
     * from the same classpath resource the engine loads — the DuckDB side
     * of the exact-tokenizer oracles derives from it at run time, so a
-    * retrained fixture can never drift out of lockstep with the SQL. The
-    * inline-CASE transcription is bounded: a fixture whose lexicon
-    * outgrows it must switch the oracle to a parquet join (loud raise).
+    * retrained fixture can never drift out of lockstep with the SQL.
+    * Round 16: the fixture scaled to a realistic 800-merge model whose
+    * 1705-word lexicon overflowed the old inline-CASE transcription (its
+    * documented 1000-word bound), so the oracles now JOIN an inline
+    * VALUES relation of the lexicon instead — the documented fallback,
+    * made concrete. The remaining bound is generated-SQL size only.
     */
   private lazy val bpeLexicon: Seq[(String, Int, String)] = {
     val in = Thread.currentThread().getContextClassLoader
@@ -324,27 +327,43 @@ object Queries {
       require(p.length == 4, s"malformed lexicon.tsv line: '$l'")
       (p(0), p(2).toInt, p(3))
     }.toSeq
-    require(lex.length <= 1000, s"BPE lexicon has ${lex.length} words — too " +
-      "large for the inline-CASE oracle; switch the transcription to a " +
-      "parquet join over lexicon.tsv")
+    require(lex.length <= 20000, s"BPE lexicon has ${lex.length} words — " +
+      "the generated VALUES-join oracle SQL would be unreasonably large; " +
+      "sample the lexicon corpus or move the oracle to an external table")
     lex
   }
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
-  private lazy val bpeCountCase: String = "CASE w " +
-    bpeLexicon.map { case (w, n, _) => s"WHEN ${sqlQuote(w)} THEN $n" }.mkString(" ") +
-    " ELSE NULL END"
-  private lazy val bpeIdsCase: String = "CASE w " +
-    bpeLexicon.map { case (w, _, ids) => s"WHEN ${sqlQuote(w)} THEN ${sqlQuote(ids)}" }.mkString(" ") +
-    " ELSE NULL END"
 
-  /** DuckDB expression for the exact BPE token count of `textExpr` — the
-    * transcription of [[graft.ext.TextAnalysis.bpeTokenCount]] through the
-    * committed lexicon (tokenization is per-pre-token, so a per-word count
-    * join IS the tokenizer to SQL).
+  /** The committed lexicon as an inline VALUES relation `(w, n, ids)` —
+    * self-contained SQL (the driver's DuckDB session sees only the sf-dir
+    * parquet views, so the lexicon must travel IN the query).
     */
-  private def bpeCountSql(textExpr: String): String =
-    s"CAST(COALESCE(list_sum(list_transform(regexp_extract_all(COALESCE($textExpr, ''), " +
-      s"'$BpePreTokenRe'), w -> $bpeCountCase)), 0) AS BIGINT)"
+  private lazy val bpeLexValues: String =
+    bpeLexicon.map { case (w, n, ids) =>
+      s"(${sqlQuote(w)}, $n, ${sqlQuote(ids)})"
+    }.mkString(", ")
+
+  /** The loud lexicon-drift poison (round-16 ADVICE): an out-of-lexicon
+    * pre-token used to hit the CASE's ELSE NULL, which DuckDB's list_sum
+    * silently skipped — drift surfaced as an opaque count mismatch
+    * downstream. Now any unmatched join row raises NAMING the word.
+    */
+  private def bpePoison(valueExpr: String): String =
+    s"CASE WHEN lex.n IS NULL THEN error('bpe oracle: pre-token ''' || w || " +
+      s"''' outside the committed lexicon — lexicon drift; retrain the " +
+      s"fixture (graft.tools.BpeTrain)') ELSE $valueExpr END"
+
+  /** CTE fragment (no leading WITH) defining `lex` and `bpe_n(doc_id,
+    * n_tokens)` — the exact frozen-BPE token count of every document via
+    * the lexicon join, 0 for empty docs, poisoned on drift.
+    */
+  private lazy val bpeCountCtes: String =
+    s"""lex(w, n, ids) AS (VALUES $bpeLexValues),
+      |__pt AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe')) AS w FROM documents),
+      |bpe_n AS (SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, SUM(${bpePoison("lex.n")}) AS n_tokens
+      |    FROM __pt LEFT JOIN lex USING (w) GROUP BY doc_id) s USING (doc_id))""".stripMargin
 
   // ---------------------------------------------------------------- core ops
 
@@ -1729,16 +1748,17 @@ object Queries {
       // transcription of Sharding.packByTokens: md5Hash60("shard:" || id)
       // mod 8 buckets, exclusive running token sum per bucket in doc_id
       // order, shard = bucket * 2^32 + offset div 2000; n_tokens is the
-      // EXACT frozen-BPE count via the committed lexicon (round 15)
-      s"""WITH t AS (SELECT doc_id,
-        |  ${bpeCountSql("text")} AS n_tokens,
+      // EXACT frozen-BPE count via the committed-lexicon JOIN (round 16 —
+      // see bpeCountCtes)
+      s"""WITH $bpeCountCtes,
+        |t AS (SELECT doc_id, n_tokens,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) % 8 AS bucket,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS __th
-        |  FROM documents),
+        |  FROM documents JOIN bpe_n USING (doc_id)),
         |c AS (SELECT doc_id, n_tokens, bucket,
         |  -- DuckDB SUM(BIGINT) is HUGEINT (pandas float); force BIGINT
         |  -- packing order ties break by (n_tokens, md5-60 text hash),
@@ -1752,23 +1772,36 @@ object Queries {
     "x66_bpe_token_count" ->
       // transcription of the frozen-BPE tokenizer through the committed
       // per-word lexicon (tokenization is per-pre-token, so a word-level
-      // count/ids lookup IS the tokenizer to SQL); empty docs read 0 / ''
-      s"""WITH tk AS (SELECT doc_id,
-        |  regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe') AS toks FROM documents)
-        |SELECT doc_id,
-        |  CAST(COALESCE(list_sum(list_transform(toks, w -> $bpeCountCase)), 0) AS BIGINT) AS n_bpe,
-        |  COALESCE(array_to_string(list_transform(toks, w -> $bpeIdsCase), ','), '') AS ids_csv
-        |FROM tk""".stripMargin,
+      // count/ids JOIN — round 16, the lexicon outgrew the inline CASE —
+      // IS the tokenizer to SQL); empty docs read 0 / ''; position
+      // ordinality keeps ids_csv in text order
+      s"""WITH lex(w, n, ids) AS (VALUES $bpeLexValues),
+        |tk AS (SELECT doc_id,
+        |  regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe') AS toks FROM documents),
+        |pt AS (SELECT doc_id, i.i AS pos, toks[i.i] AS w
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks))) i(i)),
+        |j AS (SELECT doc_id, pos, ${bpePoison("lex.n")} AS n, lex.ids AS ids
+        |  FROM pt LEFT JOIN lex USING (w)),
+        |agg AS (SELECT doc_id, SUM(n) AS n_bpe,
+        |    string_agg(ids, ',' ORDER BY pos) AS ids_csv
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+        |  COALESCE(a.ids_csv, '') AS ids_csv
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "x69_bpe_chunks" ->
       // the x66 lexicon transcription flattened to the per-doc id list,
       // then the chunkByTokens window arithmetic (starts 0, 16, …; kept
       // while s = 0 or s + (window - stride) < n; kept starts are a
       // prefix, so chunk_id = s / stride); 1-based inclusive list slices
-      s"""WITH d AS (SELECT doc_id,
-        |  flatten(list_transform(regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe'),
-        |    w -> string_split($bpeIdsCase, ','))) AS ids
-        |  FROM documents),
+      s"""WITH lex(w, n, ids) AS (VALUES $bpeLexValues),
+        |tk AS (SELECT doc_id,
+        |  regexp_extract_all(COALESCE(text, ''), '$BpePreTokenRe') AS toks FROM documents),
+        |pt AS (SELECT doc_id, i.i AS pos, toks[i.i] AS w
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks))) i(i)),
+        |j AS (SELECT doc_id, pos, string_split(${bpePoison("lex.ids")}, ',') AS wids
+        |  FROM pt LEFT JOIN lex USING (w)),
+        |d AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids FROM j GROUP BY doc_id),
         |n AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM d WHERE len(ids) >= 1)
         |SELECT doc_id,
         |  CAST(s.s // 16 AS BIGINT) AS chunk_id,
@@ -1842,16 +1875,16 @@ object Queries {
       // x17's bucket/offset transcription plus the per-sequence explode:
       // doc spans sequences cum//512 .. (cum+n-1)//512, span bounds by the
       // same greatest/least arithmetic as the operator; n_tokens is the
-      // EXACT frozen-BPE count via the committed lexicon (round 15)
-      s"""WITH t AS (SELECT doc_id,
-        |  ${bpeCountSql("text")} AS n_tokens,
+      // EXACT frozen-BPE count via the committed-lexicon JOIN (round 16)
+      s"""WITH $bpeCountCtes,
+        |t AS (SELECT doc_id, n_tokens,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) % 8 AS bucket,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS __th
-        |  FROM documents),
+        |  FROM documents JOIN bpe_n USING (doc_id)),
         |p AS (SELECT doc_id, n_tokens, bucket,
         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, n_tokens, __th
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before

@@ -39,11 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * always encodes the same way, which is what lets the DuckDB oracle
   * verify corpus-scale counts through a per-word lexicon.
   *
-  * Scale shape: the model rides to executors as a plan literal
-  * (`ctx.addReferenceObj`, the frozen-model convention used by the
-  * log-odds/NCM kernels) and the kernels run inside whole-stage codegen;
-  * per-model word→ids memo (bounded) makes the common case one hash probe
-  * per pre-token. Zipf makes the memo's hit rate ≈ 1 on natural text.
+  * Scale shape: only the RESOURCE STRING ships through the plan — the
+  * generated class resolves the model executor-side in its init via the
+  * JVM-memoized [[Bpe.model]] (one classpath parse per executor per
+  * model), so a 50k-merge model never serializes into the task binary the
+  * way an `addReferenceObj`'d model would (the round-16 fix: the previous
+  * wiring embedded the parsed vocab+ranks maps in the plan's references
+  * and shipped them with every task while CLAIMING jar-side resolution).
+  * The kernels run inside whole-stage codegen; the per-model word→ids
+  * memo (bounded) makes the common case one hash probe per pre-token.
+  * Zipf makes the memo's hit rate ≈ 1 on natural text.
   */
 final case class BpeModel(vocab: Map[String, Int],
                           ranks: Map[(String, String), Int]) extends Serializable {
@@ -88,10 +93,17 @@ object Bpe {
   }
 
   /** Parse vocab.json ({"token": id}) via Jackson — the format Hugging Face
-    * publishes; duplicate ids are legal (aliases), duplicate tokens are not.
+    * publishes; duplicate ids are legal (aliases), duplicate tokens are not
+    * — and the parser ENFORCES that (STRICT_DUPLICATE_DETECTION): plain
+    * readTree silently last-wins on duplicate keys, so a vocab where two
+    * merges produced one surface token would alias the earlier merge's
+    * token to the later id without a trace (round-16 review).
     */
   def parseVocab(json: String): Map[String, Int] = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.enable(
+      com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION)
+    val node = mapper.readTree(json)
     require(node != null && node.isObject, "Bpe.parseVocab: vocab.json is not a JSON object")
     import scala.jdk.CollectionConverters._
     node.fields().asScala.map { e =>
@@ -227,10 +239,31 @@ sealed trait BpeExpression extends BinaryExpression {
         s"$prettyName requires (string text, string resource literal), got ${l.sql} and ${r.sql}")
     }
 
-  @transient protected lazy val model: BpeModel = {
+  /** The resource name, validated at plan time (foldable per
+    * checkInputDataTypes). Only THIS string enters the generated code —
+    * the model itself resolves executor-side ([[resolveModel]]).
+    */
+  @transient protected lazy val resourceName: String = {
     val r = resourceExpr.eval(null)
     require(r != null, s"$prettyName: the model resource literal is NULL")
-    Bpe.model(r.toString)
+    r.toString
+  }
+
+  /** Interpreted-path model handle: resolves via the JVM-memoized
+    * [[Bpe.model]] wherever the (serialized) expression lands, so the
+    * interpreted and codegen paths share one executor-side loading story.
+    */
+  @transient protected lazy val model: BpeModel = Bpe.model(resourceName)
+
+  /** Generated-class model slot: initialized ONCE per generated-class
+    * instance from the resource string (`Bpe.model` memoizes per JVM), so
+    * per-row code touches a plain field and the plan references carry a
+    * short string instead of the vocab+ranks maps.
+    */
+  protected def resolveModel(ctx: CodegenContext): String = {
+    val res = ctx.addReferenceObj("bpeResource", resourceName, "java.lang.String")
+    ctx.addMutableState("graft.functions.BpeModel", "bpeModel",
+      v => s"$v = graft.functions.Bpe.model($res);", forceInline = true)
   }
 }
 
@@ -244,9 +277,9 @@ case class BpeTokenCount(text: Expression, resourceExpr: Expression)
     Bpe.tokenCount(model, t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeModel", model, "graft.functions.BpeModel")
+    val m = resolveModel(ctx)
     nullSafeCodeGen(ctx, ev, (t, _) =>
-      s"${ev.value} = graft.functions.Bpe.tokenCount($ref, $t);")
+      s"${ev.value} = graft.functions.Bpe.tokenCount($m, $t);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -265,9 +298,9 @@ case class BpeTokenIds(text: Expression, resourceExpr: Expression)
     Bpe.tokenIds(model, t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeModel", model, "graft.functions.BpeModel")
+    val m = resolveModel(ctx)
     nullSafeCodeGen(ctx, ev, (t, _) =>
-      s"${ev.value} = graft.functions.Bpe.tokenIds($ref, $t);")
+      s"${ev.value} = graft.functions.Bpe.tokenIds($m, $t);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

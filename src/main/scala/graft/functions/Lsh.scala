@@ -37,7 +37,7 @@ object Lsh {
     val cached = signTables.get(key)
     if (cached.isDefined) cached.get
     else if (signTables.size >= MaxSignTableShapes) null
-    else signTables.getOrElseUpdate(key, {
+    else {
       val t = new Array[Boolean](numBits * dim)
       var p = 0
       while (p < numBits) {
@@ -48,8 +48,19 @@ object Lsh {
         }
         p += 1
       }
-      t
-    })
+      // STRICT memory bound (round-16 review): check-then-insert let N
+      // threads racing distinct new shapes at cap-1 all pass the size
+      // check and overshoot the cap by up to N-1 tables. Insert first,
+      // recheck, and evict OWN entry when over — the computed table is
+      // still returned (bit-identical to the cached path, just uncached),
+      // so correctness never depends on winning the race.
+      signTables.putIfAbsent(key, t) match {
+        case Some(prev) => prev
+        case None =>
+          if (signTables.size > MaxSignTableShapes) signTables.remove(key, t)
+          t
+      }
+    }
   }
 
   private def signAt(p: Int, d: Int): Boolean = Hashing.mix64(

@@ -46,7 +46,10 @@ object BpeTrain {
       // distributed word-frequency aggregate over every input corpus — the
       // Bpe pre-tokenizer's classes, verbatim
       val counts: Array[(String, Long)] = srcDirs
-        .map(d => spark.read.parquet(s"$d/documents.parquet"))
+        // text is the only column training reads — project before the
+        // union so corpora with different auxiliary schemas mix freely
+        // (the synth training corpus carries only (doc_id, text))
+        .map(d => spark.read.parquet(s"$d/documents.parquet").select(col("text")))
         .reduce(_ unionByName _)
         .select(explode(regexp_extract_all(coalesce(col("text"), lit("")),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("w"))
@@ -74,6 +77,18 @@ object BpeTrain {
       var words: Array[(Array[String], Long)] =
         vocabFreq.map { case (w, c) => (codePoints(w), c) }
 
+      // every surface token the model will carry — single chars up front,
+      // each merge's output as it lands. Two different merges can produce
+      // ONE surface string ((a,bc) and (ab,c) both yield 'abc'); emitting
+      // both would write a duplicate vocab.json key that Jackson's plain
+      // readTree silently last-wins on, aliasing the earlier merge's token
+      // to the later id (round-16 review — parseVocab now also REJECTS
+      // duplicate keys). The trainer therefore SKIPS a candidate pair
+      // whose surface form already exists (the Sennrich/HF dedup stance):
+      // the pair stays unmerged this round and a different pair is taken.
+      val surfaceTokens = scala.collection.mutable.Set[String](
+        vocabFreq.iterator.flatMap(w => codePoints(w._1)).toSeq: _*)
+
       val merges = new scala.collection.mutable.ArrayBuffer[(String, String)]()
       var continue = merges.length < numMerges
       while (continue) {
@@ -89,14 +104,17 @@ object BpeTrain {
             i += 1
           }
         }
-        if (pairFreq.isEmpty) continue = false
+        val candidates = pairFreq.toSeq
+          .filter { case ((a, b), _) => !surfaceTokens.contains(a + b) }
+        if (candidates.isEmpty) continue = false
         else {
-          val (bestPair, bestCount) = pairFreq.toSeq
+          val (bestPair, bestCount) = candidates
             .minBy { case ((a, b), c) => (-c, a, b) }
           if (bestCount < 2) continue = false
           else {
             merges += bestPair
             val merged = bestPair._1 + bestPair._2
+            surfaceTokens += merged
             words = words.map { case (syms, c) =>
               if (syms.length < 2) (syms, c)
               else {
@@ -116,11 +134,18 @@ object BpeTrain {
       }
       println(s"BpeTrain: trained ${merges.length} merges")
 
-      // vocab: single chars (sorted) first, then merge outputs in order
+      // vocab: single chars (sorted) first, then merge outputs in order.
+      // The surfaceTokens skip above makes collisions impossible, but the
+      // invariant is what keeps parseVocab's duplicate-key rejection from
+      // ever firing on OUR output — check it loudly rather than trust the
+      // loop (round-16 review)
       val chars = vocabFreq.iterator.flatMap(w => codePoints(w._1)).toArray
         .distinct.sorted
-      val vocab: Seq[(String, Int)] =
-        (chars.toSeq ++ merges.map { case (a, b) => a + b }).zipWithIndex
+      val tokens = chars.toSeq ++ merges.map { case (a, b) => a + b }
+      require(tokens.distinct.length == tokens.length,
+        s"BpeTrain: duplicate surface token in vocab — " +
+          tokens.diff(tokens.distinct).distinct.take(3).mkString(", "))
+      val vocab: Seq[(String, Int)] = tokens.zipWithIndex
 
       java.nio.file.Files.createDirectories(outDir)
       java.nio.file.Files.write(outDir.resolve("merges.txt"),
