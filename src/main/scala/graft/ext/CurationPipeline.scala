@@ -864,15 +864,24 @@ object CurationPipeline {
     * between-batches maintenance window), keeping the three index tables
     * at ≤ numBuckets files each on an unattended stream (0 = caller
     * manages compaction).
+    *
+    * `leaseRevalidateEvery` is the lease-check cadence ([[TableChecks]]):
+    * default 1, because this stream's hash/LSH/cluster index APPENDS ARE
+    * THE DATA — an out-of-process compaction acquiring the lease
+    * mid-stream must stop the very next increment, not up to 7 batches of
+    * index appends later (the r15 Similarity-stream rule, applied
+    * uniformly in r16).
     */
   def runStream(docs: DataFrame, idCol: String, textCol: String,
                 holdout: Option[DataFrame], cfg: Config, state: StreamState,
-                compactEvery: Int = 0, maintainClusters: Boolean = false)
+                compactEvery: Int = 0, maintainClusters: Boolean = false,
+                leaseRevalidateEvery: Int = 1)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hg = holdout.map(h => holdoutGramSet(h, idCol, textCol, cfg))
     // one maintenance-check memo per stream ([[TableChecks]]); sequential
     // batch ids on one instance make the registry mapping cache valid
-    val checks = new TableChecks(cacheRegistryMapping = maintainClusters)
+    val checks = new TableChecks(revalidateEvery = leaseRevalidateEvery,
+      cacheRegistryMapping = maintainClusters)
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         streamIncrement(batch.toDF(), idCol, textCol, hg, cfg, state, id,

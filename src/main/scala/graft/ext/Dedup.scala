@@ -460,14 +460,24 @@ object Dedup {
     * between-batches maintenance window, so an unattended stream keeps its
     * index at ≤ numBuckets files per table instead of batches × numBuckets
     * (0 = caller manages compaction).
+    *
+    * `leaseRevalidateEvery` is the lease-check cadence ([[TableChecks]]):
+    * default 1 — this stream's APPENDS ARE THE DATA (an out-of-process
+    * compaction acquiring the lease mid-stream must stop the very next
+    * increment, not up to 7 batches of appends later; the r15 Similarity-
+    * stream rule, applied uniformly in r16). Raise it only when the
+    * per-batch existence probe measurably matters and no out-of-process
+    * maintenance can run.
     */
   def minHashLshStream(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, pairsDir: String, index: LshIndex,
                        shingleN: Int = 3, numHashes: Int = 64,
-                       bandSize: Int = 2, compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // one maintenance-check memo per STREAM: lease/crashed-swap/existence
-    // run on the first batch, not every batch ([[TableChecks]])
-    val checks = new TableChecks
+                       bandSize: Int = 2, compactEvery: Int = 0,
+                       leaseRevalidateEvery: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // one maintenance-check memo per STREAM: crashed-swap/existence run on
+    // the first batch, not every batch; the lease re-validates on the
+    // configured cadence ([[TableChecks]])
+    val checks = new TableChecks(revalidateEvery = leaseRevalidateEvery)
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       minHashLshIncrement(batch.toDF(), idCol, textCol, threshold, index,
         pairsDir, batchId, shingleN, numHashes, bandSize, checks)
@@ -1084,10 +1094,14 @@ object Dedup {
     * the largest prefix a replay of the in-flight batch never reads.
     */
   def clusterStream(pairs: DataFrame, state: ClusterState,
-                    compactEvery: Int = 0, maxIters: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                    compactEvery: Int = 0, maxIters: Int = 20,
+                    leaseRevalidateEvery: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // one instance per stream = sequential batch ids, so the registry
-    // mapping cache is maintainable (see TableChecks)
-    val checks = new TableChecks(cacheRegistryMapping = true)
+    // mapping cache is maintainable (see TableChecks); lease cadence
+    // defaults to every batch — the registry appends ARE the data (the
+    // minHashLshStream rationale)
+    val checks = new TableChecks(revalidateEvery = leaseRevalidateEvery,
+      cacheRegistryMapping = true)
     pairs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
       clusterIncrement(batch.toDF(), state, id, maxIters, checks)
       if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {

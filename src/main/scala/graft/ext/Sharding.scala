@@ -219,6 +219,17 @@ object Sharding {
           s"chunkByTokenIds writes column '$c' — rename the id/ids column first")
       }
     val toked = df.select(col(idCol), coalesce(col(idsCol), array().cast("array<int>")).as("__t"))
+      // a NULL ELEMENT inside the ids array would silently SHRINK
+      // chunk_ids (concat_ws skips NULL) while n_chunk_tokens still counts
+      // the slot — inconsistent output from corrupt tokenizer input, so it
+      // fails loudly per row naming the document (the IntervalJoin
+      // raise_error stance; round-16 sweep)
+      .withColumn("__t", when(exists(col("__t"), _.isNull),
+          raise_error(concat(
+            lit("chunkByTokenIds: NULL token id in document '"),
+            col(idCol).cast("string"),
+            lit("' - token id arrays must be dense"))).cast("array<int>"))
+        .otherwise(col("__t")))
       .withColumn("__n", size(col("__t")).cast("long"))
       .filter(col("__n") >= 1)
     val keptStarts = filter(

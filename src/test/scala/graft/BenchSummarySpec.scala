@@ -156,6 +156,29 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(Bench.officialStat(Nil) == (-1.0, "none"))
   }
 
+  test("officialStat properties on random run sets: lone-outlier never wins, value from the set, floor rule sound (round-16 sweep)") {
+    val rnd = new scala.util.Random(1614)
+    (1 to 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val ts = Seq.fill(n)(0.05 + rnd.nextDouble() * (if (rnd.nextBoolean()) 1.0 else 20.0))
+      val (v, tag) = Bench.officialStat(ts)
+      // the published value is always one of the actual runs, inside the range
+      assert(ts.contains(v), s"$ts -> $v not a run")
+      assert(v >= ts.min && v <= ts.max)
+      val cluster = ts.filter(_ <= ts.min * Bench.FloorClusterTolerance)
+      // a cluster of ONE (isolated fast outlier) must never publish as floor
+      if (cluster.length < 2) assert(tag != "floor_cluster", s"$ts published a lone outlier")
+      // floor publication only under the instability signature, and then
+      // the published value must sit inside the converged cluster
+      if (tag == "floor_cluster") {
+        assert(Bench.isUnstable(ts), s"$ts floored while stable")
+        assert(v <= ts.min * Bench.FloorClusterTolerance, s"$ts floor pick $v outside cluster")
+      }
+      // a stable set is always the plain median
+      if (!Bench.isUnstable(ts)) assert(tag == "median")
+    }
+  }
+
   test("a floor-published query tags +floor in the anomalies block and its summary value is the cluster median") {
     val runTimes: Seq[(String, Seq[Double])] = Seq(
       "x01_floored" -> Seq(15.62, 3.47, 11.25, 3.55), // converged floor
@@ -186,6 +209,35 @@ class BenchSummarySpec extends AnyFunSuite {
       val j = mapper.readTree(s)
       assert(j.get("env").asText == "distressed(load=12.4,gc=0.41,waited=92s)", s)
     }
+  }
+
+  test("era calibration: the constant rides every rung and de-rates the regression gate (round 16)") {
+    val results = Seq("q01_filter" -> 0.3, "x39_cluster_stream" -> 11.0)
+    val runTimes = Seq("q01_filter" -> Seq(0.3, 0.3, 0.3),
+      "x39_cluster_stream" -> Seq(11.0, 11.2, 11.4))
+    val sysStats = results.map { case (k, _) => k -> (1.0, 0L, 1.0) }.toMap
+    // prior official 7.7 with calib 0.20; this era's calib 0.30 ⇒ de-rate
+    // 1.5 ⇒ effective prior 11.55 ⇒ floor 11.0 is NOT regressed
+    val deRated = Bench.buildSummary(results, runTimes, sysStats, Nil, Nil, Nil,
+      11.3, "{}", "{}", "/root/testdata/sf0.1",
+      prior = Map("x39_cluster_stream" -> 7.7),
+      calibS = 0.30, priorCalib = Some(0.20))
+    assert(!deRated.contains("regressed"), deRated)
+    assert(deRated.contains("\"calib\":0.300"), deRated)
+    // same numbers WITHOUT calib: raw comparison tags it (11.0 > 1.3×7.7)
+    val raw = Bench.buildSummary(results, runTimes, sysStats, Nil, Nil, Nil,
+      11.3, "{}", "{}", "/root/testdata/sf0.1",
+      prior = Map("x39_cluster_stream" -> 7.7))
+    assert(raw.contains("regressed"), raw)
+    // a FASTER era must not loosen (clamp at 1×): de-rate is never < 1
+    assert(Bench.calibDeRate(0.10, Some(0.20)) == 1.0)
+    assert(math.abs(Bench.calibDeRate(0.30, Some(0.20)) - 1.5) < 1e-9)
+    assert(Bench.calibDeRate(2.0, Some(0.20)) == 3.0) // cap
+    assert(Bench.calibDeRate(0.30, None) == 1.0)
+    assert(Bench.calibDeRate(-1.0, Some(0.20)) == 1.0)
+    // the kernel itself: fixed work, positive, repeatable within noise
+    val c = Bench.cpuCalib()
+    assert(c > 0.0 && c < 30.0, s"calibration kernel read $c s")
   }
 
   test("isRegressed flags a moved floor against the prior median, not jitter or missing priors") {
@@ -240,6 +292,14 @@ class BenchSummarySpec extends AnyFunSuite {
       val p = Bench.priorMedians(sf, dir)
       assert(p == Map("q01" -> 0.31, "x39" -> 11.51),
         s"must read r11 (highest valid N), got $p")
+      // pre-calibration artifacts carry no calib ⇒ None (gate un-de-rated)
+      assert(Bench.priors(sf, dir)._2.isEmpty)
+      // a calib-stamped artifact surfaces its constant
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
+        s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"calib":0.25,"sf":"$sf"}}""")
+      assert(Bench.priors(sf, dir)._2.contains(0.25))
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
+        s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"sf":"$sf"}}""")
       // an sf-mismatched prior must NOT compare: sf1 floors vs sf0.1
       // medians would tag every query regressed
       assert(Bench.priorMedians("/root/testdata/sf1", dir).isEmpty,

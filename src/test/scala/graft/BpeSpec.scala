@@ -152,4 +152,58 @@ class BpeSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("adversarial unicode: combining marks, astral-plane runs, ZWJ sequences (round-16 sweep)") {
+    // combining mark U+0301 is its OWN symbol — a model merging (e, ́)
+    // must produce the two-code-unit token and leave the base word intact
+    val acc = BpeModel(
+      vocab = Map("c" -> 0, "a" -> 1, "f" -> 2, "e" -> 3, "é" -> 4),
+      ranks = Map(("e", "́") -> 0))
+    assert(Bpe.encodeWord(acc, "café").toSeq == Seq("c", "a", "f", "é"))
+    assert(Bpe.idsOf(acc, "café").toSeq == Seq(0, 1, 2, 3 + 1))
+    // astral-plane run (U+1D54F, a surrogate pair per symbol): merges
+    // apply left-to-right non-overlapping over CODE POINTS — three X's
+    // merge the first two, never pair a stray low surrogate
+    val x = "𝕏"
+    val astral = BpeModel(
+      vocab = Map(x -> 0, (x + x) -> 1),
+      ranks = Map((x, x) -> 0))
+    assert(Bpe.encodeWord(astral, x * 3).toSeq == Seq(x + x, x))
+    assert(Bpe.idsOf(astral, x * 3).toSeq == Seq(1, 0))
+    // a ZWJ emoji sequence is three symbols under an empty model, all
+    // unknown ⇒ -1 each, still COUNTED (the unknown-symbol contract)
+    val empty = BpeModel(vocab = Map.empty, ranks = Map.empty)
+    val zwj = "👩‍💻" // woman + ZWJ + laptop
+    assert(Bpe.idsOf(empty, zwj).toSeq == Seq(-1, -1, -1))
+    // the kernel's pre-tokenizer is code-point-aware too: two astral
+    // symbols are two single-char pre-tokens, not four UTF-16 halves
+    assert(Bpe.tokenCount(empty,
+      org.apache.spark.unsafe.types.UTF8String.fromString(x + " " + x)) == 2L)
+  }
+
+  test("memo under concurrent first-touch: identical results, bounded size (round-16 sweep)") {
+    val model = Bpe.fromResource(Bpe.DefaultResource) // fresh memo, un-shared
+    val words = (0 until 2000).map(i => s"stream${i % 503}ing")
+    val expected = words.distinct.map(w => w -> Bpe.encodeWord(model, w)
+      .map(t => model.vocab.getOrElse(t, -1)).toSeq).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = words.drop(t * 13).forall(w =>
+            Bpe.idsOf(model, w).toSeq == expected(w))
+        })
+      }
+      assert(tasks.forall(_.get()), "a concurrent first-touch returned wrong ids")
+    } finally pool.shutdown()
+    // racing first-touches may overshoot the guard by at most #threads - 1
+    assert(model.memo.size <= graft.functions.Bpe.CacheCap + 8)
+  }
+
+  test("parseVocab rejects duplicate token keys instead of silently last-winning (round-16 sweep)") {
+    val e = intercept[Exception](Bpe.parseVocab("""{"ab": 1, "ab": 2}"""))
+    assert(e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    // duplicate IDS stay legal (aliases)
+    assert(Bpe.parseVocab("""{"a": 1, "b": 1}""") == Map("a" -> 1, "b" -> 1))
+  }
 }

@@ -227,6 +227,38 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sharding.chunkByTokenIds(rows, "doc_id", "ids", 8, 9))
   }
 
+  test("chunkByTokenIds adversarial shapes: window > doc, window = doc, stride = window, NULL element raises") {
+    import spark.implicits._
+    // window far beyond the longest doc: exactly one full-coverage chunk
+    val shorts = Seq((1L, Array(7, 8, 9)), (2L, Array(5)))
+      .toDF("doc_id", "ids")
+    val wide = Sharding.chunkByTokenIds(shorts, "doc_id", "ids", window = 1000, stride = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(wide == Seq((1L, 0L, 0L, 3L, "7,8,9"), (2L, 0L, 0L, 1L, "5")), wide.toString)
+    // stride = window (no overlap): exact tiling, remainder tail kept
+    // (start 4 covers the final token: 4 + (4-4) < 5)
+    val tiled = Sharding.chunkByTokenIds(Seq((3L, (1 to 5).toArray)).toDF("doc_id", "ids"),
+        "doc_id", "ids", window = 4, stride = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(tiled == Seq((0L, 0L, 4L, "1,2,3,4"), (1L, 4L, 1L, "5")), tiled.toString)
+    // window = doc length exactly: one chunk, no empty tail chunk
+    val exact = Sharding.chunkByTokenIds(Seq((4L, (1 to 16).toArray)).toDF("doc_id", "ids"),
+        "doc_id", "ids", window = 16, stride = 8)
+      .collect().map(r => (r.getLong(2), r.getString(4))).toSeq
+    assert(exact == Seq((0L, (1 to 16).mkString(","))), exact.toString)
+    // a NULL ELEMENT (corrupt tokenizer output) raises naming the doc —
+    // concat_ws would otherwise silently shrink chunk_ids while
+    // n_chunk_tokens still counted the slot (round-16 sweep)
+    val nullElem = Seq((9L, Array[java.lang.Integer](1, null, 3)))
+      .toDF("doc_id", "ids")
+    val e = intercept[Exception](
+      Sharding.chunkByTokenIds(nullElem, "doc_id", "ids", 2, 1).collect())
+    assert(e.getMessage.contains("NULL token id") && e.getMessage.contains("9"),
+      e.getMessage)
+  }
+
   test("packByTokens accepts a precomputed token-count column (BPE budgets)") {
     // pretend a tokenizer pass materialized real model-token counts: 3x the
     // whitespace count — shard budgets must follow the provided column

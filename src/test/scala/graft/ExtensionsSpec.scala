@@ -448,6 +448,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed === batch, s"streamed $streamed != batch $batch")
   }
 
+  test("minHashLshStream default lease cadence is EVERY batch: a mid-stream external lease stops the next increment (round 16)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lease_cadence")
+    val idx = Dedup.LshIndex("t16lc_bands", "t16lc_shingles", numBuckets = 2)
+    dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.minHashLshStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, tmp.resolve("pairs").toString, idx)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+    try {
+      input.addData(1L -> "a b c d e f"); q.processAllAvailable()
+      // an out-of-process compaction acquires the lease BETWEEN batches:
+      // under the old revalidateEvery=8 default the next SEVEN increments
+      // would have appended into a table about to be swapped away — the
+      // index-bearing-stream default (1) must stop the very next batch
+      graft.ext.StateLease.acquire(spark, idx.bandsTable, "external compaction")
+      try {
+        input.addData(2L -> "g h i j k l")
+        val e = intercept[Exception](q.processAllAvailable())
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(_.getMessage != null) &&
+          chain(e).exists(t => Option(t.getMessage).exists(_.contains("lease"))),
+          s"expected a lease failure on the very next batch, got $e")
+      } finally graft.ext.StateLease.release(spark, idx.bandsTable)
+    } finally {
+      q.stop()
+      graft.Caching.release(spark)
+      dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+    }
+  }
+
   test("duplicate ids in one increment batch verify against the merged shingle set (batch-path union semantics)") {
     import spark.implicits._
     // two id-7 rows with DISJOINT shingle sets plus an id-8 copy of the
