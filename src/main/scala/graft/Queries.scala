@@ -304,7 +304,7 @@ object Queries {
     * maps: `ivfProbeOracle` runs during `oracleSql`'s initialization, and
     * a later-declared val would still be null at that point.
     */
-  private val IvfCentroidsResource = "/graft/ivf/centroids_k16_sf001.tsv"
+  private val IvfCentroidsResource = "/graft/ivf/centroids_k16.tsv"
 
   /** Per-word (count, ids-csv) lexicon of the COMMITTED BPE fixture, read
     * from the same classpath resource the engine loads — the DuckDB side
@@ -1283,7 +1283,11 @@ object Queries {
       val expanded = docs.select(col("doc_id"), concat_ws(" ",
         transform(TextAnalysis.tokens(col("text")),
           (w, i) => concat(w, lit("_"),
-            pmod(col("doc_id") * lit(2654435761L) + i * lit(40503L),
+            // position multiplier must be COPRIME to 24 (40503 = 3·13501
+            // only reached 8 of the 24 residues — the effective expansion
+            // collapsed to 8× and posting lists tripled, measured 4.7× at
+            // the ×10 probe); 40507 ≡ 19 (mod 24) cycles all 24
+            pmod(col("doc_id") * lit(2654435761L) + i * lit(40507L),
               lit(24)).cast("string")))).as("text"))
       val n = docs.count()
       TextAnalysis.bm25Join(expanded,
@@ -2481,7 +2485,7 @@ object Queries {
         |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS w FROM documents),
         |toked AS (SELECT doc_id,
         |  list_transform(generate_series(1, len(w)),
-        |    i -> lower(w[i]) || '_' || CAST((doc_id * 2654435761 + (i - 1) * 40503) % 24 AS VARCHAR)) AS toks
+        |    i -> lower(w[i]) || '_' || CAST((doc_id * 2654435761 + (i - 1) * 40507) % 24 AS VARCHAR)) AS toks
         |  FROM raw),
         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM d),
