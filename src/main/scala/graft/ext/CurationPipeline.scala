@@ -606,14 +606,20 @@ object CurationPipeline {
     // overlapped with the MinHash verify (below): every read of the table
     // filters `batch_id < batchId`, so materializations racing the append
     // still see only prior batches, eviction or not.
-    // `hashed` carries the batch's quality/language regex subtree and
-    // feeds the winners aggregate AND the semi-join probe — persist for
-    // the batch lifetime (joins the caches list below), or the most
-    // expensive narrow stage runs twice per micro-batch
+    // The min-id rule as a WINDOW aggregate (round 16): min(id) OVER
+    // (PARTITION BY __h) then keep rows whose id equals it — identical
+    // semantics to the former groupBy-min + semi-join (duplicated min-id
+    // rows ALL survive, the batch path's rule), but one shuffle instead
+    // of an aggregate exchange plus a join, and crucially ONE consumer of
+    // the quality/md5 subtree — the batch-lifetime `hashed` persist (a
+    // second full materialization of the batch text) goes away, and the
+    // whole exact stage executes inside exactKept's checkpoint job.
     val hashed = filtered.withColumn("__h", md5(coalesce(col(textCol), lit("")))) // NULL≡empty, the Dedup.exact rule
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val winners = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
-    val inBatch = hashed.join(winners, Seq("__h", idCol), "left_semi")
+    val inBatch = hashed
+      .withColumn("__minid",
+        min(col(idCol)).over(expressions.Window.partitionBy(col("__h"))))
+      .filter(col(idCol) === col("__minid"))
+      .drop("__minid")
     // batch-lifetime blocks (released in the finally below, NOT
     // Caching.scoped — a long-running stream would otherwise accumulate one
     // registration per micro-batch until the caller's next release).
@@ -644,7 +650,7 @@ object CurationPipeline {
     // every batch-lifetime persist lands here and unpersists in the finally
     // (a failed ledger/index write must not leak a cached subtree per retry);
     // the deferred LSH increment's own caches release through its cleanup
-    var caches: List[DataFrame] = List(hashed)
+    var caches: List[DataFrame] = Nil
     var lshCleanup: () => Unit = () => ()
     // the hash-index append OVERLAPS the MinHash verify below on its own
     // driver thread: it reads only the persisted exactKept subtree and
