@@ -326,8 +326,13 @@ object Bench {
     * matches the observed worst same-day drift band).
     */
   private[graft] def cpuCalib(): Double = {
-    val t0 = System.nanoTime()
+    // discarded warmup chain: the first invocation otherwise pays JIT
+    // compilation inside the timed window (~10% measured), which would
+    // read as spurious cross-round era drift
     var acc = 0x9E3779B97F4A7C15L
+    var w = 0
+    while (w < (1 << 24)) { acc = graft.functions.Hashing.mix64(acc + w); w += 1 }
+    val t0 = System.nanoTime()
     var i = 0
     while (i < (1 << 27)) { acc = graft.functions.Hashing.mix64(acc + i); i += 1 }
     if (acc == Long.MinValue) System.err.println("") // keep the chain live
