@@ -280,9 +280,14 @@ object Similarity {
       .toDF("id", "v", "cluster")
       // norm once per corpus row, BELOW the probe join — not per candidate
       .withColumn("vn", norm(col("v")))
-    val probes = vecs.flatMap { case (id, v) =>
-      nearestProbes(bc.value, id, v, nProbe, "ivfTopK").map(ci => (id, v, ci))
-    }.toDF("query_id", "qv", "cluster")
+    // widen before fan-out (the ivfProbeScores r16 rule): the cached
+    // source often spans one small file ⇒ one partition, and the scoring
+    // stage downstream of this flatMap inherits it when the assignments
+    // side broadcasts
+    val probes = vecs.repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (id, v) =>
+        nearestProbes(bc.value, id, v, nProbe, "ivfTopK").map(ci => (id, v, ci))
+      }.toDF("query_id", "qv", "cluster")
       .withColumn("qn", norm(col("qv")))
 
     val scored = probes.join(assigned, "cluster")
@@ -421,9 +426,19 @@ object Similarity {
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(cents)
     requireIntegralId(queries, idCol, "ivfProbeScores")
+    // WIDEN the query side before fan-out: a bounded query batch often
+    // arrives as one small file ⇒ one input partition, and when the
+    // assignments side broadcasts, the entire scoring stage (probes ×
+    // cluster members — the expensive part) inherits that single task
+    // (measured r16: the sf0.1 full-probe query ran its ~4M dot products
+    // single-threaded, 3.2 s where 32-wide reads sub-second). Query
+    // batches are small by contract ("a growing corpus answers a fixed
+    // stream of queries"), so the round-robin exchange of (id, vector)
+    // rows is noise next to the scoring it parallelizes.
     val probes = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("qv"))
       .filter(definedCosine(norm(col("qv"))))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         nearestProbes(bc.value, id, v, nProbe, "ivfProbeScores").map(ci => (id, v, ci))
@@ -916,6 +931,10 @@ object Similarity {
     val probes = queries
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
       .filter(definedCosine(norm(col("qv"))))
+      // widen before fan-out (the ivfProbeScores r16 rule): a one-file
+      // query batch would otherwise hand the ADC scan a single task
+      // whenever the codes side broadcasts
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         // LUT, probe rule, and norm each built ONCE per query (the norm
