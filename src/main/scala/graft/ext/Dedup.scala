@@ -307,7 +307,7 @@ object Dedup {
     * steps) and MUST invoke the returned cleanup after they finish — it
     * releases the batch-lifetime persisted subtrees the thunks read.
     */
-  private[ext] def minHashLshIncrementDeferred(
+  private[graft] def minHashLshIncrementDeferred(
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, index: LshIndex, pairsDir: String,
       batchId: Long, shingleN: Int = 3,

@@ -503,6 +503,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, 8L, 29L, 58L)), got.toSeq.toString)
   }
 
+  test("a crash AFTER the index appends but BEFORE the deferred pairs dump replays to identical pairs (round 16)") {
+    import spark.implicits._
+    // the r16 deferral opened a new crash window: the verify materializes
+    // against the PRE-append index, the three writes then run
+    // concurrently — a batch can die with both index appends committed
+    // and the pairs partition missing. The replay re-runs the whole
+    // increment against an index that now CONTAINS the batch; the
+    // least/greatest pair ordering + the distinct'd candidate set + the
+    // set-merged verify must fold the batch meeting itself in the index
+    // into exactly the first attempt's pairs.
+    val p30 = (1 to 30).map(i => s"c$i").mkString(" ")
+    val b1 = Seq(21L -> s"$p30 one").toDF("doc_id", "text")
+    val b2 = Seq(22L -> s"$p30 two", 23L -> s"$p30 two three").toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_crash16")
+    val idx = Dedup.LshIndex("t16c_bands", "t16c_shingles", numBuckets = 4)
+    dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+    val pairsDir = tmp.resolve("pairs").toString
+    Dedup.minHashLshIncrement(b1, "doc_id", "text", 0.5, idx, pairsDir, 0L)
+    // batch 1, first attempt: run ONLY the two index-append thunks (the
+    // dump thunk is element 0 — the order the Deferred doc declares),
+    // then "crash" before the pairs dump
+    val (_, appends, cleanup) = Dedup.minHashLshIncrementDeferred(
+      b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+    try appends.drop(1).foreach(_.apply()) finally cleanup()
+    assert(!new java.io.File(s"$pairsDir/batch_id=1").exists(),
+      "fixture: the crash window requires the pairs partition to be missing")
+    // the replay: full increment, same batch id, index already contains
+    // batch 1's rows from the crashed attempt
+    Dedup.minHashLshIncrement(b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+    val got = spark.read.parquet(pairsDir)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // clean-run expectation (computed on a fresh index elsewhere in this
+    // suite's shapes): cross-batch (21,22),(21,23) and in-batch (22,23);
+    // duplicated index rows must inflate nothing
+    val clean = Dedup.minHashLsh(
+        Dedup.wordShingles(b1.union(b2), "doc_id", "text", 3), 0.5)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Caching.release(spark)
+    dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+    assert(got === clean, s"replayed pairs $got != clean-run pairs $clean")
+  }
+
   test("minHashLshIncrement replay is idempotent: pairs rewrite their batch partition") {
     import spark.implicits._
     val p30 = (1 to 30).map(i => s"q$i").mkString(" ")
