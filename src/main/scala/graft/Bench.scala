@@ -332,11 +332,22 @@ object Bench {
     var acc = 0x9E3779B97F4A7C15L
     var w = 0
     while (w < (1 << 24)) { acc = graft.functions.Hashing.mix64(acc + w); w += 1 }
-    val t0 = System.nanoTime()
-    var i = 0
-    while (i < (1 << 27)) { acc = graft.functions.Hashing.mix64(acc + i); i += 1 }
+    // MIN of 3 timed windows (round 17, per ADVICE): a single ~0.3 s
+    // sample can catch one transient co-tenant stall, inflating calib and
+    // de-rating next round's regression gate by up to the 3× cap. For a
+    // fixed-work kernel the floor is the machine constant — min is the
+    // right statistic (any inflation is additive noise, never a speedup).
+    var best = Double.MaxValue
+    var s = 0
+    while (s < 3) {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < (1 << 27)) { acc = graft.functions.Hashing.mix64(acc + i); i += 1 }
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      s += 1
+    }
     if (acc == Long.MinValue) System.err.println("") // keep the chain live
-    (System.nanoTime() - t0) / 1e9
+    best
   }
 
   /** The prior-vs-now de-rate factor from the two rounds' calibration

@@ -1275,8 +1275,10 @@ object Queries {
     // each token suffixed with a multiplicative hash of (doc_id, position)
     // mod 24, a pure narrow column pass that keeps the Zipf shape while
     // cutting every df to ~1/24th (arithmetic, not xxhash64, exactly so
-    // DuckDB can transcribe it — doc_id·2654435761 stays well under 2^63
-    // at every probed synth scale); (b) bounds the query batch to
+    // DuckDB can transcribe it — the (doc_id + pos·40507) % 24 form is
+    // overflow-free for any doc_id, unlike the Knuth-multiplier original
+    // which wrapped Long past ~3.47e9 while the oracle errored); (b)
+    // bounds the query batch to
     // base-corpus ids (a production engine serves a fixed query stream
     // against a growing corpus); and (c) applies the documented maxTermDf
     // stop-list guard. Candidate volume then scales with queries x df —
@@ -1290,8 +1292,12 @@ object Queries {
             // position multiplier must be COPRIME to 24 (40503 = 3·13501
             // only reached 8 of the 24 residues — the effective expansion
             // collapsed to 8× and posting lists tripled, measured 4.7× at
-            // the ×10 probe); 40507 ≡ 19 (mod 24) cycles all 24
-            pmod(col("doc_id") * lit(2654435761L) + i * lit(40507L),
+            // the ×10 probe); 40507 ≡ 19 (mod 24) cycles all 24. The
+            // original Knuth form doc_id·2654435761 is residue-identical
+            // (2654435761 ≡ 1 mod 24) but wraps Long past doc_id ~3.47e9
+            // where DuckDB's BIGINT errors instead — doc_id alone is
+            // overflow-free at any scale and bit-identical mod 24
+            pmod(col("doc_id") + i * lit(40507L),
               lit(24)).cast("string")))).as("text"))
       val n = docs.count()
       TextAnalysis.bm25Join(expanded,
@@ -2489,7 +2495,7 @@ object Queries {
         |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS w FROM documents),
         |toked AS (SELECT doc_id,
         |  list_transform(generate_series(1, len(w)),
-        |    i -> lower(w[i]) || '_' || CAST((doc_id * 2654435761 + (i - 1) * 40507) % 24 AS VARCHAR)) AS toks
+        |    i -> lower(w[i]) || '_' || CAST((doc_id + (i - 1) * 40507) % 24 AS VARCHAR)) AS toks
         |  FROM raw),
         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM d),

@@ -306,6 +306,17 @@ object Dedup {
     * MUST run every thunk (or fail the batch: a replay re-runs all
     * steps) and MUST invoke the returned cleanup after they finish — it
     * releases the batch-lifetime persisted subtrees the thunks read.
+    *
+    * Durability note (vs the pre-r16 eager parquet dump): the verified
+    * pairs exist only as checkpoint blocks until the deferred dump runs.
+    * Without a configured checkpoint dir that is a LOCAL checkpoint —
+    * executor loss (dynamic allocation, preemption) between the
+    * materialization and the dump fails the batch, and the stream replays
+    * it (recomputing identical pairs — correctness is unaffected, the
+    * cost is one batch retry). Clusters running with executor churn
+    * should set a checkpoint dir: the materialization then upgrades to a
+    * reliable checkpoint automatically (same barrier, loss-proof blocks,
+    * files deleted by the cleanup).
     */
   private[graft] def minHashLshIncrementDeferred(
       batch: DataFrame, idCol: String, textCol: String,
@@ -406,13 +417,36 @@ object Dedup {
       // distinct'd, so the batch meeting itself in the index folds into
       // the in-batch pairs, and the set-merge above absorbs the
       // duplicated index rows (the documented at-least-once stance).
+      // DURABILITY of the deferral (r16 ADVICE): until the deferred dump
+      // runs, the verified pairs live only in checkpoint blocks. A LOCAL
+      // checkpoint pins them to executor storage — on a cluster, losing
+      // any holding executor (dynamic allocation, preemption) fails the
+      // batch unrecoverably mid-flight (the stream replay then recomputes
+      // identical pairs, so correctness holds, but the batch pays a full
+      // retry). When the session has a checkpoint dir configured, use a
+      // RELIABLE checkpoint instead — same eager materialization barrier,
+      // executor-loss-proof blocks — mirroring [[connectedComponents]]'s
+      // truncate; its files are deleted by the cleanup below once the
+      // dump thunks have run.
+      val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
       val verified = graft.ProbeTiming("lsh_verify_ckpt")(
-        Dedup.stripOriginConstraints(
-          verifyStreamCandidates(cand, arr, threshold)
-            .localCheckpoint(eager = true)))
+        Dedup.stripOriginConstraints {
+          val v = verifyStreamCandidates(cand, arr, threshold)
+          if (reliableCkpt) v.checkpoint(eager = true)
+          else v.localCheckpoint(eager = true)
+        })
       val freeVerified: () => Unit = () => verified.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false); ()
+          val rdd = lr.rdd
+          val checkpointFile = rdd.getCheckpointFile
+          rdd.unpersist(blocking = false)
+          checkpointFile.foreach { f =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(f)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+            } catch { case _: java.io.IOException => () }
+          }
         case _ => ()
       }
       val mode = if (exists) "append" else "overwrite"

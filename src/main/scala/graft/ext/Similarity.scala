@@ -240,6 +240,23 @@ object Similarity {
     dists.sorted.take(nProbe).map(_._2)
   }
 
+  /** Widen a narrow query side before the cluster fan-out flatMap (the
+    * r16 single-task-scoring fix, made CONDITIONAL in r17): a bounded
+    * query batch arriving as one small file hands the whole scoring
+    * stage downstream of the fan-out a single task whenever the
+    * corpus/assignments side broadcasts (measured r16: ~4M dot products
+    * single-threaded, 3.2 s where 32-wide reads sub-second). But an
+    * ALREADY-WIDE query side — x38's declared shape probes with the
+    * whole corpus — must not pay a gratuitous corpus-wide round-robin
+    * exchange it never needed. Partition count is read off the physical
+    * plan (no job runs); widen only when below the session parallelism.
+    */
+  private def widenIfNarrow[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+  }
+
   /** [[nearest]] on the `off ..< off + c(0).length` slice of `v` without
     * materializing the sub-vector — same arithmetic, same tie rule.
     */
@@ -280,11 +297,11 @@ object Similarity {
       .toDF("id", "v", "cluster")
       // norm once per corpus row, BELOW the probe join — not per candidate
       .withColumn("vn", norm(col("v")))
-    // widen before fan-out (the ivfProbeScores r16 rule): the cached
+    // widen before fan-out if narrow ([[widenIfNarrow]]): the cached
     // source often spans one small file ⇒ one partition, and the scoring
     // stage downstream of this flatMap inherits it when the assignments
     // side broadcasts
-    val probes = vecs.repartition(spark.sparkContext.defaultParallelism)
+    val probes = widenIfNarrow(vecs)
       .flatMap { case (id, v) =>
         nearestProbes(bc.value, id, v, nProbe, "ivfTopK").map(ci => (id, v, ci))
       }.toDF("query_id", "qv", "cluster")
@@ -426,20 +443,14 @@ object Similarity {
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(cents)
     requireIntegralId(queries, idCol, "ivfProbeScores")
-    // WIDEN the query side before fan-out: a bounded query batch often
-    // arrives as one small file ⇒ one input partition, and when the
-    // assignments side broadcasts, the entire scoring stage (probes ×
-    // cluster members — the expensive part) inherits that single task
-    // (measured r16: the sf0.1 full-probe query ran its ~4M dot products
-    // single-threaded, 3.2 s where 32-wide reads sub-second). Query
-    // batches are small by contract ("a growing corpus answers a fixed
-    // stream of queries"), so the round-robin exchange of (id, vector)
-    // rows is noise next to the scoring it parallelizes.
-    val probes = queries
+    // WIDEN the query side before fan-out when it arrives narrow
+    // ([[widenIfNarrow]] — conditional since r17: x38's declared shape
+    // probes with the WHOLE corpus, which must not pay a corpus-wide
+    // round-robin exchange; a bounded batch in one small file must).
+    val probes = widenIfNarrow(queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("qv"))
       .filter(definedCosine(norm(col("qv"))))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])])
       .flatMap { case (id, v) =>
         nearestProbes(bc.value, id, v, nProbe, "ivfProbeScores").map(ci => (id, v, ci))
       }.toDF("query_id", "qv", "cluster")
@@ -928,14 +939,13 @@ object Similarity {
     // one pass per query: nProbe (query, cluster) rows each carrying the
     // query's ADC lookup table and norm
     requireIntegralId(queries, idCol, "ivfPqQuery")
-    val probes = queries
+    // widen before fan-out if narrow ([[widenIfNarrow]]): a one-file
+    // query batch would otherwise hand the ADC scan a single task
+    // whenever the codes side broadcasts
+    val probes = widenIfNarrow(queries
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
       .filter(definedCosine(norm(col("qv"))))
-      // widen before fan-out (the ivfProbeScores r16 rule): a one-file
-      // query batch would otherwise hand the ADC scan a single task
-      // whenever the codes side broadcasts
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])])
       .flatMap { case (id, v) =>
         // LUT, probe rule, and norm each built ONCE per query (the norm
         // was previously recomputed per probe row), through the shared

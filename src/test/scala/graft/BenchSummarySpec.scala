@@ -235,9 +235,16 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(Bench.calibDeRate(2.0, Some(0.20)) == 3.0) // cap
     assert(Bench.calibDeRate(0.30, None) == 1.0)
     assert(Bench.calibDeRate(-1.0, Some(0.20)) == 1.0)
-    // the kernel itself: fixed work, positive, repeatable within noise
+    // the kernel itself: fixed work, positive, and repeatable — two
+    // invocations on the same machine must agree within a generous band
+    // (each is already a min-of-3, so a single co-tenant stall cannot
+    // separate them). Deliberately NO absolute wall-clock bound: a
+    // throttled CI host makes any absolute number a flake (r16 ADVICE).
     val c = Bench.cpuCalib()
-    assert(c > 0.0 && c < 30.0, s"calibration kernel read $c s")
+    val c2 = Bench.cpuCalib()
+    assert(c > 0.0 && c2 > 0.0, s"calibration kernel read $c / $c2 s")
+    assert(math.max(c, c2) / math.min(c, c2) < 3.0,
+      s"same-JVM back-to-back calib reads disagree past the de-rate cap: $c vs $c2")
   }
 
   test("isRegressed flags a moved floor against the prior median, not jitter or missing priors") {

@@ -547,6 +547,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivf query-side widening is conditional: narrow batch widens, wide batch pays no extra exchange") {
+    import graft.ext.Similarity
+    import graft.sources.Tables
+    val idx = Similarity.IvfIndex("pin_ivfw_assign", "pin_ivfw_codebook", numBuckets = 4)
+    dropTableHard(idx.assignmentsTable)
+    dropTableHard(idx.codebookTable)
+    try {
+      val emb = Tables.load(spark, sf(), "embeddings")
+      Similarity.ivfBuild(emb, "vec_id", "embedding", idx, nClusters = 8, iters = 2)
+      val par = spark.sparkContext.defaultParallelism
+      def rr(p: String) = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+      // NARROW: a one-partition bounded batch must be widened — exactly one
+      // round-robin exchange (the r16 single-task-scoring fix)
+      val narrow = Similarity.ivfProbeScores(emb.filter(col("vec_id") < 5).coalesce(1),
+        "vec_id", "embedding", idx, nProbe = 2)
+      assert(rr(narrow.queryExecution.executedPlan.toString) === 1,
+        "a 1-partition query batch must widen before the fan-out: " +
+          narrow.queryExecution.executedPlan.toString.take(2000))
+      // WIDE: a query side already at session parallelism (the x38 shape —
+      // probing with the whole corpus) must NOT pay a second gratuitous
+      // round-robin exchange; the only one in the plan is ours below
+      val wide = Similarity.ivfProbeScores(emb.repartition(par),
+        "vec_id", "embedding", idx, nProbe = 2)
+      assert(rr(wide.queryExecution.executedPlan.toString) === 1,
+        "an already-wide query side must not re-exchange: " +
+          wide.queryExecution.executedPlan.toString.take(2000))
+    } finally {
+      dropTableHard(idx.assignmentsTable)
+      dropTableHard(idx.codebookTable)
+    }
+  }
+
   test("x25 connected components: iterative equi-joins only, no cartesian/NLJ/UDF") {
     val p = plan("x25_dedup_components")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
