@@ -614,10 +614,42 @@ object CurationPipeline {
     // the quality/md5 subtree — the batch-lifetime `hashed` persist (a
     // second full materialization of the batch text) goes away, and the
     // whole exact stage executes inside exactKept's checkpoint job.
+    //
+    // SKEW BOUND (round 17): a window aggregate has no map-side partials —
+    // every row of one duplicate-text group lands on ONE task, so a
+    // micro-batch dominated by a single boilerplate text serializes that
+    // group on one core. The bound is the micro-batch size (trigger
+    // sizing), the SAME per-key-per-trigger contract StatefulOps enforces
+    // — so the same opt-in conf arms it here: with
+    // spark.graft.streaming.maxSliceRows set, a duplicate-text group
+    // larger than the cap raises a NAMED error (text hash + cap +
+    // remediation) instead of silently serializing. The count rides the
+    // same window spec as the min — Spark collapses both into one Window
+    // operator, so the armed guard costs zero extra exchanges.
     val hashed = filtered.withColumn("__h", md5(coalesce(col(textCol), lit("")))) // NULL≡empty, the Dedup.exact rule
+    val winH = expressions.Window.partitionBy(col("__h"))
+    val sliceCap: Option[Long] =
+      spark.conf.getOption(graft.streaming.StatefulOps.MaxSliceRowsConf).map { v =>
+        val n = v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"${graft.streaming.StatefulOps.MaxSliceRowsConf} must be a positive int, got '$v'"))
+        require(n > 0,
+          s"${graft.streaming.StatefulOps.MaxSliceRowsConf} must be positive, got $n")
+        n
+      }
+    val minId = sliceCap match {
+      case Some(cap) =>
+        when(count(lit(1)).over(winH) > cap, raise_error(concat(
+          lit("streamIncrement: exact-dedup text-hash group "), col("__h"),
+          lit(s" exceeds $cap rows in one micro-batch " +
+            s"(${graft.streaming.StatefulOps.MaxSliceRowsConf}) — the " +
+            "window-min ships the whole group to one task; shrink the " +
+            "trigger, pre-filter the boilerplate text, or raise the cap"))
+          ).cast("long"))
+          .otherwise(min(col(idCol)).over(winH))
+      case None => min(col(idCol)).over(winH)
+    }
     val inBatch = hashed
-      .withColumn("__minid",
-        min(col(idCol)).over(expressions.Window.partitionBy(col("__h"))))
+      .withColumn("__minid", minId)
       .filter(col(idCol) === col("__minid"))
       .drop("__minid")
     // batch-lifetime blocks (released in the finally below, NOT

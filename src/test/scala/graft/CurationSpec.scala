@@ -923,6 +923,64 @@ class CurationSpec extends SparkSpec {
     assert(unfilled === 0L, "non-tail sequences must be packed to exactly seqLen")
   }
 
+  test("a boilerplate-dominated micro-batch hits the armed maxSliceRows guard by name; unarmed it passes") {
+    import spark.implicits._
+    val k = graft.streaming.StatefulOps.MaxSliceRowsConf
+    def withCap[A](v: Option[String])(f: => A): A = {
+      val saved = spark.conf.getOption(k)
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      try f finally { spark.conf.unset(k); saved.foreach(spark.conf.set(k, _)) }
+    }
+    val en20 = "the of and to in is it that for with the of and to in is it that for with"
+    val boiler = en20 + " " + (1 to 15).map(i => s"boiler$i").mkString(" ")
+    // 9 copies of one text + 1 distinct doc: the window-min ships all 9
+    // rows of the hot group to one task — the documented micro-batch-
+    // bounded skew point this guard names
+    val hot = ((1 to 9).map(i => i.toLong -> boiler) :+
+      (100L -> (en20 + " " + (1 to 15).map(i => s"solo$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minTokens = 20L, langs = Set("en"),
+      nearDupThreshold = 0.5, maxGramDf = None,
+      splits = Seq("train" -> 1.0), tokensPerShard = 25L, shardBuckets = 2)
+    def freshState() = {
+      val st = CurationPipeline.StreamState("tguard_" + System.nanoTime(),
+        java.nio.file.Files.createTempDirectory("graft_cur_guard").toString, numBuckets = 2)
+      st.dropTables(spark); st
+    }
+    // armed below the group size: raises naming the conf and the stage
+    withCap(Some("8")) {
+      val e = intercept[Exception] {
+        CurationPipeline.streamIncrement(hot, "doc_id", "text", None, cfg,
+          freshState(), batchId = 0L)
+      }
+      graft.Caching.release(spark)
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+      val m = msgs(e)
+      assert(m.contains(k) && m.contains("exact-dedup"), m)
+    }
+    // armed at the group size: passes, min-id survivor kept
+    withCap(Some("9")) {
+      val st = freshState()
+      CurationPipeline.streamIncrement(hot, "doc_id", "text", None, cfg,
+        st, batchId = 0L)
+      graft.Caching.release(spark)
+      val ids = spark.read.parquet(st.outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 100L), s"min-id dedup semantics unchanged: $ids")
+    }
+    // unarmed (default): same batch just processes
+    locally {
+      val st = freshState()
+      CurationPipeline.streamIncrement(hot, "doc_id", "text", None, cfg,
+        st, batchId = 0L)
+      graft.Caching.release(spark)
+      val ids = spark.read.parquet(st.outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 100L), s"min-id dedup semantics unchanged: $ids")
+    }
+  }
+
   test("streaming curation equals the batch pipeline across ordered micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
