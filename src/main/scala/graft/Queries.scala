@@ -297,9 +297,10 @@ object Queries {
   }
 
   /** The BPE pre-tokenizer's regex ([[graft.functions.Bpe]]), spelled once
-    * for the oracle transcriptions.
+    * for the oracle transcriptions. Unicode code-point classes (r17) —
+    * DuckDB's RE2 and Java agree on \p{L}/\p{N} per code point.
     */
-  private val BpePreTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val BpePreTokenRe = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
 
   /** The committed frozen-IVF codebook ([[graft.tools.IvfCentroidsTrain]]
     * output) — the engine ([[Similarity.ivfBuildFrozen]] in x67) and
@@ -1568,7 +1569,7 @@ object Queries {
 
     "x08_text_metrics" ->
       """SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |CAST(len(regexp_extract_all(t, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpeish,
         |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
         |CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','a','an','of','to','in','and','or','is','are','on','for','with','as','by','at'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
         |CAST(length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / NULLIF(length(t), 0) AS punct_ratio
@@ -1604,16 +1605,19 @@ object Queries {
 
     // the PNG branch predicts what a REAL header probe must report (dims
     // from the synthesis arithmetic, 3 RGB components, format "png"); the
-    // text branch transcribes the stub formulas
+    // text branch transcribes the stub formulas. encode(), not CAST(..AS
+    // BLOB): DuckDB's string→BLOB cast ERRORS on non-ASCII bytes where
+    // Spark's cast("binary") yields UTF-8 — found by the r17 doctored
+    // non-ASCII corpus run; encode() is the UTF-8-bytes equivalent
     "x11_mm_image_meta" ->
       """SELECT doc_id AS id,
         |CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 29 + 3 AS BIGINT)
-        |     ELSE CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) % 640 + 1 AS BIGINT) END AS width,
+        |     ELSE CAST(octet_length(encode(COALESCE(text, ''))) % 640 + 1 AS BIGINT) END AS width,
         |CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 23 + 3 AS BIGINT)
-        |     ELSE CAST((octet_length(CAST(COALESCE(text, '') AS BLOB)) * 7) % 480 + 1 AS BIGINT) END AS height,
+        |     ELSE CAST((octet_length(encode(COALESCE(text, ''))) * 7) % 480 + 1 AS BIGINT) END AS height,
         |CAST(3 AS BIGINT) AS channels,
         |CASE WHEN doc_id % 5 < 2 THEN 'png'
-        |     ELSE CASE octet_length(CAST(COALESCE(text, '') AS BLOB)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END END AS format
+        |     ELSE CASE octet_length(encode(COALESCE(text, ''))) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END END AS format
         |FROM documents""".stripMargin,
 
     // AVI branch: frame k's data offset in the fixed-slot MJPEG container
@@ -1624,7 +1628,7 @@ object Queries {
         |CASE WHEN doc_id % 5 < 2 THEN 232 + i.i * 2056 ELSE i.i * 256 END AS byte_offset
         |FROM documents, LATERAL unnest(generate_series(0,
         |  CASE WHEN doc_id % 5 < 2 THEN doc_id % 4
-        |       ELSE octet_length(CAST(COALESCE(text, '') AS BLOB)) // 256 END)) i(i)""".stripMargin,
+        |       ELSE octet_length(encode(COALESCE(text, ''))) // 256 END)) i(i)""".stripMargin,
 
     // PNG branch: the scaled dimensions a real decode of the resized output
     // must report — same floor math as ImageCodecs.resize (`w*16 //
@@ -1632,7 +1636,7 @@ object Queries {
     // every-other-byte output size
     "x14_mm_resize" ->
       """WITH d AS (SELECT doc_id, doc_id % 29 + 3 AS w, doc_id % 23 + 3 AS h,
-        |  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS len FROM documents)
+        |  octet_length(encode(COALESCE(text, ''))) AS len FROM documents)
         |SELECT doc_id AS id,
         |CASE WHEN doc_id % 5 < 2 THEN
         |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w ELSE greatest(1, w * 16 // greatest(w, h)) END AS BIGINT)

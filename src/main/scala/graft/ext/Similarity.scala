@@ -375,11 +375,19 @@ object Similarity {
         .map(_.trim).filter(_.nonEmpty).toArray
       finally in.close()
     require(lines.nonEmpty, s"frozenCentroids: '$resource' is empty")
-    val cents = lines.map { ln =>
+    val cents = lines.zipWithIndex.map { case (ln, i) =>
       val parts = ln.split("\t", 2)
       require(parts.length == 2,
         s"frozenCentroids: malformed line (want id<TAB>components): '$ln'")
-      (parts(0).toInt, parts(1).split(" ").map(java.lang.Double.parseDouble))
+      // name the resource and line on ANY parse failure — a bare
+      // NumberFormatException from a corrupt committed fixture gives the
+      // operator nothing to act on (round-17 sweep)
+      try (parts(0).toInt, parts(1).split(" ").map(java.lang.Double.parseDouble))
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"frozenCentroids: unparseable number in '$resource' line $i: " +
+            s"'$ln' (${e.getMessage})", e)
+      }
     }
     cents.map(_._1).zipWithIndex.foreach { case (id, i) =>
       require(id == i, s"frozenCentroids: cluster ids must be 0..k-1 in " +

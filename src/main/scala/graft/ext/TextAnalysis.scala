@@ -37,13 +37,16 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
 
   /** A BPE-ish token count: runs of letters, runs of digits, or single other
-    * non-space chars — a cheap stand-in for subword tokenization.
+    * non-space chars — a cheap stand-in for subword tokenization. Unicode
+    * code-point classes since round 17, in lockstep with the exact
+    * tokenizer's pre-tokenizer ([[graft.functions.Bpe]] — the pinned
+    * invariant below depends on the classes matching verbatim).
     */
   def bpeishCount(text: Column): Column =
     // NULL text counts as 0, not size(NULL) = -1 (the tokens() rule) — a
     // -1 passes every `n < threshold` gate
     size(regexp_extract_all(coalesce(text, lit("")),
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** EXACT subword token count under a frozen BPE model
     * ([[graft.functions.Bpe]] — default: the committed fixture trained by

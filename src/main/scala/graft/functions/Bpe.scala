@@ -68,8 +68,17 @@ object Bpe {
 
   private[graft] val CacheCap = 1 << 16
 
-  /** The pre-tokenizer — [[graft.ext.TextAnalysis.bpeishCount]]'s classes. */
-  private val PreToken = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+  /** The pre-tokenizer — [[graft.ext.TextAnalysis.bpeishCount]]'s classes.
+    * UNICODE code-point classes (round 17): `\p{L}+|\p{N}+` runs, single
+    * other non-space chars — the GPT-2 published pre-tokenizer's class
+    * shape (sans contractions/space-prefix). The former ASCII classes
+    * made every non-ASCII letter its own single-symbol pre-token, so
+    * "café" or any non-Latin word could never merge across characters.
+    * Java and DuckDB's RE2 agree on \p{L}/\p{N} per code point (astral
+    * letters included — verified side by side), so the oracle
+    * transcription ([[graft.Queries]] BpePreTokenRe) changes in lockstep.
+    */
+  private val PreToken = java.util.regex.Pattern.compile("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]")
 
   /** Parse GPT-2-format merges lines: rank = order of appearance; `#`
     * header and blank lines skipped. A malformed line raises with its

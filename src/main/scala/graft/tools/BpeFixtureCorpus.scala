@@ -32,6 +32,23 @@ object BpeFixtureCorpus {
     "ly", "ness", "ment", "tion", "able", "ist", "ized")
   private val Prefixes = Seq("", "re", "un")
 
+  // Non-ASCII training vocabulary (round 17 — the unicode-class
+  // pre-tokenizer): accented-Latin stems ride the same affix table as the
+  // engine words ("cafés", "recaféing" — morphology the merge table
+  // encodes across the é boundary, which the old ASCII classes made
+  // impossible); Greek/Cyrillic stems cross their own inflection-shaped
+  // suffix rows; CJK words stand alone (no affixing morphology); and
+  // Arabic-Indic digit runs exercise \p{N} outside [0-9]. All literals —
+  // deterministic, byte-identical corpus across runs.
+  private val LatinExtStems = Seq("café", "naïve", "résumé", "señor",
+    "garçon", "crème", "déjà", "über", "fiancée", "jalapeño")
+  private val GreekStems = Seq("λογος", "κοσμος", "φυσις", "αρετη", "δημος")
+  private val CyrillicStems = Seq("слово", "книга", "город", "время", "земля")
+  private val GreekSuffixes = Seq("", "ος", "ου", "ων", "ικος")
+  private val CyrillicSuffixes = Seq("", "ами", "ость", "ный", "ская")
+  private val CjkWords = Seq("東京", "大阪", "学校", "言葉", "電車", "時間")
+  private val ArabicDigits = Seq("١٢٣", "٤٥٦", "٧٨٩", "٠١٢٣٤")
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: BpeFixtureCorpus <baseSfDir> <outDir>")
     val (baseSf, outDir) = (args(0), args(1))
@@ -56,11 +73,14 @@ object BpeFixtureCorpus {
       require(base.nonEmpty, s"BpeFixtureCorpus: no words in $baseSf")
       // prefix × stem × suffix, deduped (affix table rows with "" overlap)
       val words = (for {
-        p <- Prefixes; w <- base; s <- Suffixes
+        p <- Prefixes; w <- (base ++ LatinExtStems); s <- Suffixes
       } yield p + w + s).distinct
+      val greek = for (w <- GreekStems; s <- GreekSuffixes) yield w + s
+      val cyrillic = for (w <- CyrillicStems; s <- CyrillicSuffixes) yield w + s
       val digits = (0 until 300).map(_.toString)
       val punct = Seq(".", ",", ";", ":", "!", "?", "-", "(", ")", "'")
-      val all = (words ++ digits ++ punct).zipWithIndex
+      val all = (words ++ greek ++ cyrillic ++ CjkWords ++ ArabicDigits ++
+        digits ++ punct).distinct.zipWithIndex
       println(s"BpeFixtureCorpus: ${base.length} base words -> ${all.length} tokens")
       // one doc per token; harmonic frequency by a deterministic rank
       // permutation (i * 2654435761 mod size) so morphological families

@@ -52,7 +52,7 @@ object BpeTrain {
         .map(d => spark.read.parquet(s"$d/documents.parquet").select(col("text")))
         .reduce(_ unionByName _)
         .select(explode(regexp_extract_all(coalesce(col("text"), lit("")),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("w"))
+          lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
         .limit(maxVocab + 1)
         .collect().map(r => (r.getString(0), r.getLong(1)))

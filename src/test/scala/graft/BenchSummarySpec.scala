@@ -305,6 +305,24 @@ class BenchSummarySpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
         s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"calib":0.25,"sf":"$sf"}}""")
       assert(Bench.priors(sf, dir)._2.contains(0.25))
+      // CORRUPT calib shapes (round-17 sweep) degrade to None — the gate
+      // runs un-de-rated, medians still usable — never throw, never
+      // produce a de-rate from garbage: a string, zero, a negative, a
+      // nested object, and a JSON-invalid NaN literal (which poisons the
+      // whole parse ⇒ the dark path, empty medians AND no calib)
+      for (bad <- Seq("\"0.25\"", "0", "-0.3", "{}")) {
+        java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
+          s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"calib":$bad,"sf":"$sf"}}""")
+        val (m, c) = Bench.priors(sf, dir)
+        assert(c.isEmpty, s"calib=$bad must yield no de-rate constant")
+        assert(m.nonEmpty, s"calib=$bad must not poison the medians")
+      }
+      java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
+        s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"calib":NaN,"sf":"$sf"}}""")
+      locally {
+        val (m, c) = Bench.priors(sf, dir)
+        assert(c.isEmpty && m.isEmpty, "invalid-JSON NaN must take the dark path")
+      }
       java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r11.json"),
         s"""{"parsed":{"queries":{"q01":0.31,"x39":11.51},"sf":"$sf"}}""")
       // an sf-mismatched prior must NOT compare: sf1 floors vs sf0.1

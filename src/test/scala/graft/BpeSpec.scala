@@ -181,6 +181,57 @@ class BpeSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(x + " " + x)) == 2L)
   }
 
+  test("whole-pipeline x66/x69 rows over non-ASCII words match the committed lexicon (round-17 unicode classes)") {
+    import spark.implicits._
+    // the committed lexicon is the EXPECTATION side — the same artifact
+    // the DuckDB oracle joins; parsing it here keeps the assertions
+    // independent of the live encoder
+    val in = Thread.currentThread().getContextClassLoader
+      .getResourceAsStream("graft/bpe/lexicon.tsv")
+    assert(in != null, "lexicon.tsv missing")
+    val lex = (try new String(in.readAllBytes(), "UTF-8") finally in.close())
+      .linesIterator.filter(_.nonEmpty).map(_.split("\t", -1))
+      .map(p => p(0) -> ((p(2).toInt, p(3)))).toMap
+    // the fixture must actually CARRY non-ASCII words now, and they must
+    // merge across characters (the whole point of the class change: under
+    // the ASCII pre-tokenizer a non-ASCII word could never appear as one
+    // lexicon pre-token at all)
+    val nonAscii = lex.keys.filter(_.exists(_ > 127)).toSeq.sorted
+    assert(nonAscii.size >= 100, s"only ${nonAscii.size} non-ASCII lexicon words")
+    assert(nonAscii.exists(w => w.codePointCount(0, w.length) > 1 &&
+      lex(w)._1 < w.codePointCount(0, w.length)),
+      "no multi-char non-ASCII word merged below its code-point count")
+    def idsOfText(words: Seq[String]): Seq[Int] =
+      words.flatMap(w => lex(w)._2.split(",").map(_.toInt))
+    val docA = nonAscii.take(8)                   // < 32 tokens: one chunk
+    val docB = nonAscii.slice(8, 88)              // well past 2 windows
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_nonascii")
+    Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+        (3L, "☃☃☃ ₿"))                            // outside the lexicon: -1s, never a raise
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    // x66 end-to-end: per-doc exact count + id csv
+    val x66 = SparkEntry.queries("x66_bpe_token_count")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(x66(1L) === ((idsOfText(docA).size.toLong, idsOfText(docA).mkString(","))))
+    assert(x66(2L) === ((idsOfText(docB).size.toLong, idsOfText(docB).mkString(","))))
+    assert(x66(3L) === ((4L, "-1,-1,-1,-1")), s"unknown symbols must count as -1s: ${x66(3L)}")
+    // x69 end-to-end: window/stride chunking over the exact id sequence —
+    // replicate the kept-starts rule (starts at stride steps; a tail start
+    // survives only at 0 or when it still covers new tokens)
+    val x69 = SparkEntry.queries("x69_bpe_chunks")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getString(4)).toMap
+    def expectedChunks(ids: Seq[Int], window: Int = 32, stride: Int = 16) =
+      Iterator.from(0, stride).map(_.toLong)
+        .takeWhile(s => s < ids.size && (s == 0 || s + window - stride < ids.size))
+        .map(s => s -> ids.slice(s.toInt, s.toInt + window).mkString(",")).toMap
+    for ((doc, words) <- Seq(1L -> docA, 2L -> docB)) {
+      val exp = expectedChunks(idsOfText(words))
+      val got = x69.collect { case ((d, s), c) if d == doc => s -> c }
+      assert(got === exp, s"doc $doc chunks: got $got expected $exp")
+    }
+  }
+
   test("memo under concurrent first-touch: identical results, bounded size (round-16 sweep)") {
     val model = Bpe.fromResource(Bpe.DefaultResource) // fresh memo, un-shared
     val words = (0 until 2000).map(i => s"stream${i % 503}ing")

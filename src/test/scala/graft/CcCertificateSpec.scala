@@ -93,4 +93,31 @@ class CcCertificateSpec extends SparkSpec {
     val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
     intercept[IllegalArgumentException](labels(chain, maxIters = 1))
   }
+
+  test("empty edge set and self-loop-only input converge in zero rounds to an empty mapping (round-17 sweep)") {
+    // the `converged ||= prevCount == 0` path: an empty pair frame (and a
+    // frame whose every edge is a self-loop, filtered by cc_init) must
+    // converge with maxIters = 0 — the certificate sees zero sources,
+    // every clause vacuous — and return an EMPTY mapping, never raise
+    assert(labels(Seq.empty, maxIters = 0) === Map.empty)
+    assert(labels(Seq((3L, 3L), (7L, 7L)), maxIters = 0) === Map.empty)
+    // self-loops mixed into a real graph vanish without affecting labels
+    assert(labels(Seq((3L, 3L), (9L, 1L), (9L, 9L))) === Map(1L -> 1L, 9L -> 1L))
+  }
+
+  test("width interaction: the adapted-width loop and the full-width loop agree (round-17 sweep)") {
+    // loopWidth narrows to ~1 partition on tiny edge sets and leaves the
+    // plan untouched when the session width is already at or below the
+    // adapted width — both paths must produce identical labels. The test
+    // session plans at shuffle.partitions = 4, so the default run takes
+    // Some(1) and the narrowed session takes the width = None branch.
+    val pairs = ((1L to 24L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((30L, 31L), (31L, 32L), (9L, 30L)))
+    val wide = labels(pairs)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try assert(labels(pairs) === wide,
+      "width = None (session already narrow) must match the adapted-width labels")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

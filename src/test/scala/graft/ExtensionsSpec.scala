@@ -547,6 +547,74 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === clean, s"replayed pairs $got != clean-run pairs $clean")
   }
 
+  test("every crash window of the deferred write set replays to identical pairs and a probe-identical index (round-17 sweep)") {
+    import spark.implicits._
+    // the three deferred writes run CONCURRENTLY, so a crash can leave any
+    // completed-subset behind: r16 pinned {bands, shingles} (dump missing)
+    // and the full set (plain replay); this drives the remaining windows —
+    // dump-only, bands-only, shingles-only, dump+shingles — plus the
+    // FIRST-batch half-created index (one table exists, the other
+    // doesn't), which the exists-check treats as a fresh stream. After
+    // each replay, a follow-on batch must produce the same pairs as on a
+    // never-crashed index — the probe-identical bar, not row-identity
+    // (replayed appends legally duplicate index rows).
+    val p30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b1 = Seq(41L -> s"$p30 one").toDF("doc_id", "text")
+    val b2 = Seq(42L -> s"$p30 two", 43L -> s"$p30 two three").toDF("doc_id", "text")
+    val b3 = Seq(44L -> s"$p30 four").toDF("doc_id", "text")
+    val cleanAll = Dedup.minHashLsh(
+        Dedup.wordShingles(b1.union(b2).union(b3), "doc_id", "text", 3), 0.5)
+      .select("d1", "d2", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // crash-after-batch-2 windows: subsets of (0=dump, 1=bands, 2=shingles)
+    for ((ran, tag) <- Seq(Seq(0) -> "dump", Seq(1) -> "bands",
+        Seq(2) -> "shingles", Seq(0, 2) -> "dump+shingles")) {
+      val idx = Dedup.LshIndex(s"t17cw_${tag.replace("+", "_")}_b",
+        s"t17cw_${tag.replace("+", "_")}_s", numBuckets = 2)
+      dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cw_$tag")
+      val pairsDir = tmp.resolve("pairs").toString
+      Dedup.minHashLshIncrement(b1, "doc_id", "text", 0.5, idx, pairsDir, 0L)
+      val (_, appends, cleanup) = Dedup.minHashLshIncrementDeferred(
+        b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+      try ran.foreach(i => appends(i).apply()) finally cleanup()
+      // the replay, then the follow-on batch on the recovered state
+      Dedup.minHashLshIncrement(b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+      Dedup.minHashLshIncrement(b3, "doc_id", "text", 0.5, idx, pairsDir, 2L)
+      val got = spark.read.parquet(pairsDir)
+        .select("d1", "d2", "inter_cnt", "union_cnt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      graft.Caching.release(spark)
+      dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+      assert(got === cleanAll, s"window '$tag': $got != clean $cleanAll")
+    }
+    // FIRST-batch half-created index: only the bands append committed,
+    // then crash. The exists-check requires BOTH tables, so the replay
+    // rebuilds from scratch (overwrite mode) — trusting the half state
+    // would throw on the missing shingles table forever.
+    locally {
+      val idx = Dedup.LshIndex("t17cw_first_b", "t17cw_first_s", numBuckets = 2)
+      dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cw_first")
+      val pairsDir = tmp.resolve("pairs").toString
+      val (_, appends, cleanup) = Dedup.minHashLshIncrementDeferred(
+        b1, "doc_id", "text", 0.5, idx, pairsDir, 0L)
+      try appends(1).apply() finally cleanup()
+      assert(spark.catalog.tableExists(idx.bandsTable) &&
+        !spark.catalog.tableExists(idx.shinglesTable),
+        "fixture: the half-created window requires exactly one table")
+      Dedup.minHashLshIncrement(b1, "doc_id", "text", 0.5, idx, pairsDir, 0L)
+      Dedup.minHashLshIncrement(b2, "doc_id", "text", 0.5, idx, pairsDir, 1L)
+      Dedup.minHashLshIncrement(b3, "doc_id", "text", 0.5, idx, pairsDir, 2L)
+      val got = spark.read.parquet(pairsDir)
+        .select("d1", "d2", "inter_cnt", "union_cnt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      graft.Caching.release(spark)
+      dropTableHard(idx.bandsTable); dropTableHard(idx.shinglesTable)
+      assert(got === cleanAll, s"half-created first batch: $got != clean $cleanAll")
+    }
+  }
+
   test("minHashLshIncrement replay is idempotent: pairs rewrite their batch partition") {
     import spark.implicits._
     val p30 = (1 to 30).map(i => s"q$i").mkString(" ")
@@ -2517,5 +2585,32 @@ class ExtensionsSpec extends SparkSpec {
       array().cast("array<double>"))).collect())
     assert(exceptionChain(emptyM).exists(m => m.getMessage != null &&
       m.getMessage.contains("not a rectangle")), s"got: ${emptyM.getMessage}")
+  }
+
+  test("frozenCentroids fuzz: every malformed committed-fixture shape raises naming the defect (round-17 sweep)") {
+    // the clean fixture parses bit-exact
+    val ok = Similarity.frozenCentroids("/graft/ivf_fuzz/ok.tsv")
+    assert(ok.length == 2 && ok(0).toSeq == Seq(0.5, 1.5) && ok(1).toSeq == Seq(2.5, 3.5))
+    // each mutation raises with an actionable message — the loader stands
+    // between a corrupt committed artifact and a silently wrong index
+    val expect = Seq(
+      "gap_ids" -> "0..k-1",          // id 2 where 1 expected
+      "out_of_order" -> "0..k-1",     // ids reversed
+      "ragged" -> "ragged",           // dim mismatch
+      "nan" -> "non-finite",
+      "inf" -> "non-finite",
+      "no_tab" -> "malformed line",
+      "bad_id" -> "unparseable number",
+      "bad_component" -> "unparseable number",
+      "double_space" -> "unparseable number", // "" between the spaces
+      "blank" -> "is empty",
+      "empty_components" -> "malformed line", // ".trim" eats the trailing tab
+      "missing" -> "not found")
+    for ((name, needle) <- expect) {
+      val e = intercept[Exception](
+        Similarity.frozenCentroids(s"/graft/ivf_fuzz/$name.tsv"))
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"$name.tsv: expected '$needle' in: ${e.getMessage}")
+    }
   }
 }
