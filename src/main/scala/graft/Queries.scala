@@ -298,9 +298,13 @@ object Queries {
 
   /** The BPE pre-tokenizer's regex ([[graft.functions.Bpe]]), spelled once
     * for the oracle transcriptions. Unicode code-point classes (r17) —
-    * DuckDB's RE2 and Java agree on \p{L}/\p{N} per code point.
+    * DuckDB's RE2 and Java agree on \p{L}/\p{N} per code point. The
+    * whitespace class is spelled EXPLICITLY as Java's \s
+    * ([ \t\n\x0B\f\r]): RE2's \s omits \x0B, so a vertical tab in text
+    * would silently diverge the two engines (the r17 whitespace-lockstep
+    * sweep — every oracle's '\s' was rewritten the same way).
     */
-  private val BpePreTokenRe = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  private val BpePreTokenRe = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\v\\f\\r]"
 
   /** The committed frozen-IVF codebook ([[graft.tools.IvfCentroidsTrain]]
     * output) — the engine ([[Similarity.ivfBuildFrozen]] in x67) and
@@ -1359,7 +1363,7 @@ object Queries {
 
     "q02_flatmap_wordcount" ->
       """SELECT w AS word, COUNT(*) AS cnt
-        |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+        |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '')) AS w
         |      FROM documents) GROUP BY w""".stripMargin,
 
     "q03_transform_value" ->
@@ -1488,7 +1492,7 @@ object Queries {
       // (Hashing.md5Hash60), per-bit occurrence majority, then brute-force
       // Hamming pairs (the Spark side's pigeonhole bands are exact, so the
       // brute-force compare is the oracle)
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w FROM documents),
         |words AS (SELECT doc_id, unnest(w) AS wd FROM toks),
         |wh AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(wd), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM words),
         |bits AS (SELECT doc_id, b.b AS bit, SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -1569,17 +1573,17 @@ object Queries {
 
     "x08_text_metrics" ->
       """SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |CAST(len(regexp_extract_all(t, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpeish,
+        |CAST(len(regexp_extract_all(t, '\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\v\f\r]')) AS BIGINT) AS n_bpeish,
         |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
         |CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','a','an','of','to','in','and','or','is','are','on','for','with','as','by','at'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
         |CAST(length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / NULLIF(length(t), 0) AS punct_ratio
-        |FROM (SELECT doc_id, COALESCE(text, '') AS t, list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, COALESCE(text, '') AS t, list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
 
     "x09_lang_id" ->
       // transcription of TextAnalysis.langId: per-language stopword-profile
       // score, argmax resolved (score desc, lang desc) like the Spark side's
       // sort_array(...)[-1]
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS t FROM documents),
         |langs(lang, words) AS (VALUES
         |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
         |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
@@ -1739,7 +1743,7 @@ object Queries {
       // doc, symmetric df cap across both corpora, equi-join + pair count.
       // (Spark joins on 60-bit md5 gram hashes; the oracle joins on the gram
       // strings — identical counts absent a 2⁻⁶⁰ collision.)
-      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
         |  FROM toks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
@@ -1855,8 +1859,8 @@ object Queries {
       // (n_tokens IS NOT NULL, text IS NOT NULL) dropped such docs from
       // the quantile sample and KMV sketch while Spark counted them
       """WITH toks AS (SELECT doc_id, COALESCE(text, '') AS text,
-        |  list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\s+'), x -> x <> '') AS lt,
-        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '[ \t\n\v\f\r]+'), x -> x <> '') AS lt,
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |langs(lang, words) AS (VALUES
         |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
@@ -1937,7 +1941,7 @@ object Queries {
       // hash-match only because both engines run the IDENTICAL operations
       // in the IDENTICAL order (1.0 - d/n, max/nb) — an algebraically
       // equal reordering like (n-d)/n would diverge in the last bit
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, w,
         |  CASE WHEN len(w) >= 2
         |       THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
@@ -2059,7 +2063,7 @@ object Queries {
     // the x16 md5 bucket < thr as a double compare
     "x41_temperature_sample" ->
       ("""WITH t AS (SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS msum FROM t GROUP BY source),
         |tot AS (SELECT CAST(SUM(msum) AS BIGINT) AS mt,
@@ -2102,7 +2106,7 @@ object Queries {
     // carry through the LEFT JOIN with n_tokens 0 / NULL score.
     "x43_unigram_quality" ->
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents),
         |dtc AS (SELECT doc_id, tok, COUNT(*) AS cnt
         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toked) GROUP BY 1, 2),
         |freq AS (SELECT tok, SUM(cnt) AS c FROM dtc GROUP BY 1),
@@ -2125,17 +2129,17 @@ object Queries {
       // NULL text coalesces once at the top (the x36/x52 lockstep stance):
       // the Spark side measures NULL as the empty text
       """WITH base AS (SELECT doc_id, COALESCE(text, '') AS text,
-        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks,
+        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks,
         |  string_split(regexp_replace(COALESCE(text, ''), '\n+$', ''), chr(10)) AS lns FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_words,
-        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_len,
-        |  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha,
+        |  CAST(length(regexp_replace(text, '[ \t\n\v\f\r]+', '', 'g')) AS BIGINT) AS sum_len,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\v\f\r]*[A-Za-z][^ \t\n\v\f\r]*')) AS BIGINT) AS n_alpha,
         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
         |  CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_ellipsis_ch,
         |  CAST(len(lns) AS BIGINT) AS n_lines,
-        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[•\-\*]'))) AS BIGINT) AS n_bullet,
-        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis,
+        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '^[ \t\n\v\f\r]*[•\-\*]'))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)[ \t\n\v\f\r]*$'))) AS BIGINT) AS n_ellipsis,
         |  CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop
         |  FROM base),
         |r AS (SELECT doc_id, n_words,
@@ -2177,7 +2181,7 @@ object Queries {
     // die in the exact join), so the transcription is x15's plain join at
     // the x46 gram length and holdout slice
     "x46_bloom_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${BloomDecontamN - 1}], ' ') AS g
         |  FROM toks, LATERAL unnest(generate_series(1, len(w) - ${BloomDecontamN - 1})) i(i) WHERE len(w) >= $BloomDecontamN),
@@ -2194,7 +2198,7 @@ object Queries {
     // Scala literals, so copy counts match to the ULP.
     "x48_temperature_resample" ->
       ("""WITH t AS (SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS msum FROM t GROUP BY source),
         |tot AS (SELECT CAST(SUM(msum) AS BIGINT) AS mt,
@@ -2230,7 +2234,7 @@ object Queries {
     // the LEFT JOIN with n_pairs 0 / NULL score.
     "x51_bigram_quality" ->
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t FROM documents),
+        |  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS t FROM documents),
         |dpc AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM (
         |  SELECT doc_id, t[i.i] AS w1, t[i.i+1] AS w2
         |  FROM toked, LATERAL unnest(generate_series(1, len(t) - 1)) i(i) WHERE len(t) >= 2)
@@ -2300,7 +2304,7 @@ object Queries {
     // the 1-based inclusive token slice [s+1, s+32]
     "x53_chunk_windows" ->
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents),
         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM toked WHERE len(toks) >= 1),
         |st AS (SELECT doc_id, toks, n,
         |  unnest(list_filter(generate_series(0, n - 1, 16), s -> s = 0 OR s + 16 < n)) AS s FROM base)
@@ -2326,7 +2330,7 @@ object Queries {
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS r FROM documents),
         |toked AS (SELECT doc_id, r,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM rws),
+        |  list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM rws),
         |wins AS (SELECT doc_id, r,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1 AS BIGINT)),
@@ -2377,7 +2381,7 @@ object Queries {
     // floor-log2 log-odds on exact counts, prior from the corpus totals
     "x56_hashed_logodds" ->
       """WITH toked AS (SELECT doc_id, source = 'src0' AS pos,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents),
         |tk AS (SELECT doc_id, pos,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1 AS BIGINT)),
@@ -2406,7 +2410,7 @@ object Queries {
     "x57_span_removal" ->
       // NULL text tokenizes as empty in both engines (lockstep stance)
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents),
         |wins AS (SELECT doc_id, u.p AS p,
         |  list_reduce(list_transform(generate_series(1, 15),
         |    j -> CAST(strpos('0123456789abcdef', substr(md5(u.g), j, 1)) - 1 AS BIGINT)),
@@ -2437,7 +2441,7 @@ object Queries {
     // summed left-to-right, row_number (score DESC, doc ASC) ≡ graft_topk
     "x58_bm25_topk" ->
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents),
         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l,
         |  CAST(SUM(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
@@ -2469,7 +2473,7 @@ object Queries {
     // per (query, doc), rank by (score DESC, doc ASC)
     "x59_bm25_join" ->
       """WITH toked AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS toks FROM documents),
         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM d),
         |cst AS (SELECT n, (1000 * l) // n AS av FROM st),
@@ -2496,7 +2500,7 @@ object Queries {
     // 1-row broadcast)
     "x68_bm25_bounded" ->
       """WITH raw AS (SELECT doc_id,
-        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '') AS w FROM documents),
+        |  list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '') AS w FROM documents),
         |toked AS (SELECT doc_id,
         |  list_transform(generate_series(1, len(w)),
         |    i -> lower(w[i]) || '_' || CAST((doc_id + (i - 1) * 40507) % 24 AS VARCHAR)) AS toks
@@ -2533,7 +2537,7 @@ object Queries {
     "x60_source_profile" ->
       // the x36 NULL≡empty stance: text coalesces ONCE at the top
       """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text, COALESCE(CAST(source AS VARCHAR), '<null>') AS source,
-        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \t\n\v\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |counts AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
         |qh AS (SELECT source, CAST(n_tokens AS DOUBLE) AS v,
@@ -2594,7 +2598,7 @@ object Queries {
            |), sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)""".stripMargin
       else "), sh AS (SELECT doc_id, s FROM sh0"
     s"""WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
       |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3
@@ -2703,10 +2707,10 @@ object Queries {
       |      CASE WHEN len(g2) > 0 THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) ELSE 0.0 END AS topb_frac
       |    FROM (SELECT doc_id, text, w,
       |            CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2
-      |          FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM train)))
+      |          FROM (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM train)))
       |  WHERE n_toks BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
       |    AND dup_frac <= 0.7 AND topb_frac <= 0.2),
-      |ltoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t FROM q),
+      |ltoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t FROM q),
       |langs(lang, words) AS (VALUES
       |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
       |  ('en', ['the','of','and','to','in','is','it','that','for','with']),
@@ -2718,7 +2722,7 @@ object Queries {
       |f AS (SELECT q.doc_id, q.text FROM q JOIN best USING (doc_id) WHERE best.lang = 'en'),
       |e AS (SELECT f.doc_id, f.text FROM f
       |      JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(COALESCE(text, ''))) k USING (doc_id)),
-      |etoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM e),
+      |etoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM e),
       |sh AS (SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
       |       FROM etoks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -2728,10 +2732,10 @@ object Queries {
       |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
       |  WHERE CAST(ic AS DOUBLE) >= 0.5 * (x.n + y.n - ic)),
       |nd AS (SELECT doc_id, text FROM e WHERE doc_id NOT IN (SELECT d2 FROM dup2)),
-      |ndtoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM nd),
+      |ndtoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM nd),
       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
       |       FROM ndtoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
-      |htoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents WHERE doc_id % 10 = 7),
+      |htoks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w FROM documents WHERE doc_id % 10 = 7),
       |hg AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+${DecontamN - 1}], ' ') AS g
       |       FROM htoks, LATERAL unnest(generate_series(1, len(w) - ${DecontamN - 1})) i(i) WHERE len(w) >= $DecontamN),
       |$leakSection
@@ -2745,7 +2749,7 @@ object Queries {
       |  CASE WHEN sbucket < 8000 THEN 'train' WHEN sbucket < 9000 THEN 'val' ELSE 'test' END AS split
       |  FROM sp),
       |pk AS (SELECT doc_id, split,
-      |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
       |  list_reduce(list_transform(generate_series(1, 15),
       |    j -> CAST(strpos('0123456789abcdef', substr(md5(COALESCE(text, '')), j, 1)) - 1 AS BIGINT)),
       |    (a, b) -> a * 16 + b) AS __th,
@@ -2766,7 +2770,7 @@ object Queries {
     * Shared by x10 (the fingerprint table itself) and x29 (its self-join).
     */
   private lazy val fingerprintsOracle: String =
-    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w FROM documents),
       |grams AS (
       |  SELECT doc_id, i.i AS pos,
       |         list_reduce(list_transform(generate_series(1, 15), j -> CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i.i:i.i+4], ' ')), j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
