@@ -303,6 +303,14 @@ object Queries {
     * ([ \t\n\x0B\f\r]): RE2's \s omits \x0B, so a vertical tab in text
     * would silently diverge the two engines (the r17 whitespace-lockstep
     * sweep — every oracle's '\s' was rewritten the same way).
+    *
+    * KNOWN remaining lockstep edge (audited r17, not fixable in SQL):
+    * `lower()` divergence on full-vs-simple case mapping — Java maps
+    * word-final 'Σ'→'ς' and 'İ'→'i'+U+0307 where DuckDB maps 'Σ'→'σ'
+    * and 'İ'→'i'. RE2 has no lookahead to transcribe the contextual
+    * rule. Unreachable today: the corpora carry no uppercase non-ASCII,
+    * and any new word entering the BPE family poisons loudly via the
+    * lexicon join rather than mismatching silently.
     */
   private val BpePreTokenRe = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\v\\f\\r]"
 
