@@ -254,7 +254,12 @@ object Similarity {
   private def widenIfNarrow[T](ds: org.apache.spark.sql.Dataset[T])
       : org.apache.spark.sql.Dataset[T] = {
     val p = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+    // a STREAMING frame admits no partition probe before execution (.rdd
+    // throws on unresolved streaming sources); every current caller wraps
+    // streams in foreachBatch, but if one ever doesn't, keep the r16
+    // unconditional-widening behavior rather than crash the stream
+    if (ds.isStreaming) ds.repartition(p)
+    else if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
 
   /** [[nearest]] on the `off ..< off + c(0).length` slice of `v` without

@@ -979,6 +979,25 @@ class CurationSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(ids === Set(1L, 100L), s"min-id dedup semantics unchanged: $ids")
     }
+    // the guard's zero-extra-exchange claim: the armed shape (count + min
+    // over the SAME window spec, the count consumed inside a when) plans
+    // as ONE Window operator behind ONE hash exchange — Spark collapses
+    // same-spec window expressions; if it ever stops, the armed guard
+    // would silently double the dedup shuffle
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__h"))
+      val armed = spark.range(100).select(col("id"), (col("id") % 5).as("__h"))
+        .withColumn("__minid",
+          when(count(lit(1)).over(w) > 1000000L,
+            raise_error(lit("cap")).cast("long"))
+            .otherwise(min(col("id")).over(w)))
+      val p = armed.queryExecution.executedPlan.toString
+      val windowOps = p.linesIterator.count(_.matches(""".*[\s\-+:]Window \[.*"""))
+      assert(windowOps === 1, s"armed guard must plan ONE Window operator, got $windowOps: $p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+        s"armed guard must keep the single dedup exchange: $p")
+    }
   }
 
   test("streaming curation equals the batch pipeline across ordered micro-batches") {
