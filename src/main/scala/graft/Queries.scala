@@ -643,6 +643,30 @@ object Queries {
       Dedup.dedupLines(synth, "doc_id", "text")
     }),
 
+    // CROSS-CORPUS near-dup pairs — "dedup this dump against the previous
+    // one": the even-doc_id half plays the new dump, the odd half the
+    // already-shipped reference; candidates come only from the between-side
+    // band join (no within-side pair is ever generated), verified with
+    // exact Jaccard. Same recall argument as x03 (the cross pairs are a
+    // subset of x03's pair set, which the LSH path finds exactly).
+    "x70_cross_dedup_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashLshCross(
+        Dedup.wordShingles(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3),
+        Dedup.wordShingles(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3),
+        0.5)
+    }),
+
+    // the drop decision over x70: new-dump docs that near-dup any reference
+    // doc are removed, everything else (including sub-3-token docs with no
+    // shingles) survives; the reference half is never touched
+    "x71_cross_dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.5)
+        .select("doc_id")
+    }),
+
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
@@ -1494,6 +1518,15 @@ object Queries {
         |  SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM walk GROUP BY a""".stripMargin,
+
+    // the LSH cross path verifies exactly, and its cross candidates are a
+    // subset of the x03-proven pair set ⇒ same output as the exact
+    // cross-corpus Jaccard
+    "x70_cross_dedup_pairs" -> crossJaccardOracle,
+
+    "x71_cross_dedup_keep" ->
+      s"""SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |  AND doc_id NOT IN (SELECT corpus_id FROM ($crossJaccardOracle))""".stripMargin,
 
     "x04_dedup_simhash" ->
       // transcription of Dedup.simHash: per-word hash = 60-bit md5 prefix
@@ -2599,7 +2632,12 @@ object Queries {
     * document frequency above [[JaccardDfCap]] from the whole computation —
     * the transcription of `Dedup.jaccardPairs`'s `maxShingleDf` anti-join.
     */
-  private def jaccardOracleSql(capped: Boolean): String = {
+  /** The shared shingle CTE prefix (toks → sh → sz): ONE transcription of
+    * the tokenize/shingle kernel feeds the self-join oracle AND the
+    * cross-corpus oracle below, so a lockstep fix (e.g. the round-17
+    * explicit Java whitespace class) cannot drift between them.
+    */
+  private def shingleSizeCtes(capped: Boolean): String = {
     val capCte =
       if (capped)
         s"""), hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $JaccardDfCap
@@ -2611,7 +2649,11 @@ object Queries {
       |  SELECT DISTINCT doc_id, w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS s
       |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) i(i) WHERE len(w) >= 3
       |$capCte
-      |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  private def jaccardOracleSql(capped: Boolean): String =
+    s"""${shingleSizeCtes(capped)},
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_cnt
       |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -2619,10 +2661,26 @@ object Queries {
       |       CAST(inter_cnt AS DOUBLE) / (x.n + y.n - inter_cnt) AS jaccard
       |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
       |WHERE CAST(inter_cnt AS DOUBLE) >= 0.5 * (x.n + y.n - inter_cnt)""".stripMargin
-  }
 
   private lazy val jaccardOracle: String = jaccardOracleSql(capped = false)
   private lazy val cappedJaccardOracle: String = jaccardOracleSql(capped = true)
+
+  /** Cross-corpus exact-Jaccard oracle: pairs BETWEEN the even-doc_id
+    * corpus and the odd-doc_id reference only — the x70 declared split.
+    * `% 2 = 0` vs `% 2 <> 0` partitions ALL integers identically in both
+    * engines (a `= 1` reference side would silently drop negative odd ids
+    * in DuckDB, where -1 % 2 = -1).
+    */
+  private lazy val crossJaccardOracle: String =
+    s"""${shingleSizeCtes(capped = false)},
+      |inter AS (
+      |  SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, COUNT(*) AS inter_cnt
+      |  FROM sh a JOIN sh b USING (s)
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0 GROUP BY 1, 2)
+      |SELECT corpus_id, ref_id, inter_cnt, x.n + y.n - inter_cnt AS union_cnt,
+      |       CAST(inter_cnt AS DOUBLE) / (x.n + y.n - inter_cnt) AS jaccard
+      |FROM inter JOIN sz x ON corpus_id = x.doc_id JOIN sz y ON ref_id = y.doc_id
+      |WHERE CAST(inter_cnt AS DOUBLE) >= 0.5 * (x.n + y.n - inter_cnt)""".stripMargin
 
   /** Stage-by-stage transcription of the curation pipeline with the
     * declared x18 config; each CTE reuses the transcription already proven

@@ -171,6 +171,87 @@ object Dedup {
       threshold)
   }
 
+  /** Cross-corpus near-dup pairs — "dedup this dump against the previous
+    * one" at the fuzzy level: MinHash-banded candidates BETWEEN the corpus
+    * and reference shingle sets only, verified with exact Jaccard (no false
+    * positives; equals the exact cross-corpus Jaccard whenever LSH recall
+    * is 1). Output: (corpus_id, ref_id, inter_cnt, union_cnt, jaccard) —
+    * the two ids are SEPARATE namespaces (a new dump vs its predecessor),
+    * so unlike [[minHashLsh]] there is no d1 < d2 canonicalization: the
+    * column names carry which side each doc came from, and the same id
+    * value on both sides means two different documents, never a self-pair.
+    *
+    * This is the lexical sibling of [[Decontaminate.semanticDecontaminate]]
+    * (embedding-space cross-frame near-dup) — the family was asymmetric
+    * without it: batch lexical near-dup existed only as a self-join
+    * ([[minHashLsh]]) or against a persisted streaming index
+    * ([[minHashLshIncrement]]).
+    *
+    * Scale: both sides band independently (incremental MinHashBandsAgg,
+    * map-side combined — the [[signatureBands]] kernel, so the two corpora
+    * band identically); candidates are ONE equi-join between the two band
+    * sets, so n_corpus × n_ref never materializes — and vs running
+    * [[minHashLsh]] over a tagged union and filtering, neither side pays
+    * its own within-side candidate half (for a dump re-crawled at 90%
+    * overlap that half is most of the join). Verification explodes only
+    * candidate documents' shingles (the corpus-scale verify shape
+    * [[minHashLsh]]'s scaladoc argues for). Each shingle frame feeds its
+    * signature aggregate, its size aggregate and one verify side — scoped
+    * persists stop the tokenize+explode+distinct subtrees running 3×;
+    * callers release via [[graft.Caching.release]].
+    */
+  def minHashLshCross(corpusShingles: DataFrame, refShingles: DataFrame,
+                      threshold: Double, numHashes: Int = 64,
+                      bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0)
+    val c = graft.Caching.scoped(corpusShingles)
+    val r = graft.Caching.scoped(refShingles)
+    // bands feed exactly one join side each — no reuse, so (unlike the
+    // self-join path) persisting them would only cost memory
+    val cand = signatureBands(c, numHashes, bandSize)
+      .toDF("corpus_id", "band", "band_key")
+      .join(signatureBands(r, numHashes, bandSize)
+        .toDF("ref_id", "band", "band_key"), Seq("band", "band_key"))
+      .select("corpus_id", "ref_id").distinct()
+    val cSizes = c.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("corpus_id", "n1")
+    val rSizes = r.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("ref_id", "n2")
+    // rename through emitVerifiedPairs' (d1, d2) contract and back: the
+    // verify-and-emit tail stays ONE definition across every pair path
+    emitVerifiedPairs(
+      cand
+        .join(c.toDF("corpus_id", "s"), "corpus_id")
+        .join(r.toDF("ref_id", "s2"), "ref_id")
+        .filter(col("s") === col("s2"))
+        .groupBy("corpus_id", "ref_id").agg(count(lit(1)).as("inter_cnt"))
+        .join(cSizes, "corpus_id")
+        .join(rSizes, "ref_id")
+        .select(col("corpus_id").as("d1"), col("ref_id").as("d2"),
+          col("inter_cnt"), col("n1"), col("n2")),
+      threshold)
+      .withColumnRenamed("d1", "corpus_id")
+      .withColumnRenamed("d2", "ref_id")
+  }
+
+  /** The drop DECISION over [[minHashLshCross]]: corpus documents that
+    * near-dup ANY reference document are removed; everything else survives,
+    * including sub-`shingleN`-token documents that produce no shingles (the
+    * [[keepList]] contract — a doc with no features never pairs). The
+    * reference side is never dropped: the already-shipped dump is
+    * immutable, this filters the NEW one. One anti-join on the skinny
+    * dropped-id set; NULL-id rows survive (an anti-join's NULL key matches
+    * nothing), the [[keepList]] rule.
+    */
+  def dedupAgainst(corpus: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, threshold: Double, shingleN: Int = 3,
+                   numHashes: Int = 64, bandSize: Int = 2): DataFrame =
+    corpus.join(
+      minHashLshCross(
+        wordShingles(corpus, idCol, textCol, shingleN),
+        wordShingles(reference, idCol, textCol, shingleN),
+        threshold, numHashes, bandSize)
+        .select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** The persisted corpus index behind [[minHashLshStream]]: two bucketed
     * catalog tables.
     *

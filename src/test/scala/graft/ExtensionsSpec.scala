@@ -21,6 +21,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("cross-corpus LSH pairs equal the exact cross-Jaccard; only between-side pairs emit") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val ref = docs.filter(col("doc_id") % 2 =!= 0)
+    // the exact answer: the proven self-join path on the full corpus,
+    // filtered to cross-parity pairs and re-oriented (corpus side first)
+    val exact = Dedup.jaccardPairs(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b) => if (a % 2 == 0) (a, b) else (b, a) }.toSet
+    val cross = Dedup.minHashLshCross(
+        Dedup.wordShingles(corpus, "doc_id", "text", 3),
+        Dedup.wordShingles(ref, "doc_id", "text", 3), 0.5)
+      .select("corpus_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    assert(cross == exact, s"cross=${cross.size} exact=${exact.size}")
+    assert(cross.forall { case (c, r) => c % 2 == 0 && r % 2 != 0 },
+      "a within-side pair leaked through the cross band join")
+  }
+
+  test("dedupAgainst drops exactly the cross-paired corpus docs; shingle-less and same-id docs follow the contract") {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> "alpha beta gamma delta epsilon", // pairs with ref 1
+      2L -> "alpha beta gamma delta epsilon", // within-side dup of 0 — must NOT pair with it, drops only via ref 1
+      4L -> "totally different corpus words entirely here",
+      6L -> "xx", // < 3 tokens: no shingles, never pairs, always survives
+      8L -> "same id lives in both frames") // identical text as ref id 8 — a CROSS pair, not a self-pair
+      .toDF("doc_id", "text")
+    val ref = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      3L -> "unrelated reference text goes here",
+      8L -> "same id lives in both frames")
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshCross(
+        Dedup.wordShingles(corpus, "doc_id", "text", 3),
+        Dedup.wordShingles(ref, "doc_id", "text", 3), 0.5)
+      .select("corpus_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caching.release(spark)
+    // 0 and 2 are identical to each other AND to ref 1: each pairs with 1
+    // only (no within-corpus pair); id 8 pairs ACROSS despite equal ids
+    assert(pairs == Set((0L, 1L), (2L, 1L), (8L, 8L)), pairs.toString)
+    val survivors = Dedup.dedupAgainst(corpus, ref, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caching.release(spark)
+    assert(survivors == Set(4L, 6L), survivors.toString)
+  }
+
   test("connectedComponents collapses chains to min-id clusters; keepListCollapsed keeps one per chain") {
     import spark.implicits._
     // two components: the chain 1-2-3-4 (transitive only — (1,4) is not a

@@ -99,6 +99,20 @@ class PlanSpec extends SparkSpec {
     Caching.release(spark)
   }
 
+  test("x70 cross dedup: band equi-join with incremental signature aggs, no NLJ/cartesian/UDF") {
+    // candidates must come from the between-side (band, band_key) equi-join
+    // — n_corpus × n_ref never materializes — and both sides' signatures
+    // stay map-side-combined incremental aggregates (no collect_list)
+    val p = plan("x70_cross_dedup_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert("partial_minhashbandsagg".r.findAllIn(p).size >= 2,
+      "both corpora must band incrementally: " + p.take(2000))
+    assert(!p.contains("collect_list"), p.take(2000))
+    Caching.release(spark)
+  }
+
   test("aggregations are hash aggregates with map-side partial merge (q05/q06)") {
     Seq("q05_count_by_key", "q06_sum_by_key").foreach { q =>
       val p = plan(q)
