@@ -667,6 +667,29 @@ object Queries {
         .select("doc_id")
     }),
 
+    // x70's pairs computed THROUGH a persisted reference index — the
+    // production re-crawl shape: the previous dump is indexed once
+    // (buildLshIndex), each new dump probes it with a bucketed band join
+    // that reads the stored side exchange-free. Must equal x70 exactly —
+    // same cross-Jaccard oracle.
+    "x72_cross_dedup_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val suffix = java.lang.Long.toHexString(System.nanoTime())
+      val idx = Dedup.LshIndex(s"x72_bands_$suffix", s"x72_shingles_$suffix",
+        numBuckets = 8)
+      val tmp = scratchDir("graft_x72")
+      withStateTables(s, idx.bandsTable, idx.shinglesTable) {
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", idx)
+        // materialize INSIDE the guarded body (the x39 pattern): the
+        // returned frame must not lazily read the dropped state tables
+        Dedup.minHashLshCrossIndex(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", idx, 0.5)
+          .write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      }
+      s.read.parquet(tmp.resolve("out").toString)
+    }),
+
     "x05_ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
 
@@ -1527,6 +1550,10 @@ object Queries {
     "x71_cross_dedup_keep" ->
       s"""SELECT doc_id FROM documents WHERE doc_id % 2 = 0
         |  AND doc_id NOT IN (SELECT corpus_id FROM ($crossJaccardOracle))""".stripMargin,
+
+    // the index-backed probe must produce exactly the frame-based x70
+    // pairs (same kernels, same verify semantics) — same oracle
+    "x72_cross_dedup_indexed" -> crossJaccardOracle,
 
     "x04_dedup_simhash" ->
       // transcription of Dedup.simHash: per-word hash = 60-bit md5 prefix

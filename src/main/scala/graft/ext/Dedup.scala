@@ -252,6 +252,119 @@ object Dedup {
         .select(col("corpus_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** One-shot [[LshIndex]] build from a batch reference corpus — the
+    * persisted index of an already-shipped dump, so each LATER dump can
+    * [[minHashLshCrossIndex]] against it without re-banding the reference
+    * every run (a stream accumulates the same index incrementally via
+    * [[minHashLshIncrement]]; the two producers write the identical row
+    * shapes through the shared [[shingleSetsWithBands]] pass, so an index
+    * is probe-compatible regardless of which built it). OVERWRITES both
+    * tables — rebuilding for a new reference replaces the old one; use the
+    * streaming increment to grow an index instead. Same single-writer
+    * contract as the increment ([[TableChecks.ensureWritable]]).
+    */
+  def buildLshIndex(reference: DataFrame, idCol: String, textCol: String,
+                    index: LshIndex, shingleN: Int = 3, numHashes: Int = 64,
+                    bandSize: Int = 2,
+                    checks: TableChecks = new TableChecks): Unit = {
+    val spark = reference.sparkSession
+    checks.ensureWritable(spark, index.bandsTable)
+    checks.ensureWritable(spark, index.shinglesTable)
+    // one narrow pass feeds both table writes — persist for the build's
+    // lifetime only (not Caching.scoped: the scope is this build)
+    val docs = shingleSetsWithBands(reference, idCol, textCol, shingleN,
+        numHashes, bandSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      docs.select(col("id"), posexplode(col("bk")).as(Seq("band", "band_key")))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(index.numBuckets, "band", "band_key")
+        .saveAsTable(index.bandsTable)
+      checks.markExists(index.bandsTable)
+      docs.select("id", "ss").write.mode("overwrite").format("parquet")
+        .bucketBy(index.numBuckets, "id").saveAsTable(index.shinglesTable)
+      checks.markExists(index.shinglesTable)
+    } finally { docs.unpersist(blocking = false); () }
+  }
+
+  /** [[minHashLshCross]] against a PERSISTED reference index instead of a
+    * reference frame — the production re-crawl shape: the previous dump's
+    * index is built once ([[buildLshIndex]], or accumulated by the
+    * streaming increment) and every new dump probes it with ONE bucketed
+    * band join — the stored side is read pre-partitioned on (band,
+    * band_key), NO exchange, so probe cost scales with the NEW dump, not
+    * the indexed corpus. Candidate orientation is preserved (corpus_id →
+    * ref_id; the namespaces are separate, so no least/greatest
+    * canonicalization and a same-valued id on both sides is a legitimate
+    * cross pair — the [[minHashLshCross]] contract, NOT
+    * [[crossCandidates]]' same-stream dedup). Verification is in-row
+    * (array_intersect over the two docs' stored shingle sets, the
+    * streaming verify shape — per-pair cost ~ the two documents' set
+    * sizes, same work as the exploded join minus ~4 exchanges); both
+    * sides' same-id rows set-merge first, so duplicate ids in the corpus
+    * frame and replay-duplicated index rows both fold into the batch
+    * path's groupBy-union semantics. Output and threshold semantics are
+    * exactly [[minHashLshCross]]'s — bit-equal results when the index
+    * holds the same reference corpus (spec-pinned).
+    */
+  def minHashLshCrossIndex(corpus: DataFrame, idCol: String, textCol: String,
+                           index: LshIndex, threshold: Double,
+                           shingleN: Int = 3, numHashes: Int = 64,
+                           bandSize: Int = 2,
+                           checks: TableChecks = new TableChecks): DataFrame = {
+    val spark = corpus.sparkSession
+    require(checks.exists(spark, index.bandsTable) &&
+      checks.exists(spark, index.shinglesTable),
+      s"minHashLshCrossIndex: index tables ${index.bandsTable} / " +
+        s"${index.shinglesTable} not found — build the reference index with " +
+        "buildLshIndex (batch) or minHashLshIncrement (stream) first")
+    // feeds the band probe + the corpus-side verify set build (2 uses)
+    val corpusDocs = graft.Caching.scoped(shingleSetsWithBands(corpus, idCol,
+      textCol, shingleN, numHashes, bandSize))
+    // the candidate set feeds both semi-joins and the verify join (3 uses)
+    val cand = graft.Caching.scoped(
+      spark.table(index.bandsTable).toDF("ref_id", "band", "band_key")
+        .join(corpusDocs
+          .select(col("id").as("corpus_id"),
+            posexplode(col("bk")).as(Seq("band", "band_key"))),
+          Seq("band", "band_key"))
+        .select("corpus_id", "ref_id").distinct())
+    def mergedSets(sets: DataFrame, ids: DataFrame): DataFrame =
+      sets.join(ids, Seq("id"), "left_semi")
+        .groupBy("id")
+        .agg(array_distinct(flatten(collect_list(col("ss")))).as("ss"))
+    val cArr = mergedSets(corpusDocs.select("id", "ss"),
+      cand.select(col("corpus_id").as("id")))
+    val rArr = mergedSets(spark.table(index.shinglesTable).select("id", "ss"),
+      cand.select(col("ref_id").as("id")))
+    emitVerifiedPairs(
+      cand
+        .join(cArr.select(col("id").as("corpus_id"), col("ss").as("s1")), "corpus_id")
+        .join(rArr.select(col("id").as("ref_id"), col("ss").as("s2")), "ref_id")
+        .select(col("corpus_id").as("d1"), col("ref_id").as("d2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter_cnt"),
+          size(col("s1")).cast("long").as("n1"),
+          size(col("s2")).cast("long").as("n2")),
+      threshold)
+      .withColumnRenamed("d1", "corpus_id")
+      .withColumnRenamed("d2", "ref_id")
+  }
+
+  /** [[dedupAgainst]] against a persisted index: the corpus survivors
+    * after dropping every doc that [[minHashLshCrossIndex]] pairs with the
+    * indexed reference. Same contracts (shingle-less and NULL-id docs
+    * survive; the index is never modified).
+    */
+  def dedupAgainstIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        index: LshIndex, threshold: Double, shingleN: Int = 3,
+                        numHashes: Int = 64, bandSize: Int = 2,
+                        checks: TableChecks = new TableChecks): DataFrame =
+    corpus.join(
+      minHashLshCrossIndex(corpus, idCol, textCol, index, threshold, shingleN,
+        numHashes, bandSize, checks)
+        .select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** The persisted corpus index behind [[minHashLshStream]]: two bucketed
     * catalog tables.
     *
@@ -363,6 +476,27 @@ object Dedup {
     * documents — golden-tested, and declared as x30 against the batch
     * oracle.
     */
+  /** ONE narrow pass building the index row shape per document: token
+    * array → distinct shingle SET (in-row, no explode+distinct exchange)
+    * → MinHash band keys via the scalar graft_minhash_bands (bit-identical
+    * to the batch path's aggregate — [[graft.functions.Lsh.updateSig]] is
+    * the shared kernel). Embarrassingly parallel; only band keys ever
+    * shuffle downstream. Output: (id, ss, bk). Shared by the streaming
+    * increment, [[buildLshIndex]] and [[minHashLshCrossIndex]] so every
+    * index producer/prober bands identically.
+    */
+  private def shingleSetsWithBands(df: DataFrame, idCol: String,
+                                   textCol: String, shingleN: Int,
+                                   numHashes: Int, bandSize: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= shingleN)
+      .select(col("id"),
+        array_distinct(TextAnalysis.wordNGrams(col("__t"), shingleN)).as("ss"))
+      .withColumn("bk", call_function("graft_minhash_bands",
+        col("ss"), lit(numHashes), lit(bandSize)))
+  }
+
   def minHashLshIncrement(batch: DataFrame, idCol: String, textCol: String,
                           threshold: Double, index: LshIndex, pairsDir: String,
                           batchId: Long, shingleN: Int = 3,
@@ -416,12 +550,8 @@ object Dedup {
     checks.ensureWritable(spark, index.bandsTable)
     checks.ensureWritable(spark, index.shinglesTable)
     graft.functions.GraftFunctions.register(spark)
-    // ONE narrow pass builds everything per-row: token array → distinct
-    // shingle SET (in-row, no explode+distinct exchange) → MinHash band
-    // keys via the scalar graft_minhash_bands (bit-identical to the batch
-    // path's aggregate — [[graft.functions.Lsh.updateSig]] is the shared
-    // kernel). The whole signature stage is embarrassingly parallel; only
-    // band keys ever shuffle. Duplicate ids within a batch (legal on this
+    // ONE narrow pass builds everything per-row (see [[shingleSetsWithBands]]).
+    // Duplicate ids within a batch (legal on this
     // public API — nothing upstream enforces uniqueness) keep one row EACH
     // here: every row's bands probe for candidates, and the verify stage
     // below set-merges same-id shingle sets, so verified pairs stay
@@ -430,13 +560,8 @@ object Dedup {
     // merged-set signature — LSH recall is probabilistic either way).
     // Local persist (batch-lifetime, released in finally — not Caching
     // .scoped: the scope here is this increment, not the caller's query).
-    val batchDocs = batch
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= shingleN)
-      .select(col("id"),
-        array_distinct(TextAnalysis.wordNGrams(col("__t"), shingleN)).as("ss"))
-      .withColumn("bk", call_function("graft_minhash_bands",
-        col("ss"), lit(numHashes), lit(bandSize)))
+    val batchDocs = shingleSetsWithBands(batch, idCol, textCol, shingleN,
+        numHashes, bandSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var caches: List[DataFrame] = List(batchDocs)
     try {

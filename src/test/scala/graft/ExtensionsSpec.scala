@@ -70,6 +70,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(survivors == Set(4L, 6L), survivors.toString)
   }
 
+  test("index-backed cross dedup equals the frame path; missing-index and contract cases hold") {
+    import spark.implicits._
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val idx = Dedup.LshIndex(s"xi_bands_$suffix", s"xi_shingles_$suffix", numBuckets = 4)
+    // probing an unbuilt index fails loudly, naming the tables to build
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLshCrossIndex(docs, "doc_id", "text", idx, 0.5)
+    }
+    assert(e.getMessage.contains(idx.bandsTable), e.getMessage)
+    try {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val ref = docs.filter(col("doc_id") % 2 =!= 0)
+      Dedup.buildLshIndex(ref, "doc_id", "text", idx)
+      val viaIndex = Dedup.minHashLshCrossIndex(corpus, "doc_id", "text", idx, 0.5)
+        .select("corpus_id", "ref_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.Caching.release(spark)
+      val viaFrames = Dedup.minHashLshCross(
+          Dedup.wordShingles(corpus, "doc_id", "text", 3),
+          Dedup.wordShingles(ref, "doc_id", "text", 3), 0.5)
+        .select("corpus_id", "ref_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.Caching.release(spark)
+      assert(viaIndex == viaFrames,
+        s"index path diverged: viaIndex=${viaIndex.size} viaFrames=${viaFrames.size}")
+      // the same-id-both-frames and shingle-less contracts ride the
+      // indexed drop decision too
+      val c2 = Seq(8L -> "same id lives in both frames", 6L -> "xx").toDF("doc_id", "text")
+      val r2 = Seq(8L -> "same id lives in both frames").toDF("doc_id", "text")
+      val idx2 = Dedup.LshIndex(s"xi2_bands_$suffix", s"xi2_shingles_$suffix", numBuckets = 2)
+      try {
+        Dedup.buildLshIndex(r2, "doc_id", "text", idx2)
+        val surv = Dedup.dedupAgainstIndex(c2, "doc_id", "text", idx2, 0.5)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.Caching.release(spark)
+        assert(surv == Set(6L), surv.toString)
+      } finally Seq(idx2.bandsTable, idx2.shinglesTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally Seq(idx.bandsTable, idx.shinglesTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("connectedComponents collapses chains to min-id clusters; keepListCollapsed keeps one per chain") {
     import spark.implicits._
     // two components: the chain 1-2-3-4 (transitive only — (1,4) is not a

@@ -451,6 +451,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x72 index probe reads the stored index bucketed, no cartesian/NLJ/UDF") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val idx = Dedup.LshIndex(s"pin72_bands_$suffix", s"pin72_shingles_$suffix",
+      numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at 100 TB the reference index broadcasts nowhere: pin the big-big shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p30 = (1 to 30).map(i => s"w$i").mkString(" ")
+      Dedup.buildLshIndex(Seq(1L -> s"$p30 a").toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      val p = Dedup.minHashLshCrossIndex(Seq(2L -> s"$p30 b").toDF("doc_id", "text"),
+        "doc_id", "text", idx, 0.5).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(2000))
+      assert(!p.contains("ScalaUDF"), p.take(2000))
+      // the shingles-table scan (outside the cached candidate subtree) must
+      // read bucketed — its semi-join and set-merge group on the bucket key
+      assert(p.contains("Bucketed: true"),
+        "index scans must be bucketed: " + p.take(2000))
+      Caching.release(spark)
+      // the candidate probe join itself: stored bands side pre-partitioned,
+      // only the corpus side shuffles (the crossCandidates pin, oriented)
+      val corpusBands = Dedup.signatureBands(Dedup.wordShingles(
+        Seq(2L -> s"$p30 b").toDF("doc_id", "text"), "doc_id", "text", 3))
+      val probe = spark.table(idx.bandsTable).toDF("ref_id", "band", "band_key")
+        .join(corpusBands.toDF("corpus_id", "band", "band_key"),
+          Seq("band", "band_key"))
+      val pp = probe.queryExecution.executedPlan.toString
+      val corpusOwn = "Exchange hashpartitioning".r
+        .findAllIn(corpusBands.queryExecution.executedPlan.toString).size
+      assert(pp.contains("Bucketed: true"), "bands scan must be bucketed: " + pp.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(pp).size === corpusOwn + 1,
+        "only the corpus side may shuffle: " + pp.take(2000))
+      Caching.release(spark)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      dropTableHard(idx.bandsTable)
+      dropTableHard(idx.shinglesTable)
+    }
+  }
+
   test("x39 cluster-registry probes read both tables bucketed, no cartesian/NLJ") {
     import spark.implicits._
     import graft.ext.Dedup
