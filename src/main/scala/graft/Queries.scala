@@ -510,7 +510,7 @@ object Queries {
         maxShingleDf = Some(JaccardDfCap))),
 
     "x03_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLsh(Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)),
+      Dedup.minHashLshDocs(t(s, dir, "documents"), "doc_id", "text", 0.5)),
 
     // STREAMING near-dup dedup: the same corpus ingested as a multi-batch
     // file stream, each micro-batch band-joined against the bucketed corpus
@@ -572,7 +572,7 @@ object Queries {
     // near-dup pair found by the LSH path
     "x13_dedup_keep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      val pairs = Dedup.minHashLshDocs(docs, "doc_id", "text", 0.5)
       Dedup.keepList(docs, "doc_id", pairs).select("doc_id")
     }),
 
@@ -583,7 +583,7 @@ object Queries {
     "x25_dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.connectedComponents(
-        Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5))
+        Dedup.minHashLshDocs(docs, "doc_id", "text", 0.5))
     }),
 
     // INCREMENTAL connected components: the same near-dup pair graph
@@ -600,7 +600,7 @@ object Queries {
       val state = Dedup.ClusterState(s"x39_$suffix", numBuckets = 8)
       val tmp = scratchDir("graft_x39")
       val pairs = graft.Caching.scoped(
-        Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+        Dedup.minHashLshDocs(docs, "doc_id", "text", 0.5)
           .select("d1", "d2"))
       // state tables dropped in a finally (after the mapping materializes
       // to scratch INSIDE the guarded body — it reads them)
@@ -651,10 +651,10 @@ object Queries {
     // subset of x03's pair set, which the LSH path finds exactly).
     "x70_cross_dedup_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.minHashLshCross(
-        Dedup.wordShingles(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3),
-        Dedup.wordShingles(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3),
-        0.5)
+      Dedup.minHashLshCrossDocs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", 0.5)
     }),
 
     // the drop decision over x70: new-dump docs that near-dup any reference
@@ -1148,7 +1148,7 @@ object Queries {
     // pair ever straddles train/test — the split-leakage guard
     "x42_component_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      val pairs = Dedup.minHashLshDocs(docs, "doc_id", "text", 0.5)
       Sampling.splitByComponent(docs, "doc_id", pairs, SplitSeed,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "root_id", "bucket", "split")
@@ -1172,7 +1172,7 @@ object Queries {
     "x45_collapse_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.collapseBest(docs, "doc_id",
-          Dedup.minHashLsh(Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+          Dedup.minHashLshDocs(docs, "doc_id", "text", 0.5)
             .select("d1", "d2"),
           "n_chars")
         .select("doc_id")

@@ -233,10 +233,13 @@ object CurationPipeline {
     }
 
     // 4: near-dup dedup — LSH pairs, then either the per-pair drop or the
-    // full cluster collapse (one survivor per connected component)
-    val pairs = Dedup.minHashLsh(
-      Dedup.wordShingles(exactKept, idCol, textCol, cfg.shingleN),
-      cfg.nearDupThreshold)
+    // full cluster collapse (one survivor per connected component). The
+    // set-based entry ([[Dedup.minHashLshDocs]]) builds shingle sets +
+    // bands in one narrow pass — two fewer exchanges than the exploded
+    // minHashLsh(wordShingles(…)) with bit-identical pairs (exactKept ids
+    // are unique by construction: stage 3 keeps one doc per text hash)
+    val pairs = Dedup.minHashLshDocs(exactKept, idCol, textCol,
+      cfg.nearDupThreshold, cfg.shingleN)
     val lexKept =
       if (cfg.collapseClusters) Dedup.keepListCollapsed(exactKept, idCol, pairs)
       else Dedup.keepList(exactKept, idCol, pairs)

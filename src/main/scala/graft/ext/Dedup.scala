@@ -54,10 +54,19 @@ object Dedup {
     * per-row generation, then a distinct (one shuffle).
     */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    // per-doc dedup is IN-ROW (array_distinct before the explode — the
+    // docGrams shape): one document's n-grams live in one row already, so
+    // the former global .distinct() exchange bought nothing for unique-id
+    // corpora — it shuffled the fattest table of the whole dedup family
+    // (every (id, shingle) string pair) to deduplicate within groups that
+    // never span rows. Contract: one row per document id (the corpus-table
+    // key); feeding several rows with the SAME id now keeps each row's set
+    // separately (the streaming increment's per-row stance) where the old
+    // exchange silently unioned them.
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), explode(TextAnalysis.wordNGrams(col("__t"), n)).as("shingle"))
-      .distinct()
+      .select(col("id"),
+        explode(array_distinct(TextAnalysis.wordNGrams(col("__t"), n))).as("shingle"))
 
   /** Exact pairwise Jaccard over shingle sets, emitting pairs with
     * `jaccard >= threshold`. Output: (d1, d2, inter_cnt, union_cnt, jaccard)
@@ -171,6 +180,59 @@ object Dedup {
       threshold)
   }
 
+  /** [[minHashLsh]] from the raw documents frame — the batch entry the
+    * declared queries use (round 17, optimization): ONE narrow pass builds
+    * each document's distinct shingle set AND its band keys in-row
+    * ([[shingleSetsWithBands]] — the exact kernel the streaming increment
+    * and every index producer/prober use, so all paths band identically),
+    * which removes two full exchanges versus minHashLsh(wordShingles(…)):
+    * the explode+distinct shuffle of the (id, shingle) table and the
+    * signature groupBy aggregate (the scalar graft_minhash_bands replaces
+    * MinHashBandsAgg — bit-identical by construction, [[graft.functions
+    * .Lsh.updateSig]] is the shared per-shingle kernel). Set sizes are
+    * in-row (`size(ss)`) instead of a third aggregate exchange.
+    *
+    * The VERIFY stays the exploded equi-join of [[minHashLsh]] — per-doc
+    * set ROWS never ship through the candidate join, so the biggest
+    * document costs exploded rows, not a million-element array per
+    * candidate pair (the 100 TB argument in [[minHashLshIncrement]]'s
+    * verify note, which faces micro-batch-bounded candidates; a batch
+    * corpus' candidate set is corpus-scale). Results are bit-identical to
+    * `minHashLsh(wordShingles(docs, id, text, shingleN), threshold)` on
+    * unique-id input (spec-pinned equality + the unchanged DuckDB
+    * oracles); ids must be unique per row — the corpus-table contract.
+    */
+  def minHashLshDocs(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, shingleN: Int = 3,
+                     numHashes: Int = 64, bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0)
+    // one row per doc: (id, ss, bk) — feeds the band self-join (2 uses),
+    // both verify sides and both size projections; the scoped persist
+    // stops the tokenize+shingle+minhash scan running 6× (callers release
+    // via graft.Caching.release after materializing)
+    val sets = graft.Caching.scoped(shingleSetsWithBands(docs, idCol,
+      textCol, shingleN, numHashes, bandSize))
+    val bands = sets.select(col("id"),
+      posexplode(col("bk")).as(Seq("band", "band_key")))
+    val cand = bands.toDF("d1", "band", "band_key")
+      .join(bands.toDF("d2", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // exploded verify off the cached set rows: ss is already distinct, so
+    // no distinct exchange re-appears here
+    val sh = sets.select(col("id"), explode(col("ss")).as("s"))
+    val sizes = sets.select(col("id"), size(col("ss")).cast("long").as("n"))
+    emitVerifiedPairs(
+      cand
+        .join(sh.toDF("d1", "s"), "d1")
+        .join(sh.toDF("d2", "s2"), "d2")
+        .filter(col("s") === col("s2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter_cnt"))
+        .join(sizes.toDF("d1", "n1"), "d1")
+        .join(sizes.toDF("d2", "n2"), "d2"),
+      threshold)
+  }
+
   /** Cross-corpus near-dup pairs — "dedup this dump against the previous
     * one" at the fuzzy level: MinHash-banded candidates BETWEEN the corpus
     * and reference shingle sets only, verified with exact Jaccard (no false
@@ -232,6 +294,53 @@ object Dedup {
       .withColumnRenamed("d2", "ref_id")
   }
 
+  /** [[minHashLshCross]] from the raw document frames — the batch entry
+    * the declared queries use (round 17, optimization; the
+    * [[minHashLshDocs]] restructure applied to the cross shape): each side
+    * builds its distinct shingle set + band keys in ONE narrow in-row pass
+    * ([[shingleSetsWithBands]]), dropping the explode+distinct exchange
+    * and the signature aggregate per side, and set sizes come in-row.
+    * Verify stays the exploded between-side equi-join; output, threshold
+    * semantics and the no-canonicalization id contract are exactly
+    * [[minHashLshCross]]'s — bit-identical results on unique-id input
+    * (spec-pinned + the unchanged cross-Jaccard oracle).
+    */
+  def minHashLshCrossDocs(corpus: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          shingleN: Int = 3, numHashes: Int = 64,
+                          bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0)
+    // each side feeds its band exploder, one verify side and one size
+    // projection (3 uses) — scoped persists, released by the caller
+    val c = graft.Caching.scoped(shingleSetsWithBands(corpus, idCol,
+      textCol, shingleN, numHashes, bandSize))
+    val r = graft.Caching.scoped(shingleSetsWithBands(reference, idCol,
+      textCol, shingleN, numHashes, bandSize))
+    val cand = c.select(col("id").as("corpus_id"),
+        posexplode(col("bk")).as(Seq("band", "band_key")))
+      .join(r.select(col("id").as("ref_id"),
+        posexplode(col("bk")).as(Seq("band", "band_key"))),
+        Seq("band", "band_key"))
+      .select("corpus_id", "ref_id").distinct()
+    emitVerifiedPairs(
+      cand
+        .join(c.select(col("id").as("corpus_id"), explode(col("ss")).as("s")),
+          "corpus_id")
+        .join(r.select(col("id").as("ref_id"), explode(col("ss")).as("s2")),
+          "ref_id")
+        .filter(col("s") === col("s2"))
+        .groupBy("corpus_id", "ref_id").agg(count(lit(1)).as("inter_cnt"))
+        .join(c.select(col("id").as("corpus_id"),
+          size(col("ss")).cast("long").as("n1")), "corpus_id")
+        .join(r.select(col("id").as("ref_id"),
+          size(col("ss")).cast("long").as("n2")), "ref_id")
+        .select(col("corpus_id").as("d1"), col("ref_id").as("d2"),
+          col("inter_cnt"), col("n1"), col("n2")),
+      threshold)
+      .withColumnRenamed("d1", "corpus_id")
+      .withColumnRenamed("d2", "ref_id")
+  }
+
   /** The drop DECISION over [[minHashLshCross]]: corpus documents that
     * near-dup ANY reference document are removed; everything else survives,
     * including sub-`shingleN`-token documents that produce no shingles (the
@@ -245,10 +354,8 @@ object Dedup {
                    textCol: String, threshold: Double, shingleN: Int = 3,
                    numHashes: Int = 64, bandSize: Int = 2): DataFrame =
     corpus.join(
-      minHashLshCross(
-        wordShingles(corpus, idCol, textCol, shingleN),
-        wordShingles(reference, idCol, textCol, shingleN),
-        threshold, numHashes, bandSize)
+      minHashLshCrossDocs(corpus, reference, idCol, textCol, threshold,
+        shingleN, numHashes, bandSize)
         .select(col("corpus_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 

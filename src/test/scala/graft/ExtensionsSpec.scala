@@ -21,6 +21,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minHashLshDocs (set-based, r17) is row-identical to minHashLsh(wordShingles)") {
+    // the optimization-round restructure: one narrow in-row pass for
+    // sets+bands+sizes must not move a single pair, count or jaccard value
+    val viaShingles = Dedup.minHashLsh(
+      Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      .collect().map(_.toSeq).toSet
+    graft.Caching.release(spark)
+    val viaDocs = Dedup.minHashLshDocs(docs, "doc_id", "text", 0.5)
+      .collect().map(_.toSeq).toSet
+    graft.Caching.release(spark)
+    assert(viaShingles.nonEmpty)
+    assert(viaDocs == viaShingles,
+      s"set-based path diverged: docs=${viaDocs.size} shingles=${viaShingles.size}")
+  }
+
+  test("minHashLshCrossDocs (set-based, r17) is row-identical to minHashLshCross") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val ref = docs.filter(col("doc_id") % 2 =!= 0)
+    val viaShingles = Dedup.minHashLshCross(
+      Dedup.wordShingles(corpus, "doc_id", "text", 3),
+      Dedup.wordShingles(ref, "doc_id", "text", 3), 0.5)
+      .collect().map(_.toSeq).toSet
+    graft.Caching.release(spark)
+    val viaDocs = Dedup.minHashLshCrossDocs(corpus, ref, "doc_id", "text", 0.5)
+      .collect().map(_.toSeq).toSet
+    graft.Caching.release(spark)
+    assert(viaShingles.nonEmpty)
+    assert(viaDocs == viaShingles,
+      s"set-based cross path diverged: docs=${viaDocs.size} shingles=${viaShingles.size}")
+  }
+
   test("cross-corpus LSH pairs equal the exact cross-Jaccard; only between-side pairs emit") {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val ref = docs.filter(col("doc_id") % 2 =!= 0)

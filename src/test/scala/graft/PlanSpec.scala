@@ -81,34 +81,43 @@ class PlanSpec extends SparkSpec {
       "x10_fingerprints").foreach { q =>
       assert(!plan(q).contains("ScalaUDF"), q)
     }
-    // the MinHash signature is an incremental aggregate with map-side
-    // partials — no collect_list of a document's whole shingle set
+    // the MinHash signature is the scalar in-row kernel over each doc's
+    // distinct shingle set (r17 set-based path — no signature aggregate
+    // exchange, no explode+distinct exchange) and no collect_list of a
+    // document's whole shingle set ever appears
     val p = plan("x03_dedup_minhash_lsh")
-    assert(p.contains("partial_minhashbandsagg"), p.take(2000))
+    assert(p.contains("minhashbands"), p.take(2000))
     assert(!p.contains("collect_list"), "shingle lists must never materialize: " + p.take(2000))
   }
 
-  test("x03 reads its shingle set from cache: every reference scans the persist, not parquet") {
-    // minHashLsh references the shingle table 4 times (signature agg, size
-    // agg, both verify-join sides); the scoped persist makes the upstream
-    // tokenize+explode+distinct run once — relying on ReusedExchange instead
-    // is plan luck, and a missed reuse rescans the whole corpus up to 4×
+  test("x03 reads its shingle-set frame from cache: every reference scans the persist, not parquet") {
+    // minHashLshDocs references the per-doc set frame 6 times (both band
+    // self-join sides, both verify-join sides, both size projections); the
+    // scoped persist makes the tokenize+shingle+minhash scan run once —
+    // relying on ReusedExchange instead is plan luck, and a missed reuse
+    // rescans the whole corpus up to 6×
     val p = plan("x03_dedup_minhash_lsh")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
-      "shingle references must hit the scoped cache: " + p.take(2000))
+      "set-frame references must hit the scoped cache: " + p.take(2000))
+    // the r17 restructure's point: the former explode+distinct and
+    // signature-aggregate exchanges are gone — the only aggregates left in
+    // the pair plan are the candidate distinct and the verify count
+    assert(!p.contains("partial_minhashbandsagg"),
+      "set-based path must band in-row, not re-aggregate: " + p.take(2000))
     Caching.release(spark)
   }
 
-  test("x70 cross dedup: band equi-join with incremental signature aggs, no NLJ/cartesian/UDF") {
+  test("x70 cross dedup: band equi-join with in-row signature kernels, no NLJ/cartesian/UDF") {
     // candidates must come from the between-side (band, band_key) equi-join
-    // — n_corpus × n_ref never materializes — and both sides' signatures
-    // stay map-side-combined incremental aggregates (no collect_list)
+    // — n_corpus × n_ref never materializes — and both sides band via the
+    // scalar in-row kernel (r17 set-based path: no signature aggregate
+    // exchange; no collect_list of a document's shingles)
     val p = plan("x70_cross_dedup_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
     assert(!p.contains("ScalaUDF"), p.take(2000))
-    assert("partial_minhashbandsagg".r.findAllIn(p).size >= 2,
-      "both corpora must band incrementally: " + p.take(2000))
+    assert("minhashbands".r.findAllIn(p).size >= 2,
+      "both corpora must band via the shared in-row kernel: " + p.take(2000))
     assert(!p.contains("collect_list"), p.take(2000))
     Caching.release(spark)
   }
