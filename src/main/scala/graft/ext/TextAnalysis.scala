@@ -600,8 +600,15 @@ object TextAnalysis {
       s"bm25Join: maxTermDf must be >= 1, got $cap"))
     requireIntegralId(corpus, idCol, "bm25Join")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val toked = corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
-      .withColumn("__dl", size(col("__t")).cast("long"))
+    // the tokenized corpus feeds the (eager) corpus-stats aggregate AND the
+    // posting build — without the persist the whole corpus tokenizes twice
+    // (and any caller-side derivation, e.g. x68's vocabulary expansion,
+    // re-runs with it). Scoped, the minHashLsh stance: callers release via
+    // graft.Caching.release after materializing; at corpus scale the cache
+    // spills to disk, still cheaper than a second full tokenize scan.
+    val toked = graft.Caching.scoped(
+      corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
+        .withColumn("__dl", size(col("__t")).cast("long")))
     val stats = toked.agg(count(lit(1)).as("n"),
       coalesce(sum(col("__dl")), lit(0L)).as("l"),
       coalesce(max(col("__dl")), lit(0L)).as("m")).head()
