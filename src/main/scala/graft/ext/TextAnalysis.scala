@@ -201,12 +201,18 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
     // the kernel is a native codegen expression (graft.functions
     // .WinnowFingerprints) — no ScalaUDF boxing on the document scan; null
-    // text coalesces to "" (no tokens → no fingerprints, like the old UDF)
+    // text coalesces to "" (no tokens → no fingerprints, like the old UDF).
+    // Dedup is IN-ROW (array_distinct before the explode — the wordShingles
+    // r17 stance): one document's fingerprints live in one kernel output,
+    // so the former global .distinct() exchange shuffled every
+    // (id, fingerprint) pair to deduplicate within groups that never span
+    // rows. Contract: one row per document id; duplicate-id inputs now
+    // keep each row's fingerprint set separately where the old exchange
+    // silently unioned them.
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
-      explode(call_function("graft_fingerprints",
-        coalesce(col(textCol), lit("")), lit(k), lit(w))).as("fingerprint"))
-      .distinct()
+      explode(array_distinct(call_function("graft_fingerprints",
+        coalesce(col(textCol), lit("")), lit(k), lit(w)))).as("fingerprint"))
   }
 
   /** PII patterns redacted by [[redactPii]], applied in this order. Emails
