@@ -436,14 +436,10 @@ object Dedup {
             posexplode(col("bk")).as(Seq("band", "band_key"))),
           Seq("band", "band_key"))
         .select("corpus_id", "ref_id").distinct())
-    def mergedSets(sets: DataFrame, ids: DataFrame): DataFrame =
-      sets.join(ids, Seq("id"), "left_semi")
-        .groupBy("id")
-        .agg(array_distinct(flatten(collect_list(col("ss")))).as("ss"))
-    val cArr = mergedSets(corpusDocs.select("id", "ss"),
-      cand.select(col("corpus_id").as("id")))
-    val rArr = mergedSets(spark.table(index.shinglesTable).select("id", "ss"),
-      cand.select(col("ref_id").as("id")))
+    val cArr = mergedCandidateSets(corpusDocs.select("id", "ss"),
+      cand.select(col("corpus_id").as("id")), "minHashLshCrossIndex")
+    val rArr = mergedCandidateSets(spark.table(index.shinglesTable).select("id", "ss"),
+      cand.select(col("ref_id").as("id")), "minHashLshCrossIndex")
     emitVerifiedPairs(
       cand
         .join(cArr.select(col("id").as("corpus_id"), col("ss").as("s1")), "corpus_id")
@@ -541,6 +537,50 @@ object Dedup {
       .filter(col("inter_cnt").cast("double") >= lit(threshold) * col("union_cnt"))
       .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"),
         (col("inter_cnt").cast("double") / col("union_cnt")).as("jaccard"))
+
+  /** The per-candidate-id merged shingle-set build shared by the streaming
+    * verify and the cross-index probe: same-id rows (replay-duplicated index
+    * rows, duplicate ids within a batch, an id re-arriving with new text)
+    * union into ONE deterministic set — the batch path's groupBy semantics.
+    *
+    * SKEW/GROWTH BOUND: the union array grows with every distinct same-id
+    * row, and a pathological id re-arriving with new text each batch grows
+    * it without bound — the family's one remaining unguarded skew point
+    * (r17 VERDICT item 5). Armed via the same opt-in conf as the window-min
+    * guard (`spark.graft.streaming.maxSliceRows`): a candidate id merging
+    * more than the cap's same-id set ROWS raises a named error instead of
+    * silently serializing an ever-fatter array on one task. Unarmed, the
+    * aggregate is byte-identical to the unguarded form (zero extra
+    * exchanges either way — the count rides the same aggregate).
+    */
+  private def mergedCandidateSets(sets: DataFrame, ids: DataFrame,
+                                  context: String): DataFrame = {
+    val spark = sets.sparkSession
+    val capOpt: Option[Long] =
+      spark.conf.getOption(graft.streaming.StatefulOps.MaxSliceRowsConf).map { v =>
+        val n = v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"${graft.streaming.StatefulOps.MaxSliceRowsConf} must be a positive int, got '$v'"))
+        require(n > 0,
+          s"${graft.streaming.StatefulOps.MaxSliceRowsConf} must be positive, got $n")
+        n
+      }
+    val base = sets.join(ids, Seq("id"), "left_semi").groupBy("id")
+    capOpt match {
+      case Some(cap) =>
+        base.agg(array_distinct(flatten(collect_list(col("ss")))).as("__ss"),
+            count(lit(1)).as("__nrows"))
+          .select(col("id"),
+            when(col("__nrows") > cap, raise_error(concat(
+              lit(s"$context: candidate id "), col("id").cast("string"),
+              lit(s" merges more than $cap same-id shingle-set rows " +
+                s"(${graft.streaming.StatefulOps.MaxSliceRowsConf}) — the " +
+                "per-id set union grows on one task; dedup the id upstream, " +
+                "compact the index, or raise the cap"))).cast("array<string>"))
+              .otherwise(col("__ss")).as("ss"))
+      case None =>
+        base.agg(array_distinct(flatten(collect_list(col("ss")))).as("ss"))
+    }
+  }
 
   private def verifyStreamCandidates(cand: DataFrame, arr: DataFrame,
                                      threshold: Double): DataFrame = {
@@ -710,10 +750,9 @@ object Dedup {
       // batch path's groupBy semantics; an arbitrary-row pick here made
       // verified pairs run-to-run nondeterministic. Verification is
       // order-insensitive (array_intersect + size), so collect_list's
-      // nondeterministic row order cannot leak into results.
-      val arr = allSets.join(candIds, Seq("id"), "left_semi")
-        .groupBy("id")
-        .agg(array_distinct(flatten(collect_list(col("ss")))).as("ss"))
+      // nondeterministic row order cannot leak into results. The per-id
+      // growth bound lives in [[mergedCandidateSets]] (opt-in maxSliceRows).
+      val arr = mergedCandidateSets(allSets, candIds, "minHashLshIncrement")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       caches ::= arr
       // MATERIALIZE the candidates/verification plan while the index still

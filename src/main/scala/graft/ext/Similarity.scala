@@ -259,6 +259,19 @@ object Similarity {
     // streams in foreachBatch, but if one ever doesn't, keep the r16
     // unconditional-widening behavior rather than crash the stream
     if (ds.isStreaming) ds.repartition(p)
+    // the .rdd probe is only free on a SHUFFLE-FREE, SUBQUERY-FREE plan
+    // (bare scan, cached frame, narrow projections): with AQE on, .rdd on
+    // a plan containing exchanges materializes every upstream query stage
+    // — and the result is then thrown away when the else branch returns
+    // the original ds (a silent double execution; r17 VERDICT item 3).
+    // A side with an upstream exchange is already session-wide (shuffle
+    // partitions), exactly what widening would have bought — return it
+    // untouched. sparkPlan inspection is pure planning: no job runs.
+    else if (ds.queryExecution.sparkPlan.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange] ||
+        n.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))))
+      ds
     else if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
 

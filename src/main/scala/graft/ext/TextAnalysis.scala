@@ -606,19 +606,34 @@ object TextAnalysis {
       s"bm25Join: maxTermDf must be >= 1, got $cap"))
     requireIntegralId(corpus, idCol, "bm25Join")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // the tokenized corpus feeds the (eager) corpus-stats aggregate AND the
-    // posting build — without the persist the whole corpus tokenizes twice
-    // (and any caller-side derivation, e.g. x68's vocabulary expansion,
-    // re-runs with it). Scoped, the minHashLsh stance: callers release via
-    // graft.Caching.release after materializing; at corpus scale the cache
-    // spills to disk, still cheaper than a second full tokenize scan.
-    val toked = graft.Caching.scoped(
-      corpus.select(col(idCol).as("__doc"), tokens(lower(col(textCol))).as("__t"))
-        .withColumn("__dl", size(col("__t")).cast("long")))
-    val stats = toked.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("l"),
+    val toked = corpus.select(col(idCol).as("__doc"),
+        tokens(lower(col(textCol))).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("long"))
+    // postings feed the corpus-stats derivation (below), the df aggregate
+    // AND the probe join — scoped, the minHashLsh stance; callers release
+    // via Caching.release. ONE tokenize scan total: round 17 cached the
+    // tokenized frame itself to serve a separate stats pass, but the fat
+    // __t token arrays were the worst possible cache payload (x59's
+    // oracle-designed quadratic probe then fought 6.8 s of GC against
+    // them — PERF_r17 0.54×); the per-(doc, term) postings rows are the
+    // SLIM representation the rest of the query needs anyway.
+    val postings = graft.Caching.scoped(
+      toked.select(col("__doc"), col("__dl"), explode(col("__t")).as("__term"))
+        .groupBy(col("__doc"), col("__dl"), col("__term"))
+        .agg(count(lit(1)).as("__tf")))
+    // corpus stats WITHOUT a second tokenize pass: n counts corpus ROWS
+    // (column-pruned — tokenization never runs for a count); l = Σ dl =
+    // Σ tf over postings (zero-token docs contribute 0 to both); maxDl =
+    // max posting dl (a zero-token doc's dl = 0 can only be the max when
+    // ALL docs are token-less, which the l > 0 gate below rejects anyway).
+    // Values are identical to the former tokenize-and-aggregate pass;
+    // materializing the aggregate here also populates the postings cache
+    // for the df/probe reads below.
+    val n = corpus.count()
+    val stats = postings.agg(
+      coalesce(sum(col("__tf")), lit(0L)).as("l"),
       coalesce(max(col("__dl")), lit(0L)).as("m")).head()
-    val (n, l, maxDl) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val (l, maxDl) = (stats.getLong(0), stats.getLong(1))
     require(n > 0 && l > 0, "bm25Join requires a non-empty tokenized corpus")
     val avgdlMilli = (1000L * l) / n
     // plan-time overflow bound (the bm25TopK rule, with this path's
@@ -628,12 +643,6 @@ object TextAnalysis {
         math.max(maxDl, 1L) <= BigInt(Long.MaxValue),
       s"bm25Join: score fixed-point would overflow (avgdl ${avgdlMilli / 1000} " +
         s"tokens, longest doc $maxDl) — truncate pathologically long documents first")
-    // postings feed the df aggregate AND the probe join — scoped, the
-    // minHashLsh stance; callers release via Caching.release
-    val postings = graft.Caching.scoped(
-      toked.select(col("__doc"), col("__dl"), explode(col("__t")).as("__term"))
-        .groupBy(col("__doc"), col("__dl"), col("__term"))
-        .agg(count(lit(1)).as("__tf")))
     val dfs = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
     val kept = maxTermDf match {
       case Some(cap) => dfs.filter(col("__df") <= cap)

@@ -17,6 +17,10 @@ package graft.tools
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
+    // arity check BEFORE indexing (r17 ADVICE): too few args must print the
+    // documented usage, not an ArrayIndexOutOfBoundsException
+    require(args.length >= 4,
+      "usage: runMain graft.tools.DumpPlans <sfDir> <outDir> <suffix> q1 [q2 …]")
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)

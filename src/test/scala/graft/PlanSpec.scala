@@ -97,7 +97,9 @@ class PlanSpec extends SparkSpec {
     // relying on ReusedExchange instead is plan luck, and a missed reuse
     // rescans the whole corpus up to 6×
     val p = plan("x03_dedup_minhash_lsh")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+    // >= 6, the documented reference count (r17 ADVICE: the former >= 4
+    // floor let two references silently fall off the cache)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6,
       "set-frame references must hit the scoped cache: " + p.take(2000))
     // the r17 restructure's point: the former explode+distinct and
     // signature-aggregate exchanges are gone — the only aggregates left in
@@ -118,6 +120,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
     assert("minhashbands".r.findAllIn(p).size >= 2,
       "both corpora must band via the shared in-row kernel: " + p.take(2000))
+    // "minhashbands" is a substring of the old aggregate's plan name too
+    // (r17 ADVICE): a regression back to the aggregate path must fail here,
+    // not just in the x03 test
+    assert(!p.contains("minhashbandsagg"),
+      "set-based path must band in-row, not re-aggregate: " + p.take(2000))
     assert(!p.contains("collect_list"), p.take(2000))
     Caching.release(spark)
   }
