@@ -116,7 +116,10 @@ object Queries {
     */
   private[graft] def withStateCleanup[A](cleanup: => Unit)(body: => A): A =
     try body
-    finally { try cleanup catch { case _: Exception => () } }
+    finally {
+      try graft.ProbeTiming("state_drop")(cleanup)
+      catch { case _: Exception => () }
+    }
 
   private[graft] def withStateTables[A](s: SparkSession, tables: String*)(body: => A): A =
     withStateCleanup(tables.foreach { tbl =>

@@ -180,7 +180,8 @@ object CurationPipeline {
     */
   def stageOutputs(docs: DataFrame, idCol: String, textCol: String,
                    holdout: Option[DataFrame], cfg: Config = Config()): Seq[(String, DataFrame)] = {
-    val narrowed = qualityLanguageFilter(docs, idCol, textCol, cfg)
+    val narrowed = graft.ProbeTiming("build_filter")(
+      qualityLanguageFilter(docs, idCol, textCol, cfg))
 
     // 1b (optional): in-domain log-odds gate — trained on the
     // already-narrowed corpus (cleaner training signal), applied as one
@@ -204,10 +205,10 @@ object CurationPipeline {
     // extraction AND the keep-list anti-join. Both registered with
     // graft.Caching — callers release with Caching.release(spark) after
     // materializing the result.
-    val filteredC = graft.Caching.scoped(filtered)
-    val exactKeptRaw = graft.Caching.scoped(filteredC.join(
+    val filteredC = graft.ProbeTiming("build_cacheF")(graft.Caching.scoped(filtered))
+    val exactKeptRaw = graft.ProbeTiming("build_exact")(graft.Caching.scoped(filteredC.join(
       Dedup.exact(filteredC, idCol, textCol).select(col("keep_id").as(idCol)),
-      Seq(idCol), "left_semi"))
+      Seq(idCol), "left_semi")))
 
     // 3b (optional): ExactSubstr span removal — duplicated windows cut
     // from all but their first occurrence, text REPLACED for every later
@@ -238,11 +239,11 @@ object CurationPipeline {
     // bands in one narrow pass — two fewer exchanges than the exploded
     // minHashLsh(wordShingles(…)) with bit-identical pairs (exactKept ids
     // are unique by construction: stage 3 keeps one doc per text hash)
-    val pairs = Dedup.minHashLshDocs(exactKept, idCol, textCol,
-      cfg.nearDupThreshold, cfg.shingleN)
-    val lexKept =
+    val pairs = graft.ProbeTiming("build_pairs")(Dedup.minHashLshDocs(exactKept, idCol, textCol,
+      cfg.nearDupThreshold, cfg.shingleN))
+    val lexKept = graft.ProbeTiming("build_keep")(
       if (cfg.collapseClusters) Dedup.keepListCollapsed(exactKept, idCol, pairs)
-      else Dedup.keepList(exactKept, idCol, pairs)
+      else Dedup.keepList(exactKept, idCol, pairs))
 
     // 4b (optional): SEMANTIC near-dup dedup over a precomputed embedding
     // column — cosine-LSH pairs, dropped by the same per-pair/collapse
@@ -266,7 +267,7 @@ object CurationPipeline {
     // 5: decontamination against the holdout. nearKept is referenced up to
     // three times (gram df union, anti-join probe, clean train side) — the
     // persist stops the LSH verification joins from re-executing per use.
-    val clean = holdout match {
+    val clean = graft.ProbeTiming("build_clean")(holdout match {
       case Some(h) =>
         val nk = graft.Caching.scoped(nearKept)
         val overlap = cfg.decontamBloomBits match {
@@ -277,14 +278,15 @@ object CurationPipeline {
         }
         Decontaminate.cleanTrainSet(nk, idCol, overlap)
       case None => nearKept
-    }
+    })
 
     // 6+7: split assignment, then shard packing (narrow + one window).
     // hashSplit's diagnostic bucket column is dropped: packByTokens appends
     // its own (differently-seeded) bucket and must not silently shadow it.
-    val split = Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket")
-    val packed = Sharding.packByTokens(split, idCol, textCol,
-      cfg.tokensPerShard, cfg.shardBuckets, tokenCountCol = cfg.tokenCountCol)
+    val split = graft.ProbeTiming("build_split")(
+      Sampling.hashSplit(clean, idCol, cfg.splitSeed, cfg.splits).drop("bucket"))
+    val packed = graft.ProbeTiming("build_pack")(Sharding.packByTokens(split, idCol, textCol,
+      cfg.tokensPerShard, cfg.shardBuckets, tokenCountCol = cfg.tokenCountCol))
     Seq("filter" -> filtered, "exact_dedup" -> exactKeptRaw) ++
       cfg.spanRemovalK.map(_ => "span_removal" -> exactKept).toSeq ++
       Seq("near_dedup" -> lexKept) ++

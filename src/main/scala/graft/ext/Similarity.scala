@@ -251,7 +251,7 @@ object Similarity {
     * exchange it never needed. Partition count is read off the physical
     * plan (no job runs); widen only when below the session parallelism.
     */
-  private def widenIfNarrow[T](ds: org.apache.spark.sql.Dataset[T])
+  private[graft] def widenIfNarrow[T](ds: org.apache.spark.sql.Dataset[T])
       : org.apache.spark.sql.Dataset[T] = {
     val p = ds.sparkSession.sparkContext.defaultParallelism
     // a STREAMING frame admits no partition probe before execution (.rdd

@@ -143,6 +143,50 @@ class ExtensionsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("armed maxSliceRows caps the per-id merged shingle-set growth, raising by name (r17 VERDICT item 5)") {
+    import spark.implicits._
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val idx = Dedup.LshIndex(s"cap_bands_$suffix", s"cap_shingles_$suffix", numBuckets = 2)
+    val conf = graft.streaming.StatefulOps.MaxSliceRowsConf
+    try {
+      Dedup.buildLshIndex(
+        Seq(1L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      // a pathological id re-arriving with new text: THREE same-id corpus
+      // rows, all near-dups of ref 1 — the per-id set union merges 3 rows
+      val hotId = Seq(
+        7L -> "alpha beta gamma delta epsilon",
+        7L -> "alpha beta gamma delta zeta",
+        7L -> "alpha beta gamma delta eta").toDF("doc_id", "text")
+      // unarmed: the merge is unbounded (documented) and pairs emit
+      val unarmed = Dedup.minHashLshCrossIndex(hotId, "doc_id", "text", idx, 0.5)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+      graft.Caching.release(spark)
+      assert(unarmed == Set(7L), unarmed.toString)
+      // armed below the 3-row merge: the query fails NAMING the id, the
+      // cap, and the conf — never a silent ever-fatter array on one task
+      spark.conf.set(conf, "2")
+      try {
+        val e = intercept[Exception] {
+          Dedup.minHashLshCrossIndex(hotId, "doc_id", "text", idx, 0.5).collect()
+        }
+        def msgs(t: Throwable): String =
+          if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+        val msg = msgs(e)
+        assert(msg.contains("minHashLshCrossIndex") && msg.contains("7") &&
+          msg.contains("maxSliceRows"), msg.take(500))
+        graft.Caching.release(spark)
+        // armed ABOVE the merge size: results identical to unarmed
+        spark.conf.set(conf, "8")
+        val armedOk = Dedup.minHashLshCrossIndex(hotId, "doc_id", "text", idx, 0.5)
+          .select("corpus_id").collect().map(_.getLong(0)).toSet
+        graft.Caching.release(spark)
+        assert(armedOk == Set(7L), armedOk.toString)
+      } finally spark.conf.unset(conf)
+    } finally Seq(idx.bandsTable, idx.shinglesTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("connectedComponents collapses chains to min-id clusters; keepListCollapsed keeps one per chain") {
     import spark.implicits._
     // two components: the chain 1-2-3-4 (transitive only — (1,4) is not a

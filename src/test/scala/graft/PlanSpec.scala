@@ -653,6 +653,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("widenIfNarrow never executes query stages while planning: an upstream-exchange side returns untouched, jobs=0") {
+    import graft.ext.Similarity
+    import graft.sources.Tables
+    // r17 VERDICT item 3: under AQE, .rdd on a plan containing exchanges
+    // materializes every upstream query stage — and widenIfNarrow then threw
+    // the result away when the side was already wide (a silent double
+    // execution for any future shuffled query side). The fix probes the
+    // physical plan instead; this pin fails if the .rdd probe ever fires on
+    // an exchange-ful side again.
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val shuffled = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+    val group = s"widen_pin_${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "widenIfNarrow planning pin")
+    val out = try Similarity.widenIfNarrow(shuffled)
+      finally spark.sparkContext.clearJobGroup()
+    // identity: an already-shuffled side is session-wide; no extra exchange
+    assert(out eq shuffled, "exchange-ful side must return untouched")
+    // no job may run during planning (bounded wait for the async status bus)
+    val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty) Thread.sleep(50)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "widenIfNarrow ran query-stage jobs while planning")
+    // and the narrow direction still widens (the r16 single-task fix)
+    val narrow = Similarity.widenIfNarrow(emb.coalesce(1))
+    assert(!(narrow eq emb) && narrow.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism, "narrow side must still widen")
+  }
+
   test("x25 connected components: iterative equi-joins only, no cartesian/NLJ/UDF") {
     val p = plan("x25_dedup_components")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
