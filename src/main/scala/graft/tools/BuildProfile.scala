@@ -49,8 +49,9 @@ object BuildProfile {
             f.getClassName.contains("Canonicalize") => "canonicalize"
           case f if f.getClassName.endsWith("CacheManager") =>
             "cacheManager:" + f.getMethodName
-          case f if f.getClassName.contains("catalyst.analysis.Analyzer") ||
-            f.getClassName.contains("CheckAnalysis") => "analyze"
+          case f if f.getClassName.contains("CheckAnalysis") ||
+            f.getMethodName.contains("checkAnalysis") => "checkAnalysis"
+          case f if f.getClassName.contains("catalyst.analysis.Analyzer") => "analyze"
           case f if f.getClassName.contains("catalyst.optimizer") => "optimize"
           case f if f.getClassName.contains("execution.SparkStrategies") ||
             f.getClassName.contains("QueryPlanner") => "physicalPlan"
