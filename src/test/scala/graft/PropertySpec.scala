@@ -551,12 +551,19 @@ class PropertySpec extends SparkSpec {
   test("bm25Join equals the sequential posting model on random constrained-vocab corpora") {
     import spark.implicits._
     def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    // token-LESS docs included (n = 0 ⇒ ""): they carry no posting but DO
+    // count toward the corpus size n and thus avgdl — the r18 stats
+    // derivation (n from a corpus count, l/maxDl from the postings) must
+    // keep treating them exactly as the former tokenize-and-aggregate
+    // stats pass did, and this model counts them in `n` below
     val docsGen: Gen[List[(Long, String)]] =
-      Gen.listOfN(25, Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(25, Gen.choose(0, 20).flatMap(n =>
         Gen.listOfN(n, Gen.choose(0, 11)).map(_.map(v => s"t$v").mkString(" "))))
         .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    var sawEmptyDoc = false
     for (seed <- 1L to 3L) {
       val docs = sample(docsGen, seed)
+      sawEmptyDoc ||= docs.exists(_._2.isEmpty)
       val queries = docs.filter(_._1 % 5 == 0)
       val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }.toMap
       val n = docs.length.toLong
@@ -586,6 +593,7 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"seed $seed")
       assert(expected.nonEmpty, s"seed $seed retrieved nothing — weak gen")
     }
+    assert(sawEmptyDoc, "no seed drew a token-less doc — the avgdl-counts-empty-docs edge went unexercised")
   }
 
   test("chunkByTokens invariants hold on random docs; disjoint chunks reconstruct the doc") {
